@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Typed access to the harness parquet tables (TESTDATA.md).
+  *
+  * All engine queries read through here so scan behavior is uniform:
+  * parquet relations with Catalyst column pruning + predicate pushdown
+  * (the reference instead re-reads CSV with inferSchema per use,
+  * SURVEY.md §4.1). At 100 TB these would be partitioned/bucketed
+  * tables behind the same accessor.
+  */
+object Tables {
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    if (name == "events") eventsNanos(spark, sfDir)
+    else spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    * reader rejects outright. Read it as raw nanos and truncate to
+    * microseconds — exactly what DuckDB does when it loads the same
+    * file, so oracle comparisons stay bit-identical.
+    */
+  private def eventsNanos(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    // integer `div`, not double division: epoch-nanos exceeds 2^53 so a
+    // double round-trip would corrupt the low microsecond digits.
+    raw.withColumn("ts",
+      org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+  }
+
+  def region(s: SparkSession, d: String): DataFrame   = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame   = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame     = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame   = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame   = table(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+}

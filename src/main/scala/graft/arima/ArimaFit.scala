@@ -1,0 +1,234 @@
+package graft.arima
+
+/** Automatic ARIMA order selection + estimation, the engine's
+  * replacement for the reference's `forecast::auto.arima` call
+  * (reference: auto_arima.R:69-74, called per chunk from
+  * darima.py:201-220). Hyndman–Khandakar shaped:
+  *
+  *  1. d chosen by repeated KPSS level-stationarity tests (max d=2);
+  *  2. stepwise (p,q) neighborhood search minimizing AICc;
+  *  3. per-candidate estimation by Hannan–Rissanen two-stage least
+  *     squares, scored by conditional sum of squares (CSS).
+  *
+  * Estimation is linear-algebra only (no nonlinear optimizer in round
+  * 1 — HR is consistent and fast; CSS-scored model choice matches
+  * auto.arima's `approximation=TRUE` regime). Seasonal orders are not
+  * searched yet: the reference itself never fits them because it
+  * drops the ts frequency (SURVEY.md §1.4.1); restoring true seasonal
+  * search is a later-round item.
+  */
+object ArimaFit {
+
+  /** KPSS level-stationarity statistic (Bartlett long-run variance,
+    * Newey–West style lag truncation).
+    */
+  def kpssStat(x: Array[Double]): Double = {
+    val n = x.length
+    var mean = 0.0
+    var i = 0
+    while (i < n) { mean += x(i); i += 1 }
+    mean /= n
+    val e = new Array[Double](n)
+    i = 0
+    while (i < n) { e(i) = x(i) - mean; i += 1 }
+    var s = 0.0
+    var sumS2 = 0.0
+    i = 0
+    while (i < n) { s += e(i); sumS2 += s * s; i += 1 }
+    val lags = math.max(1, math.floor(4.0 * math.pow(n / 100.0, 0.25)).toInt)
+    var lrv = 0.0
+    i = 0
+    while (i < n) { lrv += e(i) * e(i); i += 1 }
+    var l = 1
+    while (l <= lags) {
+      var acc = 0.0
+      var t = l
+      while (t < n) { acc += e(t) * e(t - l); t += 1 }
+      lrv += 2.0 * (1.0 - l.toDouble / (lags + 1)) * acc
+      l += 1
+    }
+    lrv /= n
+    if (lrv <= 0.0) 0.0 else sumS2 / (n.toDouble * n * lrv)
+  }
+
+  /** Number of regular differences: difference while KPSS rejects
+    * level stationarity at 5% (critical value 0.463), capped at 2 —
+    * auto.arima's default d-selection procedure.
+    */
+  def selectD(x: Array[Double], maxD: Int = 2): Int = {
+    var cur = x
+    var d = 0
+    while (d < maxD && cur.length > 10 && kpssStat(cur) > 0.463) {
+      cur = diff(cur)
+      d += 1
+    }
+    d
+  }
+
+  def diff(x: Array[Double]): Array[Double] = {
+    val out = new Array[Double](x.length - 1)
+    var i = 1
+    while (i < x.length) { out(i - 1) = x(i) - x(i - 1); i += 1 }
+    out
+  }
+
+  /** CSS residual variance of an ARMA(p,q)+mean fit on `w` (conditional:
+    * pre-sample values at the series mean, pre-sample errors 0).
+    */
+  private def cssSigma2(w: Array[Double], c: Double,
+      phi: Array[Double], theta: Array[Double]): Double = {
+    val n = w.length
+    val p = phi.length
+    val q = theta.length
+    val e = new Array[Double](n)
+    var sse = 0.0
+    var cnt = 0
+    var t = p
+    while (t < n) {
+      var pred = c
+      var i = 0
+      while (i < p) { pred += phi(i) * (w(t - 1 - i) - c); i += 1 }
+      var j = 0
+      while (j < q) {
+        val idx = t - 1 - j
+        if (idx >= p) pred += theta(j) * e(idx)
+        j += 1
+      }
+      e(t) = w(t) - pred
+      sse += e(t) * e(t)
+      cnt += 1
+      t += 1
+    }
+    if (cnt <= 0) Double.PositiveInfinity else sse / cnt
+  }
+
+  /** Hannan–Rissanen two-stage estimate of ARMA(p,q)+mean on `w`. */
+  def hannanRissanen(w: Array[Double], p: Int, q: Int)
+      : Option[(Double, Array[Double], Array[Double])] = {
+    val n = w.length
+    var mean = 0.0
+    var i = 0
+    while (i < n) { mean += w(i); i += 1 }
+    mean /= n
+    if (p == 0 && q == 0) return Some((mean, Array.empty, Array.empty))
+    // stage 1: long AR to get residual proxies (only needed when q>0)
+    val eHat = new Array[Double](n)
+    var pLong = 0
+    if (q > 0) {
+      pLong = math.min(math.max(8, 2 * (p + q)), n / 5)
+      if (n - pLong < p + q + 8) return None
+      val (phis, _) = ArFit.levinsonDurbin(
+        ArFit.autocovariances(w, pLong), pLong)
+      val a = phis(pLong)
+      var t = pLong
+      while (t < n) {
+        var pred = mean
+        var j = 0
+        while (j < pLong) { pred += a(j) * (w(t - 1 - j) - mean); j += 1 }
+        eHat(t) = w(t) - pred
+        t += 1
+      }
+    }
+    // stage 2: OLS of w_t on [1, w lags, eHat lags]
+    val k = 1 + p + q
+    val start = math.max(p, if (q > 0) pLong + q else 0)
+    if (n - start < k + 4) return None
+    val xtx = Array.ofDim[Double](k, k)
+    val xty = new Array[Double](k)
+    val row = new Array[Double](k)
+    var t = start
+    while (t < n) {
+      row(0) = 1.0
+      var i2 = 0
+      while (i2 < p) { row(1 + i2) = w(t - 1 - i2); i2 += 1 }
+      var j = 0
+      while (j < q) { row(1 + p + j) = eHat(t - 1 - j); j += 1 }
+      var a = 0
+      while (a < k) {
+        xty(a) += row(a) * w(t)
+        var b = a
+        while (b < k) { xtx(a)(b) += row(a) * row(b); b += 1 }
+        a += 1
+      }
+      t += 1
+    }
+    var a = 0
+    while (a < k) {
+      var b = 0
+      while (b < a) { xtx(a)(b) = xtx(b)(a); b += 1 }
+      a += 1
+    }
+    try {
+      val beta = Linalg.solve(xtx, xty)
+      val phi = java.util.Arrays.copyOfRange(beta, 1, 1 + p)
+      val theta = java.util.Arrays.copyOfRange(beta, 1 + p, k)
+      // recover the process-mean parameterization: intercept = c(1 - Σφ)
+      val phiSum = phi.sum
+      val c = if (math.abs(1.0 - phiSum) > 1e-8) beta(0) / (1.0 - phiSum)
+        else mean
+      Some((c, phi, theta))
+    } catch { case _: IllegalArgumentException => None }
+  }
+
+  /** Stepwise (p,q) search à la Hyndman–Khandakar: score the four
+    * canonical starts, then walk the ±1 neighborhood of the incumbent
+    * until no improvement.
+    */
+  def fit(x: Array[Double], m: Int = 1, maxP: Int = 5, maxQ: Int = 5)
+      : SarimaModel = {
+    val d = selectD(x)
+    var w = x
+    var i = 0
+    while (i < d) { w = diff(w); i += 1 }
+    val n = w.length
+
+    var evaluated = Map.empty[(Int, Int), Double]
+    var bestFit: Option[(Int, Int, Double, Array[Double], Array[Double])] = None
+
+    def score(p: Int, q: Int): Double = {
+      if (p < 0 || q < 0 || p > maxP || q > maxQ) return Double.PositiveInfinity
+      evaluated.get((p, q)) match {
+        case Some(s) => s
+        case None =>
+          val s = hannanRissanen(w, p, q) match {
+            case Some((c, phi, theta)) =>
+              val sig = cssSigma2(w, c, phi, theta)
+              val crit = ArFit.aicc(n, sig, 1 + p + q)
+              if (bestFit.isEmpty || crit < bestFit.get._3)
+                bestFit = Some((p, q, crit, phi, theta))
+              crit
+            case None => Double.PositiveInfinity
+          }
+          evaluated += ((p, q) -> s)
+          s
+      }
+    }
+
+    Seq((2, 2), (0, 0), (1, 0), (0, 1)).foreach { case (p, q) => score(p, q) }
+    var improved = true
+    while (improved && bestFit.isDefined) {
+      improved = false
+      val (bp, bq, bcrit, _, _) = bestFit.get
+      val moves = Seq((bp + 1, bq), (bp - 1, bq), (bp, bq + 1), (bp, bq - 1),
+        (bp + 1, bq + 1), (bp - 1, bq - 1))
+      moves.foreach { case (p, q) =>
+        if (score(p, q) < bcrit - 1e-9) improved = true
+      }
+    }
+
+    val (p, q, _, phi, theta) = bestFit.getOrElse((0, 0, 0.0,
+      Array.empty[Double], Array.empty[Double]))
+    val (c2, phi2, theta2) = hannanRissanen(w, p, q)
+      .getOrElse((w.sum / math.max(1, n), Array.empty[Double], Array.empty[Double]))
+    val sigma2 = cssSigma2(w, c2, phi2, theta2)
+    // map the differenced-series mean back to level/drift terms:
+    //   d=0 → μ = c; d=1 → drift = c; d≥2 → neither (auto.arima default)
+    val (mu, drift) = d match {
+      case 0 => (c2, 0.0)
+      case 1 => (0.0, c2)
+      case _ => (0.0, 0.0)
+    }
+    SarimaModel(phi2, d, theta2, Array.empty, 0, Array.empty, math.max(m, 1),
+      mu, drift, sigma2, x.length.toLong)
+  }
+}

@@ -1,0 +1,190 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.arima.{ArLinearModel, ArimaFit, Sarima2Ar}
+import graft.forecast.{Forecast, ForecastResult}
+import graft.ts.Chunker
+
+/** End-to-end DARIMA on Spark — one Catalyst plan from scan to the
+  * combined coefficient table, pure-JVM model math inside
+  * `flatMapGroups` (the reference crosses Python driver → JVM →
+  * Python worker → embedded R per task, SURVEY.md §3.1; this engine
+  * is JVM-only).
+  *
+  * Pipeline (reference trace at SURVEY.md §3.2):
+  *   series(time,value)
+  *     → contiguous chunk ids               [P1, fixed per §1.4.2]
+  *     → groupByKey(chunk).flatMapGroups(sort ∘ fit ∘ linearize)
+  *                                          [M1-M7, auto_arima.R:7-93]
+  *     → groupBy(coef) DLSA / mean combine  [A1-A4, paper-correct §1.4.6]
+  *     → driver forecast + intervals        [FC1-FC8, darima.py:292-414]
+  */
+final case class DarimaConfig(
+    numChunks: Int = 4,
+    freq: Int = 24,
+    method: String = "dlsa", // or "mean"
+    tol: Int = 2000,
+    maxP: Int = 5,
+    maxQ: Int = 5,
+    levels: Array[Int] = Array(80, 95))
+
+object Darima {
+
+  /** Map step: fit one SARIMA per contiguous chunk, linearize to
+    * AR(tol), emit (chunk_id, coef, lag_idx, value, weight, n) rows.
+    * `weight` is the DLSA precision n_k/σ²_k (reference:
+    * auto_arima.R:103-110); `lag_idx` keeps AR coefficients
+    * integer-ordered so no zero-pad/rename dance is needed
+    * (SURVEY.md F2).
+    */
+  def fitChunkCoefs(spark: SparkSession, series: DataFrame,
+      cfg: DarimaConfig): DataFrame = {
+    import spark.implicits._
+    val chunked = Chunker.rangeChunks(
+      series.select(col("time").cast("double").as("t"),
+        col("value").cast("double").as("v")),
+      col("t"), cfg.numChunks)
+    val fitted: Dataset[(Int, String, Int, Double, Double, Long)] = chunked
+      .select(col("chunk_id"), col("t"), col("v"))
+      .as[(Int, Double, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (chunkId, it) =>
+        val buf = it.toArray.sortBy(_._2)
+        val values = buf.map(_._3)
+        val mod = ArimaFit.fit(values, cfg.freq, cfg.maxP, cfg.maxQ)
+        val ar = Sarima2Ar.toAr(mod, cfg.tol)
+        val w = ar.n.toDouble / math.max(ar.sigma2, 1e-12)
+        val base = Iterator(
+          (chunkId, "beta0", -2, ar.beta0, w, ar.n),
+          (chunkId, "beta1", -1, ar.beta1, w, ar.n),
+          (chunkId, "sigma2", Int.MaxValue, ar.sigma2, w, ar.n))
+        val ars = ar.pi.iterator.zipWithIndex.map { case (p, i) =>
+          (chunkId, s"ar${i + 1}", i + 1, p, w, ar.n)
+        }
+        base ++ ars
+      }
+    fitted.toDF("chunk_id", "coef", "lag_idx", "value", "weight", "n")
+  }
+
+  /** Reduce step: one Catalyst hash aggregate (partial + final — the
+    * reference hand-rolls this with aggregateByKey, darima.py:233-280).
+    * DLSA: θ = Σ_k w_k θ_k / Σ_k w_k, σ² = Σ n_k / Σ_k w_k.
+    * Mean:  θ = (1/K) Σ_k θ_k.
+    * Both are the paper-correct forms (the reference's extra
+    * divisions are defects — SURVEY.md §1.4.6).
+    */
+  def combine(coefs: DataFrame, method: String): DataFrame = method match {
+    case "dlsa" =>
+      coefs.groupBy(col("coef"), col("lag_idx"))
+        .agg(sum(col("value") * col("weight")).as("vw"),
+          sum(col("weight")).as("w"), sum(col("n")).as("nn"))
+        .select(col("coef"), col("lag_idx"),
+          when(col("coef") === "sigma2", col("nn") / col("w"))
+            .otherwise(col("vw") / col("w")).as("value"))
+    case "mean" =>
+      coefs.groupBy(col("coef"), col("lag_idx"))
+        .agg(avg(col("value")).as("value"))
+        .select(col("coef"), col("lag_idx"), col("value"))
+    case other => throw new IllegalArgumentException(
+      s"unknown combine method '$other' (expected dlsa|mean)")
+  }
+
+  /** Collect the (tol+3)-row combined table into the driver-side
+    * linear model. This is the only collect in the fit path — the
+    * same 2003-row transfer the reference does (darima.py:80).
+    */
+  def globalModel(combined: DataFrame, n: Long): ArLinearModel = {
+    val rows = combined.select("coef", "lag_idx", "value").collect()
+    var beta0 = 0.0
+    var beta1 = 0.0
+    var sigma2 = 0.0
+    val arMap = scala.collection.mutable.LongMap.empty[Double]
+    rows.foreach { r =>
+      val coef = r.getString(0)
+      val v = r.getDouble(2)
+      coef match {
+        case "beta0" => beta0 = v
+        case "beta1" => beta1 = v
+        case "sigma2" => sigma2 = v
+        case _ => arMap(r.getInt(1).toLong) = v
+      }
+    }
+    val p = if (arMap.isEmpty) 0 else arMap.keys.max.toInt
+    val pi = Array.tabulate(p)(i => arMap.getOrElse((i + 1).toLong, 0.0))
+    ArLinearModel(beta0, beta1, pi, sigma2, n)
+  }
+
+  /** Last-p tail of the series, time-ordered — the only train data the
+    * driver ever holds (TakeOrdered, no full collect; the reference
+    * collects the whole 121k-row series twice, SURVEY.md §4.1).
+    */
+  def seriesTail(series: DataFrame, p: Int): Array[Double] = {
+    val rows = series
+      .select(col("time").cast("double").as("t"),
+        col("value").cast("double").as("v"))
+      .orderBy(col("t").desc).limit(p).collect()
+    rows.sortBy(_.getDouble(0)).map(_.getDouble(1))
+  }
+
+  /** Full run: distributed fit + combine, driver forecast from the
+    * series tail. `n` (series length) rides along from a count on the
+    * same cached plan.
+    */
+  def run(spark: SparkSession, series: DataFrame, h: Int,
+      cfg: DarimaConfig): (ArLinearModel, ForecastResult) = {
+    val cached = series.cache()
+    try {
+      val n = cached.count()
+      val coefs = fitChunkCoefs(spark, cached, cfg)
+      val model0 = globalModel(combine(coefs, cfg.method), n)
+      // forecasting only needs the last p observations
+      val tail = seriesTail(cached, model0.p)
+      val fc = Forecast.forecast(model0.copy(n = n), tail, h, cfg.levels,
+        startIndex = n - tail.length)
+      // fitted/residuals from the tail window are partial by design;
+      // distributed fitted values are exposed separately if needed
+      (model0, fc)
+    } finally cached.unpersist()
+  }
+
+  /** Load one of the reference-format series CSVs: header
+    * `"demand","time"`, time as `%Y-%m-%d %H:%M:%S` strings —
+    * explicit schema, single pass (the reference infers schema with
+    * an extra full scan, darima.py:138).
+    */
+  def loadSeriesCsv(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.read
+      .option("header", "true")
+      .schema(StructType(Seq(
+        StructField("demand", DoubleType),
+        StructField("time", StringType))))
+      .csv(path)
+      .select(to_timestamp(col("time"), "yyyy-MM-dd HH:mm:ss").as("time"),
+        col("demand").as("value"))
+  }
+
+  /** S3 sink: dump a forecast in the reference's forecast.json shape
+    * (reference: darima.py:390-412 — keys level/mean/se/lower/upper/
+    * fitted/residuals; lower/upper are per-step arrays over levels).
+    */
+  def writeForecastJson(fc: graft.forecast.ForecastResult,
+      path: String): Unit = {
+    def arr(xs: Array[Double]): String =
+      xs.map(v => if (v.isNaN) "null" else v.toString)
+        .mkString("[", ",", "]")
+    val h = fc.mean.length
+    val lower = (0 until h).map(i =>
+      fc.levels.indices.map(li => fc.lower(li)(i)).mkString("[", ",", "]"))
+      .mkString("[", ",", "]")
+    val upper = (0 until h).map(i =>
+      fc.levels.indices.map(li => fc.upper(li)(i)).mkString("[", ",", "]"))
+      .mkString("[", ",", "]")
+    val json = s"""{"level":${fc.levels.mkString("[", ",", "]")},""" +
+      s""""mean":${arr(fc.mean)},"se":${arr(fc.se)},""" +
+      s""""lower":$lower,"upper":$upper,""" +
+      s""""fitted":${arr(fc.fitted)},"residuals":${arr(fc.residuals)}}"""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), json)
+  }
+}

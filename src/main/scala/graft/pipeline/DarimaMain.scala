@@ -1,0 +1,51 @@
+package graft.pipeline
+
+import org.apache.spark.sql.SparkSession
+import graft.eval.Metrics
+
+/** CLI entry point mirroring the reference's single executable run
+  * (reference: `python darima.py`, darima.py:492-493 → darima.py:50-125):
+  * load train/test CSVs, distributed fit + combine, forecast h = |test|,
+  * write forecast.json, print mean MASE/sMAPE/MSIS.
+  *
+  * Usage: DarimaMain <train.csv> <test.csv> <outDir> [numChunks] [method]
+  */
+object DarimaMain {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 3,
+      "usage: DarimaMain <train.csv> <test.csv> <outDir> [numChunks] [method]")
+    val Array(trainPath, testPath, outDir) = args.take(3)
+    val k = if (args.length > 3) args(3).toInt else 4
+    val method = if (args.length > 4) args(4) else "dlsa"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-darima")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      val cfg = DarimaConfig(numChunks = k, method = method)
+      val train = Darima.loadSeriesCsv(spark, trainPath)
+      val test = Darima.loadSeriesCsv(spark, testPath)
+      val testVals = test.orderBy("time").select("value").collect()
+        .map(_.getDouble(0))
+      val (model, fc) = Darima.run(spark, train, testVals.length, cfg)
+      new java.io.File(outDir).mkdirs()
+      Darima.writeForecastJson(fc, s"$outDir/forecast.json")
+      val trainVals = train.orderBy("time").select("value").collect()
+        .map(_.getDouble(0))
+      val mase = Metrics.mean(Metrics.mase(trainVals, testVals, fc.mean, cfg.freq))
+      val smape = Metrics.mean(Metrics.smape(testVals, fc.mean))
+      val msis80 = Metrics.mean(Metrics.msis(trainVals, testVals,
+        fc.lower(0), fc.upper(0), 80, cfg.freq))
+      val msis95 = Metrics.mean(Metrics.msis(trainVals, testVals,
+        fc.lower(1), fc.upper(1), 95, cfg.freq))
+      println(f"""{"p":${model.p},"sigma2":${model.sigma2}%.4f,""" +
+        f""""mase":$mase%.4f,"smape":$smape%.4f,""" +
+        f""""msis_80":$msis80%.4f,"msis_95":$msis95%.4f}""")
+    } finally spark.stop()
+  }
+}

@@ -1,0 +1,87 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.pipeline.{Darima, DarimaConfig}
+import graft.eval.Metrics
+import graft.queries.DarimaQueries
+
+/** End-to-end pipeline tests: the harness events series (fast) and
+  * the reference's own electricity fixture (the real workload shape:
+  * 121k hourly rows, K=4, AR(2000) linearization, h=2879 forecast —
+  * reference defaults per darima_config.json).
+  */
+class DarimaPipelineSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("chunk fit emits a full coefficient table per chunk") {
+    val cfg = DarimaConfig(numChunks = 4, freq = 24, tol = 24,
+      maxP = 3, maxQ = 2)
+    val series = graft.Tables.events(spark, sf)
+      .select(col("ts").cast("double").as("time"), col("value"))
+    val coefs = Darima.fitChunkCoefs(spark, series, cfg)
+    val byChunk = coefs.groupBy("chunk_id").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(byChunk.size == 4)
+    byChunk.values.foreach(n => assert(n == cfg.tol + 3L))
+    // DLSA weights positive
+    assert(coefs.filter(col("weight") <= 0).count() == 0)
+  }
+
+  test("combine: dlsa equals mean when all chunk weights are equal") {
+    import spark.implicits._
+    val coefs = Seq(
+      (0, "ar1", 1, 0.5, 2.0, 100L), (1, "ar1", 1, 0.7, 2.0, 100L),
+      (0, "sigma2", Int.MaxValue, 1.0, 2.0, 100L),
+      (1, "sigma2", Int.MaxValue, 1.0, 2.0, 100L))
+      .toDF("chunk_id", "coef", "lag_idx", "value", "weight", "n")
+    val dlsa = Darima.combine(coefs, "dlsa").collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(math.abs(dlsa("ar1") - 0.6) < 1e-12)
+    // sigma2 via Σn/Σw = 200/4 = 50 (precision-form combine)
+    assert(math.abs(dlsa("sigma2") - 50.0) < 1e-12)
+    val mean = Darima.combine(coefs, "mean").collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(math.abs(mean("ar1") - 0.6) < 1e-12)
+  }
+
+  test("electricity e2e: reference fixture, K=4, forecast h=2879") {
+    val train = Darima.loadSeriesCsv(spark,
+      "/root/reference/data/NEMASSBOST_train.csv")
+    val test0 = Darima.loadSeriesCsv(spark,
+      "/root/reference/data/NEMASSBOST_test.csv")
+    val testVals = test0.orderBy("time").select("value").collect()
+      .map(_.getDouble(0))
+    val h = testVals.length
+    assert(h == 2879)
+    val cfg = DarimaConfig(numChunks = 4, freq = 24, method = "dlsa",
+      tol = 2000, maxP = 5, maxQ = 5)
+    val (model, fc) = Darima.run(spark, train, h, cfg)
+    assert(model.p == 2000)
+    assert(model.sigma2 > 0)
+    assert(fc.mean.forall(v => !v.isNaN && math.abs(v) < 1e5))
+    // evaluation vs held-out test (paper metrics)
+    val trainVals = train.orderBy("time").select("value").collect()
+      .map(_.getDouble(0))
+    val mase = Metrics.mean(Metrics.mase(trainVals, testVals, fc.mean, 24))
+    val smape = Metrics.mean(Metrics.smape(testVals, fc.mean))
+    val msis95 = Metrics.mean(Metrics.msis(trainVals, testVals,
+      fc.lower(1), fc.upper(1), 95, 24))
+    info(s"NEMASSBOST: MASE=$mase sMAPE=$smape MSIS95=$msis95 " +
+      s"sigma2=${model.sigma2}")
+    assert(mase < 5.0, s"MASE=$mase")
+    assert(smape < 0.5, s"sMAPE=$smape")
+    assert(msis95 > 0 && msis95 < 100, s"MSIS=$msis95")
+    // forecast.json sink round-trips
+    val tmp = java.nio.file.Files.createTempDirectory("fc").toString
+    Darima.writeForecastJson(fc, s"$tmp/forecast.json")
+    assert(java.nio.file.Files.size(
+      java.nio.file.Paths.get(s"$tmp/forecast.json")) > 1000)
+  }
+
+  test("darima queries run and return rows at sf0.001") {
+    DarimaQueries.queries.foreach { case (name, fn) =>
+      assert(fn(spark, sf).count() > 0, s"$name empty")
+    }
+  }
+}

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{DarimaQueries, Relational}
+import graft.queries.{DarimaQueries, Extensions, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -16,8 +16,8 @@ object SparkEntry {
     Relational.queries("q14_join_revenue")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ DarimaQueries.queries
+    Relational.queries ++ DarimaQueries.queries ++ Extensions.queries
 
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ DarimaQueries.oracles
+    Relational.oracles ++ DarimaQueries.oracles ++ Extensions.oracles
 }

@@ -1,0 +1,173 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over the `documents` table (SURVEY.md §2.9
+  * X1/X2) — the training-data-pipeline surface. All shapes are
+  * shuffle-on-key aggregations/joins that scale linearly: no
+  * pairwise O(n²) anywhere except *within* candidate buckets, which
+  * frequency caps keep bounded at 100 TB.
+  *
+  * Hashing is md5 (codegen'd built-in, identical in DuckDB) so every
+  * operator is oracle-checkable; the min-over-md5(salt:shingle) trick
+  * gives one MinHash permutation per band without needing a portable
+  * integer-hash family.
+  */
+object Dedup {
+
+  /** Word 3-gram shingle set per document (distinct). Documents with
+    * fewer than 3 tokens have no shingles and drop out — a
+    * deliberate, documented choice applied in both dialects.
+    */
+  def shingles(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(t)-3), i -> concat_ws(' ', slice(t, i+1, 3)))"))
+        .as("s"))
+      .distinct()
+
+  val shinglesSql: String =
+    """SELECT DISTINCT doc_id, array_to_string(t[i+1:i+3], ' ') AS s
+      |FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents) q,
+      |     UNNEST(range(len(t)-2)) AS r(i)
+      |WHERE len(t) >= 3""".stripMargin
+
+  /** X1: exact duplicate groups — hash-groupBy on content digest. */
+  def exactGroups(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("h"))
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keep_id"))
+      .orderBy(col("h"))
+
+  /** X2a: MinHash+LSH candidate buckets. One permutation per band via
+    * min(md5(band:shingle)); docs sharing a (band, minhash) bucket are
+    * near-dup candidates. Scale path: each stage is a key-grouped
+    * aggregate — no global structure, no pairwise work.
+    */
+  def minhashBuckets(docs: DataFrame, bands: Int): DataFrame = {
+    val sh = shingles(docs)
+    val sig = sh
+      .withColumn("b", explode(array((0 until bands).map(lit): _*)))
+      .groupBy(col("doc_id"), col("b"))
+      .agg(min(md5(concat(col("b").cast("string"), lit(":"), col("s"))))
+        .as("mh"))
+    sig.groupBy(col("b"), col("mh"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("d_min"),
+        max(col("doc_id")).as("d_max"))
+      .filter(col("n_docs") > 1)
+      .orderBy(col("b"), col("mh"))
+  }
+
+  def minhashBucketsSql(bands: Int): String =
+    s"""WITH sh AS ($shinglesSql),
+       |sig AS (
+       |  SELECT doc_id, b, min(md5(b || ':' || s)) AS mh
+       |  FROM sh CROSS JOIN (SELECT unnest(range($bands)) AS b) bands
+       |  GROUP BY doc_id, b
+       |)
+       |SELECT b, mh, count(*) AS n_docs, min(doc_id) AS d_min,
+       |       max(doc_id) AS d_max
+       |FROM sig GROUP BY b, mh HAVING count(*) > 1
+       |ORDER BY b, mh""".stripMargin
+
+  /** 16-bit SimHash: per-bit majority vote over md5-derived token
+    * hashes (distinct tokens). The bit expressions are generated from
+    * one loop for both dialects so the arithmetic is identical.
+    */
+  private def nibbleExpr(pos: Int, instrFn: String, strCol: String): String =
+    s"($instrFn('0123456789abcdef', substr(md5($strCol), $pos, 1)) - 1)"
+
+  private def hash16Expr(instrFn: String, strCol: String): String =
+    s"(${nibbleExpr(1, instrFn, strCol)} * 4096 + " +
+      s"${nibbleExpr(2, instrFn, strCol)} * 256 + " +
+      s"${nibbleExpr(3, instrFn, strCol)} * 16 + " +
+      s"${nibbleExpr(4, instrFn, strCol)})"
+
+  /** X2b: SimHash signatures (doc_id, simhash). */
+  def simhash(docs: DataFrame): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("w"))
+      .withColumn("v", expr(hash16Expr("instr", "w")))
+    val bitAggs = (0 until 16).map { j =>
+      sum(when(expr(s"(v div ${1 << j}) % 2") === 1, 1).otherwise(-1))
+        .as(s"s$j")
+    }
+    val bitSums = tok.groupBy(col("doc_id"))
+      .agg(bitAggs.head, bitAggs.tail: _*)
+    bitSums.select(col("doc_id"),
+      (0 until 16).map(j =>
+        when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+        .reduce(_ + _).as("simhash"))
+      .orderBy(col("doc_id"))
+  }
+
+  def simhashSql: String = {
+    val bitSums = (0 until 16).map { j =>
+      s"sum(CASE WHEN (v // ${1 << j}) % 2 = 1 THEN 1 ELSE -1 END) AS s$j"
+    }.mkString(", ")
+    val assemble = (0 until 16).map { j =>
+      s"CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END"
+    }.mkString(" + ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+       |  FROM documents
+       |), hv AS (
+       |  SELECT doc_id, ${hash16Expr("strpos", "w")} AS v FROM tok
+       |), bs AS (
+       |  SELECT doc_id, $bitSums FROM hv GROUP BY doc_id
+       |)
+       |SELECT doc_id, $assemble AS simhash FROM bs ORDER BY doc_id""".stripMargin
+  }
+
+  /** X2c: n-gram Jaccard similarity over candidate pairs from a
+    * shared-shingle join. Shingles seen in more than `dfCap` docs are
+    * dropped first (non-discriminative, and the cap is what bounds
+    * the pair blow-up at scale); Jaccard is over the capped sets in
+    * both dialects.
+    */
+  def jaccardPairs(docs: DataFrame, dfCap: Int, threshold: Double): DataFrame = {
+    val sh = shingles(docs)
+    val rare = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap)
+    val capped = sh.join(rare, "s").select(col("doc_id"), col("s"))
+    val sizes = capped.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val a = capped.as("a")
+    val b = capped.as("b")
+    val inter = a.join(b, col("a.s") === col("b.s") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "d1")
+        .withColumnRenamed("sz", "sz1"), "d1")
+      .join(sizes.withColumnRenamed("doc_id", "d2")
+        .withColumnRenamed("sz", "sz2"), "d2")
+      .withColumn("jaccard", col("inter") /
+        (col("sz1") + col("sz2") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("d1"), col("d2"), col("inter"), col("sz1"), col("sz2"),
+        round(col("jaccard"), 6).as("jaccard"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  def jaccardPairsSql(dfCap: Int, threshold: Double): String =
+    s"""WITH sh AS ($shinglesSql),
+       |rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= $dfCap),
+       |capped AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare ON sh.s = rare.s),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM capped GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+       |  FROM capped a JOIN capped b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT d1, d2, inter, s1.sz AS sz1, s2.sz AS sz2,
+       |       round(CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter), 6)
+       |         AS jaccard
+       |FROM inter
+       |JOIN sizes s1 ON s1.doc_id = d1
+       |JOIN sizes s2 ON s2.doc_id = d2
+       |WHERE CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) >= $threshold
+       |ORDER BY d1, d2""".stripMargin
+}

@@ -1,0 +1,77 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Windowed / sessionized analytics over `events` (SURVEY.md §2.9 X5)
+  * — the batch twins of the streaming operators in graft.streaming.
+  */
+object EventsAnalytics {
+
+  /** Tumbling 1-hour windows per event type, via Spark's `window`
+    * operator (start == date_trunc('hour') for aligned windows, which
+    * is what the oracle uses).
+    */
+  def tumblingHourly(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"),
+        round(avg(col("value")), 4).as("avg_value"))
+      .select(col("w.start").as("hr"), col("event_type"), col("n"),
+        col("total"), col("avg_value"))
+      .orderBy(col("hr"), col("event_type"))
+
+  val tumblingHourlySql: String =
+    """SELECT date_trunc('hour', ts) AS hr, event_type, count(*) AS n,
+      |       round(sum(value), 2) AS total, round(avg(value), 4) AS avg_value
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Sessionization: per user, a new session starts after a gap of
+    * more than `gapSec`. session index = running count of
+    * session-start flags (the standard lag + cumulative-sum
+    * rewrite); emits one row per session.
+    */
+  def sessions(events: DataFrame, gapSec: Int): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ep"), col("event_id"))
+    val cum = Window.partitionBy(col("user_id"))
+      .orderBy(col("ep"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    events
+      .select(col("user_id"), col("event_id"),
+        col("ts").cast("double").as("ep"), col("value"))
+      .withColumn("prev", lag(col("ep"), 1).over(byUser))
+      .withColumn("new_s",
+        when(col("prev").isNull || col("ep") - col("prev") > gapSec, 1)
+          .otherwise(0))
+      .withColumn("session_idx", sum(col("new_s")).over(cum))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        round(max(col("ep")) - min(col("ep")), 3).as("dur_sec"),
+        round(sum(col("value")), 2).as("total"))
+      .orderBy(col("user_id"), col("session_idx"))
+  }
+
+  def sessionsSql(gapSec: Int): String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, epoch(ts) AS ep, value FROM events
+       |), flagged AS (
+       |  SELECT user_id, event_id, ep, value,
+       |         CASE WHEN lag(ep) OVER w IS NULL
+       |                OR ep - lag(ep) OVER w > $gapSec
+       |              THEN 1 ELSE 0 END AS new_s
+       |  FROM e
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ep, event_id)
+       |), sess AS (
+       |  SELECT user_id, ep, value,
+       |         sum(new_s) OVER (PARTITION BY user_id
+       |           ORDER BY ep, event_id
+       |           ROWS UNBOUNDED PRECEDING) AS session_idx
+       |  FROM flagged
+       |)
+       |SELECT user_id, session_idx, count(*) AS n_events,
+       |       round(max(ep) - min(ep), 3) AS dur_sec,
+       |       round(sum(value), 2) AS total
+       |FROM sess GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+}

@@ -1,0 +1,130 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over `documents` (SURVEY.md §2.9 X3):
+  * language ID, quality scoring, token counting, fingerprinting.
+  * Pure column expressions (whole-stage codegen; one scan pass each),
+  * every formula reproduced verbatim in the DuckDB oracle.
+  */
+object TextAnalysis {
+
+  val stopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "in", "to", "is")
+
+  /** X3a: stopword-ratio language ID heuristic: tokenize, score the
+    * fraction of tokens in the English stopword set, threshold.
+    */
+  def langId(docs: DataFrame, threshold: Double = 0.05): DataFrame = {
+    val swArray = stopwords.map(s => s"'$s'").mkString("array(", ", ", ")")
+    docs
+      .withColumn("t", split(col("text"), " "))
+      .withColumn("sw_ratio",
+        expr(s"size(filter(t, w -> array_contains($swArray, w)))")
+          .cast("double") / size(col("t")))
+      .select(col("doc_id"), col("lang"),
+        round(col("sw_ratio"), 6).as("sw_ratio"),
+        when(col("sw_ratio") > threshold, "en").otherwise("other")
+          .as("pred_lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  def langIdSql(threshold: Double = 0.05): String = {
+    val swList = stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, string_split(text, ' ') AS toks
+       |  FROM documents
+       |), scored AS (
+       |  SELECT doc_id, lang,
+       |         CAST(len(list_filter(toks, w -> list_contains($swList, w)))
+       |              AS DOUBLE) / len(toks) AS sw_ratio
+       |  FROM t
+       |)
+       |SELECT doc_id, lang, round(sw_ratio, 6) AS sw_ratio,
+       |       CASE WHEN sw_ratio > $threshold THEN 'en' ELSE 'other' END
+       |         AS pred_lang
+       |FROM scored ORDER BY doc_id""".stripMargin
+  }
+
+  /** X3b: quality scoring — token count, mean word length, unique
+    * ratio, and a composite keep/flag verdict (the shape of a
+    * pre-training quality filter).
+    */
+  def quality(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("t", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("t")))
+      .withColumn("avg_wlen",
+        (length(col("text")) - (col("n_tokens") - 1)).cast("double") /
+          col("n_tokens"))
+      .withColumn("uniq_ratio",
+        size(array_distinct(col("t"))).cast("double") / col("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("avg_wlen"), 6).as("avg_wlen"),
+        round(col("uniq_ratio"), 6).as("uniq_ratio"),
+        when(col("n_tokens") < 20, "too_short")
+          .when(col("uniq_ratio") < 0.3, "repetitive")
+          .otherwise("keep").as("verdict"))
+      .orderBy(col("doc_id"))
+
+  val qualitySql: String =
+    """WITH t AS (
+      |  SELECT doc_id, text, string_split(text, ' ') AS toks
+      |  FROM documents
+      |), m AS (
+      |  SELECT doc_id, len(toks) AS n_tokens,
+      |         CAST(length(text) - (len(toks) - 1) AS DOUBLE) / len(toks)
+      |           AS avg_wlen,
+      |         CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+      |           AS uniq_ratio
+      |  FROM t
+      |)
+      |SELECT doc_id, n_tokens, round(avg_wlen, 6) AS avg_wlen,
+      |       round(uniq_ratio, 6) AS uniq_ratio,
+      |       CASE WHEN n_tokens < 20 THEN 'too_short'
+      |            WHEN uniq_ratio < 0.3 THEN 'repetitive'
+      |            ELSE 'keep' END AS verdict
+      |FROM m ORDER BY doc_id""".stripMargin
+
+  /** X3c: token counting — whitespace tokens plus a chars/4 BPE-style
+    * estimate (the standard quick token-budget proxy).
+    */
+  def tokenStats(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      size(split(col("text"), " ")).as("ws_tokens"),
+      ceil(length(col("text")).cast("double") / 4.0).cast("long")
+        .as("bpe_est"),
+      length(col("text")).as("n_chars_text"))
+      .orderBy(col("doc_id"))
+
+  val tokenStatsSql: String =
+    """SELECT doc_id, len(string_split(text, ' ')) AS ws_tokens,
+      |       CAST(ceil(CAST(length(text) AS DOUBLE) / 4.0) AS BIGINT)
+      |         AS bpe_est,
+      |       length(text) AS n_chars_text
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** X3d: content fingerprint — md5 of the sorted distinct token set
+    * (OpenRefine-style normalization fingerprint), grouped to find
+    * same-content docs regardless of word order/duplication.
+    */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("fp", md5(concat_ws(" ",
+        array_sort(array_distinct(split(lower(col("text")), " "))))))
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keep_id"))
+      .orderBy(col("fp"))
+
+  val fingerprintSql: String =
+    """WITH f AS (
+      |  SELECT doc_id,
+      |         md5(array_to_string(
+      |           list_sort(list_distinct(string_split(lower(text), ' '))),
+      |           ' ')) AS fp
+      |  FROM documents
+      |)
+      |SELECT fp, count(*) AS n, min(doc_id) AS keep_id
+      |FROM f GROUP BY fp ORDER BY fp""".stripMargin
+}

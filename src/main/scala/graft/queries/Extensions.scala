@@ -1,0 +1,129 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.llm.{Dedup, EventsAnalytics, Multimodal, Similarity, TextAnalysis}
+
+/** The LLM-data-pipeline extension surface (SURVEY.md §2.9 X1-X5):
+  * dedup, similarity search, text analysis, multimodal columns, and
+  * windowed event analytics — each a `queries` entry with a DuckDB
+  * oracle where the math is SQL-expressible.
+  */
+object Extensions {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val x01DedupExact: Q = (s, d) =>
+    Dedup.exactGroups(Tables.documents(s, d))
+
+  private val x02DedupMinhash: Q = (s, d) =>
+    Dedup.minhashBuckets(Tables.documents(s, d), bands = 4)
+
+  private val x03DedupSimhash: Q = (s, d) =>
+    Dedup.simhash(Tables.documents(s, d))
+
+  private val x04NgramJaccard: Q = (s, d) =>
+    Dedup.jaccardPairs(Tables.documents(s, d), dfCap = 10, threshold = 0.2)
+
+  private val x05CosineTopk: Q = (s, d) =>
+    Similarity.cosineTopK(Tables.embeddings(s, d), nQueries = 5, k = 3)
+
+  private val x06EmbedLsh: Q = (s, d) =>
+    Similarity.lshBuckets(Tables.embeddings(s, d), nPlanes = 8, dim = 64)
+
+  private val x07TextLangid: Q = (s, d) =>
+    TextAnalysis.langId(Tables.documents(s, d))
+
+  private val x08TextQuality: Q = (s, d) =>
+    TextAnalysis.quality(Tables.documents(s, d))
+
+  private val x09TextTokens: Q = (s, d) =>
+    TextAnalysis.tokenStats(Tables.documents(s, d))
+
+  private val x10TextFingerprint: Q = (s, d) =>
+    TextAnalysis.fingerprint(Tables.documents(s, d))
+
+  /** X4: binary media column + deterministic metadata (SQL-visible
+    * part of the multimodal plumbing; the mapPartitions feature
+    * extraction is exercised in x12 and the spec).
+    */
+  private val x11MultimodalMeta: Q = (s, d) =>
+    Multimodal.mediaTable(Tables.documents(s, d))
+      .select(col("doc_id"), length(col("media")).as("nbytes"),
+        col("width"), col("height"), col("frames"))
+      .orderBy(col("doc_id"))
+
+  /** X4: distributed feature extraction through the real
+    * mapPartitions path (FakeDecoder stub), exploded to rows; the
+    * oracle reproduces the md5-nibble fake in SQL, so the whole
+    * plumbing (binary col → partition batch → feature vector) is
+    * oracle-checked.
+    */
+  private val x12MultimodalFeatures: Q = (s, d) => {
+    val media = Multimodal.mediaTable(Tables.documents(s, d))
+    Multimodal.extractFeatures(s, media).toDF()
+      .select(col("doc_id"), posexplode(col("features")).as(Seq("i", "f")))
+      .select(col("doc_id"), col("i"),
+        round(col("f").cast("double"), 6).as("f"))
+      .orderBy(col("doc_id"), col("i"))
+  }
+
+  private val x13EventsTumbling: Q = (s, d) =>
+    EventsAnalytics.tumblingHourly(Tables.events(s, d))
+
+  private val x14EventsSessions: Q = (s, d) =>
+    EventsAnalytics.sessions(Tables.events(s, d), gapSec = 1800)
+
+  val queries: Map[String, Q] = Map(
+    "x01_dedup_exact" -> x01DedupExact,
+    "x02_dedup_minhash" -> x02DedupMinhash,
+    "x03_dedup_simhash" -> x03DedupSimhash,
+    "x04_ngram_jaccard" -> x04NgramJaccard,
+    "x05_cosine_topk" -> x05CosineTopk,
+    "x06_embed_lsh" -> x06EmbedLsh,
+    "x07_text_langid" -> x07TextLangid,
+    "x08_text_quality" -> x08TextQuality,
+    "x09_text_tokens" -> x09TextTokens,
+    "x10_text_fingerprint" -> x10TextFingerprint,
+    "x11_multimodal_meta" -> x11MultimodalMeta,
+    "x12_multimodal_features" -> x12MultimodalFeatures,
+    "x13_events_tumbling" -> x13EventsTumbling,
+    "x14_events_sessions" -> x14EventsSessions,
+  )
+
+  /** The md5-nibble fake-decode in SQL (first 8 nibbles of
+    * md5(payload) scaled to [0,1] as float then rounded as double —
+    * matches FakeDecoder.decodeOne + the float cast in x12).
+    */
+  private val multimodalFeaturesSql: String =
+    """SELECT doc_id, i,
+      |  round(CAST(CAST((strpos('0123456789abcdef',
+      |    substr(md5(text), i + 1, 1)) - 1) / 15.0 AS FLOAT) AS DOUBLE), 6)
+      |    AS f
+      |FROM documents, UNNEST(range(8)) AS r(i)
+      |ORDER BY doc_id, i""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "x01_dedup_exact" ->
+      """SELECT md5(text) AS h, count(*) AS n, min(doc_id) AS keep_id
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x02_dedup_minhash" -> Dedup.minhashBucketsSql(4),
+    "x03_dedup_simhash" -> Dedup.simhashSql,
+    "x04_ngram_jaccard" -> Dedup.jaccardPairsSql(10, 0.2),
+    "x05_cosine_topk" -> Similarity.cosineTopKSql(5, 3),
+    "x06_embed_lsh" -> Similarity.lshBucketsSql(8, 64),
+    "x07_text_langid" -> TextAnalysis.langIdSql(),
+    "x08_text_quality" -> TextAnalysis.qualitySql,
+    "x09_text_tokens" -> TextAnalysis.tokenStatsSql,
+    "x10_text_fingerprint" -> TextAnalysis.fingerprintSql,
+    "x11_multimodal_meta" ->
+      """SELECT doc_id, octet_length(encode(text)) AS nbytes,
+        |       1 + octet_length(encode(text)) % 64 AS width,
+        |       1 + (octet_length(encode(text)) * 7) % 48 AS height,
+        |       CAST(1 + doc_id % 16 AS INT) AS frames
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "x12_multimodal_features" -> multimodalFeaturesSql,
+    "x13_events_tumbling" -> EventsAnalytics.tumblingHourlySql,
+    "x14_events_sessions" -> EventsAnalytics.sessionsSql(1800),
+  )
+}

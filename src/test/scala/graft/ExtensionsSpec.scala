@@ -1,0 +1,62 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.queries.Extensions
+import graft.llm.{Multimodal, Similarity}
+
+class ExtensionsSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("every extension query runs non-empty and has an oracle") {
+    Extensions.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sf).count()
+      assert(n > 0, s"$name returned 0 rows")
+      assert(Extensions.oracles.contains(name), s"$name missing oracle")
+    }
+  }
+
+  test("minhash buckets contain genuinely similar candidates") {
+    // identical docs must land in the same bucket in every band
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g"), (2L, "a b c d e f g"),
+      (3L, "x y z w q r s")).toDF("doc_id", "text")
+    val buckets = graft.llm.Dedup.minhashBuckets(docs, 4).collect()
+    assert(buckets.length == 4) // one shared bucket per band for docs 1,2
+    buckets.foreach { r =>
+      assert(r.getAs[Long]("n_docs") == 2)
+      assert(r.getAs[Long]("d_min") == 1L && r.getAs[Long]("d_max") == 2L)
+    }
+  }
+
+  test("simhash of identical docs is identical, different docs differ") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark data engine fast"), (2L, "spark data engine fast"),
+      (3L, "completely unrelated words here")).toDF("doc_id", "text")
+    val sh = graft.llm.Dedup.simhash(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) == sh(2L))
+    assert(sh(1L) != sh(3L))
+  }
+
+  test("cosine top-k: identical vector ranks first with cos 1") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (10L, Array(1.0f, 0.0f, 0.0f)),
+      (11L, Array(0.0f, 1.0f, 0.0f)),
+      (12L, Array(0.9f, 0.1f, 0.0f))).toDF("vec_id", "embedding")
+    val top = Similarity.cosineTopK(docs, nQueries = 1, k = 2).collect()
+    assert(top(0).getAs[Long]("vec_id") == 10L)
+    assert(math.abs(top(0).getAs[Double]("cos") - 1.0) < 1e-9)
+  }
+
+  test("multimodal feature extraction is deterministic and batch-shaped") {
+    val media = Multimodal.mediaTable(Tables.documents(spark, sf))
+    val f1 = Multimodal.extractFeatures(spark, media).collect()
+    assert(f1.forall(_.features.length == 8))
+    assert(f1.forall(_.features.forall(v => v >= 0.0f && v <= 1.0f)))
+  }
+}

@@ -1,0 +1,54 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.EventsStream
+
+class StreamingSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  /** FileStreamSource needs a directory; stage the single parquet
+    * file into one.
+    */
+  lazy val eventsDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("events-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(sf + "/events.parquet"),
+      dir.resolve("events.parquet"))
+    dir.toString
+  }
+
+  test("streaming tumbling agg over events matches the batch twin") {
+    val stream = EventsStream.readEvents(spark, eventsDir)
+    assert(stream.isStreaming)
+    val agg = EventsStream.tumblingHourly(stream)
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("tumbling_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT count(*), sum(n) FROM tumbling_out").collect()(0)
+      val batch = graft.llm.EventsAnalytics
+        .tumblingHourly(Tables.events(spark, sf))
+      assert(got.getLong(0) == batch.count())
+      assert(got.getLong(1) == 1000L) // every event in exactly one window
+    } finally q.stop()
+  }
+
+  test("stateful sessionizer emits closed sessions") {
+    val stream = EventsStream.readEvents(spark, eventsDir)
+    val sess = EventsStream.sessionize(spark, stream, gapSec = 1800)
+    val q = sess.writeStream.outputMode("append")
+      .format("memory").queryName("sessions_out").start()
+    try {
+      q.processAllAvailable()
+      val n = spark.sql("SELECT count(*) FROM sessions_out")
+        .collect()(0).getLong(0)
+      // all sessions except each user's last (still open) are emitted
+      val batchSessions = graft.llm.EventsAnalytics
+        .sessions(Tables.events(spark, sf), 1800).count()
+      val users = Tables.events(spark, sf)
+        .select("user_id").distinct().count()
+      assert(n == batchSessions - users, s"emitted $n")
+    } finally q.stop()
+  }
+}

@@ -47,11 +47,16 @@ object Dedup {
     */
   def minhashBuckets(docs: DataFrame, bands: Int): DataFrame = {
     val sh = shingles(docs)
-    val sig = sh
-      .withColumn("b", explode(array((0 until bands).map(lit): _*)))
-      .groupBy(col("doc_id"), col("b"))
-      .agg(min(md5(concat(col("b").cast("string"), lit(":"), col("s"))))
-        .as("mh"))
+    // all band minima in ONE groupBy (map-side partial min, one
+    // shuffle of |docs| rows), then unpivot — instead of exploding
+    // the shingle table ×bands before the shuffle
+    val minAggs = (0 until bands).map(b =>
+      min(md5(concat(lit(s"$b:"), col("s")))).as(s"mh$b"))
+    val sig = sh.groupBy(col("doc_id"))
+      .agg(minAggs.head, minAggs.tail: _*)
+      .select(col("doc_id"), expr(
+        (0 until bands).map(b => s"($b, mh$b)")
+          .mkString(s"stack($bands, ", ", ", ") AS (b, mh)")))
     sig.groupBy(col("b"), col("mh"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("d_min"),
         max(col("doc_id")).as("d_max"))
@@ -128,10 +133,15 @@ object Dedup {
     * both dialects.
     */
   def jaccardPairs(docs: DataFrame, dfCap: Int, threshold: Double): DataFrame = {
+    // the shingle explosion feeds four subtrees (doc-frequency filter,
+    // both pair-join sides, per-doc sizes); at 100 TB this would be a
+    // checkpointed intermediate table rather than recomputed per use
     val sh = shingles(docs)
     val rare = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= dfCap)
-    val capped = sh.join(rare, "s").select(col("doc_id"), col("s"))
+    // doc-frequency table is small after the cap filter → broadcast
+    val capped = sh.join(broadcast(rare), "s")
+      .select(col("doc_id"), col("s"))
     val sizes = capped.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val a = capped.as("a")
     val b = capped.as("b")
@@ -140,10 +150,10 @@ object Dedup {
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .agg(count(lit(1)).as("inter"))
     inter
-      .join(sizes.withColumnRenamed("doc_id", "d1")
-        .withColumnRenamed("sz", "sz1"), "d1")
-      .join(sizes.withColumnRenamed("doc_id", "d2")
-        .withColumnRenamed("sz", "sz2"), "d2")
+      .join(broadcast(sizes.withColumnRenamed("doc_id", "d1")
+        .withColumnRenamed("sz", "sz1")), "d1")
+      .join(broadcast(sizes.withColumnRenamed("doc_id", "d2")
+        .withColumnRenamed("sz", "sz2")), "d2")
       .withColumn("jaccard", col("inter") /
         (col("sz1") + col("sz2") - col("inter")))
       .filter(col("jaccard") >= threshold)

@@ -1,38 +1,32 @@
 package graft.tools
 import org.apache.spark.sql.SparkSession
-import graft.streaming.EventsStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 /** Dev scratchpad main for quick local experiments (not part of the API). */
 object Scratch {
-  def main(a: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions","4")
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions","32")
       .config("spark.sql.session.timeZone","UTC")
       .config("spark.ui.enabled","false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    // stage events parquet into a streaming source dir
-    val dir = java.nio.file.Files.createTempDirectory("evstream")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
-      dir.resolve("batch1.parquet"))
-    val agg = EventsStream.tumblingHourly(EventsStream.readEvents(spark, dir.toString))
-    val q = agg.writeStream.outputMode("complete").format("memory")
-      .queryName("out").start()
-    q.processAllAvailable()
-    println("after batch1: " + spark.sql("SELECT count(*) AS windows, sum(n) AS events FROM out").collect().mkString)
-    // second micro-batch arrives: same file under a new name → counts double
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
-      dir.resolve("batch2.parquet"))
-    q.processAllAvailable()
-    println("after batch2: " + spark.sql("SELECT count(*) AS windows, sum(n) AS events FROM out").collect().mkString)
-    q.stop()
-    val sess = EventsStream.sessionize(spark,
-      EventsStream.readEvents(spark, dir.toString), 1800)
-    val q2 = sess.writeStream.outputMode("append").format("memory")
-      .queryName("sess").start()
-    q2.processAllAvailable()
-    println("sessions emitted: " + spark.sql("SELECT count(*), sum(n_events) FROM sess").collect().mkString)
-    q2.stop()
+    val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    docs.count()
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val n = f
+      println(f"$name%-24s ${(System.nanoTime()-t0)/1e9}%6.2f s  ($n rows)")
+    }
+    for (i <- 1 to 2) {
+      time(s"hof shingles $i") { graft.llm.Dedup.shingles(docs).count() }
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+      time(s"window shingles $i") {
+        docs.select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("i", "w")))
+          .select(col("doc_id"),
+            concat_ws(" ", col("w"), lead(col("w"),1).over(w), lead(col("w"),2).over(w)).as("s"),
+            lead(col("w"),2).over(w).as("guard"))
+          .filter(col("guard").isNotNull).select(col("doc_id"), col("s")).distinct().count()
+      }
+    }
     spark.stop()
   }
 }

@@ -14,7 +14,17 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    new java.io.File(outDir).mkdirs()
+    // clear stale results: a query that fails this run must not leave
+    // a previous run's parquet behind to be compared as if current
+    val outRoot = new java.io.File(outDir)
+    if (outRoot.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(): Unit
+      }
+      outRoot.listFiles().foreach(rm)
+    }
+    outRoot.mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

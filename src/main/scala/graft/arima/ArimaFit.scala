@@ -170,6 +170,55 @@ object ArimaFit {
     } catch { case _: IllegalArgumentException => None }
   }
 
+  /** Long-AR fit: Yule–Walker AR(p) for every p ≤ maxLag in one
+    * Levinson–Durbin recursion (one O(n·maxLag) autocovariance pass +
+    * O(maxLag²) recursion), order chosen by AICc.
+    *
+    * This is the engine's default chunk fitter for the DARIMA
+    * pipeline: the paper's map step ultimately *linearizes* whatever
+    * SARIMA it fits into a truncated AR anyway (auto_arima.R:7-67),
+    * so fitting the long AR directly — with maxLag spanning the
+    * daily and weekly seasonal lags — captures the seasonal
+    * structure the reference silently discards (SURVEY.md §1.4.1)
+    * at a fraction of a stepwise SARIMA search's cost, and
+    * Yule–Walker solutions are always stationary.
+    */
+  def fitLongAr(x: Array[Double], m: Int = 1, maxLag: Int = 0)
+      : SarimaModel = {
+    val d = selectD(x)
+    var w = x
+    var i = 0
+    while (i < d) { w = diff(w); i += 1 }
+    val n = w.length
+    var mean = 0.0
+    i = 0
+    while (i < n) { mean += w(i); i += 1 }
+    mean /= n
+    // auto cap: two "weeks" of seasonal lags (14·m) — on hourly data
+    // this spans both the daily and weekly cycles, which is where the
+    // electricity fixtures' predictability lives
+    val cap0 = if (maxLag > 0) maxLag
+      else if (m > 1) 14 * m + 8 else 40
+    val cap = math.max(1, math.min(cap0, n / 5))
+    val (phis, vars) = ArFit.levinsonDurbin(
+      ArFit.autocovariances(w, cap), cap)
+    var best = 0
+    var bestCrit = Double.PositiveInfinity
+    var p = 0
+    while (p <= cap) {
+      val crit = ArFit.aicc(n, vars(p), p + 1)
+      if (crit < bestCrit - 1e-12) { bestCrit = crit; best = p }
+      p += 1
+    }
+    val (mu, drift) = d match {
+      case 0 => (mean, 0.0)
+      case 1 => (0.0, mean)
+      case _ => (0.0, 0.0)
+    }
+    SarimaModel(phis(best), d, Array.empty, Array.empty, 0, Array.empty,
+      math.max(m, 1), mu, drift, vars(best), x.length.toLong)
+  }
+
   /** Stepwise (p,q) search à la Hyndman–Khandakar: score the four
     * canonical starts, then walk the ±1 neighborhood of the incumbent
     * until no improvement.

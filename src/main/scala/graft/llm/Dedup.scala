@@ -55,7 +55,7 @@ object Dedup {
     val sig = sh.groupBy(col("doc_id"))
       .agg(minAggs.head, minAggs.tail: _*)
       .select(col("doc_id"), expr(
-        (0 until bands).map(b => s"($b, mh$b)")
+        (0 until bands).map(b => s"$b, mh$b")
           .mkString(s"stack($bands, ", ", ", ") AS (b, mh)")))
     sig.groupBy(col("b"), col("mh"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("d_min"),

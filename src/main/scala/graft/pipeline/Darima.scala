@@ -27,7 +27,14 @@ final case class DarimaConfig(
     tol: Int = 2000,
     maxP: Int = 5,
     maxQ: Int = 5,
-    levels: Array[Int] = Array(80, 95))
+    levels: Array[Int] = Array(80, 95),
+    /** "longar" = Levinson–Durbin long-AR with seasonal-spanning lags
+      * (default; see ArimaFit.fitLongAr); "arma" = stepwise
+      * Hannan–Rissanen ARMA search (ArimaFit.fit).
+      */
+    fitter: String = "longar",
+    /** Max AR lag for the longar fitter; 0 = auto (7·freq+8). */
+    maxLag: Int = 0)
 
 object Darima {
 
@@ -52,7 +59,12 @@ object Darima {
       .flatMapGroups { (chunkId, it) =>
         val buf = it.toArray.sortBy(_._2)
         val values = buf.map(_._3)
-        val mod = ArimaFit.fit(values, cfg.freq, cfg.maxP, cfg.maxQ)
+        val mod = cfg.fitter match {
+          case "longar" => ArimaFit.fitLongAr(values, cfg.freq, cfg.maxLag)
+          case "arma" => ArimaFit.fit(values, cfg.freq, cfg.maxP, cfg.maxQ)
+          case other => throw new IllegalArgumentException(
+            s"unknown fitter '$other' (expected longar|arma)")
+        }
         val ar = Sarima2Ar.toAr(mod, cfg.tol)
         val w = ar.n.toDouble / math.max(ar.sigma2, 1e-12)
         val base = Iterator(

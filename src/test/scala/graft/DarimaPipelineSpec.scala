@@ -69,9 +69,12 @@ class DarimaPipelineSpec extends AnyFunSuite {
       fc.lower(1), fc.upper(1), 95, 24))
     info(s"NEMASSBOST: MASE=$mase sMAPE=$smape MSIS95=$msis95 " +
       s"sigma2=${model.sigma2}")
-    assert(mase < 5.0, s"MASE=$mase")
-    assert(smape < 0.5, s"sMAPE=$smape")
-    assert(msis95 > 0 && msis95 < 100, s"MSIS=$msis95")
+    // long-AR seasonal fitter reaches ~1.10 on this fixture (the
+    // reference's own quality is degraded by SURVEY.md §1.4 defects;
+    // Wang et al. report ~0.8-1.0 for full DARIMA)
+    assert(mase < 1.5, s"MASE=$mase")
+    assert(smape < 0.12, s"sMAPE=$smape")
+    assert(msis95 > 0 && msis95 < 25, s"MSIS=$msis95")
     // forecast.json sink round-trips
     val tmp = java.nio.file.Files.createTempDirectory("fc").toString
     Darima.writeForecastJson(fc, s"$tmp/forecast.json")

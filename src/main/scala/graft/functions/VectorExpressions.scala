@@ -1,0 +1,103 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.graftbridge.Bridge
+
+/** Native Catalyst expressions for embedding math (SURVEY.md §2.9 X2).
+  *
+  * The composable form (`zip_with` + `aggregate`) works but Spark
+  * evaluates higher-order functions interpreted, per element, with a
+  * lambda variable per step. A brute-force ANN pass at 100 TB runs
+  * the dot product N·Q times — worth a real codegen'd kernel: a tight
+  * primitive loop over the two ArrayData buffers, no boxing, no
+  * lambda dispatch. This is preference tier (b) from the build brief:
+  * custom Expression, not a UDF (still codegen, null-safe, columnar
+  * inputs).
+  */
+final case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def elemOk(dt: DataType): Boolean = dt match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    if (elemOk(left.dataType) && elemOk(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"dot_product expects array<float|double> inputs, got " +
+          s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
+  }
+
+  private def isFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    if (isFloat(left) && isFloat(right)) {
+      while (i < n) { acc += x.getFloat(i).toDouble * y.getFloat(i); i += 1 }
+    } else if (isFloat(left)) {
+      while (i < n) { acc += x.getFloat(i).toDouble * y.getDouble(i); i += 1 }
+    } else if (isFloat(right)) {
+      while (i < n) { acc += x.getDouble(i) * y.getFloat(i); i += 1 }
+    } else {
+      while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val lGet = if (isFloat(left)) s"(double) $x.getFloat(%I%)"
+        else s"$x.getDouble(%I%)"
+      val rGet = if (isFloat(right)) s"(double) $y.getFloat(%I%)"
+        else s"$y.getDouble(%I%)"
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += ${lGet.replace("%I%", i)} * ${rGet.replace("%I%", i)};
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorFunctions {
+
+  /** dot_product(a, b): codegen'd Σ a_i·b_i over float/double arrays. */
+  def dot_product(a: Column, b: Column): Column =
+    Bridge.toColumn(DotProduct(Bridge.toExpr(a), Bridge.toExpr(b)))
+
+  /** cosine_similarity(a, b) composed from three codegen'd dots —
+    * still one whole-stage-codegen stage, no HOF interpretation.
+    */
+  def cosine_similarity(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.functions.sqrt
+    dot_product(a, b) / (sqrt(dot_product(a, a)) * sqrt(dot_product(b, b)))
+  }
+
+  /** Register dot_product for SQL use. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
+}

@@ -1,8 +1,9 @@
 package graft.llm
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import graft.functions.VectorFunctions.dot_product
 
 /** Similarity search over the `embeddings` table (SURVEY.md §2.9 X2):
   * brute-force cosine top-k as the exactness baseline, and
@@ -14,9 +15,6 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  private def dotExpr(a: String, b: String): String =
-    s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
-
   /** Brute-force cosine top-k: query vectors (vec_id < nQueries)
     * against the full table. The query side is tiny → broadcast; the
     * scan side streams. At 100 TB this is one broadcast-join pass —
@@ -26,11 +24,13 @@ object Similarity {
   def cosineTopK(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
     val q = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    // graft.functions.DotProduct: codegen'd primitive loop (the HOF
+    // zip_with/aggregate form is interpreted per element)
     val pairs = emb.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("qid"))
-      .withColumn("dot", expr(dotExpr("embedding", "qe")))
-      .withColumn("na", expr(dotExpr("embedding", "embedding")))
-      .withColumn("nb", expr(dotExpr("qe", "qe")))
+      .withColumn("dot", dot_product(col("embedding"), col("qe")))
+      .withColumn("na", dot_product(col("embedding"), col("embedding")))
+      .withColumn("nb", dot_product(col("qe"), col("qe")))
       .withColumn("cos",
         round(col("dot") / (sqrt(col("na")) * sqrt(col("nb"))), 6))
     pairs
@@ -85,12 +85,9 @@ object Similarity {
     */
   def lshBuckets(emb: DataFrame, nPlanes: Int, dim: Int): DataFrame = {
     val ps = planes(nPlanes, dim)
-    // string-cast literals: Spark parses bare decimal literals as
-    // DECIMAL (not DOUBLE), which would change the arithmetic type
     val bitCols = ps.zipWithIndex.map { case (p, j) =>
-      val litArr = p.map(v => s"CAST('$v' AS DOUBLE)")
-        .mkString("array(", ", ", ")")
-      when(expr(dotExpr("embedding", litArr)) >= 0, lit(1 << j))
+      val plane: Column = array(p.map(lit): _*)
+      when(dot_product(col("embedding"), plane) >= 0, lit(1 << j))
         .otherwise(lit(0))
     }
     emb.select(col("vec_id"), bitCols.reduce(_ + _).as("bucket"))

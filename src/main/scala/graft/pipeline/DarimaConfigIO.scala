@@ -1,0 +1,33 @@
+package graft.pipeline
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+/** S2: reference-format JSON config (reference: darima_config.json:1-9,
+  * loaded at darima.py:42-46). Keys: num_partitions, data_time_freq,
+  * train_datapath, test_datapath, method. A run driven by the
+  * reference's own config file behaves identically here (no --files
+  * re-discovery dance needed — single JVM, SURVEY.md S2 row).
+  */
+final case class DarimaRunConfig(
+    cfg: DarimaConfig, trainPath: String, testPath: String)
+
+object DarimaConfigIO {
+
+  def load(path: String): DarimaRunConfig = {
+    val node = new ObjectMapper()
+      .readTree(java.nio.file.Files.readString(java.nio.file.Paths.get(path)))
+    def int(key: String, dflt: Int): Int =
+      if (node.has(key)) node.get(key).asInt(dflt) else dflt
+    def str(key: String, dflt: String): String =
+      if (node.has(key)) node.get(key).asText(dflt) else dflt
+    val cfg = DarimaConfig(
+      numChunks = int("num_partitions", 4),
+      freq = int("data_time_freq", 24),
+      method = str("method", "dlsa"))
+    val train = str("train_datapath", "")
+    val test = str("test_datapath", "")
+    require(train.nonEmpty && test.nonEmpty,
+      s"config $path must set train_datapath and test_datapath")
+    DarimaRunConfig(cfg, train, test)
+  }
+}

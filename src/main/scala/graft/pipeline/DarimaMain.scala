@@ -9,14 +9,24 @@ import graft.eval.Metrics
   * write forecast.json, print mean MASE/sMAPE/MSIS.
   *
   * Usage: DarimaMain <train.csv> <test.csv> <outDir> [numChunks] [method]
+  *    or: DarimaMain --config <darima_config.json> <outDir>
+  *        (reference-format config, darima_config.json:1-9)
   */
 object DarimaMain {
   def main(args: Array[String]): Unit = {
     require(args.length >= 3,
-      "usage: DarimaMain <train.csv> <test.csv> <outDir> [numChunks] [method]")
-    val Array(trainPath, testPath, outDir) = args.take(3)
-    val k = if (args.length > 3) args(3).toInt else 4
-    val method = if (args.length > 4) args(4) else "dlsa"
+      "usage: DarimaMain <train.csv> <test.csv> <outDir> [numChunks] [method]" +
+        " | DarimaMain --config <config.json> <outDir>")
+    val (trainPath, testPath, outDir, cfg0) =
+      if (args(0) == "--config") {
+        val rc = DarimaConfigIO.load(args(1))
+        (rc.trainPath, rc.testPath, args(2), rc.cfg)
+      } else {
+        val k = if (args.length > 3) args(3).toInt else 4
+        val method = if (args.length > 4) args(4) else "dlsa"
+        (args(0), args(1), args(2),
+          DarimaConfig(numChunks = k, method = method))
+      }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -27,7 +37,7 @@ object DarimaMain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {
-      val cfg = DarimaConfig(numChunks = k, method = method)
+      val cfg = cfg0
       val train = Darima.loadSeriesCsv(spark, trainPath)
       val test = Darima.loadSeriesCsv(spark, testPath)
       val testVals = test.orderBy("time").select("value").collect()

@@ -68,6 +68,19 @@ object Extensions {
       .orderBy(col("doc_id"), col("i"))
   }
 
+  /** JSON scalar extraction over the events `props` column (the
+    * reference handles JSON only driver-side, SURVEY.md §2.8 — this
+    * makes it a first-class codegen'd column operator).
+    */
+  private val x15EventsJson: Q = (s, d) =>
+    Tables.events(s, d)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), min(col("k")).as("k_min"),
+        max(col("k")).as("k_max"), round(avg(col("k")), 6).as("k_avg"))
+      .orderBy(col("event_type"))
+
   private val x13EventsTumbling: Q = (s, d) =>
     EventsAnalytics.tumblingHourly(Tables.events(s, d))
 
@@ -89,6 +102,7 @@ object Extensions {
     "x12_multimodal_features" -> x12MultimodalFeatures,
     "x13_events_tumbling" -> x13EventsTumbling,
     "x14_events_sessions" -> x14EventsSessions,
+    "x15_events_json" -> x15EventsJson,
   )
 
   /** The md5-nibble fake-decode in SQL (first 8 nibbles of
@@ -125,5 +139,12 @@ object Extensions {
     "x12_multimodal_features" -> multimodalFeaturesSql,
     "x13_events_tumbling" -> EventsAnalytics.tumblingHourlySql,
     "x14_events_sessions" -> EventsAnalytics.sessionsSql(1800),
+    "x15_events_json" ->
+      """SELECT event_type, count(*) AS n, min(k) AS k_min,
+        |       max(k) AS k_max, round(avg(k), 6) AS k_avg
+        |FROM (SELECT event_type,
+        |        CAST(json_extract_string(props, '$.k') AS INT) AS k
+        |      FROM events)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

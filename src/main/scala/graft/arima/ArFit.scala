@@ -123,18 +123,15 @@ object ArFit {
       2.0 * k * n.toDouble / (n - k - 1)
   }
 
-  /** Pick AR order by AICc over Yule–Walker fits (cheap: one
-    * autocovariance pass + O(maxP²) recursion).
+  /** Pick the AICc-best AR order given per-order innovation
+    * variances (from [[levinsonDurbin]]). Shared by the long-AR
+    * fitter and any caller doing Yule–Walker selection.
     */
-  def selectArOrder(x: Array[Double], maxP: Int): Int = {
-    val n = x.length
-    val cap = math.min(maxP, n / 4)
-    if (cap <= 0) return 0
-    val (_, vars) = levinsonDurbin(autocovariances(x, cap), cap)
+  def bestOrderByAicc(vars: Array[Double], n: Int): Int = {
     var best = 0
     var bestCrit = Double.PositiveInfinity
     var p = 0
-    while (p <= cap) {
+    while (p < vars.length) {
       val crit = aicc(n, vars(p), p + 1)
       if (crit < bestCrit - 1e-12) { bestCrit = crit; best = p }
       p += 1

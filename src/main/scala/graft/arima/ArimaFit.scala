@@ -202,14 +202,7 @@ object ArimaFit {
     val cap = math.max(1, math.min(cap0, n / 5))
     val (phis, vars) = ArFit.levinsonDurbin(
       ArFit.autocovariances(w, cap), cap)
-    var best = 0
-    var bestCrit = Double.PositiveInfinity
-    var p = 0
-    while (p <= cap) {
-      val crit = ArFit.aicc(n, vars(p), p + 1)
-      if (crit < bestCrit - 1e-12) { bestCrit = crit; best = p }
-      p += 1
-    }
+    val best = ArFit.bestOrderByAicc(vars, n)
     val (mu, drift) = d match {
       case 0 => (mean, 0.0)
       case 1 => (0.0, mean)

@@ -40,22 +40,44 @@ final case class DotProduct(left: Expression, right: Expression)
   private def isFloat(e: Expression): Boolean =
     e.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
+  private def mayHaveNullElems: Boolean =
+    left.dataType.asInstanceOf[ArrayType].containsNull ||
+      right.dataType.asInstanceOf[ArrayType].containsNull
+
+  override def nullable: Boolean =
+    super.nullable || mayHaveNullElems
+
+  /** A null *element* nullifies the whole product (matching Spark
+    * arithmetic conventions and DuckDB's list_dot_product) — reading
+    * it as 0.0 would silently corrupt similarity scores.
+    */
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
     var acc = 0.0
     var i = 0
-    if (isFloat(left) && isFloat(right)) {
-      while (i < n) { acc += x.getFloat(i).toDouble * y.getFloat(i); i += 1 }
-    } else if (isFloat(left)) {
-      while (i < n) { acc += x.getFloat(i).toDouble * y.getDouble(i); i += 1 }
-    } else if (isFloat(right)) {
-      while (i < n) { acc += x.getDouble(i) * y.getFloat(i); i += 1 }
+    if (mayHaveNullElems) {
+      while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
+        val xv = if (isFloat(left)) x.getFloat(i).toDouble else x.getDouble(i)
+        val yv = if (isFloat(right)) y.getFloat(i).toDouble else y.getDouble(i)
+        acc += xv * yv
+        i += 1
+      }
+      acc
     } else {
-      while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
+      if (isFloat(left) && isFloat(right)) {
+        while (i < n) { acc += x.getFloat(i).toDouble * y.getFloat(i); i += 1 }
+      } else if (isFloat(left)) {
+        while (i < n) { acc += x.getFloat(i).toDouble * y.getDouble(i); i += 1 }
+      } else if (isFloat(right)) {
+        while (i < n) { acc += x.getDouble(i) * y.getFloat(i); i += 1 }
+      } else {
+        while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
+      }
+      acc
     }
-    acc
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -67,10 +89,16 @@ final case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
+      val nullElemCheck = if (mayHaveNullElems)
+        s"""if ($x.isNullAt($i) || $y.isNullAt($i)) {
+           |    ${ev.isNull} = true; break;
+           |  }""".stripMargin
+      else ""
       s"""
          |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  $nullElemCheck
          |  $acc += ${lGet.replace("%I%", i)} * ${rGet.replace("%I%", i)};
          |}
          |${ev.value} = $acc;

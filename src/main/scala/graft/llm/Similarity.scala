@@ -97,6 +97,92 @@ object Similarity {
       .orderBy(col("bucket"))
   }
 
+  /** X2: embedding-cosine near-duplicate pairs: banded
+    * random-hyperplane LSH (candidate if the two vectors share a full
+    * sign-signature in ANY band — OR over bands recovers the recall a
+    * single long signature loses), then exact cosine on candidates
+    * only.
+    *
+    * Scale honesty: a random pair collides per band with prob
+    * ~0.5^planesPerBand, so the candidate join is Θ(N²/2^planes)·bands
+    * — planesPerBand must grow with log₂N (≈ log₂N − log₂(avg bucket
+    * size you can afford)) to keep buckets O(1). True near-dups
+    * (cos ≥ 0.95) still collide per band with prob ≈ 0.9^planes, so
+    * recall stays high under the OR. Norms are computed once per
+    * vector before the pair join, not per pair.
+    */
+  def nearDupPairs(emb: DataFrame, bands: Int, planesPerBand: Int,
+      dim: Int, threshold: Double): DataFrame = {
+    val ps = planes(bands * planesPerBand, dim)
+    val sigCols = (0 until bands).map { b =>
+      (0 until planesPerBand).map { j =>
+        val plane: Column = array(ps(b * planesPerBand + j).map(lit): _*)
+        when(dot_product(col("embedding"), plane) >= 0,
+          lit(1 << j)).otherwise(lit(0))
+      }.reduce(_ + _).as(s"sig$b")
+    }
+    val sigs = emb.select(col("vec_id") +: col("embedding") +: sigCols: _*)
+      .select(col("vec_id"), expr(
+        (0 until bands).map(b => s"$b, sig$b")
+          .mkString(s"stack($bands, ", ", ", ") AS (band, sig)")))
+    val cands = sigs.as("a")
+      .join(sigs.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"))
+      .distinct()
+    val normed = emb.select(col("vec_id"), col("embedding"),
+      sqrt(dot_product(col("embedding"), col("embedding"))).as("nrm"))
+    val e1 = normed.select(col("vec_id").as("i"), col("embedding").as("ei"),
+      col("nrm").as("ni"))
+    val e2 = normed.select(col("vec_id").as("j"), col("embedding").as("ej"),
+      col("nrm").as("nj"))
+    cands.join(e1, "i").join(e2, "j")
+      .withColumn("cos", round(
+        dot_product(col("ei"), col("ej")) / (col("ni") * col("nj")), 6))
+      .filter(col("cos") >= threshold)
+      .select(col("i"), col("j"), col("cos"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  def nearDupPairsSql(bands: Int, planesPerBand: Int, dim: Int,
+      threshold: Double): String = {
+    val ps = planes(bands * planesPerBand, dim)
+    def sigExpr(b: Int): String =
+      (0 until planesPerBand).map { j =>
+        val litArr = ps(b * planesPerBand + j)
+          .map(v => s"CAST('$v' AS DOUBLE)").mkString("[", ", ", "]")
+        s"""CASE WHEN list_dot_product(
+           |  list_transform(embedding, x -> CAST(x AS DOUBLE)),
+           |  $litArr) >= 0 THEN ${1 << j} ELSE 0 END""".stripMargin
+      }.mkString(" + ")
+    val sigSelects = (0 until bands)
+      .map(b => s"SELECT vec_id, $b AS band, ${sigExpr(b)} AS sig FROM embeddings")
+      .mkString("\nUNION ALL\n")
+    s"""WITH sigs AS (
+       |$sigSelects
+       |), cands AS (
+       |  SELECT DISTINCT a.vec_id AS i, b.vec_id AS j
+       |  FROM sigs a JOIN sigs b
+       |    ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id
+       |), scored AS (
+       |  SELECT c.i, c.j,
+       |    round(
+       |      list_dot_product(list_transform(e1.embedding, x -> CAST(x AS DOUBLE)),
+       |                       list_transform(e2.embedding, x -> CAST(x AS DOUBLE)))
+       |      / (sqrt(list_dot_product(list_transform(e1.embedding, x -> CAST(x AS DOUBLE)),
+       |                               list_transform(e1.embedding, x -> CAST(x AS DOUBLE))))
+       |       * sqrt(list_dot_product(list_transform(e2.embedding, x -> CAST(x AS DOUBLE)),
+       |                               list_transform(e2.embedding, x -> CAST(x AS DOUBLE)))))
+       |    , 6) AS cos
+       |  FROM cands c
+       |  JOIN embeddings e1 ON e1.vec_id = c.i
+       |  JOIN embeddings e2 ON e2.vec_id = c.j
+       |)
+       |SELECT i, j, cos FROM scored WHERE cos >= $threshold
+       |ORDER BY i, j""".stripMargin
+  }
+
   def lshBucketsSql(nPlanes: Int, dim: Int): String = {
     val ps = planes(nPlanes, dim)
     val bitTerms = ps.zipWithIndex.map { case (p, j) =>

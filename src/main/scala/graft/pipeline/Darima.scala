@@ -33,7 +33,10 @@ final case class DarimaConfig(
       * Hannan–Rissanen ARMA search (ArimaFit.fit).
       */
     fitter: String = "longar",
-    /** Max AR lag for the longar fitter; 0 = auto (7·freq+8). */
+    /** Max AR lag for the longar fitter; 0 = auto (14·freq+8 when
+      * freq>1, i.e. two seasonal "weeks"; else 40 — see
+      * ArimaFit.fitLongAr). Drives the driver-side tail collect size.
+      */
     maxLag: Int = 0)
 
 object Darima {

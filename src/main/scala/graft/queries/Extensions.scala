@@ -31,6 +31,14 @@ object Extensions {
   private val x06EmbedLsh: Q = (s, d) =>
     Similarity.lshBuckets(Tables.embeddings(s, d), nPlanes = 8, dim = 64)
 
+  /** 6 planes/band ≈ 64 buckets/band: right-sized for the harness
+    * table (500-2000 vectors → O(10-30) per bucket); at larger N,
+    * planesPerBand grows with log₂N (see Similarity.nearDupPairs).
+    */
+  private val x16EmbedNeardup: Q = (s, d) =>
+    Similarity.nearDupPairs(Tables.embeddings(s, d), bands = 4,
+      planesPerBand = 6, dim = 64, threshold = 0.4)
+
   private val x07TextLangid: Q = (s, d) =>
     TextAnalysis.langId(Tables.documents(s, d))
 
@@ -103,6 +111,7 @@ object Extensions {
     "x13_events_tumbling" -> x13EventsTumbling,
     "x14_events_sessions" -> x14EventsSessions,
     "x15_events_json" -> x15EventsJson,
+    "x16_embed_neardup" -> x16EmbedNeardup,
   )
 
   /** The md5-nibble fake-decode in SQL (first 8 nibbles of
@@ -146,5 +155,6 @@ object Extensions {
         |        CAST(json_extract_string(props, '$.k') AS INT) AS k
         |      FROM events)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x16_embed_neardup" -> Similarity.nearDupPairsSql(4, 6, 64, 0.4),
   )
 }

@@ -50,39 +50,56 @@ object EventsStream {
   final case class SessionOut(user_id: Long, n_events: Long,
       dur_sec: Double, total: Double)
 
-  /** Stateful sessionization: per-user state with a processing-time
-    * timeout playing the session gap; emits a session row when the
-    * gap closes it. Batch twin: graft.llm.EventsAnalytics.sessions.
+  /** Stateful sessionization: per-user state closed either by a
+    * larger-gap event or by an event-time timeout once the watermark
+    * passes last+gap — so quiet users' final sessions ARE emitted and
+    * their state is freed (unbounded per-user state would be an OOM
+    * on a real feed). Batch twin: graft.llm.EventsAnalytics.sessions.
     */
   def sessionize(spark: SparkSession, events: DataFrame, gapSec: Int)
       : Dataset[SessionOut] = {
     import spark.implicits._
+    // keep the watermarked ts column all the way into the stateful op:
+    // dropping it would detach the watermark EventTimeTimeout needs
     val typed = events
+      .withWatermark("ts", "30 minutes")
       .select(col("user_id"), col("ts").cast("double").as("ep"),
-        col("value")).as[SessionEvent]
-    typed.groupByKey(_.user_id)
+        col("value"), col("ts"))
+      .as[(Long, Double, Double, java.sql.Timestamp)]
+    typed.groupByKey(_._1)
       .flatMapGroupsWithState[SessionState, SessionOut](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (userId: Long, it: Iterator[SessionEvent],
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, tuples: Iterator[(Long, Double, Double, java.sql.Timestamp)],
             state: GroupState[SessionState]) =>
-          // events within a micro-batch arrive unordered: sort by time
-          val evs = it.toArray.sortBy(_.ep)
-          var cur = state.getOption
-          val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
-          evs.foreach { e =>
-            cur match {
-              case Some(s) if e.ep - s.last <= gapSec =>
-                cur = Some(SessionState(s.start, e.ep, s.n + 1,
-                  s.total + e.value))
-              case Some(s) =>
-                out += SessionOut(userId, s.n, s.last - s.start, s.total)
-                cur = Some(SessionState(e.ep, e.ep, 1, e.value))
-              case None =>
-                cur = Some(SessionState(e.ep, e.ep, 1, e.value))
+          val it = tuples.map(t => SessionEvent(t._1, t._2, t._3))
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(userId, s.n, s.last - s.start, s.total))
+          } else {
+            // events within a micro-batch arrive unordered: sort by time
+            val evs = it.toArray.sortBy(_.ep)
+            var cur = state.getOption
+            val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+            evs.foreach { e =>
+              cur match {
+                case Some(s) if e.ep - s.last <= gapSec =>
+                  cur = Some(SessionState(s.start, e.ep, s.n + 1,
+                    s.total + e.value))
+                case Some(s) =>
+                  out += SessionOut(userId, s.n, s.last - s.start, s.total)
+                  cur = Some(SessionState(e.ep, e.ep, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(e.ep, e.ep, 1, e.value))
+              }
             }
+            cur.foreach { s =>
+              state.update(s)
+              // close the session once event time passes last+gap
+              state.setTimeoutTimestamp((s.last * 1000).toLong + gapSec * 1000L)
+            }
+            out.iterator
           }
-          cur.foreach(state.update)
-          out.iterator
       }
   }
 }

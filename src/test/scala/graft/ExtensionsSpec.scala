@@ -53,6 +53,47 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(math.abs(top(0).getAs[Double]("cos") - 1.0) < 1e-9)
   }
 
+  test("near-dup pairs: identical vectors are always candidates with cos 1") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val base = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val vecs = Seq(
+      (1L, base), (2L, base.clone()), // exact dup pair
+      (3L, Array.fill(64)(rnd.nextGaussian().toFloat)),
+      (4L, Array.fill(64)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val pairs = Similarity.nearDupPairs(vecs, bands = 4, planesPerBand = 4,
+      dim = 64, threshold = 0.9).collect()
+    assert(pairs.length == 1)
+    assert(pairs(0).getLong(0) == 1L && pairs(0).getLong(1) == 2L)
+    assert(math.abs(pairs(0).getDouble(2) - 1.0) < 1e-6)
+  }
+
+  test("d02 global coefs equal hand-computed DLSA of d01 chunk coefs") {
+    val d01 = graft.queries.DarimaQueries.queries("d01_chunk_coefs")(spark, sf)
+    val raw = graft.pipeline.Darima.fitChunkCoefs(spark,
+      Tables.events(spark, sf).select(
+        org.apache.spark.sql.functions.col("ts").cast("double").as("time"),
+        org.apache.spark.sql.functions.col("value")),
+      graft.pipeline.DarimaConfig(numChunks = 4, freq = 24, tol = 24,
+        maxP = 3, maxQ = 2)).collect()
+    assert(d01.count() == 4 * 27)
+    // hand-compute DLSA for one AR coefficient and compare to combine()
+    val ar1 = raw.filter(_.getString(1) == "ar1")
+    val want = ar1.map(r => r.getDouble(3) * r.getDouble(4)).sum /
+      ar1.map(_.getDouble(4)).sum
+    val got = graft.pipeline.Darima.combine(
+      graft.pipeline.Darima.fitChunkCoefs(spark,
+        Tables.events(spark, sf).select(
+          org.apache.spark.sql.functions.col("ts").cast("double").as("time"),
+          org.apache.spark.sql.functions.col("value")),
+        graft.pipeline.DarimaConfig(numChunks = 4, freq = 24, tol = 24,
+          maxP = 3, maxQ = 2)), "dlsa")
+      .filter(org.apache.spark.sql.functions.col("coef") === "ar1")
+      .collect()(0).getDouble(2)
+    assert(math.abs(got - want) < 1e-9, s"dlsa $got vs hand $want")
+  }
+
   test("multimodal feature extraction is deterministic and batch-shaped") {
     val media = Multimodal.mediaTable(Tables.documents(spark, sf))
     val f1 = Multimodal.extractFeatures(spark, media).collect()

@@ -43,12 +43,17 @@ class StreamingSpec extends AnyFunSuite {
       q.processAllAvailable()
       val n = spark.sql("SELECT count(*) FROM sessions_out")
         .collect()(0).getLong(0)
-      // all sessions except each user's last (still open) are emitted
       val batchSessions = graft.llm.EventsAnalytics
         .sessions(Tables.events(spark, sf), 1800).count()
       val users = Tables.events(spark, sf)
         .select("user_id").distinct().count()
-      assert(n == batchSessions - users, s"emitted $n")
+      // gap-closed sessions all emit; event-time timeouts additionally
+      // close final sessions older than the watermark, so the count
+      // lands between (all minus one open per user) and all
+      assert(n >= batchSessions - users, s"emitted $n of $batchSessions")
+      assert(n <= batchSessions, s"emitted $n of $batchSessions")
+      // at least some final sessions must have timed out and emitted
+      assert(n > batchSessions - users, s"no timeouts fired (n=$n)")
     } finally q.stop()
   }
 }

@@ -104,7 +104,7 @@ def main():
     undeclared = [n for n in oracles if n not in results_dirs]
     for n in undeclared:
         print(f"FAIL  {n}: oracle declared but no spark result")
-        n_fail += len(undeclared)
+        n_fail += 1
     print(f"== {n_pass} exact, {n_close} close, {n_fail} fail ==")
     sys.exit(1 if n_fail else 0)
 

@@ -96,12 +96,34 @@ object DarimaQueries {
       .orderBy(col("chunk_id"))
   }
 
+  /** M1 alternate form: the fit as a typed Aggregator inside agg(...)
+    * (SURVEY.md §4.2) — must produce the same coefficients as d01.
+    */
+  private val d06FitAggregator: Q = (s, d) => {
+    import s.implicits._
+    val chunked = graft.ts.Chunker.rangeChunks(
+      series(s, d).select(col("time").as("t"), col("value").as("v")),
+      col("t"), cfg.numChunks)
+    chunked.select(col("chunk_id"), col("t"), col("v"))
+      .as[(Int, Double, Double)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(new graft.pipeline.ArimaFitAggregator(cfg).toColumn.name("coefs"))
+      .flatMap { case (chunkId, rows) =>
+        rows.map(r => (chunkId, r.coef, r.lag_idx,
+          math.rint(r.value * 1e6) / 1e6))
+      }
+      .toDF("chunk_id", "coef", "lag_idx", "value")
+      .orderBy(col("chunk_id"), col("lag_idx"))
+  }
+
   val queries: Map[String, Q] = Map(
     "d01_chunk_coefs" -> d01ChunkCoefs,
     "d02_global_coefs" -> d02GlobalCoefs,
     "d03_forecast" -> d03Forecast,
     "d04_forecast_eval" -> d04ForecastEval,
     "d05_ar1_ols" -> d05Ar1Ols,
+    "d06_fit_aggregator" -> d06FitAggregator,
   )
 
   /** Closed-form AR(1) OLS in DuckDB SQL: y_t on [1, y_{t-1}] within

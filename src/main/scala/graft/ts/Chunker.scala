@@ -29,7 +29,21 @@ object Chunker {
     df.withColumn("chunk_id", ntile(k).over(w) - 1)
   }
 
-  def rangeChunks(df: DataFrame, timeCol: Column, k: Int): DataFrame =
-    df.repartitionByRange(k, timeCol)
-      .withColumn("chunk_id", spark_partition_id())
+  def rangeChunks(df: DataFrame, timeCol: Column, k: Int): DataFrame = {
+    // Deterministic range boundaries from a t-digest quantile sketch
+    // (one cheap agg pass; no RNG). repartitionByRange was tried
+    // first but RangePartitioner's reservoir sample is seeded by the
+    // RDD id, so two jobs over the same data could get slightly
+    // different chunk boundaries — semantically fine for DARIMA, but
+    // it made independently-built plans disagree on chunk membership.
+    val qs = (1 until k).map(i => i.toDouble / k)
+    val bounds = df
+      .select(percentile_approx(timeCol, array(qs.map(lit): _*),
+        lit(10000)).as("b"))
+      .head().getSeq[Double](0)
+    val chunk = bounds.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(timeCol > lit(b), 1).otherwise(0)
+    }
+    df.withColumn("chunk_id", chunk)
+  }
 }

@@ -212,6 +212,109 @@ object ArimaFit {
       math.max(m, 1), mu, drift, vars(best), x.length.toLong)
   }
 
+  /** Conditional-sum-of-squares residual vector for ARMA(p,q)+mean
+    * (same recursion as cssSigma2, materialized for Gauss–Newton).
+    */
+  private def cssResiduals(w: Array[Double], b: Array[Double], p: Int,
+      q: Int): Array[Double] = {
+    val n = w.length
+    val c = b(0)
+    val e = new Array[Double](n)
+    val out = new Array[Double](math.max(0, n - p))
+    var t = p
+    while (t < n) {
+      var pred = c
+      var i = 0
+      while (i < p) { pred += b(1 + i) * (w(t - 1 - i) - c); i += 1 }
+      var j = 0
+      while (j < q) {
+        val idx = t - 1 - j
+        if (idx >= p) pred += b(1 + p + j) * e(idx)
+        j += 1
+      }
+      e(t) = w(t) - pred
+      out(t - p) = e(t)
+      t += 1
+    }
+    out
+  }
+
+  /** Levenberg–Marquardt refinement of the CSS objective from a
+    * Hannan–Rissanen start — the estimation step auto.arima performs
+    * with its CSS/ML optimizer (reference reaches it through R's
+    * forecast package; here it is ~k² normal equations per step with
+    * a forward-difference Jacobian, k = p+q+1 ≤ 11).
+    */
+  def cssOptimize(w: Array[Double], c0: Double, phi0: Array[Double],
+      theta0: Array[Double], maxIter: Int = 25)
+      : (Double, Array[Double], Array[Double]) = {
+    val p = phi0.length
+    val q = theta0.length
+    val k = 1 + p + q
+    var b = (c0 +: (phi0 ++ theta0)).toArray
+    var r = cssResiduals(w, b, p, q)
+    var sse = r.map(x => x * x).sum
+    var lambda = 1e-3
+    var iter = 0
+    while (iter < maxIter) {
+      // forward-difference Jacobian, streaming J'J and J'r
+      val jtj = Array.ofDim[Double](k, k)
+      val jtr = new Array[Double](k)
+      val cols = Array.tabulate(k) { a =>
+        val h = 1e-6 * math.max(1.0, math.abs(b(a)))
+        val bp = b.clone(); bp(a) += h
+        val rp = cssResiduals(w, bp, p, q)
+        Array.tabulate(r.length)(i => (rp(i) - r(i)) / h)
+      }
+      var a = 0
+      while (a < k) {
+        var c2 = a
+        while (c2 < k) {
+          var acc = 0.0
+          var i = 0
+          while (i < r.length) { acc += cols(a)(i) * cols(c2)(i); i += 1 }
+          jtj(a)(c2) = acc
+          jtj(c2)(a) = acc
+          c2 += 1
+        }
+        var acc = 0.0
+        var i = 0
+        while (i < r.length) { acc += cols(a)(i) * r(i); i += 1 }
+        jtr(a) = -acc
+        a += 1
+      }
+      var stepped = false
+      var tries = 0
+      while (!stepped && tries < 8) {
+        val damped = Array.tabulate(k, k)((i2, j2) =>
+          jtj(i2)(j2) + (if (i2 == j2) lambda * (1.0 + jtj(i2)(i2)) else 0.0))
+        try {
+          val delta = Linalg.solve(damped, jtr.clone())
+          val bNew = Array.tabulate(k)(i2 => b(i2) + delta(i2))
+          val rNew = cssResiduals(w, bNew, p, q)
+          val sseNew = rNew.map(x => x * x).sum
+          if (sseNew < sse && sseNew.isFinite) {
+            b = bNew; r = rNew
+            val rel = (sse - sseNew) / math.max(sse, 1e-300)
+            sse = sseNew
+            lambda = math.max(lambda / 4, 1e-10)
+            stepped = true
+            if (rel < 1e-10) iter = maxIter // converged
+          } else {
+            lambda *= 8
+          }
+        } catch {
+          case _: IllegalArgumentException => lambda *= 8
+        }
+        tries += 1
+      }
+      if (!stepped) iter = maxIter
+      iter += 1
+    }
+    (b(0), java.util.Arrays.copyOfRange(b, 1, 1 + p),
+      java.util.Arrays.copyOfRange(b, 1 + p, k))
+  }
+
   /** Stepwise (p,q) search à la Hyndman–Khandakar: score the four
     * canonical starts, then walk the ±1 neighborhood of the incumbent
     * until no improvement.
@@ -260,8 +363,13 @@ object ArimaFit {
 
     val (p, q, _, phi, theta) = bestFit.getOrElse((0, 0, 0.0,
       Array.empty[Double], Array.empty[Double]))
-    val (c2, phi2, theta2) = hannanRissanen(w, p, q)
+    val (c1, phi1, theta1) = hannanRissanen(w, p, q)
       .getOrElse((w.sum / math.max(1, n), Array.empty[Double], Array.empty[Double]))
+    // final estimation: Levenberg-Marquardt CSS refinement of the HR
+    // start (HR is used only to score candidates during the search)
+    val (c2, phi2, theta2) =
+      if (p + q > 0) cssOptimize(w, c1, phi1, theta1)
+      else (c1, phi1, theta1)
     val sigma2 = cssSigma2(w, c2, phi2, theta2)
     // map the differenced-series mean back to level/drift terms:
     //   d=0 → μ = c; d=1 → drift = c; d≥2 → neither (auto.arima default)

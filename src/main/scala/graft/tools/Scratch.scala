@@ -1,33 +1,27 @@
 package graft.tools
 import org.apache.spark.sql.SparkSession
-import graft.streaming.EventsStream
+import org.apache.spark.sql.functions._
+import graft.pipeline.{Darima, DarimaConfig}
 /** Dev scratchpad main for quick local experiments (not part of the API). */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions","4")
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions","8")
       .config("spark.sql.session.timeZone","UTC")
       .config("spark.ui.enabled","false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = java.nio.file.Files.createTempDirectory("evstream")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
-      dir.resolve("batch1.parquet"))
-    val sess = EventsStream.sessionize(spark,
-      EventsStream.readEvents(spark, dir.toString), 1800)
-    val q = sess.writeStream.outputMode("append").format("memory")
-      .queryName("s").start()
-    q.processAllAvailable()
-    val n1 = spark.sql("SELECT count(*) FROM s").collect()(0).getLong(0)
-    val batch = graft.llm.EventsAnalytics.sessions(
-      graft.Tables.events(spark, "/root/testdata/sf0.001"), 1800).count()
-    val users = graft.Tables.events(spark, "/root/testdata/sf0.001")
-      .select("user_id").distinct().count()
-    println(s"emitted=$n1 batchSessions=$batch users=$users (old NoTimeout behavior was ${batch - users})")
-    q.stop()
-    // null-element propagation through SQL surface
-    graft.functions.VectorFunctions.register(spark)
-    spark.sql("SELECT dot_product(array(1.0D, CAST(NULL AS DOUBLE)), array(1.0D, 1.0D)) AS d").show()
+    val series = graft.Tables.events(spark, "/root/testdata/sf0.01")
+      .select(col("ts").cast("double").as("time"), col("value"))
+    val cfg = DarimaConfig(numChunks = 4, freq = 24, tol = 24,
+      maxP = 3, maxQ = 2, fitter = "arma")
+    val (model, fc) = Darima.run(spark, series, h = 24, cfg)
+    println(s"arma pipeline: p=${model.p} sigma2=${model.sigma2} fc0=${fc.mean(0)}")
+    // degenerate probe: constant series through the arma fitter
+    import spark.implicits._
+    val const = spark.range(500).select(col("id").cast("double").as("time"),
+      lit(5.0).as("value"))
+    val (m2, fc2) = Darima.run(spark, const, h = 5, cfg)
+    println(s"constant series: sigma2=${m2.sigma2} forecasts=${fc2.mean.mkString(",")}")
     spark.stop()
   }
 }

@@ -141,6 +141,24 @@ class ArimaCoreSpec extends AnyFunSuite {
     assert(math.abs(uncond - 5.0 / 0.3) < 1.5, s"mean=$uncond")
   }
 
+  test("CSS optimization recovers ARMA(1,1) parameters from an HR start") {
+    // simulate ARMA(1,1): x_t = 0.6 x_{t-1} + e_t + 0.4 e_{t-1}
+    val phi = 0.6; val theta = 0.4
+    val e = noise(12200, seed = 11L)
+    val x = new Array[Double](12200)
+    var t = 1
+    while (t < x.length) {
+      x(t) = phi * x(t - 1) + e(t) + theta * e(t - 1); t += 1
+    }
+    val w = x.drop(200)
+    val Some((c0, p0, t0)) = ArimaFit.hannanRissanen(w, 1, 1)
+    val (c1, p1, t1) = ArimaFit.cssOptimize(w, c0, p0, t0)
+    assert(math.abs(p1(0) - phi) < 0.05, s"phi=${p1(0)} (HR gave ${p0(0)})")
+    assert(math.abs(t1(0) - theta) < 0.05, s"theta=${t1(0)} (HR gave ${t0(0)})")
+    // the optimizer must not move away from the truth vs its start
+    assert(math.abs(p1(0) - phi) <= math.abs(p0(0) - phi) + 0.02)
+  }
+
   test("forecast of constant series is constant with zero residuals") {
     val x = Array.fill(200)(7.0)
     val model = ArLinearModel(7.0 * (1 - 0.0), 0.0, Array(0.0), 0.0, 200)

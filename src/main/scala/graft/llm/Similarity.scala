@@ -70,6 +70,90 @@ object Similarity {
        |SELECT qid, rank, vec_id, cos FROM ranked WHERE rank <= $k
        |ORDER BY qid, rank""".stripMargin
 
+  /** IVF-style ANN search. Coarse lists come from fixed seed vectors
+    * (vec_id < nLists — a trained k-means would replace them; the
+    * inverted-file *search* shape is the point): every vector is
+    * assigned to its highest-cosine seed list, a query probes its
+    * nProbe nearest lists, and ranking touches only those lists'
+    * members — the sublinear ANN layout. Cosines are rounded to 6dp
+    * with id tie-breaks so assignment and ranking are deterministic
+    * across engines.
+    */
+  def ivfTopK(emb: DataFrame, nLists: Int, nProbe: Int, nQueries: Int,
+      k: Int): DataFrame = {
+    val seeds = emb.filter(col("vec_id") < nLists)
+      .select(col("vec_id").as("list_id"), col("embedding").as("ce"))
+    def cosTo(v: Column, c: Column): Column =
+      round(dot_product(v, c) /
+        (sqrt(dot_product(v, v)) * sqrt(dot_product(c, c))), 6)
+    // assignment: argmax cosine over the 16 seeds (broadcast NL join)
+    val assigned = emb.crossJoin(broadcast(seeds))
+      .withColumn("c", cosTo(col("embedding"), col("ce")))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("vec_id"))
+        .orderBy(col("c").desc, col("list_id"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("list_id"), col("embedding"))
+    // queries probe their nProbe nearest lists
+    val probes = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      .crossJoin(broadcast(seeds))
+      .withColumn("c", cosTo(col("qe"), col("ce")))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("qid"))
+        .orderBy(col("c").desc, col("list_id"))))
+      .filter(col("rn") <= nProbe)
+      .select(col("qid"), col("qe"), col("list_id"))
+    probes.join(assigned, "list_id")
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos", cosTo(col("embedding"), col("qe")))
+      .withColumn("rank", row_number().over(Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vec_id"), col("cos"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  def ivfTopKSql(nLists: Int, nProbe: Int, nQueries: Int, k: Int): String =
+    s"""WITH dbl AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |  FROM embeddings
+       |), seeds AS (
+       |  SELECT vec_id AS list_id, e AS ce FROM dbl WHERE vec_id < $nLists
+       |), assigned AS (
+       |  SELECT vec_id, list_id, e FROM (
+       |    SELECT d.vec_id, s.list_id, d.e,
+       |      row_number() OVER (PARTITION BY d.vec_id ORDER BY
+       |        round(list_dot_product(d.e, s.ce)
+       |          / (sqrt(list_dot_product(d.e, d.e))
+       |           * sqrt(list_dot_product(s.ce, s.ce))), 6) DESC,
+       |        s.list_id) AS rn
+       |    FROM dbl d CROSS JOIN seeds s)
+       |  WHERE rn = 1
+       |), probes AS (
+       |  SELECT qid, qe, list_id FROM (
+       |    SELECT d.vec_id AS qid, d.e AS qe, s.list_id,
+       |      row_number() OVER (PARTITION BY d.vec_id ORDER BY
+       |        round(list_dot_product(d.e, s.ce)
+       |          / (sqrt(list_dot_product(d.e, d.e))
+       |           * sqrt(list_dot_product(s.ce, s.ce))), 6) DESC,
+       |        s.list_id) AS rn
+       |    FROM dbl d CROSS JOIN seeds s WHERE d.vec_id < $nQueries)
+       |  WHERE rn <= $nProbe
+       |), scored AS (
+       |  SELECT p.qid, a.vec_id,
+       |    round(list_dot_product(a.e, p.qe)
+       |      / (sqrt(list_dot_product(a.e, a.e))
+       |       * sqrt(list_dot_product(p.qe, p.qe))), 6) AS cos
+       |  FROM probes p JOIN assigned a ON a.list_id = p.list_id
+       |  WHERE a.vec_id <> p.qid
+       |), ranked AS (
+       |  SELECT qid, vec_id, cos,
+       |    row_number() OVER (PARTITION BY qid
+       |      ORDER BY cos DESC, vec_id) AS rank
+       |  FROM scored
+       |)
+       |SELECT qid, rank, vec_id, cos FROM ranked WHERE rank <= $k
+       |ORDER BY qid, rank""".stripMargin
+
   /** Deterministic pseudo-random hyperplanes (fixed seed) shared by
     * the Spark plan and the generated oracle SQL as literal arrays.
     */

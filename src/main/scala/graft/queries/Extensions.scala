@@ -89,6 +89,33 @@ object Extensions {
         max(col("k")).as("k_max"), round(avg(col("k")), 6).as("k_avg"))
       .orderBy(col("event_type"))
 
+  /** X4: frame sampling — stride-sample frame indices from each
+    * media item's frame count and attach a deterministic per-frame
+    * fingerprint (stands in for a decoded frame digest; the stride
+    * logic and row explosion are the real operator).
+    */
+  private val x17FrameSample: Q = (s, d) =>
+    Multimodal.mediaTable(Tables.documents(s, d))
+      .select(col("doc_id"), col("frames"),
+        explode(expr(
+          "sequence(0, frames - 1, greatest(1, frames div 4))"))
+          .as("frame_idx"))
+      .select(col("doc_id"), col("frames"), col("frame_idx"),
+        substring(md5(concat(col("doc_id").cast("string"), lit(":"),
+          col("frame_idx").cast("string"))), 1, 8).as("frame_digest"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+
+  /** X2: IVF-style ANN — coarse quantizer lists from fixed seed
+    * vectors (the first nLists vec_ids; a trained k-means would
+    * replace them — the *search* shape is what matters), queries
+    * probe their nProbe nearest lists and rank only those lists'
+    * members. The per-list partitioning is the inverted-file layout
+    * that makes ANN sublinear at scale.
+    */
+  private val x18IvfTopk: Q = (s, d) =>
+    Similarity.ivfTopK(Tables.embeddings(s, d), nLists = 16,
+      nProbe = 4, nQueries = 3, k = 3)
+
   private val x13EventsTumbling: Q = (s, d) =>
     EventsAnalytics.tumblingHourly(Tables.events(s, d))
 
@@ -112,6 +139,8 @@ object Extensions {
     "x14_events_sessions" -> x14EventsSessions,
     "x15_events_json" -> x15EventsJson,
     "x16_embed_neardup" -> x16EmbedNeardup,
+    "x17_frame_sample" -> x17FrameSample,
+    "x18_ivf_topk" -> x18IvfTopk,
   )
 
   /** The md5-nibble fake-decode in SQL (first 8 nibbles of
@@ -156,5 +185,16 @@ object Extensions {
         |      FROM events)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "x16_embed_neardup" -> Similarity.nearDupPairsSql(4, 6, 64, 0.4),
+    "x17_frame_sample" ->
+      """SELECT doc_id, frames, frame_idx,
+        |  substr(md5(doc_id || ':' || frame_idx), 1, 8) AS frame_digest
+        |FROM (
+        |  SELECT doc_id, frames,
+        |    unnest(range(0, frames, greatest(1, frames // 4))) AS frame_idx
+        |  FROM (SELECT doc_id,
+        |          CAST(1 + doc_id % 16 AS INT) AS frames
+        |        FROM documents))
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+    "x18_ivf_topk" -> Similarity.ivfTopKSql(16, 4, 3, 3),
   )
 }

@@ -28,6 +28,14 @@ object DarimaConfigIO {
     val test = str("test_datapath", "")
     require(train.nonEmpty && test.nonEmpty,
       s"config $path must set train_datapath and test_datapath")
-    DarimaRunConfig(cfg, train, test)
+    // the reference's shipped config uses paths relative to its repo
+    // root (darima_config.json:4-5) — resolve against the config dir
+    // so that file works verbatim
+    val base = java.nio.file.Paths.get(path).toAbsolutePath.getParent
+    def resolve(p: String): String = {
+      val asIs = java.nio.file.Paths.get(p)
+      if (asIs.isAbsolute) p else base.resolve(p).toString
+    }
+    DarimaRunConfig(cfg, resolve(train), resolve(test))
   }
 }

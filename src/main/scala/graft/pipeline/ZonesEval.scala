@@ -1,0 +1,54 @@
+package graft.pipeline
+
+import org.apache.spark.sql.SparkSession
+import graft.eval.Metrics
+
+/** Evaluate the pipeline over the reference's whole test corpus — all
+  * 10 GEFCom2017-style electricity zones (reference: data/ listing,
+  * SURVEY.md §5.2) — and print one JSON metrics line per zone plus a
+  * mean row. Usage: ZonesEval [dataDir] (default /root/reference/data).
+  */
+object ZonesEval {
+  val zones: Seq[String] = Seq("CT", "MASS", "ME", "NEMASSBOST", "NH",
+    "RI", "SEMASS", "TOTAL", "VT", "WCMASS")
+
+  def main(args: Array[String]): Unit = {
+    val dataDir = args.headOption.getOrElse("/root/reference/data")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-zones")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      val cfg = DarimaConfig()
+      val rows = zones.map { zone =>
+        val train = Darima.loadSeriesCsv(spark, s"$dataDir/${zone}_train.csv")
+        val test = Darima.loadSeriesCsv(spark, s"$dataDir/${zone}_test.csv")
+        val testVals = test.orderBy("time").select("value").collect()
+          .map(_.getDouble(0))
+        val trainVals = train.orderBy("time").select("value").collect()
+          .map(_.getDouble(0))
+        val (_, fc) = Darima.run(spark, train, testVals.length, cfg)
+        val mase = Metrics.mean(Metrics.mase(trainVals, testVals, fc.mean,
+          cfg.freq))
+        val smape = Metrics.mean(Metrics.smape(testVals, fc.mean))
+        val msis80 = Metrics.mean(Metrics.msis(trainVals, testVals,
+          fc.lower(0), fc.upper(0), 80, cfg.freq))
+        val msis95 = Metrics.mean(Metrics.msis(trainVals, testVals,
+          fc.lower(1), fc.upper(1), 95, cfg.freq))
+        println(f"""{"zone":"$zone","mase":$mase%.4f,"smape":$smape%.4f,""" +
+          f""""msis_80":$msis80%.4f,"msis_95":$msis95%.4f}""")
+        (mase, smape, msis80, msis95)
+      }
+      val n = rows.length
+      println(f"""{"zone":"MEAN","mase":${rows.map(_._1).sum / n}%.4f,""" +
+        f""""smape":${rows.map(_._2).sum / n}%.4f,""" +
+        f""""msis_80":${rows.map(_._3).sum / n}%.4f,""" +
+        f""""msis_95":${rows.map(_._4).sum / n}%.4f}""")
+    } finally spark.stop()
+  }
+}

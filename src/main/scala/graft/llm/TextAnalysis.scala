@@ -47,6 +47,42 @@ object TextAnalysis {
        |FROM scored ORDER BY doc_id""".stripMargin
   }
 
+  /** X3a': character-n-gram language ID — score each language by
+    * occurrence counts of its characteristic trigrams (substring
+    * counting via length arithmetic: (len(t) − len(replace(t,g,'')))
+    * / len(g), a pure codegen expression in both engines), predict
+    * the argmax. The classic n-gram-profile method in filter form.
+    */
+  val enGrams: Seq[String] = Seq("th", "he", "ing", " a ")
+  val esGrams: Seq[String] = Seq(" el", " la", "os ", "ción")
+
+  private def gramCountExpr(grams: Seq[String], textExpr: String): String =
+    grams.map { g =>
+      val esc = g.replace("'", "''")
+      s"(length($textExpr) - length(replace($textExpr, '$esc', ''))) / ${g.length}"
+    }.mkString(" + ")
+
+  def langIdNgram(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("score_en", expr(gramCountExpr(enGrams, "text")))
+      .withColumn("score_es", expr(gramCountExpr(esGrams, "text")))
+      .select(col("doc_id"), col("score_en"), col("score_es"),
+        when(col("score_en") > col("score_es"), "en")
+          .when(col("score_es") > col("score_en"), "es")
+          .otherwise("und").as("pred_lang"))
+      .orderBy(col("doc_id"))
+
+  def langIdNgramSql: String =
+    s"""SELECT doc_id,
+       |  ${gramCountExpr(enGrams, "text")} AS score_en,
+       |  ${gramCountExpr(esGrams, "text")} AS score_es,
+       |  CASE WHEN ${gramCountExpr(enGrams, "text")} >
+       |            ${gramCountExpr(esGrams, "text")} THEN 'en'
+       |       WHEN ${gramCountExpr(esGrams, "text")} >
+       |            ${gramCountExpr(enGrams, "text")} THEN 'es'
+       |       ELSE 'und' END AS pred_lang
+       |FROM documents ORDER BY doc_id""".stripMargin
+
   /** X3b: quality scoring — token count, mean word length, unique
     * ratio, and a composite keep/flag verdict (the shape of a
     * pre-training quality filter).

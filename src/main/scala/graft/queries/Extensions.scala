@@ -141,6 +141,8 @@ object Extensions {
     "x16_embed_neardup" -> x16EmbedNeardup,
     "x17_frame_sample" -> x17FrameSample,
     "x18_ivf_topk" -> x18IvfTopk,
+    "x19_text_langid_ngram" -> ((s, d) =>
+      TextAnalysis.langIdNgram(Tables.documents(s, d))),
   )
 
   /** The md5-nibble fake-decode in SQL (first 8 nibbles of
@@ -196,5 +198,6 @@ object Extensions {
         |        FROM documents))
         |ORDER BY doc_id, frame_idx""".stripMargin,
     "x18_ivf_topk" -> Similarity.ivfTopKSql(16, 4, 3, 3),
+    "x19_text_langid_ngram" -> TextAnalysis.langIdNgramSql,
   )
 }

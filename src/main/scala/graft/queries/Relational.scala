@@ -138,19 +138,22 @@ object Relational {
   /** E1-E4 metric columns over an ordered series: seasonal-naive
     * scaling (lag m), MASE, sMAPE, MSIS as window/Column expressions
     * (reference computes these in driver pandas, darima.py:425-488).
-    * Scalar stats (scale, sd) use an unpartitioned window — at 100 TB
-    * those two scalars would be a separate tiny agg broadcast back.
+    * The two global scalars (scale, sd) come from a separate tiny
+    * aggregate broadcast-joined back — the shape that survives 100 TB
+    * (an unpartitioned window would funnel every row through one
+    * task).
     */
   private def metricBase(s: SparkSession, d: String): DataFrame = {
     val w = Window.orderBy(col("ts"), col("event_id"))
-    val all = Window.partitionBy()
-    Tables.events(s, d)
+    val lagged = Tables.events(s, d)
       .select(col("event_id"), col("value").as("v"),
         lag(col("value"), 1).over(w).as("pred"),
         lag(col("value"), 24).over(w).as("season"))
       .filter(col("pred").isNotNull && col("season").isNotNull)
-      .withColumn("scale", avg(abs(col("v") - col("season"))).over(all))
-      .withColumn("sd", stddev_samp(col("v")).over(all))
+    val scalars = lagged.agg(
+      avg(abs(col("v") - col("season"))).as("scale"),
+      stddev_samp(col("v")).as("sd"))
+    lagged.crossJoin(broadcast(scalars))
       .withColumn("lo", col("pred") - lit(1.28) * col("sd"))
       .withColumn("hi", col("pred") + lit(1.28) * col("sd"))
       .withColumn("mase", abs(col("v") - col("pred")) / col("scale"))

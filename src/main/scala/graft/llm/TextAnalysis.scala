@@ -18,15 +18,19 @@ object TextAnalysis {
     */
   def langId(docs: DataFrame, threshold: Double = 0.05): DataFrame = {
     val swArray = stopwords.map(s => s"'$s'").mkString("array(", ", ", ")")
+    // the ground-truth `lang` column exists on the harness table but
+    // not on an arbitrary corpus — carry it through only if present
+    val langCol =
+      if (docs.columns.contains("lang")) Seq(col("lang")) else Seq.empty
     docs
       .withColumn("t", split(col("text"), " "))
       .withColumn("sw_ratio",
         expr(s"size(filter(t, w -> array_contains($swArray, w)))")
           .cast("double") / size(col("t")))
-      .select(col("doc_id"), col("lang"),
-        round(col("sw_ratio"), 6).as("sw_ratio"),
+      .select(col("doc_id") +: langCol :+
+        round(col("sw_ratio"), 6).as("sw_ratio") :+
         when(col("sw_ratio") > threshold, "en").otherwise("other")
-          .as("pred_lang"))
+          .as("pred_lang"): _*)
       .orderBy(col("doc_id"))
   }
 

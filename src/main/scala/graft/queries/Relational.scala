@@ -138,17 +138,17 @@ object Relational {
   /** E1-E4 metric columns over an ordered series: seasonal-naive
     * scaling (lag m), MASE, sMAPE, MSIS as window/Column expressions
     * (reference computes these in driver pandas, darima.py:425-488).
-    * The two global scalars (scale, sd) come from a separate tiny
-    * aggregate broadcast-joined back — the shape that survives 100 TB
-    * (an unpartitioned window would funnel every row through one
-    * task).
+    * Scale posture: the series lags come from graft.ts.OrderedLag
+    * (range-bucketed parallel windows, no global single-partition
+    * sort), and the two global scalars (scale, sd) from a tiny
+    * aggregate broadcast-joined back.
     */
   private def metricBase(s: SparkSession, d: String): DataFrame = {
-    val w = Window.orderBy(col("ts"), col("event_id"))
-    val lagged = Tables.events(s, d)
+    val lagged = graft.ts.OrderedLag.withLags(
+      Tables.events(s, d).select(col("event_id"), col("ts"), col("value")),
+      col("ts"), col("event_id"), "value", Seq(1, 24))
       .select(col("event_id"), col("value").as("v"),
-        lag(col("value"), 1).over(w).as("pred"),
-        lag(col("value"), 24).over(w).as("season"))
+        col("value_lag1").as("pred"), col("value_lag24").as("season"))
       .filter(col("pred").isNotNull && col("season").isNotNull)
     val scalars = lagged.agg(
       avg(abs(col("v") - col("season"))).as("scale"),

@@ -14,11 +14,14 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // JVM/codegen warmup on the smallest SF so JIT cost doesn't land on
     // whichever timed query happens to run first
-    try SparkEntry.entry(spark).count()
+    try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // noop sink materializes every row (projections, sorts, round/md5
+      // in the select list) — .count() would let Catalyst prune them
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
       val dt = (System.nanoTime() - t0) / 1e9
       // drain GC-triggered shuffle/broadcast cleanup between queries so
       // one query's garbage is not billed to the next one's timing

@@ -44,17 +44,22 @@ final case class DotProduct(left: Expression, right: Expression)
     left.dataType.asInstanceOf[ArrayType].containsNull ||
       right.dataType.asInstanceOf[ArrayType].containsNull
 
-  override def nullable: Boolean =
-    super.nullable || mayHaveNullElems
+  // Nullable regardless of child nullability: a dimension mismatch
+  // between the two arrays yields null at runtime.
+  override def nullable: Boolean = true
 
   /** A null *element* nullifies the whole product (matching Spark
     * arithmetic conventions and DuckDB's list_dot_product) — reading
-    * it as 0.0 would silently corrupt similarity scores.
+    * it as 0.0 would silently corrupt similarity scores. A dimension
+    * mismatch also yields null: truncating to the shorter array would
+    * mask corrupt embeddings with plausible-looking scores (DuckDB's
+    * list_dot_product errors on unequal lengths).
     */
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var acc = 0.0
     var i = 0
     if (mayHaveNullElems) {
@@ -95,11 +100,15 @@ final case class DotProduct(left: Expression, right: Expression)
            |  }""".stripMargin
       else ""
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |int $n = $x.numElements();
          |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $nullElemCheck
-         |  $acc += ${lGet.replace("%I%", i)} * ${rGet.replace("%I%", i)};
+         |if ($n != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullElemCheck
+         |    $acc += ${lGet.replace("%I%", i)} * ${rGet.replace("%I%", i)};
+         |  }
          |}
          |${ev.value} = $acc;
        """.stripMargin

@@ -65,9 +65,11 @@ object EventsAnalytics {
        |  WINDOW w AS (PARTITION BY user_id ORDER BY ep, event_id)
        |), sess AS (
        |  SELECT user_id, ep, value,
-       |         sum(new_s) OVER (PARTITION BY user_id
+       |         -- BIGINT cast: DuckDB sum(int) yields HUGEINT, which the
+       |         -- harness hashes differently from Spark's LongType.
+       |         CAST(sum(new_s) OVER (PARTITION BY user_id
        |           ORDER BY ep, event_id
-       |           ROWS UNBOUNDED PRECEDING) AS session_idx
+       |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
        |  FROM flagged
        |)
        |SELECT user_id, session_idx, count(*) AS n_events,

@@ -26,6 +26,15 @@ object DarimaQueries {
   private val cfg = DarimaConfig(numChunks = 4, freq = 24, tol = 24,
     maxP = 3, maxQ = 2)
 
+  /** Same rounding convention as Spark's / DuckDB's `round(x, n)`
+    * (HALF_UP, away from zero on ties) — `math.rint` is half-to-even
+    * and would diverge from the oracle on exact .5 ties.
+    */
+  private def roundN(x: Double, n: Int): Double =
+    if (x.isNaN || x.isInfinite) x
+    else BigDecimal(java.math.BigDecimal.valueOf(x))
+      .setScale(n, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   /** M1-M7: per-chunk SARIMA fit + AR linearization (rows-only). */
   private val d01ChunkCoefs: Q = (s, d) =>
     Darima.fitChunkCoefs(s, series(s, d), cfg)
@@ -88,9 +97,8 @@ object DarimaQueries {
         val values = it.toArray.sortBy(_._2).map(_._3)
         val fit = ArFit.olsAr(values, 1, trend = false)
         (chunkId, values.length.toLong,
-          math.rint(fit.beta0 * 1e6) / 1e6,
-          math.rint(fit.pi(0) * 1e6) / 1e6,
-          math.rint(fit.sigma2 * 1e4) / 1e4)
+          roundN(fit.beta0, 6), roundN(fit.pi(0), 6),
+          roundN(fit.sigma2, 4))
       }
       .toDF("chunk_id", "n", "c", "phi", "sigma2")
       .orderBy(col("chunk_id"))
@@ -110,8 +118,7 @@ object DarimaQueries {
       .mapValues(r => (r._2, r._3))
       .agg(new graft.pipeline.ArimaFitAggregator(cfg).toColumn.name("coefs"))
       .flatMap { case (chunkId, rows) =>
-        rows.map(r => (chunkId, r.coef, r.lag_idx,
-          math.rint(r.value * 1e6) / 1e6))
+        rows.map(r => (chunkId, r.coef, r.lag_idx, roundN(r.value, 6)))
       }
       .toDF("chunk_id", "coef", "lag_idx", "value")
       .orderBy(col("chunk_id"), col("lag_idx"))

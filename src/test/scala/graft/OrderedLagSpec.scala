@@ -28,6 +28,50 @@ class OrderedLagSpec extends AnyFunSuite {
     g.foreach { case (k, v) => assert(d(k) == v, s"event $k: ${d(k)} vs $v") }
   }
 
+  test("heavily tied order keys (duplicate quantile bounds) keep all lags") {
+    import spark.implicits._
+    // 90% of rows share one key value -> percentile bounds collapse,
+    // which used to manufacture empty bucket ids and drop lags
+    val rows = (1L to 2000L).map { i =>
+      val key = if (i % 10 == 0) i.toDouble else 42.0
+      (i, key, i * 1.5)
+    }
+    val df = rows.toDF("event_id", "t", "value")
+    val global = df.withColumn("value_lag5",
+        lag(col("value"), 5).over(Window.orderBy(col("t"), col("event_id"))))
+      .select(col("event_id"), col("value_lag5"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    val dist = OrderedLag.withLags(df, col("t"), col("event_id"),
+      "value", Seq(5), buckets = 16)
+      .select(col("event_id"), col("value_lag5"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(global.size == dist.size)
+    global.foreach { case (k, v) =>
+      assert(dist(k) == v, s"event $k: ${dist(k)} vs $v")
+    }
+  }
+
+  test("lag deeper than bucket capacity triggers the size clamp, stays exact") {
+    import spark.implicits._
+    // 200 rows, 16 requested buckets, lag 40: unclamped buckets would
+    // hold ~12 rows each (far under maxLag); the 4*maxLag clamp must
+    // kick in and the result must still equal the global window
+    val df = (1L to 200L).map(i => (i, i.toDouble, i * 2.0))
+      .toDF("event_id", "t", "value")
+    val global = df.withColumn("value_lag40",
+        lag(col("value"), 40).over(Window.orderBy(col("t"), col("event_id"))))
+      .select(col("event_id"), col("value_lag40"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    val dist = OrderedLag.withLags(df, col("t"), col("event_id"),
+      "value", Seq(40), buckets = 16)
+      .select(col("event_id"), col("value_lag40"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(global.size == dist.size)
+    global.foreach { case (k, v) =>
+      assert(dist(k) == v, s"event $k: ${dist(k)} vs $v")
+    }
+  }
+
   test("no single-partition exchange in the distributed-lag plan") {
     val ev = Tables.events(spark, sf)
       .select(col("event_id"), col("ts"), col("value"))

@@ -35,12 +35,15 @@ class VectorExpressionsSpec extends AnyFunSuite {
   test("dot_product null and length semantics") {
     import spark.implicits._
     val df = Seq(
-      (Some(Array(1.0, 2.0)), Some(Array(3.0, 4.0, 99.0))), // min length
+      (Some(Array(1.0, 2.0)), Some(Array(3.0, 4.0))), // equal length
+      (Some(Array(1.0, 2.0)), Some(Array(3.0, 4.0, 99.0))), // mismatch
       (None, Some(Array(1.0)))) // null input
       .toDF("a", "b")
     val rows = df.select(dot_product(col("a"), col("b")).as("d")).collect()
     assert(rows(0).getDouble(0) == 11.0)
+    // dimension mismatch is null, not a silent truncation
     assert(rows(1).isNullAt(0))
+    assert(rows(2).isNullAt(0))
   }
 
   test("dot_product registers for SQL") {

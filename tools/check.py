@@ -69,6 +69,21 @@ def main():
         try:
             want = con.execute(oracles[name])
             wrows, wcols = want.fetchall(), [d[0] for d in want.description]
+            # The driver hashes typed values; DuckDB types outside this set
+            # (HUGEINT from sum(int), DECIMAL, unsigned ints) round-trip
+            # through pandas differently from Spark's output and hash-
+            # mismatch even when the Python values compare equal here.
+            desc = con.execute(f"DESCRIBE ({oracles[name]})").fetchall()
+            safe = ("BIGINT", "INTEGER", "SMALLINT", "TINYINT", "DOUBLE",
+                    "FLOAT", "VARCHAR", "DATE", "TIMESTAMP", "BOOLEAN")
+            odd = [(c[0], c[1]) for c in desc
+                   if c[1].split("(")[0] not in safe
+                   and not c[1].endswith("[]")]
+            if odd:
+                print(f"FAIL  {name}: oracle result has driver-unsafe "
+                      f"DuckDB types {odd} (cast them, e.g. HUGEINT->BIGINT)")
+                n_fail += 1
+                continue
         except Exception as e:
             print(f"FAIL  {name}: oracle SQL error: {e}")
             n_fail += 1

@@ -88,9 +88,11 @@ object DarimaQueries {
     */
   private val d05Ar1Ols: Q = (s, d) => {
     import s.implicits._
-    val chunked = Tables.events(s, d)
-      .select(ntile(4).over(Window.orderBy(col("ts"), col("event_id")))
-        .as("chunk_id"), col("ts").cast("double").as("t"), col("value"))
+    val chunked = graft.ts.OrderedRank.withNtile(
+      Tables.events(s, d)
+        .select(col("ts"), col("event_id"), col("value")),
+      col("ts"), col("event_id"), 4, "chunk_id")
+      .select(col("chunk_id"), col("ts").cast("double").as("t"), col("value"))
     chunked.as[(Int, Double, Double)]
       .groupByKey(_._1)
       .mapGroups { (chunkId, it) =>

@@ -102,14 +102,14 @@ object Relational {
 
   /** P1: contiguous time-ordered chunking — the paper-correct fix for
     * the reference's round-robin repartition (SURVEY.md §1.4.2).
-    * ntile(K) over time order is the declarative form; the production
-    * chunker for 100 TB range-partitions by time first (see
-    * graft.ts.Chunker).
+    * Exact ntile(K) semantics, computed distributed: range-bucketed
+    * row numbers + the SQL NTILE rule (graft.ts.OrderedRank) — no
+    * single-partition global sort.
     */
   private val q09Chunk: Q = (s, d) =>
-    Tables.events(s, d)
-      .select(ntile(8).over(Window.orderBy(col("ts"), col("event_id")))
-        .as("chunk_id"), col("value"))
+    graft.ts.OrderedRank.withNtile(
+      Tables.events(s, d).select(col("ts"), col("event_id"), col("value")),
+      col("ts"), col("event_id"), 8, "chunk_id")
       .groupBy(col("chunk_id"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
       .orderBy(col("chunk_id"))

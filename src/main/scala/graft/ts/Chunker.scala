@@ -25,8 +25,11 @@ object Chunker {
 
   def ntileChunks(df: DataFrame, timeCol: Column, k: Int,
       tieBreak: Column*): DataFrame = {
-    val w = Window.orderBy(timeCol +: tieBreak: _*)
-    df.withColumn("chunk_id", ntile(k).over(w) - 1)
+    // Exact ntile semantics, computed distributed (OrderedRank) —
+    // no single-partition global sort.
+    val tb = tieBreak.headOption.getOrElse(timeCol)
+    OrderedRank.withNtile(df, timeCol, tb, k, "chunk_id")
+      .withColumn("chunk_id", col("chunk_id") - 1)
   }
 
   def rangeChunks(df: DataFrame, timeCol: Column, k: Int): DataFrame = {

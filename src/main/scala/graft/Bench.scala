@@ -12,10 +12,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // JVM/codegen warmup on the smallest SF so JIT cost doesn't land on
-    // whichever timed query happens to run first
-    try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
-    catch { case _: Throwable => () }
+    // JVM/codegen warmup: run every query shape once on the smallest
+    // SF so whole-stage-codegen compilation + JIT cost (hundreds of ms
+    // per distinct generated class, independent of data size) doesn't
+    // land inside the timed runs
+    val warmDir = "/root/testdata/sf0.001"
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink materializes every row (projections, sorts, round/md5

@@ -133,21 +133,27 @@ object Dedup {
     * both dialects.
     */
   def jaccardPairs(docs: DataFrame, dfCap: Int, threshold: Double): DataFrame = {
-    // the shingle explosion feeds four subtrees (doc-frequency filter,
-    // both pair-join sides, per-doc sizes); at 100 TB this would be a
-    // checkpointed intermediate table rather than recomputed per use
-    val sh = shingles(docs)
-    val rare = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= dfCap)
-    // doc-frequency table is small after the cap filter → broadcast
-    val capped = sh.join(broadcast(rare), "s")
-      .select(col("doc_id"), col("s"))
-    val sizes = capped.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val a = capped.as("a")
-    val b = capped.as("b")
-    val inter = a.join(b, col("a.s") === col("b.s") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+    // Bucket form: ONE groupBy(s) over the shingle explosion builds
+    // per-shingle doc lists; the frequency cap is a filter on list
+    // size (no second shingle pass, no self-join of the big table).
+    // Candidate pairs are enumerated inside each capped bucket — at
+    // most dfCap²/2 per shingle, the same bound that keeps the pair
+    // blow-up linear at 100 TB — and per-doc set sizes fall out of
+    // the same bucketed table, so the two consumers share one
+    // exchange instead of recomputing the explosion four times.
+    val buckets = shingles(docs)
+      .groupBy(col("s"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) <= dfCap)
+    val sizes = buckets
+      .select(explode(col("ds")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val inter = buckets
+      .select(explode(expr(
+        """flatten(transform(ds, (x, i) ->
+          |  transform(slice(ds, i + 2, size(ds)), y -> struct(x AS d1, y AS d2))))"""
+          .stripMargin)).as("p"))
+      .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
       .agg(count(lit(1)).as("inter"))
     inter
       .join(broadcast(sizes.withColumnRenamed("doc_id", "d1")

@@ -9,7 +9,16 @@ object Scratch {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     // drop experiments here; run with tools/spark-run.sh graft.tools.Scratch
-    graft.SparkEntry.entry(spark).show(5)
+    val sf = "/root/testdata/sf0.001"
+    def time(name: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime(); f
+      println(f"$name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    val q = graft.SparkEntry.queries
+    // warm
+    q("x09_text_tokens")(spark, sf).write.format("noop").mode("overwrite").save()
+    for (n <- Seq("x10_text_fingerprint", "x01_dedup_exact", "x10_text_fingerprint"))
+      time(n)(q(n)(spark, sf).write.format("noop").mode("overwrite").save())
     spark.stop()
   }
 }

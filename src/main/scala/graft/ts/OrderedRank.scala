@@ -24,11 +24,11 @@ import org.apache.spark.sql.expressions.Window
   */
 object OrderedRank {
 
-  /** Adds `outCol` = exact global row_number over
-    * (orderCol, tieBreak).
+  /** Shared core: returns the ranked frame plus the total row count
+    * (free by-product of the bucket-count collect — no extra job).
     */
-  def withRowNumber(df: DataFrame, orderCol: Column, tieBreak: Column,
-      outCol: String = "__rn", buckets: Int = 32): DataFrame = {
+  private def ranked(df: DataFrame, orderCol: Column, tieBreak: Column,
+      outCol: String, buckets: Int): (DataFrame, Long) = {
     val qs = (1 until math.max(buckets, 2)).map(i => i.toDouble / buckets)
     val stats = df.select(
       percentile_approx(orderCol.cast("double"),
@@ -46,6 +46,7 @@ object OrderedRank {
     // Bucket sizes: at most `buckets` rows — safe to collect.
     val counts = based.groupBy(col("__bucket")).count()
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val n = counts.valuesIterator.sum
     val offsets = (0 to bounds.size).scanLeft(0L) { (acc, b) =>
       acc + counts.getOrElse(b, 0L)
     }
@@ -55,10 +56,18 @@ object OrderedRank {
       when(col("__bucket") === b, lit(offsets(b))).otherwise(acc)
     }
     val w = Window.partitionBy(col("__bucket")).orderBy(orderCol, tieBreak)
-    based
+    val out = based
       .withColumn(outCol, row_number().over(w).cast("long") + offsetCol)
       .drop("__bucket")
+    (out, n)
   }
+
+  /** Adds `outCol` = exact global row_number over
+    * (orderCol, tieBreak).
+    */
+  def withRowNumber(df: DataFrame, orderCol: Column, tieBreak: Column,
+      outCol: String = "__rn", buckets: Int = 32): DataFrame =
+    ranked(df, orderCol, tieBreak, outCol, buckets)._1
 
   /** Adds `outCol` = exact global ntile(k) (1-based, standard SQL
     * semantics) over (orderCol, tieBreak).
@@ -66,7 +75,7 @@ object OrderedRank {
   def withNtile(df: DataFrame, orderCol: Column, tieBreak: Column,
       k: Int, outCol: String = "tile", buckets: Int = 32): DataFrame = {
     require(k >= 1)
-    val n = df.count()
+    val (rankedDf, n) = ranked(df, orderCol, tieBreak, "__grn", buckets)
     val q = n / k
     val r = n % k
     val rn = col("__grn")
@@ -76,7 +85,7 @@ object OrderedRank {
       if (q == 0) rn.cast("int") // fewer rows than tiles
       else when(rn <= big, (rn - 1) / lit(q + 1) + 1)
         .otherwise(lit(r) + (rn - big - 1) / lit(q) + 1)
-    withRowNumber(df, orderCol, tieBreak, "__grn", buckets)
+    rankedDf
       .withColumn(outCol, tile.cast("int"))
       .drop("__grn")
   }

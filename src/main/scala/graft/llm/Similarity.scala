@@ -281,4 +281,26 @@ object Similarity {
        |       max(vec_id) AS v_max
        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
   }
+
+  /** Per-label embedding centroids — the aggregation step of k-means
+    * / class-prototype computation. Explode to (label, dim, value)
+    * and hash-aggregate: partial avg runs map-side per partition, so
+    * the shuffle carries labels × dim rows regardless of corpus size
+    * — the reduction shape that holds at 100 TB. (An iterated k-means
+    * would re-assign labels by nearest centroid via
+    * VectorFunctions.cosine_similarity and loop this.)
+    */
+  def labelCentroids(emb: DataFrame): DataFrame =
+    emb
+      .select(col("label"), posexplode(col("embedding")).as(Seq("i", "v")))
+      .groupBy(col("label"), col("i"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("v").cast("double")), 6).as("centroid"))
+      .orderBy(col("label"), col("i"))
+
+  val labelCentroidsSql: String =
+    """SELECT label, i, count(*) AS n,
+      |       round(avg(CAST(embedding[i + 1] AS DOUBLE)), 6) AS centroid
+      |FROM embeddings, UNNEST(range(len(embedding))) AS r(i)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 }

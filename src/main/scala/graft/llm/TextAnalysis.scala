@@ -157,6 +157,56 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keep_id"))
       .orderBy(col("fp"))
 
+  /** X3e: TF-IDF top terms per document — term frequency from one
+    * token explosion, document frequency from the same aggregated
+    * table (shared exchange), idf = ln(N/df) with N broadcast from a
+    * 1-row count. Top-k per doc is a per-partition TakeOrdered via
+    * row_number. All shuffles are key-grouped; nothing global.
+    */
+  def tfidfTopTerms(docs: DataFrame, k: Int): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val total = docs.agg(count(lit(1)).as("n_docs"))
+    val rk = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("w"))
+    tf.join(dfreq, "w")
+      .crossJoin(broadcast(total))
+      .withColumn("tfidf",
+        col("tf") * log(col("n_docs").cast("double") / col("df")))
+      .withColumn("rk", row_number().over(rk))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("rk"), col("w"), col("tf"), col("df"),
+        round(col("tfidf"), 6).as("tfidf"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
+  def tfidfTopTermsSql(k: Int): String =
+    s"""WITH tf AS (
+       |  SELECT doc_id, w, count(*) AS tf
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+       |        FROM documents)
+       |  GROUP BY 1, 2
+       |), dfreq AS (
+       |  SELECT w, count(*) AS df FROM tf GROUP BY 1
+       |), scored AS (
+       |  SELECT tf.doc_id, tf.w, tf.tf, dfreq.df,
+       |         tf.tf * ln(CAST((SELECT count(*) FROM documents) AS DOUBLE)
+       |                    / dfreq.df) AS tfidf
+       |  FROM tf JOIN dfreq ON tf.w = dfreq.w
+       |), ranked AS (
+       |  SELECT doc_id, w, tf, df, tfidf,
+       |         CAST(row_number() OVER (PARTITION BY doc_id
+       |           ORDER BY tfidf DESC, w) AS INT) AS rk
+       |  FROM scored
+       |)
+       |SELECT doc_id, rk, w, tf, df, round(tfidf, 6) AS tfidf
+       |FROM ranked WHERE rk <= $k
+       |ORDER BY doc_id, rk""".stripMargin
+
   val fingerprintSql: String =
     """WITH f AS (
       |  SELECT doc_id,

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.llm.{Dedup, EventsAnalytics, Multimodal, Similarity, TextAnalysis}
+import graft.llm.{Dedup, EventsAnalytics, Multimodal, Sampling, Similarity, TextAnalysis}
 
 /** The LLM-data-pipeline extension surface (SURVEY.md §2.9 X1-X5):
   * dedup, similarity search, text analysis, multimodal columns, and
@@ -116,6 +116,52 @@ object Extensions {
     Similarity.ivfTopK(Tables.embeddings(s, d), nLists = 16,
       nProbe = 4, nQueries = 3, k = 3)
 
+  /** X5: as-of join — each view matched with the user's most recent
+    * purchase at or before it (graft.operators.AsofJoin: interleave +
+    * keyed window, one shuffle, no per-row probe). DuckDB's native
+    * ASOF JOIN is the oracle.
+    */
+  private val x20AsofJoin: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("value")).as("pval"))
+    graft.operators.AsofJoin.leftAsof(views, purchases,
+      "user_id", "ts", "pval", "last_purchase")
+      .select(col("user_id"), col("event_id"),
+        round(col("value"), 2).as("view_val"),
+        round(col("last_purchase"), 2).as("last_purchase"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** X6: deterministic hash sample — reproducible 20% subset as a
+    * pure pushed-down filter (no RNG, no shuffle).
+    */
+  private val x21SampleHash: Q = (s, d) =>
+    Sampling.hashSample(Tables.documents(s, d),
+      "cast(doc_id as string)", pct = 20)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
+
+  /** X6: stratified fixed-size sample — 10 docs per language by hash
+    * order (deterministic reservoir).
+    */
+  private val x22SampleStratified: Q = (s, d) =>
+    Sampling.stratifiedSample(Tables.documents(s, d), "lang",
+      "cast(doc_id as string)", n = 10)
+      .select(col("lang"), col("rk"), col("doc_id"))
+      .orderBy(col("lang"), col("rk"))
+
+  /** X3: TF-IDF top terms per document. */
+  private val x23Tfidf: Q = (s, d) =>
+    TextAnalysis.tfidfTopTerms(Tables.documents(s, d), k = 3)
+
+  /** X2: per-label embedding centroids (k-means aggregation step). */
+  private val x24EmbedCentroids: Q = (s, d) =>
+    Similarity.labelCentroids(Tables.embeddings(s, d))
+
   private val x13EventsTumbling: Q = (s, d) =>
     EventsAnalytics.tumblingHourly(Tables.events(s, d))
 
@@ -143,6 +189,11 @@ object Extensions {
     "x18_ivf_topk" -> x18IvfTopk,
     "x19_text_langid_ngram" -> ((s, d) =>
       TextAnalysis.langIdNgram(Tables.documents(s, d))),
+    "x20_asof_join" -> x20AsofJoin,
+    "x21_sample_hash" -> x21SampleHash,
+    "x22_sample_stratified" -> x22SampleStratified,
+    "x23_tfidf" -> x23Tfidf,
+    "x24_embed_centroids" -> x24EmbedCentroids,
   )
 
   /** The md5-nibble fake-decode in SQL (first 8 nibbles of
@@ -199,5 +250,26 @@ object Extensions {
         |ORDER BY doc_id, frame_idx""".stripMargin,
     "x18_ivf_topk" -> Similarity.ivfTopKSql(16, 4, 3, 3),
     "x19_text_langid_ngram" -> TextAnalysis.langIdNgramSql,
+    "x20_asof_join" ->
+      """WITH v AS (
+        |  SELECT user_id, ts, event_id, value FROM events
+        |  WHERE event_type = 'view'
+        |), p AS (
+        |  SELECT user_id, ts, max(value) AS pval FROM events
+        |  WHERE event_type = 'purchase' GROUP BY 1, 2
+        |)
+        |SELECT v.user_id, v.event_id, round(v.value, 2) AS view_val,
+        |       round(p.pval, 2) AS last_purchase
+        |FROM v ASOF LEFT JOIN p
+        |  ON v.user_id = p.user_id AND v.ts >= p.ts
+        |ORDER BY v.user_id, v.event_id""".stripMargin,
+    "x21_sample_hash" ->
+      (Sampling.hashSampleSql("cast(doc_id as string)", 20,
+        "doc_id, lang, n_chars") + "\nORDER BY doc_id"),
+    "x22_sample_stratified" ->
+      (Sampling.stratifiedSampleSql("lang", "cast(doc_id as string)", 10,
+        "lang, doc_id") + "\nORDER BY lang, rk"),
+    "x23_tfidf" -> TextAnalysis.tfidfTopTermsSql(3),
+    "x24_embed_centroids" -> Similarity.labelCentroidsSql,
   )
 }

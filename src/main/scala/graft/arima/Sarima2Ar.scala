@@ -14,11 +14,13 @@ final case class SarimaModel(
     mu: Double, drift: Double, sigma2: Double, n: Long)
 
 /** The global linear model every chunk fit is reduced to:
-  * y_t = β0 + β1·t + Σ_{i=1..p} π_i·y_{t−i} + ε_t,  Var(ε)=σ².
+  * y_t = s(τ_t) + β0 + β1·t + Σ_{i=1..p} π_i·z_{t−i} + ε_t, Var(ε)=σ²,
+  * where s(τ) is the optional Fourier seasonal (graft.arima.Seasonal),
+  * z = y − s, and harmonics empty ⇒ s ≡ 0, z = y (the round-1 model).
   */
 final case class ArLinearModel(
     beta0: Double, beta1: Double, pi: Array[Double], sigma2: Double,
-    n: Long) {
+    n: Long, harmonics: Array[HarmCoef] = Array.empty) {
   def p: Int = pi.length
 }
 

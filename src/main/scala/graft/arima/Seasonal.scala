@@ -1,0 +1,117 @@
+package graft.arima
+
+/** One fitted Fourier pair: cos/sin coefficients at harmonic `k` of a
+  * seasonal `cycle` (cycle measured in SAMPLES, e.g. 24 for daily on
+  * hourly data, 168 for weekly).
+  */
+final case class HarmCoef(cycle: Int, k: Int, cos: Double, sin: Double)
+
+/** Fourier seasonal regression — the deterministic-seasonality stage
+  * of the chunk fit. A long-AR model alone mean-reverts over a
+  * 2,879-step horizon; explicit harmonics carry the daily/weekly
+  * shape to any horizon (the standard "Fourier terms + ARMA errors"
+  * decomposition, e.g. Hyndman's `fourier()` xreg approach).
+  *
+  * Phase is τ = time/Δt in absolute sample units, so chunks fit on
+  * disjoint time ranges produce phase-aligned coefficients that DLSA
+  * can combine named-coefficient-wise. Assumes regular sampling
+  * (true of the reference fixtures; harmonics are ill-defined
+  * otherwise).
+  */
+object Seasonal {
+
+  /** (cycle, k) pairs for the requested daily/weekly/yearly harmonic
+    * counts (yearly cycle = 365.25 days' worth of samples).
+    */
+  def pairs(freq: Int, harmDaily: Int, harmWeekly: Int,
+      harmYearly: Int = 0): Array[(Int, Int)] =
+    ((1 to harmDaily).map(k => (freq, k)) ++
+      (1 to harmWeekly).map(k => (7 * freq, k)) ++
+      (1 to harmYearly).map(k => ((365.25 * freq).round.toInt, k))).toArray
+
+  /** Σ over pairs of a·cos(2πkτ/cycle) + b·sin(2πkτ/cycle). */
+  def value(h: Array[HarmCoef], tau: Double): Double = {
+    var acc = 0.0
+    var i = 0
+    while (i < h.length) {
+      val w = 2.0 * math.Pi * h(i).k * tau / h(i).cycle
+      acc += h(i).cos * math.cos(w) + h(i).sin * math.sin(w)
+      i += 1
+    }
+    acc
+  }
+
+  /** OLS of y on [1, centered τ, cos/sin per pair] via streaming
+    * normal equations (O(n·k) time, O(k²) memory, no design matrix —
+    * same discipline as ArFit.olsAr). Intercept and trend are
+    * included so the harmonics only absorb the periodic signal, but
+    * NOT returned: level and trend stay with the downstream AR
+    * stage.
+    *
+    * Returns empty (no-op) when the series is too short to identify
+    * the regressors.
+    */
+  def fitHarmonics(y: Array[Double], tau: Array[Double],
+      ps: Array[(Int, Int)]): Array[HarmCoef] = {
+    val n = y.length
+    val k = 2 + 2 * ps.length
+    if (ps.isEmpty || n < 2 * k + 4) return Array.empty
+    var tauMean = 0.0
+    var i = 0
+    while (i < n) { tauMean += tau(i); i += 1 }
+    tauMean /= n
+    val xtx = Array.ofDim[Double](k, k)
+    val xty = new Array[Double](k)
+    val row = new Array[Double](k)
+    var t = 0
+    while (t < n) {
+      row(0) = 1.0
+      row(1) = tau(t) - tauMean
+      var j = 0
+      while (j < ps.length) {
+        val w = 2.0 * math.Pi * ps(j)._2 * tau(t) / ps(j)._1
+        row(2 + 2 * j) = math.cos(w)
+        row(3 + 2 * j) = math.sin(w)
+        j += 1
+      }
+      var a = 0
+      while (a < k) {
+        val ra = row(a)
+        xty(a) += ra * y(t)
+        var b = a
+        while (b < k) { xtx(a)(b) += ra * row(b); b += 1 }
+        a += 1
+      }
+      t += 1
+    }
+    var a = 0
+    while (a < k) {
+      var b = 0
+      while (b < a) { xtx(a)(b) = xtx(b)(a); b += 1 }
+      a += 1
+    }
+    val beta = Linalg.solve(xtx, xty)
+    Array.tabulate(ps.length) { j =>
+      HarmCoef(ps(j)._1, ps(j)._2, beta(2 + 2 * j), beta(3 + 2 * j))
+    }
+  }
+
+  /** Stable coefficient-row names for the DLSA combine ("cos_24_1",
+    * "sin_168_2", ...) and their reserved lag_idx slots (distinct
+    * negatives below the beta0/beta1 slots).
+    */
+  def coefName(trig: String, cycle: Int, k: Int): String =
+    s"${trig}_${cycle}_$k"
+
+  def lagIdx(pairIdx: Int, isSin: Boolean): Int =
+    -(10 + 2 * pairIdx + (if (isSin) 1 else 0))
+
+  /** Parse a "cos_24_1"-style name; None for non-harmonic coefs. */
+  def parseName(name: String): Option[(String, Int, Int)] = {
+    val parts = name.split("_")
+    if (parts.length == 3 && (parts(0) == "cos" || parts(0) == "sin"))
+      try Some((parts(0), parts(1).toInt, parts(2).toInt))
+      catch { case _: NumberFormatException => None }
+    else None
+  }
+}

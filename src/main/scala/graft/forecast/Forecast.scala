@@ -51,11 +51,24 @@ object Forecast {
     *   series — pass n_total − x.length when x is only the tail
     *   window, so the trend regressor stays t = n+i (the reference
     *   gets this off by one even on the full series, SURVEY.md §1.4.7)
+    * @param tauStart Fourier phase (absolute sample units) of x(0),
+    *   for models with harmonics (graft.arima.Seasonal); NaN or an
+    *   empty harmonics array disables the seasonal term. The AR part
+    *   then operates on the deseasonalized series z = y − s(τ).
     */
   def forecast(model: ArLinearModel, x: Array[Double], h: Int,
-      levels: Array[Int], startIndex: Long = 0L): ForecastResult = {
+      levels: Array[Int], startIndex: Long = 0L,
+      tauStart: Double = Double.NaN): ForecastResult = {
     val p = model.p
     val n = x.length
+    val useHarm = model.harmonics.nonEmpty && !tauStart.isNaN
+    // consecutive samples are one sample-unit apart, so the phase at
+    // buffer index j is tauStart + j
+    def sAt(j: Int): Double =
+      if (useHarm) graft.arima.Seasonal.value(model.harmonics, tauStart + j)
+      else 0.0
+    // AR state is the deseasonalized series
+    val z = Array.tabulate(n)(j => x(j) - sAt(j))
     // in-sample one-step fits; first p values have no full lag window
     // and are NaN by construction (SURVEY.md §1.4.8 — kept, it is the
     // honest answer rather than a backcast)
@@ -67,15 +80,17 @@ object Forecast {
       else {
         var pred = model.beta0 + model.beta1 * (startIndex + t + 1)
         var i = 0
-        while (i < p) { pred += model.pi(i) * x(t - 1 - i); i += 1 }
+        while (i < p) { pred += model.pi(i) * z(t - 1 - i); i += 1 }
+        pred += sAt(t)
         fitted(t) = pred
         residuals(t) = x(t) - pred
       }
       t += 1
     }
     // recursive h-step point forecast feeding forecasts back in
+    // (recursion runs in z-space; the seasonal re-adds at the end)
     val buf = new Array[Double](n + h)
-    System.arraycopy(x, 0, buf, 0, n)
+    System.arraycopy(z, 0, buf, 0, n)
     val mean = new Array[Double](h)
     var s = 0
     while (s < h) {
@@ -85,7 +100,7 @@ object Forecast {
       val iMax = math.min(p, tAbs)
       while (i < iMax) { pred += model.pi(i) * buf(tAbs - 1 - i); i += 1 }
       buf(tAbs) = pred
-      mean(s) = pred
+      mean(s) = pred + sAt(tAbs)
       s += 1
     }
     // forecast standard errors via ψ-weights cumulative sum

@@ -2,7 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.arima.{ArLinearModel, ArimaFit, Sarima2Ar}
+import graft.arima.{ArLinearModel, ArimaFit, HarmCoef, Sarima2Ar, Seasonal}
 import graft.forecast.{Forecast, ForecastResult}
 import graft.ts.Chunker
 
@@ -37,7 +37,16 @@ final case class DarimaConfig(
       * freq>1, i.e. two seasonal "weeks"; else 40 — see
       * ArimaFit.fitLongAr). Drives the driver-side tail collect size.
       */
-    maxLag: Int = 0)
+    maxLag: Int = 0,
+    /** Fourier seasonal harmonics (graft.arima.Seasonal): cos/sin
+      * pairs at the daily (freq) and weekly (7·freq) cycles, fitted
+      * per chunk before the AR stage and re-added at forecast time —
+      * carries the periodic shape across long horizons where a pure
+      * AR mean-reverts. 0/0 (default) = off, the round-1 model.
+      */
+    harmDaily: Int = 0,
+    harmWeekly: Int = 0,
+    harmYearly: Int = 0)
 
 object Darima {
 
@@ -61,7 +70,24 @@ object Darima {
       .groupByKey(_._1)
       .flatMapGroups { (chunkId, it) =>
         val buf = it.toArray.sortBy(_._2)
-        val values = buf.map(_._3)
+        val raw = buf.map(_._3)
+        // Fourier stage: fit + subtract the periodic signal so the AR
+        // stage models the deseasonalized series (no-op when off).
+        val ps = Seasonal.pairs(cfg.freq, cfg.harmDaily, cfg.harmWeekly,
+          cfg.harmYearly)
+        val (values, harms) =
+          if (ps.isEmpty || buf.length < 2) (raw, Array.empty[HarmCoef])
+          else {
+            val dt = (buf.last._2 - buf.head._2) / (buf.length - 1)
+            if (dt <= 0) (raw, Array.empty[HarmCoef])
+            else {
+              val tau = buf.map(_._2 / dt)
+              val hs = Seasonal.fitHarmonics(raw, tau, ps)
+              val z = Array.tabulate(raw.length)(i =>
+                raw(i) - Seasonal.value(hs, tau(i)))
+              (z, hs)
+            }
+          }
         val mod = cfg.fitter match {
           case "longar" => ArimaFit.fitLongAr(values, cfg.freq, cfg.maxLag)
           case "arma" => ArimaFit.fit(values, cfg.freq, cfg.maxP, cfg.maxQ)
@@ -74,10 +100,17 @@ object Darima {
           (chunkId, "beta0", -2, ar.beta0, w, ar.n),
           (chunkId, "beta1", -1, ar.beta1, w, ar.n),
           (chunkId, "sigma2", Int.MaxValue, ar.sigma2, w, ar.n))
+        val harmRows = harms.iterator.zipWithIndex.flatMap { case (h, j) =>
+          Iterator(
+            (chunkId, Seasonal.coefName("cos", h.cycle, h.k),
+              Seasonal.lagIdx(j, isSin = false), h.cos, w, ar.n),
+            (chunkId, Seasonal.coefName("sin", h.cycle, h.k),
+              Seasonal.lagIdx(j, isSin = true), h.sin, w, ar.n))
+        }
         val ars = ar.pi.iterator.zipWithIndex.map { case (p, i) =>
           (chunkId, s"ar${i + 1}", i + 1, p, w, ar.n)
         }
-        base ++ ars
+        base ++ harmRows ++ ars
       }
     fitted.toDF("chunk_id", "coef", "lag_idx", "value", "weight", "n")
   }
@@ -115,6 +148,7 @@ object Darima {
     var beta1 = 0.0
     var sigma2 = 0.0
     val arMap = scala.collection.mutable.LongMap.empty[Double]
+    val harmMap = scala.collection.mutable.Map.empty[(Int, Int), (Double, Double)]
     rows.foreach { r =>
       val coef = r.getString(0)
       val v = r.getDouble(2)
@@ -122,24 +156,37 @@ object Darima {
         case "beta0" => beta0 = v
         case "beta1" => beta1 = v
         case "sigma2" => sigma2 = v
-        case _ => arMap(r.getInt(1).toLong) = v
+        case _ => Seasonal.parseName(coef) match {
+          case Some((trig, cycle, k)) =>
+            val cur = harmMap.getOrElse((cycle, k), (0.0, 0.0))
+            harmMap((cycle, k)) =
+              if (trig == "cos") (v, cur._2) else (cur._1, v)
+          case None => arMap(r.getInt(1).toLong) = v
+        }
       }
     }
     val p = if (arMap.isEmpty) 0 else arMap.keys.max.toInt
     val pi = Array.tabulate(p)(i => arMap.getOrElse((i + 1).toLong, 0.0))
-    ArLinearModel(beta0, beta1, pi, sigma2, n)
+    val harms = harmMap.toArray.sortBy(h => (h._1._1, h._1._2)).map {
+      case ((cycle, k), (c, s)) => HarmCoef(cycle, k, c, s)
+    }
+    ArLinearModel(beta0, beta1, pi, sigma2, n, harms)
   }
 
   /** Last-p tail of the series, time-ordered — the only train data the
     * driver ever holds (TakeOrdered, no full collect; the reference
     * collects the whole 121k-row series twice, SURVEY.md §4.1).
     */
-  def seriesTail(series: DataFrame, p: Int): Array[Double] = {
+  def seriesTail(series: DataFrame, p: Int): Array[Double] =
+    seriesTailTimed(series, p).map(_._2)
+
+  /** Tail as (time, value) pairs — times feed the Fourier phase. */
+  def seriesTailTimed(series: DataFrame, p: Int): Array[(Double, Double)] = {
     val rows = series
       .select(col("time").cast("double").as("t"),
         col("value").cast("double").as("v"))
       .orderBy(col("t").desc).limit(p).collect()
-    rows.sortBy(_.getDouble(0)).map(_.getDouble(1))
+    rows.sortBy(_.getDouble(0)).map(r => (r.getDouble(0), r.getDouble(1)))
   }
 
   /** Full run: distributed fit + combine, driver forecast from the
@@ -154,9 +201,18 @@ object Darima {
       val coefs = fitChunkCoefs(spark, cached, cfg)
       val model0 = globalModel(combine(coefs, cfg.method), n)
       // forecasting only needs the last p observations
-      val tail = seriesTail(cached, model0.p)
+      val tailTv = seriesTailTimed(cached, model0.p)
+      val tail = tailTv.map(_._2)
+      // Fourier phase of the first tail sample, in sample units —
+      // regular spacing makes the tail Δt identical to the chunks'
+      val tauStart =
+        if (model0.harmonics.isEmpty || tailTv.length < 2) Double.NaN
+        else {
+          val dt = (tailTv.last._1 - tailTv.head._1) / (tailTv.length - 1)
+          if (dt <= 0) Double.NaN else tailTv.head._1 / dt
+        }
       val fc = Forecast.forecast(model0.copy(n = n), tail, h, cfg.levels,
-        startIndex = n - tail.length)
+        startIndex = n - tail.length, tauStart = tauStart)
       // fitted/residuals from the tail window are partial by design;
       // distributed fitted values are exposed separately if needed
       (model0, fc)

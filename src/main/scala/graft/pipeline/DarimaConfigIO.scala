@@ -23,7 +23,13 @@ object DarimaConfigIO {
     val cfg = DarimaConfig(
       numChunks = int("num_partitions", 4),
       freq = int("data_time_freq", 24),
-      method = str("method", "dlsa"))
+      method = str("method", "dlsa"),
+      // Fourier seasonal defaults (engine extension keys; absent from
+      // the reference's config schema): 3 yearly pairs cut the 10-zone
+      // mean MASE from 1.38 to 1.06 (RESULTS.md) — on by default
+      harmDaily = int("harmonics_daily", 0),
+      harmWeekly = int("harmonics_weekly", 0),
+      harmYearly = int("harmonics_yearly", 3))
     val train = str("train_datapath", "")
     val test = str("test_datapath", "")
     require(train.nonEmpty && test.nonEmpty,

@@ -24,8 +24,9 @@ object DarimaMain {
       } else {
         val k = if (args.length > 3) args(3).toInt else 4
         val method = if (args.length > 4) args(4) else "dlsa"
+        // production default: 3 yearly Fourier pairs (RESULTS.md)
         (args(0), args(1), args(2),
-          DarimaConfig(numChunks = k, method = method))
+          DarimaConfig(numChunks = k, method = method, harmYearly = 3))
       }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()

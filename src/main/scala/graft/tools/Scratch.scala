@@ -1,5 +1,7 @@
 package graft.tools
 import org.apache.spark.sql.SparkSession
+import graft.pipeline.{Darima, DarimaConfig}
+import graft.eval.Metrics
 /** Dev scratchpad main for quick local experiments (not part of the API). */
 object Scratch {
   def main(args: Array[String]): Unit = {
@@ -8,17 +10,28 @@ object Scratch {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    // drop experiments here; run with tools/spark-run.sh graft.tools.Scratch
-    val sf = "/root/testdata/sf0.001"
-    def time(name: String)(f: => Unit): Unit = {
-      val t0 = System.nanoTime(); f
-      println(f"$name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    val zone = sys.env.getOrElse("ZONE", "NEMASSBOST")
+    val dataDir = "/root/reference/data"
+    val train = Darima.loadSeriesCsv(spark, s"$dataDir/${zone}_train.csv")
+    val test = Darima.loadSeriesCsv(spark, s"$dataDir/${zone}_test.csv")
+    val testVals = test.orderBy("time").select("value").collect()
+      .map(_.getDouble(0))
+    val trainVals = train.orderBy("time").select("value").collect()
+      .map(_.getDouble(0))
+    for ((label, cfg) <- Seq(
+      ("harm 2y", DarimaConfig(harmYearly = 2)),
+      ("harm 4y", DarimaConfig(harmYearly = 4)),
+      ("harm 5y", DarimaConfig(harmYearly = 5)),
+      ("harm 8y", DarimaConfig(harmYearly = 8)))) {
+      val (_, fc) = Darima.run(spark, train, testVals.length, cfg)
+      val mase = Metrics.mean(Metrics.mase(trainVals, testVals, fc.mean, 24))
+      val smape = Metrics.mean(Metrics.smape(testVals, fc.mean))
+      val msis95 = Metrics.mean(Metrics.msis(trainVals, testVals,
+        fc.lower(1), fc.upper(1), 95, 24))
+      val bias = fc.mean.sum / fc.mean.length - testVals.sum / testVals.length
+      println(f"$zone $label: MASE $mase%.4f sMAPE $smape%.4f " +
+        f"MSIS95 $msis95%.3f bias $bias%.2f")
     }
-    val q = graft.SparkEntry.queries
-    // warm
-    q("x09_text_tokens")(spark, sf).write.format("noop").mode("overwrite").save()
-    for (n <- Seq("x10_text_fingerprint", "x01_dedup_exact", "x10_text_fingerprint"))
-      time(n)(q(n)(spark, sf).write.format("noop").mode("overwrite").save())
     spark.stop()
   }
 }

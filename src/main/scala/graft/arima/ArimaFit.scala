@@ -194,11 +194,14 @@ object ArimaFit {
     i = 0
     while (i < n) { mean += w(i); i += 1 }
     mean /= n
-    // auto cap: two "weeks" of seasonal lags (14·m) — on hourly data
-    // this spans both the daily and weekly cycles, which is where the
-    // electricity fixtures' predictability lives
+    // auto cap: four "weeks" of seasonal lags (28·m) — on hourly data
+    // this spans the daily and weekly cycles with a month of memory;
+    // measured on the 10-zone electricity corpus, doubling from two
+    // to four weeks cuts mean MASE 1.06 -> 1.03 and MSIS95 11.0 -> 9.6
+    // (RESULTS.md). O(n·cap) autocovariances + O(cap²) recursion keeps
+    // even cap≈700 trivial per chunk.
     val cap0 = if (maxLag > 0) maxLag
-      else if (m > 1) 14 * m + 8 else 40
+      else if (m > 1) 28 * m + 8 else 40
     val cap = math.max(1, math.min(cap0, n / 5))
     val (phis, vars) = ArFit.levinsonDurbin(
       ArFit.autocovariances(w, cap), cap)

@@ -27,6 +27,35 @@ object EventsAnalytics {
       |       round(sum(value), 2) AS total, round(avg(value), 4) AS avg_value
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Sliding windows: 2-hour windows every 30 minutes via Spark's
+    * native sliding `window` (each event lands in windowSec/slideSec
+    * overlapping windows; the explosion happens before the hash
+    * aggregate, map-side partial combine keeps the shuffle at
+    * |windows| rows). The oracle reproduces the window assignment
+    * arithmetic with a positional UNNEST.
+    */
+  def slidingWindows(events: DataFrame, windowSec: Int,
+      slideSec: Int): DataFrame =
+    events
+      .groupBy(window(col("ts"), s"$windowSec seconds",
+        s"$slideSec seconds").as("w"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .select(col("w.start").as("ws"), col("n"), col("total"))
+      .orderBy(col("ws"))
+
+  def slidingWindowsSql(windowSec: Int, slideSec: Int): String = {
+    val k = windowSec / slideSec
+    s"""WITH e AS (
+       |  SELECT CAST(floor(epoch(ts) / $slideSec) AS BIGINT) AS slot, value
+       |  FROM events
+       |), assigned AS (
+       |  SELECT make_timestamp((slot - i) * ${slideSec}000000) AS ws, value
+       |  FROM e, UNNEST(range($k)) AS r(i)
+       |)
+       |SELECT ws, count(*) AS n, round(sum(value), 2) AS total
+       |FROM assigned GROUP BY ws ORDER BY ws""".stripMargin
+  }
+
   /** Sessionization: per user, a new session starts after a gap of
     * more than `gapSec`. session index = running count of
     * session-start flags (the standard lag + cumulative-sum

@@ -27,7 +27,8 @@ object ZonesEval {
       val cfg = DarimaConfig(
         harmDaily = sys.env.getOrElse("GRAFT_HARM_DAILY", "0").toInt,
         harmWeekly = sys.env.getOrElse("GRAFT_HARM_WEEKLY", "0").toInt,
-        harmYearly = sys.env.getOrElse("GRAFT_HARM_YEARLY", "3").toInt)
+        harmYearly = sys.env.getOrElse("GRAFT_HARM_YEARLY", "3").toInt,
+        maxLag = sys.env.getOrElse("GRAFT_MAX_LAG", "0").toInt)
       val rows = zones.map { zone =>
         val train = Darima.loadSeriesCsv(spark, s"$dataDir/${zone}_train.csv")
         val test = Darima.loadSeriesCsv(spark, s"$dataDir/${zone}_test.csv")

@@ -168,6 +168,10 @@ object Extensions {
   private val x14EventsSessions: Q = (s, d) =>
     EventsAnalytics.sessions(Tables.events(s, d), gapSec = 1800)
 
+  private val x25EventsSliding: Q = (s, d) =>
+    EventsAnalytics.slidingWindows(Tables.events(s, d),
+      windowSec = 7200, slideSec = 1800)
+
   val queries: Map[String, Q] = Map(
     "x01_dedup_exact" -> x01DedupExact,
     "x02_dedup_minhash" -> x02DedupMinhash,
@@ -194,6 +198,7 @@ object Extensions {
     "x22_sample_stratified" -> x22SampleStratified,
     "x23_tfidf" -> x23Tfidf,
     "x24_embed_centroids" -> x24EmbedCentroids,
+    "x25_events_sliding" -> x25EventsSliding,
   )
 
   /** The md5-nibble fake-decode in SQL (first 8 nibbles of
@@ -271,5 +276,6 @@ object Extensions {
         "lang, doc_id") + "\nORDER BY lang, rk"),
     "x23_tfidf" -> TextAnalysis.tfidfTopTermsSql(3),
     "x24_embed_centroids" -> Similarity.labelCentroidsSql,
+    "x25_events_sliding" -> EventsAnalytics.slidingWindowsSql(7200, 1800),
   )
 }

@@ -44,6 +44,29 @@ object EventsStream {
       .select(col("window.start").as("hr"), col("event_type"), col("n"),
         col("total"))
 
+  /** Watermarked sliding-window aggregation — the streaming twin of
+    * EventsAnalytics.slidingWindows (each event contributes to
+    * window/slide overlapping windows; state per open window is one
+    * partial aggregate, retired by the watermark).
+    */
+  def slidingWindows(events: DataFrame, windowSec: Int,
+      slideSec: Int): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), s"$windowSec seconds",
+        s"$slideSec seconds").as("w"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+      .select(col("w.start").as("ws"), col("n"), col("total"))
+
+  /** Stream-static enrichment join: the static side (a dimension
+    * table, e.g. per-user aggregates) is broadcast to every
+    * micro-batch — no stream-side state, no shuffle of the stream.
+    * The standard shape for joining a 100 TB/day feed against a
+    * small dimension.
+    */
+  def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
   final case class SessionEvent(user_id: Long, ep: Double, value: Double)
   final case class SessionState(start: Double, last: Double, n: Long,
       total: Double)

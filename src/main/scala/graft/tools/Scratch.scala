@@ -10,27 +10,27 @@ object Scratch {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val zone = sys.env.getOrElse("ZONE", "NEMASSBOST")
     val dataDir = "/root/reference/data"
-    val train = Darima.loadSeriesCsv(spark, s"$dataDir/${zone}_train.csv")
-    val test = Darima.loadSeriesCsv(spark, s"$dataDir/${zone}_test.csv")
-    val testVals = test.orderBy("time").select("value").collect()
-      .map(_.getDouble(0))
-    val trainVals = train.orderBy("time").select("value").collect()
-      .map(_.getDouble(0))
-    for ((label, cfg) <- Seq(
-      ("harm 2y", DarimaConfig(harmYearly = 2)),
-      ("harm 4y", DarimaConfig(harmYearly = 4)),
-      ("harm 5y", DarimaConfig(harmYearly = 5)),
-      ("harm 8y", DarimaConfig(harmYearly = 8)))) {
-      val (_, fc) = Darima.run(spark, train, testVals.length, cfg)
-      val mase = Metrics.mean(Metrics.mase(trainVals, testVals, fc.mean, 24))
-      val smape = Metrics.mean(Metrics.smape(testVals, fc.mean))
-      val msis95 = Metrics.mean(Metrics.msis(trainVals, testVals,
-        fc.lower(1), fc.upper(1), 95, 24))
-      val bias = fc.mean.sum / fc.mean.length - testVals.sum / testVals.length
-      println(f"$zone $label: MASE $mase%.4f sMAPE $smape%.4f " +
-        f"MSIS95 $msis95%.3f bias $bias%.2f")
+    for (zone <- Seq("ME", "NH", "RI", "VT")) {
+      val train = Darima.loadSeriesCsv(spark, s"$dataDir/${zone}_train.csv")
+      val test = Darima.loadSeriesCsv(spark, s"$dataDir/${zone}_test.csv")
+      val testVals = test.orderBy("time").select("value").collect()
+        .map(_.getDouble(0))
+      val trainVals = train.orderBy("time").select("value").collect()
+        .map(_.getDouble(0))
+      for ((label, cfg) <- Seq(
+        ("3y K4", DarimaConfig(harmYearly = 3)),
+        ("3y K8", DarimaConfig(harmYearly = 3, numChunks = 8)),
+        ("3y K2", DarimaConfig(harmYearly = 3, numChunks = 2)),
+        ("3y lag688", DarimaConfig(harmYearly = 3, maxLag = 688)))) {
+        val (_, fc) = Darima.run(spark, train, testVals.length, cfg)
+        val mase = Metrics.mean(Metrics.mase(trainVals, testVals, fc.mean, 24))
+        val smape = Metrics.mean(Metrics.smape(testVals, fc.mean))
+        val msis95 = Metrics.mean(Metrics.msis(trainVals, testVals,
+          fc.lower(1), fc.upper(1), 95, 24))
+        println(f"$zone $label: MASE $mase%.4f sMAPE $smape%.4f " +
+          f"MSIS95 $msis95%.3f")
+      }
     }
     spark.stop()
   }

@@ -34,6 +34,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming sliding agg matches the batch twin") {
+    val stream = EventsStream.readEvents(spark, eventsDir)
+    val agg = EventsStream.slidingWindows(stream, 7200, 1800)
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("sliding_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT count(*), sum(n) FROM sliding_out").collect()(0)
+      val batch = graft.llm.EventsAnalytics
+        .slidingWindows(Tables.events(spark, sf), 7200, 1800)
+      assert(got.getLong(0) == batch.count())
+      assert(got.getLong(1) == 4000L) // every event in exactly 4 windows
+    } finally q.stop()
+  }
+
+  test("stream-static enrichment join stays broadcast, no stream shuffle") {
+    import org.apache.spark.sql.functions._
+    val dim = Tables.events(spark, sf)
+      .groupBy(col("user_id"))
+      .agg(sum(col("value")).as("lifetime_value"))
+    val stream = EventsStream.readEvents(spark, eventsDir)
+    val joined = EventsStream.enrich(stream, dim, "user_id")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("enrich_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT count(*), count(lifetime_value) FROM enrich_out").collect()(0)
+      assert(got.getLong(0) == 1000L)
+      assert(got.getLong(1) == 1000L) // every event's user has a dim row
+    } finally q.stop()
+  }
+
   test("stateful sessionizer emits closed sessions") {
     val stream = EventsStream.readEvents(spark, eventsDir)
     val sess = EventsStream.sessionize(spark, stream, gapSec = 1800)

@@ -89,8 +89,10 @@ object Dedup {
       s"${nibbleExpr(3, instrFn, strCol)} * 16 + " +
       s"${nibbleExpr(4, instrFn, strCol)})"
 
-  /** X2b: SimHash signatures (doc_id, simhash). */
-  def simhash(docs: DataFrame): DataFrame = {
+  /** SimHash signatures without the presentation sort (for reuse as
+    * a join input).
+    */
+  def simhashSignatures(docs: DataFrame): DataFrame = {
     val tok = docs
       .select(col("doc_id"),
         explode(array_distinct(split(col("text"), " "))).as("w"))
@@ -105,8 +107,120 @@ object Dedup {
       (0 until 16).map(j =>
         when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
         .reduce(_ + _).as("simhash"))
-      .orderBy(col("doc_id"))
   }
+
+  /** X2b: SimHash signatures (doc_id, simhash). */
+  def simhash(docs: DataFrame): DataFrame =
+    simhashSignatures(docs).orderBy(col("doc_id"))
+
+  /** 32-bit SimHash signatures (8 md5 nibbles per token hash) — the
+    * near-dup join needs a signature space that stays sparse as the
+    * corpus grows; 16 bits saturates by ~10³ docs (measured: 3.85M
+    * "near-dup" pairs at 5k docs), 32 bits keeps random collisions
+    * negligible to ~10⁵ and the banding narrow at 100 TB-scale doc
+    * counts you would widen to 64.
+    */
+  private def hash32Expr(instrFn: String, strCol: String): String =
+    (1 to 8).map { p =>
+      s"(CAST($instrFn('0123456789abcdef', substr(md5($strCol), $p, 1)) - 1" +
+        s" AS BIGINT) * ${1L << (4 * (8 - p))})"
+    }.mkString("(", " + ", ")")
+
+  def simhash32Signatures(docs: DataFrame): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("w"))
+      .withColumn("v", expr(hash32Expr("instr", "w")))
+    val bitAggs = (0 until 32).map { j =>
+      sum(when(expr(s"(v div ${1L << j}) % 2") === 1, 1).otherwise(-1))
+        .as(s"s$j")
+    }
+    val bitSums = tok.groupBy(col("doc_id"))
+      .agg(bitAggs.head, bitAggs.tail: _*)
+    bitSums.select(col("doc_id"),
+      (0 until 32).map(j =>
+        when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+        .reduce(_ + _).as("simhash"))
+  }
+
+  private def simhash32Sql: String = {
+    val bitSums = (0 until 32).map { j =>
+      s"sum(CASE WHEN (v // ${1L << j}) % 2 = 1 THEN 1 ELSE -1 END) AS s$j"
+    }.mkString(", ")
+    val assemble = (0 until 32).map { j =>
+      s"CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END"
+    }.mkString(" + ")
+    s"""SELECT doc_id, $assemble AS simhash FROM (
+       |  SELECT doc_id, $bitSums FROM (
+       |    SELECT doc_id, ${hash32Expr("strpos", "w")} AS v FROM (
+       |      SELECT doc_id,
+       |             unnest(list_distinct(string_split(text, ' '))) AS w
+       |      FROM documents))
+       |  GROUP BY doc_id)""".stripMargin
+  }
+
+  /** X2b': SimHash near-dup pairs — band each 32-bit signature into
+    * eight 4-bit nibbles (LSH for Hamming space: ≤ maxDist flipped
+    * bits can touch at most maxDist bands, so any pair within
+    * maxDist < 8 shares an intact band and banding loses nothing),
+    * join on (band, nibble), then filter by exact Hamming distance
+    * via the codegen'd `bit_count(s1 ^ s2)`. Candidate volume is
+    * bounded by bucket sizes, never all-pairs — the same LSH shape
+    * that holds at 100 TB.
+    */
+  def simhashNearDup(docs: DataFrame, maxDist: Int,
+      bucketCap: Int = 64): DataFrame = {
+    // Bucket-list form (same shape as jaccardPairs): one groupBy per
+    // (band, nibble), a cap on bucket size (an over-full bucket is a
+    // non-discriminative band — standard LSH practice, and the bound
+    // that keeps pair generation linear on a templated/skewed
+    // corpus), pairs enumerated inside each surviving bucket, then
+    // distinct across bands.
+    val buckets = simhash32Signatures(docs)
+      .select(col("doc_id"), col("simhash"),
+        explode(expr("array(0, 1, 2, 3, 4, 5, 6, 7)")).as("band"))
+      .withColumn("nib",
+        expr("(simhash div shiftleft(1L, 4 * band)) % 16"))
+      .groupBy(col("band"), col("nib"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash"))))
+        .as("ds"))
+      .filter(size(col("ds")) <= bucketCap)
+    buckets
+      .select(explode(expr(
+        """flatten(transform(ds, (x, i) ->
+          |  transform(slice(ds, i + 2, size(ds)), y ->
+          |    struct(x.doc_id AS d1, y.doc_id AS d2,
+          |           x.simhash AS s1, y.simhash AS s2))))""".stripMargin))
+        .as("p"))
+      .select(col("p.d1").as("d1"), col("p.d2").as("d2"),
+        col("p.s1").as("s1"), col("p.s2").as("s2"))
+      .distinct()
+      .withColumn("dist", expr("bit_count(s1 ^ s2)"))
+      .filter(col("dist") <= maxDist)
+      .select(col("d1"), col("d2"), col("dist"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  def simhashNearDupSql(maxDist: Int, bucketCap: Int = 64): String =
+    s"""WITH sig AS ($simhash32Sql),
+       |banded AS (
+       |  SELECT doc_id, simhash, i AS band,
+       |         (simhash // (1 << (4 * i))) % 16 AS nib
+       |  FROM sig, UNNEST(range(8)) AS r(i)
+       |), kept AS (
+       |  SELECT band, nib FROM banded GROUP BY band, nib
+       |  HAVING count(*) <= $bucketCap
+       |), pairs AS (
+       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+       |         a.simhash AS s1, b.simhash AS s2
+       |  FROM banded a
+       |  JOIN kept k ON a.band = k.band AND a.nib = k.nib
+       |  JOIN banded b
+       |    ON a.band = b.band AND a.nib = b.nib AND a.doc_id < b.doc_id
+       |)
+       |SELECT d1, d2, CAST(bit_count(xor(s1, s2)) AS INT) AS dist
+       |FROM pairs WHERE bit_count(xor(s1, s2)) <= $maxDist
+       |ORDER BY d1, d2""".stripMargin
 
   def simhashSql: String = {
     val bitSums = (0 until 16).map { j =>

@@ -22,6 +22,13 @@ object Extensions {
   private val x03DedupSimhash: Q = (s, d) =>
     Dedup.simhash(Tables.documents(s, d))
 
+  /** X2b': simhash near-dup pairs (nibble-band LSH + bit_count
+    * Hamming filter) — completes the simhash dedup story begun by
+    * x03's signatures.
+    */
+  private val x26SimhashNeardup: Q = (s, d) =>
+    Dedup.simhashNearDup(Tables.documents(s, d), maxDist = 3)
+
   private val x04NgramJaccard: Q = (s, d) =>
     Dedup.jaccardPairs(Tables.documents(s, d), dfCap = 10, threshold = 0.2)
 
@@ -199,6 +206,7 @@ object Extensions {
     "x23_tfidf" -> x23Tfidf,
     "x24_embed_centroids" -> x24EmbedCentroids,
     "x25_events_sliding" -> x25EventsSliding,
+    "x26_simhash_neardup" -> x26SimhashNeardup,
   )
 
   /** The md5-nibble fake-decode in SQL (first 8 nibbles of
@@ -277,5 +285,6 @@ object Extensions {
     "x23_tfidf" -> TextAnalysis.tfidfTopTermsSql(3),
     "x24_embed_centroids" -> Similarity.labelCentroidsSql,
     "x25_events_sliding" -> EventsAnalytics.slidingWindowsSql(7200, 1800),
+    "x26_simhash_neardup" -> Dedup.simhashNearDupSql(3),
   )
 }

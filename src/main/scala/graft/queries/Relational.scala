@@ -262,6 +262,32 @@ object Relational {
       .orderBy(col("l_returnflag").asc_nulls_first,
         col("l_linestatus").asc_nulls_first)
 
+  /** Exact grouped percentiles (engine addition): Spark `percentile`
+    * and DuckDB `quantile_cont` share the type-7 linear-interpolation
+    * definition, so the values hash-match after rounding.
+    */
+  private val q19Percentile: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
+  /** Pivot (engine addition): Spark's `pivot` relational operator —
+    * per-day columns per event type. The oracle is the equivalent
+    * conditional aggregation.
+    */
+  private val q20Pivot: Q = (s, d) =>
+    Tables.events(s, d)
+      .select(col("ts").cast("date").as("day"), col("event_type"),
+        col("value"))
+      .groupBy(col("day"))
+      .pivot("event_type", Seq("click", "view", "purchase"))
+      .agg(round(sum(col("value")), 2))
+      .orderBy(col("day"))
+
   val queries: Map[String, Q] = Map(
     "q01_scan_filter_project" -> q01ScanFilterProject,
     "q02_agg_sum" -> q02AggSum,
@@ -281,6 +307,8 @@ object Relational {
     "q16_anti_join" -> q16AntiJoin,
     "q17_distinct" -> q17Distinct,
     "q18_rollup" -> q18Rollup,
+    "q19_percentile" -> q19Percentile,
+    "q20_pivot" -> q20Pivot,
   )
 
   val oracles: Map[String, String] = Map(
@@ -377,5 +405,20 @@ object Relational {
         |  round(sum(l_quantity), 2) AS qty
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
+    "q19_percentile" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q20_pivot" ->
+      """SELECT CAST(ts AS DATE) AS day,
+        |  round(sum(CASE WHEN event_type = 'click' THEN value END), 2)
+        |    AS click,
+        |  round(sum(CASE WHEN event_type = 'view' THEN value END), 2)
+        |    AS view,
+        |  round(sum(CASE WHEN event_type = 'purchase' THEN value END), 2)
+        |    AS purchase
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -1,36 +1,19 @@
 package graft.tools
 import org.apache.spark.sql.SparkSession
-import graft.pipeline.{Darima, DarimaConfig}
-import graft.eval.Metrics
 /** Dev scratchpad main for quick local experiments (not part of the API). */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val dataDir = "/root/reference/data"
-    for (zone <- Seq("ME", "NH", "RI", "VT")) {
-      val train = Darima.loadSeriesCsv(spark, s"$dataDir/${zone}_train.csv")
-      val test = Darima.loadSeriesCsv(spark, s"$dataDir/${zone}_test.csv")
-      val testVals = test.orderBy("time").select("value").collect()
-        .map(_.getDouble(0))
-      val trainVals = train.orderBy("time").select("value").collect()
-        .map(_.getDouble(0))
-      for ((label, cfg) <- Seq(
-        ("3y K4", DarimaConfig(harmYearly = 3)),
-        ("3y K8", DarimaConfig(harmYearly = 3, numChunks = 8)),
-        ("3y K2", DarimaConfig(harmYearly = 3, numChunks = 2)),
-        ("3y lag688", DarimaConfig(harmYearly = 3, maxLag = 688)))) {
-        val (_, fc) = Darima.run(spark, train, testVals.length, cfg)
-        val mase = Metrics.mean(Metrics.mase(trainVals, testVals, fc.mean, 24))
-        val smape = Metrics.mean(Metrics.smape(testVals, fc.mean))
-        val msis95 = Metrics.mean(Metrics.msis(trainVals, testVals,
-          fc.lower(1), fc.upper(1), 95, 24))
-        println(f"$zone $label: MASE $mase%.4f sMAPE $smape%.4f " +
-          f"MSIS95 $msis95%.3f")
-      }
+    val sf = "/root/testdata/sf0.1"
+    val q = graft.SparkEntry.queries
+    for (name <- Seq("x26_simhash_neardup", "x26_simhash_neardup")) {
+      val t0 = System.nanoTime()
+      q(name)(spark, sf).write.format("noop").mode("overwrite").save()
+      println(f"$name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     spark.stop()
   }

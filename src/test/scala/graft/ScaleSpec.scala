@@ -35,4 +35,46 @@ class ScaleSpec extends AnyFunSuite {
     assert(model.sigma2 < 2.0, s"sigma2=${model.sigma2}")
     assert(secs < 300, s"took ${secs}s")
   }
+
+  test("10M-row ordered rank: exact global ntile without a global sort") {
+    import spark.implicits._
+    val n = 10_000_000L
+    val df = spark.range(n).select(
+      col("id").as("ev"),
+      // non-monotone order key with heavy ties: worst case for the
+      // quantile bucketing
+      (col("id") % 1000).cast("double").as("t"))
+    val t0 = System.nanoTime()
+    val tiles = graft.ts.OrderedRank
+      .withNtile(df, col("t"), col("ev"), 16, "tile")
+      .groupBy(col("tile")).count().collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"10M rows ntile(16): ${secs}%.1f s")
+    assert(tiles.length == 16)
+    // exact NTILE: every tile holds exactly n/16 rows
+    assert(tiles.forall(_.getLong(1) == n / 16))
+    assert(secs < 120, s"took ${secs}s")
+  }
+
+  test("5M-row as-of join: keyed interleave stays linear") {
+    import spark.implicits._
+    val n = 5_000_000L
+    val left = spark.range(n).select(
+      (col("id") % 1000).as("k"), col("id").cast("double").as("t"),
+      col("id").as("ev"))
+    val right = spark.range(n / 10).select(
+      (col("id") % 1000).as("k"),
+      (col("id") * 10).cast("double").as("t"),
+      col("id").cast("double").as("v"))
+    val t0 = System.nanoTime()
+    val matched = graft.operators.AsofJoin
+      .leftAsof(left, right, "k", "t", "v", "m")
+      .agg(count(lit(1)), count(col("m"))).collect()(0)
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"5M-left as-of join: ${secs}%.1f s")
+    assert(matched.getLong(0) == n)
+    // almost every left row has an earlier right row on its key
+    assert(matched.getLong(1) > n - 20_000L)
+    assert(secs < 120, s"took ${secs}s")
+  }
 }

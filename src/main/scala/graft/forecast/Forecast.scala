@@ -55,10 +55,16 @@ object Forecast {
     *   for models with harmonics (graft.arima.Seasonal); NaN or an
     *   empty harmonics array disables the seasonal term. The AR part
     *   then operates on the deseasonalized series z = y − s(τ).
+    * @param dampTrend per-step damping φ of the *future* trend
+    *   increment (Gardner–McKenzie damped trend): step i uses
+    *   t = n + Σ_{j≤i} φʲ instead of n + i. 1.0 (default) = the
+    *   undamped linear trend; in-sample fitted values are never
+    *   damped.
     */
   def forecast(model: ArLinearModel, x: Array[Double], h: Int,
       levels: Array[Int], startIndex: Long = 0L,
-      tauStart: Double = Double.NaN): ForecastResult = {
+      tauStart: Double = Double.NaN,
+      dampTrend: Double = 1.0): ForecastResult = {
     val p = model.p
     val n = x.length
     val useHarm = model.harmonics.nonEmpty && !tauStart.isNaN
@@ -92,10 +98,16 @@ object Forecast {
     val buf = new Array[Double](n + h)
     System.arraycopy(z, 0, buf, 0, n)
     val mean = new Array[Double](h)
+    // damped-trend accumulator: tEff(step i) = (n-th trend value) +
+    // Σ_{j=1..i} φʲ; φ=1 reduces to the linear n+i
+    var trendAcc = (startIndex + n).toDouble
+    var damp = dampTrend
     var s = 0
     while (s < h) {
       val tAbs = n + s // 0-based index; trend value is startIndex+tAbs+1
-      var pred = model.beta0 + model.beta1 * (startIndex + tAbs + 1)
+      trendAcc += damp
+      if (dampTrend < 1.0) damp *= dampTrend
+      var pred = model.beta0 + model.beta1 * trendAcc
       var i = 0
       val iMax = math.min(p, tAbs)
       while (i < iMax) { pred += model.pi(i) * buf(tAbs - 1 - i); i += 1 }

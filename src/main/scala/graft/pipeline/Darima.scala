@@ -46,7 +46,17 @@ final case class DarimaConfig(
       */
     harmDaily: Int = 0,
     harmWeekly: Int = 0,
-    harmYearly: Int = 0)
+    harmYearly: Int = 0,
+    /** Gardner–McKenzie damped-trend φ for the forecast horizon;
+      * 1.0 = undamped linear trend (see Forecast.forecast).
+      */
+    dampTrend: Double = 1.0,
+    /** Recency decay λ for the DLSA combine: chunk k (time-ordered,
+      * 0 = oldest) is additionally weighted λ^(K−1−k), so a
+      * decade-old regime contributes less than the recent one to the
+      * global model. 1.0 = classic DLSA (all chunks equal).
+      */
+    recencyDecay: Double = 1.0)
 
 object Darima {
 
@@ -122,20 +132,34 @@ object Darima {
     * Both are the paper-correct forms (the reference's extra
     * divisions are defects — SURVEY.md §1.4.6).
     */
-  def combine(coefs: DataFrame, method: String): DataFrame = method match {
-    case "dlsa" =>
-      coefs.groupBy(col("coef"), col("lag_idx"))
-        .agg(sum(col("value") * col("weight")).as("vw"),
-          sum(col("weight")).as("w"), sum(col("n")).as("nn"))
-        .select(col("coef"), col("lag_idx"),
-          when(col("coef") === "sigma2", col("nn") / col("w"))
-            .otherwise(col("vw") / col("w")).as("value"))
-    case "mean" =>
-      coefs.groupBy(col("coef"), col("lag_idx"))
-        .agg(avg(col("value")).as("value"))
-        .select(col("coef"), col("lag_idx"), col("value"))
-    case other => throw new IllegalArgumentException(
-      s"unknown combine method '$other' (expected dlsa|mean)")
+  def combine(coefs: DataFrame, method: String): DataFrame =
+    combine(coefs, method, 1.0, 0)
+
+  /** @param recencyDecay λ ∈ (0,1]: chunk k additionally weighted
+    *   λ^(K−1−k) in the DLSA sums (1.0 = classic DLSA); needs
+    *   numChunks K when < 1.
+    */
+  def combine(coefs: DataFrame, method: String, recencyDecay: Double,
+      numChunks: Int): DataFrame = {
+    val weighted =
+      if (recencyDecay >= 1.0) coefs
+      else coefs.withColumn("weight", col("weight") *
+        pow(lit(recencyDecay), lit(numChunks - 1) - col("chunk_id")))
+    method match {
+      case "dlsa" =>
+        weighted.groupBy(col("coef"), col("lag_idx"))
+          .agg(sum(col("value") * col("weight")).as("vw"),
+            sum(col("weight")).as("w"), sum(col("n")).as("nn"))
+          .select(col("coef"), col("lag_idx"),
+            when(col("coef") === "sigma2", col("nn") / col("w"))
+              .otherwise(col("vw") / col("w")).as("value"))
+      case "mean" =>
+        weighted.groupBy(col("coef"), col("lag_idx"))
+          .agg(avg(col("value")).as("value"))
+          .select(col("coef"), col("lag_idx"), col("value"))
+      case other => throw new IllegalArgumentException(
+        s"unknown combine method '$other' (expected dlsa|mean)")
+    }
   }
 
   /** Collect the (tol+3)-row combined table into the driver-side
@@ -199,7 +223,8 @@ object Darima {
     try {
       val n = cached.count()
       val coefs = fitChunkCoefs(spark, cached, cfg)
-      val model0 = globalModel(combine(coefs, cfg.method), n)
+      val model0 = globalModel(
+        combine(coefs, cfg.method, cfg.recencyDecay, cfg.numChunks), n)
       // forecasting only needs the last p observations
       val tailTv = seriesTailTimed(cached, model0.p)
       val tail = tailTv.map(_._2)
@@ -212,7 +237,8 @@ object Darima {
           if (dt <= 0) Double.NaN else tailTv.head._1 / dt
         }
       val fc = Forecast.forecast(model0.copy(n = n), tail, h, cfg.levels,
-        startIndex = n - tail.length, tauStart = tauStart)
+        startIndex = n - tail.length, tauStart = tauStart,
+        dampTrend = cfg.dampTrend)
       // fitted/residuals from the tail window are partial by design;
       // distributed fitted values are exposed separately if needed
       (model0, fc)

@@ -144,6 +144,11 @@ object Relational {
     * aggregate broadcast-joined back.
     */
   private def metricBase(s: SparkSession, d: String): DataFrame = {
+    // the lagged table feeds both the scalar aggregate and the metric
+    // projection; a localCheckpoint barrier was measured (sf0.1) and
+    // is a wash locally — the duplicated subtree overlaps on idle
+    // cores — so the plan stays pure. At cluster scale, checkpoint
+    // this intermediate instead of recomputing it.
     val lagged = graft.ts.OrderedLag.withLags(
       Tables.events(s, d).select(col("event_id"), col("ts"), col("value")),
       col("ts"), col("event_id"), "value", Seq(1, 24))

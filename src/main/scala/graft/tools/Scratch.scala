@@ -1,35 +1,33 @@
 package graft.tools
 import org.apache.spark.sql.SparkSession
-import graft.pipeline.{Darima, DarimaConfig}
-import graft.eval.Metrics
 /** Dev scratchpad main for quick local experiments (not part of the API). */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val dataDir = "/root/reference/data"
-    for (zone <- Seq("VT", "ME", "NEMASSBOST", "TOTAL")) {
-      val train = Darima.loadSeriesCsv(spark, s"$dataDir/${zone}_train.csv")
-      val test = Darima.loadSeriesCsv(spark, s"$dataDir/${zone}_test.csv")
-      val testVals = test.orderBy("time").select("value").collect()
-        .map(_.getDouble(0))
-      val trainVals = train.orderBy("time").select("value").collect()
-        .map(_.getDouble(0))
-      for ((label, cfg) <- Seq(
-        ("decay1.0", DarimaConfig(harmYearly = 3)),
-        ("decay0.8", DarimaConfig(harmYearly = 3, recencyDecay = 0.8)),
-        ("decay0.5", DarimaConfig(harmYearly = 3, recencyDecay = 0.5)),
-        ("decay0.25", DarimaConfig(harmYearly = 3, recencyDecay = 0.25)))) {
-        val (_, fc) = Darima.run(spark, train, testVals.length, cfg)
-        val mase = Metrics.mean(Metrics.mase(trainVals, testVals, fc.mean, 24))
-        val msis95 = Metrics.mean(Metrics.msis(trainVals, testVals,
-          fc.lower(1), fc.upper(1), 95, 24))
-        println(f"$zone $label: MASE $mase%.4f MSIS95 $msis95%.3f")
-      }
+    val sf = "/root/testdata/sf0.1"
+    val q = graft.SparkEntry.queries
+    def time(name: String, label: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      println(f"$label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
+    // warm
+    q("q12_metrics")(spark, sf).write.format("noop").mode("overwrite").save()
+    time("q12", "q12 full")(q("q12_metrics")(spark, sf))
+    // lag stage only
+    val ev = graft.Tables.events(spark, sf)
+      .select(org.apache.spark.sql.functions.col("event_id"),
+        org.apache.spark.sql.functions.col("ts"),
+        org.apache.spark.sql.functions.col("value"))
+    time("lag", "ordered-lag only")(
+      graft.ts.OrderedLag.withLags(ev,
+        org.apache.spark.sql.functions.col("ts"),
+        org.apache.spark.sql.functions.col("event_id"),
+        "value", Seq(1, 24)))
     spark.stop()
   }
 }

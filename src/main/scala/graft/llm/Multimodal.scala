@@ -56,6 +56,30 @@ object Multimodal {
     }
   }
 
+  /** Resize planning: target dimensions under an aspect-preserving
+    * max-edge constraint plus the crop box for a center square —
+    * the pure-arithmetic half of an image resize stage (the pixel
+    * resampling itself belongs in the [[FakeDecoder]] slot). Integer
+    * arithmetic only, reproduced verbatim in the x27 oracle.
+    */
+  def resizePlan(media: DataFrame, maxEdge: Int): DataFrame = {
+    val scaleNum = lit(maxEdge)
+    val longEdge = greatest(col("width"), col("height"))
+    // floor-scaled target edges, aspect preserved, never upscaled
+    val tw = when(longEdge <= maxEdge, col("width"))
+      .otherwise((col("width") * scaleNum) / longEdge)
+    val th = when(longEdge <= maxEdge, col("height"))
+      .otherwise((col("height") * scaleNum) / longEdge)
+    media.select(col("doc_id"), col("width"), col("height"),
+      tw.cast("int").as("target_w"), th.cast("int").as("target_h"),
+      // center-square crop in source coordinates
+      least(col("width"), col("height")).as("crop_edge"),
+      ((col("width") - least(col("width"), col("height"))) / 2)
+        .cast("int").as("crop_x"),
+      ((col("height") - least(col("width"), col("height"))) / 2)
+        .cast("int").as("crop_y"))
+  }
+
   /** Distributed feature extraction: one decoder instance per
     * partition (the expensive part for a real codec), streaming
     * through rows — the Spark-side shape a real multimodal pipeline

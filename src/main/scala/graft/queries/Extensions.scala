@@ -169,6 +169,15 @@ object Extensions {
   private val x24EmbedCentroids: Q = (s, d) =>
     Similarity.labelCentroids(Tables.embeddings(s, d))
 
+  /** X4: resize planning — aspect-preserving target dims + center
+    * crop box, integer arithmetic (the pixel resampling slots into
+    * the FakeDecoder stub; this is the Spark-side plumbing).
+    */
+  private val x27ResizePlan: Q = (s, d) =>
+    Multimodal.resizePlan(
+      Multimodal.mediaTable(Tables.documents(s, d)), maxEdge = 32)
+      .orderBy(col("doc_id"))
+
   private val x13EventsTumbling: Q = (s, d) =>
     EventsAnalytics.tumblingHourly(Tables.events(s, d))
 
@@ -207,6 +216,7 @@ object Extensions {
     "x24_embed_centroids" -> x24EmbedCentroids,
     "x25_events_sliding" -> x25EventsSliding,
     "x26_simhash_neardup" -> x26SimhashNeardup,
+    "x27_resize_plan" -> x27ResizePlan,
   )
 
   /** The md5-nibble fake-decode in SQL (first 8 nibbles of
@@ -286,5 +296,23 @@ object Extensions {
     "x24_embed_centroids" -> Similarity.labelCentroidsSql,
     "x25_events_sliding" -> EventsAnalytics.slidingWindowsSql(7200, 1800),
     "x26_simhash_neardup" -> Dedup.simhashNearDupSql(3),
+    "x27_resize_plan" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |         1 + octet_length(encode(text)) % 64 AS width,
+        |         1 + (octet_length(encode(text)) * 7) % 48 AS height
+        |  FROM documents
+        |)
+        |SELECT doc_id, width, height,
+        |  CAST(CASE WHEN greatest(width, height) <= 32 THEN width
+        |       ELSE (width * 32) // greatest(width, height) END AS INT)
+        |    AS target_w,
+        |  CAST(CASE WHEN greatest(width, height) <= 32 THEN height
+        |       ELSE (height * 32) // greatest(width, height) END AS INT)
+        |    AS target_h,
+        |  least(width, height) AS crop_edge,
+        |  CAST((width - least(width, height)) // 2 AS INT) AS crop_x,
+        |  CAST((height - least(width, height)) // 2 AS INT) AS crop_y
+        |FROM m ORDER BY doc_id""".stripMargin,
   )
 }

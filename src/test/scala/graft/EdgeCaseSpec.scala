@@ -45,6 +45,39 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(Dedup.jaccardPairs(weirdDocs, 10, 0.2).count() == 0)
   }
 
+  test("round-2 operators survive degenerate and empty inputs") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    // simhash near-dup: empty + degenerate corpora, no crash, no pairs
+    assert(Dedup.simhashNearDup(empty, 3).collect().isEmpty)
+    assert(Dedup.simhashNearDup(weirdDocs.filter(col("doc_id") === 1), 3)
+      .collect().isEmpty)
+    // sampling: empty in, empty out, schema intact
+    val emptyD = empty.withColumn("lang", lit("en"))
+    assert(graft.llm.Sampling.hashSample(emptyD,
+      "cast(doc_id as string)", 20).collect().isEmpty)
+    assert(graft.llm.Sampling.stratifiedSample(emptyD, "lang",
+      "cast(doc_id as string)", 5).collect().isEmpty)
+    // TF-IDF on a 1-doc corpus: idf = ln(1/1) = 0 for every term
+    val one = Seq((1L, "alpha beta alpha")).toDF("doc_id", "text")
+    val tf = TextAnalysis.tfidfTopTerms(one, 2).collect()
+    assert(tf.nonEmpty && tf.forall(_.getDouble(5) == 0.0))
+  }
+
+  test("ordered rank and as-of join survive empty inputs") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Double, Double)].toDF("ev", "t", "value")
+    assert(graft.ts.OrderedRank.withNtile(empty, col("t"), col("ev"), 4)
+      .collect().isEmpty)
+    assert(graft.ts.OrderedLag.withLags(empty, col("t"), col("ev"),
+      "value", Seq(1)).collect().isEmpty)
+    val left = Seq((1L, 1.0, 10.0)).toDF("k", "t", "v0")
+    val emptyRight = Seq.empty[(Long, Double, Double)].toDF("k", "t", "v")
+    val out = graft.operators.AsofJoin
+      .leftAsof(left, emptyRight, "k", "t", "v", "m").collect()
+    assert(out.length == 1 && out(0).isNullAt(out(0).fieldIndex("m")))
+  }
+
   test("text analysis produces finite values on degenerate docs") {
     val q = TextAnalysis.quality(weirdDocs).collect()
     assert(q.length == 6)

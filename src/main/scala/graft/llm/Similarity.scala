@@ -24,15 +24,14 @@ object Similarity {
   def cosineTopK(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
     val q = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-    // graft.functions.DotProduct: codegen'd primitive loop (the HOF
-    // zip_with/aggregate form is interpreted per element)
+    // graft.functions.CosineSim: fused codegen kernel — one traversal
+    // of both arrays per pair (the HOF zip_with/aggregate form is
+    // interpreted per element; three separate dots walk buffers 3×)
     val pairs = emb.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("qid"))
-      .withColumn("dot", dot_product(col("embedding"), col("qe")))
-      .withColumn("na", dot_product(col("embedding"), col("embedding")))
-      .withColumn("nb", dot_product(col("qe"), col("qe")))
       .withColumn("cos",
-        round(col("dot") / (sqrt(col("na")) * sqrt(col("nb"))), 6))
+        round(graft.functions.VectorFunctions
+          .cosine_similarity(col("embedding"), col("qe")), 6))
     pairs
       .withColumn("rank", row_number().over(Window.partitionBy(col("qid"))
         .orderBy(col("cos").desc, col("vec_id"))))
@@ -84,8 +83,7 @@ object Similarity {
     val seeds = emb.filter(col("vec_id") < nLists)
       .select(col("vec_id").as("list_id"), col("embedding").as("ce"))
     def cosTo(v: Column, c: Column): Column =
-      round(dot_product(v, c) /
-        (sqrt(dot_product(v, v)) * sqrt(dot_product(c, c))), 6)
+      round(graft.functions.VectorFunctions.cosine_similarity(v, c), 6)
     // assignment: argmax cosine over the 16 seeds (broadcast NL join)
     val assigned = emb.crossJoin(broadcast(seeds))
       .withColumn("c", cosTo(col("embedding"), col("ce")))

@@ -32,6 +32,36 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(diff == 0.0, s"native vs HOF drift: $diff")
   }
 
+  test("fused cosine matches the composed dot/(norm*norm) bit-for-bit") {
+    val emb = Tables.embeddings(spark, sf).limit(100)
+    val a = emb.select(col("vec_id"), col("embedding"))
+    val b = Tables.embeddings(spark, sf).limit(5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val joined = a.crossJoin(b)
+    val composed = dot_product(col("embedding"), col("qe")) /
+      (sqrt(dot_product(col("embedding"), col("embedding"))) *
+        sqrt(dot_product(col("qe"), col("qe"))))
+    val fused = graft.functions.VectorFunctions
+      .cosine_similarity(col("embedding"), col("qe"))
+    val drift = joined.select((composed - fused).as("d"))
+      .agg(sum(abs(col("d")))).collect()(0).getDouble(0)
+    assert(drift == 0.0, s"fused vs composed drift: $drift")
+  }
+
+  test("fused cosine null semantics: dim mismatch and zero vectors") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(Array(1.0, 0.0)), Some(Array(1.0, 0.0))), // cos = 1
+      (Some(Array(1.0, 2.0)), Some(Array(3.0, 4.0, 5.0))), // mismatch
+      (Some(Array(0.0, 0.0)), Some(Array(1.0, 1.0)))) // zero norm
+      .toDF("a", "b")
+    val rows = df.select(graft.functions.VectorFunctions
+      .cosine_similarity(col("a"), col("b")).as("c")).collect()
+    assert(rows(0).getDouble(0) == 1.0)
+    assert(rows(1).isNullAt(0))
+    assert(rows(2).isNullAt(0))
+  }
+
   test("dot_product null and length semantics") {
     import spark.implicits._
     val df = Seq(

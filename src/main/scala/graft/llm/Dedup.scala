@@ -255,10 +255,16 @@ object Dedup {
     // blow-up linear at 100 TB — and per-doc set sizes fall out of
     // the same bucketed table, so the two consumers share one
     // exchange instead of recomputing the explosion four times.
+    // localCheckpoint: both consumers (sizes, pair explosion) read this
+    // table and Catalyst does not reuse the exchange across them
+    // (verified in the plan); the capped bucket table is tiny relative
+    // to the shingle explosion, so materializing it once is strictly
+    // cheaper than recomputing the explosion + aggregate twice
     val buckets = shingles(docs)
       .groupBy(col("s"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
       .filter(size(col("ds")) <= dfCap)
+      .localCheckpoint()
     val sizes = buckets
       .select(explode(col("ds")).as("doc_id"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))

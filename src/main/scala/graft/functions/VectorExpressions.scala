@@ -242,8 +242,11 @@ object VectorFunctions {
   def cosine_similarity(a: Column, b: Column): Column =
     Bridge.toColumn(CosineSim(Bridge.toExpr(a), Bridge.toExpr(b)))
 
-  /** Register dot_product for SQL use. */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  /** Register dot_product and cosine_sim for SQL use. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_sim", exprs => CosineSim(exprs(0), exprs(1)), "scala_udf")
+  }
 }

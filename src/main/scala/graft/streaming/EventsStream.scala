@@ -58,6 +58,17 @@ object EventsStream {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
       .select(col("w.start").as("ws"), col("n"), col("total"))
 
+  /** Streaming exact dedup: watermarked `dropDuplicates` on the
+    * event id — the streaming twin of Dedup.exactGroups' key-group
+    * shape. The watermark bounds the dedup state: ids older than the
+    * horizon are dropped from state, which is what makes exact dedup
+    * feasible on an unbounded feed.
+    */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Stream-static enrichment join: the static side (a dimension
     * table, e.g. per-user aggregates) is broadcast to every
     * micro-batch — no stream-side state, no shuffle of the stream.

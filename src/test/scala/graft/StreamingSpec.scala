@@ -68,6 +68,21 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming watermarked dedup emits each event id once") {
+    val stream = EventsStream.readEvents(spark, eventsDir)
+    val deduped = EventsStream.dedupEvents(stream)
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT count(*), count(DISTINCT event_id) FROM dedup_out")
+        .collect()(0)
+      assert(got.getLong(0) == got.getLong(1))
+      assert(got.getLong(0) == 1000L)
+    } finally q.stop()
+  }
+
   test("stateful sessionizer emits closed sessions") {
     val stream = EventsStream.readEvents(spark, eventsDir)
     val sess = EventsStream.sessionize(spark, stream, gapSec = 1800)

@@ -34,6 +34,48 @@ object Dedup {
       |     UNNEST(range(len(t)-2)) AS r(i)
       |WHERE len(t) >= 3""".stripMargin
 
+  /** Word n-gram set per document (distinct), parameterized width. */
+  def nGrams(docs: DataFrame, n: Int): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(t)-$n), i -> concat_ws(' ', slice(t, i+1, $n)))"))
+        .as("g"))
+      .distinct()
+
+  def nGramsSql(n: Int): String =
+    s"""SELECT DISTINCT doc_id, array_to_string(t[i+1:i+$n], ' ') AS g
+       |FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents) q,
+       |     UNNEST(range(len(t)-${n - 1})) AS r(i)
+       |WHERE len(t) >= $n""".stripMargin
+
+  /** Benchmark decontamination: flag corpus documents sharing any
+    * word n-gram with a benchmark/eval set — the leakage check every
+    * training-data pipeline runs before a model sees the corpus. The
+    * benchmark's n-gram set is tiny relative to the corpus, so it
+    * broadcasts; the corpus side is one n-gram explosion + broadcast
+    * semi-join + per-doc count — linear, no shuffle of the corpus
+    * n-grams beyond the count aggregation.
+    */
+  def decontaminate(docs: DataFrame, benchIds: Int, n: Int): DataFrame = {
+    val grams = nGrams(docs, n)
+    val bench = grams.filter(col("doc_id") < benchIds)
+      .select(col("g")).distinct()
+    grams.filter(col("doc_id") >= benchIds)
+      .join(broadcast(bench), "g")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+      .orderBy(col("doc_id"))
+  }
+
+  def decontaminateSql(benchIds: Int, n: Int): String =
+    s"""WITH grams AS (${nGramsSql(n)}),
+       |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id < $benchIds)
+       |SELECT doc_id, count(*) AS n_hits
+       |FROM grams JOIN bench USING (g)
+       |WHERE doc_id >= $benchIds
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** X1: exact duplicate groups — hash-groupBy on content digest. */
   def exactGroups(docs: DataFrame): DataFrame =
     docs.groupBy(md5(col("text")).as("h"))

@@ -32,6 +32,12 @@ object Extensions {
   private val x04NgramJaccard: Q = (s, d) =>
     Dedup.jaccardPairs(Tables.documents(s, d), dfCap = 10, threshold = 0.2)
 
+  /** X1': benchmark decontamination — corpus docs sharing any 4-gram
+    * with the benchmark set (doc_id < 5 stands in for an eval set).
+    */
+  private val x28Decontaminate: Q = (s, d) =>
+    Dedup.decontaminate(Tables.documents(s, d), benchIds = 5, n = 4)
+
   private val x05CosineTopk: Q = (s, d) =>
     Similarity.cosineTopK(Tables.embeddings(s, d), nQueries = 5, k = 3)
 
@@ -217,6 +223,7 @@ object Extensions {
     "x25_events_sliding" -> x25EventsSliding,
     "x26_simhash_neardup" -> x26SimhashNeardup,
     "x27_resize_plan" -> x27ResizePlan,
+    "x28_decontaminate" -> x28Decontaminate,
   )
 
   /** The md5-nibble fake-decode in SQL (first 8 nibbles of
@@ -314,5 +321,6 @@ object Extensions {
         |  CAST((width - least(width, height)) // 2 AS INT) AS crop_x,
         |  CAST((height - least(width, height)) // 2 AS INT) AS crop_y
         |FROM m ORDER BY doc_id""".stripMargin,
+    "x28_decontaminate" -> Dedup.decontaminateSql(5, 4),
   )
 }

@@ -10,8 +10,8 @@ object Scratch {
     spark.sparkContext.setLogLevel("ERROR")
     val sf = "/root/testdata/sf0.1"
     val q = graft.SparkEntry.queries
-    for (name <- Seq("x04_ngram_jaccard", "x04_ngram_jaccard",
-        "x26_simhash_neardup", "x26_simhash_neardup")) {
+    for (name <- Seq("q12_metrics", "q12_metrics",
+        "q13_metric_means", "q13_metric_means")) {
       val t0 = System.nanoTime()
       q(name)(spark, sf).write.format("noop").mode("overwrite").save()
       println(f"$name: ${(System.nanoTime() - t0) / 1e9}%.2f s")

@@ -9,21 +9,15 @@ import org.apache.spark.sql.expressions.Window
   * needs at 100 TB.
   *
   * Method: range-bucket the rows on the order key (deterministic
-  * quantile-sketch bounds, like graft.ts.Chunker), compute lags
-  * inside each bucket in parallel, and fix the first maxLag rows of
-  * every bucket by *augmenting* it with helper rows (they participate
-  * in the window, then drop out). All operations are distributed —
-  * nothing large is collected, and every bucket's window sort is
-  * local.
-  *
-  * Correctness under skew: helper rows for bucket b are the globally
-  * last `maxLag` rows over ALL buckets < b (not just bucket b-1), so
-  * empty buckets (duplicate quantile bounds under heavy ties) and
-  * thin buckets (fewer than maxLag rows) cannot lose lags. The
-  * helper pool is the union of per-bucket tails — at most
-  * buckets·maxLag rows — ranked per target bucket via a broadcast
-  * inequality join, so the fix-up is O(buckets²·maxLag) on a tiny
-  * relation, never a global shuffle of the data.
+  * quantile-sketch bounds, like graft.ts.Chunker) and compute lags
+  * inside each bucket with ONE full-data window pass. Only the first
+  * maxLag rows of each bucket ("heads") can be missing cross-bucket
+  * lag values; those are recomputed on a tiny side relation — the
+  * heads plus the globally-last maxLag rows over ALL earlier buckets
+  * (drawn from per-bucket tails, so empty/thin buckets under heavy
+  * ties cannot lose lags) — and patched back via a broadcast join.
+  * Net cost: one exchange + one sort of the data, plus small-table
+  * work; the round-1 union form paid two of each.
   *
   * The bucket count is clamped so the expected bucket size is at
   * least 4·maxLag rows, keeping boundary fix-ups a small fraction of
@@ -32,7 +26,8 @@ import org.apache.spark.sql.expressions.Window
   * Rows equal on the order key land in one bucket (bucketing is by
   * value with strict `>` on deduplicated bounds), so tie order inside
   * the window matches the global window exactly given the same
-  * tie-break columns.
+  * tie-break columns. (orderCol, tieBreak) must be a total order —
+  * the head patch joins back on it.
   */
 object OrderedLag {
 
@@ -64,8 +59,8 @@ object OrderedLag {
       .map(i => rawBounds((i * buckets / eff) - 1))
       .distinct.sorted
 
-    val w = Window.partitionBy(col("__bucket")).orderBy(orderCol, tieBreak)
-    def addLags(in: DataFrame): DataFrame =
+    def addLags(in: DataFrame, w: org.apache.spark.sql.expressions.WindowSpec)
+        : DataFrame =
       lags.foldLeft(in) { (acc, k) =>
         acc.withColumn(s"${valueCol}_lag$k", lag(col(valueCol), k).over(w))
       }
@@ -73,7 +68,9 @@ object OrderedLag {
     if (bounds.isEmpty) {
       // Degenerate input (under 4·maxLag rows, or a constant order
       // key): a single local window is both correct and cheap.
-      return addLags(df.withColumn("__bucket", lit(0)))
+      val w = Window.partitionBy(col("__bucket"))
+        .orderBy(orderCol, tieBreak)
+      return addLags(df.withColumn("__bucket", lit(0)), w)
         .drop("__bucket")
     }
 
@@ -81,36 +78,70 @@ object OrderedLag {
       acc + when(orderCol.cast("double") > lit(b), 1).otherwise(0)
     }
     val based = df.withColumn("__bucket", bucket)
-      .withColumn("__helper", lit(false))
 
-    // Per-bucket tails: each bucket's last maxLag rows. The globally
+    // THE full-data pass: per-bucket sort computes every lag column
+    // plus the bucket-local row number and bucket size (the size
+    // window shares the exchange and needs no ordering).
+    val w = Window.partitionBy(col("__bucket")).orderBy(orderCol, tieBreak)
+    val wAll = Window.partitionBy(col("__bucket"))
+    val local = addLags(based, w)
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__cnt", count(lit(1)).over(wAll))
+
+    // Heads: rows whose lags may cross the bucket boundary. Tails:
+    // each bucket's last maxLag rows — the helper pool (the globally
     // last maxLag rows before any boundary are a subset of the union
-    // of earlier tails, so this tiny relation is a sufficient helper
-    // pool.
-    val wDesc = Window.partitionBy(col("__bucket"))
-      .orderBy(orderCol.desc, tieBreak.desc)
-    val tails = based
-      .withColumn("__rnd", row_number().over(wDesc))
-      .filter(col("__rnd") <= maxLag)
-      .drop("__rnd")
+    // of earlier tails). Both are at most buckets·maxLag rows.
+    val dataCols = based.columns
+    val heads = local
+      .filter(col("__rn") <= maxLag && col("__bucket") > 0)
+      .select(dataCols.map(col) :+ col("__bucket").as("__tgt"): _*)
+      .withColumn("__head", lit(true))
+    val tails = local
+      .filter(col("__cnt") - col("__rn") < maxLag)
+      .select(dataCols.map(col): _*)
 
-    // For every target bucket, rank all earlier tail rows globally
-    // and keep the last maxLag — correct across empty/thin buckets.
     val nBuckets = bounds.size + 1
     val targets = df.sparkSession.range(1, nBuckets)
       .select(col("id").cast("int").as("__tgt"))
-    val wTgt = Window.partitionBy(col("__tgt"))
+    val wTgtDesc = Window.partitionBy(col("__tgt"))
       .orderBy(orderCol.desc, tieBreak.desc)
     val helpers = tails
       .join(broadcast(targets), col("__bucket") < col("__tgt"))
-      .withColumn("__rnd", row_number().over(wTgt))
+      .withColumn("__rnd", row_number().over(wTgtDesc))
       .filter(col("__rnd") <= maxLag)
-      .drop("__rnd", "__bucket")
-      .withColumnRenamed("__tgt", "__bucket")
-      .withColumn("__helper", lit(true))
+      .drop("__rnd")
+      .withColumn("__head", lit(false))
 
-    addLags(based.unionByName(helpers))
-      .filter(!col("__helper"))
-      .drop("__bucket", "__helper")
+    // Patch: recompute the lag columns over helpers ∪ heads per
+    // target bucket (tiny windows), keep the head rows' values.
+    val wTgt = Window.partitionBy(col("__tgt")).orderBy(orderCol, tieBreak)
+    val patchCols = lags.map(k => col(s"${valueCol}_lag$k")
+      .as(s"__patch_lag$k"))
+    val patches = addLags(
+      helpers.select(heads.columns.map(col): _*).unionByName(heads), wTgt)
+      .filter(col("__head"))
+      .select(col("__tgt").as("__pb") +: orderCol.as("__po") +:
+        tieBreak.as("__pt") +: lit(true).as("__patched") +: patchCols: _*)
+
+    // Patched heads are a tiny relation — broadcast-join corrections
+    // back on the total order key and take the patched value for
+    // head rows (complete by construction: in-bucket predecessors of
+    // a head are heads, cross-bucket ones are helpers). The __patched
+    // marker — not null-ness of the patch value — selects the branch,
+    // because a head's correct cross-bucket lag can itself be null
+    // (not enough earlier rows globally).
+    val joined = local.join(broadcast(patches),
+      col("__bucket") === col("__pb") &&
+        orderCol === col("__po") && tieBreak === col("__pt"),
+      "left")
+    val fixed = lags.foldLeft(joined) { (acc, k) =>
+      acc.withColumn(s"${valueCol}_lag$k",
+        when(col("__patched"), col(s"__patch_lag$k"))
+          .otherwise(col(s"${valueCol}_lag$k")))
+    }
+    fixed.drop("__bucket", "__rn", "__cnt", "__pb", "__po", "__pt",
+        "__patched")
+      .drop(lags.map(k => s"__patch_lag$k"): _*)
   }
 }

@@ -245,6 +245,41 @@ object Darima {
     } finally cached.unpersist()
   }
 
+  /** Holdout model selection for the yearly-harmonic count: fit each
+    * candidate on the train prefix, score its forecast of the train
+    * tail (MASE, seasonal-naïve scaling), run the winner on the full
+    * series. Costs |candidates|+1 pipeline runs; the holdout length
+    * mirrors the forecast horizon (capped at 20% of the series) so
+    * the validation measures exactly the long-horizon behavior the
+    * harmonics exist to fix.
+    */
+  def runAutoHarmonics(spark: SparkSession, series: DataFrame, h: Int,
+      cfg: DarimaConfig, candidates: Seq[Int] = Seq(0, 2, 3, 5))
+      : (Int, ArLinearModel, ForecastResult) = {
+    val cached = series.cache()
+    try {
+      val n = cached.count()
+      val hHold = math.min(h.toLong, n / 5).toInt
+      val ordered = cached.orderBy(col("time"))
+      val holdVals = ordered
+        .select(col("time").cast("double"), col("value").cast("double"))
+        .orderBy(col("time").desc).limit(hHold)
+        .collect().sortBy(_.getDouble(0)).map(_.getDouble(1))
+      val fitDf = ordered.limit((n - hHold).toInt)
+      // selection metric: mean |hold − pred| — the MASE scale is a
+      // common constant across candidates, so it cancels in the
+      // argmin and the train series never reaches the driver
+      val best = candidates.map { y =>
+        val (_, fc) = run(spark, fitDf, hHold, cfg.copy(harmYearly = y))
+        val mae = graft.eval.Metrics.mean(
+          Array.tabulate(hHold)(i => math.abs(holdVals(i) - fc.mean(i))))
+        (y, mae)
+      }.minBy(_._2)
+      val (model, fc) = run(spark, cached, h, cfg.copy(harmYearly = best._1))
+      (best._1, model, fc)
+    } finally cached.unpersist()
+  }
+
   /** Load one of the reference-format series CSVs: header
     * `"demand","time"`, time as `%Y-%m-%d %H:%M:%S` strings —
     * explicit schema, single pass (the reference infers schema with

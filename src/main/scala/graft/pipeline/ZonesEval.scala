@@ -24,10 +24,11 @@ object ZonesEval {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {
+      val harmEnv0 = sys.env.getOrElse("GRAFT_HARM_YEARLY", "3")
       val cfg = DarimaConfig(
         harmDaily = sys.env.getOrElse("GRAFT_HARM_DAILY", "0").toInt,
         harmWeekly = sys.env.getOrElse("GRAFT_HARM_WEEKLY", "0").toInt,
-        harmYearly = sys.env.getOrElse("GRAFT_HARM_YEARLY", "3").toInt,
+        harmYearly = if (harmEnv0 == "auto") 3 else harmEnv0.toInt,
         maxLag = sys.env.getOrElse("GRAFT_MAX_LAG", "0").toInt)
       val rows = zones.map { zone =>
         val train = Darima.loadSeriesCsv(spark, s"$dataDir/${zone}_train.csv")
@@ -36,7 +37,14 @@ object ZonesEval {
           .map(_.getDouble(0))
         val trainVals = train.orderBy("time").select("value").collect()
           .map(_.getDouble(0))
-        val (_, fc) = Darima.run(spark, train, testVals.length, cfg)
+        val harmEnv = sys.env.getOrElse("GRAFT_HARM_YEARLY", "3")
+        val (_, fc) =
+          if (harmEnv == "auto") {
+            val (chosen, m, f) = Darima.runAutoHarmonics(spark, train,
+              testVals.length, cfg)
+            println(s"""{"zone":"$zone","harm_yearly_auto":$chosen}""")
+            (m, f)
+          } else Darima.run(spark, train, testVals.length, cfg)
         val mase = Metrics.mean(Metrics.mase(trainVals, testVals, fc.mean,
           cfg.freq))
         val smape = Metrics.mean(Metrics.smape(testVals, fc.mean))

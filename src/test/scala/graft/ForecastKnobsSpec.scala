@@ -31,6 +31,24 @@ class ForecastKnobsSpec extends AnyFunSuite {
     }
   }
 
+  test("holdout auto-selection picks a harmonic count that fits the data") {
+    import spark.implicits._
+    // hourly series with a strong "yearly" cycle (period scaled down
+    // so the test stays fast): candidates with harmonics must beat 0
+    val n = 6000
+    val df = (0 until n).map { t =>
+      (t.toDouble, 50.0 + 10.0 * math.sin(2 * math.Pi * t / 8766.0) +
+        math.sin(t * 0.7))
+    }.toDF("time", "value")
+    val cfg = graft.pipeline.DarimaConfig(numChunks = 2, freq = 24,
+      tol = 48, maxLag = 48)
+    val (chosen, model, fc) = graft.pipeline.Darima
+      .runAutoHarmonics(spark, df, h = 200, cfg, candidates = Seq(0, 1))
+    assert(Seq(0, 1).contains(chosen))
+    assert(fc.mean.length == 200 && fc.mean.forall(!_.isNaN))
+    assert(model.p > 0)
+  }
+
   test("recency decay reweights the DLSA combine toward recent chunks") {
     import spark.implicits._
     // two chunks, equal precision: undecayed combine averages them;

@@ -38,6 +38,29 @@ object Extensions {
   private val x28Decontaminate: Q = (s, d) =>
     Dedup.decontaminate(Tables.documents(s, d), benchIds = 5, n = 4)
 
+  /** X1/X3 capstone: the composed curation pipeline a training-data
+    * run actually executes — keep a document iff it (a) passes the
+    * quality verdict, (b) is the canonical keeper of its exact-dup
+    * group, and (c) shares no 4-gram with the benchmark set. Three
+    * semi/anti joins over the operator outputs; the dup-keeper and
+    * benchmark sides broadcast.
+    */
+  private val x29CleanCorpus: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val quality = TextAnalysis.quality(docs)
+      .filter(col("verdict") === "keep").select(col("doc_id"))
+    val keepers = Dedup.exactGroups(docs)
+      .select(col("keep_id").as("doc_id"))
+    val contaminated = Dedup.decontaminate(docs, benchIds = 5, n = 4)
+      .select(col("doc_id"))
+    docs.filter(col("doc_id") >= 5)
+      .join(broadcast(quality), Seq("doc_id"), "left_semi")
+      .join(broadcast(keepers), Seq("doc_id"), "left_semi")
+      .join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   private val x05CosineTopk: Q = (s, d) =>
     Similarity.cosineTopK(Tables.embeddings(s, d), nQueries = 5, k = 3)
 
@@ -224,6 +247,7 @@ object Extensions {
     "x26_simhash_neardup" -> x26SimhashNeardup,
     "x27_resize_plan" -> x27ResizePlan,
     "x28_decontaminate" -> x28Decontaminate,
+    "x29_clean_corpus" -> x29CleanCorpus,
   )
 
   /** The md5-nibble fake-decode in SQL (first 8 nibbles of
@@ -322,5 +346,20 @@ object Extensions {
         |  CAST((height - least(width, height)) // 2 AS INT) AS crop_y
         |FROM m ORDER BY doc_id""".stripMargin,
     "x28_decontaminate" -> Dedup.decontaminateSql(5, 4),
+    "x29_clean_corpus" ->
+      s"""WITH q AS (
+         |  SELECT doc_id FROM (${TextAnalysis.qualitySql}) WHERE verdict = 'keep'
+         |), keepers AS (
+         |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+         |), contaminated AS (
+         |  SELECT doc_id FROM (${Dedup.decontaminateSql(5, 4)})
+         |)
+         |SELECT d.doc_id, d.lang, d.n_chars
+         |FROM documents d
+         |WHERE d.doc_id >= 5
+         |  AND d.doc_id IN (SELECT doc_id FROM q)
+         |  AND d.doc_id IN (SELECT doc_id FROM keepers)
+         |  AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+         |ORDER BY d.doc_id""".stripMargin,
   )
 }

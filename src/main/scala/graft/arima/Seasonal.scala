@@ -52,12 +52,28 @@ object Seasonal {
     * the regressors.
     */
   def fitHarmonics(y: Array[Double], tau: Array[Double],
-      ps: Array[(Int, Int)]): Array[HarmCoef] = {
+      ps0: Array[(Int, Int)]): Array[HarmCoef] = {
     val n = y.length
+    if (ps0.isEmpty || n == 0) return Array.empty
+    // A pair whose fundamental cycle exceeds the chunk's tau span is
+    // near-collinear with the intercept/trend regressors (under one
+    // full period observed) — ill-conditioned normal equations. Drop
+    // such pairs; lag_idx/name are canonical per (cycle,k), so chunks
+    // spanning different ranges still combine coefficient-wise.
+    var tauMin = tau(0)
+    var tauMax = tau(0)
+    var i = 1
+    while (i < n) {
+      if (tau(i) < tauMin) tauMin = tau(i)
+      if (tau(i) > tauMax) tauMax = tau(i)
+      i += 1
+    }
+    val span = tauMax - tauMin
+    val ps = ps0.filter { case (cycle, k) => cycle.toDouble / k <= span }
     val k = 2 + 2 * ps.length
     if (ps.isEmpty || n < 2 * k + 4) return Array.empty
     var tauMean = 0.0
-    var i = 0
+    i = 0
     while (i < n) { tauMean += tau(i); i += 1 }
     tauMean /= n
     val xtx = Array.ofDim[Double](k, k)
@@ -90,21 +106,29 @@ object Seasonal {
       while (b < a) { xtx(a)(b) = xtx(b)(a); b += 1 }
       a += 1
     }
-    val beta = Linalg.solve(xtx, xty)
-    Array.tabulate(ps.length) { j =>
-      HarmCoef(ps(j)._1, ps(j)._2, beta(2 + 2 * j), beta(3 + 2 * j))
+    // A singular system (constant series, pathological sampling) makes
+    // the harmonic stage a safe no-op rather than an executor crash.
+    try {
+      val beta = Linalg.solve(xtx, xty)
+      Array.tabulate(ps.length) { j =>
+        HarmCoef(ps(j)._1, ps(j)._2, beta(2 + 2 * j), beta(3 + 2 * j))
+      }
+    } catch {
+      case _: IllegalArgumentException => Array.empty
     }
   }
 
   /** Stable coefficient-row names for the DLSA combine ("cos_24_1",
     * "sin_168_2", ...) and their reserved lag_idx slots (distinct
-    * negatives below the beta0/beta1 slots).
+    * negatives below the beta0/beta1 slots). The slot is canonical in
+    * (cycle, k) — NOT positional — so chunks that drop different
+    * pairs (span guard above) still group per coefficient.
     */
   def coefName(trig: String, cycle: Int, k: Int): String =
     s"${trig}_${cycle}_$k"
 
-  def lagIdx(pairIdx: Int, isSin: Boolean): Int =
-    -(10 + 2 * pairIdx + (if (isSin) 1 else 0))
+  def lagIdx(cycle: Int, k: Int, isSin: Boolean): Int =
+    -(10 + 64 * cycle + 2 * k + (if (isSin) 1 else 0))
 
   /** Parse a "cos_24_1"-style name; None for non-harmonic coefs. */
   def parseName(name: String): Option[(String, Int, Int)] = {

@@ -21,10 +21,17 @@ object Metrics {
   }
 
   def mase(train: Array[Double], test: Array[Double], pred: Array[Double],
-      m: Int): Array[Double] = {
-    val s = seasonalNaiveScale(train, m)
-    Array.tabulate(test.length)(i => math.abs(test(i) - pred(i)) / s)
-  }
+      m: Int): Array[Double] =
+    maseScaled(test, pred, seasonalNaiveScale(train, m))
+
+  /** MASE from a precomputed scale — the distributed-eval form: the
+    * scale comes from one aggregate over the train series
+    * (Darima.seasonalNaiveScaleDF), so the train data itself never
+    * reaches the driver.
+    */
+  def maseScaled(test: Array[Double], pred: Array[Double],
+      scale: Double): Array[Double] =
+    Array.tabulate(test.length)(i => math.abs(test(i) - pred(i)) / scale)
 
   def smape(test: Array[Double], pred: Array[Double]): Array[Double] =
     Array.tabulate(test.length) { i =>
@@ -34,8 +41,12 @@ object Metrics {
 
   /** Mean Scaled Interval Score at confidence `level` (percent). */
   def msis(train: Array[Double], test: Array[Double], lower: Array[Double],
-      upper: Array[Double], level: Int, m: Int): Array[Double] = {
-    val s = seasonalNaiveScale(train, m)
+      upper: Array[Double], level: Int, m: Int): Array[Double] =
+    msisScaled(test, lower, upper, level, seasonalNaiveScale(train, m))
+
+  /** MSIS from a precomputed scale (see [[maseScaled]]). */
+  def msisScaled(test: Array[Double], lower: Array[Double],
+      upper: Array[Double], level: Int, s: Double): Array[Double] = {
     val alpha = (100.0 - level) / 100.0
     Array.tabulate(test.length) { i =>
       var v = upper(i) - lower(i)

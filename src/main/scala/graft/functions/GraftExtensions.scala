@@ -18,14 +18,22 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * Rule/Strategy is warranted).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def binary(name: String, make: (Expression, Expression) => Expression)
+      : Seq[Expression] => Expression = {
+    case Seq(a, b) => make(a, b)
+    case exprs => throw new IllegalArgumentException(
+      s"$name expects exactly 2 arguments, got ${exprs.length}")
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
-      (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+      binary("dot_product", DotProduct.apply)))
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
-      (exprs: Seq[Expression]) => CosineSim(exprs(0), exprs(1))))
+      binary("cosine_sim", CosineSim.apply)))
   }
 }

@@ -39,13 +39,18 @@ object AsofJoin {
     val leftCols = left.columns
     // One unioned stream: right rows carry the value, left rows null.
     // __side orders right (0) before left (1) at equal times, making
-    // the match inclusive.
+    // the match inclusive. The value rides inside a 1-field struct —
+    // a right row whose VALUE is null still produces a non-null
+    // struct, so last(ignoreNulls) below cannot skip it and fall back
+    // to an older right row (ASOF semantics for nullable values).
+    val rvType = new org.apache.spark.sql.types.StructType()
+      .add("v", right.schema(valueCol).dataType)
     val l = left
       .withColumn("__side", lit(1))
-      .withColumn("__rv", lit(null).cast(right.schema(valueCol).dataType))
+      .withColumn("__rv", lit(null).cast(rvType))
     val r = right
       .select(col(keyCol), col(timeCol),
-        col(valueCol).as("__rv"))
+        struct(col(valueCol).as("v")).as("__rv"))
       .withColumn("__side", lit(0))
     val extra = leftCols.filterNot(c => c == keyCol || c == timeCol)
     val rPadded = extra.foldLeft(r) { (acc, c) =>
@@ -55,7 +60,8 @@ object AsofJoin {
       .orderBy(col(timeCol), col("__side"))
       .rowsBetween(Window.unboundedPreceding, 0)
     l.unionByName(rPadded.select(l.columns.map(col): _*))
-      .withColumn(outCol, last(col("__rv"), ignoreNulls = true).over(w))
+      .withColumn(outCol,
+        last(col("__rv"), ignoreNulls = true).over(w).getField("v"))
       .filter(col("__side") === 1)
       .drop("__side", "__rv")
   }

@@ -2,13 +2,12 @@ package graft.pipeline
 
 import org.apache.spark.sql.{Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
-import graft.arima.{ArimaFit, Sarima2Ar}
 
 /** The chunk fit as a typed `Aggregator` (SURVEY.md §4.2's optional
   * UDAF form): makes a DARIMA fit expressible inside `agg(...)` on a
   * KeyValueGroupedDataset, composable with other aggregates in one
-  * pass. Semantically identical to the `flatMapGroups` path in
-  * [[Darima.fitChunkCoefs]] — buffer collects (time, value) pairs,
+  * pass. Identical to the `flatMapGroups` path by construction — both
+  * call [[Darima.fitOneChunk]]; buffer collects (time, value) pairs,
   * finish sorts and fits.
   *
   * The buffer is O(chunk) like the flatMapGroups path (a fit needs
@@ -30,22 +29,8 @@ class ArimaFitAggregator(cfg: DarimaConfig)
 
   override def merge(b1: Buf, b2: Buf): Buf = { b1 ++= b2; b1 }
 
-  override def finish(b: Buf): Array[CoefRow] = {
-    val values = b.sortBy(_._1).map(_._2).toArray
-    val mod = cfg.fitter match {
-      case "arma" => ArimaFit.fit(values, cfg.freq, cfg.maxP, cfg.maxQ)
-      case _ => ArimaFit.fitLongAr(values, cfg.freq, cfg.maxLag)
-    }
-    val ar = Sarima2Ar.toAr(mod, cfg.tol)
-    val w = ar.n.toDouble / math.max(ar.sigma2, 1e-12)
-    val base = Array(
-      CoefRow("beta0", -2, ar.beta0, w, ar.n),
-      CoefRow("beta1", -1, ar.beta1, w, ar.n),
-      CoefRow("sigma2", Int.MaxValue, ar.sigma2, w, ar.n))
-    base ++ ar.pi.zipWithIndex.map { case (p, i) =>
-      CoefRow(s"ar${i + 1}", i + 1, p, w, ar.n)
-    }
-  }
+  override def finish(b: Buf): Array[CoefRow] =
+    Darima.fitOneChunk(b.sortBy(_._1).toArray, cfg)
 
   override def bufferEncoder: Encoder[Buf] = Encoders.kryo[Buf]
 

@@ -46,14 +46,15 @@ object DarimaMain {
       val (model, fc) = Darima.run(spark, train, testVals.length, cfg)
       new java.io.File(outDir).mkdirs()
       Darima.writeForecastJson(fc, s"$outDir/forecast.json")
-      val trainVals = train.orderBy("time").select("value").collect()
-        .map(_.getDouble(0))
-      val mase = Metrics.mean(Metrics.mase(trainVals, testVals, fc.mean, cfg.freq))
+      // MASE/MSIS scaling from one distributed aggregate — the train
+      // series never reaches the driver (only the test tail does).
+      val scale = Darima.seasonalNaiveScaleDF(train, cfg.freq)
+      val mase = Metrics.mean(Metrics.maseScaled(testVals, fc.mean, scale))
       val smape = Metrics.mean(Metrics.smape(testVals, fc.mean))
-      val msis80 = Metrics.mean(Metrics.msis(trainVals, testVals,
-        fc.lower(0), fc.upper(0), 80, cfg.freq))
-      val msis95 = Metrics.mean(Metrics.msis(trainVals, testVals,
-        fc.lower(1), fc.upper(1), 95, cfg.freq))
+      val msis80 = Metrics.mean(Metrics.msisScaled(testVals,
+        fc.lower(0), fc.upper(0), 80, scale))
+      val msis95 = Metrics.mean(Metrics.msisScaled(testVals,
+        fc.lower(1), fc.upper(1), 95, scale))
       println(f"""{"p":${model.p},"sigma2":${model.sigma2}%.4f,""" +
         f""""mase":$mase%.4f,"smape":$smape%.4f,""" +
         f""""msis_80":$msis80%.4f,"msis_95":$msis95%.4f}""")

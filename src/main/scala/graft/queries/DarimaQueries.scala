@@ -2,7 +2,6 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 import graft.Tables
 import graft.arima.ArFit
 import graft.pipeline.{Darima, DarimaConfig}
@@ -10,11 +9,22 @@ import graft.eval.Metrics
 
 /** The DARIMA pipeline surface, run over the harness `events` table
   * as the univariate series (ts → time, value → demand analog).
-  * The fit itself is not SQL-expressible, so d01–d04 are rows-only
-  * entries; d05 closes the loop by running the real Scala OLS fitter
-  * per chunk and checking it against a closed-form normal-equation
-  * solution written in pure DuckDB SQL — the fit math is therefore
-  * oracle-checked on the AR(1)+intercept special case.
+  *
+  * Every query here is oracle-checked end to end. The technique
+  * (proved by d05 in round 1): run the REAL distributed pipeline —
+  * exact ntile chunking, groupByKey fit, DLSA combine, the driver
+  * forecast recursion, the metric stack — but pin the inner fit to
+  * the closed-form `olsar` fitter (OLS AR(p) by streaming normal
+  * equations, ArFit.olsAr), which a DuckDB oracle can reproduce:
+  * Cramer's rule for the per-chunk fit, plain SQL for the DLSA
+  * combine, and a WITH RECURSIVE CTE that mirrors the forecast
+  * recursion term by term (same left-associated float ops). The
+  * stepwise/long-AR production fitters stay covered by unit and
+  * property specs plus the 10-zone e2e eval (RESULTS.md).
+  *
+  * Reference trace: chunk fit darima.py:151-155 + auto_arima.R:7-93,
+  * combine darima.py:233-280, forecast darima.py:292-414, metrics
+  * darima.py:425-488.
   */
 object DarimaQueries {
   type Q = (SparkSession, String) => DataFrame
@@ -23,8 +33,12 @@ object DarimaQueries {
     Tables.events(s, d)
       .select(col("ts").cast("double").as("time"), col("value"))
 
-  private val cfg = DarimaConfig(numChunks = 4, freq = 24, tol = 24,
-    maxP = 3, maxQ = 2)
+  /** Closed-form configs: exact ntile chunks (OrderedRank — SQL
+    * NTILE-identical) + fixed-order OLS AR fit, no harmonics.
+    */
+  private val cfgOls2 = DarimaConfig(numChunks = 4, freq = 24,
+    fitter = "olsar", olsP = 2, olsTrend = false, chunker = "ntile")
+  private val cfgOls1 = cfgOls2.copy(olsP = 1)
 
   /** Same rounding convention as Spark's / DuckDB's `round(x, n)`
     * (HALF_UP, away from zero on ties) — `math.rint` is half-to-even
@@ -35,56 +49,83 @@ object DarimaQueries {
     else BigDecimal(java.math.BigDecimal.valueOf(x))
       .setScale(n, BigDecimal.RoundingMode.HALF_UP).toDouble
 
-  /** M1-M7: per-chunk SARIMA fit + AR linearization (rows-only). */
+  /** sigma2 rows round at 3dp (magnitude ~1e4 — 6dp would demand
+    * 1e-11 relative agreement between Gaussian elimination and the
+    * oracle's Cramer solve); coefficient rows at 6dp.
+    */
+  private val roundedValue =
+    when(col("coef") === "sigma2", round(col("value"), 3))
+      .otherwise(round(col("value"), 6)).as("value")
+
+  /** M1-M8: per-chunk fit + coefficient un-nest, on the REAL
+    * flatMapGroups path (Darima.fitChunkCoefs) with the closed-form
+    * AR(2) fitter — oracle solves the same normal equations by
+    * Cramer's rule per ntile chunk.
+    */
   private val d01ChunkCoefs: Q = (s, d) =>
-    Darima.fitChunkCoefs(s, series(s, d), cfg)
-      .select(col("chunk_id"), col("coef"), col("lag_idx"),
-        round(col("value"), 6).as("value"))
+    Darima.fitChunkCoefs(s, series(s, d), cfgOls2)
+      .select(col("chunk_id"), col("coef"), col("lag_idx"), roundedValue)
       .orderBy(col("chunk_id"), col("lag_idx"))
 
-  /** A1/A4: DLSA combine to the global model (rows-only). */
+  /** A1/A4: DLSA combine to the global model — θ = Σw_kθ_k/Σw_k,
+    * σ² = Σn_k/Σw_k with w_k = n_k/σ²_k (paper-correct §1.4.6).
+    */
   private val d02GlobalCoefs: Q = (s, d) => {
-    val coefs = Darima.fitChunkCoefs(s, series(s, d), cfg)
+    val coefs = Darima.fitChunkCoefs(s, series(s, d), cfgOls2)
     Darima.combine(coefs, "dlsa")
-      .select(col("coef"), col("lag_idx"), round(col("value"), 6).as("value"))
+      .select(col("coef"), col("lag_idx"), roundedValue)
       .orderBy(col("lag_idx"))
   }
 
-  /** FC1-FC8: h-step forecast with 80/95% intervals (rows-only). */
+  /** FC1-FC8: the full run — distributed fit + combine, driver
+    * recursion, ψ-weight s.e., probit intervals — with the AR(1)
+    * closed form; the oracle replays the identical recursion in a
+    * WITH RECURSIVE CTE seeded from the same combined model.
+    */
   private val d03Forecast: Q = (s, d) => {
     import s.implicits._
-    val (_, fc) = Darima.run(s, series(s, d), h = 48, cfg)
+    val (_, fc) = Darima.run(s, series(s, d), h = 48, cfgOls1)
     fc.mean.indices.map { i =>
-      (i + 1, fc.mean(i), fc.se(i), fc.lower(0)(i), fc.upper(0)(i),
-        fc.lower(1)(i), fc.upper(1)(i))
+      (i + 1, roundN(fc.mean(i), 4), roundN(fc.se(i), 4),
+        roundN(fc.lower(0)(i), 4), roundN(fc.upper(0)(i), 4),
+        roundN(fc.lower(1)(i), 4), roundN(fc.upper(1)(i), 4))
     }.toDF("step", "mean", "se", "lo80", "hi80", "lo95", "hi95")
       .orderBy(col("step"))
   }
 
-  /** E1-E5: train/test split, forecast, MASE/sMAPE/MSIS (rows-only). */
+  /** E1-E5: time-cutoff train/test split (pushed-down filter — no
+    * GlobalLimit, no full-series collect; VERDICT r2 #1), forecast on
+    * the train prefix, distributed seasonal-naïve scale, MASE/sMAPE/
+    * MSIS means over the h-row test tail (the only rows collected).
+    */
   private val d04ForecastEval: Q = (s, d) => {
     import s.implicits._
-    val all = series(s, d).orderBy(col("time"))
-      .select(col("value")).collect().map(_.getDouble(0))
-    val nTest = math.max(24, all.length / 10)
-    val train = all.dropRight(nTest)
-    val test = all.takeRight(nTest)
-    val trainDf = series(s, d).orderBy(col("time")).limit(train.length)
-    val (_, fc) = Darima.run(s, trainDf, h = nTest, cfg)
-    val mase = Metrics.mase(train, test, fc.mean, cfg.freq)
-    val smape = Metrics.smape(test, fc.mean)
-    val msis80 = Metrics.msis(train, test, fc.lower(0), fc.upper(0), 80, cfg.freq)
-    val msis95 = Metrics.msis(train, test, fc.lower(1), fc.upper(1), 95, cfg.freq)
-    Seq((Metrics.mean(mase), Metrics.mean(smape), Metrics.mean(msis80),
-      Metrics.mean(msis95), nTest))
+    val all = series(s, d)
+    val n = all.count()
+    val nTest = math.max(24L, n / 10).toInt
+    // test tail: distributed top-k, h rows — bounded driver transfer
+    val tail = all.select(col("time").cast("double").as("t"), col("value"))
+      .orderBy(col("t").desc).limit(nTest)
+      .collect().sortBy(_.getDouble(0))
+    val cutoff = tail.head.getDouble(0)
+    val test = tail.map(_.getDouble(1))
+    val trainDf = all.filter(col("time") < cutoff)
+    val (_, fc) = Darima.run(s, trainDf, h = nTest, cfgOls1)
+    val scale = Darima.seasonalNaiveScaleDF(trainDf, cfgOls1.freq)
+    val mase = Metrics.mean(Metrics.maseScaled(test, fc.mean, scale))
+    val smape = Metrics.mean(Metrics.smape(test, fc.mean))
+    val msis80 = Metrics.mean(
+      Metrics.msisScaled(test, fc.lower(0), fc.upper(0), 80, scale))
+    val msis95 = Metrics.mean(
+      Metrics.msisScaled(test, fc.lower(1), fc.upper(1), 95, scale))
+    Seq((roundN(mase, 6), roundN(smape, 6), roundN(msis80, 6),
+      roundN(msis95, 6), nTest))
       .toDF("mean_mase", "mean_smape", "mean_msis_80", "mean_msis_95", "h")
   }
 
-  /** The fit-math oracle: AR(1)+intercept OLS per contiguous chunk.
-    * Spark side runs the REAL fitter (ArFit.olsAr inside
-    * flatMapGroups); the oracle solves the same normal equations in
-    * closed form in SQL. Agreement (to 1e-6 after rounding) certifies
-    * the streaming-normal-equation + Gaussian-elimination path.
+  /** The original fit-math oracle: AR(1)+intercept OLS per contiguous
+    * chunk (kept from round 1; certifies ArFit.olsAr against the
+    * closed-form normal equations on a second code path).
     */
   private val d05Ar1Ols: Q = (s, d) => {
     import s.implicits._
@@ -106,21 +147,23 @@ object DarimaQueries {
       .orderBy(col("chunk_id"))
   }
 
-  /** M1 alternate form: the fit as a typed Aggregator inside agg(...)
-    * (SURVEY.md §4.2) — must produce the same coefficients as d01.
+  /** M1 alternate form: the same fit as a typed Aggregator inside
+    * agg(...) (SURVEY.md §4.2) — shares Darima.fitOneChunk with d01,
+    * and the same oracle certifies both API surfaces.
     */
   private val d06FitAggregator: Q = (s, d) => {
     import s.implicits._
-    val chunked = graft.ts.Chunker.rangeChunks(
+    val chunked = graft.ts.Chunker.ntileChunks(
       series(s, d).select(col("time").as("t"), col("value").as("v")),
-      col("t"), cfg.numChunks)
+      col("t"), cfgOls2.numChunks)
     chunked.select(col("chunk_id"), col("t"), col("v"))
       .as[(Int, Double, Double)]
       .groupByKey(_._1)
       .mapValues(r => (r._2, r._3))
-      .agg(new graft.pipeline.ArimaFitAggregator(cfg).toColumn.name("coefs"))
+      .agg(new graft.pipeline.ArimaFitAggregator(cfgOls2).toColumn.name("coefs"))
       .flatMap { case (chunkId, rows) =>
-        rows.map(r => (chunkId, r.coef, r.lag_idx, roundN(r.value, 6)))
+        rows.map(r => (chunkId, r.coef, r.lag_idx,
+          roundN(r.value, if (r.coef == "sigma2") 3 else 6)))
       }
       .toDF("chunk_id", "coef", "lag_idx", "value")
       .orderBy(col("chunk_id"), col("lag_idx"))
@@ -135,12 +178,230 @@ object DarimaQueries {
     "d06_fit_aggregator" -> d06FitAggregator,
   )
 
-  /** Closed-form AR(1) OLS in DuckDB SQL: y_t on [1, y_{t-1}] within
-    * each ntile chunk;
-    *   φ = (nΣxy − ΣxΣy)/(nΣxx − (Σx)²), c = (Σy − φΣx)/n_reg,
-    *   σ² = Σ(y − c − φx)²/(n_reg − 2).
+  // ---------------------------------------------------------------
+  // DuckDB oracles
+  // ---------------------------------------------------------------
+
+  /** Per-ntile-chunk OLS AR(2) fit by Cramer's rule on the 3×3 normal
+    * equations  [n Σx1 Σx2; Σx1 Σx1² Σx1x2; Σx2 Σx1x2 Σx2²]·β =
+    * [Σy; Σx1y; Σx2y], then σ² = SSE/(nr−3). Produces one row per
+    * (chunk, coefficient) in the pipeline's (coef, lag_idx) layout.
     */
+  private val ar2FitCtes: String =
+    """ordered AS (
+      |  SELECT value, ntile(4) OVER (ORDER BY ts) - 1 AS chunk_id,
+      |         row_number() OVER (ORDER BY ts) AS rn
+      |  FROM events
+      |), lagged AS (
+      |  SELECT chunk_id, value AS y,
+      |         lag(value, 1) OVER (PARTITION BY chunk_id ORDER BY rn) AS x1,
+      |         lag(value, 2) OVER (PARTITION BY chunk_id ORDER BY rn) AS x2
+      |  FROM ordered
+      |), base AS (
+      |  SELECT chunk_id, y, x1, x2 FROM lagged WHERE x2 IS NOT NULL
+      |), sums AS (
+      |  SELECT chunk_id, CAST(count(*) AS DOUBLE) AS nr,
+      |         sum(x1) AS s1, sum(x2) AS s2, sum(y) AS sy,
+      |         sum(x1*x1) AS s11, sum(x1*x2) AS s12, sum(x2*x2) AS s22,
+      |         sum(x1*y) AS s1y, sum(x2*y) AS s2y
+      |  FROM base GROUP BY chunk_id
+      |), params AS (
+      |  SELECT chunk_id, nr,
+      |    (sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s12*s2y)
+      |       + s2*(s1y*s12 - s11*s2y))
+      |    / (nr*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2)
+      |       + s2*(s1*s12 - s11*s2)) AS b0,
+      |    (nr*(s1y*s22 - s12*s2y) - sy*(s1*s22 - s12*s2)
+      |       + s2*(s1*s2y - s1y*s2))
+      |    / (nr*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2)
+      |       + s2*(s1*s12 - s11*s2)) AS p1,
+      |    (nr*(s11*s2y - s1y*s12) - s1*(s1*s2y - s1y*s2)
+      |       + sy*(s1*s12 - s11*s2))
+      |    / (nr*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2)
+      |       + s2*(s1*s12 - s11*s2)) AS p2
+      |  FROM sums
+      |), fit AS (
+      |  SELECT p.chunk_id, p.nr + 2 AS n, p.b0, p.p1, p.p2,
+      |         sum((b.y - p.b0 - p.p1*b.x1 - p.p2*b.x2)
+      |             * (b.y - p.b0 - p.p1*b.x1 - p.p2*b.x2))
+      |           / (p.nr - 3) AS sig
+      |  FROM base b JOIN params p ON b.chunk_id = p.chunk_id
+      |  GROUP BY p.chunk_id, p.nr, p.b0, p.p1, p.p2
+      |), rows_out AS (
+      |  SELECT chunk_id, 'beta0' AS coef, -2 AS lag_idx, round(b0, 6) AS value
+      |  FROM fit
+      |  UNION ALL
+      |  SELECT chunk_id, 'beta1', -1, CAST(0.0 AS DOUBLE) FROM fit
+      |  UNION ALL
+      |  SELECT chunk_id, 'sigma2', 2147483647, round(sig, 3) FROM fit
+      |  UNION ALL
+      |  SELECT chunk_id, 'ar1', 1, round(p1, 6) FROM fit
+      |  UNION ALL
+      |  SELECT chunk_id, 'ar2', 2, round(p2, 6) FROM fit
+      |)""".stripMargin
+
+  private val d01Sql: String =
+    s"""WITH $ar2FitCtes
+       |SELECT chunk_id, coef, lag_idx, value FROM rows_out
+       |ORDER BY chunk_id, lag_idx""".stripMargin
+
+  /** DLSA combine over the per-chunk fits: w_k = n_k/σ²_k. */
+  private val d02Sql: String =
+    s"""WITH $ar2FitCtes, w AS (
+       |  SELECT chunk_id, n, b0, p1, p2, sig, n / sig AS wt FROM fit
+       |)
+       |SELECT coef, lag_idx, value FROM (
+       |  SELECT 'beta0' AS coef, -2 AS lag_idx,
+       |         round(sum(b0*wt)/sum(wt), 6) AS value FROM w
+       |  UNION ALL
+       |  SELECT 'beta1', -1, CAST(0.0 AS DOUBLE)
+       |  UNION ALL
+       |  SELECT 'sigma2', 2147483647, round(sum(n)/sum(wt), 3) FROM w
+       |  UNION ALL
+       |  SELECT 'ar1', 1, round(sum(p1*wt)/sum(wt), 6) FROM w
+       |  UNION ALL
+       |  SELECT 'ar2', 2, round(sum(p2*wt)/sum(wt), 6) FROM w
+       |) ORDER BY lag_idx""".stripMargin
+
+  /** AR(1) fit CTEs (the d03/d04 building block): same shape as d05's
+    * 2×2 closed form, per ntile chunk over a `src(t, value)` relation
+    * ordered by t.
+    */
+  private def ar1FitCtes(src: String): String =
+    s"""ordered1 AS (
+       |  SELECT value, ntile(4) OVER (ORDER BY t) - 1 AS chunk_id,
+       |         row_number() OVER (ORDER BY t) AS rn
+       |  FROM $src
+       |), lagged1 AS (
+       |  SELECT chunk_id, value AS y,
+       |         lag(value) OVER (PARTITION BY chunk_id ORDER BY rn) AS x
+       |  FROM ordered1
+       |), base1 AS (
+       |  SELECT chunk_id, y, x FROM lagged1 WHERE x IS NOT NULL
+       |), sums1 AS (
+       |  SELECT chunk_id, CAST(count(*) AS DOUBLE) AS nr,
+       |         sum(x) AS sx, sum(y) AS sy,
+       |         sum(x*y) AS sxy, sum(x*x) AS sxx
+       |  FROM base1 GROUP BY chunk_id
+       |), params1 AS (
+       |  SELECT chunk_id, nr,
+       |         (nr*sxy - sx*sy) / (nr*sxx - sx*sx) AS phi,
+       |         (sy - ((nr*sxy - sx*sy) / (nr*sxx - sx*sx)) * sx) / nr AS c
+       |  FROM sums1
+       |), fit1 AS (
+       |  SELECT p.chunk_id, p.nr + 1 AS n, p.c, p.phi,
+       |         sum((b.y - p.c - p.phi*b.x) * (b.y - p.c - p.phi*b.x))
+       |           / (p.nr - 2) AS sig
+       |  FROM base1 b JOIN params1 p ON b.chunk_id = p.chunk_id
+       |  GROUP BY p.chunk_id, p.nr, p.c, p.phi
+       |), gmod AS (
+       |  SELECT sum(c * (n/sig)) / sum(n/sig) AS c,
+       |         sum(phi * (n/sig)) / sum(n/sig) AS phi,
+       |         sum(n) / sum(n/sig) AS sig
+       |  FROM fit1
+       |)""".stripMargin
+
+  /** Probit constants as the driver computes them (commons-math3
+    * inverse normal CDF printed via Double.toString).
+    */
+  private val z80 = "CAST('1.2815515655446008' AS DOUBLE)"
+  private val z95 = "CAST('1.959963984540054' AS DOUBLE)"
+
+  /** The forecast recursion, replayed exactly: row s carries
+    * mean_s = c + φ·mean_{s−1}, ψ_s = φ·ψ_{s−1} (ψ_0 = 1), and
+    * cum_s = cum_{s−1} + ψ_{s−1}² — the same left-associated float
+    * sequence as Forecast.forecast/psiWeights, so the recursive CTE
+    * tracks the Scala recursion bit for bit before rounding.
+    */
+  private val d03Sql: String =
+    s"""WITH RECURSIVE src AS (
+       |  SELECT epoch(ts) AS t, value FROM events
+       |), ${ar1FitCtes("src")}, tail AS (
+       |  SELECT value AS y0 FROM src ORDER BY t DESC LIMIT 1
+       |), fc AS (
+       |  SELECT 0 AS step, CAST(y0 AS DOUBLE) AS m,
+       |         CAST(1.0 AS DOUBLE) AS psi, CAST(0.0 AS DOUBLE) AS cum
+       |  FROM tail
+       |  UNION ALL
+       |  SELECT f.step + 1, g.c + g.phi * f.m,
+       |         g.phi * f.psi, f.cum + f.psi * f.psi
+       |  FROM fc f CROSS JOIN gmod g WHERE f.step < 48
+       |)
+       |SELECT f.step,
+       |       round(f.m, 4) AS mean,
+       |       round(sqrt(g.sig * f.cum), 4) AS se,
+       |       round(f.m - $z80 * sqrt(g.sig * f.cum), 4) AS lo80,
+       |       round(f.m + $z80 * sqrt(g.sig * f.cum), 4) AS hi80,
+       |       round(f.m - $z95 * sqrt(g.sig * f.cum), 4) AS lo95,
+       |       round(f.m + $z95 * sqrt(g.sig * f.cum), 4) AS hi95
+       |FROM fc f CROSS JOIN gmod g
+       |WHERE f.step >= 1
+       |ORDER BY f.step""".stripMargin
+
+  /** Train/test split at the (n−h)-th timestamp, AR(1) pipeline on
+    * the train prefix, metric means over the h-step test tail —
+    * MASE/MSIS scaled by the train's seasonal-naïve MAE (lag 24).
+    */
+  private val d04Sql: String =
+    s"""WITH RECURSIVE allrows AS (
+       |  SELECT epoch(ts) AS t, value,
+       |         row_number() OVER (ORDER BY ts) AS rn,
+       |         count(*) OVER () AS n
+       |  FROM events
+       |), split AS (
+       |  SELECT greatest(24, n // 10) AS ntest, n FROM allrows LIMIT 1
+       |), src AS (
+       |  SELECT a.t, a.value FROM allrows a, split s
+       |  WHERE a.rn <= a.n - s.ntest
+       |), ${ar1FitCtes("src")}, tail AS (
+       |  SELECT value AS y0 FROM src ORDER BY t DESC LIMIT 1
+       |), fc AS (
+       |  SELECT 0 AS step, CAST(y0 AS DOUBLE) AS m,
+       |         CAST(1.0 AS DOUBLE) AS psi, CAST(0.0 AS DOUBLE) AS cum
+       |  FROM tail
+       |  UNION ALL
+       |  SELECT f.step + 1, g.c + g.phi * f.m,
+       |         g.phi * f.psi, f.cum + f.psi * f.psi
+       |  FROM fc f CROSS JOIN gmod g, split s WHERE f.step < s.ntest
+       |), scale AS (
+       |  SELECT avg(abs(d)) AS sc FROM (
+       |    SELECT value - lag(value, 24) OVER (ORDER BY t) AS d FROM src
+       |  ) WHERE d IS NOT NULL
+       |), joined AS (
+       |  SELECT a.value AS actual, f.m,
+       |         sqrt(g.sig * f.cum) AS se
+       |  FROM allrows a, split s, gmod g, fc f
+       |  WHERE a.rn > a.n - s.ntest
+       |    AND f.step = a.rn - (a.n - s.ntest)
+       |)
+       |SELECT
+       |  round(avg(abs(actual - m) / sc), 6) AS mean_mase,
+       |  round(avg(CASE WHEN (abs(actual) + abs(m)) / 2 = 0 THEN 0
+       |            ELSE abs(actual - m) / ((abs(actual) + abs(m)) / 2)
+       |            END), 6) AS mean_smape,
+       |  round(avg((
+       |      ((m + $z80 * se) - (m - $z80 * se))
+       |      + CASE WHEN actual < (m - $z80 * se)
+       |          THEN (2 / 0.2) * ((m - $z80 * se) - actual) ELSE 0 END
+       |      + CASE WHEN actual > (m + $z80 * se)
+       |          THEN (2 / 0.2) * (actual - (m + $z80 * se)) ELSE 0 END
+       |    ) / sc), 6) AS mean_msis_80,
+       |  round(avg((
+       |      ((m + $z95 * se) - (m - $z95 * se))
+       |      + CASE WHEN actual < (m - $z95 * se)
+       |          THEN (2 / 0.05) * ((m - $z95 * se) - actual) ELSE 0 END
+       |      + CASE WHEN actual > (m + $z95 * se)
+       |          THEN (2 / 0.05) * (actual - (m + $z95 * se)) ELSE 0 END
+       |    ) / sc), 6) AS mean_msis_95,
+       |  CAST(max(s2.ntest) AS INT) AS h
+       |FROM joined, scale, split s2""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "d01_chunk_coefs" -> d01Sql,
+    "d02_global_coefs" -> d02Sql,
+    "d03_forecast" -> d03Sql,
+    "d04_forecast_eval" -> d04Sql,
+    "d06_fit_aggregator" -> d01Sql,
     "d05_ar1_ols" ->
       """WITH ordered AS (
         |  SELECT value, ntile(4) OVER (ORDER BY ts, event_id) AS chunk_id,

@@ -77,7 +77,9 @@ class ExtensionsSpec extends AnyFunSuite {
         org.apache.spark.sql.functions.col("value")),
       graft.pipeline.DarimaConfig(numChunks = 4, freq = 24, tol = 24,
         maxP = 3, maxQ = 2)).collect()
-    assert(d01.count() == 4 * 27)
+    // d01 now runs the closed-form olsar(2) config: 4 chunks ×
+    // (beta0, beta1, sigma2, ar1, ar2)
+    assert(d01.count() == 4 * 5)
     // hand-compute DLSA for one AR coefficient and compare to combine()
     val ar1 = raw.filter(_.getString(1) == "ar1")
     val want = ar1.map(r => r.getDouble(3) * r.getDouble(4)).sum /

@@ -12,23 +12,31 @@ import org.apache.spark.sql.expressions.Window
   * Method: range-bucket rows on the order key with deterministic
   * quantile-sketch bounds (rows equal on the key stay in one bucket,
   * so the within-bucket sort extends to the exact global order via
-  * the tie-break), count rows per bucket (a tiny aggregate —
-  * `buckets` values — collected to the driver), and add each
-  * bucket's cumulative offset to its local `row_number`. Two cheap
-  * extra jobs (bounds sketch, bucket counts) buy a fully parallel
-  * sort: the shape that survives 100 TB.
+  * the tie-break). ONE bucketed window pass computes each row's
+  * bucket-local row number (the only wide shuffle + sort); a
+  * map-side-combined per-bucket count — a ≤`buckets`-row shuffle
+  * over a scan pruned to the order key — prefix-sums into every
+  * bucket's global offset, broadcast-joined back. All in a single
+  * Catalyst plan: nothing is collected to the driver, and there is
+  * no single-partition exchange anywhere — the offset prefix-sum
+  * runs on a deliberately-gathered ≤`buckets`-row frame keyed by a
+  * non-foldable constant (hash partitioning of a bounded relation,
+  * the same audited shape as the q12/q13 scalar broadcasts).
   *
   * `ntile` then follows from the global row number by the standard
   * SQL rule: with n rows and k tiles, the first n mod k tiles hold
   * ceil(n/k) rows — bit-identical to Spark's and DuckDB's NTILE.
+  * Tile arithmetic uses integer `div` (not double division), so the
+  * boundaries stay exact past 2^53 rows.
   */
 object OrderedRank {
 
-  /** Shared core: returns the ranked frame plus the total row count
-    * (free by-product of the bucket-count collect — no extra job).
+  /** Shared core: adds `outCol` (exact global row number, long) and
+    * `__n` (total row count, long — a column, not a driver value) to
+    * the frame.
     */
   private def ranked(df: DataFrame, orderCol: Column, tieBreak: Column,
-      outCol: String, buckets: Int): (DataFrame, Long) = {
+      outCol: String, buckets: Int): DataFrame = {
     val qs = (1 until math.max(buckets, 2)).map(i => i.toDouble / buckets)
     val stats = df.select(
       percentile_approx(orderCol.cast("double"),
@@ -38,28 +46,46 @@ object OrderedRank {
       if (stats.isNullAt(0)) Seq.empty
       else stats.getSeq[Double](0).distinct.sorted
 
+    if (bounds.isEmpty) {
+      // Degenerate input (constant order key or empty): a single
+      // local window is both correct and cheap.
+      val w = Window.partitionBy(col("__bucket")).orderBy(orderCol, tieBreak)
+      return df.withColumn("__bucket", lit(0))
+        .withColumn(outCol, row_number().over(w).cast("long"))
+        .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("__bucket"))))
+        .drop("__bucket")
+    }
+
     val bucket = bounds.foldLeft(lit(0)) { (acc, b) =>
       acc + when(orderCol.cast("double") > lit(b), 1).otherwise(0)
     }
     val based = df.withColumn("__bucket", bucket)
 
-    // Bucket sizes: at most `buckets` rows — safe to collect.
-    val counts = based.groupBy(col("__bucket")).count()
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val n = counts.valuesIterator.sum
-    val offsets = (0 to bounds.size).scanLeft(0L) { (acc, b) =>
-      acc + counts.getOrElse(b, 0L)
-    }
-    // offsets(b) = rows in buckets < b; encode as a when-chain over
-    // the (small) bucket id domain.
-    val offsetCol = (1 to bounds.size).foldLeft(lit(0L)) { (acc, b) =>
-      when(col("__bucket") === b, lit(offsets(b))).otherwise(acc)
-    }
+    // THE full-data pass: per-bucket sort computes the local row
+    // number — the only wide shuffle and sort in the plan.
     val w = Window.partitionBy(col("__bucket")).orderBy(orderCol, tieBreak)
-    val out = based
-      .withColumn(outCol, row_number().over(w).cast("long") + offsetCol)
-      .drop("__bucket")
-    (out, n)
+    val local = based
+      .withColumn("__lrn", row_number().over(w).cast("long"))
+
+    // Per-bucket counts: a map-side-combined aggregate — the shuffle
+    // carries ≤buckets rows per input partition, and column pruning
+    // reduces its scan to the order key alone. Prefix-sum the counts
+    // into global offsets + the grand total; the gather key is
+    // pmod(b, 1) = 0 but non-foldable, so this is a hash exchange of
+    // ≤buckets rows, not a SinglePartition plan.
+    val tiny = based.groupBy(col("__bucket")).count()
+      .select(col("__bucket").as("__b"), col("count").as("__tc"))
+      .withColumn("__gk", pmod(col("__b"), lit(1)))
+    val wOff = Window.partitionBy(col("__gk")).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = tiny
+      .withColumn("__off", coalesce(sum(col("__tc")).over(wOff), lit(0L)))
+      .withColumn("__n", sum(col("__tc")).over(Window.partitionBy(col("__gk"))))
+      .select(col("__b"), col("__off"), col("__n"))
+
+    local.join(broadcast(offs), col("__bucket") === col("__b"))
+      .withColumn(outCol, col("__lrn") + col("__off"))
+      .drop("__bucket", "__lrn", "__b", "__off")
   }
 
   /** Adds `outCol` = exact global row_number over
@@ -67,7 +93,7 @@ object OrderedRank {
     */
   def withRowNumber(df: DataFrame, orderCol: Column, tieBreak: Column,
       outCol: String = "__rn", buckets: Int = 32): DataFrame =
-    ranked(df, orderCol, tieBreak, outCol, buckets)._1
+    ranked(df, orderCol, tieBreak, outCol, buckets).drop("__n")
 
   /** Adds `outCol` = exact global ntile(k) (1-based, standard SQL
     * semantics) over (orderCol, tieBreak).
@@ -75,18 +101,19 @@ object OrderedRank {
   def withNtile(df: DataFrame, orderCol: Column, tieBreak: Column,
       k: Int, outCol: String = "tile", buckets: Int = 32): DataFrame = {
     require(k >= 1)
-    val (rankedDf, n) = ranked(df, orderCol, tieBreak, "__grn", buckets)
-    val q = n / k
-    val r = n % k
+    val rankedDf = ranked(df, orderCol, tieBreak, "__grn", buckets)
+    // First (n mod k) tiles have (n div k)+1 rows, the rest n div k;
+    // integer div keeps the boundaries exact at any row count.
+    val withParts = rankedDf
+      .withColumn("__q", expr(s"__n div ${k}L"))
+      .withColumn("__r", col("__n") % k)
+      .withColumn("__big", (col("__q") + 1L) * col("__r"))
     val rn = col("__grn")
-    // First r tiles have q+1 rows, the rest q rows.
-    val big = lit(q + 1) * lit(r) // rows covered by the large tiles
-    val tile =
-      if (q == 0) rn.cast("int") // fewer rows than tiles
-      else when(rn <= big, (rn - 1) / lit(q + 1) + 1)
-        .otherwise(lit(r) + (rn - big - 1) / lit(q) + 1)
-    rankedDf
+    val tile = when(col("__q") === 0L, rn)
+      .when(rn <= col("__big"), expr("(__grn - 1) div (__q + 1) + 1"))
+      .otherwise(col("__r") + expr("(__grn - __big - 1) div __q") + 1L)
+    withParts
       .withColumn(outCol, tile.cast("int"))
-      .drop("__grn")
+      .drop("__grn", "__n", "__q", "__r", "__big")
   }
 }

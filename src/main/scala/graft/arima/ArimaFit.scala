@@ -22,7 +22,15 @@ object ArimaFit {
   /** KPSS level-stationarity statistic (Bartlett long-run variance,
     * Newey–West style lag truncation).
     */
-  def kpssStat(x: Array[Double]): Double = {
+  def kpssStat(x: Array[Double]): Double = kpssStat(x, 0)
+
+  /** @param minLags floor on the Bartlett truncation — pass the
+    *   seasonal period m for seasonal series: autocorrelation at lag
+    *   m raises the true long-run variance, and a truncation shorter
+    *   than m underestimates it, inflating the statistic into false
+    *   d=1 decisions.
+    */
+  def kpssStat(x: Array[Double], minLags: Int): Double = {
     val n = x.length
     var mean = 0.0
     var i = 0
@@ -35,7 +43,8 @@ object ArimaFit {
     var sumS2 = 0.0
     i = 0
     while (i < n) { s += e(i); sumS2 += s * s; i += 1 }
-    val lags = math.max(1, math.floor(4.0 * math.pow(n / 100.0, 0.25)).toInt)
+    val lags = math.min(n / 2, math.max(math.max(1, minLags),
+      math.floor(4.0 * math.pow(n / 100.0, 0.25)).toInt))
     var lrv = 0.0
     i = 0
     while (i < n) { lrv += e(i) * e(i); i += 1 }
@@ -55,10 +64,10 @@ object ArimaFit {
     * level stationarity at 5% (critical value 0.463), capped at 2 —
     * auto.arima's default d-selection procedure.
     */
-  def selectD(x: Array[Double], maxD: Int = 2): Int = {
+  def selectD(x: Array[Double], maxD: Int = 2, kpssMinLags: Int = 0): Int = {
     var cur = x
     var d = 0
-    while (d < maxD && cur.length > 10 && kpssStat(cur) > 0.463) {
+    while (d < maxD && cur.length > 10 && kpssStat(cur, kpssMinLags) > 0.463) {
       cur = diff(cur)
       d += 1
     }
@@ -71,6 +80,77 @@ object ArimaFit {
     while (i < x.length) { out(i - 1) = x(i) - x(i - 1); i += 1 }
     out
   }
+
+  /** Lag-m seasonal difference. */
+  def diffSeasonal(x: Array[Double], m: Int): Array[Double] = {
+    val out = new Array[Double](x.length - m)
+    var i = m
+    while (i < x.length) { out(i - m) = x(i) - x(i - m); i += 1 }
+    out
+  }
+
+  /** Seasonal strength via classical decomposition (the measure
+    * forecast::nsdiffs uses with its "seas" heuristic): detrend by a
+    * centered 2×m moving average, take per-phase seasonal means, and
+    * return max(0, 1 − Var(remainder)/Var(detrended)).
+    */
+  def seasonalStrength(x: Array[Double], m: Int): Double = {
+    val n = x.length
+    if (m <= 1 || n < 3 * m) return 0.0
+    val half = m / 2
+    val lo = half
+    val hi = n - half - (if (m % 2 == 0) 1 else 0)
+    if (hi - lo < 2 * m) return 0.0
+    val detr = new Array[Double](hi - lo)
+    var t = lo
+    while (t < hi) {
+      var acc = 0.0
+      if (m % 2 == 0) {
+        acc = (x(t - half) + x(t + half)) / 2.0
+        var j = -half + 1
+        while (j < half) { acc += x(t + j); j += 1 }
+        acc /= m
+      } else {
+        var j = -half
+        while (j <= half) { acc += x(t + j); j += 1 }
+        acc /= m
+      }
+      detr(t - lo) = x(t) - acc
+      t += 1
+    }
+    val phaseSum = new Array[Double](m)
+    val phaseCnt = new Array[Int](m)
+    var i = 0
+    while (i < detr.length) {
+      val ph = (lo + i) % m
+      phaseSum(ph) += detr(i)
+      phaseCnt(ph) += 1
+      i += 1
+    }
+    var varD = 0.0
+    var varR = 0.0
+    var meanD = 0.0
+    i = 0
+    while (i < detr.length) { meanD += detr(i); i += 1 }
+    meanD /= detr.length
+    i = 0
+    while (i < detr.length) {
+      val ph = (lo + i) % m
+      val seas = if (phaseCnt(ph) > 0) phaseSum(ph) / phaseCnt(ph) else 0.0
+      val dd = detr(i) - meanD
+      val rr = detr(i) - seas
+      varD += dd * dd
+      varR += rr * rr
+      i += 1
+    }
+    if (varD <= 0.0) 0.0 else math.max(0.0, 1.0 - varR / varD)
+  }
+
+  /** Number of seasonal differences D ∈ {0, 1}: difference when the
+    * seasonal strength exceeds 0.64 (forecast::nsdiffs' threshold).
+    */
+  def selectSeasonalD(x: Array[Double], m: Int): Int =
+    if (m > 1 && seasonalStrength(x, m) > 0.64) 1 else 0
 
   /** CSS residual variance of an ARMA(p,q)+mean fit on `w` (conditional:
     * pre-sample values at the series mean, pre-sample errors 0).
@@ -253,9 +333,21 @@ object ArimaFit {
       : (Double, Array[Double], Array[Double]) = {
     val p = phi0.length
     val q = theta0.length
-    val k = 1 + p + q
-    var b = (c0 +: (phi0 ++ theta0)).toArray
-    var r = cssResiduals(w, b, p, q)
+    val b = lmOptimize((c0 +: (phi0 ++ theta0)).toArray,
+      bb => cssResiduals(w, bb, p, q), maxIter)
+    (b(0), java.util.Arrays.copyOfRange(b, 1, 1 + p),
+      java.util.Arrays.copyOfRange(b, 1 + p, 1 + p + q))
+  }
+
+  /** Generic Levenberg–Marquardt on a residual function (forward-
+    * difference Jacobian, streaming J'J) — shared by the plain and
+    * seasonal CSS refinements.
+    */
+  private def lmOptimize(b0: Array[Double],
+      resFn: Array[Double] => Array[Double], maxIter: Int): Array[Double] = {
+    val k = b0.length
+    var b = b0
+    var r = resFn(b)
     var sse = r.map(x => x * x).sum
     var lambda = 1e-3
     var iter = 0
@@ -266,7 +358,7 @@ object ArimaFit {
       val cols = Array.tabulate(k) { a =>
         val h = 1e-6 * math.max(1.0, math.abs(b(a)))
         val bp = b.clone(); bp(a) += h
-        val rp = cssResiduals(w, bp, p, q)
+        val rp = resFn(bp)
         Array.tabulate(r.length)(i => (rp(i) - r(i)) / h)
       }
       var a = 0
@@ -294,7 +386,7 @@ object ArimaFit {
         try {
           val delta = Linalg.solve(damped, jtr.clone())
           val bNew = Array.tabulate(k)(i2 => b(i2) + delta(i2))
-          val rNew = cssResiduals(w, bNew, p, q)
+          val rNew = resFn(bNew)
           val sseNew = rNew.map(x => x * x).sum
           if (sseNew < sse && sseNew.isFinite) {
             b = bNew; r = rNew
@@ -314,8 +406,7 @@ object ArimaFit {
       if (!stepped) iter = maxIter
       iter += 1
     }
-    (b(0), java.util.Arrays.copyOfRange(b, 1, 1 + p),
-      java.util.Arrays.copyOfRange(b, 1 + p, k))
+    b
   }
 
   /** Stepwise (p,q) search à la Hyndman–Khandakar: score the four
@@ -383,5 +474,219 @@ object ArimaFit {
     }
     SarimaModel(phi2, d, theta2, Array.empty, 0, Array.empty, math.max(m, 1),
       mu, drift, sigma2, x.length.toLong)
+  }
+
+  // ---------------------------------------------------------------
+  // Seasonal SARIMA(p,d,q)(P,D,Q)_m search — the reference's intent
+  // (auto_arima.R:69-74 passes seasonal=TRUE; its m>1 linearizer
+  // branches at auto_arima.R:18-37 are live in Sarima2Ar here).
+  // ---------------------------------------------------------------
+
+  /** Expand compact multiplicative orders to prediction-form full
+    * coefficient arrays: AR φ(B)Φ(B^m) (length p+mP, sign-flipped to
+    * the prediction convention) and MA θ(B)Θ(B^m) (length q+mQ).
+    */
+  private def expandSeasonal(phi: Array[Double], theta: Array[Double],
+      sphi: Array[Double], stheta: Array[Double], m: Int)
+      : (Array[Double], Array[Double]) = {
+    val arFull = Polynomial.multiply(1.0 +: phi.map(-_),
+      Polynomial.seasonal(1.0 +: sphi.map(-_), m))
+    val maFull = Polynomial.multiply(1.0 +: theta.clone(),
+      Polynomial.seasonal(1.0 +: stheta.clone(), m))
+    (arFull.drop(1).map(-_), maFull.drop(1))
+  }
+
+  private def seasonalResiduals(w: Array[Double], b: Array[Double],
+      p: Int, q: Int, sp: Int, sq: Int, m: Int): Array[Double] = {
+    val phi = java.util.Arrays.copyOfRange(b, 1, 1 + p)
+    val theta = java.util.Arrays.copyOfRange(b, 1 + p, 1 + p + q)
+    val sphi = java.util.Arrays.copyOfRange(b, 1 + p + q, 1 + p + q + sp)
+    val stheta = java.util.Arrays.copyOfRange(b, 1 + p + q + sp,
+      1 + p + q + sp + sq)
+    val (phiF, thetaF) = expandSeasonal(phi, theta, sphi, stheta, m)
+    cssResiduals(w, b(0) +: (phiF ++ thetaF), phiF.length, thetaF.length)
+  }
+
+  /** Hannan–Rissanen-style start values with explicit lag sets:
+    * OLS of w_t on [1] ++ w lags ++ ê lags (ê from a long AR). The
+    * additive estimate seeds the multiplicative LM refinement.
+    */
+  private def hrSeasonalStart(w: Array[Double], p: Int, q: Int,
+      sp: Int, sq: Int, m: Int): Option[Array[Double]] = {
+    val n = w.length
+    val wLags = (1 to p).toArray ++ (1 to sp).map(_ * m)
+    val eLags = (1 to q).toArray ++ (1 to sq).map(_ * m)
+    val k = 1 + wLags.length + eLags.length
+    var mean = 0.0
+    var i = 0
+    while (i < n) { mean += w(i); i += 1 }
+    mean /= n
+    if (wLags.isEmpty && eLags.isEmpty) return Some(Array(mean))
+    val eHat = new Array[Double](n)
+    var pLong = 0
+    if (eLags.nonEmpty) {
+      pLong = math.min(math.max(8, 2 * (p + q + m * (sp + sq))), n / 4)
+      if (pLong < 1) return None
+      val (phis, _) = ArFit.levinsonDurbin(
+        ArFit.autocovariances(w, pLong), pLong)
+      val a = phis(pLong)
+      var t = pLong
+      while (t < n) {
+        var pred = mean
+        var j = 0
+        while (j < pLong) { pred += a(j) * (w(t - 1 - j) - mean); j += 1 }
+        eHat(t) = w(t) - pred
+        t += 1
+      }
+    }
+    val maxW = if (wLags.isEmpty) 0 else wLags.max
+    val maxE = if (eLags.isEmpty) 0 else eLags.max
+    val start = math.max(maxW, if (eLags.nonEmpty) pLong + maxE else 0)
+    if (n - start < k + 8) return None
+    val xtx = Array.ofDim[Double](k, k)
+    val xty = new Array[Double](k)
+    val row = new Array[Double](k)
+    var t = start
+    while (t < n) {
+      row(0) = 1.0
+      var a = 0
+      while (a < wLags.length) { row(1 + a) = w(t - wLags(a)); a += 1 }
+      var j = 0
+      while (j < eLags.length) {
+        row(1 + wLags.length + j) = eHat(t - eLags(j)); j += 1
+      }
+      a = 0
+      while (a < k) {
+        xty(a) += row(a) * w(t)
+        var b2 = a
+        while (b2 < k) { xtx(a)(b2) += row(a) * row(b2); b2 += 1 }
+        a += 1
+      }
+      t += 1
+    }
+    var a = 0
+    while (a < k) {
+      var b2 = 0
+      while (b2 < a) { xtx(a)(b2) = xtx(b2)(a); b2 += 1 }
+      a += 1
+    }
+    try {
+      val beta = Linalg.solve(xtx, xty)
+      // recover the process-mean intercept c from the additive fit
+      var coefSum = 0.0
+      i = 1
+      while (i <= wLags.length) { coefSum += beta(i); i += 1 }
+      val c = if (math.abs(1.0 - coefSum) > 1e-8) beta(0) / (1.0 - coefSum)
+        else mean
+      val out = new Array[Double](1 + p + q + sp + sq)
+      out(0) = c
+      i = 0
+      while (i < p) { out(1 + i) = beta(1 + i); i += 1 }
+      i = 0
+      while (i < sp) { out(1 + p + q + i) = beta(1 + p + i); i += 1 }
+      i = 0
+      while (i < q) { out(1 + p + i) = beta(1 + wLags.length + i); i += 1 }
+      i = 0
+      while (i < sq) {
+        out(1 + p + q + sp + i) = beta(1 + wLags.length + q + i); i += 1
+      }
+      Some(out)
+    } catch { case _: IllegalArgumentException => None }
+  }
+
+  /** Stepwise seasonal search à la Hyndman–Khandakar: D by seasonal
+    * strength, d by KPSS on the seasonally-differenced series, then a
+    * 4-dimensional ±1 neighborhood walk over (p,q,P,Q) scored by AICc
+    * of the multiplicative CSS at the HR start values; the winner is
+    * refined by Levenberg–Marquardt on the compact parameter vector.
+    */
+  def fitSeasonal(x: Array[Double], m: Int, maxP: Int = 5, maxQ: Int = 5,
+      maxSP: Int = 2, maxSQ: Int = 2): SarimaModel = {
+    if (m <= 1) return fit(x, m, maxP, maxQ)
+    val bigD = selectSeasonalD(x, m)
+    val afterS = if (bigD == 1) diffSeasonal(x, m) else x
+    // seasonal-aware KPSS truncation (see kpssStat): span two periods
+    // (close to R's "long" rule 12·(n/100)^¼ for monthly data)
+    val d = selectD(afterS, kpssMinLags = 2 * m)
+    var w = afterS
+    var i = 0
+    while (i < d) { w = diff(w); i += 1 }
+    val n = w.length
+    if (n < 3 * m + 16) {
+      // too short for a seasonal fit — fall back to non-seasonal
+      return fit(x, m, maxP, maxQ).copy(bigD = 0)
+    }
+
+    var evaluated = Map.empty[(Int, Int, Int, Int), Double]
+    var best: Option[((Int, Int, Int, Int), Double, Array[Double])] = None
+
+    def score(p: Int, q: Int, sp: Int, sq: Int): Double = {
+      if (p < 0 || q < 0 || sp < 0 || sq < 0 ||
+        p > maxP || q > maxQ || sp > maxSP || sq > maxSQ)
+        return Double.PositiveInfinity
+      evaluated.getOrElse((p, q, sp, sq), {
+        val s = hrSeasonalStart(w, p, q, sp, sq, m) match {
+          case Some(b) =>
+            val r = seasonalResiduals(w, b, p, q, sp, sq, m)
+            val cnt = r.length
+            if (cnt < 8) Double.PositiveInfinity
+            else {
+              val sig = r.map(e => e * e).sum / cnt
+              val crit = ArFit.aicc(n, sig, 1 + p + q + sp + sq)
+              if (best.isEmpty || crit < best.get._2)
+                best = Some(((p, q, sp, sq), crit, b))
+              crit
+            }
+          case None => Double.PositiveInfinity
+        }
+        evaluated += ((p, q, sp, sq) -> s)
+        s
+      })
+    }
+
+    Seq((2, 2, 1, 1), (0, 0, 0, 0), (1, 0, 1, 0), (0, 1, 0, 1))
+      .foreach { case (p, q, sp, sq) => score(p, q, sp, sq) }
+    var improved = true
+    while (improved && best.isDefined) {
+      improved = false
+      val ((bp, bq, bsp, bsq), bcrit, _) = best.get
+      val moves = Seq(
+        (bp + 1, bq, bsp, bsq), (bp - 1, bq, bsp, bsq),
+        (bp, bq + 1, bsp, bsq), (bp, bq - 1, bsp, bsq),
+        (bp, bq, bsp + 1, bsq), (bp, bq, bsp - 1, bsq),
+        (bp, bq, bsp, bsq + 1), (bp, bq, bsp, bsq - 1),
+        (bp + 1, bq + 1, bsp, bsq), (bp - 1, bq - 1, bsp, bsq),
+        (bp, bq, bsp + 1, bsq + 1), (bp, bq, bsp - 1, bsq - 1))
+      moves.foreach { case (p, q, sp, sq) =>
+        if (score(p, q, sp, sq) < bcrit - 1e-9) improved = true
+      }
+    }
+
+    val ((p, q, sp, sq), _, b0) = best.getOrElse(
+      ((0, 0, 0, 0), 0.0, Array(w.sum / math.max(1, n))))
+    val b =
+      if (p + q + sp + sq > 0)
+        lmOptimize(b0, bb => seasonalResiduals(w, bb, p, q, sp, sq, m), 25)
+      else b0
+    val phi = java.util.Arrays.copyOfRange(b, 1, 1 + p)
+    val theta = java.util.Arrays.copyOfRange(b, 1 + p, 1 + p + q)
+    val sphi = java.util.Arrays.copyOfRange(b, 1 + p + q, 1 + p + q + sp)
+    val stheta = java.util.Arrays.copyOfRange(b, 1 + p + q + sp,
+      1 + p + q + sp + sq)
+    val r = seasonalResiduals(w, b, p, q, sp, sq, m)
+    val sigma2 = if (r.isEmpty) 0.0 else r.map(e => e * e).sum / r.length
+    // constant mapping: the differenced-series mean c is the level
+    // when d+D = 0; a (1−B) factor turns a drift b·t into b, and a
+    // (1−B^m) factor into b·m — auto.arima keeps no constant past
+    // total differencing order 1.
+    val c = b(0)
+    val (mu, drift) = (d, bigD) match {
+      case (0, 0) => (c, 0.0)
+      case (1, 0) => (0.0, c)
+      case (0, 1) => (0.0, c / m)
+      case _ => (0.0, 0.0)
+    }
+    SarimaModel(phi, d, theta, sphi, bigD, stheta, m, mu, drift, sigma2,
+      x.length.toLong)
   }
 }

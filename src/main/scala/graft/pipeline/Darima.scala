@@ -115,8 +115,12 @@ object Darima {
       case "arma" =>
         Sarima2Ar.toAr(ArimaFit.fit(values, cfg.freq, cfg.maxP, cfg.maxQ),
           cfg.tol)
+      case "sarima" =>
+        Sarima2Ar.toAr(
+          ArimaFit.fitSeasonal(values, cfg.freq, cfg.maxP, cfg.maxQ),
+          cfg.tol)
       case other => throw new IllegalArgumentException(
-        s"unknown fitter '$other' (expected longar|arma|olsar)")
+        s"unknown fitter '$other' (expected longar|arma|sarima|olsar)")
     }
     val w = ar.n.toDouble / math.max(ar.sigma2, 1e-12)
     val base = Array(

@@ -26,6 +26,7 @@ object ZonesEval {
     try {
       val harmEnv0 = sys.env.getOrElse("GRAFT_HARM_YEARLY", "3")
       val cfg = DarimaConfig(
+        fitter = sys.env.getOrElse("GRAFT_FITTER", "longar"),
         harmDaily = sys.env.getOrElse("GRAFT_HARM_DAILY", "0").toInt,
         harmWeekly = sys.env.getOrElse("GRAFT_HARM_WEEKLY", "0").toInt,
         harmYearly = if (harmEnv0 == "auto") 3 else harmEnv0.toInt,

@@ -1,20 +1,20 @@
 package graft.tools
 import org.apache.spark.sql.SparkSession
+import graft.pipeline._
 /** Dev scratchpad main for quick local experiments (not part of the API). */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+    val spark = SparkSession.builder().master("local[16]")
+      .config("spark.sql.shuffle.partitions", "16")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val sf = "/root/testdata/sf0.1"
-    val q = graft.SparkEntry.queries
-    for (name <- Seq("q09_chunk", "q09_chunk", "q09_chunk",
-        "d05_ar1_ols", "d05_ar1_ols")) {
-      val t0 = System.nanoTime()
-      q(name)(spark, sf).write.format("noop").mode("overwrite").save()
-      println(f"$name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    val train = Darima.loadSeriesCsv(spark, "/root/reference/data/NEMASSBOST_train.csv")
+    for (fitter <- Seq("longar", "sarima")) {
+      val cfg = DarimaConfig(fitter = fitter, harmYearly = 3)
+      val (model, fc) = Darima.run(spark, train, 48, cfg)
+      println(f"$fitter: sigma2=${model.sigma2}%.2f p=${model.p} " +
+        f"se1=${fc.se(0)}%.2f se48=${fc.se(47)}%.2f beta1=${model.beta1}%.6f")
     }
     spark.stop()
   }

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.arima.{ArLinearModel, ArimaFit, HarmCoef, Sarima2Ar, Seasonal}
 import graft.forecast.{Forecast, ForecastResult}
@@ -277,6 +277,70 @@ object Darima {
     lagged.filter(col(s"v_lag$m").isNotNull)
       .agg(avg(abs(col("v") - col(s"v_lag$m"))))
       .head().getDouble(0)
+  }
+
+  /** Distributed full-series fitted values and residuals from the
+    * combined model — the reference carries these over the whole
+    * train series in forecast.json (darima.py:322-327, 400-408), but
+    * computes them driver-side from a dense n×p lag matrix; here the
+    * lag windows come from one range-bucketed array-window pass
+    * (OrderedLag.withLagArray) and the model rides along as column
+    * literals, so the series never reaches the driver.
+    *
+    * Returns (t, v, fitted, residual) rows; fitted/residual are null
+    * for the first p_eff rows (p_eff = the AR order with trailing
+    * zero coefficients trimmed — the honest lag requirement, not the
+    * reference's tol-padded NaN head, SURVEY.md §1.4.8). Float-op
+    * order matches Forecast.forecast's in-sample loop term for term.
+    */
+  def fittedResidualsDF(series: DataFrame, model: ArLinearModel): DataFrame = {
+    val named = series.select(col("time").cast("double").as("t"),
+      col("value").cast("double").as("v"))
+    val pEff = {
+      var i = model.pi.length
+      while (i > 0 && model.pi(i - 1) == 0.0) i -= 1
+      i
+    }
+    val piEff = model.pi.take(pEff)
+    // harmonic phase needs the sample spacing; one tiny aggregate
+    val sCol: Column =
+      if (model.harmonics.isEmpty) lit(0.0)
+      else {
+        val r = named.agg(count(lit(1)), min(col("t")), max(col("t"))).head()
+        val n = r.getLong(0)
+        val dt = if (n < 2) 1.0
+          else (r.getDouble(2) - r.getDouble(1)) / (n - 1)
+        val tau = col("t") / lit(if (dt <= 0) 1.0 else dt)
+        model.harmonics.foldLeft(lit(0.0)) { (acc, h) =>
+          val w = tau * lit(2.0 * math.Pi * h.k / h.cycle)
+          acc + (lit(h.cos) * cos(w) + lit(h.sin) * sin(w))
+        }
+      }
+    val based = named.withColumn("__s", sCol).withColumn("__z", col("v") - col("__s"))
+    if (pEff == 0) {
+      val f = lit(model.beta0) + col("__s")
+      return based.select(col("t"), col("v"), f.as("fitted"),
+        (col("v") - f).as("residual"))
+    }
+    val lagged = graft.ts.OrderedLag.withLagArray(
+      based, col("t"), col("t"), "__z", pEff)
+    // ascending-lag dot product: reverse the window (y_{t−1} first)
+    // and fold acc + π_i·z_{t−1−i} from acc = β0 — the same
+    // left-associated sequence as the driver recursion. β1 is folded
+    // in only when nonzero (needs the global row number).
+    val withTrend =
+      if (model.beta1 == 0.0) lagged.withColumn("__zero", lit(model.beta0))
+      else graft.ts.OrderedRank.withRowNumber(lagged, col("t"), col("t"), "__rn")
+        .withColumn("__zero", lit(model.beta0) + lit(model.beta1) * col("__rn"))
+        .drop("__rn")
+    val f = when(size(col("__z_lags")) < pEff, lit(null).cast("double"))
+      .otherwise(aggregate(
+        zip_with(reverse(col("__z_lags")), typedLit(piEff), (a, b) => a * b),
+        col("__zero"), (acc, x) => acc + x) + col("__s"))
+    withTrend
+      .withColumn("fitted", f)
+      .withColumn("residual", col("v") - col("fitted"))
+      .select(col("t"), col("v"), col("fitted"), col("residual"))
   }
 
   /** Full run: distributed fit + combine, driver forecast from the

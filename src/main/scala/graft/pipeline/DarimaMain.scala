@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 import graft.eval.Metrics
 
 /** CLI entry point mirroring the reference's single executable run
@@ -45,7 +46,16 @@ object DarimaMain {
         .map(_.getDouble(0))
       val (model, fc) = Darima.run(spark, train, testVals.length, cfg)
       new java.io.File(outDir).mkdirs()
-      Darima.writeForecastJson(fc, s"$outDir/forecast.json")
+      // Full-series fitted/residuals, computed distributed and
+      // collected only to materialize the reference-format JSON sink
+      // (darima.py:400-408 carries whole-train arrays). At cluster
+      // scale, write Darima.fittedResidualsDF to parquet instead.
+      val fr = Darima.fittedResidualsDF(train, model)
+        .orderBy(col("t")).select(col("fitted"), col("residual")).collect()
+      def arrOf(i: Int) = fr.map(r =>
+        if (r.isNullAt(i)) Double.NaN else r.getDouble(i))
+      val fcFull = fc.copy(fitted = arrOf(0), residuals = arrOf(1))
+      Darima.writeForecastJson(fcFull, s"$outDir/forecast.json")
       // MASE/MSIS scaling from one distributed aggregate — the train
       // series never reaches the driver (only the test tail does).
       val scale = Darima.seasonalNaiveScaleDF(train, cfg.freq)

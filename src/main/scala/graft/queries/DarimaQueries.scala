@@ -169,6 +169,23 @@ object DarimaQueries {
       .orderBy(col("chunk_id"), col("lag_idx"))
   }
 
+  /** FC1/FC2 distributed: full-series fitted values + residuals from
+    * the combined model via the array-lag window
+    * (Darima.fittedResidualsDF) — the reference computes these
+    * driver-side from a dense n×p lag matrix (darima.py:320-327).
+    */
+  private val d07FittedResiduals: Q = (s, d) => {
+    val ser = series(s, d)
+    val n = ser.count()
+    val model = Darima.globalModel(
+      Darima.combine(Darima.fitChunkCoefs(s, ser, cfgOls2), "dlsa"), n)
+    Darima.fittedResidualsDF(ser, model)
+      .select(col("t"), col("v"),
+        round(col("fitted"), 6).as("fitted"),
+        round(col("residual"), 6).as("residual"))
+      .orderBy(col("t"))
+  }
+
   val queries: Map[String, Q] = Map(
     "d01_chunk_coefs" -> d01ChunkCoefs,
     "d02_global_coefs" -> d02GlobalCoefs,
@@ -176,6 +193,7 @@ object DarimaQueries {
     "d04_forecast_eval" -> d04ForecastEval,
     "d05_ar1_ols" -> d05Ar1Ols,
     "d06_fit_aggregator" -> d06FitAggregator,
+    "d07_fitted_residuals" -> d07FittedResiduals,
   )
 
   // ---------------------------------------------------------------
@@ -396,12 +414,40 @@ object DarimaQueries {
        |  CAST(max(s2.ntest) AS INT) AS h
        |FROM joined, scale, split s2""".stripMargin
 
+  /** Global-model fitted values: the d01 fit + d02 combine feed a
+    * lag-window projection — fitted = (b0 + p1·y_{t−1}) + p2·y_{t−2}
+    * (same association order as the Scala fold), null for the first
+    * p rows.
+    */
+  private val d07Sql: String =
+    s"""WITH $ar2FitCtes, w AS (
+       |  SELECT chunk_id, n, b0, p1, p2, sig, n / sig AS wt FROM fit
+       |), gm AS (
+       |  SELECT sum(b0*wt)/sum(wt) AS b0, sum(p1*wt)/sum(wt) AS p1,
+       |         sum(p2*wt)/sum(wt) AS p2
+       |  FROM w
+       |), ser AS (
+       |  SELECT epoch(ts) AS t, value,
+       |         lag(value, 1) OVER (ORDER BY ts) AS x1,
+       |         lag(value, 2) OVER (ORDER BY ts) AS x2
+       |  FROM events
+       |)
+       |SELECT s.t, s.value AS v,
+       |  round(CASE WHEN s.x2 IS NULL THEN NULL
+       |        ELSE (g.b0 + g.p1*s.x1) + g.p2*s.x2 END, 6) AS fitted,
+       |  round(CASE WHEN s.x2 IS NULL THEN NULL
+       |        ELSE s.value - ((g.b0 + g.p1*s.x1) + g.p2*s.x2) END, 6)
+       |    AS residual
+       |FROM ser s, gm g
+       |ORDER BY s.t""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "d01_chunk_coefs" -> d01Sql,
     "d02_global_coefs" -> d02Sql,
     "d03_forecast" -> d03Sql,
     "d04_forecast_eval" -> d04Sql,
     "d06_fit_aggregator" -> d01Sql,
+    "d07_fitted_residuals" -> d07Sql,
     "d05_ar1_ols" ->
       """WITH ordered AS (
         |  SELECT value, ntile(4) OVER (ORDER BY ts, event_id) AS chunk_id,

@@ -24,7 +24,11 @@ object PlanAudit {
       "q13_metric_means" -> Set("SinglePartition", "BNLJoin"), // global means
       "x23_tfidf" -> Set("SinglePartition", "BNLJoin"), // 1-row corpus count N
       "x05_cosine_topk" -> Set("BNLJoin"), // 5 broadcast query vectors
-      "x18_ivf_topk" -> Set("BNLJoin")) // broadcast probe lists
+      "x18_ivf_topk" -> Set("BNLJoin"), // broadcast probe lists
+      // OrderedLag's helper fan-out joins the per-bucket tails to the
+      // ≤32-row broadcast target list on an inequality — bounded by
+      // construction (buckets·maxLag rows)
+      "d07_fitted_residuals" -> Set("BNLJoin"))
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")

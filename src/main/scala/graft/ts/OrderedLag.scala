@@ -33,9 +33,35 @@ object OrderedLag {
 
   /** Add columns `<valueCol>_lag<n>` for each requested lag. */
   def withLags(df: DataFrame, orderCol: Column, tieBreak: Column,
-      valueCol: String, lags: Seq[Int], buckets: Int = 32): DataFrame = {
-    require(lags.nonEmpty)
-    val maxLag = lags.max
+      valueCol: String, lags: Seq[Int], buckets: Int = 32): DataFrame =
+    withLagColumns(df, orderCol, tieBreak,
+      (in, w) => lags.foldLeft(in) { (acc, k) =>
+        acc.withColumn(s"${valueCol}_lag$k", lag(col(valueCol), k).over(w))
+      },
+      lags.map(k => s"${valueCol}_lag$k"), lags.max, buckets)
+
+  /** Add column `<valueCol>_lags` = the previous `p` values in time
+    * order (ascending, i.e. index 0 is y_{t−p} … last is y_{t−1});
+    * shorter at the start of the series. The sliding-array form an
+    * AR(p) fitted-value pass needs when p is too large for one
+    * column per lag (graft.pipeline.Darima.fittedResidualsDF).
+    */
+  def withLagArray(df: DataFrame, orderCol: Column, tieBreak: Column,
+      valueCol: String, p: Int, buckets: Int = 32): DataFrame =
+    withLagColumns(df, orderCol, tieBreak,
+      (in, w) => in.withColumn(s"${valueCol}_lags",
+        collect_list(col(valueCol)).over(w.rowsBetween(-p, -1))),
+      Seq(s"${valueCol}_lags"), p, buckets)
+
+  /** Shared skeleton: range-bucketed windows + boundary head patch,
+    * generic in the window-derived columns (`build` must add exactly
+    * `outCols` using the given window spec).
+    */
+  private def withLagColumns(df: DataFrame, orderCol: Column,
+      tieBreak: Column,
+      build: (DataFrame, org.apache.spark.sql.expressions.WindowSpec) => DataFrame,
+      outCols: Seq[String], maxLag: Int, buckets: Int): DataFrame = {
+    require(outCols.nonEmpty && maxLag >= 1)
 
     // One pass computes the row count (for the bucket-size clamp) and
     // the candidate quantile bounds.
@@ -59,18 +85,12 @@ object OrderedLag {
       .map(i => rawBounds((i * buckets / eff) - 1))
       .distinct.sorted
 
-    def addLags(in: DataFrame, w: org.apache.spark.sql.expressions.WindowSpec)
-        : DataFrame =
-      lags.foldLeft(in) { (acc, k) =>
-        acc.withColumn(s"${valueCol}_lag$k", lag(col(valueCol), k).over(w))
-      }
-
     if (bounds.isEmpty) {
       // Degenerate input (under 4·maxLag rows, or a constant order
       // key): a single local window is both correct and cheap.
       val w = Window.partitionBy(col("__bucket"))
         .orderBy(orderCol, tieBreak)
-      return addLags(df.withColumn("__bucket", lit(0)), w)
+      return build(df.withColumn("__bucket", lit(0)), w)
         .drop("__bucket")
     }
 
@@ -84,7 +104,7 @@ object OrderedLag {
     // window shares the exchange and needs no ordering).
     val w = Window.partitionBy(col("__bucket")).orderBy(orderCol, tieBreak)
     val wAll = Window.partitionBy(col("__bucket"))
-    val local = addLags(based, w)
+    val local = build(based, w)
       .withColumn("__rn", row_number().over(w))
       .withColumn("__cnt", count(lit(1)).over(wAll))
 
@@ -116,9 +136,10 @@ object OrderedLag {
     // Patch: recompute the lag columns over helpers ∪ heads per
     // target bucket (tiny windows), keep the head rows' values.
     val wTgt = Window.partitionBy(col("__tgt")).orderBy(orderCol, tieBreak)
-    val patchCols = lags.map(k => col(s"${valueCol}_lag$k")
-      .as(s"__patch_lag$k"))
-    val patches = addLags(
+    val patchCols = outCols.zipWithIndex.map { case (c, i) =>
+      col(c).as(s"__patch_$i")
+    }
+    val patches = build(
       helpers.select(heads.columns.map(col): _*).unionByName(heads), wTgt)
       .filter(col("__head"))
       .select(col("__tgt").as("__pb") +: orderCol.as("__po") +:
@@ -135,13 +156,12 @@ object OrderedLag {
       col("__bucket") === col("__pb") &&
         orderCol === col("__po") && tieBreak === col("__pt"),
       "left")
-    val fixed = lags.foldLeft(joined) { (acc, k) =>
-      acc.withColumn(s"${valueCol}_lag$k",
-        when(col("__patched"), col(s"__patch_lag$k"))
-          .otherwise(col(s"${valueCol}_lag$k")))
+    val fixed = outCols.zipWithIndex.foldLeft(joined) { case (acc, (c, i)) =>
+      acc.withColumn(c,
+        when(col("__patched"), col(s"__patch_$i")).otherwise(col(c)))
     }
     fixed.drop("__bucket", "__rn", "__cnt", "__pb", "__po", "__pt",
         "__patched")
-      .drop(lags.map(k => s"__patch_lag$k"): _*)
+      .drop(outCols.indices.map(i => s"__patch_$i"): _*)
   }
 }

@@ -87,4 +87,64 @@ class DarimaPipelineSpec extends AnyFunSuite {
       assert(fn(spark, sf).count() > 0, s"$name empty")
     }
   }
+
+  test("distributed fitted/residuals match the driver recursion") {
+    import spark.implicits._
+    // deterministic AR(2)-ish series, long enough to span several
+    // OrderedLag buckets so the head-patch path is exercised
+    val n = 4000
+    var state = 9L
+    def rnd(): Double = {
+      state = state * 6364136223846793005L + 1442695040888963407L
+      (state >>> 11).toDouble / (1L << 53).toDouble - 0.5
+    }
+    val xs = new Array[Double](n)
+    var t = 0
+    while (t < n) {
+      xs(t) = 5.0 + rnd() +
+        (if (t >= 1) 0.5 * xs(t - 1) else 0.0) +
+        (if (t >= 2) 0.2 * xs(t - 2) else 0.0)
+      t += 1
+    }
+    val ser = xs.zipWithIndex.map { case (v, i) => (i.toDouble, v) }
+      .toSeq.toDF("time", "value")
+    val model = graft.arima.ArLinearModel(
+      beta0 = 1.5, beta1 = 0.0, pi = Array(0.5, 0.2), sigma2 = 1.0, n = n)
+    val got = Darima.fittedResidualsDF(ser, model)
+      .orderBy("t").collect()
+    val fc = graft.forecast.Forecast.forecast(model, xs, h = 1,
+      levels = Array(80))
+    assert(got.length == n)
+    var i = 0
+    while (i < n) {
+      if (i < 2) assert(got(i).isNullAt(2), s"row $i should be null")
+      else {
+        assert(math.abs(got(i).getDouble(2) - fc.fitted(i)) < 1e-12,
+          s"row $i: ${got(i).getDouble(2)} vs ${fc.fitted(i)}")
+        assert(math.abs(got(i).getDouble(3) - fc.residuals(i)) < 1e-12)
+      }
+      i += 1
+    }
+  }
+
+  test("fitted/residuals with trend and harmonics stay consistent") {
+    import spark.implicits._
+    val n = 600
+    val xs = Array.tabulate(n)(t =>
+      10.0 + 0.01 * t + 3.0 * math.cos(2 * math.Pi * t / 24.0))
+    val ser = xs.zipWithIndex.map { case (v, i) => (i.toDouble, v) }
+      .toSeq.toDF("time", "value")
+    val model = graft.arima.ArLinearModel(
+      beta0 = 0.2, beta1 = 0.01, pi = Array(0.3), sigma2 = 1.0, n = n,
+      harmonics = Array(graft.arima.HarmCoef(24, 1, 3.0, 0.0)))
+    val got = Darima.fittedResidualsDF(ser, model).orderBy("t").collect()
+    val fc = graft.forecast.Forecast.forecast(model, xs, h = 1,
+      levels = Array(80), startIndex = 0L, tauStart = 0.0)
+    var i = 1
+    while (i < n) {
+      assert(math.abs(got(i).getDouble(2) - fc.fitted(i)) < 1e-9,
+        s"row $i: ${got(i).getDouble(2)} vs ${fc.fitted(i)}")
+      i += 1
+    }
+  }
 }

@@ -2,9 +2,15 @@ package graft.arima
 
 /** One fitted Fourier pair: cos/sin coefficients at harmonic `k` of a
   * seasonal `cycle` (cycle measured in SAMPLES, e.g. 24 for daily on
-  * hourly data, 168 for weekly).
+  * hourly data, 168 for weekly). `dcos`/`dsin` are optional
+  * amplitude-drift terms (dynamic harmonic regression): the effective
+  * coefficients at phase τ are cos + dcos·(τ/cycle) etc., so a
+  * seasonal shape that grows or fades year over year (VT's
+  * solar-driven profile) extrapolates into the forecast horizon
+  * instead of freezing at the train-average shape.
   */
-final case class HarmCoef(cycle: Int, k: Int, cos: Double, sin: Double)
+final case class HarmCoef(cycle: Int, k: Int, cos: Double, sin: Double,
+    dcos: Double = 0.0, dsin: Double = 0.0)
 
 /** Fourier seasonal regression — the deterministic-seasonality stage
   * of the chunk fit. A long-AR model alone mean-reverts over a
@@ -29,13 +35,17 @@ object Seasonal {
       (1 to harmWeekly).map(k => (7 * freq, k)) ++
       (1 to harmYearly).map(k => ((365.25 * freq).round.toInt, k))).toArray
 
-  /** Σ over pairs of a·cos(2πkτ/cycle) + b·sin(2πkτ/cycle). */
+  /** Σ over pairs of (a + da·u)·cos(2πkτ/cycle) + (b + db·u)·sin(…),
+    * u = τ/cycle (amplitude drift in per-cycle units).
+    */
   def value(h: Array[HarmCoef], tau: Double): Double = {
     var acc = 0.0
     var i = 0
     while (i < h.length) {
       val w = 2.0 * math.Pi * h(i).k * tau / h(i).cycle
-      acc += h(i).cos * math.cos(w) + h(i).sin * math.sin(w)
+      val u = tau / h(i).cycle
+      acc += (h(i).cos + h(i).dcos * u) * math.cos(w) +
+        (h(i).sin + h(i).dsin * u) * math.sin(w)
       i += 1
     }
     acc
@@ -52,7 +62,15 @@ object Seasonal {
     * the regressors.
     */
   def fitHarmonics(y: Array[Double], tau: Array[Double],
-      ps0: Array[(Int, Int)]): Array[HarmCoef] = {
+      ps0: Array[(Int, Int)]): Array[HarmCoef] =
+    fitHarmonics(y, tau, ps0, withDrift = false)
+
+  /** @param withDrift also fit per-pair amplitude-drift regressors
+    *   u·cos / u·sin (u = τ/cycle) for pairs observed over at least
+    *   two full cycles — dynamic harmonic regression.
+    */
+  def fitHarmonics(y: Array[Double], tau: Array[Double],
+      ps0: Array[(Int, Int)], withDrift: Boolean): Array[HarmCoef] = {
     val n = y.length
     if (ps0.isEmpty || n == 0) return Array.empty
     // A pair whose fundamental cycle exceeds the chunk's tau span is
@@ -70,7 +88,19 @@ object Seasonal {
     }
     val span = tauMax - tauMin
     val ps = ps0.filter { case (cycle, k) => cycle.toDouble / k <= span }
-    val k = 2 + 2 * ps.length
+    // Drift terms need ≥ 2 full cycles to separate amplitude change
+    // from the shape itself.
+    val drift = ps.map { case (cycle, _) =>
+      withDrift && 2.0 * cycle <= span
+    }
+    val offsets = new Array[Int](ps.length)
+    var k = 2
+    i = 0
+    while (i < ps.length) {
+      offsets(i) = k
+      k += (if (drift(i)) 4 else 2)
+      i += 1
+    }
     if (ps.isEmpty || n < 2 * k + 4) return Array.empty
     var tauMean = 0.0
     i = 0
@@ -86,8 +116,14 @@ object Seasonal {
       var j = 0
       while (j < ps.length) {
         val w = 2.0 * math.Pi * ps(j)._2 * tau(t) / ps(j)._1
-        row(2 + 2 * j) = math.cos(w)
-        row(3 + 2 * j) = math.sin(w)
+        val o = offsets(j)
+        row(o) = math.cos(w)
+        row(o + 1) = math.sin(w)
+        if (drift(j)) {
+          val u = tau(t) / ps(j)._1
+          row(o + 2) = u * row(o)
+          row(o + 3) = u * row(o + 1)
+        }
         j += 1
       }
       var a = 0
@@ -111,7 +147,11 @@ object Seasonal {
     try {
       val beta = Linalg.solve(xtx, xty)
       Array.tabulate(ps.length) { j =>
-        HarmCoef(ps(j)._1, ps(j)._2, beta(2 + 2 * j), beta(3 + 2 * j))
+        val o = offsets(j)
+        if (drift(j))
+          HarmCoef(ps(j)._1, ps(j)._2, beta(o), beta(o + 1),
+            beta(o + 2), beta(o + 3))
+        else HarmCoef(ps(j)._1, ps(j)._2, beta(o), beta(o + 1))
       }
     } catch {
       case _: IllegalArgumentException => Array.empty
@@ -127,13 +167,18 @@ object Seasonal {
   def coefName(trig: String, cycle: Int, k: Int): String =
     s"${trig}_${cycle}_$k"
 
-  def lagIdx(cycle: Int, k: Int, isSin: Boolean): Int =
-    -(10 + 64 * cycle + 2 * k + (if (isSin) 1 else 0))
+  private val variants = Seq("cos", "sin", "dcos", "dsin")
 
-  /** Parse a "cos_24_1"-style name; None for non-harmonic coefs. */
+  def lagIdx(cycle: Int, k: Int, trig: String): Int =
+    -(10 + 128 * cycle + 4 * k + variants.indexOf(trig))
+
+  def lagIdx(cycle: Int, k: Int, isSin: Boolean): Int =
+    lagIdx(cycle, k, if (isSin) "sin" else "cos")
+
+  /** Parse a "cos_24_1"/"dsin_8766_2"-style name; None otherwise. */
   def parseName(name: String): Option[(String, Int, Int)] = {
     val parts = name.split("_")
-    if (parts.length == 3 && (parts(0) == "cos" || parts(0) == "sin"))
+    if (parts.length == 3 && variants.contains(parts(0)))
       try Some((parts(0), parts(1).toInt, parts(2).toInt))
       catch { case _: NumberFormatException => None }
     else None

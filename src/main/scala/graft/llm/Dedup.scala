@@ -23,10 +23,9 @@ object Dedup {
   def shingles(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), split(col("text"), " ").as("t"))
       .filter(size(col("t")) >= 3)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(t)-3), i -> concat_ws(' ', slice(t, i+1, 3)))"))
+      .select(col("doc_id"), explode(array_distinct(expr(
+        "transform(sequence(0, size(t)-3), i -> concat_ws(' ', slice(t, i+1, 3)))")))
         .as("s"))
-      .distinct()
 
   val shinglesSql: String =
     """SELECT DISTINCT doc_id, array_to_string(t[i+1:i+3], ' ') AS s
@@ -34,14 +33,17 @@ object Dedup {
       |     UNNEST(range(len(t)-2)) AS r(i)
       |WHERE len(t) >= 3""".stripMargin
 
-  /** Word n-gram set per document (distinct), parameterized width. */
+  /** Word n-gram set per document (distinct), parameterized width.
+    * Distinctness is per document, so it happens INSIDE the row
+    * (array_distinct before the explode — pure codegen) instead of a
+    * global distinct, which would shuffle every gram string.
+    */
   def nGrams(docs: DataFrame, n: Int): DataFrame =
     docs.select(col("doc_id"), split(col("text"), " ").as("t"))
       .filter(size(col("t")) >= n)
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(0, size(t)-$n), i -> concat_ws(' ', slice(t, i+1, $n)))"))
+      .select(col("doc_id"), explode(array_distinct(expr(
+        s"transform(sequence(0, size(t)-$n), i -> concat_ws(' ', slice(t, i+1, $n)))")))
         .as("g"))
-      .distinct()
 
   def nGramsSql(n: Int): String =
     s"""SELECT DISTINCT doc_id, array_to_string(t[i+1:i+$n], ' ') AS g
@@ -58,6 +60,12 @@ object Dedup {
     * n-grams beyond the count aggregation.
     */
   def decontaminate(docs: DataFrame, benchIds: Int, n: Int): DataFrame = {
+    // The gram table feeds BOTH branches, but each branch's doc_id
+    // filter pushes below the explode, so the benchmark side explodes
+    // only the few benchmark docs and the corpus side the rest — the
+    // explosion is NOT duplicated. (A localCheckpoint barrier was
+    // measured and rejected: materializing the gram rows costs more
+    // than the explosion itself, locally and at scale.)
     val grams = nGrams(docs, n)
     val bench = grams.filter(col("doc_id") < benchIds)
       .select(col("g")).distinct()

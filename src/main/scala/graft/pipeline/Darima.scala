@@ -61,6 +61,12 @@ final case class DarimaConfig(
     harmDaily: Int = 0,
     harmWeekly: Int = 0,
     harmYearly: Int = 0,
+    /** Fit per-pair amplitude-drift terms (dynamic harmonic
+      * regression, Seasonal.fitHarmonics withDrift) so a seasonal
+      * shape that changes year over year extrapolates into the
+      * horizon.
+      */
+    harmTrend: Boolean = false,
     /** Gardner–McKenzie damped-trend φ for the forecast horizon;
       * 1.0 = undamped linear trend (see Forecast.forecast).
       */
@@ -70,7 +76,28 @@ final case class DarimaConfig(
       * decade-old regime contributes less than the recent one to the
       * global model. 1.0 = classic DLSA (all chunks equal).
       */
-    recencyDecay: Double = 1.0)
+    recencyDecay: Double = 1.0,
+    /** Scope of the recency decay: "all" (classic) or "seasonal"
+      * (level+harmonic rows only — see Darima.combine).
+      */
+    decayScope: String = "all",
+    /** "holdout" = regime-aware seasonal weighting: chunks' harmonic
+      * rows are additionally weighted by how well each chunk's shape
+      * explains the last train cycle (Darima.holdoutSeasonalWeights).
+      */
+    seasonalWeighting: String = "off",
+    /** Local-level anchoring window, in samples (0 = off). When set,
+      * the combined model's intercept is re-anchored so its
+      * unconditional level equals the mean of the last `anchorWindow`
+      * deseasonalized observations: β0′ = μ_recent·(1−Σπ). Long-
+      * horizon forecasts then revert to the RECENT level instead of
+      * the all-history DLSA level — the fix for zones whose load
+      * level drifted over the train span (VT's behind-the-meter solar
+      * growth); the short-horizon AR dynamics are untouched. One
+      * distributed filtered aggregate; skipped when a drift term is
+      * present.
+      */
+    anchorWindow: Int = 0)
 
 object Darima {
 
@@ -101,7 +128,7 @@ object Darima {
         if (dt <= 0) (raw, Array.empty[HarmCoef])
         else {
           val tau = buf.map(_._1 / dt)
-          val hs = Seasonal.fitHarmonics(raw, tau, ps)
+          val hs = Seasonal.fitHarmonics(raw, tau, ps, cfg.harmTrend)
           val z = Array.tabulate(raw.length)(i =>
             raw(i) - Seasonal.value(hs, tau(i)))
           (z, hs)
@@ -128,11 +155,19 @@ object Darima {
       CoefRow("beta1", -1, ar.beta1, w, ar.n),
       CoefRow("sigma2", Int.MaxValue, ar.sigma2, w, ar.n))
     val harmRows = harms.flatMap { h =>
-      Array(
+      val base = Array(
         CoefRow(Seasonal.coefName("cos", h.cycle, h.k),
-          Seasonal.lagIdx(h.cycle, h.k, isSin = false), h.cos, w, ar.n),
+          Seasonal.lagIdx(h.cycle, h.k, "cos"), h.cos, w, ar.n),
         CoefRow(Seasonal.coefName("sin", h.cycle, h.k),
-          Seasonal.lagIdx(h.cycle, h.k, isSin = true), h.sin, w, ar.n))
+          Seasonal.lagIdx(h.cycle, h.k, "sin"), h.sin, w, ar.n))
+      val driftRows =
+        if (h.dcos == 0.0 && h.dsin == 0.0) Array.empty[CoefRow]
+        else Array(
+          CoefRow(Seasonal.coefName("dcos", h.cycle, h.k),
+            Seasonal.lagIdx(h.cycle, h.k, "dcos"), h.dcos, w, ar.n),
+          CoefRow(Seasonal.coefName("dsin", h.cycle, h.k),
+            Seasonal.lagIdx(h.cycle, h.k, "dsin"), h.dsin, w, ar.n))
+      base ++ driftRows
     }
     val ars = ar.pi.zipWithIndex.map { case (p, i) =>
       CoefRow(s"ar${i + 1}", i + 1, p, w, ar.n)
@@ -180,9 +215,17 @@ object Darima {
   /** @param recencyDecay λ ∈ (0,1]: chunk k additionally weighted
     *   λ^(K−1−k) in the DLSA sums (1.0 = classic DLSA); needs
     *   numChunks K when < 1.
+    * @param decayScope "all" decays every coefficient row;
+    *   "seasonal" decays only the level/seasonal rows (lag_idx < 0:
+    *   beta0, beta1, harmonics) and keeps the AR dynamics and sigma2
+    *   pooled across all chunks. The seasonal shape is what drifts
+    *   between regimes (e.g. VT's solar-driven yearly profile), while
+    *   the short-horizon autocorrelation structure is stable — so
+    *   localizing only the former buys the accuracy without touching
+    *   interval calibration.
     */
   def combine(coefs: DataFrame, method: String, recencyDecay: Double,
-      numChunks: Int): DataFrame = {
+      numChunks: Int, decayScope: String = "all"): DataFrame = {
     // Decay weight AND n by the same factor: sigma2 is sum(n)/sum(w),
     // so decaying only the denominator would systematically inflate
     // the combined variance (≈2x at K=10, λ=0.8) and blow up MSIS —
@@ -191,7 +234,13 @@ object Darima {
     val weighted =
       if (recencyDecay >= 1.0) coefs
       else {
-        val decay = pow(lit(recencyDecay), lit(numChunks - 1) - col("chunk_id"))
+        val decay0 = pow(lit(recencyDecay), lit(numChunks - 1) - col("chunk_id"))
+        val decay = decayScope match {
+          case "all" => decay0
+          case "seasonal" => when(col("lag_idx") < 0, decay0).otherwise(lit(1.0))
+          case other => throw new IllegalArgumentException(
+            s"unknown decayScope '$other' (expected all|seasonal)")
+        }
         coefs.withColumn("weight", col("weight") * decay)
           .withColumn("n", col("n") * decay)
       }
@@ -222,7 +271,8 @@ object Darima {
     var beta1 = 0.0
     var sigma2 = 0.0
     val arMap = scala.collection.mutable.LongMap.empty[Double]
-    val harmMap = scala.collection.mutable.Map.empty[(Int, Int), (Double, Double)]
+    // (cycle, k) -> [cos, sin, dcos, dsin]
+    val harmMap = scala.collection.mutable.Map.empty[(Int, Int), Array[Double]]
     rows.foreach { r =>
       val coef = r.getString(0)
       val v = r.getDouble(2)
@@ -232,9 +282,8 @@ object Darima {
         case "sigma2" => sigma2 = v
         case _ => Seasonal.parseName(coef) match {
           case Some((trig, cycle, k)) =>
-            val cur = harmMap.getOrElse((cycle, k), (0.0, 0.0))
-            harmMap((cycle, k)) =
-              if (trig == "cos") (v, cur._2) else (cur._1, v)
+            val cur = harmMap.getOrElseUpdate((cycle, k), new Array[Double](4))
+            cur(Seq("cos", "sin", "dcos", "dsin").indexOf(trig)) = v
           case None => arMap(r.getInt(1).toLong) = v
         }
       }
@@ -242,7 +291,7 @@ object Darima {
     val p = if (arMap.isEmpty) 0 else arMap.keys.max.toInt
     val pi = Array.tabulate(p)(i => arMap.getOrElse((i + 1).toLong, 0.0))
     val harms = harmMap.toArray.sortBy(h => (h._1._1, h._1._2)).map {
-      case ((cycle, k), (c, s)) => HarmCoef(cycle, k, c, s)
+      case ((cycle, k), a) => HarmCoef(cycle, k, a(0), a(1), a(2), a(3))
     }
     ArLinearModel(beta0, beta1, pi, sigma2, n, harms)
   }
@@ -293,6 +342,26 @@ object Darima {
     * reference's tol-padded NaN head, SURVEY.md §1.4.8). Float-op
     * order matches Forecast.forecast's in-sample loop term for term.
     */
+  /** Σ harmonics as a column expression over phase τ = t/dt — the
+    * column twin of Seasonal.value (same fold order).
+    */
+  private def seasonalCol(harms: Array[HarmCoef], tau: Column): Column =
+    harms.foldLeft(lit(0.0)) { (acc, h) =>
+      val w = tau * lit(2.0 * math.Pi * h.k / h.cycle)
+      val u = tau / lit(h.cycle.toDouble)
+      acc + ((lit(h.cos) + lit(h.dcos) * u) * cos(w) +
+        (lit(h.sin) + lit(h.dsin) * u) * sin(w))
+    }
+
+  /** (n, dt) of a regularly sampled (t, v) frame; dt ≤ 0 for
+    * degenerate inputs.
+    */
+  private def sampleSpacing(named: DataFrame): (Long, Double) = {
+    val r = named.agg(count(lit(1)), min(col("t")), max(col("t"))).head()
+    val n = r.getLong(0)
+    (n, if (n < 2) 0.0 else (r.getDouble(2) - r.getDouble(1)) / (n - 1))
+  }
+
   def fittedResidualsDF(series: DataFrame, model: ArLinearModel): DataFrame = {
     val named = series.select(col("time").cast("double").as("t"),
       col("value").cast("double").as("v"))
@@ -306,15 +375,9 @@ object Darima {
     val sCol: Column =
       if (model.harmonics.isEmpty) lit(0.0)
       else {
-        val r = named.agg(count(lit(1)), min(col("t")), max(col("t"))).head()
-        val n = r.getLong(0)
-        val dt = if (n < 2) 1.0
-          else (r.getDouble(2) - r.getDouble(1)) / (n - 1)
-        val tau = col("t") / lit(if (dt <= 0) 1.0 else dt)
-        model.harmonics.foldLeft(lit(0.0)) { (acc, h) =>
-          val w = tau * lit(2.0 * math.Pi * h.k / h.cycle)
-          acc + (lit(h.cos) * cos(w) + lit(h.sin) * sin(w))
-        }
+        val (_, dt) = sampleSpacing(named)
+        seasonalCol(model.harmonics,
+          col("t") / lit(if (dt <= 0) 1.0 else dt))
       }
     val based = named.withColumn("__s", sCol).withColumn("__z", col("v") - col("__s"))
     if (pEff == 0) {
@@ -343,6 +406,84 @@ object Darima {
       .select(col("t"), col("v"), col("fitted"), col("residual"))
   }
 
+  /** Regime-aware seasonal weighting: score every chunk's harmonic
+    * shape against the LAST cycle of the train series (variance of
+    * y − s_k over that window, one multi-column aggregate) and return
+    * inverse-variance multipliers (normalized to mean 1) for the
+    * chunks' seasonal rows in the DLSA combine. Purely train-data
+    * driven — a recent chunk wins only if its shape actually explains
+    * the recent data (blind λ-recency was measured and rejected:
+    * it sends RI to MASE 5.7 when the newest chunk is anomalous).
+    */
+  def holdoutSeasonalWeights(series: DataFrame,
+      coefs: DataFrame): Map[Int, Double] = {
+    val hr = coefs.filter(col("lag_idx") < -2)
+      .select(col("chunk_id"), col("coef"), col("value")).collect()
+    if (hr.isEmpty) return Map.empty
+    val byChunk: Map[Int, Array[HarmCoef]] = hr.groupBy(_.getInt(0)).map {
+      case (cid, rows) =>
+        val m = scala.collection.mutable.Map.empty[(Int, Int), Array[Double]]
+        rows.foreach { r =>
+          Seasonal.parseName(r.getString(1)).foreach { case (trig, cycle, k) =>
+            val cur = m.getOrElseUpdate((cycle, k), new Array[Double](4))
+            cur(Seq("cos", "sin", "dcos", "dsin").indexOf(trig)) = r.getDouble(2)
+          }
+        }
+        cid -> m.toArray.sortBy(_._1).map { case ((c, k), a) =>
+          HarmCoef(c, k, a(0), a(1), a(2), a(3))
+        }
+    }
+    val named = series.select(col("time").cast("double").as("t"),
+      col("value").cast("double").as("v"))
+    val r = named.agg(count(lit(1)), min(col("t")), max(col("t"))).head()
+    val n = r.getLong(0)
+    if (n < 2) return Map.empty
+    val tMax = r.getDouble(2)
+    val dt = (tMax - r.getDouble(1)) / (n - 1)
+    if (dt <= 0) return Map.empty
+    val maxCycle = byChunk.values.flatMap(_.map(_.cycle)).max
+    val window = math.min(maxCycle.toLong, n)
+    val cutoff = tMax - (window - 0.5) * dt
+    val tau = col("t") / lit(dt)
+    val chunks = byChunk.keys.toSeq.sorted
+    val aggs = chunks.map(cid =>
+      var_samp(col("v") - seasonalCol(byChunk(cid), tau)).as(s"v$cid"))
+    val row = named.filter(col("t") >= cutoff).agg(aggs.head, aggs.tail: _*)
+      .head()
+    val invVar = chunks.zipWithIndex.map { case (cid, i) =>
+      val v = row.getDouble(i)
+      cid -> (if (v > 0 && !v.isNaN) 1.0 / v else 0.0)
+    }
+    val s = invVar.map(_._2).sum
+    if (s <= 0) return Map.empty
+    val k = invVar.length
+    invVar.map { case (cid, w) => cid -> (w * k / s) }.toMap
+  }
+
+  /** Local-level anchoring (DarimaConfig.anchorWindow): replace the
+    * combined intercept so the model's unconditional level equals the
+    * mean of the last `window` deseasonalized observations — one
+    * filtered distributed aggregate, no series collect.
+    */
+  def anchorLevel(series: DataFrame, model: ArLinearModel,
+      window: Int): ArLinearModel = {
+    val piSum = model.pi.sum
+    if (model.beta1 != 0.0 || math.abs(1.0 - piSum) < 1e-6) return model
+    val named = series.select(col("time").cast("double").as("t"),
+      col("value").cast("double").as("v"))
+    val r = named.agg(count(lit(1)), min(col("t")), max(col("t"))).head()
+    val n = r.getLong(0)
+    if (n < 2) return model
+    val tMax = r.getDouble(2)
+    val dt = (tMax - r.getDouble(1)) / (n - 1)
+    if (dt <= 0) return model
+    val cutoff = tMax - (math.min(window.toLong, n) - 0.5) * dt
+    val s = seasonalCol(model.harmonics, col("t") / lit(dt))
+    val muRecent = named.filter(col("t") >= cutoff)
+      .agg(avg(col("v") - s)).head().getDouble(0)
+    model.copy(beta0 = muRecent * (1.0 - piSum))
+  }
+
   /** Full run: distributed fit + combine, driver forecast from the
     * series tail. `n` (series length) rides along from a count on the
     * same cached plan.
@@ -352,9 +493,32 @@ object Darima {
     val cached = series.cache()
     try {
       val n = cached.count()
-      val coefs = fitChunkCoefs(spark, cached, cfg)
-      val model0 = globalModel(
-        combine(coefs, cfg.method, cfg.recencyDecay, cfg.numChunks), n)
+      val coefsRaw = fitChunkCoefs(spark, cached, cfg)
+      val useHoldoutW = cfg.seasonalWeighting == "holdout"
+      // the coef table is tiny (K·(p+3) rows) — cache it when the
+      // holdout scoring pass would otherwise re-run the whole fit
+      val coefs0 = if (useHoldoutW) coefsRaw.cache() else coefsRaw
+      val coefs =
+        if (!useHoldoutW) coefs0
+        else {
+          val ws = holdoutSeasonalWeights(cached, coefs0)
+          if (ws.isEmpty) coefs0
+          else {
+            val mult = ws.foldLeft(lit(1.0)) { case (acc, (cid, m)) =>
+              when(col("chunk_id") === cid, lit(m)).otherwise(acc)
+            }
+            coefs0.withColumn("weight",
+              when(col("lag_idx") < -2, col("weight") * mult)
+                .otherwise(col("weight")))
+          }
+        }
+      val combined = globalModel(
+        combine(coefs, cfg.method, cfg.recencyDecay, cfg.numChunks,
+          cfg.decayScope), n)
+      if (useHoldoutW) coefs0.unpersist()
+      val model0 =
+        if (cfg.anchorWindow > 0) anchorLevel(cached, combined, cfg.anchorWindow)
+        else combined
       // forecasting only needs the last p observations
       val tailTv = seriesTailTimed(cached, model0.p)
       val tail = tailTv.map(_._2)

@@ -30,7 +30,10 @@ object ZonesEval {
         harmDaily = sys.env.getOrElse("GRAFT_HARM_DAILY", "0").toInt,
         harmWeekly = sys.env.getOrElse("GRAFT_HARM_WEEKLY", "0").toInt,
         harmYearly = if (harmEnv0 == "auto") 3 else harmEnv0.toInt,
-        maxLag = sys.env.getOrElse("GRAFT_MAX_LAG", "0").toInt)
+        maxLag = sys.env.getOrElse("GRAFT_MAX_LAG", "0").toInt,
+        recencyDecay = sys.env.getOrElse("GRAFT_DECAY", "1.0").toDouble,
+        decayScope = sys.env.getOrElse("GRAFT_DECAY_SCOPE", "all"),
+        seasonalWeighting = sys.env.getOrElse("GRAFT_SEASONAL_W", "off"))
       val rows = zones.map { zone =>
         val train = Darima.loadSeriesCsv(spark, s"$dataDir/${zone}_train.csv")
         val test = Darima.loadSeriesCsv(spark, s"$dataDir/${zone}_test.csv")

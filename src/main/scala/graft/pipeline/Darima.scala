@@ -181,8 +181,9 @@ object Darima {
     cfg.chunker match {
       case "range" => Chunker.rangeChunks(named, col("t"), cfg.numChunks)
       case "ntile" => Chunker.ntileChunks(named, col("t"), cfg.numChunks)
+      case "timerange" => Chunker.timeChunks(named, col("t"), cfg.numChunks)
       case other => throw new IllegalArgumentException(
-        s"unknown chunker '$other' (expected range|ntile)")
+        s"unknown chunker '$other' (expected range|ntile|timerange)")
     }
   }
 

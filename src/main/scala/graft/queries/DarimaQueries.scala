@@ -33,11 +33,13 @@ object DarimaQueries {
     Tables.events(s, d)
       .select(col("ts").cast("double").as("time"), col("value"))
 
-  /** Closed-form configs: exact ntile chunks (OrderedRank — SQL
-    * NTILE-identical) + fixed-order OLS AR fit, no harmonics.
+  /** Closed-form configs: equal-width time-range chunks (one min/max
+    * aggregate + codegen projection — SQL-mirrorable with no window)
+    * + fixed-order OLS AR fit, no harmonics. d05 keeps the exact
+    * distributed-ntile chunker so OrderedRank stays oracle-covered.
     */
   private val cfgOls2 = DarimaConfig(numChunks = 4, freq = 24,
-    fitter = "olsar", olsP = 2, olsTrend = false, chunker = "ntile")
+    fitter = "olsar", olsP = 2, olsTrend = false, chunker = "timerange")
   private val cfgOls1 = cfgOls2.copy(olsP = 1)
 
   /** Same rounding convention as Spark's / DuckDB's `round(x, n)`
@@ -100,27 +102,33 @@ object DarimaQueries {
     */
   private val d04ForecastEval: Q = (s, d) => {
     import s.implicits._
-    val all = series(s, d)
-    val n = all.count()
-    val nTest = math.max(24L, n / 10).toInt
-    // test tail: distributed top-k, h rows — bounded driver transfer
-    val tail = all.select(col("time").cast("double").as("t"), col("value"))
-      .orderBy(col("t").desc).limit(nTest)
-      .collect().sortBy(_.getDouble(0))
-    val cutoff = tail.head.getDouble(0)
-    val test = tail.map(_.getDouble(1))
-    val trainDf = all.filter(col("time") < cutoff)
-    val (_, fc) = Darima.run(s, trainDf, h = nTest, cfgOls1)
-    val scale = Darima.seasonalNaiveScaleDF(trainDf, cfgOls1.freq)
-    val mase = Metrics.mean(Metrics.maseScaled(test, fc.mean, scale))
-    val smape = Metrics.mean(Metrics.smape(test, fc.mean))
-    val msis80 = Metrics.mean(
-      Metrics.msisScaled(test, fc.lower(0), fc.upper(0), 80, scale))
-    val msis95 = Metrics.mean(
-      Metrics.msisScaled(test, fc.lower(1), fc.upper(1), 95, scale))
-    Seq((roundN(mase, 6), roundN(smape, 6), roundN(msis80, 6),
-      roundN(msis95, 6), nTest))
-      .toDF("mean_mase", "mean_smape", "mean_msis_80", "mean_msis_95", "h")
+    // the series feeds four passes (count, tail top-k, fit, scale) —
+    // cache it for the duration of this computation; everything below
+    // is computed eagerly, so the returned 1-row frame does not
+    // depend on the cache
+    val all = series(s, d).cache()
+    try {
+      val n = all.count()
+      val nTest = math.max(24L, n / 10).toInt
+      // test tail: distributed top-k, h rows — bounded driver transfer
+      val tail = all.select(col("time").cast("double").as("t"), col("value"))
+        .orderBy(col("t").desc).limit(nTest)
+        .collect().sortBy(_.getDouble(0))
+      val cutoff = tail.head.getDouble(0)
+      val test = tail.map(_.getDouble(1))
+      val trainDf = all.filter(col("time") < cutoff)
+      val (_, fc) = Darima.run(s, trainDf, h = nTest, cfgOls1)
+      val scale = Darima.seasonalNaiveScaleDF(trainDf, cfgOls1.freq)
+      val mase = Metrics.mean(Metrics.maseScaled(test, fc.mean, scale))
+      val smape = Metrics.mean(Metrics.smape(test, fc.mean))
+      val msis80 = Metrics.mean(
+        Metrics.msisScaled(test, fc.lower(0), fc.upper(0), 80, scale))
+      val msis95 = Metrics.mean(
+        Metrics.msisScaled(test, fc.lower(1), fc.upper(1), 95, scale))
+      Seq((roundN(mase, 6), roundN(smape, 6), roundN(msis80, 6),
+        roundN(msis95, 6), nTest))
+        .toDF("mean_mase", "mean_smape", "mean_msis_80", "mean_msis_95", "h")
+    } finally all.unpersist()
   }
 
   /** The original fit-math oracle: AR(1)+intercept OLS per contiguous
@@ -153,7 +161,7 @@ object DarimaQueries {
     */
   private val d06FitAggregator: Q = (s, d) => {
     import s.implicits._
-    val chunked = graft.ts.Chunker.ntileChunks(
+    val chunked = graft.ts.Chunker.timeChunks(
       series(s, d).select(col("time").as("t"), col("value").as("v")),
       col("t"), cfgOls2.numChunks)
     chunked.select(col("chunk_id"), col("t"), col("v"))
@@ -175,15 +183,21 @@ object DarimaQueries {
     * driver-side from a dense n×p lag matrix (darima.py:320-327).
     */
   private val d07FittedResiduals: Q = (s, d) => {
-    val ser = series(s, d)
+    // count + fit read the series twice before the (lazy) fitted
+    // projection; cache across those eager passes. The returned frame
+    // reads the cache lazily, so it is dropped on materialization
+    // rather than unpersisted here (blocking=false default).
+    val ser = series(s, d).cache()
     val n = ser.count()
     val model = Darima.globalModel(
       Darima.combine(Darima.fitChunkCoefs(s, ser, cfgOls2), "dlsa"), n)
-    Darima.fittedResidualsDF(ser, model)
+    val out = Darima.fittedResidualsDF(ser, model)
       .select(col("t"), col("v"),
         round(col("fitted"), 6).as("fitted"),
         round(col("residual"), 6).as("residual"))
       .orderBy(col("t"))
+    ser.unpersist()
+    out
   }
 
   val queries: Map[String, Q] = Map(
@@ -206,14 +220,18 @@ object DarimaQueries {
     * (chunk, coefficient) in the pipeline's (coef, lag_idx) layout.
     */
   private val ar2FitCtes: String =
-    """ordered AS (
-      |  SELECT value, ntile(4) OVER (ORDER BY ts) - 1 AS chunk_id,
-      |         row_number() OVER (ORDER BY ts) AS rn
-      |  FROM events
+    """bounds AS (
+      |  SELECT min(epoch(ts)) AS tmin, max(epoch(ts)) AS tmax FROM events
+      |), ordered AS (
+      |  SELECT value, epoch(ts) AS t,
+      |         least(CAST(floor((epoch(ts) - b.tmin)
+      |                          / (b.tmax - b.tmin) * 4) AS INT), 3)
+      |           AS chunk_id
+      |  FROM events, bounds b
       |), lagged AS (
       |  SELECT chunk_id, value AS y,
-      |         lag(value, 1) OVER (PARTITION BY chunk_id ORDER BY rn) AS x1,
-      |         lag(value, 2) OVER (PARTITION BY chunk_id ORDER BY rn) AS x2
+      |         lag(value, 1) OVER (PARTITION BY chunk_id ORDER BY t) AS x1,
+      |         lag(value, 2) OVER (PARTITION BY chunk_id ORDER BY t) AS x2
       |  FROM ordered
       |), base AS (
       |  SELECT chunk_id, y, x1, x2 FROM lagged WHERE x2 IS NOT NULL
@@ -286,13 +304,17 @@ object DarimaQueries {
     * ordered by t.
     */
   private def ar1FitCtes(src: String): String =
-    s"""ordered1 AS (
-       |  SELECT value, ntile(4) OVER (ORDER BY t) - 1 AS chunk_id,
-       |         row_number() OVER (ORDER BY t) AS rn
-       |  FROM $src
+    s"""bounds1 AS (
+       |  SELECT min(t) AS tmin, max(t) AS tmax FROM $src
+       |), ordered1 AS (
+       |  SELECT value, t,
+       |         least(CAST(floor((t - b.tmin)
+       |                          / (b.tmax - b.tmin) * 4) AS INT), 3)
+       |           AS chunk_id
+       |  FROM $src, bounds1 b
        |), lagged1 AS (
        |  SELECT chunk_id, value AS y,
-       |         lag(value) OVER (PARTITION BY chunk_id ORDER BY rn) AS x
+       |         lag(value) OVER (PARTITION BY chunk_id ORDER BY t) AS x
        |  FROM ordered1
        |), base1 AS (
        |  SELECT chunk_id, y, x FROM lagged1 WHERE x IS NOT NULL

@@ -32,6 +32,24 @@ object Chunker {
       .withColumn("chunk_id", col("chunk_id") - 1)
   }
 
+  /** Equal-width TIME ranges: chunk = floor((t−tmin)/(tmax−tmin)·k),
+    * clamped. One min/max aggregate + a pure codegen projection — no
+    * window, no sort, no count job — and exactly mirrorable in SQL
+    * (unlike the sketch bounds below). For regularly-sampled series
+    * equal-width time ≡ equal row counts; DARIMA itself only needs
+    * contiguity (SURVEY.md §1.4.2), so mild imbalance is free.
+    */
+  def timeChunks(df: DataFrame, timeCol: Column, k: Int): DataFrame = {
+    val t = timeCol.cast("double")
+    val r = df.agg(min(t), max(t)).head()
+    if (r.isNullAt(0) || r.getDouble(1) <= r.getDouble(0))
+      return df.withColumn("chunk_id", lit(0))
+    val tmin = r.getDouble(0)
+    val span = r.getDouble(1) - tmin
+    df.withColumn("chunk_id",
+      least(floor((t - lit(tmin)) / lit(span) * k), lit(k - 1)).cast("int"))
+  }
+
   def rangeChunks(df: DataFrame, timeCol: Column, k: Int): DataFrame = {
     // Deterministic range boundaries from a t-digest quantile sketch
     // (one cheap agg pass; no RNG). repartitionByRange was tried

@@ -464,15 +464,33 @@ object ArimaFit {
     val (c2, phi2, theta2) =
       if (p + q > 0) cssOptimize(w, c1, phi1, theta1)
       else (c1, phi1, theta1)
-    val sigma2 = cssSigma2(w, c2, phi2, theta2)
+    // exact-ML polish (auto.arima's final step): LM on the Kalman
+    // concentrated-likelihood residuals from the CSS optimum — the
+    // step can only improve the exact likelihood (LM accepts only
+    // SSE-decreasing moves and this SSE is a monotone transform of
+    // it). Capped by series length: the filter is O(n·r²) per
+    // residual evaluation.
+    val (c3, phi3, theta3) =
+      if (p + q > 0 && n <= 50000) {
+        val b = lmOptimize((c2 +: (phi2 ++ theta2)).toArray,
+          bb => Kalman.mlResiduals(w, bb, p, q), 25)
+        (b(0), java.util.Arrays.copyOfRange(b, 1, 1 + p),
+          java.util.Arrays.copyOfRange(b, 1 + p, 1 + p + q))
+      } else (c2, phi2, theta2)
+    val sigMl = if (p + q > 0 && n <= 50000)
+      Kalman.sigma2(w, c3, phi3, theta3) else Double.NaN
+    val sigma2 =
+      if (!sigMl.isNaN && sigMl > 0) sigMl
+      else cssSigma2(w, c3, phi3, theta3)
+    val (c2f, phi2f, theta2f) = (c3, phi3, theta3)
     // map the differenced-series mean back to level/drift terms:
     //   d=0 → μ = c; d=1 → drift = c; d≥2 → neither (auto.arima default)
     val (mu, drift) = d match {
-      case 0 => (c2, 0.0)
-      case 1 => (0.0, c2)
+      case 0 => (c2f, 0.0)
+      case 1 => (0.0, c2f)
       case _ => (0.0, 0.0)
     }
-    SarimaModel(phi2, d, theta2, Array.empty, 0, Array.empty, math.max(m, 1),
+    SarimaModel(phi2f, d, theta2f, Array.empty, 0, Array.empty, math.max(m, 1),
       mu, drift, sigma2, x.length.toLong)
   }
 

@@ -57,4 +57,32 @@ object Sampling {
        |    PARTITION BY $stratumCol ORDER BY md5($keyExpr)) AS INT) AS rk
        |  FROM documents)
        |WHERE rk <= $n""".stripMargin
+
+  /** Efraimidis–Spirakis weighted sampling, deterministic: each row's
+    * "random" uniform comes from its content hash (u = (hash16+1)/
+    * 65537), the selection key is ln(u)/w — the monotone-equivalent
+    * of u^(1/w), so a row's selection probability is proportional to
+    * its weight — and the k largest keys win. Distributed cost is a
+    * TakeOrdered top-k (per-partition heads + driver merge), no RNG,
+    * no shuffle of the data: the weighted corpus subsetting a
+    * training-data pipeline runs at 100 TB, reproducible on any
+    * cluster shape. Ties broken by the order column for a total
+    * order.
+    */
+  def weightedSample(docs: DataFrame, keyExpr: String, weightExpr: String,
+      k: Int, tieBreak: String): DataFrame =
+    docs.filter(expr(s"$weightExpr > 0"))
+      .withColumn("__wkey", expr(
+        s"ln((${hash16("instr", keyExpr)} + 1) / 65537.0) / ($weightExpr)"))
+      .orderBy(col("__wkey").desc, col(tieBreak))
+      .limit(k)
+      .drop("__wkey")
+
+  def weightedSampleSql(keyExpr: String, weightExpr: String, k: Int,
+      tieBreak: String, select: String): String =
+    s"""SELECT $select FROM documents
+       |WHERE $weightExpr > 0
+       |ORDER BY ln((${hash16("strpos", keyExpr)} + 1) / 65537.0)
+       |           / ($weightExpr) DESC, $tieBreak
+       |LIMIT $k""".stripMargin
 }

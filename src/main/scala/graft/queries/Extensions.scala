@@ -190,6 +190,36 @@ object Extensions {
       .select(col("lang"), col("rk"), col("doc_id"))
       .orderBy(col("lang"), col("rk"))
 
+  /** X5: point-in-interval range join (bucketed equi-join, no
+    * nested loop — graft.operators.RangeJoin): events co-active with
+    * each early user's first hour, counted per interval owner.
+    */
+  private val x30RangeJoin: Q = (s, d) => {
+    val ev = Tables.events(s, d).select(col("user_id"),
+      col("ts").cast("double").as("t"), col("value"))
+    val intervals = ev.filter(col("user_id") < 50)
+      .groupBy(col("user_id").as("owner"))
+      .agg(min(col("t")).as("s"))
+      .withColumn("e", col("s") + 3600)
+      .select(col("owner"), col("s"), col("e"))
+    graft.operators.RangeJoin.pointInInterval(ev, intervals,
+      col("t"), col("s"), col("e"), width = 3600.0)
+      .filter(col("user_id") =!= col("owner"))
+      .groupBy(col("owner"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_val"))
+      .orderBy(col("owner"))
+  }
+
+  /** X6: Efraimidis–Spirakis weighted sample — 50 docs selected with
+    * probability ∝ n_chars, deterministic (hash-derived uniforms,
+    * distributed top-k).
+    */
+  private val x31WeightedSample: Q = (s, d) =>
+    Sampling.weightedSample(Tables.documents(s, d),
+      "cast(doc_id as string)", "n_chars", k = 50, tieBreak = "doc_id")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
+
   /** X3: TF-IDF top terms per document. */
   private val x23Tfidf: Q = (s, d) =>
     TextAnalysis.tfidfTopTerms(Tables.documents(s, d), k = 3)
@@ -248,6 +278,8 @@ object Extensions {
     "x27_resize_plan" -> x27ResizePlan,
     "x28_decontaminate" -> x28Decontaminate,
     "x29_clean_corpus" -> x29CleanCorpus,
+    "x30_range_join" -> x30RangeJoin,
+    "x31_weighted_sample" -> x31WeightedSample,
   )
 
   /** The md5-nibble fake-decode in SQL (first 8 nibbles of
@@ -361,5 +393,23 @@ object Extensions {
          |  AND d.doc_id IN (SELECT doc_id FROM keepers)
          |  AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
          |ORDER BY d.doc_id""".stripMargin,
+    "x30_range_join" ->
+      """WITH iv AS (
+        |  SELECT user_id AS owner, min(epoch(ts)) AS s,
+        |         min(epoch(ts)) + 3600 AS e
+        |  FROM events WHERE user_id < 50 GROUP BY user_id
+        |)
+        |SELECT iv.owner, CAST(count(*) AS BIGINT) AS n,
+        |       round(sum(ev.value), 4) AS sum_val
+        |FROM events ev, iv
+        |WHERE epoch(ev.ts) >= iv.s AND epoch(ev.ts) <= iv.e
+        |  AND ev.user_id != iv.owner
+        |GROUP BY iv.owner
+        |ORDER BY iv.owner""".stripMargin,
+    "x31_weighted_sample" ->
+      s"""SELECT * FROM (
+         |${Sampling.weightedSampleSql("cast(doc_id as string)", "n_chars",
+        50, "doc_id", "doc_id, lang, n_chars")}
+         |) ORDER BY doc_id""".stripMargin,
   )
 }

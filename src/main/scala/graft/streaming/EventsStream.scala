@@ -84,6 +84,30 @@ object EventsStream {
   final case class SessionOut(user_id: Long, n_events: Long,
       dur_sec: Double, total: Double)
 
+  /** Stream-stream inner join with an event-time range condition:
+    * each view pairs with the same user's purchases in the following
+    * `rangeSec` seconds (attribution join). Watermarks on BOTH sides
+    * plus the time bound are what let Spark expire join state — the
+    * only stream-stream join shape whose state stays bounded on an
+    * unbounded feed. Batch twin: the same join predicate on the
+    * static frame (StreamingSpec proves parity).
+    */
+  def viewPurchaseJoin(events: DataFrame, rangeSec: Int): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+        col("ts").as("v_ts"))
+      .withWatermark("v_ts", "2 hours")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("value").as("p_val"))
+      .withWatermark("p_ts", "2 hours")
+    views.join(purchases,
+      col("v_user") === col("p_user") &&
+        col("p_ts") >= col("v_ts") &&
+        col("p_ts") <= col("v_ts") + expr(s"INTERVAL $rangeSec SECONDS"))
+      .select(col("view_id"), col("v_user"), col("p_ts"), col("p_val"))
+  }
+
   /** Stateful sessionization: per-user state closed either by a
     * larger-gap event or by an event-time timeout once the watermark
     * passes last+gap — so quiet users' final sessions ARE emitted and

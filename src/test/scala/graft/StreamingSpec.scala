@@ -105,4 +105,32 @@ class StreamingSpec extends AnyFunSuite {
       assert(n > batchSessions - users, s"no timeouts fired (n=$n)")
     } finally q.stop()
   }
+
+  test("stream-stream range join matches the batch twin") {
+    val stream = EventsStream.readEvents(spark, eventsDir)
+    val joined = EventsStream.viewPurchaseJoin(stream, rangeSec = 3600)
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssjoin_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql("SELECT count(*) FROM ssjoin_out")
+        .collect()(0).getLong(0)
+      // batch twin: identical predicate on the static frame
+      import org.apache.spark.sql.functions._
+      val ev = Tables.events(spark, sf)
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+          col("ts").as("v_ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+          col("value").as("p_val"))
+      val want = views.join(purchases,
+        col("v_user") === col("p_user") &&
+          col("p_ts") >= col("v_ts") &&
+          col("p_ts") <= col("v_ts") + expr("INTERVAL 3600 SECONDS"))
+        .count()
+      assert(got == want, s"stream $got vs batch $want")
+      assert(want > 0)
+    } finally q.stop()
+  }
 }

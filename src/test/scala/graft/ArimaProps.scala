@@ -92,4 +92,24 @@ object ArimaProps extends Properties("arima") {
       val (phis, _) = ArFit.levinsonDurbin(ArFit.autocovariances(x, 1), 1)
       math.abs(phis(1)(0)) < 1.0
     }
+
+  property("Kalman AR(1) innovation variance converges to 1") =
+    forAll(phiGen) { phi =>
+      val y = Array.tabulate(80)(t => math.sin(t * 0.7) + 0.1 * t % 3)
+      Kalman.innovations(y, 0.0, Array(phi), Array.empty) match {
+        case Some((_, f)) =>
+          math.abs(f(0) - 1.0 / (1.0 - phi * phi)) < 1e-6 &&
+            math.abs(f(79) - 1.0) < 1e-6
+        case None => false
+      }
+    }
+
+  property("Kalman exact likelihood is finite for stationary ARMA(1,1)") =
+    forAll(phiGen, thetaGen) { (phi, theta) =>
+      val e = Array.tabulate(121)(t => math.cos(t * 1.3))
+      val y = Array.tabulate(120)(t =>
+        e(t + 1) + theta * e(t) + (if (t > 0) phi * e(t) else 0.0))
+      val ll = Kalman.negTwoLogLik(y, 0.0, Array(phi), Array(theta))
+      !ll.isNaN && !ll.isInfinite
+    }
 }

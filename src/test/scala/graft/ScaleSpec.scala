@@ -77,4 +77,24 @@ class ScaleSpec extends AnyFunSuite {
     assert(matched.getLong(1) > n - 20_000L)
     assert(secs < 120, s"took ${secs}s")
   }
+
+  test("5M-point range join: bucketed equi-join stays linear") {
+    import spark.implicits._
+    val points = spark.range(5_000_000L).select(
+      col("id").as("pid"),
+      (col("id").cast("double") * 0.72).as("t"))
+    // 20k intervals of length ~500 over the same domain
+    val intervals = spark.range(20_000L).select(
+      col("id").as("iid"),
+      (col("id").cast("double") * 180.0).as("s"))
+      .withColumn("e", col("s") + 500.0)
+    val t0 = System.nanoTime()
+    val n = graft.operators.RangeJoin.pointInInterval(points, intervals,
+      col("t"), col("s"), col("e"), width = 500.0).count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"5M points x 20k intervals: $n matches, $secs%.1f s")
+    // every interval holds ~500/0.72 = ~695 points
+    assert(n > 10_000_000L && n < 16_000_000L, s"n=$n")
+    assert(secs < 120, s"took $secs s")
+  }
 }

@@ -298,6 +298,19 @@ object Relational {
       .agg(round(sum(col("value")), 2))
       .orderBy(col("day"))
 
+  /** Full cube over two dimensions (engine addition — the reference
+    * has no grouping sets at all, SURVEY.md §2.8): one pass, Catalyst
+    * expands the grouping sets before the hash aggregate.
+    */
+  private val q21Cube: Q = (s, d) =>
+    Tables.events(s, d)
+      .select(col("event_type"), (col("user_id") % 5).as("ubucket"),
+        col("value"))
+      .cube(col("event_type"), col("ubucket"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .orderBy(col("event_type").asc_nulls_first,
+        col("ubucket").asc_nulls_first)
+
   val queries: Map[String, Q] = Map(
     "q01_scan_filter_project" -> q01ScanFilterProject,
     "q02_agg_sum" -> q02AggSum,
@@ -319,6 +332,7 @@ object Relational {
     "q18_rollup" -> q18Rollup,
     "q19_percentile" -> q19Percentile,
     "q20_pivot" -> q20Pivot,
+    "q21_cube" -> q21Cube,
   )
 
   val oracles: Map[String, String] = Map(
@@ -430,5 +444,10 @@ object Relational {
         |  round(sum(CASE WHEN event_type = 'purchase' THEN value END), 2)
         |    AS purchase
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q21_cube" ->
+      """SELECT event_type, user_id % 5 AS ubucket, count(*) AS n,
+        |  round(sum(value), 2) AS total
+        |FROM events GROUP BY CUBE(event_type, ubucket)
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
   )
 }

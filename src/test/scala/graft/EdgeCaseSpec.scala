@@ -92,4 +92,36 @@ class EdgeCaseSpec extends AnyFunSuite {
     val ts = TextAnalysis.tokenStats(weirdDocs).collect()
     assert(ts.forall(_.getLong(2) >= 0))
   }
+
+  test("round-3 operators survive degenerate and empty inputs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // range join: empty interval side, zero-length interval, point ==
+    // endpoint
+    val pts = Seq((1L, 10.0)).toDF("pid", "t")
+    val noIv = Seq.empty[(Long, Double, Double)].toDF("iid", "s", "e")
+    assert(graft.operators.RangeJoin.pointInInterval(pts, noIv,
+      col("t"), col("s"), col("e"), 5.0).count() == 0)
+    val zeroIv = Seq((1L, 10.0, 10.0)).toDF("iid", "s", "e")
+    assert(graft.operators.RangeJoin.pointInInterval(pts, zeroIv,
+      col("t"), col("s"), col("e"), 5.0).count() == 1)
+    // weighted sample: k larger than the corpus, zero/negative weights
+    val docs = Seq((1L, "en", 5), (2L, "en", 0), (3L, "en", -2))
+      .toDF("doc_id", "lang", "n_chars")
+    val picked = graft.llm.Sampling.weightedSample(docs,
+      "cast(doc_id as string)", "n_chars", k = 10, tieBreak = "doc_id")
+      .collect()
+    assert(picked.length == 1 && picked(0).getLong(0) == 1L)
+    // time chunks: constant time column collapses to one chunk
+    val const = Seq((1.0, 1.0), (1.0, 2.0)).toDF("t", "v")
+    val chunks = graft.ts.Chunker.timeChunks(const, col("t"), 4)
+      .select("chunk_id").distinct().collect()
+    assert(chunks.length == 1 && chunks(0).getInt(0) == 0)
+    // fitted/residuals on a series shorter than the AR order
+    val tiny = Seq((0.0, 1.0), (1.0, 2.0)).toDF("time", "value")
+    val m = graft.arima.ArLinearModel(0.0, 0.0, Array(0.5, 0.2, 0.1),
+      1.0, 2)
+    val fr = graft.pipeline.Darima.fittedResidualsDF(tiny, m).collect()
+    assert(fr.length == 2 && fr.forall(_.isNullAt(2)))
+  }
 }

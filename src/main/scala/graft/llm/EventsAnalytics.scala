@@ -16,15 +16,34 @@ object EventsAnalytics {
   def tumblingHourly(events: DataFrame): DataFrame =
     events
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"),
-        round(avg(col("value")), 4).as("avg_value"))
+      // values are 2dp by construction: summing them as exact
+      // DECIMAL(14,2) makes the aggregate independent of float
+      // summation order, so both engines round identical input bits
+      // (a true .xxxx5 mean at sf0.1 exposed a one-ulp order tie)
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(14,2)")).cast("double"), 2)
+          .as("total"),
+        round((sum(col("value").cast("decimal(14,2)")).cast("double") /
+          count(lit(1))), 4).as("avg_value"))
       .select(col("w.start").as("hr"), col("event_type"), col("n"),
         col("total"), col("avg_value"))
       .orderBy(col("hr"), col("event_type"))
 
+  /** avg_value rounds through the value's shortest decimal string —
+    * Spark's round(double) goes via BigDecimal.valueOf (i.e.
+    * Double.toString), so an exact-decimal mean like 47.25375 rounds
+    * UP even though its binary double sits just below the boundary;
+    * DuckDB's native round works on the raw binary and rounds DOWN.
+    * CAST(x AS VARCHAR) is DuckDB's shortest round-trip repr, making
+    * the decimal round identical to Spark's. The DECIMAL(14,2) sums
+    * make the input bits engine-independent first (summation order).
+    */
   val tumblingHourlySql: String =
     """SELECT date_trunc('hour', ts) AS hr, event_type, count(*) AS n,
-      |       round(sum(value), 2) AS total, round(avg(value), 4) AS avg_value
+      |  round(CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE), 2) AS total,
+      |  CAST(round(CAST(CAST(
+      |    CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) / count(*)
+      |    AS VARCHAR) AS DECIMAL(38,16)), 4) AS DOUBLE) AS avg_value
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   /** Sliding windows: 2-hour windows every 30 minutes via Spark's

@@ -359,24 +359,28 @@ object DarimaQueries {
        |), ${ar1FitCtes("src")}, tail AS (
        |  SELECT value AS y0 FROM src ORDER BY t DESC LIMIT 1
        |), fc AS (
+       |  -- the model scalars ride INSIDE the recursion rows: a
+       |  -- recursive term that references an upstream CTE re-runs
+       |  -- that CTE's whole subtree every iteration
        |  SELECT 0 AS step, CAST(y0 AS DOUBLE) AS m,
-       |         CAST(1.0 AS DOUBLE) AS psi, CAST(0.0 AS DOUBLE) AS cum
-       |  FROM tail
+       |         CAST(1.0 AS DOUBLE) AS psi, CAST(0.0 AS DOUBLE) AS cum,
+       |         g.c AS c, g.phi AS phi, g.sig AS sig
+       |  FROM tail, gmod g
        |  UNION ALL
-       |  SELECT f.step + 1, g.c + g.phi * f.m,
-       |         g.phi * f.psi, f.cum + f.psi * f.psi
-       |  FROM fc f CROSS JOIN gmod g WHERE f.step < 48
+       |  SELECT step + 1, c + phi * m, phi * psi, cum + psi * psi,
+       |         c, phi, sig
+       |  FROM fc WHERE step < 48
        |)
-       |SELECT f.step,
-       |       round(f.m, 4) AS mean,
-       |       round(sqrt(g.sig * f.cum), 4) AS se,
-       |       round(f.m - $z80 * sqrt(g.sig * f.cum), 4) AS lo80,
-       |       round(f.m + $z80 * sqrt(g.sig * f.cum), 4) AS hi80,
-       |       round(f.m - $z95 * sqrt(g.sig * f.cum), 4) AS lo95,
-       |       round(f.m + $z95 * sqrt(g.sig * f.cum), 4) AS hi95
-       |FROM fc f CROSS JOIN gmod g
-       |WHERE f.step >= 1
-       |ORDER BY f.step""".stripMargin
+       |SELECT step,
+       |       round(m, 4) AS mean,
+       |       round(sqrt(sig * cum), 4) AS se,
+       |       round(m - $z80 * sqrt(sig * cum), 4) AS lo80,
+       |       round(m + $z80 * sqrt(sig * cum), 4) AS hi80,
+       |       round(m - $z95 * sqrt(sig * cum), 4) AS lo95,
+       |       round(m + $z95 * sqrt(sig * cum), 4) AS hi95
+       |FROM fc
+       |WHERE step >= 1
+       |ORDER BY step""".stripMargin
 
   /** Train/test split at the (n−h)-th timestamp, AR(1) pipeline on
     * the train prefix, metric means over the h-step test tail —
@@ -396,21 +400,24 @@ object DarimaQueries {
        |), ${ar1FitCtes("src")}, tail AS (
        |  SELECT value AS y0 FROM src ORDER BY t DESC LIMIT 1
        |), fc AS (
+       |  -- scalars ride inside the rows (see d03): a recursive term
+       |  -- referencing gmod/split would re-run the fit per iteration
        |  SELECT 0 AS step, CAST(y0 AS DOUBLE) AS m,
-       |         CAST(1.0 AS DOUBLE) AS psi, CAST(0.0 AS DOUBLE) AS cum
-       |  FROM tail
+       |         CAST(1.0 AS DOUBLE) AS psi, CAST(0.0 AS DOUBLE) AS cum,
+       |         g.c AS c, g.phi AS phi, g.sig AS sig, s.ntest AS ntest
+       |  FROM tail, gmod g, split s
        |  UNION ALL
-       |  SELECT f.step + 1, g.c + g.phi * f.m,
-       |         g.phi * f.psi, f.cum + f.psi * f.psi
-       |  FROM fc f CROSS JOIN gmod g, split s WHERE f.step < s.ntest
+       |  SELECT step + 1, c + phi * m, phi * psi, cum + psi * psi,
+       |         c, phi, sig, ntest
+       |  FROM fc WHERE step < ntest
        |), scale AS (
        |  SELECT avg(abs(d)) AS sc FROM (
        |    SELECT value - lag(value, 24) OVER (ORDER BY t) AS d FROM src
        |  ) WHERE d IS NOT NULL
        |), joined AS (
        |  SELECT a.value AS actual, f.m,
-       |         sqrt(g.sig * f.cum) AS se
-       |  FROM allrows a, split s, gmod g, fc f
+       |         sqrt(f.sig * f.cum) AS se
+       |  FROM allrows a, split s, fc f
        |  WHERE a.rn > a.n - s.ntest
        |    AND f.step = a.rn - (a.n - s.ntest)
        |)

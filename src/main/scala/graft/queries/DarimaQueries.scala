@@ -193,8 +193,8 @@ object DarimaQueries {
       Darima.combine(Darima.fitChunkCoefs(s, ser, cfgOls2), "dlsa"), n)
     val out = Darima.fittedResidualsDF(ser, model)
       .select(col("t"), col("v"),
-        round(col("fitted"), 6).as("fitted"),
-        round(col("residual"), 6).as("residual"))
+        round(col("fitted"), 3).as("fitted"),
+        round(col("residual"), 3).as("residual"))
       .orderBy(col("t"))
     ser.unpersist()
     out
@@ -463,9 +463,9 @@ object DarimaQueries {
        |)
        |SELECT s.t, s.value AS v,
        |  round(CASE WHEN s.x2 IS NULL THEN NULL
-       |        ELSE (g.b0 + g.p1*s.x1) + g.p2*s.x2 END, 6) AS fitted,
+       |        ELSE (g.b0 + g.p1*s.x1) + g.p2*s.x2 END, 3) AS fitted,
        |  round(CASE WHEN s.x2 IS NULL THEN NULL
-       |        ELSE s.value - ((g.b0 + g.p1*s.x1) + g.p2*s.x2) END, 6)
+       |        ELSE s.value - ((g.b0 + g.p1*s.x1) + g.p2*s.x2) END, 3)
        |    AS residual
        |FROM ser s, gm g
        |ORDER BY s.t""".stripMargin

@@ -45,11 +45,16 @@ object Relational {
         count(lit(1)).as("n"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
-  /** A2: groupBy-avg (mean combine, darima.py:260-280). */
+  /** A2: groupBy-avg (mean combine, darima.py:260-280). The mean of
+    * 2dp money sums as exact DECIMAL first — summation-order
+    * independent, and the oracle mirrors Spark's string-based round
+    * on the identical quotient bits (see EventsAnalytics.x13 note).
+    */
   private val q03AggAvg: Q = (s, d) =>
     Tables.orders(s, d)
       .groupBy(col("o_orderpriority"))
-      .agg(round(avg(col("o_totalprice")), 2).as("avg_price"),
+      .agg(round(sum(col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double") / count(lit(1)), 2).as("avg_price"),
         count(lit(1)).as("n"))
       .orderBy(col("o_orderpriority"))
 
@@ -347,7 +352,11 @@ object Relational {
         |  count(*) AS n
         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q03_agg_avg" ->
-      """SELECT o_orderpriority, round(avg(o_totalprice), 2) AS avg_price,
+      """SELECT o_orderpriority,
+        |  CAST(round(CAST(CAST(
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    / count(*) AS VARCHAR) AS DECIMAL(38,16)), 2) AS DOUBLE)
+        |    AS avg_price,
         |  count(*) AS n
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "q04_filter_prefix" ->

@@ -75,6 +75,40 @@ object EventsAnalytics {
        |FROM assigned GROUP BY ws ORDER BY ws""".stripMargin
   }
 
+  /** Rolling 24-event sum over the global time order, computed
+    * distributed (graft.ts.OrderedLag.withRollingColumns — bucketed
+    * sliding frames + boundary head patch; no single-partition
+    * window). Values sum as exact DECIMAL so the result is
+    * independent of float summation order on any engine.
+    */
+  def rollingSum(events: DataFrame, window: Int): DataFrame = {
+    val built = graft.ts.OrderedLag.withRollingColumns(
+      events.select(col("event_id"), col("ts"), col("value")),
+      col("ts"), col("event_id"),
+      (in, w) => in
+        .withColumn("__rsum",
+          sum(col("value").cast("decimal(14,2)"))
+            .over(w.rowsBetween(-(window - 1), 0)))
+        .withColumn("__rcnt",
+          count(lit(1)).over(w.rowsBetween(-(window - 1), 0))),
+      Seq("__rsum", "__rcnt"), window)
+    built.select(col("event_id"),
+      round(col("__rsum").cast("double"), 2).as("rsum"),
+      col("__rcnt").as("rn"))
+      .orderBy(col("event_id"))
+  }
+
+  def rollingSumSql(window: Int): String =
+    s"""SELECT event_id,
+       |  round(CAST(sum(CAST(value AS DECIMAL(14,2))) OVER (
+       |    ORDER BY ts, event_id
+       |    ROWS BETWEEN ${window - 1} PRECEDING AND CURRENT ROW)
+       |    AS DOUBLE), 2) AS rsum,
+       |  count(*) OVER (
+       |    ORDER BY ts, event_id
+       |    ROWS BETWEEN ${window - 1} PRECEDING AND CURRENT ROW) AS rn
+       |FROM events ORDER BY event_id""".stripMargin
+
   /** Sessionization: per user, a new session starts after a gap of
     * more than `gapSec`. session index = running count of
     * session-start flags (the standard lag + cumulative-sum

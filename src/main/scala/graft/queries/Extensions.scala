@@ -220,6 +220,12 @@ object Extensions {
       .select(col("doc_id"), col("lang"), col("n_chars"))
       .orderBy(col("doc_id"))
 
+  /** X5: distributed rolling 24-event sum over the global time
+    * order (bucketed sliding frames, no single-partition window).
+    */
+  private val x32RollingSum: Q = (s, d) =>
+    EventsAnalytics.rollingSum(Tables.events(s, d), window = 24)
+
   /** X3: TF-IDF top terms per document. */
   private val x23Tfidf: Q = (s, d) =>
     TextAnalysis.tfidfTopTerms(Tables.documents(s, d), k = 3)
@@ -280,6 +286,7 @@ object Extensions {
     "x29_clean_corpus" -> x29CleanCorpus,
     "x30_range_join" -> x30RangeJoin,
     "x31_weighted_sample" -> x31WeightedSample,
+    "x32_rolling_sum" -> x32RollingSum,
   )
 
   /** The md5-nibble fake-decode in SQL (first 8 nibbles of
@@ -411,5 +418,6 @@ object Extensions {
          |${Sampling.weightedSampleSql("cast(doc_id as string)", "n_chars",
         50, "doc_id", "doc_id, lang, n_chars")}
          |) ORDER BY doc_id""".stripMargin,
+    "x32_rolling_sum" -> EventsAnalytics.rollingSumSql(24),
   )
 }

@@ -28,7 +28,8 @@ object PlanAudit {
       // OrderedLag's helper fan-out joins the per-bucket tails to the
       // ≤32-row broadcast target list on an inequality — bounded by
       // construction (buckets·maxLag rows)
-      "d07_fitted_residuals" -> Set("BNLJoin"))
+      "d07_fitted_residuals" -> Set("BNLJoin"),
+      "x32_rolling_sum" -> Set("BNLJoin"))
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")

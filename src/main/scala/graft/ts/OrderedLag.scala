@@ -53,6 +53,20 @@ object OrderedLag {
         collect_list(col(valueCol)).over(w.rowsBetween(-p, -1))),
       Seq(s"${valueCol}_lags"), p, buckets)
 
+  /** Distributed rolling-window aggregate over the total order: the
+    * generic entry for sliding-frame computations (moving sums/
+    * averages/counts). `build` receives the bucketed window spec and
+    * must add exactly `outCols` using frames reaching back at most
+    * `window − 1` rows — the head-patch machinery then repairs the
+    * first `window − 1` rows of every bucket from the neighboring
+    * tails, exactly as it does for lags.
+    */
+  def withRollingColumns(df: DataFrame, orderCol: Column, tieBreak: Column,
+      build: (DataFrame, org.apache.spark.sql.expressions.WindowSpec) => DataFrame,
+      outCols: Seq[String], window: Int, buckets: Int = 32): DataFrame =
+    withLagColumns(df, orderCol, tieBreak, build, outCols,
+      math.max(1, window - 1), buckets)
+
   /** Shared skeleton: range-bucketed windows + boundary head patch,
     * generic in the window-derived columns (`build` must add exactly
     * `outCols` using the given window spec).

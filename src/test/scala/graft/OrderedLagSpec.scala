@@ -83,4 +83,32 @@ class OrderedLagSpec extends AnyFunSuite {
     assert(!plan.contains("SinglePartition"), plan.linesIterator
       .filter(_.contains("SinglePartition")).mkString("\n"))
   }
+
+  test("rolling columns equal the single-partition window across buckets") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(23)
+    // enough rows for ~32 buckets so head patches are exercised
+    val df = Seq.tabulate(5000)(i => (i.toLong, rnd.nextInt(10000) / 100.0))
+      .toDF("id", "v")
+    val got = graft.ts.OrderedLag.withRollingColumns(
+      df, col("id"), col("id"),
+      (in, w) => in.withColumn("rsum",
+        sum(col("v").cast("decimal(14,2)")).over(w.rowsBetween(-9, 0))),
+      Seq("rsum"), window = 10)
+      .select(col("id"), col("rsum").cast("double"))
+      .orderBy("id").collect()
+    val w = Window.orderBy(col("id")).rowsBetween(-9, 0)
+    val want = df.withColumn("rsum",
+      sum(col("v").cast("decimal(14,2)")).over(w))
+      .select(col("id"), col("rsum").cast("double"))
+      .orderBy("id").collect()
+    assert(got.length == want.length)
+    got.zip(want).foreach { case (g, e) =>
+      assert(g.getLong(0) == e.getLong(0))
+      assert(math.abs(g.getDouble(1) - e.getDouble(1)) < 1e-9,
+        s"id=${g.getLong(0)}: ${g.getDouble(1)} vs ${e.getDouble(1)}")
+    }
+  }
 }

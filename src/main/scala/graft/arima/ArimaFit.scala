@@ -632,7 +632,7 @@ object ArimaFit {
     val n = w.length
     if (n < 3 * m + 16) {
       // too short for a seasonal fit — fall back to non-seasonal
-      return fit(x, m, maxP, maxQ).copy(bigD = 0)
+      return fit(x, m, maxP, maxQ)
     }
 
     var evaluated = Map.empty[(Int, Int, Int, Int), Double]

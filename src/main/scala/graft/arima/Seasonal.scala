@@ -120,7 +120,13 @@ object Seasonal {
         row(o) = math.cos(w)
         row(o + 1) = math.sin(w)
         if (drift(j)) {
-          val u = tau(t) / ps(j)._1
+          // center the drift regressor: raw u = τ/cycle is huge and
+          // nearly constant within a chunk (epoch-scale τ), making
+          // u·cos ~collinear with cos and the normal equations
+          // ill-conditioned; the fit uses (u − ū)·cos and the
+          // coefficients are un-centered back to the absolute
+          // convention below
+          val u = tau(t) / ps(j)._1 - tauMean / ps(j)._1
           row(o + 2) = u * row(o)
           row(o + 3) = u * row(o + 1)
         }
@@ -148,10 +154,14 @@ object Seasonal {
       val beta = Linalg.solve(xtx, xty)
       Array.tabulate(ps.length) { j =>
         val o = offsets(j)
-        if (drift(j))
-          HarmCoef(ps(j)._1, ps(j)._2, beta(o), beta(o + 1),
+        if (drift(j)) {
+          // un-center: (a + d(u − ū))cos = ((a − d·ū) + d·u)cos
+          val uBar = tauMean / ps(j)._1
+          HarmCoef(ps(j)._1, ps(j)._2,
+            beta(o) - beta(o + 2) * uBar,
+            beta(o + 1) - beta(o + 3) * uBar,
             beta(o + 2), beta(o + 3))
-        else HarmCoef(ps(j)._1, ps(j)._2, beta(o), beta(o + 1))
+        } else HarmCoef(ps(j)._1, ps(j)._2, beta(o), beta(o + 1))
       }
     } catch {
       case _: IllegalArgumentException => Array.empty

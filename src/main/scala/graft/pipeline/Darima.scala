@@ -135,7 +135,22 @@ object Darima {
         }
       }
     val ar = cfg.fitter match {
-      case "olsar" => graft.arima.ArFit.olsAr(values, cfg.olsP, cfg.olsTrend)
+      case "olsar" =>
+        // timerange chunks are equal-width in TIME, so a temporally
+        // sparse bucket can be tiny; fall back to the mean-only AR(0)
+        // model instead of failing the whole job on olsAr's length
+        // require (the longar/arma fitters degrade gracefully already)
+        val kReq = cfg.olsP + (if (cfg.olsTrend) 2 else 1)
+        if (values.length - cfg.olsP > kReq + 2)
+          graft.arima.ArFit.olsAr(values, cfg.olsP, cfg.olsTrend)
+        else {
+          val n = values.length
+          val mean = if (n == 0) 0.0 else values.sum / n
+          val varv = if (n < 2) 0.0
+            else values.map(v => (v - mean) * (v - mean)).sum / (n - 1)
+          graft.arima.ArLinearModel(mean, 0.0, Array.empty, varv,
+            math.max(n, 1).toLong)
+        }
       case "longar" =>
         Sarima2Ar.toAr(ArimaFit.fitLongAr(values, cfg.freq, cfg.maxLag),
           cfg.tol)
@@ -324,9 +339,12 @@ object Darima {
       series.select(col("time").cast("double").as("t"),
         col("value").cast("double").as("v")),
       col("t"), col("t"), "v", Seq(m))
-    lagged.filter(col(s"v_lag$m").isNotNull)
+    val r = lagged.filter(col(s"v_lag$m").isNotNull)
       .agg(avg(abs(col("v") - col(s"v_lag$m"))))
-      .head().getDouble(0)
+      .head()
+    // a series with ≤ m rows has no lagged pairs: NaN, matching the
+    // driver-side Metrics.seasonalNaiveScale contract
+    if (r.isNullAt(0)) Double.NaN else r.getDouble(0)
   }
 
   /** Distributed full-series fitted values and residuals from the
@@ -354,13 +372,16 @@ object Darima {
         (lit(h.sin) + lit(h.dsin) * u) * sin(w))
     }
 
-  /** (n, dt) of a regularly sampled (t, v) frame; dt ≤ 0 for
-    * degenerate inputs.
+  /** (n, tMin, tMax, dt) of a regularly sampled (t, v) frame;
+    * dt ≤ 0 for degenerate inputs. Shared by the fitted/residual,
+    * anchoring, and holdout-weighting passes.
     */
-  private def sampleSpacing(named: DataFrame): (Long, Double) = {
+  private def sampleSpacing(named: DataFrame): (Long, Double, Double, Double) = {
     val r = named.agg(count(lit(1)), min(col("t")), max(col("t"))).head()
     val n = r.getLong(0)
-    (n, if (n < 2) 0.0 else (r.getDouble(2) - r.getDouble(1)) / (n - 1))
+    if (n < 2) (n, 0.0, 0.0, 0.0)
+    else (n, r.getDouble(1), r.getDouble(2),
+      (r.getDouble(2) - r.getDouble(1)) / (n - 1))
   }
 
   def fittedResidualsDF(series: DataFrame, model: ArLinearModel): DataFrame = {
@@ -376,7 +397,7 @@ object Darima {
     val sCol: Column =
       if (model.harmonics.isEmpty) lit(0.0)
       else {
-        val (_, dt) = sampleSpacing(named)
+        val (_, _, _, dt) = sampleSpacing(named)
         seasonalCol(model.harmonics,
           col("t") / lit(if (dt <= 0) 1.0 else dt))
       }
@@ -436,12 +457,8 @@ object Darima {
     }
     val named = series.select(col("time").cast("double").as("t"),
       col("value").cast("double").as("v"))
-    val r = named.agg(count(lit(1)), min(col("t")), max(col("t"))).head()
-    val n = r.getLong(0)
-    if (n < 2) return Map.empty
-    val tMax = r.getDouble(2)
-    val dt = (tMax - r.getDouble(1)) / (n - 1)
-    if (dt <= 0) return Map.empty
+    val (n, _, tMax, dt) = sampleSpacing(named)
+    if (n < 2 || dt <= 0) return Map.empty
     val maxCycle = byChunk.values.flatMap(_.map(_.cycle)).max
     val window = math.min(maxCycle.toLong, n)
     val cutoff = tMax - (window - 0.5) * dt
@@ -472,12 +489,8 @@ object Darima {
     if (model.beta1 != 0.0 || math.abs(1.0 - piSum) < 1e-6) return model
     val named = series.select(col("time").cast("double").as("t"),
       col("value").cast("double").as("v"))
-    val r = named.agg(count(lit(1)), min(col("t")), max(col("t"))).head()
-    val n = r.getLong(0)
-    if (n < 2) return model
-    val tMax = r.getDouble(2)
-    val dt = (tMax - r.getDouble(1)) / (n - 1)
-    if (dt <= 0) return model
+    val (n, _, tMax, dt) = sampleSpacing(named)
+    if (n < 2 || dt <= 0) return model
     val cutoff = tMax - (math.min(window.toLong, n) - 0.5) * dt
     val s = seasonalCol(model.harmonics, col("t") / lit(dt))
     val muRecent = named.filter(col("t") >= cutoff)
@@ -555,6 +568,11 @@ object Darima {
     try {
       val n = cached.count()
       val hHold = math.min(h.toLong, n / 5).toInt
+      if (hHold < 1) {
+        // series too short for a holdout — run the default directly
+        val (m, f) = run(spark, cached, h, cfg)
+        return (cfg.harmYearly, m, f)
+      }
       // Holdout tail: a distributed top-k (TakeOrdered) of hHold rows;
       // the train prefix is then a pushed-down time filter against the
       // tail's first timestamp — no GlobalLimit over 80% of the data

@@ -99,6 +99,11 @@ object DarimaQueries {
     * GlobalLimit, no full-series collect; VERDICT r2 #1), forecast on
     * the train prefix, distributed seasonal-naïve scale, MASE/sMAPE/
     * MSIS means over the h-row test tail (the only rows collected).
+    *
+    * Assumes unique timestamps (true of the harness events table and
+    * any sane series): with ties at the cutoff, `time < cutoff` and
+    * the oracle's row_number split would disagree on the tied rows —
+    * the same total-order requirement OrderedLag documents.
     */
   private val d04ForecastEval: Q = (s, d) => {
     import s.implicits._

@@ -206,7 +206,11 @@ object Extensions {
       col("t"), col("s"), col("e"), width = 3600.0)
       .filter(col("user_id") =!= col("owner"))
       .groupBy(col("owner"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_val"))
+      // exact DECIMAL sum: order-independent bits on both engines
+      // (same hazard class the x13/q03 fix documents)
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(14,2)")).cast("double"), 2)
+          .as("sum_val"))
       .orderBy(col("owner"))
   }
 
@@ -407,7 +411,8 @@ object Extensions {
         |  FROM events WHERE user_id < 50 GROUP BY user_id
         |)
         |SELECT iv.owner, CAST(count(*) AS BIGINT) AS n,
-        |       round(sum(ev.value), 4) AS sum_val
+        |       round(CAST(sum(CAST(ev.value AS DECIMAL(14,2))) AS DOUBLE), 2)
+        |         AS sum_val
         |FROM events ev, iv
         |WHERE epoch(ev.ts) >= iv.s AND epoch(ev.ts) <= iv.e
         |  AND ev.user_id != iv.owner

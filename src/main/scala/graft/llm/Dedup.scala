@@ -325,11 +325,14 @@ object Dedup {
           .stripMargin)).as("p"))
       .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
       .agg(count(lit(1)).as("inter"))
+    // sizes is one row per document in any capped bucket — O(corpus),
+    // so no broadcast hint: AQE picks broadcast when the side is
+    // actually small and a shuffled hash join once it isn't
     inter
-      .join(broadcast(sizes.withColumnRenamed("doc_id", "d1")
-        .withColumnRenamed("sz", "sz1")), "d1")
-      .join(broadcast(sizes.withColumnRenamed("doc_id", "d2")
-        .withColumnRenamed("sz", "sz2")), "d2")
+      .join(sizes.withColumnRenamed("doc_id", "d1")
+        .withColumnRenamed("sz", "sz1"), "d1")
+      .join(sizes.withColumnRenamed("doc_id", "d2")
+        .withColumnRenamed("sz", "sz2"), "d2")
       .withColumn("jaccard", col("inter") /
         (col("sz1") + col("sz2") - col("inter")))
       .filter(col("jaccard") >= threshold)

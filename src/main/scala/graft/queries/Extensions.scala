@@ -42,8 +42,9 @@ object Extensions {
     * run actually executes — keep a document iff it (a) passes the
     * quality verdict, (b) is the canonical keeper of its exact-dup
     * group, and (c) shares no 4-gram with the benchmark set. Three
-    * semi/anti joins over the operator outputs; the dup-keeper and
-    * benchmark sides broadcast.
+    * semi/anti joins on doc_id — quality/keepers/contaminated are all
+    * O(corpus) relations, so no broadcast hints: AQE broadcasts them
+    * while small and falls back to shuffled semi-joins at scale.
     */
   private val x29CleanCorpus: Q = (s, d) => {
     val docs = Tables.documents(s, d)
@@ -54,9 +55,9 @@ object Extensions {
     val contaminated = Dedup.decontaminate(docs, benchIds = 5, n = 4)
       .select(col("doc_id"))
     docs.filter(col("doc_id") >= 5)
-      .join(broadcast(quality), Seq("doc_id"), "left_semi")
-      .join(broadcast(keepers), Seq("doc_id"), "left_semi")
-      .join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+      .join(quality, Seq("doc_id"), "left_semi")
+      .join(keepers, Seq("doc_id"), "left_semi")
+      .join(contaminated, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("lang"), col("n_chars"))
       .orderBy(col("doc_id"))
   }

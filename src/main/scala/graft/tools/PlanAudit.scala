@@ -1,6 +1,8 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Attribute, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.catalyst.plans.logical._
 
 /** Plan-shape audit over the whole declared query surface: flags the
   * patterns that do not survive a 100 TB scale-up — single-partition
@@ -10,6 +12,52 @@ import org.apache.spark.sql.SparkSession
   *   tools/spark-run.sh graft.tools.PlanAudit [sfDir]
   */
 object PlanAudit {
+
+  /** A broadcast-hinted subtree is "provably bounded" iff it carries a
+    * structural certificate that its cardinality does not grow with
+    * the input: a grouping-free (1-row) aggregate, an aggregate keyed
+    * only on internal `__bucket`-style keys (cardinality = the literal
+    * bucket count), an explicit limit, a literal `range(...)`, a
+    * filter pinning an id below an integer literal (fixed query/seed/
+    * benchmark prefixes), or a scan of a fixed-size dimension table
+    * (region/nation). A hint on anything else — e.g. a per-document
+    * aggregate over the whole corpus — forces an unbounded driver
+    * collect at scale and is flagged.
+    */
+  private[tools] def provablyBounded(p: LogicalPlan): Boolean = {
+    def certifies(n: LogicalPlan): Boolean = n match {
+      case a: Aggregate if a.groupingExpressions.isEmpty => true
+      case a: Aggregate => a.groupingExpressions.forall {
+        case attr: Attribute => attr.name.startsWith("__")
+        case _ => false
+      }
+      case _: GlobalLimit => true
+      case _: Range => true
+      // foldable, not Literal: analysis wraps int literals compared to
+      // long ids in a Cast, which is still a constant bound
+      case f: Filter => f.condition.exists {
+        case LessThan(_: Attribute, bound) => bound.foldable
+        case LessThanOrEqual(_: Attribute, bound) => bound.foldable
+        case GreaterThan(bound, _: Attribute) => bound.foldable
+        case GreaterThanOrEqual(bound, _: Attribute) => bound.foldable
+        case _ => false
+      }
+      case l: LeafNode =>
+        val s = l.toString
+        s.contains("nation") || s.contains("region")
+      case _ => false
+    }
+    p.exists(certifies)
+  }
+
+  /** Broadcast hints whose side has no boundedness certificate. */
+  private[tools] def unboundedBroadcasts(plan: LogicalPlan): Seq[LogicalPlan] =
+    plan.collect {
+      case h: ResolvedHint
+          if h.hints.strategy.contains(BROADCAST) &&
+            !provablyBounded(h.child) => h.child
+    }
+
   def main(args: Array[String]): Unit = {
     val sf = args.headOption.getOrElse("/root/testdata/sf0.001")
     // Audited-and-deliberate shapes: a global scalar aggregate's final
@@ -38,13 +86,18 @@ object PlanAudit {
     var flagged = 0
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
-        val plan = fn(spark, sf).queryExecution.executedPlan.toString
+        val qe = fn(spark, sf).queryExecution
+        val plan = qe.executedPlan.toString
         val issues = Seq(
           "SinglePartition" -> plan.contains("SinglePartition"),
           "CartesianProduct" -> plan.contains("CartesianProduct"),
           // BroadcastNestedLoopJoin is fine only against tiny frames;
           // flag it so each use stays a conscious decision
-          "BNLJoin" -> plan.contains("BroadcastNestedLoopJoin"))
+          "BNLJoin" -> plan.contains("BroadcastNestedLoopJoin"),
+          // a hard broadcast() hint must sit on a provably bounded
+          // relation — anything O(input) would kill the driver at scale
+          "UnboundedBroadcastHint" ->
+            unboundedBroadcasts(qe.analyzed).nonEmpty)
           .collect { case (tag, true) => tag }
           .filterNot(allow.getOrElse(name, Set.empty))
         if (issues.nonEmpty) {

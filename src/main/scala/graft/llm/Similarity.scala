@@ -20,6 +20,13 @@ object Similarity {
     * scan side streams. At 100 TB this is one broadcast-join pass —
     * the correct exact baseline. Ties broken by rounded cosine then
     * vec_id so ranking is deterministic across engines.
+    *
+    * Ranking is a bounded partial top-k (functions.BoundedTopK), not a
+    * rank window: each scan partition reduces to ≤4k candidates per
+    * query BEFORE the shuffle, so the exchange moves
+    * O(partitions · nQueries · k) rows — a rank window over qid would
+    * shuffle all N scored rows into nQueries partitions and sort each,
+    * a near-single-reducer funnel at scale.
     */
   def cosineTopK(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
     val q = emb.filter(col("vec_id") < nQueries)
@@ -33,10 +40,11 @@ object Similarity {
         round(graft.functions.VectorFunctions
           .cosine_similarity(col("embedding"), col("qe")), 6))
     pairs
-      .withColumn("rank", row_number().over(Window.partitionBy(col("qid"))
-        .orderBy(col("cos").desc, col("vec_id"))))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("vec_id"), col("cos"))
+      .groupBy(col("qid"))
+      .agg(graft.functions.TopK.top_k(k)(col("cos"), col("vec_id")).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("pos", "hit")))
+      .select(col("qid"), (col("pos") + 1).as("rank"),
+        col("hit.vec_id").as("vec_id"), col("hit.cos").as("cos"))
       .orderBy(col("qid"), col("rank"))
   }
 

@@ -78,6 +78,39 @@ class ScaleSpec extends AnyFunSuite {
     assert(secs < 120, s"took ${secs}s")
   }
 
+  test("5M-vector cosine top-k: bounded partial top-k, no rank window") {
+    import spark.implicits._
+    // 2-D unit vectors on 1009 distinct angles (0.01 rad apart, which
+    // wraps without ever re-aligning closer than ~0.003 rad): the
+    // exact top-3 for query q are the three smallest ids in its own
+    // residue class — q+1009, q+2018, q+3027 — at cos 1.0, and the
+    // expected result is fully known in closed form.
+    val n = 5_000_000L
+    val emb = spark.range(n).select(
+      col("id").as("vec_id"),
+      array(cos((col("id") % 1009).cast("double") * 0.01),
+        sin((col("id") % 1009).cast("double") * 0.01)).as("embedding"))
+    val t0 = System.nanoTime()
+    val top = graft.llm.Similarity.cosineTopK(emb, nQueries = 5, k = 3)
+    val rows = top.collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"5M vectors, 5 queries, k=3: ${secs}%.1f s")
+    assert(rows.length == 15)
+    rows.foreach { r =>
+      val (qid, rank, vecId, c) =
+        (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))
+      assert(vecId == qid + 1009L * rank, s"qid=$qid rank=$rank vec=$vecId")
+      assert(c == 1.0, s"qid=$qid rank=$rank cos=$c")
+    }
+    // the scale point: ranking must be the bounded ObjectHashAggregate
+    // partial top-k, not a row_number window funneling N rows into
+    // nQueries partitions
+    val plan = top.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "rank window leaked back into the plan")
+    assert(plan.contains("ObjectHashAggregate"), plan.take(500))
+    assert(secs < 120, s"took ${secs}s")
+  }
+
   test("5M-point range join: bucketed equi-join stays linear") {
     import spark.implicits._
     val points = spark.range(5_000_000L).select(

@@ -200,9 +200,16 @@ object Similarity {
     * (cos ≥ 0.95) still collide per band with prob ≈ 0.9^planes, so
     * recall stays high under the OR. Norms are computed once per
     * vector before the pair join, not per pair.
+    *
+    * Degenerate-signature guard: buckets larger than `bucketCap` are
+    * dropped before pair enumeration (same cap-and-drop as
+    * Dedup.simhashNearDup) — an over-full bucket means a
+    * non-discriminative band (templated or near-zero embeddings
+    * collapsing to one sign pattern), and without the cap one such
+    * bucket is a quadratic blow-up no plane-growth rule prevents.
     */
   def nearDupPairs(emb: DataFrame, bands: Int, planesPerBand: Int,
-      dim: Int, threshold: Double): DataFrame = {
+      dim: Int, threshold: Double, bucketCap: Int = 64): DataFrame = {
     val ps = planes(bands * planesPerBand, dim)
     val sigCols = (0 until bands).map { b =>
       (0 until planesPerBand).map { j =>
@@ -215,11 +222,18 @@ object Similarity {
       .select(col("vec_id"), expr(
         (0 until bands).map(b => s"$b, sig$b")
           .mkString(s"stack($bands, ", ", ", ") AS (band, sig)")))
-    val cands = sigs.as("a")
-      .join(sigs.as("b"),
-        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-          col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"))
+    // bucket-list form: ONE groupBy per (band, sig), cap, then
+    // in-bucket pair enumeration — at most bucketCap²/2 pairs per
+    // bucket, so candidate volume is linear in the bucket count
+    val cands = sigs
+      .groupBy(col("band"), col("sig"))
+      .agg(sort_array(collect_list(col("vec_id"))).as("vs"))
+      .filter(size(col("vs")) <= bucketCap)
+      .select(explode(expr(
+        """flatten(transform(vs, (x, i) ->
+          |  transform(slice(vs, i + 2, size(vs)),
+          |            y -> struct(x AS i, y AS j))))""".stripMargin)).as("p"))
+      .select(col("p.i").as("i"), col("p.j").as("j"))
       .distinct()
     val normed = emb.select(col("vec_id"), col("embedding"),
       sqrt(dot_product(col("embedding"), col("embedding"))).as("nrm"))
@@ -236,7 +250,7 @@ object Similarity {
   }
 
   def nearDupPairsSql(bands: Int, planesPerBand: Int, dim: Int,
-      threshold: Double): String = {
+      threshold: Double, bucketCap: Int = 64): String = {
     val ps = planes(bands * planesPerBand, dim)
     def sigExpr(b: Int): String =
       (0 until planesPerBand).map { j =>
@@ -251,9 +265,14 @@ object Similarity {
       .mkString("\nUNION ALL\n")
     s"""WITH sigs AS (
        |$sigSelects
+       |), kept AS (
+       |  SELECT band, sig FROM sigs GROUP BY band, sig
+       |  HAVING count(*) <= $bucketCap
        |), cands AS (
        |  SELECT DISTINCT a.vec_id AS i, b.vec_id AS j
-       |  FROM sigs a JOIN sigs b
+       |  FROM sigs a
+       |  JOIN kept k ON a.band = k.band AND a.sig = k.sig
+       |  JOIN sigs b
        |    ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id
        |), scored AS (
        |  SELECT c.i, c.j,

@@ -124,4 +124,29 @@ class EdgeCaseSpec extends AnyFunSuite {
     val fr = graft.pipeline.Darima.fittedResidualsDF(tiny, m).collect()
     assert(fr.length == 2 && fr.forall(_.isNullAt(2)))
   }
+
+  test("embedding LSH near-dup survives a degenerate collapsed corpus") {
+    import spark.implicits._
+    // 2000 identical vectors + 1000 all-zero vectors: every band
+    // signature collapses to one of two patterns, so without the
+    // bucket cap the candidate join enumerates ~2.5M pairs from 3000
+    // rows. With cap-and-drop the over-full buckets are discarded and
+    // only the planted distinct near-dup pair survives.
+    val clones = spark.range(2000).select(col("id").as("vec_id"),
+      array(lit(1.0f), lit(2.0f), lit(3.0f), lit(4.0f)).as("embedding"))
+    val zeros = spark.range(2000, 3000).select(col("id").as("vec_id"),
+      array(lit(0.0f), lit(0.0f), lit(0.0f), lit(0.0f)).as("embedding"))
+    val planted = Seq(
+      (5000L, Array(-1.0f, -2.0f, -3.0f, -4.0f)),
+      (5001L, Array(-1.0f, -2.0f, -3.1f, -4.0f))).toDF("vec_id", "embedding")
+    val emb = clones.unionByName(zeros).unionByName(planted)
+    val pairs = graft.llm.Similarity
+      .nearDupPairs(emb, bands = 4, planesPerBand = 6, dim = 4,
+        threshold = 0.9, bucketCap = 64)
+      .collect()
+    // the clone/zero buckets (sizes 2000 and 1000) are dropped; the
+    // planted pair shares at least one band bucket of size 2
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((5000L, 5001L)), pairs.mkString(","))
+  }
 }

@@ -532,8 +532,12 @@ object ArimaFit {
   private def hrSeasonalStart(w: Array[Double], p: Int, q: Int,
       sp: Int, sq: Int, m: Int): Option[Array[Double]] = {
     val n = w.length
-    val wLags = (1 to p).toArray ++ (1 to sp).map(_ * m)
-    val eLags = (1 to q).toArray ++ (1 to sq).map(_ * m)
+    // distinct: for p ≥ m (or q ≥ m) the plain lags already contain
+    // seasonal multiples, and duplicated regressor columns make X'X
+    // exactly singular — the shared column seeds the plain slot and
+    // the overlapping seasonal slot starts at 0 (mapping below)
+    val wLags = ((1 to p).toArray ++ (1 to sp).map(_ * m)).distinct
+    val eLags = ((1 to q).toArray ++ (1 to sq).map(_ * m)).distinct
     val k = 1 + wLags.length + eLags.length
     var mean = 0.0
     var i = 0
@@ -598,15 +602,26 @@ object ArimaFit {
         else mean
       val out = new Array[Double](1 + p + q + sp + sq)
       out(0) = c
+      // distinct preserves first occurrences, so plain lags keep
+      // their positional columns; seasonal slots look their lag up,
+      // and a lag swallowed by the plain range starts at 0
       i = 0
       while (i < p) { out(1 + i) = beta(1 + i); i += 1 }
       i = 0
-      while (i < sp) { out(1 + p + q + i) = beta(1 + p + i); i += 1 }
+      while (i < sp) {
+        val lag = (i + 1) * m
+        out(1 + p + q + i) =
+          if (lag <= p) 0.0 else beta(1 + wLags.indexOf(lag))
+        i += 1
+      }
       i = 0
       while (i < q) { out(1 + p + i) = beta(1 + wLags.length + i); i += 1 }
       i = 0
       while (i < sq) {
-        out(1 + p + q + sp + i) = beta(1 + wLags.length + q + i); i += 1
+        val lag = (i + 1) * m
+        out(1 + p + q + sp + i) =
+          if (lag <= q) 0.0 else beta(1 + wLags.length + eLags.indexOf(lag))
+        i += 1
       }
       Some(out)
     } catch { case _: IllegalArgumentException => None }

@@ -179,8 +179,12 @@ object Seasonal {
 
   private val variants = Seq("cos", "sin", "dcos", "dsin")
 
-  def lagIdx(cycle: Int, k: Int, trig: String): Int =
-    -(10 + 128 * cycle + 4 * k + variants.indexOf(trig))
+  def lagIdx(cycle: Int, k: Int, trig: String): Int = {
+    // 1024-stride keeps (cycle, k, variant) injective up to k < 253;
+    // a 128 stride let 4k bleed into the next cycle's slot from k=32
+    require(k < 253, s"harmonic k=$k overflows the lag_idx stride")
+    -(10 + 1024 * cycle + 4 * k + variants.indexOf(trig))
+  }
 
   def lagIdx(cycle: Int, k: Int, isSin: Boolean): Int =
     lagIdx(cycle, k, if (isSin) "sin" else "cos")

@@ -11,9 +11,13 @@ package graft.eval
   */
 object Metrics {
 
-  /** Seasonal-naïve in-sample MAE — the MASE/MSIS scaling term. */
+  /** Seasonal-naïve in-sample MAE — the MASE/MSIS scaling term.
+    * NaN when the train series has no lag-m pair (length ≤ m), the
+    * same contract as the distributed Darima.seasonalNaiveScaleDF:
+    * downstream metrics go NaN and Metrics.mean skips them.
+    */
   def seasonalNaiveScale(train: Array[Double], m: Int): Double = {
-    require(train.length > m, s"train shorter than period $m")
+    if (train.length <= m) return Double.NaN
     var acc = 0.0
     var t = m
     while (t < train.length) { acc += math.abs(train(t) - train(t - m)); t += 1 }

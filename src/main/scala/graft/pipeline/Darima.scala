@@ -469,7 +469,9 @@ object Darima {
     val row = named.filter(col("t") >= cutoff).agg(aggs.head, aggs.tail: _*)
       .head()
     val invVar = chunks.zipWithIndex.map { case (cid, i) =>
-      val v = row.getDouble(i)
+      // var_samp is NULL when the cutoff window caught < 2 rows
+      // (irregularly sampled series) — treat as weight 0, like NaN
+      val v = if (row.isNullAt(i)) Double.NaN else row.getDouble(i)
       cid -> (if (v > 0 && !v.isNaN) 1.0 / v else 0.0)
     }
     val s = invVar.map(_._2).sum

@@ -16,17 +16,18 @@ object EventsAnalytics {
   def tumblingHourly(events: DataFrame): DataFrame =
     events
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-      // values are 2dp by construction: summing them as exact
-      // DECIMAL(14,2) makes the aggregate independent of float
-      // summation order, so both engines round identical input bits
-      // (a true .xxxx5 mean at sf0.1 exposed a one-ulp order tie)
+      // values are 2dp by construction: summing them as exact integer
+      // cents makes the aggregate independent of float summation
+      // order, so both engines round identical input bits (a true
+      // .xxxx5 mean at sf0.1 exposed a one-ulp order tie). A LONG sum
+      // stays inside codegen — the DECIMAL(14,2) accumulation it
+      // replaces was the r3 bench tax on x13/x25.
       .agg(count(lit(1)).as("n"),
-        round(sum(col("value").cast("decimal(14,2)")).cast("double"), 2)
-          .as("total"),
-        round((sum(col("value").cast("decimal(14,2)")).cast("double") /
-          count(lit(1))), 4).as("avg_value"))
+        sum(round(col("value") * 100).cast("long")).as("cents"))
       .select(col("w.start").as("hr"), col("event_type"), col("n"),
-        col("total"), col("avg_value"))
+        round(col("cents").cast("double") / 100.0, 2).as("total"),
+        round(col("cents").cast("double") / 100.0 / col("n"), 4)
+          .as("avg_value"))
       .orderBy(col("hr"), col("event_type"))
 
   /** avg_value rounds through the value's shortest decimal string —
@@ -35,16 +36,22 @@ object EventsAnalytics {
     * UP even though its binary double sits just below the boundary;
     * DuckDB's native round works on the raw binary and rounds DOWN.
     * CAST(x AS VARCHAR) is DuckDB's shortest round-trip repr, making
-    * the decimal round identical to Spark's. The DECIMAL(14,2) sums
-    * make the input bits engine-independent first (summation order).
+    * the decimal round identical to Spark's. The integer-cents sums
+    * make the input bits engine-independent first (summation order);
+    * CAST AS DOUBLE before dividing also avoids driver-unsafe HUGEINT.
     */
   val tumblingHourlySql: String =
-    """SELECT date_trunc('hour', ts) AS hr, event_type, count(*) AS n,
-      |  round(CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE), 2) AS total,
+    """WITH c AS (
+      |  SELECT date_trunc('hour', ts) AS hr, event_type,
+      |         CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events
+      |)
+      |SELECT hr, event_type, count(*) AS n,
+      |  round(CAST(sum(cents) AS DOUBLE) / 100.0, 2) AS total,
       |  CAST(round(CAST(CAST(
-      |    CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) / count(*)
+      |    CAST(sum(cents) AS DOUBLE) / 100.0 / count(*)
       |    AS VARCHAR) AS DECIMAL(38,16)), 4) AS DOUBLE) AS avg_value
-      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+      |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   /** Sliding windows: 2-hour windows every 30 minutes via Spark's
     * native sliding `window` (each event lands in windowSec/slideSec
@@ -58,8 +65,11 @@ object EventsAnalytics {
     events
       .groupBy(window(col("ts"), s"$windowSec seconds",
         s"$slideSec seconds").as("w"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
-      .select(col("w.start").as("ws"), col("n"), col("total"))
+      // integer-cents sum: order-independent AND codegen-cheap
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("cents"))
+      .select(col("w.start").as("ws"), col("n"),
+        round(col("cents").cast("double") / 100.0, 2).as("total"))
       .orderBy(col("ws"))
 
   def slidingWindowsSql(windowSec: Int, slideSec: Int): String = {
@@ -68,46 +78,54 @@ object EventsAnalytics {
        |  SELECT CAST(floor(epoch(ts) / $slideSec) AS BIGINT) AS slot, value
        |  FROM events
        |), assigned AS (
-       |  SELECT make_timestamp((slot - i) * ${slideSec}000000) AS ws, value
+       |  SELECT make_timestamp((slot - i) * ${slideSec}000000) AS ws,
+       |         CAST(round(value * 100) AS BIGINT) AS cents
        |  FROM e, UNNEST(range($k)) AS r(i)
        |)
-       |SELECT ws, count(*) AS n, round(sum(value), 2) AS total
+       |SELECT ws, count(*) AS n,
+       |       round(CAST(sum(cents) AS DOUBLE) / 100.0, 2) AS total
        |FROM assigned GROUP BY ws ORDER BY ws""".stripMargin
   }
 
   /** Rolling 24-event sum over the global time order, computed
     * distributed (graft.ts.OrderedLag.withRollingColumns — bucketed
     * sliding frames + boundary head patch; no single-partition
-    * window). Values sum as exact DECIMAL so the result is
-    * independent of float summation order on any engine.
+    * window). Values sum as exact integer cents so the result is
+    * independent of float summation order on any engine — and the
+    * LONG frame sum stays codegen-cheap where the DECIMAL(14,2) it
+    * replaces was the single most expensive bench query.
     */
   def rollingSum(events: DataFrame, window: Int): DataFrame = {
     val built = graft.ts.OrderedLag.withRollingColumns(
-      events.select(col("event_id"), col("ts"), col("value")),
+      events.select(col("event_id"), col("ts"),
+        round(col("value") * 100).cast("long").as("cents")),
       col("ts"), col("event_id"),
       (in, w) => in
         .withColumn("__rsum",
-          sum(col("value").cast("decimal(14,2)"))
-            .over(w.rowsBetween(-(window - 1), 0)))
+          sum(col("cents")).over(w.rowsBetween(-(window - 1), 0)))
         .withColumn("__rcnt",
           count(lit(1)).over(w.rowsBetween(-(window - 1), 0))),
       Seq("__rsum", "__rcnt"), window)
     built.select(col("event_id"),
-      round(col("__rsum").cast("double"), 2).as("rsum"),
+      round(col("__rsum").cast("double") / 100.0, 2).as("rsum"),
       col("__rcnt").as("rn"))
       .orderBy(col("event_id"))
   }
 
   def rollingSumSql(window: Int): String =
-    s"""SELECT event_id,
-       |  round(CAST(sum(CAST(value AS DECIMAL(14,2))) OVER (
+    s"""WITH c AS (
+       |  SELECT event_id, ts, CAST(round(value * 100) AS BIGINT) AS cents
+       |  FROM events
+       |)
+       |SELECT event_id,
+       |  round(CAST(sum(cents) OVER (
        |    ORDER BY ts, event_id
        |    ROWS BETWEEN ${window - 1} PRECEDING AND CURRENT ROW)
-       |    AS DOUBLE), 2) AS rsum,
+       |    AS DOUBLE) / 100.0, 2) AS rsum,
        |  count(*) OVER (
        |    ORDER BY ts, event_id
        |    ROWS BETWEEN ${window - 1} PRECEDING AND CURRENT ROW) AS rn
-       |FROM events ORDER BY event_id""".stripMargin
+       |FROM c ORDER BY event_id""".stripMargin
 
   /** Sessionization: per user, a new session starts after a gap of
     * more than `gapSec`. session index = running count of

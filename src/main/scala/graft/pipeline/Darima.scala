@@ -407,8 +407,10 @@ object Darima {
       return based.select(col("t"), col("v"), f.as("fitted"),
         (col("v") - f).as("residual"))
     }
+    // carry = keys + lag input only: the boundary patch relations
+    // don't need v/__s (the output path keeps them on the main rows)
     val lagged = graft.ts.OrderedLag.withLagArray(
-      based, col("t"), col("t"), "__z", pEff)
+      based, col("t"), col("t"), "__z", pEff, carry = Seq("t", "__z"))
     // ascending-lag dot product: reverse the window (y_{t−1} first)
     // and fold acc + π_i·z_{t−1−i} from acc = β0 — the same
     // left-associated sequence as the driver recursion. β1 is folded

@@ -188,21 +188,21 @@ object DarimaQueries {
     * driver-side from a dense n×p lag matrix (darima.py:320-327).
     */
   private val d07FittedResiduals: Q = (s, d) => {
-    // count + fit read the series twice before the (lazy) fitted
-    // projection; cache across those eager passes. The returned frame
-    // reads the cache lazily, so it is dropped on materialization
-    // rather than unpersisted here (blocking=false default).
-    val ser = series(s, d).cache()
-    val n = ser.count()
-    val model = Darima.globalModel(
-      Darima.combine(Darima.fitChunkCoefs(s, ser, cfgOls2), "dlsa"), n)
-    val out = Darima.fittedResidualsDF(ser, model)
+    val ser = series(s, d)
+    // one fit pass, checkpointed as a ~20-row frame; n = Σ per-chunk
+    // row counts from the fit output — chunks partition the series,
+    // so this equals count(*) without a separate series-wide pass
+    // (and without caching the series: the remaining consumers are
+    // cheap columnar parquet scans)
+    val coefs = Darima.fitChunkCoefs(s, ser, cfgOls2).localCheckpoint()
+    val n = coefs.groupBy(col("chunk_id")).agg(first(col("n")).as("cn"))
+      .agg(sum(col("cn"))).head().getLong(0)
+    val model = Darima.globalModel(Darima.combine(coefs, "dlsa"), n)
+    Darima.fittedResidualsDF(ser, model)
       .select(col("t"), col("v"),
         round(col("fitted"), 3).as("fitted"),
         round(col("residual"), 3).as("residual"))
       .orderBy(col("t"))
-    ser.unpersist()
-    out
   }
 
   val queries: Map[String, Q] = Map(

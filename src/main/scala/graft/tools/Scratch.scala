@@ -10,7 +10,7 @@ object Scratch {
     spark.sparkContext.setLogLevel("ERROR")
     val sf = "/root/testdata/sf0.1"
     val q = graft.SparkEntry.queries
-    val names = Seq("x28_decontaminate", "x29_clean_corpus", "x04_ngram_jaccard", "x02_dedup_minhash")
+    val names = Seq("d07_fitted_residuals", "x32_rolling_sum")
     for (name <- names)
       q(name)(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
     for (name <- names) {

@@ -16,8 +16,11 @@ import org.apache.spark.sql.expressions.Window
   * heads plus the globally-last maxLag rows over ALL earlier buckets
   * (drawn from per-bucket tails, so empty/thin buckets under heavy
   * ties cannot lose lags) — and patched back via a broadcast join.
-  * Net cost: one exchange + one sort of the data, plus small-table
-  * work; the round-1 union form paid two of each.
+  * Net cost: one full build-and-sort pass plus one narrow (keys-only)
+  * rank pass to locate the boundary rows; the boundary pool is
+  * materialized once and everything downstream of it is small-table
+  * work. The round-1 union form paid two full passes of everything;
+  * the round-3 form re-ran the full build per boundary relation.
   *
   * The bucket count is clamped so the expected bucket size is at
   * least 4·maxLag rows, keeping boundary fix-ups a small fraction of
@@ -47,11 +50,12 @@ object OrderedLag {
     * column per lag (graft.pipeline.Darima.fittedResidualsDF).
     */
   def withLagArray(df: DataFrame, orderCol: Column, tieBreak: Column,
-      valueCol: String, p: Int, buckets: Int = 32): DataFrame =
+      valueCol: String, p: Int, buckets: Int = 32,
+      carry: Seq[String] = null): DataFrame =
     withLagColumns(df, orderCol, tieBreak,
       (in, w) => in.withColumn(s"${valueCol}_lags",
         collect_list(col(valueCol)).over(w.rowsBetween(-p, -1))),
-      Seq(s"${valueCol}_lags"), p, buckets)
+      Seq(s"${valueCol}_lags"), p, buckets, carry)
 
   /** Distributed rolling-window aggregate over the total order: the
     * generic entry for sliding-frame computations (moving sums/
@@ -70,11 +74,20 @@ object OrderedLag {
   /** Shared skeleton: range-bucketed windows + boundary head patch,
     * generic in the window-derived columns (`build` must add exactly
     * `outCols` using the given window spec).
+    *
+    * `carry` (optional) prunes the boundary side relations: heads/
+    * tails/helpers keep only these data columns instead of the full
+    * row. It must cover every column referenced by `orderCol`,
+    * `tieBreak`, and `build` — with a wide payload (e.g. the model
+    * columns riding along in the fitted/residual pass) the patch
+    * machinery then moves lag inputs + keys only. The main output
+    * path always keeps every column.
     */
   private def withLagColumns(df: DataFrame, orderCol: Column,
       tieBreak: Column,
       build: (DataFrame, org.apache.spark.sql.expressions.WindowSpec) => DataFrame,
-      outCols: Seq[String], maxLag: Int, buckets: Int): DataFrame = {
+      outCols: Seq[String], maxLag: Int, buckets: Int,
+      carry: Seq[String] = null): DataFrame = {
     require(outCols.nonEmpty && maxLag >= 1)
 
     // One pass computes the row count (for the bucket-size clamp) and
@@ -113,25 +126,35 @@ object OrderedLag {
     }
     val based = df.withColumn("__bucket", bucket)
 
-    // THE full-data pass: per-bucket sort computes every lag column
-    // plus the bucket-local row number and bucket size (the size
-    // window shares the exchange and needs no ordering).
+    // THE full-data pass: per-bucket sort computes every lag column.
+    // Row numbers / bucket sizes live only in the narrow aux pass
+    // below, so this plan stays pure build output.
     val w = Window.partitionBy(col("__bucket")).orderBy(orderCol, tieBreak)
     val wAll = Window.partitionBy(col("__bucket"))
     val local = build(based, w)
-      .withColumn("__rn", row_number().over(w))
-      .withColumn("__cnt", count(lit(1)).over(wAll))
 
     // Heads: rows whose lags may cross the bucket boundary. Tails:
     // each bucket's last maxLag rows — the helper pool (the globally
     // last maxLag rows before any boundary are a subset of the union
-    // of earlier tails). Both are at most buckets·maxLag rows.
-    val dataCols = based.columns
-    val heads = local
+    // of earlier tails). Both are at most buckets·maxLag rows, found
+    // by ONE narrow pass (keys + carry only, no lag building) and
+    // materialized once (localCheckpoint): deriving them from `local`
+    // instead re-ran the full build-and-sort once per boundary
+    // relation — 3 full-data window passes where 2 suffice.
+    val dataCols =
+      if (carry == null) based.columns
+      else (carry :+ "__bucket").distinct.toArray
+    val boundary = based.select(dataCols.map(col): _*)
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__cnt", count(lit(1)).over(wAll))
+      .filter(col("__rn") <= maxLag ||
+        col("__cnt") - col("__rn") < maxLag)
+      .localCheckpoint()
+    val heads = boundary
       .filter(col("__rn") <= maxLag && col("__bucket") > 0)
       .select(dataCols.map(col) :+ col("__bucket").as("__tgt"): _*)
       .withColumn("__head", lit(true))
-    val tails = local
+    val tails = boundary
       .filter(col("__cnt") - col("__rn") < maxLag)
       .select(dataCols.map(col): _*)
 

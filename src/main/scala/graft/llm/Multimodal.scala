@@ -7,13 +7,16 @@ import org.apache.spark.sql.functions._
   * `binary` columns + typed metadata structs, with decode /
   * feature-extraction as per-partition batch functions.
   *
-  * The container has no image/audio codecs, so [[FakeDecoder]] is a
-  * clearly-marked deterministic STUB standing in for the real decoder
-  * (libjpeg/ffmpeg would slot into `decodeOne`); everything around
-  * it — the binary column plumbing, metadata schema, partition-batch
-  * shape, and feature-vector output — is the real 100 TB design: one
-  * `mapPartitions` pass, no driver collection, codec state reused
-  * across a partition's rows.
+  * The decode stage is REAL: [[PngDecoder]] parses PNG containers via
+  * the JDK's built-in `javax.imageio` (no external codec needed) and
+  * emits pixel-statistic features. The fixture PNGs come from
+  * [[encodePng]], which renders each document a small grayscale image
+  * with a closed-form pixel function — PNG is lossless, so the DuckDB
+  * oracle can verify the decoded statistics from the same closed form
+  * without ever touching an image. The surrounding plumbing — binary
+  * columns, metadata schema, partition-batch shape, feature-vector
+  * output — is the 100 TB design: one `mapPartitions` pass, no driver
+  * collection, codec state reused across a partition's rows.
   */
 object Multimodal {
 
@@ -38,21 +41,84 @@ object Multimodal {
       (lit(1) + (length(col("text").cast("binary")) * 7) % 48).as("height"),
       (lit(1) + col("doc_id") % 16).cast("int").as("frames"))
 
-  /** STUB decoder: a real implementation would parse the container
-    * format and decode pixels/samples. This fake derives 8 floats
-    * from the payload bytes deterministically so tests and oracles
-    * have a fixed point. The *signature* (bytes → fixed-length
-    * feature vector) is the real contract.
+  /** Grayscale pixel value of the synthetic fixture image — shared by
+    * the encoder, the round-trip spec, and (inlined as arithmetic)
+    * the x12 oracle SQL.
     */
-  object FakeDecoder {
-    def decodeOne(payload: Array[Byte]): Array[Float] = {
-      // ??? real codec goes here; deterministic fake below
-      val md = java.security.MessageDigest.getInstance("MD5")
-      val digest = md.digest(payload)
-      Array.tabulate(8) { i =>
-        val nibble = (digest(i / 2) >> (if (i % 2 == 0) 4 else 0)) & 0xf
-        nibble / 15.0f
+  def pixel(docId: Long, x: Int, y: Int): Int =
+    ((docId * 31 + x * 7 + y * 13) % 256).toInt
+
+  /** Fixture dimensions per document (small on purpose — the decode
+    * path is what's under test, not codec throughput).
+    */
+  def pngDims(docId: Long): (Int, Int) =
+    ((4 + docId % 5).toInt, (3 + docId % 4).toInt)
+
+  /** Render each document a real PNG (grayscale values from
+    * [[pixel]]) in one `mapPartitions` pass: (doc_id, media, width,
+    * height) with `media` holding genuine container bytes.
+    */
+  def encodePng(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    javax.imageio.ImageIO.setUseCache(false)
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val (w, h) = pngDims(id)
+          val img = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val g = pixel(id, x, y)
+              img.setRGB(x, y, (g << 16) | (g << 8) | g)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          (id, bos.toByteArray, w, h)
+        }
       }
+      .toDF("doc_id", "media", "width", "height")
+  }
+
+  /** REAL decoder: parse the PNG container with the JDK's ImageIO and
+    * reduce the pixels to 8 integer-valued statistics (exact in
+    * float): [width, height, min, max, sum mod 997, mean (integer
+    * division), first pixel, last pixel]. The signature (bytes →
+    * fixed-length feature vector) is the decoder contract; a JPEG/
+    * ffmpeg-backed implementation slots into the same
+    * [[extractFeatures]] parameter.
+    */
+  object PngDecoder {
+    javax.imageio.ImageIO.setUseCache(false)
+    def decodeOne(payload: Array[Byte]): Array[Float] = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      val w = img.getWidth
+      val h = img.getHeight
+      var mn = 255
+      var mx = 0
+      var s = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val g = img.getRGB(x, y) & 0xff
+          if (g < mn) mn = g
+          if (g > mx) mx = g
+          s += g
+          x += 1
+        }
+        y += 1
+      }
+      val n = w.toLong * h
+      Array(w, h, mn, mx, (s % 997).toInt, (s / n).toInt,
+        img.getRGB(0, 0) & 0xff, img.getRGB(w - 1, h - 1) & 0xff)
+        .map(_.toFloat)
     }
   }
 
@@ -83,9 +149,11 @@ object Multimodal {
   /** Distributed feature extraction: one decoder instance per
     * partition (the expensive part for a real codec), streaming
     * through rows — the Spark-side shape a real multimodal pipeline
-    * needs, independent of what decodeOne does.
+    * needs, independent of what `decode` does. Defaults to the real
+    * PNG decoder; tests inject doubles through the parameter.
     */
-  def extractFeatures(spark: SparkSession, media: DataFrame)
+  def extractFeatures(spark: SparkSession, media: DataFrame,
+      decode: Array[Byte] => Array[Float] = PngDecoder.decodeOne)
       : Dataset[MediaFeatures] = {
     import spark.implicits._
     media.select(col("doc_id"), col("media"), col("width"), col("height"))
@@ -93,7 +161,7 @@ object Multimodal {
       .mapPartitions { it =>
         // per-partition decoder setup happens once, here
         it.map { case (id, payload, w, h) =>
-          MediaFeatures(id, w, h, FakeDecoder.decodeOne(payload))
+          MediaFeatures(id, w, h, decode(payload))
         }
       }
   }

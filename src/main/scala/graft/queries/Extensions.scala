@@ -98,14 +98,16 @@ object Extensions {
         col("width"), col("height"), col("frames"))
       .orderBy(col("doc_id"))
 
-  /** X4: distributed feature extraction through the real
-    * mapPartitions path (FakeDecoder stub), exploded to rows; the
-    * oracle reproduces the md5-nibble fake in SQL, so the whole
-    * plumbing (binary col → partition batch → feature vector) is
-    * oracle-checked.
+  /** X4: distributed feature extraction with a REAL decode — each
+    * document becomes a genuine PNG (pixels from a closed-form
+    * function), javax.imageio parses it back inside the mapPartitions
+    * batch, and the pixel statistics go to rows. PNG is lossless, so
+    * the oracle verifies the decoded stats from the same closed form
+    * — the whole chain (binary col → partition batch → real container
+    * parse → feature vector) is oracle-checked.
     */
   private val x12MultimodalFeatures: Q = (s, d) => {
-    val media = Multimodal.mediaTable(Tables.documents(s, d))
+    val media = Multimodal.encodePng(s, Tables.documents(s, d))
     Multimodal.extractFeatures(s, media).toDF()
       .select(col("doc_id"), posexplode(col("features")).as(Seq("i", "f")))
       .select(col("doc_id"), col("i"),
@@ -241,7 +243,7 @@ object Extensions {
 
   /** X4: resize planning — aspect-preserving target dims + center
     * crop box, integer arithmetic (the pixel resampling slots into
-    * the FakeDecoder stub; this is the Spark-side plumbing).
+    * the PngDecoder decode stage; this is the Spark-side plumbing).
     */
   private val x27ResizePlan: Q = (s, d) =>
     Multimodal.resizePlan(
@@ -294,16 +296,33 @@ object Extensions {
     "x32_rolling_sum" -> x32RollingSum,
   )
 
-  /** The md5-nibble fake-decode in SQL (first 8 nibbles of
-    * md5(payload) scaled to [0,1] as float then rounded as double —
-    * matches FakeDecoder.decodeOne + the float cast in x12).
+  /** The PNG pixel statistics in closed form: the fixture image's
+    * pixels are (doc_id·31 + x·7 + y·13) mod 256 on a (4 + id%5) ×
+    * (3 + id%4) canvas (Multimodal.pixel/pngDims), and PNG decode is
+    * lossless, so the 8 decoded features are pure arithmetic here —
+    * a hash match proves javax.imageio round-tripped every pixel.
     */
   private val multimodalFeaturesSql: String =
-    """SELECT doc_id, i,
-      |  round(CAST(CAST((strpos('0123456789abcdef',
-      |    substr(md5(text), i + 1, 1)) - 1) / 15.0 AS FLOAT) AS DOUBLE), 6)
-      |    AS f
-      |FROM documents, UNNEST(range(8)) AS r(i)
+    """WITH dims AS (
+      |  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+      |  FROM documents
+      |), px AS (
+      |  SELECT doc_id, w, h,
+      |         (doc_id * 31 + x.i * 7 + y.i * 13) % 256 AS g
+      |  FROM dims, UNNEST(range(w)) AS x(i), UNNEST(range(h)) AS y(i)
+      |), st AS (
+      |  SELECT doc_id, any_value(w) AS w, any_value(h) AS h,
+      |         min(g) AS mn, max(g) AS mx, sum(g) AS s, count(*) AS n
+      |  FROM px GROUP BY doc_id
+      |)
+      |SELECT doc_id, i,
+      |  round(CAST(CAST(CASE i
+      |    WHEN 0 THEN w WHEN 1 THEN h WHEN 2 THEN mn WHEN 3 THEN mx
+      |    WHEN 4 THEN s % 997 WHEN 5 THEN s // n
+      |    WHEN 6 THEN (doc_id * 31) % 256
+      |    WHEN 7 THEN (doc_id * 31 + (w - 1) * 7 + (h - 1) * 13) % 256
+      |  END AS FLOAT) AS DOUBLE), 6) AS f
+      |FROM st, UNNEST(range(8)) AS r(i)
       |ORDER BY doc_id, i""".stripMargin
 
   val oracles: Map[String, String] = Map(

@@ -96,9 +96,40 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(math.abs(got - want) < 1e-9, s"dlsa $got vs hand $want")
   }
 
-  test("multimodal feature extraction is deterministic and batch-shaped") {
+  test("PNG encode -> real ImageIO decode round-trips every pixel stat") {
+    val media = Multimodal.encodePng(spark, Tables.documents(spark, sf))
+    // media really is a PNG container
+    val first = media.orderBy(col("doc_id")).head()
+    val bytes = first.getAs[Array[Byte]]("media")
+    assert(bytes.take(4).map(_ & 0xff).toSeq == Seq(0x89, 'P'.toInt,
+      'N'.toInt, 'G'.toInt), "not a PNG signature")
+    val got = Multimodal.extractFeatures(spark, media).collect()
+    assert(got.nonEmpty && got.forall(_.features.length == 8))
+    got.foreach { r =>
+      val (w, h) = Multimodal.pngDims(r.doc_id)
+      val px = for (y <- 0 until h; x <- 0 until w)
+        yield Multimodal.pixel(r.doc_id, x, y)
+      val s = px.map(_.toLong).sum
+      val want = Array(w, h, px.min, px.max, (s % 997).toInt,
+        (s / (w.toLong * h)).toInt, px.head, px.last).map(_.toFloat)
+      assert(r.features.toSeq == want.toSeq, s"doc ${r.doc_id}")
+    }
+  }
+
+  test("extractFeatures accepts an injected decoder double") {
+    // the retired md5-nibble fake lives on as a test double proving
+    // the decode stage is pluggable (a jpeg/ffmpeg decoder slots in
+    // the same way)
+    val fake = (payload: Array[Byte]) => {
+      val digest = java.security.MessageDigest.getInstance("MD5")
+        .digest(payload)
+      Array.tabulate(8) { i =>
+        val nibble = (digest(i / 2) >> (if (i % 2 == 0) 4 else 0)) & 0xf
+        nibble / 15.0f
+      }
+    }
     val media = Multimodal.mediaTable(Tables.documents(spark, sf))
-    val f1 = Multimodal.extractFeatures(spark, media).collect()
+    val f1 = Multimodal.extractFeatures(spark, media, fake).collect()
     assert(f1.forall(_.features.length == 8))
     assert(f1.forall(_.features.forall(v => v >= 0.0f && v <= 1.0f)))
   }

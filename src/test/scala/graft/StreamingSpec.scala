@@ -6,6 +6,13 @@ import graft.streaming.EventsStream
 class StreamingSpec extends AnyFunSuite {
   import SparkTestSession._
 
+  // Every stateful query in this suite runs on the RocksDB state
+  // store — the provider a production deployment uses (state spills
+  // to local disk instead of growing the JVM heap), so the
+  // bounded-state claims below are validated against the real store.
+  spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+
   /** FileStreamSource needs a directory; stage the single parquet
     * file into one.
     */
@@ -131,6 +138,79 @@ class StreamingSpec extends AnyFunSuite {
         .count()
       assert(got == want, s"stream $got vs batch $want")
       assert(want > 0)
+    } finally q.stop()
+  }
+
+  test("stream-stream join state stays bounded over a 10x-longer feed") {
+    import org.apache.spark.sql.functions._
+    // Ten month-shifted copies of the 30-day feed, one file each ->
+    // ten micro-batches in event-time order. The 2h watermark + 1h
+    // join range must evict each month's state before the next lands,
+    // so the RocksDB state footprint stays ~one copy no matter how
+    // long the feed runs. Month shifts >> the 1h range also mean the
+    // join output is exactly 10x the single-copy result.
+    val dir = java.nio.file.Files.createTempDirectory("events-10x")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.schema(EventsStream.rawSchema)
+      .parquet(sf + "/events.parquet")
+    (0 until 10).foreach { k =>
+      val tmp = dir.resolve(s"stage$k")
+      raw.select(
+        (col("event_id") + lit(k * 10_000_000L)).as("event_id"),
+        (col("ts") + lit(k * 31L * 86_400L * 1_000_000_000L)).as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+        .coalesce(1).write.parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp)
+        .filter(p => p.toString.endsWith(".parquet"))
+        .findFirst().get()
+      val dst = dir.resolve(f"day$k%02d.parquet")
+      java.nio.file.Files.move(part, dst)
+      // FileStreamSource orders batches by mtime; the stage writes all
+      // land in the same instant, so pin strictly increasing stamps or
+      // days replay out of order and fall behind the watermark
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1_000_000_000_000L + k * 60_000L))
+    }
+    val stream = spark.readStream
+      .schema(EventsStream.rawSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val joined = EventsStream.viewPurchaseJoin(stream, rangeSec = 3600)
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssjoin10_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql("SELECT count(*) FROM ssjoin10_out")
+        .collect()(0).getLong(0)
+      // per-batch state-store rows from the progress metrics
+      val stateRows = q.recentProgress.toSeq
+        .filter(_.stateOperators.nonEmpty)
+        .map(p => p.stateOperators.map(_.numRowsTotal).sum)
+      val ev = Tables.events(spark, sf)
+      val perCopy = ev.filter(col("event_type").isin("view", "purchase"))
+        .count()
+      val want1 = {
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+        views.join(purchases,
+          col("v_user") === col("p_user") &&
+            col("p_ts") >= col("v_ts") &&
+            col("p_ts") <= col("v_ts") + expr("INTERVAL 3600 SECONDS"))
+          .count()
+      }
+      assert(got == 10 * want1, s"stream $got vs 10x batch ${10 * want1}")
+      // the load-bearing claim: after 10 copies of feed, live join
+      // state never exceeds ~a copy of view/purchase rows (the
+      // watermark evicts the rest between batches); without eviction
+      // it would reach 10 * perCopy
+      assert(stateRows.nonEmpty)
+      assert(stateRows.max <= 2 * perCopy,
+        s"state grew to ${stateRows.max} rows (copy=$perCopy) — not bounded")
+      assert(stateRows.last <= 2 * perCopy,
+        s"final state ${stateRows.last} rows (copy=$perCopy) — not evicted")
     } finally q.stop()
   }
 }

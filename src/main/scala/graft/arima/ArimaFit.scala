@@ -413,8 +413,8 @@ object ArimaFit {
     * canonical starts, then walk the ±1 neighborhood of the incumbent
     * until no improvement.
     */
-  def fit(x: Array[Double], m: Int = 1, maxP: Int = 5, maxQ: Int = 5)
-      : SarimaModel = {
+  def fit(x: Array[Double], m: Int = 1, maxP: Int = 20, maxQ: Int = 20,
+      maxOrder: Int = 40): SarimaModel = {
     val d = selectD(x)
     var w = x
     var i = 0
@@ -425,7 +425,8 @@ object ArimaFit {
     var bestFit: Option[(Int, Int, Double, Array[Double], Array[Double])] = None
 
     def score(p: Int, q: Int): Double = {
-      if (p < 0 || q < 0 || p > maxP || q > maxQ) return Double.PositiveInfinity
+      if (p < 0 || q < 0 || p > maxP || q > maxQ || p + q > maxOrder)
+        return Double.PositiveInfinity
       evaluated.get((p, q)) match {
         case Some(s) => s
         case None =>
@@ -455,34 +456,63 @@ object ArimaFit {
       }
     }
 
-    val (p, q, _, phi, theta) = bestFit.getOrElse((0, 0, 0.0,
-      Array.empty[Double], Array.empty[Double]))
-    val (c1, phi1, theta1) = hannanRissanen(w, p, q)
-      .getOrElse((w.sum / math.max(1, n), Array.empty[Double], Array.empty[Double]))
-    // final estimation: Levenberg-Marquardt CSS refinement of the HR
-    // start (HR is used only to score candidates during the search)
-    val (c2, phi2, theta2) =
-      if (p + q > 0) cssOptimize(w, c1, phi1, theta1)
-      else (c1, phi1, theta1)
-    // exact-ML polish (auto.arima's final step): LM on the Kalman
-    // concentrated-likelihood residuals from the CSS optimum — the
-    // step can only improve the exact likelihood (LM accepts only
-    // SSE-decreasing moves and this SSE is a monotone transform of
-    // it). Capped by series length: the filter is O(n·r²) per
-    // residual evaluation.
-    val (c3, phi3, theta3) =
-      if (p + q > 0 && n <= 50000) {
-        val b = lmOptimize((c2 +: (phi2 ++ theta2)).toArray,
-          bb => Kalman.mlResiduals(w, bb, p, q), 25)
-        (b(0), java.util.Arrays.copyOfRange(b, 1, 1 + p),
-          java.util.Arrays.copyOfRange(b, 1 + p, 1 + p + q))
-      } else (c2, phi2, theta2)
-    val sigMl = if (p + q > 0 && n <= 50000)
-      Kalman.sigma2(w, c3, phi3, theta3) else Double.NaN
-    val sigma2 =
-      if (!sigMl.isNaN && sigMl > 0) sigMl
-      else cssSigma2(w, c3, phi3, theta3)
-    val (c2f, phi2f, theta2f) = (c3, phi3, theta3)
+    // Approximation-first → exact refit (auto.arima's
+    // approximation=TRUE ladder): the walk above scored candidates by
+    // cheap CSS at HR start values; now REFIT the AICc shortlist —
+    // CSS Levenberg-Marquardt, then exact-Kalman-ML polish — and let
+    // the exact-ML AICc pick the final order. With the search bounds
+    // at the reference's (max p/q 20, max order 40), a wrong
+    // approximate winner at high order no longer survives: the exact
+    // criterion re-ranks the top candidates.
+    val shortlist = {
+      val finite = evaluated.toSeq
+        .filter { case (_, s) => !s.isInfinite && !s.isNaN }
+        .sortBy(_._2)
+      // only candidates with a real chance: ΔAICc ≤ 10 of the
+      // approximate best (evidence-ratio e⁵ ≈ 150:1 against anything
+      // beyond) — usually 1-3 refits, bounding the ladder's cost
+      finite.takeWhile { case (_, s) =>
+        s - finite.head._2 <= 10.0
+      }.take(5).map(_._1)
+    }
+    def refitOne(p: Int, q: Int)
+        : Option[(Int, Int, Double, Double, Array[Double], Array[Double], Double)] = {
+      val (c1, phi1, theta1) = hannanRissanen(w, p, q)
+        .getOrElse((w.sum / math.max(1, n),
+          Array.empty[Double], Array.empty[Double]))
+      if (phi1.length != p || theta1.length != q) return None
+      val (c2, phi2, theta2) =
+        if (p + q > 0) cssOptimize(w, c1, phi1, theta1)
+        else (c1, phi1, theta1)
+      // exact-ML polish: LM on the Kalman concentrated-likelihood
+      // residuals from the CSS optimum — the step can only improve
+      // the exact likelihood (LM accepts only SSE-decreasing moves
+      // and this SSE is a monotone transform of it). Capped by series
+      // length: the filter is O(n·r²) per residual evaluation.
+      val (c3, phi3, theta3) =
+        if (p + q > 0 && n <= 50000) {
+          val b = lmOptimize((c2 +: (phi2 ++ theta2)).toArray,
+            bb => Kalman.mlResiduals(w, bb, p, q), 25)
+          (b(0), java.util.Arrays.copyOfRange(b, 1, 1 + p),
+            java.util.Arrays.copyOfRange(b, 1 + p, 1 + p + q))
+        } else (c2, phi2, theta2)
+      val sigMl = if (p + q > 0 && n <= 50000)
+        Kalman.sigma2(w, c3, phi3, theta3) else Double.NaN
+      val sigma2 =
+        if (!sigMl.isNaN && sigMl > 0) sigMl
+        else cssSigma2(w, c3, phi3, theta3)
+      if (sigma2.isNaN || sigma2 <= 0) None
+      else Some((p, q, c3, sigma2,
+        phi3, theta3, ArFit.aicc(n, sigma2, 1 + p + q)))
+    }
+    val refits = (if (shortlist.isEmpty) Seq((0, 0)) else shortlist)
+      .flatMap { case (p, q) => refitOne(p, q) }
+    val (p, q, c2f, sigma2, phi2f, theta2f, _) =
+      if (refits.nonEmpty) refits.minBy(_._7)
+      else (0, 0, w.sum / math.max(1, n),
+        math.max(cssSigma2(w, w.sum / math.max(1, n),
+          Array.empty, Array.empty), 1e-12),
+        Array.empty[Double], Array.empty[Double], 0.0)
     // map the differenced-series mean back to level/drift terms:
     //   d=0 → μ = c; d=1 → drift = c; d≥2 → neither (auto.arima default)
     val (mu, drift) = d match {
@@ -633,9 +663,9 @@ object ArimaFit {
     * of the multiplicative CSS at the HR start values; the winner is
     * refined by Levenberg–Marquardt on the compact parameter vector.
     */
-  def fitSeasonal(x: Array[Double], m: Int, maxP: Int = 5, maxQ: Int = 5,
-      maxSP: Int = 2, maxSQ: Int = 2): SarimaModel = {
-    if (m <= 1) return fit(x, m, maxP, maxQ)
+  def fitSeasonal(x: Array[Double], m: Int, maxP: Int = 20, maxQ: Int = 20,
+      maxSP: Int = 20, maxSQ: Int = 20, maxOrder: Int = 40): SarimaModel = {
+    if (m <= 1) return fit(x, m, maxP, maxQ, maxOrder)
     val bigD = selectSeasonalD(x, m)
     val afterS = if (bigD == 1) diffSeasonal(x, m) else x
     // seasonal-aware KPSS truncation (see kpssStat): span two periods
@@ -647,7 +677,7 @@ object ArimaFit {
     val n = w.length
     if (n < 3 * m + 16) {
       // too short for a seasonal fit — fall back to non-seasonal
-      return fit(x, m, maxP, maxQ)
+      return fit(x, m, maxP, maxQ, maxOrder)
     }
 
     var evaluated = Map.empty[(Int, Int, Int, Int), Double]
@@ -655,7 +685,8 @@ object ArimaFit {
 
     def score(p: Int, q: Int, sp: Int, sq: Int): Double = {
       if (p < 0 || q < 0 || sp < 0 || sq < 0 ||
-        p > maxP || q > maxQ || sp > maxSP || sq > maxSQ)
+        p > maxP || q > maxQ || sp > maxSP || sq > maxSQ ||
+        p + q + sp + sq > maxOrder)
         return Double.PositiveInfinity
       evaluated.getOrElse((p, q, sp, sq), {
         val s = hrSeasonalStart(w, p, q, sp, sq, m) match {
@@ -695,19 +726,51 @@ object ArimaFit {
       }
     }
 
-    val ((p, q, sp, sq), _, b0) = best.getOrElse(
-      ((0, 0, 0, 0), 0.0, Array(w.sum / math.max(1, n))))
-    val b =
-      if (p + q + sp + sq > 0)
-        lmOptimize(b0, bb => seasonalResiduals(w, bb, p, q, sp, sq, m), 25)
-      else b0
+    // Approximation-first → refit ladder, seasonal form: the walk
+    // scored by CSS at HR starts; LM-refine the AICc shortlist and
+    // re-rank by the refined CSS criterion. (An exact seasonal Kalman
+    // would filter the expanded ARMA(p+mP, q+mQ) state — O(n·(mP)²)
+    // per residual evaluation, prohibitive for m ≥ 24 — so the exact
+    // step stays non-seasonal-only; CSS-LM is auto.arima's own
+    // approximation for long seasonal periods.)
+    val shortlist = {
+      val finite = evaluated.toSeq
+        .filter { case (_, s) => !s.isInfinite && !s.isNaN }
+        .sortBy(_._2)
+      // same ΔAICc ≤ 10 evidence window as the non-seasonal ladder
+      finite.takeWhile { case (_, s) =>
+        s - finite.head._2 <= 10.0
+      }.take(5).map(_._1)
+    }
+    def refitOne(p: Int, q: Int, sp: Int, sq: Int)
+        : Option[((Int, Int, Int, Int), Array[Double], Double, Double)] =
+      hrSeasonalStart(w, p, q, sp, sq, m).map { b0 =>
+        val b =
+          if (p + q + sp + sq > 0)
+            lmOptimize(b0, bb => seasonalResiduals(w, bb, p, q, sp, sq, m), 25)
+          else b0
+        val r = seasonalResiduals(w, b, p, q, sp, sq, m)
+        val sig = if (r.isEmpty) Double.NaN
+          else r.map(e => e * e).sum / r.length
+        ((p, q, sp, sq), b, sig,
+          if (sig.isNaN || sig <= 0) Double.PositiveInfinity
+          else ArFit.aicc(n, sig, 1 + p + q + sp + sq))
+      }.filter(_._4 < Double.PositiveInfinity)
+    val refits = (if (shortlist.isEmpty) Seq((0, 0, 0, 0)) else shortlist)
+      .flatMap { case (p, q, sp, sq) => refitOne(p, q, sp, sq) }
+    val ((p, q, sp, sq), b, sigma2, _) =
+      if (refits.nonEmpty) refits.minBy(_._4)
+      else {
+        val c0 = w.sum / math.max(1, n)
+        val r0 = w.map(v => v - c0)
+        ((0, 0, 0, 0), Array(c0),
+          r0.map(e => e * e).sum / math.max(1, n), 0.0)
+      }
     val phi = java.util.Arrays.copyOfRange(b, 1, 1 + p)
     val theta = java.util.Arrays.copyOfRange(b, 1 + p, 1 + p + q)
     val sphi = java.util.Arrays.copyOfRange(b, 1 + p + q, 1 + p + q + sp)
     val stheta = java.util.Arrays.copyOfRange(b, 1 + p + q + sp,
       1 + p + q + sp + sq)
-    val r = seasonalResiduals(w, b, p, q, sp, sq, m)
-    val sigma2 = if (r.isEmpty) 0.0 else r.map(e => e * e).sum / r.length
     // constant mapping: the differenced-series mean c is the level
     // when d+D = 0; a (1−B) factor turns a drift b·t into b, and a
     // (1−B^m) factor into b·m — auto.arima keeps no constant past

@@ -27,6 +27,15 @@ final case class DarimaConfig(
     tol: Int = 2000,
     maxP: Int = 5,
     maxQ: Int = 5,
+    /** Seasonal order caps for the "sarima" fitter. The library-level
+      * ArimaFit defaults match the reference's auto.arima call
+      * (max.p/q/P/Q 20, max.order 40, auto_arima.R:74); the pipeline
+      * keeps tighter caps because a 10-zone A/B showed nothing above
+      * (5,5)(2,2) survives AICc on the electricity data and the
+      * search cost is per chunk.
+      */
+    maxSP: Int = 2,
+    maxSQ: Int = 2,
     levels: Array[Int] = Array(80, 95),
     /** "longar" = Levinson–Durbin long-AR with seasonal-spanning lags
       * (default; see ArimaFit.fitLongAr); "arma" = stepwise
@@ -159,7 +168,8 @@ object Darima {
           cfg.tol)
       case "sarima" =>
         Sarima2Ar.toAr(
-          ArimaFit.fitSeasonal(values, cfg.freq, cfg.maxP, cfg.maxQ),
+          ArimaFit.fitSeasonal(values, cfg.freq, cfg.maxP, cfg.maxQ,
+            cfg.maxSP, cfg.maxSQ),
           cfg.tol)
       case other => throw new IllegalArgumentException(
         s"unknown fitter '$other' (expected longar|arma|sarima|olsar)")

@@ -89,4 +89,98 @@ class SarimaSearchSpec extends AnyFunSuite {
     val mod = ArimaFit.fitSeasonal(x, 1)
     assert(mod.sphi.isEmpty && mod.stheta.isEmpty && mod.bigD == 0)
   }
+
+  /** Multiply out Π(1 − 2rᵢcosωᵢ·B + rᵢ²B²): complex-conjugate root
+    * pairs, each an oscillation at frequency ωᵢ with damping rᵢ.
+    * Index k holds the Bᵏ coefficient.
+    */
+  private def expandPairs(pairs: Seq[(Double, Double)]): Array[Double] =
+    pairs.foldLeft(Array(1.0)) { case (acc, (r, om)) =>
+      val out = new Array[Double](acc.length + 2)
+      val b1 = -2.0 * r * math.cos(om)
+      val b2 = r * r
+      var i = 0
+      while (i < acc.length) {
+        out(i) += acc(i)
+        out(i + 1) += b1 * acc(i)
+        out(i + 2) += b2 * acc(i)
+        i += 1
+      }
+      out
+    }
+
+  test("widened search recovers a dense ARMA(8,6) the old caps truncated") {
+    // Four damped oscillations in the AR polynomial (four distinct
+    // spectral peaks) and three in the MA — dynamics that genuinely
+    // need ARMA(8,6): no low-order rational approximation carries
+    // four peaks and three dips. This is the case the reference's
+    // max.p=max.q=20 bounds exist for (auto_arima.R:74) and the
+    // engine's old maxP=maxQ=5 caps cut off.
+    val phiPoly = expandPairs(Seq(
+      (0.9, 0.5), (0.85, 1.3), (0.8, 2.1), (0.75, 2.8)))
+    // any monic polynomial with roots outside the unit circle is a
+    // valid invertible θ(B) = 1 + θ₁B + … — use the expansion as-is
+    val thetaPoly = expandPairs(Seq(
+      (0.8, 0.9), (0.75, 1.7), (0.7, 2.5)))
+
+    val phi = phiPoly.drop(1).map(-_) // prediction sign: y += φᵢ·y_{t−i}
+    val theta = thetaPoly.drop(1)
+    val n = 3000
+    val e = noise(n + 500, 13L) // CLT noise, variance 1
+    val x = new Array[Double](n + 500)
+    var t = 0
+    while (t < x.length) {
+      var v = e(t)
+      var i = 0
+      while (i < phi.length) {
+        if (t > i) v += phi(i) * x(t - 1 - i); i += 1
+      }
+      i = 0
+      while (i < theta.length) {
+        if (t > i) v += theta(i) * e(t - 1 - i); i += 1
+      }
+      x(t) = v
+      t += 1
+    }
+    val y = x.drop(500)
+
+    val wide = ArimaFit.fit(y) // reference bounds: 20/20, order 40
+    val capped = ArimaFit.fit(y, 1, maxP = 5, maxQ = 5) // old caps
+
+    // the truth's prediction weights π(B) = 1 − φ(B)/θ(B) by series
+    // division — invariant across equivalent parameterizations
+    val truthPi = {
+      val K = 24
+      val c = new Array[Double](K + 1)
+      c(0) = 1.0
+      var k = 1
+      while (k <= K) {
+        var v = if (k < phiPoly.length) phiPoly(k) else 0.0
+        var i = 1
+        while (i <= math.min(k, theta.length)) {
+          v -= theta(i - 1) * c(k - i); i += 1
+        }
+        c(k) = v
+        k += 1
+      }
+      c.drop(1).map(-_)
+    }
+    val widePi = Sarima2Ar.toAr(wide, 24).pi
+    val maxErrWide = truthPi.indices
+      .map(i => math.abs(widePi(i) - truthPi(i))).max
+    info(f"wide (p,q)=(${wide.phi.length},${wide.theta.length}) " +
+      f"sigma2=${wide.sigma2}%.4f maxPiErr=$maxErrWide%.4f; " +
+      f"capped (p,q)=(${capped.phi.length},${capped.theta.length}) " +
+      f"sigma2=${capped.sigma2}%.4f")
+    // the widened search must actually use the room the caps denied
+    assert(wide.phi.length > 5 || wide.theta.length > 5,
+      s"stayed at (${wide.phi.length},${wide.theta.length})")
+    // and recover the dynamics: prediction weights within tolerance,
+    // innovation variance near the true 1.0
+    assert(maxErrWide < 0.15, s"maxPiErr=$maxErrWide")
+    assert(wide.sigma2 < 1.1, s"sigma2=${wide.sigma2}")
+    // the capped search cannot do better than the widened one
+    assert(wide.sigma2 <= capped.sigma2 + 1e-6,
+      s"wide ${wide.sigma2} vs capped ${capped.sigma2}")
+  }
 }

@@ -251,8 +251,11 @@ object Dedup {
       .orderBy(col("d1"), col("d2"))
   }
 
-  def simhashNearDupSql(maxDist: Int, bucketCap: Int = 64): String =
-    s"""WITH sig AS ($simhash32Sql),
+  /** The sig→banded→kept→pairs CTE chain shared by the near-dup pair
+    * query and the cluster-resolution oracle.
+    */
+  private def simhashPairCtes(bucketCap: Int): String =
+    s"""sig AS ($simhash32Sql),
        |banded AS (
        |  SELECT doc_id, simhash, i AS band,
        |         (simhash // (1 << (4 * i))) % 16 AS nib
@@ -267,10 +270,82 @@ object Dedup {
        |  JOIN kept k ON a.band = k.band AND a.nib = k.nib
        |  JOIN banded b
        |    ON a.band = b.band AND a.nib = b.nib AND a.doc_id < b.doc_id
-       |)
+       |)""".stripMargin
+
+  def simhashNearDupSql(maxDist: Int, bucketCap: Int = 64): String =
+    s"""WITH ${simhashPairCtes(bucketCap)}
        |SELECT d1, d2, CAST(bit_count(xor(s1, s2)) AS INT) AS dist
        |FROM pairs WHERE bit_count(xor(s1, s2)) <= $maxDist
        |ORDER BY d1, d2""".stripMargin
+
+  /** X1 cluster resolution: connected components over a near-dup pair
+    * graph — the final stage of a dedup pipeline (pairs say "these
+    * two are dups"; the cluster's minimum doc_id becomes the
+    * canonical keeper for the whole group, including transitively
+    * linked docs no single pair connects).
+    *
+    * Algorithm: min-label propagation with pointer doubling — each
+    * round every node takes the minimum label among itself and its
+    * neighbors, then short-circuits to its label's label. Rounds
+    * needed are O(log diameter), each round a pair of hash joins on
+    * label tables of |V| rows plus one join against the edge list —
+    * the shape that holds when V and E are 100 TB-scale (GraphX
+    * does the same thing; no driver-side graph, no global sort).
+    * Labels/edges are materialized per round (localCheckpoint) so the
+    * lineage doesn't grow with the iteration count.
+    */
+  def connectedComponents(vertices: DataFrame, pairs: DataFrame,
+      maxIter: Int = 25): DataFrame = {
+    val bidir = pairs.select(col("d1").as("a"), col("d2").as("b"))
+      .unionByName(pairs.select(col("d2").as("a"), col("d1").as("b")))
+      .localCheckpoint()
+    var lbl = vertices.select(col("doc_id").as("node"),
+      col("doc_id").as("label")).localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val viaEdges = bidir
+        .join(lbl.select(col("node").as("b"), col("label")), "b")
+        .select(col("a").as("node"), col("label"))
+      val prop = lbl.unionByName(viaEdges)
+        .groupBy(col("node")).agg(min(col("label")).as("label"))
+      // pointer doubling: jump to the label's own label (labels are
+      // node ids, and label(v) ≤ v, so chains collapse exponentially)
+      val hop = prop.select(col("node").as("ln"), col("label").as("ll"))
+      val next = prop.join(hop, col("label") === col("ln"), "left")
+        .select(col("node"),
+          coalesce(col("ll"), col("label")).as("label"))
+        .localCheckpoint()
+      changed = next
+        .join(lbl.withColumnRenamed("label", "old"), "node")
+        .filter(col("label") =!= col("old")).count()
+      lbl = next
+      iter += 1
+    }
+    lbl.select(col("node").as("doc_id"), col("label").as("component"))
+  }
+
+  /** Oracle: transitive min-label closure as a recursive CTE. The
+    * edge CTEs are MATERIALIZED — DuckDB otherwise re-evaluates the
+    * whole simhash chain on every fixpoint iteration.
+    */
+  def dedupClustersSql(maxDist: Int, bucketCap: Int = 64): String =
+    s"""WITH RECURSIVE ${simhashPairCtes(bucketCap)},
+       |edges AS MATERIALIZED (
+       |  SELECT d1, d2 FROM pairs
+       |  WHERE bit_count(xor(s1, s2)) <= $maxDist
+       |),
+       |bidir AS MATERIALIZED (
+       |  SELECT d1 AS a, d2 AS b FROM edges
+       |  UNION ALL SELECT d2, d1 FROM edges
+       |),
+       |reach AS (
+       |  SELECT doc_id AS node, doc_id AS label FROM documents
+       |  UNION
+       |  SELECT e.b, r.label FROM bidir e JOIN reach r ON r.node = e.a
+       |)
+       |SELECT node AS doc_id, min(label) AS component
+       |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
 
   def simhashSql: String = {
     val bitSums = (0 until 16).map { j =>

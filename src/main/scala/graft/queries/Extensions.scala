@@ -233,6 +233,18 @@ object Extensions {
   private val x32RollingSum: Q = (s, d) =>
     EventsAnalytics.rollingSum(Tables.events(s, d), window = 24)
 
+  /** X1: duplicate-cluster resolution — connected components over the
+    * simhash near-dup pair graph (min-label propagation + pointer
+    * doubling); the component id is the cluster's canonical keeper.
+    */
+  private val x33DedupClusters: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val pairs = Dedup.simhashNearDup(docs, maxDist = 3)
+      .select(col("d1"), col("d2"))
+    Dedup.connectedComponents(docs.select(col("doc_id")), pairs)
+      .orderBy(col("doc_id"))
+  }
+
   /** X3: TF-IDF top terms per document. */
   private val x23Tfidf: Q = (s, d) =>
     TextAnalysis.tfidfTopTerms(Tables.documents(s, d), k = 3)
@@ -294,6 +306,7 @@ object Extensions {
     "x30_range_join" -> x30RangeJoin,
     "x31_weighted_sample" -> x31WeightedSample,
     "x32_rolling_sum" -> x32RollingSum,
+    "x33_dedup_clusters" -> x33DedupClusters,
   )
 
   /** The PNG pixel statistics in closed form: the fixture image's
@@ -444,5 +457,6 @@ object Extensions {
         50, "doc_id", "doc_id, lang, n_chars")}
          |) ORDER BY doc_id""".stripMargin,
     "x32_rolling_sum" -> EventsAnalytics.rollingSumSql(24),
+    "x33_dedup_clusters" -> Dedup.dedupClustersSql(3),
   )
 }

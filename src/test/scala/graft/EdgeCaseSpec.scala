@@ -125,6 +125,23 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(fr.length == 2 && fr.forall(_.isNullAt(2)))
   }
 
+  test("connected components: chains, isolates, merged stars") {
+    import spark.implicits._
+    val verts = (0L to 9L).toDF("doc_id")
+    // chain 0-1-2-3, isolated 4, two stars merged by bridge: (5;6,7)
+    // (8;9) + bridge 7-8
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (5L, 6L), (5L, 7L),
+      (8L, 9L), (7L, 8L)).toDF("d1", "d2")
+    val cc = graft.llm.Dedup.connectedComponents(verts, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 4L,
+      5L -> 5L, 6L -> 5L, 7L -> 5L, 8L -> 5L, 9L -> 5L), cc.toString)
+    // empty edge set: every vertex its own component
+    val lone = graft.llm.Dedup.connectedComponents(verts,
+      Seq.empty[(Long, Long)].toDF("d1", "d2")).collect()
+    assert(lone.forall(r => r.getLong(0) == r.getLong(1)))
+  }
+
   test("embedding LSH near-dup survives a degenerate collapsed corpus") {
     import spark.implicits._
     // 2000 identical vectors + 1000 all-zero vectors: every band

@@ -111,6 +111,27 @@ class ScaleSpec extends AnyFunSuite {
     assert(secs < 120, s"took ${secs}s")
   }
 
+  test("200k-node chain: connected components converge in O(log n) rounds") {
+    import spark.implicits._
+    // a single chain is the adversarial case for label propagation:
+    // naive min-propagation needs n rounds; pointer doubling must
+    // collapse it in ~log2(n) — the property that makes the operator
+    // usable on a 100 TB pair graph
+    val n = 200_000L
+    val verts = spark.range(n).select(col("id").as("doc_id"))
+    val edges = spark.range(n - 1).select(col("id").as("d1"),
+      (col("id") + 1).as("d2"))
+    val t0 = System.nanoTime()
+    val cc = graft.llm.Dedup.connectedComponents(verts, edges, maxIter = 25)
+    val comps = cc.select(countDistinct(col("component")),
+      max(col("component"))).collect()(0)
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"200k chain CC: ${secs}%.1f s")
+    assert(comps.getLong(0) == 1L, s"components=${comps.getLong(0)}")
+    assert(comps.getLong(1) == 0L)
+    assert(secs < 120, s"took ${secs}s")
+  }
+
   test("5M-point range join: bucketed equi-join stays linear") {
     import spark.implicits._
     val points = spark.range(5_000_000L).select(

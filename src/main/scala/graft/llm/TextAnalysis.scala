@@ -217,4 +217,63 @@ object TextAnalysis {
       |)
       |SELECT fp, count(*) AS n, min(doc_id) AS keep_id
       |FROM f GROUP BY fp ORDER BY fp""".stripMargin
+
+  /** Vocabulary profiling with a KMV distinct sketch
+    * (functions.KmvSketch): per language, the exact distinct token
+    * count (the ground truth a profiler drops at scale) next to the
+    * k-minimum-values estimate. The sketch aggregate moves only
+    * O(partitions · langs · k) hash values through the shuffle — the
+    * approximate-distinct shape a 100 TB corpus profiler needs —
+    * and, being md5-derived and deterministic, is reproduced
+    * bit-for-bit by the oracle.
+    */
+  def distinctTokenSketch(docs: DataFrame, k: Int): DataFrame = {
+    val tok = docs
+      .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+    tok
+      // 48-bit hash from the md5 hex prefix: exact in a double, and
+      // the same strpos-nibble arithmetic is expressible in DuckDB
+      .withColumn("h",
+        conv(substring(md5(col("w")), 1, 12), 16, 10).cast("long"))
+      .groupBy(col("lang"))
+      .agg(countDistinct(col("w")).as("n_exact"),
+        graft.functions.Kmv.kmv_distinct(k)(col("h")).as("est"))
+      .select(col("lang"), col("n_exact"),
+        round(col("est"), 4).as("kmv_est"))
+      .orderBy(col("lang"))
+  }
+
+  def distinctTokenSketchSql(k: Int): String = {
+    val nib = (1 to 12).map { i =>
+      s"(strpos('0123456789abcdef', substr(md5(w), $i, 1)) - 1)" +
+        s" * ${1L << (4 * (12 - i))}"
+    }.mkString(" + ")
+    s"""WITH tok AS (
+       |  SELECT lang, unnest(string_split(text, ' ')) AS w
+       |  FROM documents
+       |), hv AS (
+       |  SELECT DISTINCT lang, $nib AS h FROM tok WHERE w <> ''
+       |), rk AS (
+       |  SELECT lang, h,
+       |         row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
+       |  FROM hv
+       |), sk AS (
+       |  SELECT lang, count(*) AS nk,
+       |         max(CASE WHEN rn = $k THEN h END) AS hk
+       |  FROM rk WHERE rn <= $k GROUP BY lang
+       |), ex AS (
+       |  SELECT lang, count(DISTINCT w) AS n_exact
+       |  FROM tok WHERE w <> '' GROUP BY lang
+       |)
+       |SELECT ex.lang, ex.n_exact,
+       |  CAST(round(CAST(CAST(
+       |    CASE WHEN sk.nk < $k THEN CAST(sk.nk AS DOUBLE)
+       |         ELSE CAST('${(k - 1).toDouble}' AS DOUBLE)
+       |              / (CAST(sk.hk AS DOUBLE)
+       |                 / CAST('2.81474976710656E14' AS DOUBLE)) END
+       |    AS VARCHAR) AS DECIMAL(38,16)), 4) AS DOUBLE) AS kmv_est
+       |FROM ex JOIN sk ON ex.lang = sk.lang
+       |ORDER BY ex.lang""".stripMargin
+  }
 }

@@ -245,6 +245,12 @@ object Extensions {
       .orderBy(col("doc_id"))
   }
 
+  /** X3: per-language vocabulary profile — exact distinct tokens next
+    * to the bounded KMV sketch estimate (functions.KmvSketch).
+    */
+  private val x34VocabSketch: Q = (s, d) =>
+    TextAnalysis.distinctTokenSketch(Tables.documents(s, d), k = 16)
+
   /** X3: TF-IDF top terms per document. */
   private val x23Tfidf: Q = (s, d) =>
     TextAnalysis.tfidfTopTerms(Tables.documents(s, d), k = 3)
@@ -307,6 +313,7 @@ object Extensions {
     "x31_weighted_sample" -> x31WeightedSample,
     "x32_rolling_sum" -> x32RollingSum,
     "x33_dedup_clusters" -> x33DedupClusters,
+    "x34_vocab_sketch" -> x34VocabSketch,
   )
 
   /** The PNG pixel statistics in closed form: the fixture image's
@@ -458,5 +465,6 @@ object Extensions {
          |) ORDER BY doc_id""".stripMargin,
     "x32_rolling_sum" -> EventsAnalytics.rollingSumSql(24),
     "x33_dedup_clusters" -> Dedup.dedupClustersSql(3),
+    "x34_vocab_sketch" -> TextAnalysis.distinctTokenSketchSql(16),
   )
 }

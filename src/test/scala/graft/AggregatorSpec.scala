@@ -37,4 +37,31 @@ class AggregatorSpec extends AnyFunSuite {
       assert(math.abs(v - viaGroups(k)) < 1e-9, s"$k: $v vs ${viaGroups(k)}")
     }
   }
+
+  test("KMV sketch: exact below k, unbiased-ish estimate above") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val k = 64
+    val kmv = graft.functions.Kmv.kmv_distinct(k) _
+    def hash(c: org.apache.spark.sql.Column) =
+      conv(substring(md5(c.cast("string")), 1, 12), 16, 10).cast("long")
+    // 40 distinct values (< k): the sketch must return the exact count
+    val small = spark.range(1000).select((col("id") % 40).as("v"))
+      .select(hash(col("v")).as("h"))
+      .agg(kmv(col("h"))).collect()(0).getDouble(0)
+    assert(small == 40.0, s"small=$small")
+    // 100k distinct: estimate within the ~3/sqrt(k-1) ≈ 38% band
+    // (deterministic — fixed hash, no RNG)
+    val big = spark.range(100_000).repartition(8)
+      .select(hash(col("id")).as("h"))
+      .agg(kmv(col("h"))).collect()(0).getDouble(0)
+    assert(math.abs(big - 100_000) / 100_000 < 0.38, s"big=$big")
+    // duplicates cannot inflate the estimate: 100k rows, 500 distinct
+    val dup = spark.range(100_000).repartition(8)
+      .select(hash(col("id") % 500).as("h"))
+      .agg(kmv(col("h"))).collect()(0).getDouble(0)
+    val once = spark.range(500).select(hash(col("id")).as("h"))
+      .agg(kmv(col("h"))).collect()(0).getDouble(0)
+    assert(dup == once, s"dup=$dup once=$once")
+  }
 }

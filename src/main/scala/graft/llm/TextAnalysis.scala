@@ -218,6 +218,63 @@ object TextAnalysis {
       |SELECT fp, count(*) AS n, min(doc_id) AS keep_id
       |FROM f GROUP BY fp ORDER BY fp""".stripMargin
 
+  /** Gopher-style repetition metrics: the fraction of a document's
+    * word n-grams that are repeats (1 − distinct/total) and the share
+    * of the single most frequent n-gram — the standard quality-filter
+    * signals for boilerplate/looping text. One n-gram explosion into
+    * a two-level hash aggregate (per-(doc, gram) counts, then per-doc
+    * rollup), all map-side-combinable; docs shorter than n words emit
+    * no row. The `repetitive` verdict compares the UNROUNDED ratio so
+    * both engines branch on identical bits.
+    */
+  def repetition(docs: DataFrame, n: Int = 3,
+      dupCap: Double = 0.2): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(t)-$n), i -> concat_ws(' ', slice(t, i+1, $n)))"))
+        .as("g"))
+    val dupFrac = lit(1.0) -
+      col("n_distinct").cast("double") / col("n_grams").cast("double")
+    grams
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_grams"), count(lit(1)).as("n_distinct"),
+        max(col("c")).as("top_count"))
+      .select(col("doc_id"), col("n_grams"), col("n_distinct"),
+        round(dupFrac, 6).as("dup_frac"),
+        round(col("top_count").cast("double") /
+          col("n_grams").cast("double"), 6).as("top_frac"),
+        (dupFrac > dupCap).as("repetitive"))
+      .orderBy(col("doc_id"))
+  }
+
+  def repetitionSql(n: Int = 3, dupCap: Double = 0.2): String =
+    s"""WITH g AS (
+       |  SELECT doc_id, array_to_string(t[i+1:i+$n], ' ') AS g
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS t
+       |        FROM documents) q,
+       |       UNNEST(range(len(t)-${n - 1})) AS r(i)
+       |  WHERE len(t) >= $n
+       |), pc AS (
+       |  SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2
+       |), st AS (
+       |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+       |         count(*) AS n_distinct, CAST(max(c) AS BIGINT) AS top_count
+       |  FROM pc GROUP BY 1
+       |)
+       |SELECT doc_id, n_grams, n_distinct,
+       |  CAST(round(CAST(CAST(
+       |    1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_grams AS DOUBLE)
+       |    AS VARCHAR) AS DECIMAL(38,16)), 6) AS DOUBLE) AS dup_frac,
+       |  CAST(round(CAST(CAST(
+       |    CAST(top_count AS DOUBLE) / CAST(n_grams AS DOUBLE)
+       |    AS VARCHAR) AS DECIMAL(38,16)), 6) AS DOUBLE) AS top_frac,
+       |  (1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_grams AS DOUBLE))
+       |    > CAST('$dupCap' AS DOUBLE) AS repetitive
+       |FROM st ORDER BY doc_id""".stripMargin
+
   /** Vocabulary profiling with a KMV distinct sketch
     * (functions.KmvSketch): per language, the exact distinct token
     * count (the ground truth a profiler drops at scale) next to the

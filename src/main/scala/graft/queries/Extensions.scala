@@ -251,6 +251,12 @@ object Extensions {
   private val x34VocabSketch: Q = (s, d) =>
     TextAnalysis.distinctTokenSketch(Tables.documents(s, d), k = 16)
 
+  /** X3: Gopher-style repetition quality filter — duplicate and
+    * top-gram fractions of each document's word trigrams.
+    */
+  private val x35Repetition: Q = (s, d) =>
+    TextAnalysis.repetition(Tables.documents(s, d), n = 3, dupCap = 0.2)
+
   /** X3: TF-IDF top terms per document. */
   private val x23Tfidf: Q = (s, d) =>
     TextAnalysis.tfidfTopTerms(Tables.documents(s, d), k = 3)
@@ -314,6 +320,7 @@ object Extensions {
     "x32_rolling_sum" -> x32RollingSum,
     "x33_dedup_clusters" -> x33DedupClusters,
     "x34_vocab_sketch" -> x34VocabSketch,
+    "x35_repetition" -> x35Repetition,
   )
 
   /** The PNG pixel statistics in closed form: the fixture image's
@@ -466,5 +473,6 @@ object Extensions {
     "x32_rolling_sum" -> EventsAnalytics.rollingSumSql(24),
     "x33_dedup_clusters" -> Dedup.dedupClustersSql(3),
     "x34_vocab_sketch" -> TextAnalysis.distinctTokenSketchSql(16),
+    "x35_repetition" -> TextAnalysis.repetitionSql(3, 0.2),
   )
 }

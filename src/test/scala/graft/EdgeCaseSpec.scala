@@ -125,6 +125,18 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(fr.length == 2 && fr.forall(_.isNullAt(2)))
   }
 
+  test("repetition metrics flag looping text, skip sub-width docs") {
+    val rep = TextAnalysis.repetition(weirdDocs, n = 3, dupCap = 0.2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(5))).toMap
+    // docs 1-3 are under 3 tokens: no row
+    assert(!rep.contains(1L) && !rep.contains(2L) && !rep.contains(3L))
+    // "x y z x y z x y z": 7 trigrams, 3 distinct -> repetitive
+    assert(rep(6L) == ((7L, 3L, true)), rep(6L).toString)
+    // "a  b   c" -> tokens a,"",b,"","",c: 4 trigrams all distinct
+    assert(!rep(4L)._3)
+  }
+
   test("connected components: chains, isolates, merged stars") {
     import spark.implicits._
     val verts = (0L to 9L).toDF("doc_id")

@@ -306,20 +306,23 @@ object Dedup {
     while (changed > 0 && iter < maxIter) {
       val viaEdges = bidir
         .join(lbl.select(col("node").as("b"), col("label")), "b")
-        .select(col("a").as("node"), col("label"))
-      val prop = lbl.unionByName(viaEdges)
-        .groupBy(col("node")).agg(min(col("label")).as("label"))
+        .select(col("a").as("node"), col("label"),
+          lit(null).cast("long").as("old"))
+      // carry each node's previous label through the round (max(old):
+      // only the node's own row has it) so convergence is a local
+      // filter on the checkpointed result, not another join
+      val prop = lbl.withColumn("old", col("label")).unionByName(viaEdges)
+        .groupBy(col("node"))
+        .agg(min(col("label")).as("label"), max(col("old")).as("old"))
       // pointer doubling: jump to the label's own label (labels are
       // node ids, and label(v) ≤ v, so chains collapse exponentially)
       val hop = prop.select(col("node").as("ln"), col("label").as("ll"))
       val next = prop.join(hop, col("label") === col("ln"), "left")
         .select(col("node"),
-          coalesce(col("ll"), col("label")).as("label"))
+          coalesce(col("ll"), col("label")).as("label"), col("old"))
         .localCheckpoint()
-      changed = next
-        .join(lbl.withColumnRenamed("label", "old"), "node")
-        .filter(col("label") =!= col("old")).count()
-      lbl = next
+      changed = next.filter(col("label") =!= col("old")).count()
+      lbl = next.drop("old")
       iter += 1
     }
     lbl.select(col("node").as("doc_id"), col("label").as("component"))

@@ -150,16 +150,17 @@ object Relational {
     */
   private def metricBase(s: SparkSession, d: String): DataFrame = {
     // the lagged table feeds both the scalar aggregate and the metric
-    // projection; a localCheckpoint barrier was measured (sf0.1) and
-    // is a wash locally — the duplicated subtree overlaps on idle
-    // cores — so the plan stays pure. At cluster scale, checkpoint
-    // this intermediate instead of recomputing it.
+    // projection — materialize it once. (r3 measured the checkpoint
+    // a wash when the lag pass cost three full window passes; with
+    // the two-pass OrderedLag the duplicated subtree is the larger
+    // cost at every scale.)
     val lagged = graft.ts.OrderedLag.withLags(
       Tables.events(s, d).select(col("event_id"), col("ts"), col("value")),
       col("ts"), col("event_id"), "value", Seq(1, 24))
       .select(col("event_id"), col("value").as("v"),
         col("value_lag1").as("pred"), col("value_lag24").as("season"))
       .filter(col("pred").isNotNull && col("season").isNotNull)
+      .localCheckpoint()
     val scalars = lagged.agg(
       avg(abs(col("v") - col("season"))).as("scale"),
       stddev_samp(col("v")).as("sd"))

@@ -95,9 +95,17 @@ object Multimodal {
     */
   object PngDecoder {
     javax.imageio.ImageIO.setUseCache(false)
+    /** Corrupt/unparseable payloads decode to an empty feature vector
+      * (ImageIO.read returns null or throws): a 100 TB media lake
+      * always contains truncated objects, and one of them must not
+      * kill the whole stage. Downstream posexplode drops the row.
+      */
     def decodeOne(payload: Array[Byte]): Array[Float] = {
-      val img = javax.imageio.ImageIO.read(
-        new java.io.ByteArrayInputStream(payload))
+      val img =
+        try javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(payload))
+        catch { case _: java.io.IOException => null }
+      if (img == null) return Array.empty
       val w = img.getWidth
       val h = img.getHeight
       var mn = 255

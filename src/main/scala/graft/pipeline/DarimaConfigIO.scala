@@ -29,7 +29,15 @@ object DarimaConfigIO {
       // mean MASE from 1.38 to 1.06 (RESULTS.md) — on by default
       harmDaily = int("harmonics_daily", 0),
       harmWeekly = int("harmonics_weekly", 0),
-      harmYearly = int("harmonics_yearly", 3))
+      harmYearly = int("harmonics_yearly", 3),
+      // engine extension keys: fitter selection + ARIMA search bounds
+      // (library defaults match auto_arima.R:74; the pipeline ships
+      // tighter measured caps — see DarimaConfig)
+      fitter = str("fitter", "longar"),
+      maxP = int("max_p", 5),
+      maxQ = int("max_q", 5),
+      maxSP = int("max_sp", 2),
+      maxSQ = int("max_sq", 2))
     val train = str("train_datapath", "")
     val test = str("test_datapath", "")
     require(train.nonEmpty && test.nonEmpty,

@@ -125,6 +125,25 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(fr.length == 2 && fr.forall(_.isNullAt(2)))
   }
 
+  test("corrupt media payloads decode to empty features, not a crash") {
+    import spark.implicits._
+    import graft.llm.Multimodal
+    val good = Multimodal.encodePng(spark,
+      Seq((1L, "x")).toDF("doc_id", "text"))
+      .select("doc_id", "media", "width", "height")
+      .as[(Long, Array[Byte], Int, Int)].collect()(0)
+    val rows = Seq(
+      good,
+      (2L, Array[Byte](1, 2, 3), 1, 1),            // garbage
+      (3L, good._2.take(10), 1, 1),                // truncated PNG
+      (4L, Array.empty[Byte], 1, 1))               // empty payload
+      .toDF("doc_id", "media", "width", "height")
+    val out = Multimodal.extractFeatures(spark, rows).collect()
+      .map(r => r.doc_id -> r.features.length).toMap
+    assert(out(1L) == 8)
+    assert(out(2L) == 0 && out(3L) == 0 && out(4L) == 0, out.toString)
+  }
+
   test("repetition metrics flag looping text, skip sub-width docs") {
     val rep = TextAnalysis.repetition(weirdDocs, n = 3, dupCap = 0.2)
       .collect().map(r => r.getLong(0) ->

@@ -111,6 +111,42 @@ class ScaleSpec extends AnyFunSuite {
     assert(secs < 120, s"took ${secs}s")
   }
 
+  test("300k-doc corpus: minhash + jaccard dedup stay linear, find planted dups") {
+    import spark.implicits._
+    // 300k docs of 16 doc-unique tokens; docs 150000..150099 are exact
+    // copies of docs 0..99 (the planted duplicates). Unique tokens
+    // mean no accidental shingle sharing, so the expected answer is
+    // exact: 100 pairs, and nothing else may collide.
+    val n = 300_000L
+    val planted = 100L
+    val docs = spark.range(n).select(
+      col("id").as("doc_id"),
+      when(col("id") >= n / 2 && col("id") < n / 2 + planted,
+        col("id") - n / 2).otherwise(col("id")).as("seed"))
+      .select(col("doc_id"), concat_ws(" ",
+        (0 until 16).map(j =>
+          concat(col("seed").cast("string"), lit(s"_$j"))): _*).as("text"))
+    val t0 = System.nanoTime()
+    val buckets = graft.llm.Dedup.minhashBuckets(docs, bands = 4)
+      .agg(count(lit(1)), sum(col("n_docs"))).collect()(0)
+    val tMinhash = (System.nanoTime() - t0) / 1e9
+    // 4 bands x 100 planted pairs, every bucket exactly the pair
+    assert(buckets.getLong(0) == 4 * planted, buckets.toString)
+    assert(buckets.getLong(1) == 2 * 4 * planted, buckets.toString)
+    val t1 = System.nanoTime()
+    val pairs = graft.llm.Dedup
+      .jaccardPairs(docs, dfCap = 5, threshold = 0.5)
+      .collect()
+    val tJaccard = (System.nanoTime() - t1) / 1e9
+    info(f"300k docs: minhash ${tMinhash}%.1f s, jaccard ${tJaccard}%.1f s")
+    assert(pairs.length == planted, s"found ${pairs.length} pairs")
+    assert(pairs.forall { r =>
+      r.getLong(1) == r.getLong(0) + n / 2 && r.getDouble(5) == 1.0
+    })
+    assert(tMinhash < 120 && tJaccard < 120,
+      s"minhash $tMinhash s, jaccard $tJaccard s")
+  }
+
   test("200k-node chain: connected components converge in O(log n) rounds") {
     import spark.implicits._
     // a single chain is the adversarial case for label propagation:

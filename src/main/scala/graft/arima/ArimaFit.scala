@@ -413,6 +413,21 @@ object ArimaFit {
     * canonical starts, then walk the ±1 neighborhood of the incumbent
     * until no improvement.
     */
+  /** AICc shortlist for the approximation→refit ladder: candidates
+    * with a real chance only — finite scores within ΔAICc ≤ 10 of the
+    * approximate best (evidence ratio e⁵ ≈ 150:1 against anything
+    * beyond), max 5 — usually 1-3 refits, bounding the ladder's cost.
+    * Shared by the seasonal and non-seasonal searches so the policy
+    * cannot drift between them.
+    */
+  private def refitShortlist[K](evaluated: Map[K, Double]): Seq[K] = {
+    val finite = evaluated.toSeq
+      .filter { case (_, s) => !s.isInfinite && !s.isNaN }
+      .sortBy(_._2)
+    finite.takeWhile { case (_, s) => s - finite.head._2 <= 10.0 }
+      .take(5).map(_._1)
+  }
+
   def fit(x: Array[Double], m: Int = 1, maxP: Int = 20, maxQ: Int = 20,
       maxOrder: Int = 40): SarimaModel = {
     val d = selectD(x)
@@ -464,17 +479,7 @@ object ArimaFit {
     // at the reference's (max p/q 20, max order 40), a wrong
     // approximate winner at high order no longer survives: the exact
     // criterion re-ranks the top candidates.
-    val shortlist = {
-      val finite = evaluated.toSeq
-        .filter { case (_, s) => !s.isInfinite && !s.isNaN }
-        .sortBy(_._2)
-      // only candidates with a real chance: ΔAICc ≤ 10 of the
-      // approximate best (evidence-ratio e⁵ ≈ 150:1 against anything
-      // beyond) — usually 1-3 refits, bounding the ladder's cost
-      finite.takeWhile { case (_, s) =>
-        s - finite.head._2 <= 10.0
-      }.take(5).map(_._1)
-    }
+    val shortlist = refitShortlist(evaluated)
     def refitOne(p: Int, q: Int)
         : Option[(Int, Int, Double, Double, Array[Double], Array[Double], Double)] = {
       val (c1, phi1, theta1) = hannanRissanen(w, p, q)
@@ -733,15 +738,7 @@ object ArimaFit {
     // per residual evaluation, prohibitive for m ≥ 24 — so the exact
     // step stays non-seasonal-only; CSS-LM is auto.arima's own
     // approximation for long seasonal periods.)
-    val shortlist = {
-      val finite = evaluated.toSeq
-        .filter { case (_, s) => !s.isInfinite && !s.isNaN }
-        .sortBy(_._2)
-      // same ΔAICc ≤ 10 evidence window as the non-seasonal ladder
-      finite.takeWhile { case (_, s) =>
-        s - finite.head._2 <= 10.0
-      }.take(5).map(_._1)
-    }
+    val shortlist = refitShortlist(evaluated)
     def refitOne(p: Int, q: Int, sp: Int, sq: Int)
         : Option[((Int, Int, Int, Int), Array[Double], Double, Double)] =
       hrSeasonalStart(w, p, q, sp, sq, m).map { b0 =>

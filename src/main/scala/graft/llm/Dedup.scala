@@ -225,16 +225,23 @@ object Dedup {
     // non-discriminative band — standard LSH practice, and the bound
     // that keeps pair generation linear on a templated/skewed
     // corpus), pairs enumerated inside each surviving bucket, then
-    // distinct across bands.
-    val buckets = simhash32Signatures(docs)
+    // distinct across bands. The cap is enforced by a count aggregate
+    // BEFORE any collect_list, so an over-full bucket never
+    // materializes its member list in an aggregation buffer.
+    val banded = simhash32Signatures(docs)
       .select(col("doc_id"), col("simhash"),
         explode(expr("array(0, 1, 2, 3, 4, 5, 6, 7)")).as("band"))
       .withColumn("nib",
         expr("(simhash div shiftleft(1L, 4 * band)) % 16"))
+    val kept = banded.groupBy(col("band"), col("nib"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= bucketCap)
+      .select(col("band"), col("nib"))
+    val buckets = banded
+      .join(kept, Seq("band", "nib"), "left_semi")
       .groupBy(col("band"), col("nib"))
       .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash"))))
         .as("ds"))
-      .filter(size(col("ds")) <= bucketCap)
     buckets
       .select(explode(expr(
         """flatten(transform(ds, (x, i) ->
@@ -293,6 +300,9 @@ object Dedup {
     * does the same thing; no driver-side graph, no global sort).
     * Labels/edges are materialized per round (localCheckpoint) so the
     * lineage doesn't grow with the iteration count.
+    *
+    * Pair endpoints absent from `vertices` are discovered through the
+    * edge join, labeled, and included in the output.
     */
   def connectedComponents(vertices: DataFrame, pairs: DataFrame,
       maxIter: Int = 25): DataFrame = {
@@ -321,7 +331,11 @@ object Dedup {
         .select(col("node"),
           coalesce(col("ll"), col("label")).as("label"), col("old"))
         .localCheckpoint()
-      changed = next.filter(col("label") =!= col("old")).count()
+      // null-safe: a pair endpoint absent from `vertices` enters via
+      // the edge join with old=null — plain =!= returns null there,
+      // the filter drops the row, and the loop would stop early with
+      // the graph only partially labeled
+      changed = next.filter(!(col("label") <=> col("old"))).count()
       lbl = next.drop("old")
       iter += 1
     }
@@ -375,9 +389,11 @@ object Dedup {
     * both dialects.
     */
   def jaccardPairs(docs: DataFrame, dfCap: Int, threshold: Double): DataFrame = {
-    // Bucket form: ONE groupBy(s) over the shingle explosion builds
-    // per-shingle doc lists; the frequency cap is a filter on list
-    // size (no second shingle pass, no self-join of the big table).
+    // Bucket form: the frequency cap is enforced by a count aggregate
+    // BEFORE any collect_list (a stop-word shingle appearing in most
+    // of a 100 TB corpus must never materialize its doc list in one
+    // aggregation buffer), then ONE groupBy(s) over the surviving
+    // shingle rows builds the capped per-shingle doc lists.
     // Candidate pairs are enumerated inside each capped bucket — at
     // most dfCap²/2 per shingle, the same bound that keeps the pair
     // blow-up linear at 100 TB — and per-doc set sizes fall out of
@@ -388,10 +404,15 @@ object Dedup {
     // (verified in the plan); the capped bucket table is tiny relative
     // to the shingle explosion, so materializing it once is strictly
     // cheaper than recomputing the explosion + aggregate twice
-    val buckets = shingles(docs)
+    val sh = shingles(docs)
+    val rare = sh.groupBy(col("s"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= dfCap)
+      .select(col("s"))
+    val buckets = sh
+      .join(rare, Seq("s"), "left_semi")
       .groupBy(col("s"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-      .filter(size(col("ds")) <= dfCap)
       .localCheckpoint()
     val sizes = buckets
       .select(explode(col("ds")).as("doc_id"))

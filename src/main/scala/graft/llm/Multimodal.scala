@@ -101,10 +101,13 @@ object Multimodal {
       * kill the whole stage. Downstream posexplode drops the row.
       */
     def decodeOne(payload: Array[Byte]): Array[Float] = {
+      // NonFatal, not just IOException: the JDK readers throw
+      // IllegalArgument/IndexOutOfBounds-style RuntimeExceptions on
+      // some malformed chunk structures
       val img =
         try javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(payload))
-        catch { case _: java.io.IOException => null }
+        catch { case scala.util.control.NonFatal(_) => null }
       if (img == null) return Array.empty
       val w = img.getWidth
       val h = img.getHeight

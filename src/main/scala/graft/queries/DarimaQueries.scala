@@ -195,8 +195,10 @@ object DarimaQueries {
     // (and without caching the series: the remaining consumers are
     // cheap columnar parquet scans)
     val coefs = Darima.fitChunkCoefs(s, ser, cfgOls2).localCheckpoint()
-    val n = coefs.groupBy(col("chunk_id")).agg(first(col("n")).as("cn"))
-      .agg(sum(col("cn"))).head().getLong(0)
+    val nRow = coefs.groupBy(col("chunk_id")).agg(first(col("n")).as("cn"))
+      .agg(sum(col("cn"))).head()
+    // sum over zero chunk rows is NULL (empty series) — treat as 0
+    val n = if (nRow.isNullAt(0)) 0L else nRow.getLong(0)
     val model = Darima.globalModel(Darima.combine(coefs, "dlsa"), n)
     Darima.fittedResidualsDF(ser, model)
       .select(col("t"), col("v"),

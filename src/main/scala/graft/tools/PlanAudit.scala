@@ -1,7 +1,7 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Attribute, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.catalyst.plans.logical._
 
 /** Plan-shape audit over the whole declared query surface: flags the
@@ -13,45 +13,59 @@ import org.apache.spark.sql.catalyst.plans.logical._
   */
 object PlanAudit {
 
-  /** A broadcast-hinted subtree is "provably bounded" iff it carries a
-    * structural certificate that its cardinality does not grow with
-    * the input: a grouping-free (1-row) aggregate, an aggregate keyed
+  /** A broadcast-hinted subtree is "provably bounded" iff its ROOT is
+    * certified: a grouping-free (1-row) aggregate, an aggregate keyed
     * only on internal `__bucket`-style keys (cardinality = the literal
     * bucket count), an explicit limit, a literal `range(...)`, a
-    * filter pinning an id below an integer literal (fixed query/seed/
-    * benchmark prefixes), or a scan of a fixed-size dimension table
-    * (region/nation). A hint on anything else — e.g. a per-document
-    * aggregate over the whole corpus — forces an unbounded driver
-    * collect at scale and is flagged.
+    * filter with a top-level conjunct pinning an id under an integer
+    * literal (fixed query/seed/benchmark prefixes), or a scan of a
+    * fixed-size dimension table (region/nation) — with boundedness
+    * propagated bottom-up through row-preserving unary nodes, joins
+    * (both sides bounded), and unions (all children bounded). Judging
+    * at the root, not by the existence of any bounded descendant,
+    * keeps `broadcast(corpus.join(tiny))` from passing; row-EXPANDING
+    * nodes (Generate) never propagate. A hint on anything else — e.g.
+    * a per-document aggregate over the whole corpus — forces an
+    * unbounded driver collect at scale and is flagged.
     */
-  private[tools] def provablyBounded(p: LogicalPlan): Boolean = {
-    def certifies(n: LogicalPlan): Boolean = n match {
+  def provablyBounded(p: LogicalPlan): Boolean = {
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    // foldable, not Literal: analysis wraps int literals compared to
+    // long ids in a Cast, which is still a constant bound
+    def bounding(e: Expression): Boolean = e match {
+      case LessThan(_: Attribute, bound) => bound.foldable
+      case LessThanOrEqual(_: Attribute, bound) => bound.foldable
+      case GreaterThan(bound, _: Attribute) => bound.foldable
+      case GreaterThanOrEqual(bound, _: Attribute) => bound.foldable
+      case _ => false
+    }
+    p match {
       case a: Aggregate if a.groupingExpressions.isEmpty => true
-      case a: Aggregate => a.groupingExpressions.forall {
-        case attr: Attribute => attr.name.startsWith("__")
-        case _ => false
-      }
+      case a: Aggregate if a.groupingExpressions.nonEmpty &&
+        a.groupingExpressions.forall {
+          case attr: Attribute => attr.name.startsWith("__")
+          case _ => false
+        } => true
+      case a: Aggregate => provablyBounded(a.child) // never adds rows
       case _: GlobalLimit => true
       case _: Range => true
-      // foldable, not Literal: analysis wraps int literals compared to
-      // long ids in a Cast, which is still a constant bound
-      case f: Filter => f.condition.exists {
-        case LessThan(_: Attribute, bound) => bound.foldable
-        case LessThanOrEqual(_: Attribute, bound) => bound.foldable
-        case GreaterThan(bound, _: Attribute) => bound.foldable
-        case GreaterThanOrEqual(bound, _: Attribute) => bound.foldable
-        case _ => false
-      }
+      case f: Filter if conjuncts(f.condition).exists(bounding) => true
+      case j: Join => provablyBounded(j.left) && provablyBounded(j.right)
+      case u: Union => u.children.forall(provablyBounded)
+      case _: Generate => false // row-expanding
       case l: LeafNode =>
         val s = l.toString
         s.contains("nation") || s.contains("region")
+      case u: UnaryNode => provablyBounded(u.child)
       case _ => false
     }
-    p.exists(certifies)
   }
 
   /** Broadcast hints whose side has no boundedness certificate. */
-  private[tools] def unboundedBroadcasts(plan: LogicalPlan): Seq[LogicalPlan] =
+  def unboundedBroadcasts(plan: LogicalPlan): Seq[LogicalPlan] =
     plan.collect {
       case h: ResolvedHint
           if h.hints.strategy.contains(BROADCAST) &&

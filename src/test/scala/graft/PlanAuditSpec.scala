@@ -1,0 +1,63 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.tools.PlanAudit
+
+/** The bounded-broadcast certificate must accept every hint shape the
+  * engine actually uses and reject the evasions — an unbounded
+  * relation does not become broadcastable by touching a bounded
+  * fragment somewhere in its subtree.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def analyzed(df: DataFrame) = df.queryExecution.analyzed
+  private def corpus = Tables.documents(spark, sf)
+
+  test("accepts the engine's bounded hint shapes") {
+    // literal id prefix (query/seed/benchmark sides)
+    assert(PlanAudit.provablyBounded(analyzed(
+      corpus.filter(col("doc_id") < 5))))
+    // conjunct with a bound among other predicates
+    assert(PlanAudit.provablyBounded(analyzed(
+      corpus.filter(col("doc_id") < 5 && col("lang") === "en"))))
+    // scalar aggregate; explicit limit; literal range
+    assert(PlanAudit.provablyBounded(analyzed(
+      corpus.agg(count(lit(1))))))
+    assert(PlanAudit.provablyBounded(analyzed(corpus.limit(3))))
+    assert(PlanAudit.provablyBounded(analyzed(
+      spark.range(32).toDF("__tgt"))))
+    // aggregate keyed on an internal bucket column
+    assert(PlanAudit.provablyBounded(analyzed(
+      corpus.withColumn("__bucket", col("doc_id") % 4)
+        .groupBy(col("__bucket")).count())))
+    // filter ABOVE an explode (benchmark n-gram side)
+    assert(PlanAudit.provablyBounded(analyzed(
+      corpus.select(col("doc_id"), explode(split(col("text"), " ")).as("g"))
+        .filter(col("doc_id") < 5))))
+  }
+
+  test("rejects unbounded relations dressed with bounded fragments") {
+    // per-key aggregate over the corpus (the r3 jaccard `sizes` bug)
+    assert(!PlanAudit.provablyBounded(analyzed(
+      corpus.groupBy(col("doc_id")).count())))
+    // corpus joined against a bounded side is still O(corpus)
+    assert(!PlanAudit.provablyBounded(analyzed(
+      corpus.join(corpus.limit(5).select(col("doc_id").as("d2")),
+        col("doc_id") === col("d2")))))
+    // a bound inside an OR is no bound
+    assert(!PlanAudit.provablyBounded(analyzed(
+      corpus.filter(col("doc_id") < 5 || col("n_chars") > 0))))
+    // explode ABOVE the bound can expand without limit
+    assert(!PlanAudit.provablyBounded(analyzed(
+      corpus.filter(col("doc_id") < 5)
+        .select(explode(split(col("text"), " ")).as("g"))
+        .groupBy(col("g")).count()
+        .withColumnRenamed("g", "w").groupBy(col("w")).count()
+        .select(col("w")))))
+    // plain corpus scan
+    assert(!PlanAudit.provablyBounded(analyzed(corpus.select(col("doc_id")))))
+  }
+}

@@ -221,27 +221,26 @@ object Dedup {
   def simhashNearDup(docs: DataFrame, maxDist: Int,
       bucketCap: Int = 64): DataFrame = {
     // Bucket-list form (same shape as jaccardPairs): one groupBy per
-    // (band, nibble), a cap on bucket size (an over-full bucket is a
+    // (band, nibble) via the cap-and-drop BoundedMinK aggregate
+    // (bounded buffers, no over-full bucket ever materializes its
+    // member list), pairs enumerated inside each surviving bucket,
+    // then distinct across bands. An over-full bucket is a
     // non-discriminative band — standard LSH practice, and the bound
-    // that keeps pair generation linear on a templated/skewed
-    // corpus), pairs enumerated inside each surviving bucket, then
-    // distinct across bands. The cap is enforced by a count aggregate
-    // BEFORE any collect_list, so an over-full bucket never
-    // materializes its member list in an aggregation buffer.
-    val banded = simhash32Signatures(docs)
+    // that keeps pair generation linear on a templated/skewed corpus.
+    // (doc_id, simhash) packs into one long — doc_id·2³² + simhash,
+    // exact for doc_id < 2³¹ — so packed order equals tuple order.
+    val buckets = simhash32Signatures(docs)
       .select(col("doc_id"), col("simhash"),
         explode(expr("array(0, 1, 2, 3, 4, 5, 6, 7)")).as("band"))
       .withColumn("nib",
         expr("(simhash div shiftleft(1L, 4 * band)) % 16"))
-    val kept = banded.groupBy(col("band"), col("nib"))
-      .agg(count(lit(1)).as("__n"))
-      .filter(col("__n") <= bucketCap)
-      .select(col("band"), col("nib"))
-    val buckets = banded
-      .join(kept, Seq("band", "nib"), "left_semi")
       .groupBy(col("band"), col("nib"))
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash"))))
-        .as("ds"))
+      .agg(graft.functions.MinK.bounded_min_k(bucketCap)(
+        col("doc_id") * lit(4294967296L) + col("simhash")).as("ps"))
+      .filter(size(col("ps")) > 0)
+      .withColumn("ds", expr(
+        """transform(ps, p -> struct(p div 4294967296 AS doc_id,
+          |                          p % 4294967296 AS simhash))""".stripMargin))
     buckets
       .select(explode(expr(
         """flatten(transform(ds, (x, i) ->
@@ -389,30 +388,28 @@ object Dedup {
     * both dialects.
     */
   def jaccardPairs(docs: DataFrame, dfCap: Int, threshold: Double): DataFrame = {
-    // Bucket form: the frequency cap is enforced by a count aggregate
-    // BEFORE any collect_list (a stop-word shingle appearing in most
-    // of a 100 TB corpus must never materialize its doc list in one
-    // aggregation buffer), then ONE groupBy(s) over the surviving
-    // shingle rows builds the capped per-shingle doc lists.
-    // Candidate pairs are enumerated inside each capped bucket — at
-    // most dfCap²/2 per shingle, the same bound that keeps the pair
-    // blow-up linear at 100 TB — and per-doc set sizes fall out of
-    // the same bucketed table, so the two consumers share one
-    // exchange instead of recomputing the explosion four times.
+    // Bucket form: ONE groupBy(s) over the shingle explosion builds
+    // the capped per-shingle doc lists via the cap-and-drop
+    // BoundedMinK aggregate — its buffer never exceeds dfCap+1
+    // entries, so a stop-word shingle appearing in most of a 100 TB
+    // corpus cannot materialize its doc list (the single-buffer OOM a
+    // post-hoc size filter would allow), and there is no second
+    // aggregation pass over the exploded rows. Candidate pairs are
+    // enumerated inside each surviving bucket — at most dfCap²/2 per
+    // shingle, the bound that keeps the pair blow-up linear — and
+    // per-doc set sizes fall out of the same bucketed table, so the
+    // two consumers share one exchange instead of recomputing the
+    // explosion four times.
     // localCheckpoint: both consumers (sizes, pair explosion) read this
     // table and Catalyst does not reuse the exchange across them
     // (verified in the plan); the capped bucket table is tiny relative
     // to the shingle explosion, so materializing it once is strictly
     // cheaper than recomputing the explosion + aggregate twice
-    val sh = shingles(docs)
-    val rare = sh.groupBy(col("s"))
-      .agg(count(lit(1)).as("__n"))
-      .filter(col("__n") <= dfCap)
-      .select(col("s"))
-    val buckets = sh
-      .join(rare, Seq("s"), "left_semi")
+    val buckets = shingles(docs)
       .groupBy(col("s"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .agg(graft.functions.MinK.bounded_min_k(dfCap)(col("doc_id"))
+        .as("ds"))
+      .filter(size(col("ds")) > 0)
       .localCheckpoint()
     val sizes = buckets
       .select(explode(col("ds")).as("doc_id"))

@@ -222,19 +222,17 @@ object Similarity {
       .select(col("vec_id"), expr(
         (0 until bands).map(b => s"$b, sig$b")
           .mkString(s"stack($bands, ", ", ", ") AS (band, sig)")))
-    // bucket-list form: count-prune FIRST (bounded hash agg), then
-    // collect only surviving buckets — collecting before the cap
-    // check would materialize a degenerate bucket's entire member
-    // list in one aggregation buffer, the OOM the cap exists to
-    // prevent. In-bucket enumeration is then ≤ bucketCap²/2 pairs.
-    val kept = sigs.groupBy(col("band"), col("sig"))
-      .agg(count(lit(1)).as("__n"))
-      .filter(col("__n") <= bucketCap)
-      .select(col("band"), col("sig"))
+    // bucket-list form: ONE groupBy per (band, sig) via the
+    // cap-and-drop BoundedMinK aggregate — the buffer never exceeds
+    // bucketCap+1 entries, so a degenerate signature bucket cannot
+    // materialize its member list (the single-buffer OOM a post-hoc
+    // size filter would allow). In-bucket enumeration is then
+    // ≤ bucketCap²/2 pairs per bucket.
     val cands = sigs
-      .join(kept, Seq("band", "sig"), "left_semi")
       .groupBy(col("band"), col("sig"))
-      .agg(sort_array(collect_list(col("vec_id"))).as("vs"))
+      .agg(graft.functions.MinK.bounded_min_k(bucketCap)(col("vec_id"))
+        .as("vs"))
+      .filter(size(col("vs")) > 0)
       .select(explode(expr(
         """flatten(transform(vs, (x, i) ->
           |  transform(slice(vs, i + 2, size(vs)),

@@ -311,6 +311,84 @@ object Similarity {
        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
   }
 
+  /** Iterated Lloyd refinement of the IVF coarse quantizer: starting
+    * from the first-k seed vectors, alternate argmax-cosine
+    * assignment (broadcast centroids — k rows — against the streamed
+    * corpus) and per-cluster mean (posexplode + hash aggregate,
+    * map-side partials, shuffle of k·dim rows per iteration). The
+    * loop that turns [[labelCentroids]]' aggregation step and
+    * [[ivfTopK]]'s fixed seeds into a trained quantizer; every
+    * iteration is the 100 TB shape (nothing collects, nothing joins
+    * unbounded sides). Cosines and means round to 6dp each iteration
+    * so the trajectory is engine-reproducible; internal `__cid`/
+    * `__dim` names mark the bounded keys (cardinality k and dim).
+    * Clusters that lose all members drop out — identically in the
+    * oracle.
+    */
+  def kmeansRefine(emb: DataFrame, k: Int, iters: Int): DataFrame = {
+    def cosTo(v: Column, c: Column): Column =
+      round(graft.functions.VectorFunctions.cosine_similarity(v, c), 6)
+    var centroids = emb.filter(col("vec_id") < k)
+      .select(col("vec_id").as("__cid"),
+        col("embedding").cast("array<double>").as("ce"))
+    for (_ <- 1 to iters) {
+      val assigned = emb.crossJoin(broadcast(centroids))
+        .withColumn("c", cosTo(col("embedding"), col("ce")))
+        .withColumn("rn", row_number().over(Window
+          .partitionBy(col("vec_id"))
+          .orderBy(col("c").desc, col("__cid"))))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("__cid"), col("embedding"))
+      centroids = assigned
+        .select(col("__cid"),
+          posexplode(col("embedding")).as(Seq("__dim", "v")))
+        .groupBy(col("__cid"), col("__dim"))
+        .agg(round(avg(col("v").cast("double")), 6).as("cv"))
+        .groupBy(col("__cid"))
+        .agg(expr(
+          "transform(array_sort(collect_list(struct(__dim, cv))), s -> s.cv)")
+          .as("ce"))
+    }
+    centroids
+      .select(col("__cid").as("cid"),
+        posexplode(col("ce")).as(Seq("i", "centroid")))
+      .orderBy(col("cid"), col("i"))
+  }
+
+  def kmeansRefineSql(k: Int, iters: Int): String = {
+    def cos(a: String, b: String): String =
+      s"""round(list_dot_product($a, $b)
+         |  / (sqrt(list_dot_product($a, $a))
+         |   * sqrt(list_dot_product($b, $b))), 6)""".stripMargin
+    def stage(cin: String, aOut: String, dOut: String, cOut: String): String =
+      s"""$aOut AS (
+         |  SELECT vec_id, cid, e FROM (
+         |    SELECT d.vec_id, c.cid, d.e,
+         |      row_number() OVER (PARTITION BY d.vec_id ORDER BY
+         |        ${cos("d.e", "c.ce")} DESC, c.cid) AS rn
+         |    FROM dbl d CROSS JOIN $cin c)
+         |  WHERE rn = 1
+         |), $dOut AS (
+         |  SELECT cid, i, round(avg(e[i+1]), 6) AS cv
+         |  FROM $aOut, UNNEST(range(len(e))) AS r(i)
+         |  GROUP BY 1, 2
+         |), $cOut AS (
+         |  SELECT cid, list(cv ORDER BY i) AS ce FROM $dOut GROUP BY cid
+         |)""".stripMargin
+    val stages = (1 to iters)
+      .map(t => stage(s"c${t - 1}", s"a$t", s"d$t", s"c$t"))
+      .mkString(",\n")
+    s"""WITH dbl AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |  FROM embeddings
+       |), c0 AS (
+       |  SELECT vec_id AS cid, e AS ce FROM dbl WHERE vec_id < $k
+       |),
+       |$stages
+       |SELECT cid, i, cv AS centroid FROM d$iters
+       |ORDER BY cid, i""".stripMargin
+  }
+
   /** Per-label embedding centroids — the aggregation step of k-means
     * / class-prototype computation. Explode to (label, dim, value)
     * and hash-aggregate: partial avg runs map-side per partition, so

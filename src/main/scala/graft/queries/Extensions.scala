@@ -257,6 +257,12 @@ object Extensions {
   private val x35Repetition: Q = (s, d) =>
     TextAnalysis.repetition(Tables.documents(s, d), n = 3, dupCap = 0.2)
 
+  /** X2: trained coarse quantizer — two Lloyd iterations from the
+    * ivfTopK seed vectors (assignment broadcast, centroid hash agg).
+    */
+  private val x36KmeansRefine: Q = (s, d) =>
+    Similarity.kmeansRefine(Tables.embeddings(s, d), k = 8, iters = 2)
+
   /** X3: TF-IDF top terms per document. */
   private val x23Tfidf: Q = (s, d) =>
     TextAnalysis.tfidfTopTerms(Tables.documents(s, d), k = 3)
@@ -321,6 +327,7 @@ object Extensions {
     "x33_dedup_clusters" -> x33DedupClusters,
     "x34_vocab_sketch" -> x34VocabSketch,
     "x35_repetition" -> x35Repetition,
+    "x36_kmeans_refine" -> x36KmeansRefine,
   )
 
   /** The PNG pixel statistics in closed form: the fixture image's
@@ -474,5 +481,6 @@ object Extensions {
     "x33_dedup_clusters" -> Dedup.dedupClustersSql(3),
     "x34_vocab_sketch" -> TextAnalysis.distinctTokenSketchSql(16),
     "x35_repetition" -> TextAnalysis.repetitionSql(3, 0.2),
+    "x36_kmeans_refine" -> Similarity.kmeansRefineSql(8, 2),
   )
 }

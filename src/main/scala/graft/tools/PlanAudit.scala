@@ -87,6 +87,7 @@ object PlanAudit {
       "x23_tfidf" -> Set("SinglePartition", "BNLJoin"), // 1-row corpus count N
       "x05_cosine_topk" -> Set("BNLJoin"), // 5 broadcast query vectors
       "x18_ivf_topk" -> Set("BNLJoin"), // broadcast probe lists
+      "x36_kmeans_refine" -> Set("BNLJoin"), // k broadcast centroids
       // OrderedLag's helper fan-out joins the per-bucket tails to the
       // ≤32-row broadcast target list on an inequality — bounded by
       // construction (buckets·maxLag rows)

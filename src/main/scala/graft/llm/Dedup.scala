@@ -363,6 +363,71 @@ object Dedup {
        |SELECT node AS doc_id, min(label) AS component
        |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
 
+  /** X1 span-level exact dedup (Lee et al.-style "deduplicating
+    * training data" at sub-document granularity): chunk every
+    * document into fixed `span`-token windows, keep each distinct
+    * span's first occurrence (min (doc_id, span_idx) — the canonical
+    * keeper), drop every other copy, and reassemble the surviving
+    * spans per document. Exact duplicate documents lose everything
+    * but their first copy; partially-overlapping docs lose exactly
+    * the repeated spans.
+    *
+    * Three key-grouped shuffles, all linear in corpus size: the
+    * keeper election groups on md5(span) (fixed-width keys instead of
+    * full span text through the exchange), the verdict join is
+    * hash-keyed on the same digest, and reassembly groups on doc_id.
+    * Nothing enumerates pairs; per-span state is one (doc_id,
+    * span_idx) struct.
+    */
+  def spanDedup(docs: DataFrame, span: Int): DataFrame = {
+    require(span >= 1)
+    val spans = docs
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, cast(ceil(size(t) / ${span}.0) as int) - 1)," +
+          s" i -> concat_ws(' ', slice(t, i * $span + 1, $span)))"))
+        .as(Seq("span_idx", "span")))
+      .withColumn("h", md5(col("span")))
+    val keepers = spans.groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("span_idx"))).as("k"))
+      .select(col("h"), col("k.doc_id").as("kd"), col("k.span_idx").as("ks"))
+    spans.join(keepers, "h")
+      .withColumn("kept",
+        col("doc_id") === col("kd") && col("span_idx") === col("ks"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("kept").cast("long")).as("n_kept"),
+        concat_ws(" ", expr(
+          """transform(array_sort(collect_list(
+            |  CASE WHEN kept THEN struct(span_idx, span) END)),
+            | s -> s.span)""".stripMargin)).as("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  def spanDedupSql(span: Int): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+       |), spans AS (
+       |  SELECT doc_id, CAST(i AS INT) AS span_idx,
+       |         array_to_string(t[i*$span+1 : (i+1)*$span], ' ') AS span
+       |  FROM t, UNNEST(range(CAST(ceil(len(t) / $span.0) AS BIGINT))) AS r(i)
+       |), keep AS (
+       |  SELECT h, doc_id AS kd, span_idx AS ks FROM (
+       |    SELECT md5(span) AS h, doc_id, span_idx,
+       |           row_number() OVER (PARTITION BY md5(span)
+       |             ORDER BY doc_id, span_idx) AS rn
+       |    FROM spans) WHERE rn = 1
+       |), j AS (
+       |  SELECT s.doc_id, s.span_idx, s.span,
+       |         (s.doc_id = k.kd AND s.span_idx = k.ks) AS kept
+       |  FROM spans s JOIN keep k ON md5(s.span) = k.h
+       |)
+       |SELECT doc_id, count(*) AS n_spans,
+       |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  COALESCE(string_agg(CASE WHEN kept THEN span END, ' '
+       |    ORDER BY span_idx), '') AS clean_text
+       |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   def simhashSql: String = {
     val bitSums = (0 until 16).map { j =>
       s"sum(CASE WHEN (v // ${1 << j}) % 2 = 1 THEN 1 ELSE -1 END) AS s$j"

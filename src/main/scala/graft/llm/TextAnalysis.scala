@@ -275,6 +275,72 @@ object TextAnalysis {
        |    > CAST('$dupCap' AS DOUBLE) AS repetitive
        |FROM st ORDER BY doc_id""".stripMargin
 
+  /** PII redaction — the scrub pass every pre-training corpus gets
+    * before anything else sees it: emails, phone numbers, and IPv4
+    * addresses replaced by typed placeholders, with per-document
+    * match counts for the removal report. Three chained
+    * `regexp_replace` column expressions (one scan pass, no UDF); the
+    * patterns stay inside the Java-regex ∩ RE2 common dialect
+    * (character classes + bounded quantifiers, no lookaround or
+    * backrefs) so the DuckDB oracle applies the identical automata.
+    * Counts are recovered from placeholder occurrences by pure length
+    * arithmetic — cheaper than a second regex pass and portable.
+    *
+    * The synthetic corpus contains no natural PII, so the operator
+    * first plants a deterministic contact line derived from doc_id —
+    * both engines plant the identical line, so the redaction itself
+    * (not the planting) is what the hash gate checks.
+    */
+  val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phonePat = "\\+\\d{1,2}-\\d{3}-\\d{4}"
+  val ipPat = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
+
+  private def placeholderCount(red: String, ph: String): String =
+    s"(length($red) - length(replace($red, '$ph', ''))) div ${ph.length}"
+
+  def piiRedact(docs: DataFrame): DataFrame = {
+    val synth = concat(col("text"), lit(" contact user"),
+      col("doc_id").cast("string"), lit("@mail.example.com or +1-555-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+      lit(" from 10."), (col("doc_id") % 200).cast("string"), lit(".3.7"))
+    docs
+      .withColumn("r", regexp_replace(
+        regexp_replace(
+          regexp_replace(synth, emailPat, "<EMAIL>"),
+          phonePat, "<PHONE>"),
+        ipPat, "<IP>"))
+      .select(col("doc_id"), col("r").as("redacted"),
+        expr(placeholderCount("r", "<EMAIL>")).as("n_emails"),
+        expr(placeholderCount("r", "<PHONE>")).as("n_phones"),
+        expr(placeholderCount("r", "<IP>")).as("n_ips"))
+      .orderBy(col("doc_id"))
+  }
+
+  val piiRedactSql: String = {
+    def cnt(ph: String): String =
+      s"(length(r) - length(replace(r, '$ph', ''))) // ${ph.length}"
+    s"""WITH synth AS (
+       |  SELECT doc_id,
+       |         text || ' contact user' || doc_id
+       |           || '@mail.example.com or +1-555-'
+       |           || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+       |           || ' from 10.' || (doc_id % 200) || '.3.7' AS s
+       |  FROM documents
+       |), red AS (
+       |  SELECT doc_id, regexp_replace(
+       |    regexp_replace(
+       |      regexp_replace(s, '$emailPat', '<EMAIL>', 'g'),
+       |      '$phonePat', '<PHONE>', 'g'),
+       |    '$ipPat', '<IP>', 'g') AS r
+       |  FROM synth
+       |)
+       |SELECT doc_id, r AS redacted,
+       |       ${cnt("<EMAIL>")} AS n_emails,
+       |       ${cnt("<PHONE>")} AS n_phones,
+       |       ${cnt("<IP>")} AS n_ips
+       |FROM red ORDER BY doc_id""".stripMargin
+  }
+
   /** Vocabulary profiling with a KMV distinct sketch
     * (functions.KmvSketch): per language, the exact distinct token
     * count (the ground truth a profiler drops at scale) next to the

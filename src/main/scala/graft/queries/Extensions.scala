@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.llm.{Dedup, EventsAnalytics, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.llm.{Dedup, EventsAnalytics, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
 
 /** The LLM-data-pipeline extension surface (SURVEY.md §2.9 X1-X5):
   * dedup, similarity search, text analysis, multimodal columns, and
@@ -263,6 +263,24 @@ object Extensions {
   private val x36KmeansRefine: Q = (s, d) =>
     Similarity.kmeansRefine(Tables.embeddings(s, d), k = 8, iters = 2)
 
+  /** X3: PII redaction — deterministic planted contact line, regex
+    * scrub to typed placeholders, per-doc removal counts.
+    */
+  private val x37PiiRedact: Q = (s, d) =>
+    TextAnalysis.piiRedact(Tables.documents(s, d))
+
+  /** X3: sequence packing — concat-and-chunk placement of every doc
+    * into 1024-token context windows via the distributed prefix sum.
+    */
+  private val x38SeqPack: Q = (s, d) =>
+    Packing.sequencePack(Tables.documents(s, d), capacity = 1024L)
+
+  /** X1: span-level exact dedup — 16-token windows, first-occurrence
+    * keeper election, per-doc reassembly of surviving spans.
+    */
+  private val x39SpanDedup: Q = (s, d) =>
+    Dedup.spanDedup(Tables.documents(s, d), span = 16)
+
   /** X3: TF-IDF top terms per document. */
   private val x23Tfidf: Q = (s, d) =>
     TextAnalysis.tfidfTopTerms(Tables.documents(s, d), k = 3)
@@ -328,6 +346,9 @@ object Extensions {
     "x34_vocab_sketch" -> x34VocabSketch,
     "x35_repetition" -> x35Repetition,
     "x36_kmeans_refine" -> x36KmeansRefine,
+    "x37_pii_redact" -> x37PiiRedact,
+    "x38_seq_pack" -> x38SeqPack,
+    "x39_span_dedup" -> x39SpanDedup,
   )
 
   /** The PNG pixel statistics in closed form: the fixture image's
@@ -482,5 +503,8 @@ object Extensions {
     "x34_vocab_sketch" -> TextAnalysis.distinctTokenSketchSql(16),
     "x35_repetition" -> TextAnalysis.repetitionSql(3, 0.2),
     "x36_kmeans_refine" -> Similarity.kmeansRefineSql(8, 2),
+    "x37_pii_redact" -> TextAnalysis.piiRedactSql,
+    "x38_seq_pack" -> Packing.sequencePackSql(1024L),
+    "x39_span_dedup" -> Dedup.spanDedupSql(16),
   )
 }

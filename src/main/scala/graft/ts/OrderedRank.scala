@@ -95,6 +95,63 @@ object OrderedRank {
       outCol: String = "__rn", buckets: Int = 32): DataFrame =
     ranked(df, orderCol, tieBreak, outCol, buckets).drop("__n")
 
+  /** Adds `outCol` = EXCLUSIVE prefix sum of `valueCol` (long) over
+    * the global (orderCol, tieBreak) order — row i gets the sum of
+    * all earlier rows' values, the first row gets 0. Same plan shape
+    * as [[withRowNumber]]: one bucketed window pass over the data
+    * (running sum instead of row_number), a ≤`buckets`-row per-bucket
+    * total aggregate prefix-summed into bucket offsets, broadcast
+    * back. Nothing single-partition, nothing collected — the
+    * distributed replacement for `sum(v) OVER (ORDER BY t)`.
+    */
+  def withPrefixSum(df: DataFrame, orderCol: Column, tieBreak: Column,
+      valueCol: Column, outCol: String = "__psum",
+      buckets: Int = 32): DataFrame = {
+    val qs = (1 until math.max(buckets, 2)).map(i => i.toDouble / buckets)
+    val stats = df.select(
+      percentile_approx(orderCol.cast("double"),
+        array(qs.map(lit): _*), lit(10000)).as("b"))
+      .head()
+    val bounds: Seq[Double] =
+      if (stats.isNullAt(0)) Seq.empty
+      else stats.getSeq[Double](0).distinct.sorted
+    val v = valueCol.cast("long")
+
+    if (bounds.isEmpty) {
+      val w = Window.partitionBy(col("__bucket")).orderBy(orderCol, tieBreak)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      return df.withColumn("__bucket", lit(0))
+        .withColumn(outCol, coalesce(sum(v).over(w), lit(0L)))
+        .drop("__bucket")
+    }
+
+    val bucket = bounds.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(orderCol.cast("double") > lit(b), 1).otherwise(0)
+    }
+    val based = df.withColumn("__bucket", bucket)
+
+    // THE full-data pass: within-bucket exclusive running sum.
+    val w = Window.partitionBy(col("__bucket")).orderBy(orderCol, tieBreak)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = based.withColumn("__lps", coalesce(sum(v).over(w), lit(0L)))
+
+    // Per-bucket value totals -> exclusive bucket offsets (the same
+    // audited pmod-gather of a <=buckets-row frame as `ranked`).
+    val tiny = based.groupBy(col("__bucket"))
+      .agg(sum(v).as("__tv"))
+      .select(col("__bucket").as("__b"), col("__tv"))
+      .withColumn("__gk", pmod(col("__b"), lit(1)))
+    val wOff = Window.partitionBy(col("__gk")).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = tiny
+      .withColumn("__off", coalesce(sum(col("__tv")).over(wOff), lit(0L)))
+      .select(col("__b"), col("__off"))
+
+    local.join(broadcast(offs), col("__bucket") === col("__b"))
+      .withColumn(outCol, col("__lps") + col("__off"))
+      .drop("__bucket", "__lps", "__b", "__off")
+  }
+
   /** Adds `outCol` = exact global ntile(k) (1-based, standard SQL
     * semantics) over (orderCol, tieBreak).
     */

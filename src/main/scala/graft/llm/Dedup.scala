@@ -308,8 +308,20 @@ object Dedup {
     val bidir = pairs.select(col("d1").as("a"), col("d2").as("b"))
       .unionByName(pairs.select(col("d2").as("a"), col("d1").as("b")))
       .localCheckpoint()
-    var lbl = vertices.select(col("doc_id").as("node"),
-      col("doc_id").as("label")).localCheckpoint()
+    // Iterate only over nodes that touch at least one edge — every
+    // other vertex is trivially its own component and joins back after
+    // the loop. Per-round tables are |endpoints| rows, not |V|: on a
+    // mostly-unique corpus the near-dup endpoints are a small fraction
+    // of the documents, so the O(log diameter) rounds run on the small
+    // graph while the full corpus is touched exactly twice (the edge
+    // build and the final label join).
+    // Round 0 is folded into initialization: label₀(v) = min(v, min
+    // neighbor) comes out of the same groupBy that enumerates the
+    // endpoint set, so the loop starts one propagation ahead.
+    var lbl = bidir.groupBy(col("a"))
+      .agg(min(col("b")).as("mb"))
+      .select(col("a").as("node"), least(col("a"), col("mb")).as("label"))
+      .localCheckpoint()
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
@@ -338,7 +350,17 @@ object Dedup {
       lbl = next.drop("old")
       iter += 1
     }
-    lbl.select(col("node").as("doc_id"), col("label").as("component"))
+    val comp = lbl.select(col("node").as("doc_id"), col("label"))
+    val fromVertices = vertices.select(col("doc_id"))
+      .join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("component"))
+    // pair endpoints absent from `vertices` (discovered via the edge
+    // list) are still labeled and included
+    val extra = comp.join(vertices.select(col("doc_id")),
+        Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("label").as("component"))
+    fromVertices.unionByName(extra)
   }
 
   /** Oracle: transitive min-label closure as a recursive CTE. The

@@ -1,0 +1,145 @@
+package graft.llm
+
+import scala.collection.mutable.ListBuffer
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed BPE merge learning (SURVEY.md §2.9 X3) — the
+  * tokenizer-training primitive of an LLM data pipeline: iteratively
+  * find the most frequent adjacent symbol pair across the corpus
+  * vocabulary and fuse it, emitting the learned merge table.
+  *
+  * Shape at scale: the corpus collapses to a (word, freq) vocabulary
+  * table in one hash aggregation — pair statistics per round are an
+  * explode + hash agg over the vocabulary, never the corpus, and the
+  * only driver transfer per round is the single argmax pair row. The
+  * round count is the (small, fixed) number of merges requested;
+  * every per-round table is `localCheckpoint`ed so lineage stays flat.
+  *
+  * Symbols are wrapped in angle brackets inside the working string
+  * ("he" → "<h> <e>") so the merge rewrite `replace(sym, "<l> <r>",
+  * "<lr>")` can never match inside a longer symbol, and consecutive
+  * occurrences never share a delimiter (replace-all is left-to-right
+  * non-overlapping in both engines). Words containing the bracket
+  * characters are excluded from the vocabulary (documented contract).
+  * No end-of-word marker is modeled — merges never span words anyway.
+  *
+  * Counts are integers and the argmax tie-break is a total order
+  * (count desc, left asc, right asc), so results are bit-exact and
+  * oracle-checkable with no float hazard.
+  */
+object Bpe {
+
+  private def strip(s: String): String = s.replace("<", "").replace(">", "")
+
+  private def sqlLit(s: String): String = s.replace("'", "''")
+
+  /** Learn `rounds` BPE merges from the corpus word vocabulary.
+    * Output: (merge_rank, lhs, rhs, merged, cnt) — one row per merge,
+    * in learning order.
+    */
+  def merges(docs: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var vocab = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0 &&
+        !col("w").contains("<") && !col("w").contains(">"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(expr(
+        "concat_ws(' ', transform(sequence(1, length(w)), " +
+          "i -> concat('<', substr(w, i, 1), '>')))").as("sym"),
+        col("freq"))
+      .localCheckpoint()
+    val learned = ListBuffer[(Int, String, String, String, Long)]()
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      // bounded driver transfer: exactly one argmax row per round
+      val best = vocab
+        .select(split(col("sym"), " ").as("a"), col("freq"))
+        .filter(size(col("a")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(a) - 1), " +
+            "i -> struct(a[i-1] AS l, a[i] AS r))")).as("p"), col("freq"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val l = best(0).getString(0)
+        val rt = best(0).getString(1)
+        val cnt = best(0).getLong(2)
+        learned += ((r, strip(l), strip(rt), strip(l) + strip(rt), cnt))
+        val mergedSym = "<" + strip(l) + strip(rt) + ">"
+        vocab = vocab.withColumn("sym", expr(
+          s"replace(sym, '${sqlLit(l + " " + rt)}', '${sqlLit(mergedSym)}')"))
+          .localCheckpoint()
+        r += 1
+      }
+    }
+    learned.toSeq
+      .toDF("merge_rank", "lhs", "rhs", "merged", "cnt")
+      .orderBy(col("merge_rank"))
+  }
+
+  /** DuckDB oracle: the same merge loop unrolled into CTE stages —
+    * one (pairs, argmax, rewrite) triple per round, integer counts
+    * throughout. Assumes every round finds at least one pair (true
+    * whenever the corpus has any multi-character word).
+    */
+  def mergesSql(rounds: Int): String = {
+    val stages = new StringBuilder
+    stages.append(
+      """w0 AS MATERIALIZED (
+        |  SELECT array_to_string(list_transform(range(1, len(w) + 1),
+        |           i -> '<' || w[CAST(i AS INT):CAST(i AS INT)] || '>'), ' ')
+        |           AS sym,
+        |         freq
+        |  FROM (SELECT w, count(*) AS freq
+        |        FROM (SELECT unnest(string_split(text, ' ')) AS w
+        |              FROM documents)
+        |        WHERE len(w) > 0 AND w NOT LIKE '%<%' AND w NOT LIKE '%>%'
+        |        GROUP BY w)
+        |)""".stripMargin)
+    for (r <- 1 to rounds) {
+      val p = r - 1
+      stages.append(s""",
+        |b$r AS MATERIALIZED (
+        |  SELECT l, r2, CAST(sum(freq) AS BIGINT) AS cnt
+        |  FROM (
+        |    SELECT a[CAST(i AS INT)] AS l, a[CAST(i AS INT) + 1] AS r2, freq
+        |    FROM (SELECT string_split(sym, ' ') AS a, freq FROM w$p) q,
+        |         UNNEST(range(1, len(a))) AS u(i)
+        |    WHERE len(a) >= 2)
+        |  GROUP BY l, r2
+        |  ORDER BY cnt DESC, l, r2 LIMIT 1
+        |),
+        |w$r AS MATERIALIZED (
+        |  SELECT replace(sym,
+        |           (SELECT l || ' ' || r2 FROM b$r),
+        |           (SELECT '<' || replace(replace(l, '<', ''), '>', '') ||
+        |                replace(replace(r2, '<', ''), '>', '') || '>'
+        |            FROM b$r)) AS sym,
+        |         freq
+        |  FROM w$p
+        |)""".stripMargin)
+    }
+    val arms = (1 to rounds).map { r =>
+      s"""SELECT $r AS merge_rank,
+         |  replace(replace(l, '<', ''), '>', '') AS lhs,
+         |  replace(replace(r2, '<', ''), '>', '') AS rhs,
+         |  replace(replace(l, '<', ''), '>', '') ||
+         |    replace(replace(r2, '<', ''), '>', '') AS merged,
+         |  cnt
+         |FROM b$r""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ${stages.toString}
+       |SELECT * FROM (
+       |$arms
+       |) ORDER BY merge_rank""".stripMargin
+  }
+}

@@ -1,0 +1,82 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus-trained n-gram language-model scoring (SURVEY.md §2.9 X3) —
+  * the CCNet-style perplexity quality filter: train a character
+  * trigram model on the in-language slice of the corpus, score every
+  * document by its average negative log-likelihood under that model,
+  * and flag the outliers (boilerplate, wrong-language, garbled text
+  * all score high).
+  *
+  * Model: add-α smoothed trigram frequency model. For a trigram g
+  * with training count c, P(g) = (c + α) / (N + αV) where N is the
+  * total training trigram count and V the number of distinct
+  * training trigrams; an unseen trigram gets the α floor.
+  *
+  * Shape at scale: one trigram explosion per side, both collapsed by
+  * hash aggregation before the join — the per-document trigram
+  * multiset joins the model table on the trigram key (linear,
+  * key-grouped), and (N, V) ride in as a 1-row broadcast. Nothing
+  * global, nothing pairwise; the same plan at 1000 executors.
+  */
+object LanguageModel {
+
+  /** Per-document avg negative log-likelihood under the corpus
+    * trigram LM. Output: (doc_id, n_tri, avg_nll, flagged); documents
+    * shorter than 3 chars drop out (no trigrams — documented).
+    */
+  def trigramPerplexity(docs: DataFrame, alpha: Double = 0.5,
+      lmLang: String = "en", cap: Double = 11.0): DataFrame = {
+    def tris(df: DataFrame): DataFrame = df
+      .filter(length(col("text")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, length(text) - 2), i -> substr(text, i, 3))"))
+        .as("g"))
+    val lm = tris(docs.filter(col("lang") === lmLang))
+      .groupBy(col("g")).agg(count(lit(1)).as("c"))
+    val tot = lm.agg(sum(col("c")).as("n"), count(lit(1)).as("v"))
+    val docTris = tris(docs)
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("k"))
+    docTris.join(lm, Seq("g"), "left")
+      .na.fill(0L, Seq("c"))
+      .crossJoin(broadcast(tot))
+      .withColumn("nll", -col("k") *
+        log((col("c") + lit(alpha)) / (col("n") + lit(alpha) * col("v"))))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("k")).as("n_tri"), sum(col("nll")).as("sn"))
+      .select(col("doc_id"), col("n_tri"),
+        round(col("sn") / col("n_tri"), 6).as("avg_nll"),
+        (round(col("sn") / col("n_tri"), 6) > lit(cap)).as("flagged"))
+      .orderBy(col("doc_id"))
+  }
+
+  def trigramPerplexitySql(alpha: Double = 0.5, lmLang: String = "en",
+      cap: Double = 11.0): String =
+    s"""WITH lm AS MATERIALIZED (
+       |  SELECT g, count(*) AS c FROM (
+       |    SELECT substr(text, CAST(i AS INT), 3) AS g
+       |    FROM documents, UNNEST(range(1, len(text) - 1)) AS u(i)
+       |    WHERE len(text) >= 3 AND lang = '$lmLang')
+       |  GROUP BY g
+       |), tot AS (
+       |  SELECT CAST(sum(c) AS BIGINT) AS n, count(*) AS v FROM lm
+       |), dt AS (
+       |  SELECT doc_id, g, count(*) AS k FROM (
+       |    SELECT doc_id, substr(text, CAST(i AS INT), 3) AS g
+       |    FROM documents, UNNEST(range(1, len(text) - 1)) AS u(i)
+       |    WHERE len(text) >= 3)
+       |  GROUP BY doc_id, g
+       |), j AS (
+       |  SELECT d.doc_id, d.k, COALESCE(lm.c, 0) AS c
+       |  FROM dt d LEFT JOIN lm USING (g)
+       |)
+       |SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_tri,
+       |  round(sum(-k * ln((c + $alpha) / (n + $alpha * v))) / sum(k), 6)
+       |    AS avg_nll,
+       |  round(sum(-k * ln((c + $alpha) / (n + $alpha * v))) / sum(k), 6)
+       |    > $cap AS flagged
+       |FROM j CROSS JOIN tot
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+}

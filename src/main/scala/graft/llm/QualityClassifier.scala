@@ -1,0 +1,148 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed quality-classifier training (SURVEY.md §2.9 X3) — the
+  * fastText-style filter step of a pretraining pipeline (GPT-3 /
+  * LLaMA lineage): fit a logistic regression from cheap text
+  * statistics to a weak label, then score every document with the
+  * trained model.
+  *
+  * Training is full-batch gradient descent: each iteration is ONE
+  * hash aggregation over the standardized feature table (map-side
+  * partial sums, no shuffle of rows) producing the d+1-dimensional
+  * gradient — the only driver transfer, bounded by the feature count,
+  * exactly the treeAggregate shape MLlib uses. The feature table is
+  * computed once and `localCheckpoint`ed; T iterations are T cheap
+  * jobs regardless of corpus size.
+  *
+  * Float discipline (the oracle replays the same loop in SQL): the
+  * feature means/sds and each iteration's gradient are rounded to 9dp
+  * on both sides, so the weight vector stays bit-identical across
+  * engines — per-row model scores then differ only by libm ulps,
+  * absorbed by the 6dp output rounding.
+  */
+object QualityClassifier {
+
+  val lr = 2.0
+  val iters = 8
+
+  private def round9(x: Double): Double =
+    BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Train on `lang == 'en'` as the positive label; output per-doc
+    * (doc_id, y, prob, pred). Features: ln token count, mean word
+    * length, unique-token ratio, stopword ratio.
+    */
+  def trainScore(docs: DataFrame): DataFrame = {
+    val swArray = TextAnalysis.stopwords.map(s => s"'$s'")
+      .mkString("array(", ", ", ")")
+    val raw = docs
+      .withColumn("t", split(col("text"), " "))
+      .withColumn("nt", size(col("t")))
+      .select(col("doc_id"),
+        when(col("lang") === "en", 1.0).otherwise(0.0).as("y"),
+        log(lit(1) + col("nt")).as("x1"),
+        ((length(col("text")) - (col("nt") - 1)).cast("double") /
+          col("nt")).as("x2"),
+        (size(array_distinct(col("t"))).cast("double") / col("nt")).as("x3"),
+        (expr(s"size(filter(t, w -> array_contains($swArray, w)))")
+          .cast("double") / col("nt")).as("x4"))
+    val statAggs = (1 to 4).flatMap { j =>
+      Seq(avg(col(s"x$j")).as(s"m$j"),
+        avg(col(s"x$j") * col(s"x$j")).as(s"q$j"))
+    }
+    val st = raw.agg(statAggs.head, statAggs.tail: _*).collect()(0)
+    val mu = (1 to 4).map(j => round9(st.getAs[Double](s"m${j}"))).toArray
+    // a constant feature has sd 0 (and carries no signal): divide by 1
+    // instead so z is 0 everywhere, mirrored in the oracle's CASE;
+    // the variance clamps at 0 against catastrophic-cancellation NaN
+    val sd = (1 to 4).map { j =>
+      val ax = st.getAs[Double](s"m${j}")
+      val ax2 = st.getAs[Double](s"q${j}")
+      val s = round9(math.sqrt(math.max(ax2 - ax * ax, 0.0)))
+      if (s == 0.0) 1.0 else s
+    }.toArray
+    val z = raw.select(col("doc_id") +: col("y") +: (1 to 4).map(j =>
+      ((col(s"x$j") - lit(mu(j - 1))) / lit(sd(j - 1))).as(s"z$j")): _*)
+      .localCheckpoint()
+    val w = Array.fill(5)(0.0) // bias, z1..z4
+    def margin(wv: Array[Double]): Column =
+      lit(wv(0)) + (1 to 4).map(j => lit(wv(j)) * col(s"z$j")).reduce(_ + _)
+    for (_ <- 1 to iters) {
+      val p = lit(1.0) / (lit(1.0) + exp(-margin(w)))
+      val gradAggs = avg(p - col("y")).as("g0") +: (1 to 4).map(j =>
+        avg((p - col("y")) * col(s"z$j")).as(s"g$j"))
+      val g = z.agg(gradAggs.head, gradAggs.tail: _*).collect()(0)
+      for (j <- 0 to 4)
+        w(j) = round9(w(j) - lr * round9(g.getAs[Double](s"g$j")))
+    }
+    val p = lit(1.0) / (lit(1.0) + exp(-margin(w)))
+    z.select(col("doc_id"), col("y"), round(p, 6).as("prob"),
+        (round(p, 6) > 0.5).as("pred"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB oracle: the identical GD loop as chained CTEs — one
+    * (gradient, weight-update) pair per iteration, every aggregate
+    * rounded to 9dp exactly as the engine rounds.
+    */
+  def trainScoreSql: String = {
+    val swList = TextAnalysis.stopwords.map(s => s"'$s'")
+      .mkString("[", ", ", "]")
+    val sb = new StringBuilder
+    sb.append(
+      s"""raw AS MATERIALIZED (
+         |  SELECT doc_id,
+         |         CAST(CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END
+         |              AS DOUBLE) AS y,
+         |         ln(1 + len(t)) AS x1,
+         |         CAST(len(text) - (len(t) - 1) AS DOUBLE) / len(t) AS x2,
+         |         CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS x3,
+         |         CAST(len(list_filter(t, w -> list_contains($swList, w)))
+         |              AS DOUBLE) / len(t) AS x4
+         |  FROM (SELECT doc_id, lang, text, string_split(text, ' ') AS t
+         |        FROM documents)
+         |), st0 AS (
+         |  SELECT ${(1 to 4).map(j =>
+              s"round(avg(x$j), 9) AS m$j, " +
+                s"round(sqrt(greatest(avg(x$j * x$j) " +
+                s"- avg(x$j) * avg(x$j), 0)), 9) AS s$j")
+              .mkString(",\n         ")}
+         |  FROM raw
+         |), st AS (
+         |  SELECT ${(1 to 4).map(j =>
+              s"m$j, CASE WHEN s$j = 0 THEN 1.0 ELSE s$j END AS s$j")
+              .mkString(", ")}
+         |  FROM st0
+         |), z AS MATERIALIZED (
+         |  SELECT doc_id, y, ${(1 to 4).map(j =>
+              s"(x$j - m$j) / s$j AS z$j").mkString(", ")}
+         |  FROM raw CROSS JOIN st
+         |), w0 AS (SELECT 0.0 AS c0, 0.0 AS c1, 0.0 AS c2, 0.0 AS c3,
+         |                 0.0 AS c4)""".stripMargin)
+    val m = "(c0 + c1 * z1 + c2 * z2 + c3 * z3 + c4 * z4)"
+    val p = s"(1.0 / (1.0 + exp(-$m)))"
+    for (t <- 1 to iters) {
+      val prev = s"w${t - 1}"
+      sb.append(s""",
+        |g$t AS (
+        |  SELECT round(avg($p - y), 9) AS g0,
+        |         ${(1 to 4).map(j =>
+             s"round(avg(($p - y) * z$j), 9) AS g$j").mkString(",\n         ")}
+        |  FROM z CROSS JOIN $prev
+        |),
+        |w$t AS (
+        |  SELECT ${(0 to 4).map(j =>
+             s"round(c$j - $lr * g$j, 9) AS c$j").mkString(", ")}
+        |  FROM $prev CROSS JOIN g$t
+        |)""".stripMargin)
+    }
+    s"""WITH ${sb.toString}
+       |SELECT doc_id, y, round($p, 6) AS prob,
+       |       round($p, 6) > 0.5 AS pred
+       |FROM z CROSS JOIN w$iters
+       |ORDER BY doc_id""".stripMargin
+  }
+}

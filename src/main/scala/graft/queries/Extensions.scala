@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.llm.{Dedup, EventsAnalytics, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
+import graft.llm.{Bpe, Dedup, EventsAnalytics, Importance, LanguageModel, Multimodal, Packing, QualityClassifier, Sampling, Similarity, TextAnalysis}
 
 /** The LLM-data-pipeline extension surface (SURVEY.md §2.9 X1-X5):
   * dedup, similarity search, text analysis, multimodal columns, and
@@ -281,6 +281,30 @@ object Extensions {
   private val x39SpanDedup: Q = (s, d) =>
     Dedup.spanDedup(Tables.documents(s, d), span = 16)
 
+  /** X3: distributed BPE merge learning — 8 rounds of corpus-wide
+    * pair-frequency argmax + vocabulary rewrite (integer-exact).
+    */
+  private val x40BpeMerges: Q = (s, d) =>
+    Bpe.merges(Tables.documents(s, d), rounds = 8)
+
+  /** X3: CCNet-style perplexity filter — add-α char-trigram LM
+    * trained on the 'en' slice, every doc scored by avg NLL.
+    */
+  private val x41LmPerplexity: Q = (s, d) =>
+    LanguageModel.trigramPerplexity(Tables.documents(s, d))
+
+  /** X3: DSIR importance weights — hashed-unigram log-ratio of the
+    * target-source distribution vs the raw corpus.
+    */
+  private val x42DsirWeights: Q = (s, d) =>
+    Importance.dsirWeights(Tables.documents(s, d))
+
+  /** X3: quality-classifier training — 8 full-batch GD iterations of
+    * logistic regression on text statistics, then per-doc scores.
+    */
+  private val x43QualityClassifier: Q = (s, d) =>
+    QualityClassifier.trainScore(Tables.documents(s, d))
+
   /** X3: TF-IDF top terms per document. */
   private val x23Tfidf: Q = (s, d) =>
     TextAnalysis.tfidfTopTerms(Tables.documents(s, d), k = 3)
@@ -349,6 +373,10 @@ object Extensions {
     "x37_pii_redact" -> x37PiiRedact,
     "x38_seq_pack" -> x38SeqPack,
     "x39_span_dedup" -> x39SpanDedup,
+    "x40_bpe_merges" -> x40BpeMerges,
+    "x41_lm_perplexity" -> x41LmPerplexity,
+    "x42_dsir_weights" -> x42DsirWeights,
+    "x43_quality_classifier" -> x43QualityClassifier,
   )
 
   /** The PNG pixel statistics in closed form: the fixture image's
@@ -506,5 +534,9 @@ object Extensions {
     "x37_pii_redact" -> TextAnalysis.piiRedactSql,
     "x38_seq_pack" -> Packing.sequencePackSql(1024L),
     "x39_span_dedup" -> Dedup.spanDedupSql(16),
+    "x40_bpe_merges" -> Bpe.mergesSql(8),
+    "x41_lm_perplexity" -> LanguageModel.trigramPerplexitySql(),
+    "x42_dsir_weights" -> Importance.dsirWeightsSql(),
+    "x43_quality_classifier" -> QualityClassifier.trainScoreSql,
   )
 }

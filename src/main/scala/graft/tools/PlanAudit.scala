@@ -85,6 +85,8 @@ object PlanAudit {
       "q12_metrics" -> Set("SinglePartition", "BNLJoin"), // 1-row scale/sd scalars
       "q13_metric_means" -> Set("SinglePartition", "BNLJoin"), // global means
       "x23_tfidf" -> Set("SinglePartition", "BNLJoin"), // 1-row corpus count N
+      "x41_lm_perplexity" -> Set("SinglePartition", "BNLJoin"), // 1-row (N, V)
+      "x42_dsir_weights" -> Set("SinglePartition", "BNLJoin"), // 1-row (Nt, Nr)
       "x05_cosine_topk" -> Set("BNLJoin"), // 5 broadcast query vectors
       "x18_ivf_topk" -> Set("BNLJoin"), // broadcast probe lists
       "x36_kmeans_refine" -> Set("BNLJoin"), // k broadcast centroids

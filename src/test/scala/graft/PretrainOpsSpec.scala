@@ -1,0 +1,96 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.llm.{Bpe, Importance, LanguageModel, QualityClassifier}
+
+/** Semantic checks for the round-5 pretraining-pipeline operators:
+  * BPE merge learning, trigram-LM perplexity, DSIR importance
+  * weights, and quality-classifier training.
+  */
+class PretrainOpsSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("bpe: learns the most frequent pair first, with exact counts") {
+    import spark.implicits._
+    val docs = Seq((1L, "aa aa ab")).toDF("doc_id", "text")
+    val m = Bpe.merges(docs, rounds = 2).collect()
+    assert(m.length == 2)
+    assert(m(0).getAs[String]("lhs") == "a" &&
+      m(0).getAs[String]("rhs") == "a" &&
+      m(0).getAs[String]("merged") == "aa" &&
+      m(0).getAs[Long]("cnt") == 2) // the two "aa" occurrences
+    assert(m(1).getAs[String]("merged") == "ab" &&
+      m(1).getAs[Long]("cnt") == 1)
+  }
+
+  test("bpe: greedy left-to-right rewrite does not overlap") {
+    import spark.implicits._
+    // "aaaa" -> <a><a><a><a>: pair (a,a) counts 3; after merging,
+    // greedy non-overlapping rewrite must give <aa><aa>, so round 2
+    // sees exactly one (aa,aa) pair.
+    val docs = Seq((1L, "aaaa")).toDF("doc_id", "text")
+    val m = Bpe.merges(docs, rounds = 2).collect()
+    assert(m(0).getAs[String]("merged") == "aa" && m(0).getAs[Long]("cnt") == 3)
+    assert(m(1).getAs[String]("merged") == "aaaa" &&
+      m(1).getAs[Long]("cnt") == 1)
+  }
+
+  test("bpe: stops early when no pairs remain") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val m = Bpe.merges(docs, rounds = 5).collect()
+    assert(m.isEmpty) // all words are single symbols
+  }
+
+  test("lm perplexity: out-of-distribution text scores higher") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again", "en"),
+      (2L, "the quick brown fox jumps over the lazy dog once more here", "en"),
+      (3L, "zzqx zzqx vvkk wwpp qqzz xxvv kkww ppqq zzxx vvqq kkpp wwzz", "de"))
+      .toDF("doc_id", "text", "lang")
+    val out = LanguageModel.trigramPerplexity(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("avg_nll")).toMap
+    assert(out(3L) > out(1L) && out(3L) > out(2L))
+  }
+
+  test("dsir: target-like documents get positive weight") {
+    import spark.implicits._
+    // token counts large enough that the add-1/B smoothing doesn't
+    // swamp the real distributions
+    val alpha100 = Seq.fill(100)("alpha").mkString(" ")
+    val beta100 = Seq.fill(100)("beta").mkString(" ")
+    val mixed = (Seq.fill(50)("alpha") ++ Seq.fill(50)("beta")).mkString(" ")
+    val docs = Seq(
+      (1L, alpha100, "src1"),
+      (2L, beta100, "src9"),
+      (3L, mixed, "src9"))
+      .toDF("doc_id", "text", "source")
+    val w = Importance.dsirWeights(docs, buckets = 64,
+        targetSources = Seq("src1")).collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Double]("log_weight"), r.getAs[Boolean]("keep"))).toList
+      .sortBy(_._1)
+    val byId = w.map(t => t._1 -> t).toMap
+    assert(byId(1L)._3, "pure-target doc must be kept")
+    assert(!byId(2L)._3, "pure-raw doc must be dropped")
+    assert(byId(1L)._2 > byId(3L)._2 && byId(3L)._2 > byId(2L)._2)
+  }
+
+  test("quality classifier: separable labels are separated") {
+    import spark.implicits._
+    val en = (1L to 10L).map(i =>
+      (i, "the a of and in to is the a of and in to is", "en"))
+    val de = (11L to 20L).map(i =>
+      (i, "der das und ein eine mit von der das und ein eine mit von", "de"))
+    val docs = (en ++ de).toDF("doc_id", "text", "lang")
+    val out = QualityClassifier.trainScore(docs).collect()
+    val probs = out.map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Double]("prob")).toMap
+    val minEn = (1L to 10L).map(probs).min
+    val maxDe = (11L to 20L).map(probs).max
+    assert(minEn > maxDe,
+      s"en prob floor $minEn must exceed de prob ceiling $maxDe")
+  }
+}

@@ -29,23 +29,30 @@ object LanguageModel {
     */
   def trigramPerplexity(docs: DataFrame, alpha: Double = 0.5,
       lmLang: String = "en", cap: Double = 11.0): DataFrame = {
-    def tris(df: DataFrame): DataFrame = df
+    // ONE trigram explosion serves both sides; the scoring side never
+    // pre-groups on the gram key — it joins the (bounded, ≤|charset|³
+    // rows) LM table right on the exploded stream and partial-aggs
+    // per doc map-side, so the only wide exchange in the whole plan
+    // is the LM count itself. The LM/totals branches recompute the
+    // explosion, but as parallel stages of one job the wall cost is
+    // ~one pass (eager-checkpointing was measured slower here; on a
+    // saturated cluster, persist the exploded stream instead).
+    val raw = docs
       .filter(length(col("text")) >= 3)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, length(text) - 2), i -> substr(text, i, 3))"))
-        .as("g"))
-    val lm = tris(docs.filter(col("lang") === lmLang))
+      .select(col("doc_id"), (col("lang") === lmLang).as("in_lm"),
+        explode(expr(
+          "transform(sequence(1, length(text) - 2), i -> substr(text, i, 3))"))
+          .as("g"))
+    val lm = raw.filter(col("in_lm"))
       .groupBy(col("g")).agg(count(lit(1)).as("c"))
     val tot = lm.agg(sum(col("c")).as("n"), count(lit(1)).as("v"))
-    val docTris = tris(docs)
-      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("k"))
-    docTris.join(lm, Seq("g"), "left")
+    raw.join(lm, Seq("g"), "left")
       .na.fill(0L, Seq("c"))
       .crossJoin(broadcast(tot))
-      .withColumn("nll", -col("k") *
-        log((col("c") + lit(alpha)) / (col("n") + lit(alpha) * col("v"))))
+      .withColumn("nll",
+        -log((col("c") + lit(alpha)) / (col("n") + lit(alpha) * col("v"))))
       .groupBy(col("doc_id"))
-      .agg(sum(col("k")).as("n_tri"), sum(col("nll")).as("sn"))
+      .agg(count(lit(1)).as("n_tri"), sum(col("nll")).as("sn"))
       .select(col("doc_id"), col("n_tri"),
         round(col("sn") / col("n_tri"), 6).as("avg_nll"),
         (round(col("sn") / col("n_tri"), 6) > lit(cap)).as("flagged"))
@@ -62,20 +69,18 @@ object LanguageModel {
        |  GROUP BY g
        |), tot AS (
        |  SELECT CAST(sum(c) AS BIGINT) AS n, count(*) AS v FROM lm
-       |), dt AS (
-       |  SELECT doc_id, g, count(*) AS k FROM (
-       |    SELECT doc_id, substr(text, CAST(i AS INT), 3) AS g
-       |    FROM documents, UNNEST(range(1, len(text) - 1)) AS u(i)
-       |    WHERE len(text) >= 3)
-       |  GROUP BY doc_id, g
+       |), inst AS (
+       |  SELECT doc_id, substr(text, CAST(i AS INT), 3) AS g
+       |  FROM documents, UNNEST(range(1, len(text) - 1)) AS u(i)
+       |  WHERE len(text) >= 3
        |), j AS (
-       |  SELECT d.doc_id, d.k, COALESCE(lm.c, 0) AS c
-       |  FROM dt d LEFT JOIN lm USING (g)
+       |  SELECT i.doc_id, COALESCE(lm.c, 0) AS c
+       |  FROM inst i LEFT JOIN lm USING (g)
        |)
-       |SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_tri,
-       |  round(sum(-k * ln((c + $alpha) / (n + $alpha * v))) / sum(k), 6)
+       |SELECT doc_id, count(*) AS n_tri,
+       |  round(sum(-ln((c + $alpha) / (n + $alpha * v))) / count(*), 6)
        |    AS avg_nll,
-       |  round(sum(-k * ln((c + $alpha) / (n + $alpha * v))) / sum(k), 6)
+       |  round(sum(-ln((c + $alpha) / (n + $alpha * v))) / count(*), 6)
        |    > $cap AS flagged
        |FROM j CROSS JOIN tot
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin

@@ -755,7 +755,7 @@ object ArimaFit {
       }.filter(_._4 < Double.PositiveInfinity)
     val refits = (if (shortlist.isEmpty) Seq((0, 0, 0, 0)) else shortlist)
       .flatMap { case (p, q, sp, sq) => refitOne(p, q, sp, sq) }
-    val ((p, q, sp, sq), b, sigma2, _) =
+    val ((p, q, sp, sq), bCss, sigCss, _) =
       if (refits.nonEmpty) refits.minBy(_._4)
       else {
         val c0 = w.sum / math.max(1, n)
@@ -763,6 +763,23 @@ object ArimaFit {
         ((0, 0, 0, 0), Array(c0),
           r0.map(e => e * e).sum / math.max(1, n), 0.0)
       }
+    // Exact-ML polish of the WINNER only (auto.arima's long-m
+    // economy: approximation everywhere, exact likelihood once): LM
+    // on the Kalman concentrated residuals over the expanded
+    // ARMA(p+mP, q+mQ) state, steady-state cutover making each
+    // evaluation ~O(n·r). Accepted only if the exact likelihood
+    // actually improves — LM can wander when CSS and ML optima
+    // disagree near a boundary.
+    val (b, sigma2) =
+      if (p + q + sp + sq > 0 && n <= 50000) {
+        val bMl = lmOptimize(bCss,
+          bb => Kalman.seasonalMlResiduals(w, bb, p, q, sp, sq, m), 15)
+        val better = Kalman.seasonalNegTwoLogLik(w, bMl, p, q, sp, sq, m) <
+          Kalman.seasonalNegTwoLogLik(w, bCss, p, q, sp, sq, m)
+        val bPick = if (better) bMl else bCss
+        val sigMl = Kalman.seasonalSigma2(w, bPick, p, q, sp, sq, m)
+        if (!sigMl.isNaN && sigMl > 0) (bPick, sigMl) else (bCss, sigCss)
+      } else (bCss, sigCss)
     val phi = java.util.Arrays.copyOfRange(b, 1, 1 + p)
     val theta = java.util.Arrays.copyOfRange(b, 1 + p, 1 + p + q)
     val sphi = java.util.Arrays.copyOfRange(b, 1 + p + q, 1 + p + q + sp)

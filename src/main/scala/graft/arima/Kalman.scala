@@ -30,7 +30,23 @@ object Kalman {
     * non-stationary (no stationary P exists).
     */
   def innovations(y: Array[Double], c: Double, phi: Array[Double],
-      theta: Array[Double]): Option[(Array[Double], Array[Double])] = {
+      theta: Array[Double]): Option[(Array[Double], Array[Double])] =
+    innovations(y, c, phi, theta, 0.0)
+
+  /** As above, with an optional steady-state cutover: for a
+    * stationary model the prediction covariance P converges to a
+    * fixed point, after which the gain and innovation variance are
+    * constants — once the step-to-step change in f falls below
+    * `steadyTol` (relative), the filter freezes (K, f) and each
+    * remaining step is O(r) instead of O(r²). This is what makes the
+    * exact likelihood affordable for seasonal models, whose expanded
+    * state dimension is r = max(p+mP, q+mQ+1) (≈ 50 at m = 24).
+    * `steadyTol = 0` disables the cutover (bit-identical to the
+    * original filter — the non-seasonal path keeps using that).
+    */
+  def innovations(y: Array[Double], c: Double, phi: Array[Double],
+      theta: Array[Double], steadyTol: Double)
+      : Option[(Array[Double], Array[Double])] = {
     val p = phi.length
     val q = theta.length
     val r = math.max(p, q + 1)
@@ -93,46 +109,53 @@ object Kalman {
     val f = new Array[Double](n)
     val tp = Array.ofDim[Double](r, r) // scratch: T P
     val kGain = new Array[Double](r)
+    var steady = false
+    var fPrev = Double.NaN
     var t = 0
     while (t < n) {
-      val ft = pMat(0)(0)
+      val ft = if (steady) fPrev else pMat(0)(0)
       if (ft <= 1e-300 || ft.isNaN) return None
       val vt = y(t) - c - alpha(0)
       v(t) = vt
       f(t) = ft
-      // K = T P Z' / f ; α ← T α + K v ; P ← T P T' + R R' − K f K'
-      i = 0
-      while (i < r) {
-        var acc = tPhi(i) * pMat(0)(0)
-        if (i + 1 < r) acc += pMat(i + 1)(0)
-        kGain(i) = acc / ft
-        i += 1
-      }
-      // T P into tp
-      i = 0
-      while (i < r) {
-        var j = 0
-        while (j < r) {
-          var acc = tPhi(i) * pMat(0)(j)
-          if (i + 1 < r) acc += pMat(i + 1)(j)
-          tp(i)(j) = acc
-          j += 1
+      if (!steady) {
+        // K = T P Z' / f ; α ← T α + K v ; P ← T P T' + R R' − K f K'
+        i = 0
+        while (i < r) {
+          var acc = tPhi(i) * pMat(0)(0)
+          if (i + 1 < r) acc += pMat(i + 1)(0)
+          kGain(i) = acc / ft
+          i += 1
         }
-        i += 1
-      }
-      // P ← tp T' + R R' − K f K'
-      i = 0
-      while (i < r) {
-        var j = 0
-        while (j < r) {
-          var acc = tPhi(j) * tp(i)(0)
-          if (j + 1 < r) acc += tp(i)(j + 1)
-          pMat(i)(j) = acc + rv(i) * rv(j) - kGain(i) * ft * kGain(j)
-          j += 1
+        // T P into tp
+        i = 0
+        while (i < r) {
+          var j = 0
+          while (j < r) {
+            var acc = tPhi(i) * pMat(0)(j)
+            if (i + 1 < r) acc += pMat(i + 1)(j)
+            tp(i)(j) = acc
+            j += 1
+          }
+          i += 1
         }
-        i += 1
+        // P ← tp T' + R R' − K f K'
+        i = 0
+        while (i < r) {
+          var j = 0
+          while (j < r) {
+            var acc = tPhi(j) * tp(i)(0)
+            if (j + 1 < r) acc += tp(i)(j + 1)
+            pMat(i)(j) = acc + rv(i) * rv(j) - kGain(i) * ft * kGain(j)
+            j += 1
+          }
+          i += 1
+        }
+        if (steadyTol > 0.0 && !fPrev.isNaN &&
+          math.abs(ft - fPrev) <= steadyTol * ft) steady = true
+        fPrev = ft
       }
-      // α ← T α + K v
+      // α ← T α + K v (K frozen once steady)
       val a0 = alpha.clone()
       i = 0
       while (i < r) {
@@ -196,4 +219,77 @@ object Kalman {
         while (i < v.length) { s += v(i) * v(i) / f(i); i += 1 }
         s / v.length
     }
+
+  // ---- multiplicative seasonal models on the EXPANDED state ------
+  // φ(B)Φ(B^m) / θ(B)Θ(B^m) expand (Polynomial convolution) to a
+  // plain ARMA(p+mP, q+mQ); the filter runs on that state with the
+  // steady-state cutover (state dim ≈ 50 at m = 24 — exact start-up
+  // weighting where it matters, O(r) once the gain converges). This
+  // is R arima()'s CSS-ML treatment of seasonal models.
+
+  private val seasonalSteadyTol = 1e-12
+
+  private def expandSeasonal(b: Array[Double], p: Int, q: Int, sp: Int,
+      sq: Int, m: Int): (Double, Array[Double], Array[Double]) = {
+    val phi = java.util.Arrays.copyOfRange(b, 1, 1 + p)
+    val theta = java.util.Arrays.copyOfRange(b, 1 + p, 1 + p + q)
+    val sphi = java.util.Arrays.copyOfRange(b, 1 + p + q, 1 + p + q + sp)
+    val stheta = java.util.Arrays.copyOfRange(b, 1 + p + q + sp,
+      1 + p + q + sp + sq)
+    val arFull = Polynomial.multiply(1.0 +: phi.map(-_),
+      Polynomial.seasonal(1.0 +: sphi.map(-_), m))
+    val maFull = Polynomial.multiply(1.0 +: theta.clone(),
+      Polynomial.seasonal(1.0 +: stheta.clone(), m))
+    (b(0), arFull.drop(1).map(-_), maFull.drop(1))
+  }
+
+  /** Ansley-form exact-ML residuals for a compact seasonal parameter
+    * vector b = (c, φ, θ, Φ, Θ).
+    */
+  def seasonalMlResiduals(y: Array[Double], b: Array[Double], p: Int,
+      q: Int, sp: Int, sq: Int, m: Int): Array[Double] = {
+    val (c, phiF, thetaF) = expandSeasonal(b, p, q, sp, sq, m)
+    innovations(y, c, phiF, thetaF, seasonalSteadyTol) match {
+      case None => Array.fill(y.length)(1e150)
+      case Some((v, f)) =>
+        val n = y.length
+        var lf = 0.0
+        var i = 0
+        while (i < n) { lf += math.log(f(i)); i += 1 }
+        val scale = math.exp(lf / (2.0 * n))
+        Array.tabulate(n)(t => v(t) / math.sqrt(f(t)) * scale)
+    }
+  }
+
+  /** Exact −2·log-likelihood of a compact seasonal parameter vector. */
+  def seasonalNegTwoLogLik(y: Array[Double], b: Array[Double], p: Int,
+      q: Int, sp: Int, sq: Int, m: Int): Double = {
+    val (c, phiF, thetaF) = expandSeasonal(b, p, q, sp, sq, m)
+    innovations(y, c, phiF, thetaF, seasonalSteadyTol) match {
+      case None => Double.PositiveInfinity
+      case Some((v, f)) =>
+        val n = y.length
+        var s = 0.0
+        var lf = 0.0
+        var i = 0
+        while (i < n) { s += v(i) * v(i) / f(i); lf += math.log(f(i)); i += 1 }
+        val sig = s / n
+        if (sig <= 0) Double.PositiveInfinity
+        else n * math.log(sig) + lf + n * (1.0 + math.log(2.0 * math.Pi))
+    }
+  }
+
+  /** Exact-ML σ̂² of a compact seasonal parameter vector. */
+  def seasonalSigma2(y: Array[Double], b: Array[Double], p: Int,
+      q: Int, sp: Int, sq: Int, m: Int): Double = {
+    val (c, phiF, thetaF) = expandSeasonal(b, p, q, sp, sq, m)
+    innovations(y, c, phiF, thetaF, seasonalSteadyTol) match {
+      case None => Double.NaN
+      case Some((v, f)) =>
+        var s = 0.0
+        var i = 0
+        while (i < v.length) { s += v(i) * v(i) / f(i); i += 1 }
+        s / v.length
+    }
+  }
 }

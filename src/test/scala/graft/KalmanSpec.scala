@@ -68,4 +68,58 @@ class KalmanSpec extends AnyFunSuite {
     assert(ar.pi(0) > 0.2 && ar.pi(0) < 0.65, s"pi1=${ar.pi(0)}")
     assert(mod.sigma2 > 0.5 && mod.sigma2 < 1.6, s"sigma2=${mod.sigma2}")
   }
+
+  test("steady-state cutover matches the exact filter") {
+    val y = noise(500, 13L).scanLeft(0.0)((a, e) => 0.7 * a + e).drop(1)
+    val phi = Array(0.7)
+    val theta = Array(0.3)
+    val Some((v0, f0)) = Kalman.innovations(y, 0.1, phi, theta, 0.0)
+    val Some((v1, f1)) = Kalman.innovations(y, 0.1, phi, theta, 1e-12)
+    var t = 0
+    while (t < y.length) {
+      assert(math.abs(v0(t) - v1(t)) < 1e-8, s"v($t)")
+      assert(math.abs(f0(t) - f1(t)) < 1e-8, s"f($t)")
+      t += 1
+    }
+  }
+
+  test("seasonal likelihood equals plain likelihood of the expanded model") {
+    val y = noise(300, 17L)
+    val m = 4
+    // (c, phi, theta, sphi, stheta) = (0.2, 0.5, -, 0.3, -):
+    // expanded AR polynomial (1-0.5B)(1-0.3B^4)
+    val b = Array(0.2, 0.5, 0.3)
+    val seas = Kalman.seasonalNegTwoLogLik(y, b, 1, 0, 1, 0, m)
+    val phiF = Array(0.5, 0.0, 0.0, 0.3, -0.15)
+    val plain = {
+      val Some((v, f)) = Kalman.innovations(y, 0.2, phiF, Array.empty, 0.0)
+      val n = y.length
+      var s = 0.0; var lf = 0.0; var i = 0
+      while (i < n) { s += v(i) * v(i) / f(i); lf += math.log(f(i)); i += 1 }
+      n * math.log(s / n) + lf + n * (1.0 + math.log(2.0 * math.Pi))
+    }
+    assert(math.abs(seas - plain) < 1e-6, s"seas=$seas plain=$plain")
+  }
+
+  test("seasonal ML objective is minimized near the true parameters") {
+    // simulate SARIMA(1,0,0)(1,0,0)_12 and compare the exact seasonal
+    // likelihood at truth vs perturbed parameters
+    val m = 12
+    val e = noise(1200, 23L)
+    val x = new Array[Double](1200)
+    var t = 0
+    while (t < x.length) {
+      var v = e(t)
+      if (t >= 1) v += 0.4 * x(t - 1)
+      if (t >= m) v += 0.5 * x(t - m)
+      if (t >= m + 1) v -= 0.2 * x(t - m - 1)
+      x(t) = v
+      t += 1
+    }
+    val y = x.drop(200)
+    val atTrue = Kalman.seasonalNegTwoLogLik(y, Array(0.0, 0.4, 0.5), 1, 0, 1, 0, m)
+    val off1 = Kalman.seasonalNegTwoLogLik(y, Array(0.0, 0.1, 0.5), 1, 0, 1, 0, m)
+    val off2 = Kalman.seasonalNegTwoLogLik(y, Array(0.0, 0.4, 0.1), 1, 0, 1, 0, m)
+    assert(atTrue < off1 && atTrue < off2, s"$atTrue $off1 $off2")
+  }
 }

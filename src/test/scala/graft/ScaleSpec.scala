@@ -187,4 +187,74 @@ class ScaleSpec extends AnyFunSuite {
     assert(n > 10_000_000L && n < 16_000_000L, s"n=$n")
     assert(secs < 120, s"took $secs s")
   }
+
+  test("300k-doc corpus: LM perplexity scoring stays one-wide-exchange") {
+    import spark.implicits._
+    // 280k in-language docs of structured text + 20k garbled docs;
+    // the garbled slice must score strictly higher under the LM
+    val n = 300_000L
+    val docs = spark.range(n).select(
+      col("id").as("doc_id"),
+      when(col("id") % 15 === 0, "zz").otherwise("en").as("lang"),
+      when(col("id") % 15 === 0,
+        concat(lit("qzx"), (col("id") % 97).cast("string"),
+          lit("vkw"), (col("id") % 89).cast("string")))
+        .otherwise(
+          concat(lit("the data engine runs fast "),
+            (col("id") % 97).cast("string"))).as("text"))
+    val t0 = System.nanoTime()
+    val scored = graft.llm.LanguageModel.trigramPerplexity(docs)
+    val agg = scored.join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy(col("lang")).agg(avg(col("avg_nll")).as("nll")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"300k docs LM scoring: ${secs}%.1f s, en=${agg("en")}%.2f zz=${agg("zz")}%.2f")
+    assert(agg("zz") > agg("en") + 1.0,
+      s"garbled ${agg("zz")} vs en ${agg("en")}")
+    assert(secs < 120, s"took ${secs}s")
+  }
+
+  test("300k-doc corpus: DSIR weights separate target-like documents") {
+    import spark.implicits._
+    val n = 300_000L
+    // target slice (src1, 10%) talks about "alpha beta"; the rest
+    // about "gamma delta"; 1k raw docs also talk target-style
+    val docs = spark.range(n).select(
+      col("id").as("doc_id"),
+      when(col("id") % 10 === 0, "src1").otherwise("src9").as("source"),
+      when(col("id") % 10 === 0 || col("id") < 1000,
+        lit("alpha beta alpha beta alpha beta alpha beta"))
+        .otherwise(lit("gamma delta gamma delta gamma delta gamma delta"))
+        .as("text"))
+    val t0 = System.nanoTime()
+    val w = graft.llm.Importance.dsirWeights(docs, buckets = 256,
+      targetSources = Seq("src1"))
+    val kept = w.filter(col("keep")).count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"300k docs DSIR: ${secs}%.1f s, kept=$kept")
+    // all 30k src1 docs + the 900 target-style raw docs (1000 minus
+    // the 100 that are themselves src1)
+    assert(kept == n / 10 + 900, s"kept=$kept")
+    assert(secs < 120, s"took ${secs}s")
+  }
+
+  test("bpe merges on a 1M-token corpus: vocabulary-sized rounds") {
+    import spark.implicits._
+    // 100k docs x 10 tokens drawn from a 1000-word synthetic
+    // vocabulary; "tokenaa" dominates so its pair (a,a) after the
+    // char split must win an early merge
+    val docs = spark.range(100_000L).select(
+      col("id").as("doc_id"),
+      concat_ws(" ",
+        (0 until 9).map(j => concat(lit("w"), ((col("id") + j) % 1000)
+          .cast("string"))) :+ lit("tokenaa"): _*).as("text"))
+    val t0 = System.nanoTime()
+    val m = graft.llm.Bpe.merges(docs, rounds = 4).collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"1M-token BPE, 4 rounds: ${secs}%.1f s: " +
+      m.map(r => r.getAs[String]("merged")).mkString(", "))
+    assert(m.length == 4)
+    assert(m.forall(_.getAs[Long]("cnt") > 0))
+    assert(secs < 120, s"took ${secs}s")
+  }
 }

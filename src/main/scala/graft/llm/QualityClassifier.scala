@@ -31,11 +31,21 @@ object QualityClassifier {
   private def round9(x: Double): Double =
     BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
 
-  /** Train on `lang == 'en'` as the positive label; output per-doc
-    * (doc_id, y, prob, pred). Features: ln token count, mean word
-    * length, unique-token ratio, stopword ratio.
+  /** Train on `lang == 'en'` as the positive label and return the
+    * model: (feature means, feature sds, weights [bias, w1..w4]).
+    * Features: ln token count, mean word length, unique-token ratio,
+    * stopword ratio. `trainScore` composes this with a scoring pass;
+    * the streaming twin (DocumentsStream.applyClassifier) serves the
+    * same model on a document feed.
     */
-  def trainScore(docs: DataFrame): DataFrame = {
+  def trainedModel(docs: DataFrame)
+      : (Array[Double], Array[Double], Array[Double]) = {
+    val (mu, sd, w, _) = trainedModelWithFrame(docs)
+    (mu, sd, w)
+  }
+
+  private def trainedModelWithFrame(docs: DataFrame)
+      : (Array[Double], Array[Double], Array[Double], DataFrame) = {
     val swArray = TextAnalysis.stopwords.map(s => s"'$s'")
       .mkString("array(", ", ", ")")
     val raw = docs
@@ -68,8 +78,6 @@ object QualityClassifier {
       ((col(s"x$j") - lit(mu(j - 1))) / lit(sd(j - 1))).as(s"z$j")): _*)
       .localCheckpoint()
     val w = Array.fill(5)(0.0) // bias, z1..z4
-    def margin(wv: Array[Double]): Column =
-      lit(wv(0)) + (1 to 4).map(j => lit(wv(j)) * col(s"z$j")).reduce(_ + _)
     for (_ <- 1 to iters) {
       val p = lit(1.0) / (lit(1.0) + exp(-margin(w)))
       val gradAggs = avg(p - col("y")).as("g0") +: (1 to 4).map(j =>
@@ -78,6 +86,15 @@ object QualityClassifier {
       for (j <- 0 to 4)
         w(j) = round9(w(j) - lr * round9(g.getAs[Double](s"g$j")))
     }
+    (mu, sd, w, z)
+  }
+
+  private def margin(wv: Array[Double]): Column =
+    lit(wv(0)) + (1 to 4).map(j => lit(wv(j)) * col(s"z$j")).reduce(_ + _)
+
+  /** Train and score every document: (doc_id, y, prob, pred). */
+  def trainScore(docs: DataFrame): DataFrame = {
+    val (_, _, w, z) = trainedModelWithFrame(docs)
     val p = lit(1.0) / (lit(1.0) + exp(-margin(w)))
     z.select(col("doc_id"), col("y"), round(p, 6).as("prob"),
         (round(p, 6) > 0.5).as("pred"))

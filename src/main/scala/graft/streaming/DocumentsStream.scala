@@ -1,0 +1,101 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming twins of the text-curation surface
+  * (graft.llm.TextAnalysis / Dedup / QualityClassifier): a document
+  * feed — crawl output landing in object storage — filtered the same
+  * way the batch pipeline curates, with identical formulas so batch
+  * and stream decisions agree bit-for-bit.
+  *
+  * Everything here is STATELESS per row (projection/filter) except
+  * content dedup, so the operators compose into a readStream →
+  * curate → writeStream pipeline with no watermark coupling; at
+  * 100 TB/day the stateless stages scale with executors and only the
+  * dedup stage carries state.
+  */
+object DocumentsStream {
+
+  val schema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  def readDocuments(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(schema).parquet(dir)
+
+  /** Stateless quality verdict — same formulas as
+    * TextAnalysis.quality, so the stream keeps exactly the documents
+    * the batch pipeline would keep.
+    */
+  def qualityFilter(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("t", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("t")))
+      .withColumn("uniq_ratio",
+        size(array_distinct(col("t"))).cast("double") / col("n_tokens"))
+      .withColumn("verdict",
+        when(col("n_tokens") < 20, "too_short")
+          .when(col("uniq_ratio") < 0.3, "repetitive")
+          .otherwise("keep"))
+      .drop("t")
+
+  /** Apply a trained quality classifier (QualityClassifier.trainScore
+    * output: standardization stats + weights) to the stream — the
+    * train-in-batch / serve-in-stream shape. Pure codegen projection;
+    * the model rides in as literals, nothing is joined or shuffled.
+    */
+  def applyClassifier(docs: DataFrame, mu: Array[Double],
+      sd: Array[Double], w: Array[Double]): DataFrame = {
+    val swArray = graft.llm.TextAnalysis.stopwords.map(s => s"'$s'")
+      .mkString("array(", ", ", ")")
+    val x = Seq(
+      log(lit(1) + size(col("t"))),
+      (length(col("text")) - (size(col("t")) - 1)).cast("double") /
+        size(col("t")),
+      size(array_distinct(col("t"))).cast("double") / size(col("t")),
+      expr(s"size(filter(t, v -> array_contains($swArray, v)))")
+        .cast("double") / size(col("t")))
+    val margin = x.zipWithIndex.map { case (c, j) =>
+      lit(w(j + 1)) * ((c - lit(mu(j))) / lit(sd(j)))
+    }.foldLeft(lit(w(0)): org.apache.spark.sql.Column)(_ + _)
+    docs
+      .withColumn("t", split(col("text"), " "))
+      .withColumn("prob", round(lit(1.0) / (lit(1.0) + exp(-margin)), 6))
+      .withColumn("pred", col("prob") > 0.5)
+      .drop("t")
+  }
+
+  /** Streaming exact content dedup: first arrival of each md5(text)
+    * digest wins. State is one digest per distinct document; on an
+    * unbounded feed, bound it by re-keying on (digest, arrival day)
+    * or an ingest-time watermark + dropDuplicatesWithinWatermark —
+    * the harness table carries no event time, so the twin keeps the
+    * unbounded form.
+    */
+  def dedupByContent(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("digest", md5(col("text")))
+      .dropDuplicates("digest")
+
+  /** Stateless decontamination: drop documents sharing any word
+    * n-gram with the (small, driver-resident) benchmark gram set —
+    * the eval set is bounded by construction, so it travels as a
+    * literal array and the stream needs no join at all.
+    */
+  def decontaminate(docs: DataFrame, benchGrams: Seq[String],
+      n: Int): DataFrame = {
+    val lits = array(benchGrams.map(lit): _*)
+    docs
+      .withColumn("t", split(col("text"), " "))
+      .filter(size(col("t")) >= n)
+      .withColumn("grams", array_distinct(expr(
+        s"transform(sequence(0, size(t)-$n), i -> concat_ws(' ', slice(t, i+1, $n)))")))
+      .filter(!arrays_overlap(col("grams"), lits))
+      .drop("t", "grams")
+  }
+}

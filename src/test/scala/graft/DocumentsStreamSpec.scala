@@ -1,0 +1,99 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.streaming.DocumentsStream
+
+/** Batch-parity specs for the streaming curation twins: the stream
+  * must make exactly the decisions the batch pipeline makes.
+  */
+class DocumentsStreamSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  lazy val docsDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("docs-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(sf + "/documents.parquet"),
+      dir.resolve("documents.parquet"))
+    dir.toString
+  }
+
+  test("streaming quality filter keeps the batch keep-set") {
+    val stream = DocumentsStream.readDocuments(spark, docsDir)
+    assert(stream.isStreaming)
+    val q = DocumentsStream.qualityFilter(stream)
+      .filter(col("verdict") === "keep")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("quality_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql("SELECT doc_id FROM quality_out")
+        .collect().map(_.getLong(0)).toSet
+      val batch = graft.llm.TextAnalysis.quality(Tables.documents(spark, sf))
+        .filter(col("verdict") === "keep")
+        .collect().map(_.getLong(0)).toSet
+      assert(got == batch)
+    } finally q.stop()
+  }
+
+  test("streaming classifier apply matches batch training scores") {
+    // train in batch, serve on the stream: probabilities must agree
+    val docs = Tables.documents(spark, sf)
+    val batchScores = graft.llm.QualityClassifier.trainScore(docs)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // re-derive the stats + weights exactly as trainScore does (the
+    // operator API returns scores; the spec replays its internals via
+    // a second training run and checks the stream agrees with batch)
+    val (mu, sd, w) = graft.llm.QualityClassifier.trainedModel(docs)
+    val q = DocumentsStream
+      .applyClassifier(DocumentsStream.readDocuments(spark, docsDir),
+        mu, sd, w)
+      .select(col("doc_id"), col("prob"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("clf_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql("SELECT doc_id, prob FROM clf_out")
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(got.size == batchScores.size)
+      assert(got.forall { case (id, p) =>
+        math.abs(p - batchScores(id)) < 1e-9 })
+    } finally q.stop()
+  }
+
+  test("streaming content dedup keeps one copy per digest") {
+    val q = DocumentsStream
+      .dedupByContent(DocumentsStream.readDocuments(spark, docsDir))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql("SELECT count(*) FROM dedup_out").collect()(0)
+      val batch = Tables.documents(spark, sf)
+        .select(md5(col("text"))).distinct().count()
+      assert(got.getLong(0) == batch)
+    } finally q.stop()
+  }
+
+  test("streaming decontamination drops exactly the batch-flagged docs") {
+    val docs = Tables.documents(spark, sf)
+    // benchmark = docs 0-4's 4-grams, as in x28
+    val benchGrams = graft.llm.Dedup.nGrams(docs.filter(col("doc_id") < 5), 4)
+      .select(col("g")).distinct().collect().map(_.getString(0)).toSeq
+    val contaminated = graft.llm.Dedup.decontaminate(docs, benchIds = 5, n = 4)
+      .collect().map(_.getLong(0)).toSet
+    val q = DocumentsStream
+      .decontaminate(DocumentsStream.readDocuments(spark, docsDir)
+        .filter(col("doc_id") >= 5), benchGrams, 4)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("decon_out").start()
+    try {
+      q.processAllAvailable()
+      val kept = spark.sql("SELECT doc_id FROM decon_out")
+        .collect().map(_.getLong(0)).toSet
+      val all = docs.filter(col("doc_id") >= 5)
+        .collect().map(_.getLong(0)).toSet
+      assert(kept == all -- contaminated)
+    } finally q.stop()
+  }
+}

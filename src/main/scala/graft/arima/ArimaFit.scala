@@ -535,20 +535,6 @@ object ArimaFit {
   // branches at auto_arima.R:18-37 are live in Sarima2Ar here).
   // ---------------------------------------------------------------
 
-  /** Expand compact multiplicative orders to prediction-form full
-    * coefficient arrays: AR φ(B)Φ(B^m) (length p+mP, sign-flipped to
-    * the prediction convention) and MA θ(B)Θ(B^m) (length q+mQ).
-    */
-  private def expandSeasonal(phi: Array[Double], theta: Array[Double],
-      sphi: Array[Double], stheta: Array[Double], m: Int)
-      : (Array[Double], Array[Double]) = {
-    val arFull = Polynomial.multiply(1.0 +: phi.map(-_),
-      Polynomial.seasonal(1.0 +: sphi.map(-_), m))
-    val maFull = Polynomial.multiply(1.0 +: theta.clone(),
-      Polynomial.seasonal(1.0 +: stheta.clone(), m))
-    (arFull.drop(1).map(-_), maFull.drop(1))
-  }
-
   private def seasonalResiduals(w: Array[Double], b: Array[Double],
       p: Int, q: Int, sp: Int, sq: Int, m: Int): Array[Double] = {
     val phi = java.util.Arrays.copyOfRange(b, 1, 1 + p)
@@ -556,7 +542,7 @@ object ArimaFit {
     val sphi = java.util.Arrays.copyOfRange(b, 1 + p + q, 1 + p + q + sp)
     val stheta = java.util.Arrays.copyOfRange(b, 1 + p + q + sp,
       1 + p + q + sp + sq)
-    val (phiF, thetaF) = expandSeasonal(phi, theta, sphi, stheta, m)
+    val (phiF, thetaF) = Polynomial.expandSeasonal(phi, theta, sphi, stheta, m)
     cssResiduals(w, b(0) +: (phiF ++ thetaF), phiF.length, thetaF.length)
   }
 
@@ -767,7 +753,9 @@ object ArimaFit {
     // economy: approximation everywhere, exact likelihood once): LM
     // on the Kalman concentrated residuals over the expanded
     // ARMA(p+mP, q+mQ) state, steady-state cutover making each
-    // evaluation ~O(n·r). Accepted only if the exact likelihood
+    // evaluation ~O(r³log + n·r) after the covariance and gain
+    // converge (doubling init + frozen-gain filter). Accepted only
+    // if the exact likelihood
     // actually improves — LM can wander when CSS and ML optima
     // disagree near a boundary.
     val (b, sigma2) =

@@ -55,54 +55,65 @@ object Kalman {
     val tPhi = Array.tabulate(r)(i => if (i < p) phi(i) else 0.0)
     val rv = Array.tabulate(r)(i =>
       if (i == 0) 1.0 else if (i - 1 < q) theta(i - 1) else 0.0)
-    // stationarity check: companion-matrix power iteration is
-    // overkill; reject via the solved P's finiteness below instead,
-    // plus a cheap sum guard for the common explosive case
-    // exact stationary P: vec(P) = (I − T⊗T)^{-1} vec(R R')
+    // Stationary P = Σ_j T^j R R' T'^j. Two routes:
+    //  - steadyTol == 0 (non-seasonal path): exact vec-form solve
+    //    vec(P) = (I − T⊗T)^{-1} vec(R R') — O(r⁶) but r ≤ ~20 there,
+    //    and bit-identical to the original filter.
+    //  - steadyTol > 0 (seasonal path, r ≈ 50): the vec solve's r²×r²
+    //    elimination would dominate every likelihood evaluation
+    //    (~6e9 flops at r=51); a doubling iteration (P += A P A',
+    //    A ← A², quadratically convergent for a stationary T) gets
+    //    the same fixed point in O(r³ log) and doubles as the
+    //    stationarity test (divergence → None).
     val rr = r * r
-    val a = Array.ofDim[Double](rr, rr)
-    val b = new Array[Double](rr)
-    // T(i)(j): column 0 = tPhi(i); T(i)(i+1) = 1
-    def tAt(i: Int, j: Int): Double =
-      (if (j == 0) tPhi(i) else 0.0) + (if (j == i + 1) 1.0 else 0.0)
-    var i = 0
-    while (i < r) {
-      var j = 0
-      while (j < r) {
-        val row = i * r + j
-        var k = 0
-        while (k < r) {
-          var l = 0
-          while (l < r) {
-            val v = tAt(i, k) * tAt(j, l)
-            if (v != 0.0) a(row)(k * r + l) -= v
-            l += 1
-          }
-          k += 1
-        }
-        a(row)(row) += 1.0
-        b(row) = rv(i) * rv(j)
-        j += 1
-      }
-      i += 1
-    }
     val pMat = Array.ofDim[Double](r, r)
-    try {
-      val vecP = Linalg.solve(a, b)
-      var ok = true
+    var i = 0
+    if (steadyTol > 0.0) {
+      if (!stationaryPByDoubling(tPhi, rv, pMat)) return None
+    } else {
+      val a = Array.ofDim[Double](rr, rr)
+      val b = new Array[Double](rr)
+      // T(i)(j): column 0 = tPhi(i); T(i)(i+1) = 1
+      def tAt(i: Int, j: Int): Double =
+        (if (j == 0) tPhi(i) else 0.0) + (if (j == i + 1) 1.0 else 0.0)
       i = 0
       while (i < r) {
         var j = 0
         while (j < r) {
-          val v = vecP(i * r + j)
-          if (v.isNaN || v.isInfinite) ok = false
-          pMat(i)(j) = v
+          val row = i * r + j
+          var k = 0
+          while (k < r) {
+            var l = 0
+            while (l < r) {
+              val v = tAt(i, k) * tAt(j, l)
+              if (v != 0.0) a(row)(k * r + l) -= v
+              l += 1
+            }
+            k += 1
+          }
+          a(row)(row) += 1.0
+          b(row) = rv(i) * rv(j)
           j += 1
         }
         i += 1
       }
-      if (!ok || pMat(0)(0) < 0.0) return None
-    } catch { case _: IllegalArgumentException => return None }
+      try {
+        val vecP = Linalg.solve(a, b)
+        var ok = true
+        i = 0
+        while (i < r) {
+          var j = 0
+          while (j < r) {
+            val v = vecP(i * r + j)
+            if (v.isNaN || v.isInfinite) ok = false
+            pMat(i)(j) = v
+            j += 1
+          }
+          i += 1
+        }
+        if (!ok || pMat(0)(0) < 0.0) return None
+      } catch { case _: IllegalArgumentException => return None }
+    }
 
     val alpha = new Array[Double](r)
     val v = new Array[Double](n)
@@ -167,6 +178,80 @@ object Kalman {
       t += 1
     }
     Some((v, f))
+  }
+
+  /** Doubling iteration for the stationary covariance: with
+    * Q₀ = R R', A₀ = T, the updates P ← P + A P A', A ← A² give
+    * P_k = Σ_{j<2^k} T^j R R' T'^j, converging quadratically when T
+    * is stable. Writes the fixed point into `out`; returns false
+    * (non-stationary) if the series diverges or fails to settle.
+    */
+  private def stationaryPByDoubling(tPhi: Array[Double],
+      rv: Array[Double], out: Array[Array[Double]]): Boolean = {
+    val r = tPhi.length
+    // A starts as the structured T (column 0 = tPhi, superdiagonal 1)
+    var aM = Array.tabulate(r, r)((i, j) =>
+      (if (j == 0) tPhi(i) else 0.0) + (if (j == i + 1) 1.0 else 0.0))
+    var i = 0
+    while (i < r) {
+      var j = 0
+      while (j < r) { out(i)(j) = rv(i) * rv(j); j += 1 }
+      i += 1
+    }
+    val tmp = Array.ofDim[Double](r, r)
+    def matmul(x: Array[Array[Double]], y: Array[Array[Double]])
+        : Array[Array[Double]] = {
+      val z = Array.ofDim[Double](r, r)
+      var i = 0
+      while (i < r) {
+        var k = 0
+        while (k < r) {
+          val v = x(i)(k)
+          if (v != 0.0) {
+            var j = 0
+            while (j < r) { z(i)(j) += v * y(k)(j); j += 1 }
+          }
+          k += 1
+        }
+        i += 1
+      }
+      z
+    }
+    var iter = 0
+    while (iter < 64) {
+      // tmp = A P A'
+      val ap = matmul(aM, out)
+      var maxAdd = 0.0
+      var maxP = 0.0
+      i = 0
+      while (i < r) {
+        var j = 0
+        while (j < r) {
+          var acc = 0.0
+          var k = 0
+          while (k < r) { acc += ap(i)(k) * aM(j)(k); k += 1 }
+          tmp(i)(j) = acc
+          val m1 = math.abs(acc)
+          if (m1 > maxAdd) maxAdd = m1
+          val m2 = math.abs(out(i)(j))
+          if (m2 > maxP) maxP = m2
+          j += 1
+        }
+        i += 1
+      }
+      if (maxAdd.isNaN || maxAdd.isInfinite || maxP > 1e100) return false
+      i = 0
+      while (i < r) {
+        var j = 0
+        while (j < r) { out(i)(j) += tmp(i)(j); j += 1 }
+        i += 1
+      }
+      if (maxAdd <= 1e-15 * math.max(maxP, 1e-300))
+        return out(0)(0) >= 0.0 && !out(0)(0).isNaN
+      aM = matmul(aM, aM)
+      iter += 1
+    }
+    false
   }
 
   /** Exact −2·log-likelihood with σ² concentrated out:
@@ -236,11 +321,9 @@ object Kalman {
     val sphi = java.util.Arrays.copyOfRange(b, 1 + p + q, 1 + p + q + sp)
     val stheta = java.util.Arrays.copyOfRange(b, 1 + p + q + sp,
       1 + p + q + sp + sq)
-    val arFull = Polynomial.multiply(1.0 +: phi.map(-_),
-      Polynomial.seasonal(1.0 +: sphi.map(-_), m))
-    val maFull = Polynomial.multiply(1.0 +: theta.clone(),
-      Polynomial.seasonal(1.0 +: stheta.clone(), m))
-    (b(0), arFull.drop(1).map(-_), maFull.drop(1))
+    val (phiF, thetaF) =
+      Polynomial.expandSeasonal(phi, theta, sphi, stheta, m)
+    (b(0), phiF, thetaF)
   }
 
   /** Ansley-form exact-ML residuals for a compact seasonal parameter

@@ -49,6 +49,24 @@ object Polynomial {
     out
   }
 
+  /** Expand compact multiplicative seasonal orders to prediction-form
+    * full coefficient arrays: AR φ(B)Φ(B^m) (length p+mP, sign-flipped
+    * to the prediction convention) and MA θ(B)Θ(B^m) (length q+mQ).
+    * The ONE shared expansion — the CSS objective (ArimaFit) and the
+    * exact-ML filter (Kalman) must agree on the model a compact
+    * parameter vector denotes, or likelihood comparisons between the
+    * two are meaningless.
+    */
+  def expandSeasonal(phi: Array[Double], theta: Array[Double],
+      sphi: Array[Double], stheta: Array[Double], m: Int)
+      : (Array[Double], Array[Double]) = {
+    val arFull = multiply(1.0 +: phi.map(-_),
+      seasonal(1.0 +: sphi.map(-_), m))
+    val maFull = multiply(1.0 +: theta.clone(),
+      seasonal(1.0 +: stheta.clone(), m))
+    (arFull.drop(1).map(-_), maFull.drop(1))
+  }
+
   /** First `n` series coefficients of num(B) / den(B), den(0) must be
     * non-zero (normalized internally so den(0)=1). Classic power-series
     * long division: c_j = num_j - Σ_{k=1..min(j,deg den)} den_k·c_{j-k}.

@@ -33,7 +33,12 @@ object Bpe {
 
   private def strip(s: String): String = s.replace("<", "").replace(">", "")
 
-  private def sqlLit(s: String): String = s.replace("'", "''")
+  // Spark string literals process backslash escapes, so both the
+  // quote AND the backslash must be escaped or a corpus word like
+  // "a\\b" corrupts the rewrite pattern (and the learner re-emits the
+  // same merge forever because the pair count never drops)
+  private def sqlLit(s: String): String =
+    s.replace("\\", "\\\\").replace("'", "''")
 
   /** Learn `rounds` BPE merges from the corpus word vocabulary.
     * Output: (merge_rank, lhs, rhs, merged, cnt) — one row per merge,

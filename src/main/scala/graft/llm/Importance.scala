@@ -35,24 +35,28 @@ object Importance {
     */
   def dsirWeights(docs: DataFrame, buckets: Int = 256,
       targetSources: Seq[String] = Seq("src1", "src2")): DataFrame = {
-    val tok = docs
-      .select(col("doc_id"), col("source"),
+    // ONE tokenize+hash pass: the (doc, bucket) counts carry the
+    // target flag, and the per-bucket model table is their rollup —
+    // the two consumers of `base` share an identical exchange, which
+    // ReuseExchange dedupes instead of re-tokenizing the corpus
+    val inTarget = col("source").isin(targetSources: _*)
+    val base = docs
+      .select(col("doc_id"), inTarget.as("is_t"),
         explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0)
       .withColumn("b", expr(s"${Dedup.hash16Expr("instr", "w")} % $buckets"))
-    val inTarget = col("source").isin(targetSources: _*)
-    val bk = tok.groupBy(col("b"))
-      .agg(count(lit(1)).as("cr"),
-        sum(when(inTarget, 1L).otherwise(0L)).as("ct"))
+      .groupBy(col("doc_id"), col("is_t"), col("b"))
+      .agg(count(lit(1)).as("k"))
+    val bk = base.groupBy(col("b"))
+      .agg(sum(col("k")).as("cr"),
+        sum(when(col("is_t"), col("k")).otherwise(0L)).as("ct"))
     val tot = bk.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"))
     val lam = bk.crossJoin(broadcast(tot))
       .select(col("b"), round((
         log((col("ct") + lit(1)) / (col("nt") + lit(buckets))) -
           log((col("cr") + lit(1)) / (col("nr") + lit(buckets)))) *
         lit(1e9), 0).cast("long").as("nano"))
-    val docBk = tok.groupBy(col("doc_id"), col("b"))
-      .agg(count(lit(1)).as("k"))
-    docBk.join(lam, Seq("b"))
+    base.join(lam, Seq("b"))
       .groupBy(col("doc_id"))
       .agg(sum(col("k")).as("n_tokens"),
         sum(col("k") * col("nano")).as("s"))

@@ -89,7 +89,11 @@ object QualityClassifier {
     (mu, sd, w, z)
   }
 
-  private def margin(wv: Array[Double]): Column =
+  /** Shared by batch scoring and the streaming twin so both build the
+    * margin with the IDENTICAL float association order (expects
+    * standardized feature columns z1..z4).
+    */
+  private[graft] def margin(wv: Array[Double]): Column =
     lit(wv(0)) + (1 to 4).map(j => lit(wv(j)) * col(s"z$j")).reduce(_ + _)
 
   /** Train and score every document: (doc_id, y, prob, pred). */

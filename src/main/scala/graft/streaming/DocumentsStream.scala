@@ -60,14 +60,19 @@ object DocumentsStream {
       size(array_distinct(col("t"))).cast("double") / size(col("t")),
       expr(s"size(filter(t, v -> array_contains($swArray, v)))")
         .cast("double") / size(col("t")))
-    val margin = x.zipWithIndex.map { case (c, j) =>
-      lit(w(j + 1)) * ((c - lit(mu(j))) / lit(sd(j)))
-    }.foldLeft(lit(w(0)): org.apache.spark.sql.Column)(_ + _)
-    docs
+    // standardize into the z1..z4 columns QualityClassifier.margin
+    // expects, so batch and stream share one margin expression (same
+    // float association order → bit-identical probabilities)
+    val withZ = docs
       .withColumn("t", split(col("text"), " "))
-      .withColumn("prob", round(lit(1.0) / (lit(1.0) + exp(-margin)), 6))
+    val zCols = x.zipWithIndex.map { case (c, j) =>
+      ((c - lit(mu(j))) / lit(sd(j))).as(s"z${j + 1}")
+    }
+    withZ.select(col("*") +: zCols: _*)
+      .withColumn("prob", round(lit(1.0) /
+        (lit(1.0) + exp(-graft.llm.QualityClassifier.margin(w))), 6))
       .withColumn("pred", col("prob") > 0.5)
-      .drop("t")
+      .drop("t", "z1", "z2", "z3", "z4")
   }
 
   /** Streaming exact content dedup: first arrival of each md5(text)
@@ -92,9 +97,13 @@ object DocumentsStream {
     val lits = array(benchGrams.map(lit): _*)
     docs
       .withColumn("t", split(col("text"), " "))
-      .filter(size(col("t")) >= n)
-      .withColumn("grams", array_distinct(expr(
-        s"transform(sequence(0, size(t)-$n), i -> concat_ws(' ', slice(t, i+1, $n)))")))
+      // a doc shorter than n tokens has no n-grams and cannot be
+      // contaminated — it must pass through (batch parity), not be
+      // dropped by the gram computation
+      .withColumn("grams",
+        when(size(col("t")) >= n, array_distinct(expr(
+          s"transform(sequence(0, size(t)-$n), i -> concat_ws(' ', slice(t, i+1, $n)))")))
+          .otherwise(array().cast("array<string>")))
       .filter(!arrays_overlap(col("grams"), lits))
       .drop("t", "grams")
   }

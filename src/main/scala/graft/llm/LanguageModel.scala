@@ -43,14 +43,20 @@ object LanguageModel {
         explode(expr(
           "transform(sequence(1, length(text) - 2), i -> substr(text, i, 3))"))
           .as("g"))
+    // coalesce guards the degenerate empty-LM corpus (no in-language
+    // docs): n is then 0, v 0, and the α-floored denominator below
+    // scores every trigram at the uninformative P = 1 instead of
+    // dividing by zero — "no model, no signal"
     val lm = raw.filter(col("in_lm"))
       .groupBy(col("g")).agg(count(lit(1)).as("c"))
-    val tot = lm.agg(sum(col("c")).as("n"), count(lit(1)).as("v"))
+    val tot = lm.agg(coalesce(sum(col("c")), lit(0L)).as("n"),
+      count(lit(1)).as("v"))
     raw.join(lm, Seq("g"), "left")
       .na.fill(0L, Seq("c"))
       .crossJoin(broadcast(tot))
       .withColumn("nll",
-        -log((col("c") + lit(alpha)) / (col("n") + lit(alpha) * col("v"))))
+        -log((col("c") + lit(alpha)) /
+          greatest(col("n") + lit(alpha) * col("v"), lit(alpha))))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tri"), sum(col("nll")).as("sn"))
       .select(col("doc_id"), col("n_tri"),
@@ -68,7 +74,8 @@ object LanguageModel {
        |    WHERE len(text) >= 3 AND lang = '$lmLang')
        |  GROUP BY g
        |), tot AS (
-       |  SELECT CAST(sum(c) AS BIGINT) AS n, count(*) AS v FROM lm
+       |  SELECT CAST(COALESCE(sum(c), 0) AS BIGINT) AS n, count(*) AS v
+       |  FROM lm
        |), inst AS (
        |  SELECT doc_id, substr(text, CAST(i AS INT), 3) AS g
        |  FROM documents, UNNEST(range(1, len(text) - 1)) AS u(i)
@@ -78,9 +85,9 @@ object LanguageModel {
        |  FROM inst i LEFT JOIN lm USING (g)
        |)
        |SELECT doc_id, count(*) AS n_tri,
-       |  round(sum(-ln((c + $alpha) / (n + $alpha * v))) / count(*), 6)
+       |  round(sum(-ln((c + $alpha) / greatest(n + $alpha * v, $alpha))) / count(*), 6)
        |    AS avg_nll,
-       |  round(sum(-ln((c + $alpha) / (n + $alpha * v))) / count(*), 6)
+       |  round(sum(-ln((c + $alpha) / greatest(n + $alpha * v, $alpha))) / count(*), 6)
        |    > $cap AS flagged
        |FROM j CROSS JOIN tot
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin

@@ -197,4 +197,48 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet ==
       Set((5000L, 5001L)), pairs.mkString(","))
   }
+
+  test("lm perplexity: empty in-language slice yields finite neutral scores") {
+    import spark.implicits._
+    val docs = Seq((1L, "abcdefg", "de"), (2L, "hijklmn", "fr"))
+      .toDF("doc_id", "text", "lang")
+    val out = graft.llm.LanguageModel.trigramPerplexity(docs).collect()
+    assert(out.length == 2)
+    // no model -> P = 1 for every trigram -> avg_nll exactly 0
+    assert(out.forall(r => r.getAs[Double]("avg_nll") == 0.0))
+    assert(out.forall(!_.getAs[Boolean]("flagged")))
+  }
+
+  test("lm perplexity: sub-trigram documents drop out, others survive") {
+    import spark.implicits._
+    val docs = Seq((1L, "ab", "en"), (2L, "abcdef", "en"))
+      .toDF("doc_id", "text", "lang")
+    val out = graft.llm.LanguageModel.trigramPerplexity(docs).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
+  test("dsir: no target documents still yields defined weights") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha beta gamma", "src5"),
+      (2L, "delta epsilon zeta", "src6")).toDF("doc_id", "text", "source")
+    val out = graft.llm.Importance.dsirWeights(docs, buckets = 64,
+      targetSources = Seq("src1")).collect()
+    assert(out.length == 2)
+    assert(out.forall(r => !r.getAs[Double]("log_weight").isNaN))
+    // uniform-smoothed target vs populated raw: nothing looks target-like
+    assert(out.forall(!_.getAs[Boolean]("keep")))
+  }
+
+  test("bpe: words with quotes and backslashes merge correctly") {
+    import spark.implicits._
+    // the winning pair involves symbols containing ' and \ — the
+    // Spark-side rewrite pattern must survive literal escaping
+    val docs = Seq((1L, "a'b a'b a\\c a\\c")).toDF("doc_id", "text")
+    val m = graft.llm.Bpe.merges(docs, rounds = 2).collect()
+    assert(m.length == 2)
+    assert(m(0).getAs[Long]("cnt") == 2 && m(1).getAs[Long]("cnt") == 2)
+    val merged = m.map(_.getAs[String]("merged")).toSet
+    assert(merged.exists(s => s.contains("'") || s.contains("\\")),
+      s"merged=$merged")
+  }
 }

@@ -85,4 +85,78 @@ object Sampling {
        |ORDER BY ln((${hash16("strpos", keyExpr)} + 1) / 65537.0)
        |           / ($weightExpr) DESC, $tieBreak
        |LIMIT $k""".stripMargin
+
+  /** Temperature-weighted mixture sampling — the domain-mixing step
+    * of a pretraining pipeline (sampling weights ∝ sizeᵗ flatten the
+    * source distribution; GPT-3/Pile lineage): apportion a document
+    * budget across sources by largest-remainder rounding of the
+    * tempered quotas, then take each source's allocation in
+    * deterministic hash order.
+    *
+    * The allocation runs on the |sources|-row count table (a
+    * dimension — the one deliberate single-partition window in this
+    * operator), quotas are rounded to 9dp so both engines floor and
+    * rank identical doubles, and the per-source pick is the
+    * stratified hash-order rank. A source smaller than its allocation
+    * contributes everything it has (budget under-fill, documented).
+    */
+  def temperatureMix(docs: DataFrame, budget: Int,
+      tau: Double = 0.7): DataFrame = {
+    val cnt = docs.groupBy(col("source")).agg(count(lit(1)).as("cnt"))
+    val z = cnt.agg(round(sum(pow(col("cnt"), lit(tau))), 9).as("z"))
+    val quota = cnt.crossJoin(broadcast(z))
+      .withColumn("q",
+        round(lit(budget) * pow(col("cnt"), lit(tau)) / col("z"), 9))
+      .withColumn("base", floor(col("q")).cast("long"))
+      .withColumn("rem", col("q") - floor(col("q")))
+    val spent = quota.agg(sum(col("base")).as("sb"))
+    val alloc = quota
+      .withColumn("rrk", row_number().over(
+        Window.orderBy(col("rem").desc, col("source"))))
+      .crossJoin(broadcast(spent))
+      .withColumn("alloc",
+        (col("base") + when(col("rrk") <= lit(budget) - col("sb"), 1L)
+          .otherwise(0L)).cast("int"))
+      .select(col("source"), col("alloc"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(expr("md5(cast(doc_id as string))"))
+    docs
+      .withColumn("rk", row_number().over(w))
+      .join(alloc, Seq("source"))
+      .filter(col("rk") <= col("alloc"))
+      .select(col("source"), col("rk"), col("alloc"), col("doc_id"),
+        col("n_chars"))
+      .orderBy(col("source"), col("rk"))
+  }
+
+  def temperatureMixSql(budget: Int, tau: Double = 0.7): String =
+    s"""WITH cnt AS (
+       |  SELECT source, count(*) AS cnt FROM documents GROUP BY source
+       |), z AS (
+       |  SELECT round(sum(pow(cnt, $tau)), 9) AS z FROM cnt
+       |), quota AS (
+       |  SELECT source, round($budget * pow(cnt, $tau) / z, 9) AS q
+       |  FROM cnt CROSS JOIN z
+       |), qb AS (
+       |  SELECT source, CAST(floor(q) AS BIGINT) AS base,
+       |         q - floor(q) AS rem
+       |  FROM quota
+       |), spent AS (
+       |  SELECT CAST(sum(base) AS BIGINT) AS sb FROM qb
+       |), alloc AS (
+       |  SELECT source, CAST(base + (CASE WHEN rrk <= $budget - sb
+       |    THEN 1 ELSE 0 END) AS INT) AS alloc
+       |  FROM (SELECT source, base, rem,
+       |          row_number() OVER (ORDER BY rem DESC, source) AS rrk
+       |        FROM qb) CROSS JOIN spent
+       |), ranked AS (
+       |  SELECT source, doc_id, n_chars, CAST(row_number() OVER (
+       |    PARTITION BY source
+       |    ORDER BY md5(CAST(doc_id AS VARCHAR))) AS INT) AS rk
+       |  FROM documents
+       |)
+       |SELECT r.source, r.rk, a.alloc, r.doc_id, r.n_chars
+       |FROM ranked r JOIN alloc a USING (source)
+       |WHERE r.rk <= a.alloc
+       |ORDER BY r.source, r.rk""".stripMargin
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.llm.{Bpe, Dedup, EventsAnalytics, Importance, LanguageModel, Multimodal, Packing, QualityClassifier, Sampling, Similarity, TextAnalysis}
+import graft.llm.{Bpe, Dedup, HeavyHitters, EventsAnalytics, Importance, LanguageModel, Multimodal, Packing, QualityClassifier, Sampling, Similarity, TextAnalysis}
 
 /** The LLM-data-pipeline extension surface (SURVEY.md §2.9 X1-X5):
   * dedup, similarity search, text analysis, multimodal columns, and
@@ -305,6 +305,20 @@ object Extensions {
   private val x43QualityClassifier: Q = (s, d) =>
     QualityClassifier.trainScore(Tables.documents(s, d))
 
+  /** X3: heavy-hitter terms — Misra–Gries candidate sketch (bounded
+    * one-pass aggregate) + exact verification pass; output is the
+    * sketch-independent true heavy-hitter set.
+    */
+  private val x44HeavyHitters: Q = (s, d) =>
+    HeavyHitters.heavyHitters(Tables.documents(s, d), k = 32)
+
+  /** X6: temperature-weighted mixture sampling — largest-remainder
+    * budget apportionment across sources (weights ∝ size^0.7), then
+    * per-source deterministic hash-order picks.
+    */
+  private val x45TemperatureMix: Q = (s, d) =>
+    Sampling.temperatureMix(Tables.documents(s, d), budget = 200)
+
   /** X3: TF-IDF top terms per document. */
   private val x23Tfidf: Q = (s, d) =>
     TextAnalysis.tfidfTopTerms(Tables.documents(s, d), k = 3)
@@ -377,6 +391,8 @@ object Extensions {
     "x41_lm_perplexity" -> x41LmPerplexity,
     "x42_dsir_weights" -> x42DsirWeights,
     "x43_quality_classifier" -> x43QualityClassifier,
+    "x44_heavy_hitters" -> x44HeavyHitters,
+    "x45_temperature_mix" -> x45TemperatureMix,
   )
 
   /** The PNG pixel statistics in closed form: the fixture image's
@@ -538,5 +554,7 @@ object Extensions {
     "x41_lm_perplexity" -> LanguageModel.trigramPerplexitySql(),
     "x42_dsir_weights" -> Importance.dsirWeightsSql(),
     "x43_quality_classifier" -> QualityClassifier.trainScoreSql,
+    "x44_heavy_hitters" -> HeavyHitters.heavyHittersSql(32),
+    "x45_temperature_mix" -> Sampling.temperatureMixSql(200),
   )
 }

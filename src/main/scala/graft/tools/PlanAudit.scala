@@ -87,6 +87,9 @@ object PlanAudit {
       "x23_tfidf" -> Set("SinglePartition", "BNLJoin"), // 1-row corpus count N
       "x41_lm_perplexity" -> Set("SinglePartition", "BNLJoin"), // 1-row (N, V)
       "x42_dsir_weights" -> Set("SinglePartition", "BNLJoin"), // 1-row (Nt, Nr)
+      "x44_heavy_hitters" -> Set("SinglePartition", "BNLJoin"), // 1-row n
+      // |sources|-row allocation table: dimension-sized window + 1-row scalars
+      "x45_temperature_mix" -> Set("SinglePartition", "BNLJoin"),
       "x05_cosine_topk" -> Set("BNLJoin"), // 5 broadcast query vectors
       "x18_ivf_topk" -> Set("BNLJoin"), // broadcast probe lists
       "x36_kmeans_refine" -> Set("BNLJoin"), // k broadcast centroids

@@ -93,4 +93,39 @@ class PretrainOpsSpec extends AnyFunSuite {
     assert(minEn > maxDe,
       s"en prob floor $minEn must exceed de prob ceiling $maxDe")
   }
+
+  test("misra-gries: candidate set always contains true heavy hitters") {
+    import spark.implicits._
+    // 60% "hot", the rest unique cold tokens — hot must be a candidate
+    // for every k, on any partitioning
+    val docs = (1L to 50L).map(i =>
+      (i, if (i <= 30) "hot hot hot" else s"cold${i}a cold${i}b cold${i}c"))
+      .toDF("doc_id", "text")
+    val out = graft.llm.HeavyHitters.heavyHitters(docs, k = 8).collect()
+    assert(out.nonEmpty)
+    assert(out(0).getAs[String]("w") == "hot")
+    assert(out(0).getAs[Long]("cnt") == 90)
+    // nothing else exceeds n/(k+1)
+    assert(out.length == 1)
+  }
+
+  test("temperature mix: budget apportioned, hash-order picks, flattened") {
+    import spark.implicits._
+    val docs = (1L to 300L).map(i =>
+      (i, s"text $i", if (i <= 240) "big" else "small", 10L))
+      .toDF("doc_id", "text", "source", "n_chars")
+    val out = graft.llm.Sampling.temperatureMix(docs, budget = 50, tau = 0.5)
+      .collect()
+    assert(out.length == 50)
+    val bySrc = out.groupBy(_.getAs[String]("source")).view.mapValues(_.length)
+    // sqrt weights: sqrt(240)=15.49, sqrt(60)=7.75 -> 33.3/16.7 split
+    assert(bySrc("big") == 33 && bySrc("small") == 17, bySrc.toMap.toString)
+    // temperature flattens: raw proportion would be 40/10
+    assert(bySrc("small") > 10)
+    // rk is 1..alloc per source
+    out.groupBy(_.getAs[String]("source")).foreach { case (_, rows) =>
+      val rks = rows.map(_.getAs[Int]("rk")).sorted
+      assert(rks.toSeq == (1 to rks.length).toSeq)
+    }
+  }
 }

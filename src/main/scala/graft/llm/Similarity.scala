@@ -389,6 +389,129 @@ object Similarity {
        |ORDER BY cid, i""".stripMargin
   }
 
+  /** Product-quantization ANN (x46): split each `dim`-vector into `m`
+    * subvectors, quantize every subvector to its nearest of `ksub`
+    * codebook centroids (the first `ksub` vectors' subvectors — a
+    * trained quantizer from [[kmeansRefine]] slots in identically),
+    * then answer top-k by asymmetric distance computation: a query
+    * precomputes its m×ksub table of subvector distances, and each
+    * corpus vector's approximate distance is m table lookups summed —
+    * the standard 100 TB embedding-compression layout (codes are
+    * m bytes instead of dim floats; scoring is m adds, no dot
+    * products against the corpus).
+    *
+    * Plan shape: the codebook is ONE grouping-free aggregate row
+    * (provably bounded → broadcast), so ENCODE is a map-only
+    * projection — argmin per subspace evaluated per row against the
+    * broadcast array, no shuffle at all. The per-query distance
+    * tables are a second bounded broadcast (nQueries rows). The only
+    * exchange in the whole query is the final per-qid bounded
+    * partial top-k ([[graft.functions.TopK]]). Distances are
+    * quantized to integer micro-units (floor(d²·1e6 + 0.5), a long)
+    * so code assignment, ADC sums, and ranking are integer-exact in
+    * both engines — no float-order hazard anywhere.
+    */
+  def pqTopK(emb: DataFrame, dim: Int, m: Int, ksub: Int, nQueries: Int,
+      k: Int): DataFrame = {
+    require(dim % m == 0, s"dim=$dim not divisible by m=$m subspaces")
+    val subDim = dim / m
+    // d²(a,b) = |a|² + |b|² − 2a·b in micro-units: same three
+    // sequential dot products (codegen kernel ≡ list_dot_product) and
+    // the same left-to-right combine as the oracle, then exact floor
+    def d2u6(a: Column, b: Column): Column =
+      floor((dot_product(a, a) + dot_product(b, b)
+        - lit(2.0) * dot_product(a, b)) * lit(1e6) + lit(0.5))
+    def subvec(e: Column, sub: Column): Column =
+      slice(e, sub * subDim + 1, lit(subDim))
+    // 1-row codebook: sorted (sub, cid, cvec) entries so array
+    // position sub·ksub+cid is the ADC table index
+    val cbRow = emb.filter(col("vec_id") < ksub)
+      .select(col("vec_id").cast("int").as("cid"),
+        explode(sequence(lit(0), lit(m - 1))).as("sub"),
+        col("embedding").as("e"))
+      .select(col("sub"), col("cid"), subvec(col("e"), col("sub")).as("cvec"))
+      .groupBy()
+      .agg(sort_array(collect_list(struct(col("sub"), col("cid"),
+        col("cvec")))).as("cb"))
+    // encode: per-row argmin over each subspace's centroids —
+    // integer (d, cid) struct-min gives the deterministic tiebreak
+    def argminCodes(v: Column): Column =
+      transform(sequence(lit(0), lit(m - 1)), sub =>
+        array_min(transform(
+          filter(col("cb"), c => c.getField("sub") === sub),
+          c => struct(d2u6(subvec(v, sub), c.getField("cvec")).as("d"),
+            c.getField("cid").as("cid")))).getField("cid"))
+    val codes = emb.crossJoin(broadcast(cbRow))
+      .select(col("vec_id"), argminCodes(col("embedding")).as("codes"))
+    // per-query ADC tables: dt[sub·ksub + cid] = d²(q_sub, c_sub,cid)
+    val dt = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("__qid"), col("embedding").as("qe"))
+      .crossJoin(broadcast(cbRow))
+      .select(col("__qid"), transform(col("cb"), c =>
+        d2u6(subvec(col("qe"), c.getField("sub")), c.getField("cvec")))
+        .as("dt"))
+    val scored = codes.crossJoin(broadcast(dt))
+      .filter(col("vec_id") =!= col("__qid"))
+      .select(col("__qid").as("qid"), col("vec_id"),
+        aggregate(sequence(lit(0), lit(m - 1)), lit(0L), (acc, sub) =>
+          acc + element_at(col("dt"),
+            sub * ksub + element_at(col("codes"), sub + 1) + 1))
+          .as("adist_u6"))
+    scored.groupBy(col("qid"))
+      .agg(graft.functions.TopK.top_k(k)(
+        -col("adist_u6").cast("double"), col("vec_id")).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("pos", "hit")))
+      .select(col("qid"), (col("pos") + 1).as("rank"),
+        col("hit.vec_id").as("vec_id"),
+        (-col("hit.cos")).cast("long").as("adist_u6"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  def pqTopKSql(dim: Int, m: Int, ksub: Int, nQueries: Int,
+      k: Int): String = {
+    val subDim = dim / m
+    s"""WITH cb AS (
+       |  SELECT s.sub, e.vec_id AS cid,
+       |    list_transform(e.embedding[s.sub*$subDim+1 : s.sub*$subDim+$subDim],
+       |                   x -> CAST(x AS DOUBLE)) AS cvec
+       |  FROM embeddings e, UNNEST(range($m)) AS s(sub)
+       |  WHERE e.vec_id < $ksub
+       |), corpus AS (
+       |  SELECT vec_id, s.sub,
+       |    list_transform(embedding[s.sub*$subDim+1 : s.sub*$subDim+$subDim],
+       |                   x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings, UNNEST(range($m)) AS s(sub)
+       |), dists AS (
+       |  SELECT c.vec_id, c.sub, cb.cid,
+       |    CAST(floor((list_dot_product(c.v, c.v)
+       |         + list_dot_product(cb.cvec, cb.cvec)
+       |         - 2 * list_dot_product(c.v, cb.cvec)) * 1000000 + 0.5)
+       |      AS BIGINT) AS d
+       |  FROM corpus c JOIN cb ON c.sub = cb.sub
+       |), codes AS (
+       |  SELECT vec_id, sub, cid AS code FROM (
+       |    SELECT vec_id, sub, cid,
+       |      row_number() OVER (PARTITION BY vec_id, sub
+       |        ORDER BY d, cid) AS rn
+       |    FROM dists) WHERE rn = 1
+       |), adc AS (
+       |  SELECT q.vec_id AS qid, c.vec_id,
+       |         CAST(sum(q.d) AS BIGINT) AS adist_u6
+       |  FROM codes c
+       |  JOIN dists q ON q.sub = c.sub AND q.cid = c.code
+       |    AND q.vec_id < $nQueries
+       |  WHERE c.vec_id <> q.vec_id
+       |  GROUP BY 1, 2
+       |), ranked AS (
+       |  SELECT qid, vec_id, adist_u6,
+       |    row_number() OVER (PARTITION BY qid
+       |      ORDER BY adist_u6, vec_id) AS rank
+       |  FROM adc
+       |)
+       |SELECT qid, rank, vec_id, adist_u6 FROM ranked WHERE rank <= $k
+       |ORDER BY qid, rank""".stripMargin
+  }
+
   /** Per-label embedding centroids — the aggregation step of k-means
     * / class-prototype computation. Explode to (label, dim, value)
     * and hash-aggregate: partial avg runs map-side per partition, so

@@ -319,6 +319,14 @@ object Extensions {
   private val x45TemperatureMix: Q = (s, d) =>
     Sampling.temperatureMix(Tables.documents(s, d), budget = 200)
 
+  /** X2: product-quantization ANN — map-only PQ encode against a
+    * 1-row broadcast codebook, integer-µ-unit asymmetric-distance
+    * top-k; the plan's only exchange is the bounded partial top-k.
+    */
+  private val x46PqTopK: Q = (s, d) =>
+    Similarity.pqTopK(Tables.embeddings(s, d), dim = 64, m = 4, ksub = 16,
+      nQueries = 5, k = 10)
+
   /** X3: TF-IDF top terms per document. */
   private val x23Tfidf: Q = (s, d) =>
     TextAnalysis.tfidfTopTerms(Tables.documents(s, d), k = 3)
@@ -393,6 +401,7 @@ object Extensions {
     "x43_quality_classifier" -> x43QualityClassifier,
     "x44_heavy_hitters" -> x44HeavyHitters,
     "x45_temperature_mix" -> x45TemperatureMix,
+    "x46_pq_topk" -> x46PqTopK,
   )
 
   /** The PNG pixel statistics in closed form: the fixture image's
@@ -556,5 +565,7 @@ object Extensions {
     "x43_quality_classifier" -> QualityClassifier.trainScoreSql,
     "x44_heavy_hitters" -> HeavyHitters.heavyHittersSql(32),
     "x45_temperature_mix" -> Sampling.temperatureMixSql(200),
+    "x46_pq_topk" -> Similarity.pqTopKSql(dim = 64, m = 4, ksub = 16,
+      nQueries = 5, k = 10),
   )
 }

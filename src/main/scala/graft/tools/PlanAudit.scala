@@ -93,6 +93,9 @@ object PlanAudit {
       "x05_cosine_topk" -> Set("BNLJoin"), // 5 broadcast query vectors
       "x18_ivf_topk" -> Set("BNLJoin"), // broadcast probe lists
       "x36_kmeans_refine" -> Set("BNLJoin"), // k broadcast centroids
+      // 1-row codebook aggregate (ksub·m bounded rows into the scalar
+      // reduce) + nQueries-row ADC tables, both certified broadcasts
+      "x46_pq_topk" -> Set("SinglePartition", "BNLJoin"),
       // OrderedLag's helper fan-out joins the per-bucket tails to the
       // ≤32-row broadcast target list on an inequality — bounded by
       // construction (buckets·maxLag rows)

@@ -69,6 +69,36 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(math.abs(pairs(0).getDouble(2) - 1.0) < 1e-6)
   }
 
+  test("pq top-k: a clone of a codebook query ranks first at distance 0") {
+    import spark.implicits._
+    // ids 0-3 are the codebook (and 0-1 the queries); 10/11 are exact
+    // clones of queries 1/0, so their PQ codes hit the query's own
+    // centroid in every subspace and the ADC distance is exactly 0
+    val vecs = Seq(
+      (0L, Array(4.0f, 0f, 0f, 0f, 1f, 0f, 0f, 0f)),
+      (1L, Array(0f, 4.0f, 0f, 0f, 0f, 1f, 0f, 0f)),
+      (2L, Array(0f, 0f, 4.0f, 0f, 0f, 0f, 1f, 0f)),
+      (3L, Array(0f, 0f, 0f, 4.0f, 0f, 0f, 0f, 1f)),
+      (10L, Array(0f, 4.0f, 0f, 0f, 0f, 1f, 0f, 0f)),
+      (11L, Array(4.0f, 0f, 0f, 0f, 1f, 0f, 0f, 0f)),
+      (12L, Array(9f, 9f, 9f, 9f, 9f, 9f, 9f, 9f)))
+      .toDF("vec_id", "embedding")
+    val top = Similarity.pqTopK(vecs, dim = 8, m = 2, ksub = 4,
+      nQueries = 2, k = 3).collect()
+    val byQ = top.groupBy(_.getAs[Long]("qid"))
+    assert(byQ(0L).head.getAs[Long]("vec_id") == 11L)
+    assert(byQ(0L).head.getAs[Long]("adist_u6") == 0L)
+    assert(byQ(1L).head.getAs[Long]("vec_id") == 10L)
+    assert(byQ(1L).head.getAs[Long]("adist_u6") == 0L)
+    // ADC distances are non-decreasing in rank for every query
+    byQ.values.foreach { rows =>
+      val ds = rows.sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("adist_u6"))
+      assert(ds.zip(ds.tail).forall { case (a, b) => a <= b })
+    }
+    // self never appears among its own hits
+    assert(top.forall(r => r.getAs[Long]("qid") != r.getAs[Long]("vec_id")))
+  }
+
   test("d02 global coefs equal hand-computed DLSA of d01 chunk coefs") {
     val d01 = graft.queries.DarimaQueries.queries("d01_chunk_coefs")(spark, sf)
     val raw = graft.pipeline.Darima.fitChunkCoefs(spark,

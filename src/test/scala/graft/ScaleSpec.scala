@@ -257,4 +257,42 @@ class ScaleSpec extends AnyFunSuite {
     assert(m.forall(_.getAs[Long]("cnt") > 0))
     assert(secs < 120, s"took ${secs}s")
   }
+
+  test("2M-vector pq top-k: map-only encode, single top-k exchange") {
+    import spark.implicits._
+    // four exact clusters, one per codebook entry (ids 0-3 are the
+    // codebook): every vector encodes losslessly, so query q's top-3
+    // are the three smallest same-cluster ids q+4, q+8, q+12 at ADC
+    // distance exactly 0 — the whole result is known in closed form
+    val n = 2_000_000L
+    val c = col("id") % 4
+    def oneHot(slot: org.apache.spark.sql.Column,
+        scale: Double): Seq[org.apache.spark.sql.Column] =
+      (0 until 4).map(i => when(slot === i, lit(scale))
+        .otherwise(lit(0.0)).cast("float"))
+    val emb = spark.range(n).select(
+      col("id").as("vec_id"),
+      array(oneHot(c, 4.0) ++ oneHot(c, 1.0): _*).as("embedding"))
+    val t0 = System.nanoTime()
+    val top = graft.llm.Similarity.pqTopK(emb, dim = 8, m = 2, ksub = 4,
+      nQueries = 2, k = 3)
+    val rows = top.collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"2M vectors PQ, 2 queries, k=3: ${secs}%.1f s")
+    assert(rows.length == 6)
+    rows.foreach { r =>
+      val (qid, rank, vecId, d) = (r.getLong(0), r.getInt(1),
+        r.getLong(2), r.getAs[Long]("adist_u6"))
+      assert(vecId == qid + 4L * rank, s"qid=$qid rank=$rank vec=$vecId")
+      assert(d == 0L, s"qid=$qid rank=$rank adist=$d")
+    }
+    // scale shape: no rank window, no sort-merge join — encode and
+    // scoring are projections against bounded broadcasts, and the
+    // only wide operator is the bounded partial top-k aggregate
+    val plan = top.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "rank window leaked into PQ plan")
+    assert(!plan.contains("SortMergeJoin"), "unbounded join in PQ plan")
+    assert(plan.contains("ObjectHashAggregate"), plan.take(500))
+    assert(secs < 120, s"took ${secs}s")
+  }
 }

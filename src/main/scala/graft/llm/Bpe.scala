@@ -91,12 +91,96 @@ object Bpe {
       .orderBy(col("merge_rank"))
   }
 
+  /** Tokenize the corpus with the learned merge table (x47) — the
+    * encode half of the tokenizer loop (learn merges → encode docs →
+    * pack sequences): per document, symbolize each word, join words
+    * with a " / " separator no "<l> <r>" merge pattern can span
+    * (patterns are bracket-wrapped symbol pairs with a single
+    * interior space; the separator text between words is "> / <"),
+    * fold the merges in rank order as left-to-right non-overlapping
+    * replaces, and count the surviving symbols by counting their
+    * opening brackets.
+    *
+    * Shape at scale: learning's per-round driver transfer is one
+    * argmax row (see [[merges]]); the encode itself is a MAP-ONLY
+    * projection — R chained `replace` column expressions against
+    * merge-pattern literals, no join, no shuffle, nothing collected.
+    * Output is integer-exact: (doc_id, n_chars, n_tokens), where
+    * n_chars counts the characters of the words the tokenizer
+    * contract admits (bracket-containing words are excluded exactly
+    * as in vocabulary learning).
+    */
+  def encode(docs: DataFrame, rounds: Int): DataFrame = {
+    val learned = merges(docs, rounds).collect() // bounded: ≤rounds rows
+    val wordsExpr =
+      "filter(split(text, ' '), w -> length(w) > 0 " +
+        "AND NOT (w LIKE '%<%' OR w LIKE '%>%'))"
+    val symbolized =
+      s"""array_join(transform($wordsExpr,
+         |  w -> concat_ws(' ', transform(sequence(1, length(w)),
+         |    i -> concat('<', substr(w, i, 1), '>')))), ' / ')""".stripMargin
+    val mergedExpr = learned.foldLeft(symbolized) { (acc, m) =>
+      val pat = "<" + m.getAs[String]("lhs") + "> <" + m.getAs[String]("rhs") + ">"
+      val rep = "<" + m.getAs[String]("merged") + ">"
+      s"replace($acc, '${sqlLit(pat)}', '${sqlLit(rep)}')"
+    }
+    docs.select(col("doc_id"),
+      expr(s"aggregate($wordsExpr, 0L, (acc, w) -> acc + length(w))")
+        .as("n_chars"),
+      expr(s"length($mergedExpr) - length(replace($mergedExpr, '<', ''))")
+        .cast("long").as("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB oracle for [[encode]]: re-derives the merge table with
+    * [[mergesSql]]'s unrolled stages, then applies the same nested
+    * replaces per document with scalar subqueries against each
+    * round's argmax row.
+    */
+  def encodeSql(rounds: Int): String = {
+    val syms =
+      """array_to_string(list_transform(words,
+        |  w -> array_to_string(list_transform(range(1, len(w) + 1),
+        |    i -> '<' || w[CAST(i AS INT):CAST(i AS INT)] || '>'), ' ')),
+        |  ' / ')""".stripMargin
+    val merged = (1 to rounds).foldLeft(syms) { (acc, r) =>
+      s"""replace($acc,
+         |  (SELECT l || ' ' || r2 FROM b$r),
+         |  (SELECT '<' || replace(replace(l, '<', ''), '>', '') ||
+         |       replace(replace(r2, '<', ''), '>', '') || '>' FROM b$r))"""
+        .stripMargin
+    }
+    s"""WITH ${stagesSql(rounds)},
+       |fw AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split(text, ' '),
+       |      w -> len(w) > 0 AND w NOT LIKE '%<%' AND w NOT LIKE '%>%')
+       |      AS words
+       |  FROM documents
+       |), enc AS (
+       |  SELECT doc_id,
+       |    COALESCE(CAST(list_aggregate(
+       |      list_transform(words, w -> len(w)), 'sum') AS BIGINT), 0)
+       |      AS n_chars,
+       |    $merged AS sym
+       |  FROM fw
+       |)
+       |SELECT doc_id, n_chars,
+       |       CAST(len(sym) - len(replace(sym, '<', '')) AS BIGINT)
+       |         AS n_tokens
+       |FROM enc ORDER BY doc_id""".stripMargin
+  }
+
   /** DuckDB oracle: the same merge loop unrolled into CTE stages —
     * one (pairs, argmax, rewrite) triple per round, integer counts
     * throughout. Assumes every round finds at least one pair (true
     * whenever the corpus has any multi-character word).
     */
-  def mergesSql(rounds: Int): String = {
+  /** The w0 → (b1,w1) → … → (bR,wR) CTE chain shared by the merges
+    * and encode oracles: per round, the corpus-wide pair argmax (bR)
+    * and the vocabulary rewrite (wR).
+    */
+  private def stagesSql(rounds: Int): String = {
     val stages = new StringBuilder
     stages.append(
       """w0 AS MATERIALIZED (
@@ -133,6 +217,10 @@ object Bpe {
         |  FROM w$p
         |)""".stripMargin)
     }
+    stages.toString
+  }
+
+  def mergesSql(rounds: Int): String = {
     val arms = (1 to rounds).map { r =>
       s"""SELECT $r AS merge_rank,
          |  replace(replace(l, '<', ''), '>', '') AS lhs,
@@ -142,7 +230,7 @@ object Bpe {
          |  cnt
          |FROM b$r""".stripMargin
     }.mkString("\nUNION ALL\n")
-    s"""WITH ${stages.toString}
+    s"""WITH ${stagesSql(rounds)}
        |SELECT * FROM (
        |$arms
        |) ORDER BY merge_rank""".stripMargin

@@ -319,6 +319,13 @@ object Extensions {
   private val x45TemperatureMix: Q = (s, d) =>
     Sampling.temperatureMix(Tables.documents(s, d), budget = 200)
 
+  /** X3: BPE encode — tokenize the corpus with the learned merge
+    * table (the encode half of learn → encode → pack); the encode
+    * pass is a map-only chain of merge replaces, integer output.
+    */
+  private val x47BpeEncode: Q = (s, d) =>
+    Bpe.encode(Tables.documents(s, d), rounds = 8)
+
   /** X2: product-quantization ANN — map-only PQ encode against a
     * 1-row broadcast codebook, integer-µ-unit asymmetric-distance
     * top-k; the plan's only exchange is the bounded partial top-k.
@@ -402,6 +409,7 @@ object Extensions {
     "x44_heavy_hitters" -> x44HeavyHitters,
     "x45_temperature_mix" -> x45TemperatureMix,
     "x46_pq_topk" -> x46PqTopK,
+    "x47_bpe_encode" -> x47BpeEncode,
   )
 
   /** The PNG pixel statistics in closed form: the fixture image's
@@ -567,5 +575,6 @@ object Extensions {
     "x45_temperature_mix" -> Sampling.temperatureMixSql(200),
     "x46_pq_topk" -> Similarity.pqTopKSql(dim = 64, m = 4, ksub = 16,
       nQueries = 5, k = 10),
+    "x47_bpe_encode" -> Bpe.encodeSql(8),
   )
 }

@@ -43,6 +43,33 @@ class PretrainOpsSpec extends AnyFunSuite {
     assert(m.isEmpty) // all words are single symbols
   }
 
+  test("bpe encode: tokenizes with learned merges, hand-checked counts") {
+    import spark.implicits._
+    // vocab: aaab(2), ab(1). Round 1 merges (a,a) [cnt 4], round 2
+    // merges (a,b) [cnt 3] -> aaab encodes as <aa><ab> (2 tokens),
+    // ab as <ab> (1 token). doc 3's only word contains '<' and is
+    // excluded by the tokenizer contract -> 0 chars, 0 tokens.
+    val docs = Seq(
+      (1L, "aaab aaab"), (2L, "ab"), (3L, "x<y")).toDF("doc_id", "text")
+    val enc = Bpe.encode(docs, rounds = 2).collect()
+    val byId = enc.map(r => r.getLong(0) ->
+      (r.getAs[Long]("n_chars"), r.getAs[Long]("n_tokens"))).toMap
+    assert(byId(1L) == ((8L, 4L))) // two words x <aa><ab>
+    assert(byId(2L) == ((2L, 1L)))
+    assert(byId(3L) == ((0L, 0L)))
+  }
+
+  test("bpe encode: merges never span the word separator") {
+    import spark.implicits._
+    // "b a" adjacent across the space must NOT merge even when (b,a)
+    // would be a learnable in-word pair from "ba"
+    val docs = Seq((1L, "ba ba"), (2L, "b a")).toDF("doc_id", "text")
+    val enc = Bpe.encode(docs, rounds = 1).collect()
+    val byId = enc.map(r => r.getLong(0) -> r.getAs[Long]("n_tokens")).toMap
+    assert(byId(1L) == 2L) // two <ba> tokens
+    assert(byId(2L) == 2L) // separator blocks the cross-word merge
+  }
+
   test("lm perplexity: out-of-distribution text scores higher") {
     import spark.implicits._
     val docs = Seq(

@@ -411,38 +411,66 @@ object Similarity {
     * so code assignment, ADC sums, and ranking are integer-exact in
     * both engines — no float-order hazard anywhere.
     */
+  /** d²(a,b) = |a|² + |b|² − 2a·b in integer micro-units: three
+    * sequential dot products (codegen kernel ≡ list_dot_product) with
+    * the same left-to-right combine as the oracle, then exact floor.
+    */
+  private[graft] def pqD2u6(a: Column, b: Column): Column =
+    floor((dot_product(a, a) + dot_product(b, b)
+      - lit(2.0) * dot_product(a, b)) * lit(1e6) + lit(0.5))
+
+  private def pqSubvec(e: Column, sub: Column, subDim: Int): Column =
+    slice(e, sub * subDim + 1, lit(subDim))
+
+  /** The 1-row PQ codebook frame: sorted (sub, cid, cvec) entries so
+    * array position sub·ksub+cid is the ADC table index. A
+    * grouping-free aggregate over a bounded slice — certified for
+    * broadcast by the plan audit.
+    */
+  def pqCodebook(emb: DataFrame, dim: Int, m: Int, ksub: Int): DataFrame = {
+    val subDim = dim / m
+    emb.filter(col("vec_id") < ksub)
+      .select(col("vec_id").cast("int").as("cid"),
+        explode(sequence(lit(0), lit(m - 1))).as("sub"),
+        col("embedding").as("e"))
+      .select(col("sub"), col("cid"),
+        pqSubvec(col("e"), col("sub"), subDim).as("cvec"))
+      .groupBy()
+      .agg(sort_array(collect_list(struct(col("sub"), col("cid"),
+        col("cvec")))).as("cb"))
+  }
+
+  /** PQ encode as a column expression over a row bearing a `cb`
+    * codebook array: argmin centroid per subspace — integer (d, cid)
+    * struct-min gives the deterministic tiebreak. Pure projection;
+    * shared verbatim by the batch encode and the streaming
+    * encode-on-ingest twin.
+    */
+  private[graft] def pqArgminCodes(v: Column, m: Int,
+      subDim: Int): Column =
+    transform(sequence(lit(0), lit(m - 1)), sub =>
+      array_min(transform(
+        filter(col("cb"), c => c.getField("sub") === sub),
+        c => struct(pqD2u6(pqSubvec(v, sub, subDim), c.getField("cvec"))
+          .as("d"), c.getField("cid").as("cid")))).getField("cid"))
+
+  /** Map-only PQ encode: (vec_id, codes) with zero shuffles — the
+    * codebook rides as a 1-row broadcast.
+    */
+  def pqEncode(emb: DataFrame, cbRow: DataFrame, dim: Int,
+      m: Int): DataFrame =
+    emb.crossJoin(broadcast(cbRow))
+      .select(col("vec_id"),
+        pqArgminCodes(col("embedding"), m, dim / m).as("codes"))
+
   def pqTopK(emb: DataFrame, dim: Int, m: Int, ksub: Int, nQueries: Int,
       k: Int): DataFrame = {
     require(dim % m == 0, s"dim=$dim not divisible by m=$m subspaces")
     val subDim = dim / m
-    // d²(a,b) = |a|² + |b|² − 2a·b in micro-units: same three
-    // sequential dot products (codegen kernel ≡ list_dot_product) and
-    // the same left-to-right combine as the oracle, then exact floor
-    def d2u6(a: Column, b: Column): Column =
-      floor((dot_product(a, a) + dot_product(b, b)
-        - lit(2.0) * dot_product(a, b)) * lit(1e6) + lit(0.5))
-    def subvec(e: Column, sub: Column): Column =
-      slice(e, sub * subDim + 1, lit(subDim))
-    // 1-row codebook: sorted (sub, cid, cvec) entries so array
-    // position sub·ksub+cid is the ADC table index
-    val cbRow = emb.filter(col("vec_id") < ksub)
-      .select(col("vec_id").cast("int").as("cid"),
-        explode(sequence(lit(0), lit(m - 1))).as("sub"),
-        col("embedding").as("e"))
-      .select(col("sub"), col("cid"), subvec(col("e"), col("sub")).as("cvec"))
-      .groupBy()
-      .agg(sort_array(collect_list(struct(col("sub"), col("cid"),
-        col("cvec")))).as("cb"))
-    // encode: per-row argmin over each subspace's centroids —
-    // integer (d, cid) struct-min gives the deterministic tiebreak
-    def argminCodes(v: Column): Column =
-      transform(sequence(lit(0), lit(m - 1)), sub =>
-        array_min(transform(
-          filter(col("cb"), c => c.getField("sub") === sub),
-          c => struct(d2u6(subvec(v, sub), c.getField("cvec")).as("d"),
-            c.getField("cid").as("cid")))).getField("cid"))
-    val codes = emb.crossJoin(broadcast(cbRow))
-      .select(col("vec_id"), argminCodes(col("embedding")).as("codes"))
+    def d2u6(a: Column, b: Column): Column = pqD2u6(a, b)
+    def subvec(e: Column, sub: Column): Column = pqSubvec(e, sub, subDim)
+    val cbRow = pqCodebook(emb, dim, m, ksub)
+    val codes = pqEncode(emb, cbRow, dim, m)
     // per-query ADC tables: dt[sub·ksub + cid] = d²(q_sub, c_sub,cid)
     val dt = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("__qid"), col("embedding").as("qe"))

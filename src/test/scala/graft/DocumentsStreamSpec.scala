@@ -61,6 +61,39 @@ class DocumentsStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming pq encode-on-ingest matches batch codes bit-for-bit") {
+    import graft.llm.Similarity
+    val embDir = {
+      val dir = java.nio.file.Files.createTempDirectory("emb-stream")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(sf + "/embeddings.parquet"),
+        dir.resolve("embeddings.parquet"))
+      dir.toString
+    }
+    val emb = Tables.embeddings(spark, sf)
+    val (dim, m, ksub) = (64, 4, 16)
+    val cbRow = Similarity.pqCodebook(emb, dim, m, ksub)
+    val batch = Similarity.pqEncode(emb, cbRow, dim, m)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    // codebook collected once (bounded: m*ksub entries) -> literals
+    val cb = cbRow.collect()(0).getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    val stream = graft.streaming.EmbeddingsStream
+      .readEmbeddings(spark, embDir)
+    assert(stream.isStreaming)
+    val q = graft.streaming.EmbeddingsStream
+      .pqEncode(stream, cb, m, dim / m)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("pq_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql("SELECT vec_id, codes FROM pq_out")
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+      assert(got.size == batch.size)
+      assert(got.forall { case (id, codes) => codes == batch(id) })
+    } finally q.stop()
+  }
+
   test("streaming content dedup keeps one copy per digest") {
     val q = DocumentsStream
       .dedupByContent(DocumentsStream.readDocuments(spark, docsDir))

@@ -385,6 +385,77 @@ object Dedup {
        |SELECT node AS doc_id, min(label) AS component
        |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
 
+  /** X1 cluster-representative selection — the step after cluster
+    * resolution: a dedup pipeline keeps ONE document per near-dup
+    * cluster, and "lowest doc_id" is the wrong policy when cluster
+    * members differ in quality (a clean original vs its boilerplate-
+    * wrapped scrape). Per component: the member with the highest
+    * quality score (uniq_ratio from TextAnalysis.quality), ties to
+    * the lowest doc_id.
+    *
+    * The argmax is `max(struct(score, -doc_id))` — a hash aggregate
+    * with map-side partials, one key-grouped shuffle of |V| rows; no
+    * per-component window, no sort. Composes the CC labels (already
+    * O(endpoint)-bounded rounds) with one join against the quality
+    * projection.
+    */
+  def clusterRepresentatives(docs: DataFrame, maxDist: Int,
+      bucketCap: Int = 64): DataFrame = {
+    val pairs = simhashNearDup(docs, maxDist, bucketCap)
+      .select(col("d1"), col("d2"))
+    val comp = connectedComponents(docs.select(col("doc_id")), pairs)
+    val score = TextAnalysis.quality(docs)
+      .select(col("doc_id"), col("uniq_ratio").as("score"))
+    comp.join(score, Seq("doc_id"))
+      .groupBy(col("component"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(struct(col("score").as("s"), (-col("doc_id")).as("nid")))
+          .as("best"))
+      .select(col("component"), (-col("best.nid")).as("rep_id"),
+        col("n_docs"), col("best.s").as("score"))
+      .orderBy(col("component"))
+  }
+
+  /** Oracle: the x33 fixpoint CTE chain + the quality projection,
+    * argmax via a per-component rank (fine in DuckDB; the engine side
+    * deliberately avoids the window form).
+    */
+  def clusterRepresentativesSql(maxDist: Int, bucketCap: Int = 64): String =
+    s"""WITH RECURSIVE ${simhashPairCtes(bucketCap)},
+       |edges AS MATERIALIZED (
+       |  SELECT d1, d2 FROM pairs
+       |  WHERE bit_count(xor(s1, s2)) <= $maxDist
+       |),
+       |bidir AS MATERIALIZED (
+       |  SELECT d1 AS a, d2 AS b FROM edges
+       |  UNION ALL SELECT d2, d1 FROM edges
+       |),
+       |reach AS (
+       |  SELECT doc_id AS node, doc_id AS label FROM documents
+       |  UNION
+       |  SELECT e.b, r.label FROM bidir e JOIN reach r ON r.node = e.a
+       |),
+       |comp AS (
+       |  SELECT node AS doc_id, min(label) AS component
+       |  FROM reach GROUP BY node
+       |),
+       |sc AS (
+       |  SELECT doc_id,
+       |         round(CAST(len(list_distinct(string_split(text, ' ')))
+       |                 AS DOUBLE) / len(string_split(text, ' ')), 6)
+       |           AS score
+       |  FROM documents
+       |),
+       |ranked AS (
+       |  SELECT c.component, c.doc_id, sc.score,
+       |         row_number() OVER (PARTITION BY c.component
+       |           ORDER BY sc.score DESC, c.doc_id) AS rk,
+       |         count(*) OVER (PARTITION BY c.component) AS n_docs
+       |  FROM comp c JOIN sc USING (doc_id)
+       |)
+       |SELECT component, doc_id AS rep_id, n_docs, score
+       |FROM ranked WHERE rk = 1 ORDER BY component""".stripMargin
+
   /** X1 span-level exact dedup (Lee et al.-style "deduplicating
     * training data" at sub-document granularity): chunk every
     * document into fixed `span`-token windows, keep each distinct

@@ -65,9 +65,12 @@ object LanguageModel {
       .orderBy(col("doc_id"))
   }
 
-  def trigramPerplexitySql(alpha: Double = 0.5, lmLang: String = "en",
-      cap: Double = 11.0): String =
-    s"""WITH lm AS MATERIALIZED (
+  /** Shared oracle CTE chain: trigram LM, totals, per-doc instance
+    * stream, and the count join — the common prefix of the scoring
+    * and bucketing oracles.
+    */
+  private def pplCtes(alpha: Double, lmLang: String): String =
+    s"""lm AS MATERIALIZED (
        |  SELECT g, count(*) AS c FROM (
        |    SELECT substr(text, CAST(i AS INT), 3) AS g
        |    FROM documents, UNNEST(range(1, len(text) - 1)) AS u(i)
@@ -83,7 +86,11 @@ object LanguageModel {
        |), j AS (
        |  SELECT i.doc_id, COALESCE(lm.c, 0) AS c
        |  FROM inst i LEFT JOIN lm USING (g)
-       |)
+       |)""".stripMargin
+
+  def trigramPerplexitySql(alpha: Double = 0.5, lmLang: String = "en",
+      cap: Double = 11.0): String =
+    s"""WITH ${pplCtes(alpha, lmLang)}
        |SELECT doc_id, count(*) AS n_tri,
        |  round(sum(-ln((c + $alpha) / greatest(n + $alpha * v, $alpha))) / count(*), 6)
        |    AS avg_nll,
@@ -91,4 +98,50 @@ object LanguageModel {
        |    > $cap AS flagged
        |FROM j CROSS JOIN tot
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** CCNet-style perplexity bucketing — the step after scoring: rank
+    * every document by its LM score and cut the corpus into
+    * head/middle/tail terciles (CCNet trains on "head", mixes in
+    * "middle", drops "tail"; the tercile is a RANK cut, not a value
+    * threshold, so the split is exact and scale-free).
+    *
+    * The rank is [[graft.ts.OrderedRank.withNtile]] — the exact
+    * distributed ntile (bucketed range sort + a ≤buckets-row offset
+    * broadcast), NOT `ntile() OVER (ORDER BY ...)`, which would move
+    * the whole corpus through one reducer. Everything upstream is the
+    * x41 scoring plan (one wide exchange); the bucketing adds only
+    * the OrderedRank pass over the |docs|-row score table.
+    */
+  def perplexityBuckets(docs: DataFrame, alpha: Double = 0.5,
+      lmLang: String = "en", tiles: Int = 3): DataFrame = {
+    require(tiles >= 2)
+    val ppl = trigramPerplexity(docs, alpha, lmLang)
+      .select(col("doc_id"), col("avg_nll"))
+    graft.ts.OrderedRank.withNtile(ppl, col("avg_nll"), col("doc_id"),
+        tiles, "tile")
+      .select(col("doc_id"), col("avg_nll"),
+        when(col("tile") === 1, "head")
+          .when(col("tile") === tiles, "tail")
+          .otherwise("middle").as("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
+  def perplexityBucketsSql(alpha: Double = 0.5, lmLang: String = "en",
+      tiles: Int = 3): String =
+    s"""WITH ${pplCtes(alpha, lmLang)},
+       |ppl AS (
+       |  SELECT doc_id,
+       |    round(sum(-ln((c + $alpha) / greatest(n + $alpha * v, $alpha)))
+       |      / count(*), 6) AS avg_nll
+       |  FROM j CROSS JOIN tot GROUP BY doc_id
+       |), tiled AS (
+       |  SELECT doc_id, avg_nll,
+       |         ntile($tiles) OVER (ORDER BY avg_nll, doc_id) AS tile
+       |  FROM ppl
+       |)
+       |SELECT doc_id, avg_nll,
+       |       CASE WHEN tile = 1 THEN 'head'
+       |            WHEN tile = $tiles THEN 'tail'
+       |            ELSE 'middle' END AS bucket
+       |FROM tiled ORDER BY doc_id""".stripMargin
 }

@@ -30,6 +30,56 @@ object Packing {
       .orderBy(col("doc_id"))
   }
 
+  /** Deterministic training-shard shuffle — the "global shuffle"
+    * every pretraining run needs between curation and writing:
+    * examples are hash-partitioned into `shards` output shards and
+    * hash-ORDERED within each shard, so the training order is fully
+    * decorrelated from ingest order yet bit-reproducible on any
+    * cluster shape (resume, re-run, and audit all see the same
+    * layout; `df.sample`/`rand()` would give none of that).
+    *
+    * Cost shape: the shard id and both sort keys are scan-side
+    * column arithmetic; the contiguous per-shard position comes from
+    * ONE [[graft.ts.OrderedRank.withRowNumber]] pass over the
+    * shard-major hash order (orderCol = shard + h16/65536 interleaves
+    * the 32 range buckets WITHIN shards, so no reducer ever sorts a
+    * whole shard — the shard-count knob is independent of
+    * parallelism), then per-shard start offsets (a `shards`-row
+    * aggregate) broadcast back. One wide exchange total.
+    */
+  def shardShuffle(docs: DataFrame, keyExpr: String, shards: Int): DataFrame = {
+    require(shards > 0)
+    val h16 = Dedup.hash16Expr("instr", keyExpr)
+    val base = docs.select(col("doc_id"),
+      expr(s"$h16 % $shards").as("shard"),
+      expr(h16).as("__h"),
+      expr(s"md5($keyExpr)").as("__m"))
+    val ranked = graft.ts.OrderedRank.withRowNumber(base,
+      col("shard").cast("double") + col("__h") / lit(65536.0),
+      struct(col("__m"), col("doc_id")), "__r")
+    // per-shard start offsets: ≤`shards` rows (the grouping key is a
+    // `% shards` of a literal — the audited "__"-internal bounded-key
+    // convention, same certificate as OrderedRank's __bucket)
+    val starts = ranked.withColumn("__shard", col("shard"))
+      .groupBy(col("__shard")).agg(min(col("__r")).as("__s0"))
+    ranked.join(broadcast(starts), col("shard") === col("__shard"))
+      .select(col("shard").cast("int").as("shard"),
+        (col("__r") - col("__s0")).as("pos"), col("doc_id"))
+      .orderBy(col("shard"), col("pos"))
+  }
+
+  def shardShuffleSql(keyExpr: String, shards: Int): String =
+    s"""WITH h AS (
+       |  SELECT doc_id, ${Dedup.hash16Expr("strpos", keyExpr)} AS h16,
+       |         md5($keyExpr) AS m
+       |  FROM documents
+       |)
+       |SELECT CAST(h16 % $shards AS INT) AS shard,
+       |       CAST(row_number() OVER (PARTITION BY h16 % $shards
+       |         ORDER BY h16, m, doc_id) - 1 AS BIGINT) AS pos,
+       |       doc_id
+       |FROM h ORDER BY shard, pos""".stripMargin
+
   def sequencePackSql(capacity: Long): String =
     s"""WITH t AS (
        |  SELECT doc_id,

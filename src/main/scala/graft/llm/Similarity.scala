@@ -77,6 +77,66 @@ object Similarity {
        |SELECT qid, rank, vec_id, cos FROM ranked WHERE rank <= $k
        |ORDER BY qid, rank""".stripMargin
 
+  /** X2: hard-negative mining for contrastive training — for each
+    * query vector, the k most-similar vectors whose label DIFFERS
+    * from the query's (the "hard negatives" a retrieval/embedding
+    * trainer pairs with each anchor; easy negatives are random, hard
+    * ones are the near-misses that actually shape the margin).
+    *
+    * Same 100 TB shape as cosineTopK: the query side (anchors +
+    * labels) is tiny → broadcast; the corpus streams through the
+    * fused codegen cosine kernel once; the label inequality is a
+    * pre-aggregation filter on the scan side; ranking is the bounded
+    * partial top-k aggregate, so the only exchange carries
+    * O(partitions · nQueries · k) rows.
+    */
+  def hardNegatives(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("label").as("qlabel"))
+    val pairs = emb.crossJoin(broadcast(q))
+      .filter(col("label") =!= col("qlabel"))
+      .withColumn("cos",
+        round(graft.functions.VectorFunctions
+          .cosine_similarity(col("embedding"), col("qe")), 6))
+    pairs
+      .groupBy(col("qid"))
+      .agg(graft.functions.TopK.top_k(k)(col("cos"), col("vec_id")).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("pos", "hit")))
+      .select(col("qid"), (col("pos") + 1).as("rank"),
+        col("hit.vec_id").as("vec_id"), col("hit.cos").as("cos"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  def hardNegativesSql(nQueries: Int, k: Int): String =
+    s"""WITH q AS (
+       |  SELECT vec_id AS qid, embedding AS qe, label AS qlabel
+       |  FROM embeddings WHERE vec_id < $nQueries
+       |), prods AS (
+       |  SELECT q.qid, e.vec_id,
+       |         sum(CAST(e.embedding[i+1] AS DOUBLE)
+       |             * CAST(q.qe[i+1] AS DOUBLE)) AS dot,
+       |         sum(CAST(e.embedding[i+1] AS DOUBLE)
+       |             * CAST(e.embedding[i+1] AS DOUBLE)) AS na,
+       |         sum(CAST(q.qe[i+1] AS DOUBLE)
+       |             * CAST(q.qe[i+1] AS DOUBLE)) AS nb
+       |  FROM embeddings e
+       |  CROSS JOIN q,
+       |       UNNEST(range(len(e.embedding))) AS r(i)
+       |  WHERE e.label <> q.qlabel
+       |  GROUP BY 1, 2
+       |), scored AS (
+       |  SELECT qid, vec_id, round(dot / (sqrt(na) * sqrt(nb)), 6) AS cos
+       |  FROM prods
+       |), ranked AS (
+       |  SELECT qid, vec_id, cos,
+       |         row_number() OVER (PARTITION BY qid
+       |           ORDER BY cos DESC, vec_id) AS rank
+       |  FROM scored
+       |)
+       |SELECT qid, rank, vec_id, cos FROM ranked WHERE rank <= $k
+       |ORDER BY qid, rank""".stripMargin
+
   /** IVF-style ANN search. Coarse lists come from fixed seed vectors
     * (vec_id < nLists — a trained k-means would replace them; the
     * inverted-file *search* shape is the point): every vector is

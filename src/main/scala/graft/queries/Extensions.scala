@@ -361,6 +361,45 @@ object Extensions {
     EventsAnalytics.slidingWindows(Tables.events(s, d),
       windowSec = 7200, slideSec = 1800)
 
+  /** X1: cluster-representative selection — per near-dup cluster
+    * keep the highest-quality member (argmax via one hash aggregate,
+    * no per-component window).
+    */
+  private val x48ClusterReps: Q = (s, d) =>
+    Dedup.clusterRepresentatives(Tables.documents(s, d), maxDist = 3)
+
+  /** X2: hard-negative mining — per anchor, the top-5 most-similar
+    * vectors from a DIFFERENT label (contrastive-training batch
+    * construction; broadcast anchors + bounded partial top-k).
+    */
+  private val x49HardNegatives: Q = (s, d) =>
+    Similarity.hardNegatives(Tables.embeddings(s, d), nQueries = 5, k = 5)
+
+  /** X6: deterministic training-shard shuffle — hash-sharded,
+    * hash-ordered layout for training-data writing (OrderedRank, no
+    * RNG, reproducible on any cluster shape).
+    */
+  private val x50ShardShuffle: Q = (s, d) =>
+    Packing.shardShuffle(Tables.documents(s, d),
+      "cast(doc_id as string)", shards = 8)
+
+  /** X3: CCNet-style perplexity terciles over the x41 LM scores —
+    * exact distributed ntile, head/middle/tail verdicts.
+    */
+  private val x51PplBuckets: Q = (s, d) =>
+    LanguageModel.perplexityBuckets(Tables.documents(s, d))
+
+  /** X5': bloom-filter semi-join pruning — a 2 KiB broadcast bit
+    * array over the selective dim keys prunes the fact stream before
+    * any shuffle; the audit emits survivors + membership so the
+    * oracle pins every bit of the filter arithmetic (FPs included).
+    */
+  private val x52BloomPrune: Q = (s, d) =>
+    graft.operators.BloomPrune.pruneAudit(
+      Tables.lineitem(s, d), Tables.orders(s, d)
+        .filter(col("o_totalprice") > 495000),
+      "l_orderkey", "o_orderkey")
+
   val queries: Map[String, Q] = Map(
     "x01_dedup_exact" -> x01DedupExact,
     "x02_dedup_minhash" -> x02DedupMinhash,
@@ -410,6 +449,11 @@ object Extensions {
     "x45_temperature_mix" -> x45TemperatureMix,
     "x46_pq_topk" -> x46PqTopK,
     "x47_bpe_encode" -> x47BpeEncode,
+    "x48_cluster_reps" -> x48ClusterReps,
+    "x49_hard_negatives" -> x49HardNegatives,
+    "x50_shard_shuffle" -> x50ShardShuffle,
+    "x51_ppl_buckets" -> x51PplBuckets,
+    "x52_bloom_prune" -> x52BloomPrune,
   )
 
   /** The PNG pixel statistics in closed form: the fixture image's
@@ -576,5 +620,12 @@ object Extensions {
     "x46_pq_topk" -> Similarity.pqTopKSql(dim = 64, m = 4, ksub = 16,
       nQueries = 5, k = 10),
     "x47_bpe_encode" -> Bpe.encodeSql(8),
+    "x48_cluster_reps" -> Dedup.clusterRepresentativesSql(3),
+    "x49_hard_negatives" -> Similarity.hardNegativesSql(nQueries = 5, k = 5),
+    "x50_shard_shuffle" -> Packing.shardShuffleSql("cast(doc_id as string)", 8),
+    "x51_ppl_buckets" -> LanguageModel.perplexityBucketsSql(),
+    "x52_bloom_prune" -> graft.operators.BloomPrune.pruneAuditSql(
+      "lineitem", "l_orderkey", "orders", "o_orderkey",
+      "o_totalprice > 495000"),
   )
 }

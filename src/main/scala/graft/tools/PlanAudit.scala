@@ -91,6 +91,12 @@ object PlanAudit {
       // |sources|-row allocation table: dimension-sized window + 1-row scalars
       "x45_temperature_mix" -> Set("SinglePartition", "BNLJoin"),
       "x05_cosine_topk" -> Set("BNLJoin"), // 5 broadcast query vectors
+      "x49_hard_negatives" -> Set("BNLJoin"), // 5 broadcast anchor vectors
+      // inherits x41's 1-row (N, V) LM scalar shapes
+      "x51_ppl_buckets" -> Set("SinglePartition", "BNLJoin"),
+      // 1-row bloom-filter map aggregate (≤bits/64 rows into the
+      // scalar reduce) broadcast back across the fact keys
+      "x52_bloom_prune" -> Set("SinglePartition", "BNLJoin"),
       "x18_ivf_topk" -> Set("BNLJoin"), // broadcast probe lists
       "x36_kmeans_refine" -> Set("BNLJoin"), // k broadcast centroids
       // 1-row codebook aggregate (ksub·m bounded rows into the scalar

@@ -1,0 +1,136 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.llm.{Dedup, LanguageModel, Packing, Similarity}
+import graft.operators.BloomPrune
+
+/** Semantic checks for the curation/serving operators added late in
+  * round 5: cluster representatives, hard-negative mining, the
+  * training-shard shuffle, perplexity buckets, and bloom pruning.
+  */
+class CurationOpsSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("cluster reps: identical docs collapse, tie-break keeps min id") {
+    import spark.implicits._
+    // docs 1,2,3 identical (one cluster, equal scores -> min id wins);
+    // doc 9 unique (its own singleton cluster)
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "alpha beta gamma delta epsilon zeta"),
+      (9L, "utterly different content entirely here now"))
+      .toDF("doc_id", "text")
+    val reps = Dedup.clusterRepresentatives(docs, maxDist = 3).collect()
+      .map(r => r.getAs[Long]("component") ->
+        (r.getAs[Long]("rep_id"), r.getAs[Long]("n_docs"))).toMap
+    assert(reps(1L) == ((1L, 3L)))
+    assert(reps(9L) == ((9L, 1L)))
+  }
+
+  test("cluster reps: higher-quality member beats lower doc_id") {
+    import spark.implicits._
+    // 60 shared distinct tokens dominate the simhash bit votes, so a
+    // 3-token suffix difference stays within 3 bits — one cluster —
+    // while doc 1's repeated suffix lowers its uniq_ratio below
+    // doc 2's: the argmax must key on score, not id.
+    val base = (1 to 60).map(i => s"word$i").mkString(" ")
+    val docs = Seq(
+      (1L, base + " dup dup dup"),
+      (2L, base + " unique1 unique2 unique3"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhashNearDup(docs, maxDist = 3).count()
+    assume(pairs == 1, "fixture texts must be simhash near-dups")
+    val reps = Dedup.clusterRepresentatives(docs, maxDist = 3).collect()
+    assert(reps.length == 1)
+    assert(reps(0).getAs[Long]("rep_id") == 2L) // higher uniq_ratio
+    assert(reps(0).getAs[Long]("n_docs") == 2L)
+  }
+
+  test("hard negatives: never returns the anchor's own label") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Array(1f, 0f, 0f), 0),  // anchor, label 0
+      (10L, Array(0.99f, 0.1f, 0f), 0),   // same label, most similar — excluded
+      (11L, Array(0.9f, 0.2f, 0f), 1),    // different label — the hard negative
+      (12L, Array(0f, 1f, 0f), 1),
+      (13L, Array(0f, 0f, 1f), 2))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.hardNegatives(emb, nQueries = 1, k = 2).collect()
+    assert(out.map(_.getAs[Long]("vec_id")).toSeq == Seq(11L, 13L) ||
+      out.map(_.getAs[Long]("vec_id")).toSeq == Seq(11L, 12L))
+    assert(out(0).getAs[Long]("vec_id") == 11L) // hardest negative first
+    assert(!out.map(_.getAs[Long]("vec_id")).contains(10L))
+  }
+
+  test("shard shuffle: contiguous per-shard positions, partition-invariant") {
+    import spark.implicits._
+    val docs = (0L until 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val a = Packing.shardShuffle(docs, "cast(doc_id as string)", 8).collect()
+    val b = Packing.shardShuffle(docs.repartition(7),
+      "cast(doc_id as string)", 8).collect()
+    // deterministic under any input partitioning
+    assert(a.map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq ==
+      b.map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq)
+    assert(a.length == 200)
+    // positions are exactly 0..n_s-1 within every shard
+    a.groupBy(_.getInt(0)).foreach { case (_, rows) =>
+      val pos = rows.map(_.getLong(1)).sorted
+      assert(pos.toSeq == (0L until pos.length).toSeq)
+    }
+    // the layout is decorrelated from doc_id order: shard 0's docs
+    // are not simply the first doc_ids
+    val s0 = a.filter(_.getInt(0) == 0).map(_.getLong(2)).toSeq
+    assert(s0.nonEmpty && s0.sorted != (0L until s0.length).toSeq)
+  }
+
+  test("perplexity buckets: exact terciles, ordered by score") {
+    import spark.implicits._
+    // 9 docs >= 3 chars, same lang: terciles of 3/3/3
+    val docs = (1L to 9L).map { i =>
+      val rep = "the common trigram stream " * i.toInt
+      (i, rep + ("zq" * (10 - i).toInt), "en")
+    }.toDF("doc_id", "text", "lang")
+    val out = LanguageModel.perplexityBuckets(docs).collect()
+    val byBucket = out.groupBy(_.getAs[String]("bucket"))
+    assert(byBucket.view.mapValues(_.length).toMap ==
+      Map("head" -> 3, "middle" -> 3, "tail" -> 3))
+    val nll = out.map(r =>
+      r.getAs[String]("bucket") -> r.getAs[Double]("avg_nll"))
+    val maxHead = nll.filter(_._1 == "head").map(_._2).max
+    val minTail = nll.filter(_._1 == "tail").map(_._2).min
+    assert(maxHead <= nll.filter(_._1 == "middle").map(_._2).min)
+    assert(nll.filter(_._1 == "middle").map(_._2).max <= minTail)
+  }
+
+  test("bloom prune: no false negatives, FPs are flagged non-members") {
+    import spark.implicits._
+    val dim = (0L until 40L).map(i => Tuple1(i * 3)).toDF("o_orderkey")
+    val fact = (0L until 600L).map(Tuple1(_)).toDF("l_orderkey")
+    val out = BloomPrune.pruneAudit(fact, dim, "l_orderkey", "o_orderkey",
+      bits = 1024, k = 3).collect()
+    val passSet = out.map(_.getLong(0)).toSet
+    val members = (0L until 40L).map(_ * 3).filter(_ < 600).toSet
+    // every true member passes the filter
+    assert(members.subsetOf(passSet))
+    // the member flag is exact
+    out.foreach { r =>
+      assert(r.getAs[Boolean]("member") == members.contains(r.getLong(0)))
+    }
+    // the prune actually prunes (some non-members rejected)
+    assert(passSet.size < 600)
+  }
+
+  test("bloom prune: pass set is partition-invariant") {
+    import spark.implicits._
+    val dim = (0L until 25L).map(Tuple1(_)).toDF("o_orderkey")
+    val fact = (0L until 300L).map(Tuple1(_)).toDF("l_orderkey")
+    val a = BloomPrune.pruneAudit(fact, dim, "l_orderkey", "o_orderkey",
+      bits = 1024, k = 3).collect().map(r => (r.getLong(0), r.getBoolean(1)))
+    val b = BloomPrune.pruneAudit(fact.repartition(13), dim.repartition(5),
+      "l_orderkey", "o_orderkey", bits = 1024, k = 3)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1)))
+    assert(a.toSeq == b.toSeq)
+  }
+}

@@ -133,7 +133,7 @@ object Dedup {
   private def nibbleExpr(pos: Int, instrFn: String, strCol: String): String =
     s"($instrFn('0123456789abcdef', substr(md5($strCol), $pos, 1)) - 1)"
 
-  private[llm] def hash16Expr(instrFn: String, strCol: String): String =
+  private[graft] def hash16Expr(instrFn: String, strCol: String): String =
     s"(${nibbleExpr(1, instrFn, strCol)} * 4096 + " +
       s"${nibbleExpr(2, instrFn, strCol)} * 256 + " +
       s"${nibbleExpr(3, instrFn, strCol)} * 16 + " +

@@ -92,6 +92,33 @@ object DocumentsStream {
     * the eval set is bounded by construction, so it travels as a
     * literal array and the stream needs no join at all.
     */
+  /** Stateless ingest shard assignment — the stream half of
+    * Packing.shardShuffle: the same hash16(key) % shards arithmetic,
+    * so a document ingested through the stream lands in exactly the
+    * shard the batch shuffle would assign (the in-shard position is a
+    * batch-time total order and stays a batch concern; the stream's
+    * job is routing new arrivals to the right shard file).
+    */
+  def shardAssign(docs: DataFrame, keyExpr: String, shards: Int): DataFrame =
+    docs.withColumn("shard",
+      expr(s"(${graft.llm.Dedup.hash16Expr("instr", keyExpr)} % $shards)")
+        .cast("int"))
+
+  /** Stateless bloom prescreen — the stream half of
+    * operators.BloomPrune: a batch-built filter over already-ingested
+    * content keys rides into every task as a literal map (≤ bits/64
+    * entries, bytes regardless of corpus size) and drops arrivals
+    * that are POSSIBLY seen. No false negatives: a kept row is
+    * definitely new, so the exact dedup state behind this prescreen
+    * only ever sees the bloom's false-positive rate worth of load.
+    */
+  def bloomPrescreen(docs: DataFrame, bloom: Map[Int, Long],
+      keyExpr: String, bits: Int, k: Int): DataFrame =
+    docs
+      .withColumn("bloom", typedLit(bloom))
+      .filter(!graft.operators.BloomPrune.passes(keyExpr, bits, k))
+      .drop("bloom")
+
   def decontaminate(docs: DataFrame, benchGrams: Seq[String],
       n: Int): DataFrame = {
     val lits = array(benchGrams.map(lit): _*)

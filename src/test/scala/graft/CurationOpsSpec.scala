@@ -122,6 +122,51 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(passSet.size < 600)
   }
 
+  test("cluster reps: corpus with no near-dups is all singletons") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "completely distinct first document body here"),
+      (2L, "another unrelated text with different words"),
+      (3L, "third standalone entry nothing shared at all"))
+      .toDF("doc_id", "text")
+    val reps = Dedup.clusterRepresentatives(docs, maxDist = 3).collect()
+    assert(reps.length == 3)
+    reps.foreach { r =>
+      assert(r.getAs[Long]("component") == r.getAs[Long]("rep_id"))
+      assert(r.getAs[Long]("n_docs") == 1L)
+    }
+  }
+
+  test("shard shuffle: single shard degenerates to a total hash order") {
+    import spark.implicits._
+    val docs = (0L until 50L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val out = Packing.shardShuffle(docs, "cast(doc_id as string)", 1)
+      .collect()
+    assert(out.length == 50)
+    assert(out.forall(_.getInt(0) == 0))
+    assert(out.map(_.getLong(1)).sorted.toSeq == (0L until 50L).toSeq)
+  }
+
+  test("perplexity buckets: fewer docs than tiles still covers all docs") {
+    import spark.implicits._
+    val docs = Seq((1L, "abcdef", "en"), (2L, "ghijkl", "en"))
+      .toDF("doc_id", "text", "lang")
+    val out = LanguageModel.perplexityBuckets(docs, tiles = 3).collect()
+    assert(out.length == 2)
+    // SQL ntile with n < k: tiles 1 and 2 get one row each
+    val buckets = out.map(_.getAs[String]("bucket")).toSet
+    assert(buckets == Set("head", "middle"))
+  }
+
+  test("bloom prune: empty dimension passes nothing") {
+    import spark.implicits._
+    val dim = Seq.empty[Long].toDF("o_orderkey")
+    val fact = (0L until 100L).map(Tuple1(_)).toDF("l_orderkey")
+    val out = BloomPrune.pruneAudit(fact, dim, "l_orderkey", "o_orderkey",
+      bits = 1024, k = 3)
+    assert(out.count() == 0)
+  }
+
   test("bloom prune: pass set is partition-invariant") {
     import spark.implicits._
     val dim = (0L until 25L).map(Tuple1(_)).toDF("o_orderkey")

@@ -129,4 +129,52 @@ class DocumentsStreamSpec extends AnyFunSuite {
       assert(kept == all -- contaminated)
     } finally q.stop()
   }
+
+  test("streaming shard assignment matches the batch shuffle's shards") {
+    val q = DocumentsStream
+      .shardAssign(DocumentsStream.readDocuments(spark, docsDir),
+        "cast(doc_id as string)", shards = 8)
+      .select(col("doc_id"), col("shard"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("shard_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql("SELECT doc_id, shard FROM shard_out")
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val batch = graft.llm.Packing
+        .shardShuffle(Tables.documents(spark, sf),
+          "cast(doc_id as string)", shards = 8)
+        .collect().map(r => r.getLong(2) -> r.getInt(0)).toMap
+      assert(got == batch)
+    } finally q.stop()
+  }
+
+  test("streaming bloom prescreen keeps exactly the batch non-pass set") {
+    val docs = Tables.documents(spark, sf)
+    // "already ingested": even doc_ids; build the filter in batch
+    val seen = docs.filter(col("doc_id") % 2 === 0)
+    val bloom = graft.operators.BloomPrune
+      .buildFilter(seen, "doc_id", bits = 4096, k = 3)
+      .select(explode(col("bloom"))).collect()
+      .map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+    // batch pass set (possibly-seen keys, FPs included)
+    val pass = graft.operators.BloomPrune
+      .pruneAudit(docs, seen.select(col("doc_id").as("k")),
+        "doc_id", "k", bits = 4096, k = 3)
+      .collect().map(_.getLong(0)).toSet
+    val q = DocumentsStream
+      .bloomPrescreen(DocumentsStream.readDocuments(spark, docsDir),
+        bloom, "doc_id", bits = 4096, k = 3)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("bloom_out").start()
+    try {
+      q.processAllAvailable()
+      val kept = spark.sql("SELECT doc_id FROM bloom_out")
+        .collect().map(_.getLong(0)).toSet
+      val all = docs.collect().map(_.getLong(0)).toSet
+      assert(kept == all -- pass)
+      // no false negatives: nothing "seen" survives the prescreen
+      assert(kept.forall(_ % 2 == 1))
+    } finally q.stop()
+  }
 }

@@ -295,4 +295,55 @@ class ScaleSpec extends AnyFunSuite {
     assert(plan.contains("ObjectHashAggregate"), plan.take(500))
     assert(secs < 120, s"took ${secs}s")
   }
+
+  test("5M-doc shard shuffle: contiguous hash layout, no whole-shard sort") {
+    import spark.implicits._
+    val n = 5_000_000L
+    val docs = spark.range(n).select(col("id").as("doc_id"))
+    val t0 = System.nanoTime()
+    val out = graft.llm.Packing.shardShuffle(docs,
+      "cast(doc_id as string)", shards = 64)
+    // verify distributed: per-shard position sets must be exactly
+    // 0..count-1 (64-row collect, nothing row-wise on the driver)
+    val stats = out.groupBy(col("shard")).agg(
+      count(lit(1)).as("cnt"), min(col("pos")).as("mn"),
+      max(col("pos")).as("mx"),
+      countDistinct(col("pos")).as("nd")).collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"5M docs into 64 shards: ${secs}%.1f s")
+    assert(stats.length == 64)
+    assert(stats.map(_.getAs[Long]("cnt")).sum == n)
+    stats.foreach { r =>
+      val cnt = r.getAs[Long]("cnt")
+      assert(r.getAs[Long]("mn") == 0L)
+      assert(r.getAs[Long]("mx") == cnt - 1)
+      assert(r.getAs[Long]("nd") == cnt)
+      // hash sharding balances: no shard more than 10% off the mean
+      assert(math.abs(cnt - n / 64.0) < n / 64.0 * 0.1, s"skewed: $cnt")
+    }
+    assert(secs < 180, s"took ${secs}s")
+  }
+
+  test("5M-key bloom prune: bounded filter, zero false negatives") {
+    import spark.implicits._
+    val n = 5_000_000L
+    // members: every 4096th key -> ~1221 build keys in a 65536-bit
+    // filter (~5.6% load) -> FP rate well under 1%
+    val fact = spark.range(n).select(col("id").as("l_orderkey"))
+    val dim = spark.range(n / 4096).select((col("id") * 4096).as("o_orderkey"))
+    val t0 = System.nanoTime()
+    val out = graft.operators.BloomPrune.pruneAudit(fact, dim,
+      "l_orderkey", "o_orderkey", bits = 65536, k = 3)
+    val agg = out.agg(
+      sum(when(col("member"), 1L).otherwise(0L)).as("tp"),
+      sum(when(!col("member"), 1L).otherwise(0L)).as("fp")).head()
+    val secs = (System.nanoTime() - t0) / 1e9
+    val (tp, fp) = (agg.getLong(0), agg.getLong(1))
+    info(f"5M keys vs ${n / 4096} members: ${secs}%.1f s, tp=$tp fp=$fp")
+    // no false negatives: every member key passes the filter
+    assert(tp == n / 4096, s"tp=$tp")
+    // the prune is genuinely selective at this load factor
+    assert(fp < n / 100, s"fp=$fp")
+    assert(secs < 180, s"took ${secs}s")
+  }
 }

@@ -145,6 +145,67 @@ object TextAnalysis {
       |       length(text) AS n_chars_text
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** X3: per-source corpus-health rollup — the daily dashboard a
+    * pipeline owner reads: document and distinct-content counts,
+    * exact-dup rate, quality keep-rate, mean uniqueness, and total
+    * character volume, one row per source/domain.
+    *
+    * One scan + one hash aggregate keyed on `source` (map-side
+    * partials; the distinct-digest count is Spark's standard
+    * two-phase distinct-aggregate expansion — linear, key-grouped).
+    * The float mean is integer-quantized per document (millionths as
+    * BIGINT) before summing, so the result is immune to parallel
+    * summation order in either engine.
+    */
+  def corpusHealth(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("t", split(col("text"), " "))
+      .withColumn("nt", size(col("t")))
+      .withColumn("uq",
+        size(array_distinct(col("t"))).cast("double") / col("nt"))
+      .withColumn("uq6", round(col("uq") * 1000000, 0).cast("long"))
+      .withColumn("keep",
+        (col("nt") >= 20 && col("uq") >= 0.3).cast("long"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(md5(col("text"))).as("n_distinct"),
+        sum(col("keep")).as("n_keep"),
+        sum(col("uq6")).as("s_uq6"),
+        sum(col("n_chars")).as("total_chars"))
+      .select(col("source"), col("n_docs"), col("n_distinct"),
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_docs"), 6)
+          .as("dup_rate"),
+        round(col("n_keep").cast("double") / col("n_docs"), 6)
+          .as("keep_rate"),
+        round(col("s_uq6").cast("double") / (col("n_docs") * 1000000.0), 6)
+          .as("mean_uniq"),
+        col("total_chars"))
+      .orderBy(col("source"))
+
+  val corpusHealthSql: String =
+    """WITH m AS (
+      |  SELECT source, md5(text) AS dg, n_chars,
+      |         len(string_split(text, ' ')) AS nt,
+      |         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |           / len(string_split(text, ' ')) AS uq
+      |  FROM documents
+      |), q AS (
+      |  SELECT source, dg, n_chars,
+      |         CAST(round(uq * 1000000, 0) AS BIGINT) AS uq6,
+      |         CASE WHEN nt >= 20 AND uq >= 0.3 THEN 1 ELSE 0 END AS keep
+      |  FROM m
+      |)
+      |SELECT source,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(count(DISTINCT dg) AS BIGINT) AS n_distinct,
+      |  round(1.0 - CAST(count(DISTINCT dg) AS DOUBLE) / count(*), 6)
+      |    AS dup_rate,
+      |  round(CAST(sum(keep) AS DOUBLE) / count(*), 6) AS keep_rate,
+      |  round(CAST(sum(uq6) AS DOUBLE) / (count(*) * 1000000.0), 6)
+      |    AS mean_uniq,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+      |FROM q GROUP BY source ORDER BY source""".stripMargin
+
   /** X3d: content fingerprint — md5 of the sorted distinct token set
     * (OpenRefine-style normalization fingerprint), grouped to find
     * same-content docs regardless of word order/duplication.

@@ -400,6 +400,13 @@ object Extensions {
         .filter(col("o_totalprice") > 495000),
       "l_orderkey", "o_orderkey")
 
+  /** X3: per-source corpus-health rollup — counts, dup rate, keep
+    * rate, mean uniqueness, char volume (one hash agg on source;
+    * float means integer-quantized for cross-engine determinism).
+    */
+  private val x53CorpusHealth: Q = (s, d) =>
+    TextAnalysis.corpusHealth(Tables.documents(s, d))
+
   val queries: Map[String, Q] = Map(
     "x01_dedup_exact" -> x01DedupExact,
     "x02_dedup_minhash" -> x02DedupMinhash,
@@ -454,6 +461,7 @@ object Extensions {
     "x50_shard_shuffle" -> x50ShardShuffle,
     "x51_ppl_buckets" -> x51PplBuckets,
     "x52_bloom_prune" -> x52BloomPrune,
+    "x53_corpus_health" -> x53CorpusHealth,
   )
 
   /** The PNG pixel statistics in closed form: the fixture image's
@@ -627,5 +635,6 @@ object Extensions {
     "x52_bloom_prune" -> graft.operators.BloomPrune.pruneAuditSql(
       "lineitem", "l_orderkey", "orders", "o_orderkey",
       "o_totalprice > 495000"),
+    "x53_corpus_health" -> TextAnalysis.corpusHealthSql,
   )
 }

@@ -57,12 +57,12 @@ object Packing {
     val ranked = graft.ts.OrderedRank.withRowNumber(base,
       col("shard").cast("double") + col("__h") / lit(65536.0),
       struct(col("__m"), col("doc_id")), "__r")
-    // per-shard start offsets: ≤`shards` rows (the grouping key is a
-    // `% shards` of a literal — the audited "__"-internal bounded-key
-    // convention, same certificate as OrderedRank's __bucket)
-    val starts = ranked.withColumn("__shard", col("shard"))
-      .groupBy(col("__shard")).agg(min(col("__r")).as("__s0"))
-    ranked.join(broadcast(starts), col("shard") === col("__shard"))
+    // per-shard start offsets: ≤`shards` rows — PlanAudit certifies
+    // the broadcast structurally (the grouping key is a modulo by a
+    // literal divisor, so its cardinality is bounded by `shards`)
+    val starts = ranked.groupBy(col("shard")).agg(min(col("__r")).as("__s0"))
+    ranked.join(broadcast(starts.withColumnRenamed("shard", "__sh")),
+        col("shard") === col("__sh"))
       .select(col("shard").cast("int").as("shard"),
         (col("__r") - col("__s0")).as("pos"), col("doc_id"))
       .orderBy(col("shard"), col("pos"))

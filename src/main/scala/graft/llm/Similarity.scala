@@ -31,26 +31,39 @@ object Similarity {
   def cosineTopK(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
     val q = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-    // graft.functions.CosineSim: fused codegen kernel — one traversal
-    // of both arrays per pair (the HOF zip_with/aggregate form is
-    // interpreted per element; three separate dots walk buffers 3×)
-    val pairs = emb.crossJoin(broadcast(q))
-      .filter(col("vec_id") =!= col("qid"))
+    broadcastCosineTopK(emb, q, col("vec_id") =!= col("qid"), k)
+  }
+
+  def cosineTopKSql(nQueries: Int, k: Int): String =
+    broadcastCosineTopKSql("vec_id AS qid, embedding AS qe",
+      "e.vec_id <> q.qid", nQueries, k)
+
+  /** Shared exact-scoring kernel for the broadcast-query searches
+    * (cosineTopK, hardNegatives): corpus × broadcast(q) through the
+    * fused codegen CosineSim — one traversal of both arrays per pair
+    * (the HOF zip_with/aggregate form is interpreted per element;
+    * three separate dots walk buffers 3×) — then the bounded partial
+    * top-k aggregate. The pair predicate is the only thing the
+    * callers vary, so its Spark and SQL forms stay in lock-step.
+    */
+  private def broadcastCosineTopK(emb: DataFrame, q: DataFrame,
+      pairFilter: Column, k: Int): DataFrame =
+    emb.crossJoin(broadcast(q))
+      .filter(pairFilter)
       .withColumn("cos",
         round(graft.functions.VectorFunctions
           .cosine_similarity(col("embedding"), col("qe")), 6))
-    pairs
       .groupBy(col("qid"))
       .agg(graft.functions.TopK.top_k(k)(col("cos"), col("vec_id")).as("top"))
       .select(col("qid"), posexplode(col("top")).as(Seq("pos", "hit")))
       .select(col("qid"), (col("pos") + 1).as("rank"),
         col("hit.vec_id").as("vec_id"), col("hit.cos").as("cos"))
       .orderBy(col("qid"), col("rank"))
-  }
 
-  def cosineTopKSql(nQueries: Int, k: Int): String =
+  private def broadcastCosineTopKSql(qProjection: String, pairPred: String,
+      nQueries: Int, k: Int): String =
     s"""WITH q AS (
-       |  SELECT vec_id AS qid, embedding AS qe FROM embeddings
+       |  SELECT $qProjection FROM embeddings
        |  WHERE vec_id < $nQueries
        |), prods AS (
        |  SELECT q.qid, e.vec_id,
@@ -63,7 +76,7 @@ object Similarity {
        |  FROM embeddings e
        |  CROSS JOIN q,
        |       UNNEST(range(len(e.embedding))) AS r(i)
-       |  WHERE e.vec_id <> q.qid
+       |  WHERE $pairPred
        |  GROUP BY 1, 2
        |), scored AS (
        |  SELECT qid, vec_id, round(dot / (sqrt(na) * sqrt(nb)), 6) AS cos
@@ -94,48 +107,13 @@ object Similarity {
     val q = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
         col("label").as("qlabel"))
-    val pairs = emb.crossJoin(broadcast(q))
-      .filter(col("label") =!= col("qlabel"))
-      .withColumn("cos",
-        round(graft.functions.VectorFunctions
-          .cosine_similarity(col("embedding"), col("qe")), 6))
-    pairs
-      .groupBy(col("qid"))
-      .agg(graft.functions.TopK.top_k(k)(col("cos"), col("vec_id")).as("top"))
-      .select(col("qid"), posexplode(col("top")).as(Seq("pos", "hit")))
-      .select(col("qid"), (col("pos") + 1).as("rank"),
-        col("hit.vec_id").as("vec_id"), col("hit.cos").as("cos"))
-      .orderBy(col("qid"), col("rank"))
+    broadcastCosineTopK(emb, q, col("label") =!= col("qlabel"), k)
   }
 
   def hardNegativesSql(nQueries: Int, k: Int): String =
-    s"""WITH q AS (
-       |  SELECT vec_id AS qid, embedding AS qe, label AS qlabel
-       |  FROM embeddings WHERE vec_id < $nQueries
-       |), prods AS (
-       |  SELECT q.qid, e.vec_id,
-       |         sum(CAST(e.embedding[i+1] AS DOUBLE)
-       |             * CAST(q.qe[i+1] AS DOUBLE)) AS dot,
-       |         sum(CAST(e.embedding[i+1] AS DOUBLE)
-       |             * CAST(e.embedding[i+1] AS DOUBLE)) AS na,
-       |         sum(CAST(q.qe[i+1] AS DOUBLE)
-       |             * CAST(q.qe[i+1] AS DOUBLE)) AS nb
-       |  FROM embeddings e
-       |  CROSS JOIN q,
-       |       UNNEST(range(len(e.embedding))) AS r(i)
-       |  WHERE e.label <> q.qlabel
-       |  GROUP BY 1, 2
-       |), scored AS (
-       |  SELECT qid, vec_id, round(dot / (sqrt(na) * sqrt(nb)), 6) AS cos
-       |  FROM prods
-       |), ranked AS (
-       |  SELECT qid, vec_id, cos,
-       |         row_number() OVER (PARTITION BY qid
-       |           ORDER BY cos DESC, vec_id) AS rank
-       |  FROM scored
-       |)
-       |SELECT qid, rank, vec_id, cos FROM ranked WHERE rank <= $k
-       |ORDER BY qid, rank""".stripMargin
+    broadcastCosineTopKSql(
+      "vec_id AS qid, embedding AS qe, label AS qlabel",
+      "e.label <> q.qlabel", nQueries, k)
 
   /** IVF-style ANN search. Coarse lists come from fixed seed vectors
     * (vec_id < nLists — a trained k-means would replace them; the

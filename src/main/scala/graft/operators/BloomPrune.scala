@@ -27,22 +27,16 @@ import org.apache.spark.sql.functions._
   */
 object BloomPrune {
 
-  /** 16-bit hash of `strExpr`, engine-portable (Spark `instr` /
-    * DuckDB `strpos`) — same construction as Sampling/Dedup.
-    */
-  private def hash16(instrFn: String, strExpr: String): String =
-    (1 to 4).map(p =>
-      s"(($instrFn('0123456789abcdef', substr(md5($strExpr), $p, 1)) - 1)" +
-        s" * ${1 << (4 * (4 - p))})")
-      .mkString("(", " + ", ")")
-
   /** Probe bit index i of a key expression: hash16 of the salted key
-    * string, folded onto the filter size. hash16 spans 65536 values,
-    * so any `bits` that divides 65536 folds uniformly.
+    * string (the shared Dedup/Sampling nibble construction — ONE
+    * definition repo-wide so engine and oracle can't drift), folded
+    * onto the filter size. hash16 spans 65536 values, so any `bits`
+    * that divides 65536 folds uniformly.
     */
   private def probeBit(instrFn: String, keyExpr: String, i: Int,
       bits: Int): String =
-    s"(${hash16(instrFn, s"concat(cast($keyExpr as string), '#$i')")} % $bits)"
+    s"(${graft.llm.Dedup.hash16Expr(instrFn,
+      s"concat(cast($keyExpr as string), '#$i')")} % $bits)"
 
   /** Spark-side fast form of [[probeBit]]: ONE md5 + a hex parse via
     * `conv` — bit-identical to the 4-nibble instr construction
@@ -70,15 +64,29 @@ object BloomPrune {
         .as("bloom"))
   }
 
-  /** Membership test of `keyExpr` against the `bloom` map column:
-    * all k probe bits set.
+  /** Materialize the k probe-bit columns (`__b0..__b{k-1}`) for
+    * `keyExpr` — ONE md5 evaluation each, however often the predicate
+    * reads them — and return the frame plus the membership conjunction
+    * against the `bloom` map column (all k probe bits set). Shared by
+    * the batch audit and the streaming prescreen so both paths pay
+    * exactly k hashes per row.
     */
-  def passes(keyExpr: String, bits: Int, k: Int): Column =
-    (0 until k).map { i =>
-      val b = probeBitFast(keyExpr, i, bits)
-      expr(s"(shiftright(coalesce(element_at(bloom, cast(($b) div 64 as int))," +
-        s" cast(0 as bigint)), cast(($b) % 64 as int)) & 1) = 1")
+  def withProbes(df: DataFrame, keyExpr: String, bits: Int,
+      k: Int): (DataFrame, Column) = {
+    val probed = (0 until k).foldLeft(df) { (d, i) =>
+      d.withColumn(s"__b$i", expr(probeBitFast(keyExpr, i, bits)))
+    }
+    val pass = (0 until k).map { i =>
+      expr(s"(shiftright(coalesce(element_at(bloom, cast(__b$i div 64 as int))," +
+        s" cast(0 as bigint)), cast(__b$i % 64 as int)) & 1) = 1")
     }.reduce(_ && _)
+    (probed, pass)
+  }
+
+  /** The probe columns [[withProbes]] adds, for callers that drop
+    * them after filtering.
+    */
+  def probeCols(k: Int): Seq[String] = (0 until k).map(i => s"__b$i")
 
   /** The declared-query shape: distinct fact keys that survive the
     * bloom prune, flagged with true membership (so the oracle checks
@@ -91,18 +99,9 @@ object BloomPrune {
       dimKey: String, bits: Int = 16384, k: Int = 3): DataFrame = {
     val filt = buildFilter(dim, dimKey, bits, k)
     val members = dim.select(col(dimKey).as("__mk")).distinct()
-    // materialize each probe bit as a column first so every md5 is
-    // computed exactly once per row; the membership test then only
-    // reads integer columns
-    val probed = (0 until k).foldLeft(
-      fact.select(col(factKey)).distinct().crossJoin(broadcast(filt))) {
-      (df, i) => df.withColumn(s"__b$i",
-        expr(probeBitFast(factKey, i, bits)))
-    }
-    val pass = (0 until k).map { i =>
-      expr(s"(shiftright(coalesce(element_at(bloom, cast(__b$i div 64 as int))," +
-        s" cast(0 as bigint)), cast(__b$i % 64 as int)) & 1) = 1")
-    }.reduce(_ && _)
+    val (probed, pass) = withProbes(
+      fact.select(col(factKey)).distinct().crossJoin(broadcast(filt)),
+      factKey, bits, k)
     probed.filter(pass)
       // no broadcast hint: `members` is O(|dim-after-predicate|) — AQE
       // broadcasts it while small and falls back to a shuffle join at
@@ -127,6 +126,8 @@ object BloomPrune {
       .mkString("\n  UNION ALL\n  ")
     s"""WITH dim AS (
        |  SELECT $dimKey FROM $dimTable WHERE $dimPred
+       |), dimd AS (
+       |  SELECT DISTINCT $dimKey FROM dim
        |), bs AS (
        |  $probeUnion
        |), fk AS (
@@ -138,7 +139,7 @@ object BloomPrune {
        |  GROUP BY fp.$factKey HAVING count(bs.b) = ${k}
        |)
        |SELECT p.$factKey, (d.$dimKey IS NOT NULL) AS member
-       |FROM pass p LEFT JOIN dim d ON p.$factKey = d.$dimKey
+       |FROM pass p LEFT JOIN dimd d ON p.$factKey = d.$dimKey
        |ORDER BY p.$factKey""".stripMargin
   }
 }

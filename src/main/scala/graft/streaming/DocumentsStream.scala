@@ -92,6 +92,22 @@ object DocumentsStream {
     * the eval set is bounded by construction, so it travels as a
     * literal array and the stream needs no join at all.
     */
+  def decontaminate(docs: DataFrame, benchGrams: Seq[String],
+      n: Int): DataFrame = {
+    val lits = array(benchGrams.map(lit): _*)
+    docs
+      .withColumn("t", split(col("text"), " "))
+      // a doc shorter than n tokens has no n-grams and cannot be
+      // contaminated — it must pass through (batch parity), not be
+      // dropped by the gram computation
+      .withColumn("grams",
+        when(size(col("t")) >= n, array_distinct(expr(
+          s"transform(sequence(0, size(t)-$n), i -> concat_ws(' ', slice(t, i+1, $n)))")))
+          .otherwise(array().cast("array<string>")))
+      .filter(!arrays_overlap(col("grams"), lits))
+      .drop("t", "grams")
+  }
+
   /** Stateless ingest shard assignment — the stream half of
     * Packing.shardShuffle: the same hash16(key) % shards arithmetic,
     * so a document ingested through the stream lands in exactly the
@@ -111,27 +127,15 @@ object DocumentsStream {
     * that are POSSIBLY seen. No false negatives: a kept row is
     * definitely new, so the exact dedup state behind this prescreen
     * only ever sees the bloom's false-positive rate worth of load.
+    * The probe bits are materialized once per row (withProbes), so
+    * the per-arrival cost is exactly k md5 hashes.
     */
   def bloomPrescreen(docs: DataFrame, bloom: Map[Int, Long],
-      keyExpr: String, bits: Int, k: Int): DataFrame =
-    docs
-      .withColumn("bloom", typedLit(bloom))
-      .filter(!graft.operators.BloomPrune.passes(keyExpr, bits, k))
+      keyExpr: String, bits: Int, k: Int): DataFrame = {
+    val (probed, pass) = graft.operators.BloomPrune.withProbes(
+      docs.withColumn("bloom", typedLit(bloom)), keyExpr, bits, k)
+    probed.filter(!pass)
       .drop("bloom")
-
-  def decontaminate(docs: DataFrame, benchGrams: Seq[String],
-      n: Int): DataFrame = {
-    val lits = array(benchGrams.map(lit): _*)
-    docs
-      .withColumn("t", split(col("text"), " "))
-      // a doc shorter than n tokens has no n-grams and cannot be
-      // contaminated — it must pass through (batch parity), not be
-      // dropped by the gram computation
-      .withColumn("grams",
-        when(size(col("t")) >= n, array_distinct(expr(
-          s"transform(sequence(0, size(t)-$n), i -> concat_ws(' ', slice(t, i+1, $n)))")))
-          .otherwise(array().cast("array<string>")))
-      .filter(!arrays_overlap(col("grams"), lits))
-      .drop("t", "grams")
+      .drop(graft.operators.BloomPrune.probeCols(k): _*)
   }
 }

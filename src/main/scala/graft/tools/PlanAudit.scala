@@ -1,7 +1,7 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{And, Attribute, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Pmod, Remainder}
 import org.apache.spark.sql.catalyst.plans.logical._
 
 /** Plan-shape audit over the whole declared query surface: flags the
@@ -46,7 +46,8 @@ object PlanAudit {
       case a: Aggregate if a.groupingExpressions.isEmpty => true
       case a: Aggregate if a.groupingExpressions.nonEmpty &&
         a.groupingExpressions.forall {
-          case attr: Attribute => attr.name.startsWith("__")
+          case attr: Attribute =>
+            attr.name.startsWith("__") || boundedModKey(a.child, attr)
           case _ => false
         } => true
       case a: Aggregate => provablyBounded(a.child) // never adds rows
@@ -62,6 +63,31 @@ object PlanAudit {
       case u: UnaryNode => provablyBounded(u.child)
       case _ => false
     }
+  }
+
+  /** STRUCTURAL bounded-key certificate: the grouping attribute's
+    * defining Alias (anywhere under `child`) is a modulo by a
+    * foldable divisor — cardinality ≤ the literal, whatever the name.
+    * This is the proof the `__`-prefix convention gestures at; a
+    * rename alone certifies nothing, so `hash % K`-shaped keys (shard
+    * ids, bucket ids) are certified here by their arithmetic instead.
+    */
+  private def boundedModKey(child: LogicalPlan, attr: Attribute): Boolean = {
+    def stripCasts(e: Expression): Expression = e match {
+      case c: org.apache.spark.sql.catalyst.expressions.Cast =>
+        stripCasts(c.child)
+      case other => other
+    }
+    val defining = child.collect {
+      case p: Project => p.projectList.collect {
+        case al: Alias if al.exprId == attr.exprId => al.child
+      }
+    }.flatten
+    defining.nonEmpty && defining.forall(e => stripCasts(e) match {
+      case Pmod(_, r, _) => r.foldable
+      case Remainder(_, r, _) => r.foldable
+      case _ => false
+    })
   }
 
   /** Broadcast hints whose side has no boundedness certificate. */

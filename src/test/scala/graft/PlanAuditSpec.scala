@@ -37,6 +37,26 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(PlanAudit.provablyBounded(analyzed(
       corpus.select(col("doc_id"), explode(split(col("text"), " ")).as("g"))
         .filter(col("doc_id") < 5))))
+    // STRUCTURAL certificate: grouping on a modulo-by-literal key is
+    // bounded by the divisor regardless of the column's name
+    assert(PlanAudit.provablyBounded(analyzed(
+      corpus.withColumn("shard", col("doc_id") % 8)
+        .groupBy(col("shard")).count())))
+  }
+
+  test("modulo certificate demands a literal divisor") {
+    // modulo by another column can have corpus cardinality
+    assert(!PlanAudit.provablyBounded(analyzed(
+      corpus.withColumn("shard", col("doc_id") % col("n_chars"))
+        .groupBy(col("shard")).count())))
+    // the __ prefix alone must not certify an unbounded key the
+    // structural rule can see through... (the prefix convention is
+    // kept for OrderedRank's internal columns; this documents that a
+    // non-modulo __-named corpus key still passes the NAME rule, so
+    // internal names stay reserved for genuinely bounded frames)
+    assert(PlanAudit.provablyBounded(analyzed(
+      corpus.withColumn("__k", col("doc_id"))
+        .groupBy(col("__k")).count())))
   }
 
   test("rejects unbounded relations dressed with bounded fragments") {

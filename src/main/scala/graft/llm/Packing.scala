@@ -80,6 +80,91 @@ object Packing {
        |       doc_id
        |FROM h ORDER BY shard, pos""".stripMargin
 
+  /** Overlapping-window document chunking — the retrieval/embedding
+    * prep step: each document becomes ceil windows of `width` chars
+    * advancing by `width - overlap`, so consecutive chunks share
+    * `overlap` chars of context (a short document yields exactly one
+    * chunk). Pure map-side explode + substr: no shuffle at all, the
+    * chunk count is row-local arithmetic, and the same substr
+    * semantics (1-based, length-clamped) hold in both engines.
+    */
+  def chunkDocuments(docs: DataFrame, width: Int, overlap: Int): DataFrame = {
+    require(width > 0 && overlap >= 0 && overlap < width)
+    val step = width - overlap
+    docs
+      .withColumn("n", length(col("text")))
+      // ceil cover count: 1 + ceil(max(n - width, 0) / step), all in
+      // integer arithmetic (identical div/% semantics in DuckDB)
+      .withColumn("n_chunks", expr(
+        s"cast(1 + (greatest(n - $width, 0) div $step) + " +
+          s"(case when greatest(n - $width, 0) % $step > 0 " +
+          s"then 1 else 0 end) as int)"))
+      .select(col("doc_id"), col("text"),
+        explode(expr(s"sequence(0, n_chunks - 1)")).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        (col("chunk_idx") * step + 1).as("start"),
+        expr(s"substr(text, chunk_idx * $step + 1, $width)").as("chunk"))
+      .withColumn("chunk_len", length(col("chunk")))
+      .select(col("doc_id"), col("chunk_idx"), col("start"),
+        col("chunk_len"), md5(col("chunk")).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  def chunkDocumentsSql(width: Int, overlap: Int): String = {
+    val step = width - overlap
+    s"""WITH d AS (
+       |  SELECT doc_id, text, length(text) AS n,
+       |         CAST(1 + greatest(n - $width, 0) // $step
+       |              + CASE WHEN greatest(n - $width, 0) % $step > 0
+       |                     THEN 1 ELSE 0 END AS INT) AS n_chunks
+       |  FROM documents
+       |)
+       |SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+       |       CAST(i * $step + 1 AS INT) AS start,
+       |       length(substr(text, CAST(i * $step + 1 AS INT), $width))
+       |         AS chunk_len,
+       |       md5(substr(text, CAST(i * $step + 1 AS INT), $width))
+       |         AS chunk_md5
+       |FROM d, UNNEST(range(n_chunks)) AS u(i)
+       |ORDER BY doc_id, chunk_idx""".stripMargin
+  }
+
+  /** Length-sorted batching — the padding-minimization layout for
+    * variable-length training/inference: rank every document by
+    * token count (ties by doc_id) and cut the rank order into
+    * fixed-size batches, so each batch holds near-equal lengths and
+    * pad-to-longest waste is minimal. The rank is one
+    * [[graft.ts.OrderedRank.withRowNumber]] pass (bucketed range
+    * sort, no single-reducer window); everything after is integer
+    * arithmetic.
+    */
+  def sortedBatches(docs: DataFrame, batchSize: Int): DataFrame = {
+    require(batchSize > 0)
+    val toks = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    graft.ts.OrderedRank.withRowNumber(toks, col("n_tokens"),
+        col("doc_id"), "__rn")
+      .select(col("doc_id"), col("n_tokens"),
+        expr(s"(__rn - 1) div ${batchSize}L").cast("int").as("batch_idx"),
+        ((col("__rn") - 1) % batchSize).cast("int").as("pos_in_batch"))
+      .orderBy(col("doc_id"))
+  }
+
+  def sortedBatchesSql(batchSize: Int): String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents
+       |), r AS (
+       |  SELECT doc_id, n_tokens,
+       |         row_number() OVER (ORDER BY n_tokens, doc_id) AS rn
+       |  FROM t
+       |)
+       |SELECT doc_id, n_tokens,
+       |       CAST((rn - 1) // $batchSize AS INT) AS batch_idx,
+       |       CAST((rn - 1) % $batchSize AS INT) AS pos_in_batch
+       |FROM r ORDER BY doc_id""".stripMargin
+
   def sequencePackSql(capacity: Long): String =
     s"""WITH t AS (
        |  SELECT doc_id,

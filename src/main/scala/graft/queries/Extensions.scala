@@ -407,6 +407,20 @@ object Extensions {
   private val x53CorpusHealth: Q = (s, d) =>
     TextAnalysis.corpusHealth(Tables.documents(s, d))
 
+  /** X6: overlapping-window document chunking (retrieval/embedding
+    * prep) — map-only explode+substr, chunk payload pinned by md5.
+    */
+  private val x54DocChunks: Q = (s, d) =>
+    Packing.chunkDocuments(Tables.documents(s, d), width = 120,
+      overlap = 24)
+
+  /** X6: length-sorted batching — rank by token count through the
+    * distributed OrderedRank, cut into fixed-size batches (minimal
+    * pad-to-longest waste).
+    */
+  private val x55SortedBatches: Q = (s, d) =>
+    Packing.sortedBatches(Tables.documents(s, d), batchSize = 32)
+
   val queries: Map[String, Q] = Map(
     "x01_dedup_exact" -> x01DedupExact,
     "x02_dedup_minhash" -> x02DedupMinhash,
@@ -462,6 +476,8 @@ object Extensions {
     "x51_ppl_buckets" -> x51PplBuckets,
     "x52_bloom_prune" -> x52BloomPrune,
     "x53_corpus_health" -> x53CorpusHealth,
+    "x54_doc_chunks" -> x54DocChunks,
+    "x55_sorted_batches" -> x55SortedBatches,
   )
 
   /** The PNG pixel statistics in closed form: the fixture image's
@@ -636,5 +652,7 @@ object Extensions {
       "lineitem", "l_orderkey", "orders", "o_orderkey",
       "o_totalprice > 495000"),
     "x53_corpus_health" -> TextAnalysis.corpusHealthSql,
+    "x54_doc_chunks" -> Packing.chunkDocumentsSql(120, 24),
+    "x55_sorted_batches" -> Packing.sortedBatchesSql(32),
   )
 }

@@ -158,6 +158,46 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(buckets == Set("head", "middle"))
   }
 
+  test("doc chunks: overlap coverage and hand-checked window count") {
+    import spark.implicits._
+    // n=10, width=4, overlap=1 (step 3): COVER count — starts 1,4,7
+    // reach the end with full-width windows, no 1-char tail chunk;
+    // n=3 (≤ width) is a single chunk
+    val docs = Seq((1L, "abcdefghij"), (2L, "xyz")).toDF("doc_id", "text")
+    val out = Packing.chunkDocuments(docs, width = 4, overlap = 1).collect()
+    val d1 = out.filter(_.getLong(0) == 1L)
+    assert(d1.map(r => (r.getInt(1), r.getInt(2), r.getInt(3))).toSeq ==
+      Seq((0, 1, 4), (1, 4, 4), (2, 7, 4)))
+    // full coverage: the last window's end (7 + 4 - 1) reaches n
+    assert(d1.last.getInt(2) + d1.last.getInt(3) - 1 == 10)
+    val d2 = out.filter(_.getLong(0) == 2L)
+    assert(d2.map(r => (r.getInt(1), r.getInt(2), r.getInt(3))).toSeq ==
+      Seq((0, 1, 3)))
+    // consecutive chunks overlap by exactly `overlap` characters
+    // (verified through the starts: 4 - 1 = step = width - overlap)
+  }
+
+  test("sorted batches: batches are contiguous length ranges") {
+    import spark.implicits._
+    val docs = (1L to 100L).map { i =>
+      (i, Seq.fill(((i * 37) % 50 + 1).toInt)("w").mkString(" "))
+    }.toDF("doc_id", "text")
+    val out = Packing.sortedBatches(docs, batchSize = 16).collect()
+    assert(out.length == 100)
+    // every batch's max token count <= next batch's min token count
+    val byBatch = out.groupBy(_.getAs[Int]("batch_idx")).toSeq.sortBy(_._1)
+    byBatch.sliding(2).foreach {
+      case Seq((_, a), (_, b)) =>
+        assert(a.map(_.getAs[Long]("n_tokens")).max <=
+          b.map(_.getAs[Long]("n_tokens")).min)
+      case _ =>
+    }
+    // all batches full except possibly the last
+    byBatch.dropRight(1).foreach { case (_, rows) =>
+      assert(rows.length == 16)
+    }
+  }
+
   test("bloom prune: empty dimension passes nothing") {
     import spark.implicits._
     val dim = Seq.empty[Long].toDF("o_orderkey")

@@ -108,6 +108,30 @@ object DocumentsStream {
       .drop("t", "grams")
   }
 
+  /** Running corpus-health rollup — the streaming half of
+    * TextAnalysis.corpusHealth: per-source document counts, quality
+    * keep counts, quantized-uniqueness sums, and char volume as an
+    * UPDATE-mode stateful aggregation (state = one row per source, a
+    * dimension — bounded by the domain list, not the feed). The
+    * per-document formulas are identical to the batch operator, so
+    * after the stream drains, every sum equals the batch rollup
+    * exactly; the distinct-content count is deliberately absent (it
+    * needs dedup state — compose [[dedupByContent]] upstream or the
+    * KMV sketch for an estimate).
+    */
+  def corpusHealthRunning(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("t", split(col("text"), " "))
+      .withColumn("nt", size(col("t")))
+      .withColumn("uq",
+        size(array_distinct(col("t"))).cast("double") / col("nt"))
+      .withColumn("uq6", round(col("uq") * 1000000, 0).cast("long"))
+      .withColumn("keep",
+        (col("nt") >= 20 && col("uq") >= 0.3).cast("long"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("keep")).as("n_keep"),
+        sum(col("uq6")).as("s_uq6"), sum(col("n_chars")).as("total_chars"))
+
   /** Stateless ingest shard assignment — the stream half of
     * Packing.shardShuffle: the same hash16(key) % shards arithmetic,
     * so a document ingested through the stream lands in exactly the

@@ -149,6 +149,38 @@ class DocumentsStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming corpus-health running sums equal the batch rollup") {
+    val q = DocumentsStream
+      .corpusHealthRunning(DocumentsStream.readDocuments(spark, docsDir))
+      .writeStream.outputMode("update")
+      .format("memory").queryName("health_out").start()
+    try {
+      q.processAllAvailable()
+      // update mode emits one row per source per update; the LAST
+      // update per source is the drained running total
+      val got = spark.sql(
+        """SELECT source, n_docs, n_keep, s_uq6, total_chars FROM (
+          |  SELECT *, row_number() OVER (PARTITION BY source
+          |    ORDER BY n_docs DESC) AS rk FROM health_out) WHERE rk = 1
+          |""".stripMargin)
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+      val batch = graft.llm.TextAnalysis
+        .corpusHealth(Tables.documents(spark, sf))
+        .collect().map { r =>
+          val keep = math.round(
+            r.getAs[Double]("keep_rate") * r.getAs[Long]("n_docs"))
+          r.getString(0) -> (r.getAs[Long]("n_docs"), keep,
+            r.getAs[Long]("total_chars"))
+        }.toMap
+      assert(got.keySet == batch.keySet)
+      got.foreach { case (src, (n, k, _, c)) =>
+        val (bn, bk, bc) = batch(src)
+        assert(n == bn && k == bk && c == bc, s"source $src")
+      }
+    } finally q.stop()
+  }
+
   test("streaming bloom prescreen keeps exactly the batch non-pass set") {
     val docs = Tables.documents(spark, sf)
     // "already ingested": even doc_ids; build the filter in batch

@@ -421,6 +421,25 @@ object Extensions {
   private val x55SortedBatches: Q = (s, d) =>
     Packing.sortedBatches(Tables.documents(s, d), batchSize = 32)
 
+  /** X5': skew-salted join — events enriched with their user's
+    * purchase total through operators.SaltedJoin (deterministic salt
+    * spreads any hot user over 8 reducers; result identical to the
+    * plain join, which is exactly what the oracle checks).
+    */
+  private val x56SaltedJoin: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val dim = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(sum(col("value").cast("decimal(14,2)")).as("purchase_total"))
+    graft.operators.SaltedJoin.join(ev, dim, "user_id",
+        "cast(event_id as string)", salts = 8)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("purchase_total")).cast("double"), 2)
+          .as("sum_user_total"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, Q] = Map(
     "x01_dedup_exact" -> x01DedupExact,
     "x02_dedup_minhash" -> x02DedupMinhash,
@@ -478,6 +497,7 @@ object Extensions {
     "x53_corpus_health" -> x53CorpusHealth,
     "x54_doc_chunks" -> x54DocChunks,
     "x55_sorted_batches" -> x55SortedBatches,
+    "x56_salted_join" -> x56SaltedJoin,
   )
 
   /** The PNG pixel statistics in closed form: the fixture image's
@@ -654,5 +674,16 @@ object Extensions {
     "x53_corpus_health" -> TextAnalysis.corpusHealthSql,
     "x54_doc_chunks" -> Packing.chunkDocumentsSql(120, 24),
     "x55_sorted_batches" -> Packing.sortedBatchesSql(32),
+    "x56_salted_join" ->
+      """WITH dim AS (
+        |  SELECT user_id, sum(CAST(value AS DECIMAL(14,2)))
+        |    AS purchase_total
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+        |)
+        |SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,
+        |       round(CAST(sum(d.purchase_total) AS DOUBLE), 2)
+        |         AS sum_user_total
+        |FROM events e JOIN dim d ON e.user_id = d.user_id
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
   )
 }

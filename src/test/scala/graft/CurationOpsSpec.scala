@@ -198,6 +198,33 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("salted join: identical result to the plain join, spread salts") {
+    import spark.implicits._
+    // one hot key (90% of fact rows) + a long tail
+    val fact = (0L until 1000L).map { i =>
+      (if (i < 900) 7L else i % 20, i)
+    }.toDF("k", "row_id")
+    val dim = (0L until 20L).map(k => (k, s"v$k")).toDF("k", "payload")
+    val plain = fact.join(dim, "k")
+      .select(col("k"), col("row_id"), col("payload"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .sortBy(identity)
+    val salted = graft.operators.SaltedJoin
+      .join(fact, dim, "k", "cast(row_id as string)", salts = 8)
+      .select(col("k"), col("row_id"), col("payload"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .sortBy(identity)
+    assert(salted.toSeq == plain.toSeq)
+    // the hot key's rows really spread: every one of the 8 salts gets
+    // a share, and no salt keeps more than 30% of the hot rows
+    val saltCounts = fact.filter(col("k") === 7L)
+      .withColumn("salt", expr(
+        s"(${graft.llm.Dedup.hash16Expr("instr", "cast(row_id as string)")} % 8)"))
+      .groupBy(col("salt")).count().collect()
+    assert(saltCounts.length == 8)
+    assert(saltCounts.map(_.getAs[Long]("count")).max < 270L)
+  }
+
   test("bloom prune: empty dimension passes nothing") {
     import spark.implicits._
     val dim = Seq.empty[Long].toDF("o_orderkey")

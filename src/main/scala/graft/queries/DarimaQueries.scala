@@ -114,25 +114,35 @@ object DarimaQueries {
     val all = series(s, d).cache()
     try {
       val n = all.count()
-      val nTest = math.max(24L, n / 10).toInt
-      // test tail: distributed top-k, h rows — bounded driver transfer
-      val tail = all.select(col("time").cast("double").as("t"), col("value"))
-        .orderBy(col("t").desc).limit(nTest)
-        .collect().sortBy(_.getDouble(0))
-      val cutoff = tail.head.getDouble(0)
-      val test = tail.map(_.getDouble(1))
-      val trainDf = all.filter(col("time") < cutoff)
-      val (_, fc) = Darima.run(s, trainDf, h = nTest, cfgOls1)
-      val scale = Darima.seasonalNaiveScaleDF(trainDf, cfgOls1.freq)
-      val mase = Metrics.mean(Metrics.maseScaled(test, fc.mean, scale))
-      val smape = Metrics.mean(Metrics.smape(test, fc.mean))
-      val msis80 = Metrics.mean(
-        Metrics.msisScaled(test, fc.lower(0), fc.upper(0), 80, scale))
-      val msis95 = Metrics.mean(
-        Metrics.msisScaled(test, fc.lower(1), fc.upper(1), 95, scale))
-      Seq((roundN(mase, 6), roundN(smape, 6), roundN(msis80, 6),
-        roundN(msis95, 6), nTest))
-        .toDF("mean_mase", "mean_smape", "mean_msis_80", "mean_msis_95", "h")
+      // empty series: nothing to fit or score — an empty result frame
+      // (same schema), not a crash (the 100 TB contract: empty inputs
+      // are routine, see EmptyInputSpec)
+      if (n == 0) {
+        Seq.empty[(Double, Double, Double, Double, Int)]
+          .toDF("mean_mase", "mean_smape", "mean_msis_80",
+            "mean_msis_95", "h")
+      } else {
+        val nTest = math.max(24L, n / 10).toInt
+        // test tail: distributed top-k, h rows — bounded driver transfer
+        val tail = all.select(col("time").cast("double").as("t"), col("value"))
+          .orderBy(col("t").desc).limit(nTest)
+          .collect().sortBy(_.getDouble(0))
+        val cutoff = tail.head.getDouble(0)
+        val test = tail.map(_.getDouble(1))
+        val trainDf = all.filter(col("time") < cutoff)
+        val (_, fc) = Darima.run(s, trainDf, h = nTest, cfgOls1)
+        val scale = Darima.seasonalNaiveScaleDF(trainDf, cfgOls1.freq)
+        val mase = Metrics.mean(Metrics.maseScaled(test, fc.mean, scale))
+        val smape = Metrics.mean(Metrics.smape(test, fc.mean))
+        val msis80 = Metrics.mean(
+          Metrics.msisScaled(test, fc.lower(0), fc.upper(0), 80, scale))
+        val msis95 = Metrics.mean(
+          Metrics.msisScaled(test, fc.lower(1), fc.upper(1), 95, scale))
+        Seq((roundN(mase, 6), roundN(smape, 6), roundN(msis80, 6),
+          roundN(msis95, 6), nTest))
+          .toDF("mean_mase", "mean_smape", "mean_msis_80",
+            "mean_msis_95", "h")
+      }
     } finally all.unpersist()
   }
 

@@ -49,7 +49,10 @@ object Packing {
     */
   def shardShuffle(docs: DataFrame, keyExpr: String, shards: Int): DataFrame = {
     require(shards > 0)
-    val h16 = Dedup.hash16Expr("instr", keyExpr)
+    // fast one-md5 hash16: this projection is read three times by the
+    // OrderedRank pass; values are bit-identical to the oracle's
+    // portable strpos nibble form
+    val h16 = Dedup.hash16FastExpr(keyExpr)
     val base = docs.select(col("doc_id"),
       expr(s"$h16 % $shards").as("shard"),
       expr(h16).as("__h"),

@@ -513,15 +513,19 @@ object Similarity {
     val dt = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("__qid"), col("embedding").as("qe"))
       .crossJoin(broadcast(cbRow))
-      .select(col("__qid"), transform(col("cb"), c =>
-        d2u6(subvec(col("qe"), c.getField("sub")), c.getField("cvec")))
-        .as("dt"))
+      // the dt stride is the ACTUAL per-subspace centroid count (a
+      // corpus smaller than ksub trains a smaller codebook; indexing
+      // by the literal ksub would walk past the table)
+      .select(col("__qid"), (size(col("cb")) / m).cast("int").as("__stride"),
+        transform(col("cb"), c =>
+          d2u6(subvec(col("qe"), c.getField("sub")), c.getField("cvec")))
+          .as("dt"))
     val scored = codes.crossJoin(broadcast(dt))
       .filter(col("vec_id") =!= col("__qid"))
       .select(col("__qid").as("qid"), col("vec_id"),
         aggregate(sequence(lit(0), lit(m - 1)), lit(0L), (acc, sub) =>
           acc + element_at(col("dt"),
-            sub * ksub + element_at(col("codes"), sub + 1) + 1))
+            sub * col("__stride") + element_at(col("codes"), sub + 1) + 1))
           .as("adist_u6"))
     scored.groupBy(col("qid"))
       .agg(graft.functions.TopK.top_k(k)(

@@ -157,7 +157,12 @@ object TextAnalysis {
     * BIGINT) before summing, so the result is immune to parallel
     * summation order in either engine.
     */
-  def corpusHealth(docs: DataFrame): DataFrame =
+  /** The per-document health projection shared by the batch rollup
+    * and the streaming running rollup (DocumentsStream
+    * .corpusHealthRunning) — ONE definition so batch/stream parity is
+    * structural, not parallel maintenance.
+    */
+  private[graft] def healthProjection(docs: DataFrame): DataFrame =
     docs
       .withColumn("t", split(col("text"), " "))
       .withColumn("nt", size(col("t")))
@@ -166,6 +171,9 @@ object TextAnalysis {
       .withColumn("uq6", round(col("uq") * 1000000, 0).cast("long"))
       .withColumn("keep",
         (col("nt") >= 20 && col("uq") >= 0.3).cast("long"))
+
+  def corpusHealth(docs: DataFrame): DataFrame =
+    healthProjection(docs)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         countDistinct(md5(col("text"))).as("n_distinct"),

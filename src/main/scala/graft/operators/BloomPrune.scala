@@ -38,14 +38,13 @@ object BloomPrune {
     s"(${graft.llm.Dedup.hash16Expr(instrFn,
       s"concat(cast($keyExpr as string), '#$i')")} % $bits)"
 
-  /** Spark-side fast form of [[probeBit]]: ONE md5 + a hex parse via
-    * `conv` — bit-identical to the 4-nibble instr construction
-    * (measured: 0 mismatches over the key space, 2.3× faster on the
-    * probe stage). The oracle keeps the portable strpos form.
+  /** Spark-side fast form of [[probeBit]] (Dedup.hash16FastExpr —
+    * one md5, bit-identical to the nibble construction). The oracle
+    * keeps the portable strpos form.
     */
   private def probeBitFast(keyExpr: String, i: Int, bits: Int): String =
-    s"(cast(conv(substr(md5(concat(cast($keyExpr as string), '#$i')), 1, 4)," +
-      s" 16, 10) as int) % $bits)"
+    s"(${graft.llm.Dedup.hash16FastExpr(
+      s"concat(cast($keyExpr as string), '#$i')")} % $bits)"
 
   /** The 1-row broadcast filter: map<word, or-mask> over the build
     * keys' probe bits. ≤ bits/64 entries regardless of build size.

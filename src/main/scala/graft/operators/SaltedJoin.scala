@@ -30,8 +30,11 @@ object SaltedJoin {
   def join(fact: DataFrame, dim: DataFrame, key: String,
       saltKeyExpr: String, salts: Int): DataFrame = {
     require(salts > 0)
+    // fast one-md5 hash: the salt runs per-row on the LARGE side, and
+    // nothing downstream needs the oracle-portable nibble form (the
+    // oracle is the unsalted SQL — salts never appear in results)
     val salted = fact.withColumn("__salt",
-      expr(s"(${graft.llm.Dedup.hash16Expr("instr", saltKeyExpr)} % $salts)"))
+      expr(s"(${graft.llm.Dedup.hash16FastExpr(saltKeyExpr)} % $salts)"))
     val replicated = dim.withColumn("__salt",
       explode(expr(s"sequence(0, ${salts - 1})")))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")

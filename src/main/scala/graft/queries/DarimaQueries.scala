@@ -114,15 +114,16 @@ object DarimaQueries {
     val all = series(s, d).cache()
     try {
       val n = all.count()
-      // empty series: nothing to fit or score — an empty result frame
-      // (same schema), not a crash (the 100 TB contract: empty inputs
-      // are routine, see EmptyInputSpec)
-      if (n == 0) {
+      val nTest = math.max(24L, n / 10).toInt
+      // degenerate series: empty, or so short the test tail would
+      // swallow every row and leave nothing to train on — an empty
+      // result frame (same schema), not a crash (the 100 TB contract:
+      // empty/tiny inputs are routine, see EmptyInputSpec)
+      if (n <= nTest) {
         Seq.empty[(Double, Double, Double, Double, Int)]
           .toDF("mean_mase", "mean_smape", "mean_msis_80",
             "mean_msis_95", "h")
       } else {
-        val nTest = math.max(24L, n / 10).toInt
         // test tail: distributed top-k, h rows — bounded driver transfer
         val tail = all.select(col("time").cast("double").as("t"), col("value"))
           .orderBy(col("t").desc).limit(nTest)
@@ -159,12 +160,18 @@ object DarimaQueries {
       .select(col("chunk_id"), col("ts").cast("double").as("t"), col("value"))
     chunked.as[(Int, Double, Double)]
       .groupByKey(_._1)
-      .mapGroups { (chunkId, it) =>
+      .flatMapGroups { (chunkId, it) =>
         val values = it.toArray.sortBy(_._2).map(_._3)
-        val fit = ArFit.olsAr(values, 1, trend = false)
-        (chunkId, values.length.toLong,
-          roundN(fit.beta0, 6), roundN(fit.pi(0), 6),
-          roundN(fit.sigma2, 4))
+        // a chunk too short for AR(1)+intercept OLS (n−p ≤ k+2) has
+        // no defined fit — drop it rather than crash (tiny corpora,
+        // see EmptyInputSpec; never triggers at harness scales)
+        if (values.length <= 5) Iterator.empty
+        else {
+          val fit = ArFit.olsAr(values, 1, trend = false)
+          Iterator.single((chunkId, values.length.toLong,
+            roundN(fit.beta0, 6), roundN(fit.pi(0), 6),
+            roundN(fit.sigma2, 4)))
+        }
       }
       .toDF("chunk_id", "n", "c", "phi", "sigma2")
       .orderBy(col("chunk_id"))

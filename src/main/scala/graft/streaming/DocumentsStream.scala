@@ -120,14 +120,7 @@ object DocumentsStream {
     * KMV sketch for an estimate).
     */
   def corpusHealthRunning(docs: DataFrame): DataFrame =
-    docs
-      .withColumn("t", split(col("text"), " "))
-      .withColumn("nt", size(col("t")))
-      .withColumn("uq",
-        size(array_distinct(col("t"))).cast("double") / col("nt"))
-      .withColumn("uq6", round(col("uq") * 1000000, 0).cast("long"))
-      .withColumn("keep",
-        (col("nt") >= 20 && col("uq") >= 0.3).cast("long"))
+    graft.llm.TextAnalysis.healthProjection(docs)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("keep")).as("n_keep"),
         sum(col("uq6")).as("s_uq6"), sum(col("n_chars")).as("total_chars"))
@@ -141,7 +134,7 @@ object DocumentsStream {
     */
   def shardAssign(docs: DataFrame, keyExpr: String, shards: Int): DataFrame =
     docs.withColumn("shard",
-      expr(s"(${graft.llm.Dedup.hash16Expr("instr", keyExpr)} % $shards)")
+      expr(s"(${graft.llm.Dedup.hash16FastExpr(keyExpr)} % $shards)")
         .cast("int"))
 
   /** Stateless bloom prescreen — the stream half of

@@ -78,16 +78,23 @@ object PlanAudit {
         stripCasts(c.child)
       case other => other
     }
+    // A Union reuses its FIRST child's exprIds for the output
+    // attributes, so a modulo Alias found under one branch says
+    // nothing about the values the other branches feed into the same
+    // attribute — refuse to certify through any Union rather than
+    // reason about branch provenance.
+    val hasUnion = child.collectFirst { case u: Union => u }.nonEmpty
     val defining = child.collect {
       case p: Project => p.projectList.collect {
         case al: Alias if al.exprId == attr.exprId => al.child
       }
     }.flatten
-    defining.nonEmpty && defining.forall(e => stripCasts(e) match {
-      case Pmod(_, r, _) => r.foldable
-      case Remainder(_, r, _) => r.foldable
-      case _ => false
-    })
+    !hasUnion && defining.nonEmpty && defining.forall(e =>
+      stripCasts(e) match {
+        case Pmod(_, r, _) => r.foldable
+        case Remainder(_, r, _) => r.foldable
+        case _ => false
+      })
   }
 
   /** Broadcast hints whose side has no boundedness certificate. */

@@ -173,10 +173,17 @@ class DocumentsStreamSpec extends AnyFunSuite {
           r.getString(0) -> (r.getAs[Long]("n_docs"), keep,
             r.getAs[Long]("total_chars"))
         }.toMap
+      // the quantized-uniqueness sum, exactly, via the SHARED
+      // per-document projection (the one field with float-parity risk)
+      val batchUq6 = graft.llm.TextAnalysis
+        .healthProjection(Tables.documents(spark, sf))
+        .groupBy(col("source")).agg(sum(col("uq6")).as("s"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       assert(got.keySet == batch.keySet)
-      got.foreach { case (src, (n, k, _, c)) =>
+      got.foreach { case (src, (n, k, uq6, c)) =>
         val (bn, bk, bc) = batch(src)
         assert(n == bn && k == bk && c == bc, s"source $src")
+        assert(uq6 == batchUq6(src), s"source $src uq6")
       }
     } finally q.stop()
   }

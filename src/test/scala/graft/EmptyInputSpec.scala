@@ -28,17 +28,42 @@ class EmptyInputSpec extends AnyFunSuite {
     dir
   }
 
-  test("every declared query executes against a fully empty corpus") {
+  /** 10 rows per table: below every k/tile/batch/window parameter the
+    * declared queries use, so each n<k degenerate path runs.
+    */
+  lazy val tinyDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("tiny-sf").toString
+    val names = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "documents", "embeddings")
+    names.foreach { n =>
+      spark.read.parquet(s"$sf/$n.parquet").limit(10)
+        .write.mode("overwrite").parquet(s"$dir/$n.parquet")
+    }
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sf/events.parquet").limit(10)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  private def sweep(dir: String, label: String): Unit = {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
-        try { fn(spark, emptyDir).count(); None }
+        try { fn(spark, dir).count(); None }
         catch {
           case e: Throwable =>
             Some(s"$name: ${Option(e.getMessage).getOrElse(e.toString).linesIterator.take(1).mkString.take(160)}")
         }
     }
     assert(failures.isEmpty,
-      s"\n${failures.size} queries crash on empty input:\n" +
+      s"\n${failures.size} queries crash on $label input:\n" +
         failures.mkString("\n"))
+  }
+
+  test("every declared query executes against a fully empty corpus") {
+    sweep(emptyDir, "empty")
+  }
+
+  test("every declared query executes against a 10-row corpus") {
+    sweep(tinyDir, "tiny")
   }
 }

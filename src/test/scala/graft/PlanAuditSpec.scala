@@ -49,6 +49,13 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!PlanAudit.provablyBounded(analyzed(
       corpus.withColumn("shard", col("doc_id") % col("n_chars"))
         .groupBy(col("shard")).count())))
+    // Union reuses the FIRST child's exprIds: a modulo alias in one
+    // branch proves nothing about the other branches' values, so the
+    // certificate must refuse through any Union
+    assert(!PlanAudit.provablyBounded(analyzed(
+      corpus.select((col("doc_id") % 8).as("k"))
+        .union(corpus.select(col("doc_id").as("k")))
+        .groupBy(col("k")).count())))
     // the __ prefix alone must not certify an unbounded key the
     // structural rule can see through... (the prefix convention is
     // kept for OrderedRank's internal columns; this documents that a

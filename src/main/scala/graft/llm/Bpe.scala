@@ -91,44 +91,101 @@ object Bpe {
       .orderBy(col("merge_rank"))
   }
 
+  /** One merge applied to a word's symbol array: a single
+    * left-to-right NON-OVERLAPPING fuse pass — exactly the semantics
+    * of `replace(sym, '<l> <r>', '<lr>')` on the bracket-delimited
+    * string form (a match consumes both symbols and the scan resumes
+    * after the replacement, so the fused symbol never re-matches as
+    * the right side within the same pass).
+    */
+  private def fusePass(syms: Array[String], l: String, r: String): Array[String] = {
+    // cheap pre-scan: most merges touch nothing in a given word
+    var i = 0
+    var hit = -1
+    while (hit < 0 && i < syms.length - 1) {
+      if (syms(i) == l && syms(i + 1) == r) hit = i
+      i += 1
+    }
+    if (hit < 0) return syms
+    val out = new ListBuffer[String]
+    var j = 0
+    while (j < hit) { out += syms(j); j += 1 }
+    while (j < syms.length) {
+      if (j + 1 < syms.length && syms(j) == l && syms(j + 1) == r) {
+        out += (l + r); j += 2
+      } else { out += syms(j); j += 1 }
+    }
+    out.toArray
+  }
+
+  /** Token count of one word under the learned merge table: symbolize
+    * to characters, then apply every merge in rank order (one fuse
+    * pass each — BPE encode is inherently sequential per word).
+    */
+  private[graft] def tokenizeWord(word: String, ms: Array[(String, String)]): Int = {
+    var syms: Array[String] = word.toCharArray.map(_.toString)
+    var mi = 0
+    while (mi < ms.length && syms.length >= 2) {
+      syms = fusePass(syms, ms(mi)._1, ms(mi)._2)
+      mi += 1
+    }
+    syms.length
+  }
+
   /** Tokenize the corpus with the learned merge table (x47) — the
     * encode half of the tokenizer loop (learn merges → encode docs →
-    * pack sequences): per document, symbolize each word, join words
-    * with a " / " separator no "<l> <r>" merge pattern can span
-    * (patterns are bracket-wrapped symbol pairs with a single
-    * interior space; the separator text between words is "> / <"),
-    * fold the merges in rank order as left-to-right non-overlapping
-    * replaces, and count the surviving symbols by counting their
-    * opening brackets.
+    * pack sequences). Encoding is a typed mapPartitions pass against
+    * the BROADCAST merge table: per admitted word (the same contract
+    * as learning — non-empty, no angle brackets), apply the merges in
+    * rank order as left-to-right non-overlapping fuse passes over the
+    * word's symbol array, and count the surviving symbols. A
+    * per-partition memo of distinct-word token counts makes the cost
+    * O(distinct words × merges × word length) rather than per
+    * occurrence.
     *
     * Shape at scale: learning's per-round driver transfer is one
-    * argmax row (see [[merges]]); the encode itself is a MAP-ONLY
-    * projection — R chained `replace` column expressions against
-    * merge-pattern literals, no join, no shuffle, nothing collected.
-    * Output is integer-exact: (doc_id, n_chars, n_tokens), where
-    * n_chars counts the characters of the words the tokenizer
-    * contract admits (bracket-containing words are excluded exactly
-    * as in vocabulary learning).
+    * argmax row (see [[merges]]); the encode itself is MAP-ONLY — no
+    * join, no shuffle, nothing collected — and scales in the
+    * MERGE-COUNT dimension (a production tokenizer's ~32k merges is a
+    * bigger broadcast array and a longer per-word loop, not a deeper
+    * Catalyst expression tree). Output is integer-exact:
+    * (doc_id, n_chars, n_tokens), where n_chars counts the characters
+    * of the admitted words.
     */
   def encode(docs: DataFrame, rounds: Int): DataFrame = {
     val learned = merges(docs, rounds).collect() // bounded: ≤rounds rows
-    val wordsExpr =
-      "filter(split(text, ' '), w -> length(w) > 0 " +
-        "AND NOT (w LIKE '%<%' OR w LIKE '%>%'))"
-    val symbolized =
-      s"""array_join(transform($wordsExpr,
-         |  w -> concat_ws(' ', transform(sequence(1, length(w)),
-         |    i -> concat('<', substr(w, i, 1), '>')))), ' / ')""".stripMargin
-    val mergedExpr = learned.foldLeft(symbolized) { (acc, m) =>
-      val pat = "<" + m.getAs[String]("lhs") + "> <" + m.getAs[String]("rhs") + ">"
-      val rep = "<" + m.getAs[String]("merged") + ">"
-      s"replace($acc, '${sqlLit(pat)}', '${sqlLit(rep)}')"
-    }
-    docs.select(col("doc_id"),
-      expr(s"aggregate($wordsExpr, 0L, (acc, w) -> acc + length(w))")
-        .as("n_chars"),
-      expr(s"length($mergedExpr) - length(replace($mergedExpr, '<', ''))")
-        .cast("long").as("n_tokens"))
+    encodeWith(docs,
+      learned.map(m => (m.getAs[String]("lhs"), m.getAs[String]("rhs"))).toSeq)
+  }
+
+  /** Encode against an already-learned merge table, in rank order. */
+  def encodeWith(docs: DataFrame, ms: Seq[(String, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(ms.toArray)
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Option[Long], String)]
+      .mapPartitions { it =>
+        val table = bc.value
+        val memo = new java.util.HashMap[String, Integer]()
+        it.map { case (id, text) =>
+          if (text == null) (id, None: Option[Long], None: Option[Long])
+          else {
+            var chars = 0L
+            var toks = 0L
+            text.split(" ", -1).foreach { w =>
+              if (w.nonEmpty && w.indexOf('<') < 0 && w.indexOf('>') < 0) {
+                chars += w.length
+                var t = memo.get(w)
+                if (t == null) { t = tokenizeWord(w, table); memo.put(w, t) }
+                toks += t.toLong
+              }
+            }
+            (id, Some(chars), Some(toks))
+          }
+        }
+      }
+      .toDF("doc_id", "n_chars", "n_tokens")
       .orderBy(col("doc_id"))
   }
 

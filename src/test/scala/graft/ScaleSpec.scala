@@ -258,6 +258,50 @@ class ScaleSpec extends AnyFunSuite {
     assert(secs < 120, s"took ${secs}s")
   }
 
+  test("bpe encode at >=500 merges: no expression-depth failure, " +
+      "counts match a driver-side replay of the replace semantics") {
+    import spark.implicits._
+    // 100 deterministic 12-char pseudo-random words: ~1100 potential
+    // fuse operations, far more than the 520 rounds we learn, so the
+    // learner never exhausts. A 520-deep nested `replace` expression
+    // tree would have broken Catalyst analysis long before this point
+    // (the r5 encode shape); the iterative tokenizer must not care.
+    val rng = new scala.util.Random(42)
+    val words = (0 until 100).map(_ =>
+      (0 until 12).map(_ => ('a' + rng.nextInt(26)).toChar).mkString)
+    val docs = words.zipWithIndex
+      .map { case (w, i) => (i.toLong, w + " " + words((i + 37) % 100)) }
+      .toDF("doc_id", "text")
+    val rounds = 520
+    val t0 = System.nanoTime()
+    val learned = graft.llm.Bpe.merges(docs, rounds).collect()
+    val tLearn = (System.nanoTime() - t0) / 1e9
+    assert(learned.length == rounds, s"exhausted at ${learned.length}")
+    val table = learned.map(m =>
+      (m.getAs[String]("lhs"), m.getAs[String]("rhs"))).toSeq
+    val t1 = System.nanoTime()
+    val enc = graft.llm.Bpe.encodeWith(docs, table).collect()
+    val tEnc = (System.nanoTime() - t1) / 1e9
+    info(f"520-merge BPE: learn ${tLearn}%.1f s, encode ${tEnc}%.1f s")
+    // independent oracle: the bracket-string chained-replace form the
+    // x47 DuckDB oracle uses (java String.replace is the same
+    // left-to-right non-overlapping literal replace as SQL replace)
+    def replay(text: String): Long = {
+      val sym = text.split(" ", -1).toSeq
+        .filter(w => w.nonEmpty && !w.contains('<') && !w.contains('>'))
+        .map(_.map(c => s"<$c>").mkString(" ")).mkString(" / ")
+      val merged = table.foldLeft(sym) { case (acc, (l, r)) =>
+        acc.replace(s"<$l> <$r>", s"<$l$r>")
+      }
+      merged.count(_ == '<').toLong
+    }
+    val byId = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    enc.foreach { r =>
+      assert(r.getAs[Long]("n_tokens") == replay(byId(r.getLong(0))),
+        s"doc ${r.getLong(0)}")
+    }
+  }
+
   test("2M-vector pq top-k: map-only encode, single top-k exchange") {
     import spark.implicits._
     // four exact clusters, one per codebook entry (ids 0-3 are the

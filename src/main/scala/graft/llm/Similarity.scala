@@ -501,13 +501,88 @@ object Similarity {
       .select(col("vec_id"),
         pqArgminCodes(col("embedding"), m, dim / m).as("codes"))
 
+  /** Integer squared L2 distance between two long arrays — exact in
+    * both engines, so k-means assignment has no float-order hazard.
+    */
+  private def intD2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, z) => acc + z)
+
+  /** TRAINED PQ codebook: per-subspace Lloyd k-means over the corpus
+    * subvectors, seeded from the first `ksub` vectors, `iters`
+    * refinement rounds — the quantizer-quality step the untrained
+    * first-ksub codebook lacks (recall at scale depends on it; see
+    * PqRecallSpec). Entirely integer-exact so the trajectory is
+    * bit-reproducible in the oracle: subvector components quantize to
+    * micro-units (floor(x·1e6+0.5) as long), assignment is integer
+    * squared-L2 argmin with (d, cid) struct-min tiebreak, and the
+    * centroid update is exact integer floor division
+    * ((s − pmod(s, n)) / n). A subspace cluster that loses all
+    * members keeps its previous centroid, so every subspace always
+    * carries exactly `ksub` entries and the ADC table stride stays
+    * uniform.
+    *
+    * Plan shape per iteration: centroids collapse to ONE grouping-free
+    * aggregate row (provably bounded → broadcast), assignment is a
+    * map-only projection against it, and the update is one
+    * posexplode + hash aggregate whose shuffle carries m·ksub·subDim
+    * rows regardless of corpus size. At 100 TB you would train on a
+    * pushed-down sample (`emb.filter(pmod(hash(vec_id), r) === 0)`)
+    * — the iteration shape is unchanged.
+    */
+  def pqTrainCodebook(emb: DataFrame, dim: Int, m: Int, ksub: Int,
+      iters: Int): DataFrame = {
+    val subDim = dim / m
+    val sv = emb.select(col("vec_id"),
+        explode(sequence(lit(0), lit(m - 1))).as("sub"),
+        col("embedding").cast("array<double>").as("e"))
+      .select(col("vec_id"), col("sub"),
+        transform(pqSubvec(col("e"), col("sub"), subDim),
+          x => floor(x * lit(1e6) + lit(0.5)).cast("long")).as("v"))
+    var cent = sv.filter(col("vec_id") < ksub)
+      .select(col("sub"), col("vec_id").cast("int").as("cid"),
+        col("v").as("cv"))
+    for (_ <- 1 to iters) {
+      val cb1 = cent.groupBy()
+        .agg(sort_array(collect_list(
+          struct(col("sub"), col("cid"), col("cv")))).as("cb"))
+      val assigned = sv.crossJoin(broadcast(cb1))
+        .select(col("sub"), col("v"),
+          array_min(transform(
+            filter(col("cb"), c => c.getField("sub") === col("sub")),
+            c => struct(intD2(col("v"), c.getField("cv")).as("d"),
+              c.getField("cid").as("cid")))).getField("cid").as("cid"))
+      val updated = assigned
+        .select(col("sub"), col("cid"), posexplode(col("v")).as(Seq("i", "x")))
+        .groupBy(col("sub"), col("cid"), col("i"))
+        .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+        .select(col("sub"), col("cid"), col("i"),
+          ((col("s") - pmod(col("s"), col("n"))) / col("n"))
+            .cast("long").as("cx"))
+        .groupBy(col("sub"), col("cid"))
+        .agg(expr(
+          "transform(array_sort(collect_list(struct(i, cx))), s -> s.cx)")
+          .as("ucv"))
+      cent = cent.join(updated, Seq("sub", "cid"), "left")
+        .select(col("sub"), col("cid"),
+          coalesce(col("ucv"), col("cv")).as("cv"))
+    }
+    cent.select(col("sub"), col("cid"),
+        transform(col("cv"), x => x / lit(1e6)).as("cvec"))
+      .groupBy()
+      .agg(sort_array(collect_list(struct(col("sub"), col("cid"),
+        col("cvec")))).as("cb"))
+  }
+
   def pqTopK(emb: DataFrame, dim: Int, m: Int, ksub: Int, nQueries: Int,
-      k: Int): DataFrame = {
+      k: Int, trainIters: Int = 0): DataFrame = {
     require(dim % m == 0, s"dim=$dim not divisible by m=$m subspaces")
     val subDim = dim / m
     def d2u6(a: Column, b: Column): Column = pqD2u6(a, b)
     def subvec(e: Column, sub: Column): Column = pqSubvec(e, sub, subDim)
-    val cbRow = pqCodebook(emb, dim, m, ksub)
+    val cbRow =
+      if (trainIters > 0) pqTrainCodebook(emb, dim, m, ksub, trainIters)
+      else pqCodebook(emb, dim, m, ksub)
     val codes = pqEncode(emb, cbRow, dim, m)
     // per-query ADC tables: dt[sub·ksub + cid] = d²(q_sub, c_sub,cid)
     val dt = emb.filter(col("vec_id") < nQueries)
@@ -537,16 +612,73 @@ object Similarity {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** The trained-codebook CTE chain mirroring [[pqTrainCodebook]]:
+    * micro-unit subvectors, integer argmin assignment per round,
+    * exact integer floor-division centroid update, empty clusters
+    * keeping their previous centroid.
+    */
+  private def pqTrainedCbSql(subDim: Int, m: Int, ksub: Int,
+      iters: Int): String = {
+    val d2 =
+      """CAST(list_aggregate(list_transform(range(len(s.v)),
+        |  i -> (s.v[CAST(i AS INT)+1] - c.cv[CAST(i AS INT)+1])
+        |     * (s.v[CAST(i AS INT)+1] - c.cv[CAST(i AS INT)+1])),
+        |  'sum') AS BIGINT)""".stripMargin
+    val stages = (1 to iters).map { t =>
+      val p = t - 1
+      s"""a$t AS (
+         |  SELECT sub, v, cid FROM (
+         |    SELECT s.vec_id, s.sub, s.v, c.cid,
+         |      row_number() OVER (PARTITION BY s.vec_id, s.sub
+         |        ORDER BY $d2, c.cid) AS rn
+         |    FROM sv s JOIN c$p c ON c.sub = s.sub)
+         |  WHERE rn = 1
+         |), u$t AS (
+         |  SELECT sub, cid, list(cx ORDER BY i) AS ucv FROM (
+         |    SELECT sub, cid, i,
+         |      CAST((s - ((s % n + n) % n)) / n AS BIGINT) AS cx
+         |    FROM (SELECT a.sub, a.cid, CAST(r.i AS INT) AS i,
+         |            CAST(sum(v[CAST(r.i AS INT)+1]) AS BIGINT) AS s,
+         |            count(*) AS n
+         |          FROM a$t a, UNNEST(range(len(v))) AS r(i)
+         |          GROUP BY 1, 2, 3))
+         |  GROUP BY 1, 2
+         |), c$t AS (
+         |  SELECT p.sub, p.cid, COALESCE(u.ucv, p.cv) AS cv
+         |  FROM c$p p LEFT JOIN u$t u ON u.sub = p.sub AND u.cid = p.cid
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""sv AS (
+       |  SELECT vec_id, s.sub,
+       |    list_transform(embedding[s.sub*$subDim+1 : s.sub*$subDim+$subDim],
+       |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5)
+       |             AS BIGINT)) AS v
+       |  FROM embeddings, UNNEST(range($m)) AS s(sub)
+       |), c0 AS (
+       |  SELECT sub, CAST(vec_id AS INT) AS cid, v AS cv
+       |  FROM sv WHERE vec_id < $ksub
+       |),
+       |$stages,
+       |cb AS (
+       |  SELECT sub, cid, list_transform(cv, x -> x / 1000000.0) AS cvec
+       |  FROM c$iters
+       |)""".stripMargin
+  }
+
   def pqTopKSql(dim: Int, m: Int, ksub: Int, nQueries: Int,
-      k: Int): String = {
+      k: Int, trainIters: Int = 0): String = {
     val subDim = dim / m
-    s"""WITH cb AS (
-       |  SELECT s.sub, e.vec_id AS cid,
-       |    list_transform(e.embedding[s.sub*$subDim+1 : s.sub*$subDim+$subDim],
-       |                   x -> CAST(x AS DOUBLE)) AS cvec
-       |  FROM embeddings e, UNNEST(range($m)) AS s(sub)
-       |  WHERE e.vec_id < $ksub
-       |), corpus AS (
+    val cbSql =
+      if (trainIters > 0) pqTrainedCbSql(subDim, m, ksub, trainIters)
+      else
+        s"""cb AS (
+           |  SELECT s.sub, e.vec_id AS cid,
+           |    list_transform(e.embedding[s.sub*$subDim+1 : s.sub*$subDim+$subDim],
+           |                   x -> CAST(x AS DOUBLE)) AS cvec
+           |  FROM embeddings e, UNNEST(range($m)) AS s(sub)
+           |  WHERE e.vec_id < $ksub
+           |)""".stripMargin
+    s"""WITH $cbSql, corpus AS (
        |  SELECT vec_id, s.sub,
        |    list_transform(embedding[s.sub*$subDim+1 : s.sub*$subDim+$subDim],
        |                   x -> CAST(x AS DOUBLE)) AS v

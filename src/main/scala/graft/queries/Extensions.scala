@@ -332,7 +332,7 @@ object Extensions {
     */
   private val x46PqTopK: Q = (s, d) =>
     Similarity.pqTopK(Tables.embeddings(s, d), dim = 64, m = 4, ksub = 16,
-      nQueries = 5, k = 10)
+      nQueries = 5, k = 10, trainIters = 2)
 
   /** X3: TF-IDF top terms per document. */
   private val x23Tfidf: Q = (s, d) =>
@@ -662,7 +662,7 @@ object Extensions {
     "x44_heavy_hitters" -> HeavyHitters.heavyHittersSql(32),
     "x45_temperature_mix" -> Sampling.temperatureMixSql(200),
     "x46_pq_topk" -> Similarity.pqTopKSql(dim = 64, m = 4, ksub = 16,
-      nQueries = 5, k = 10),
+      nQueries = 5, k = 10, trainIters = 2),
     "x47_bpe_encode" -> Bpe.encodeSql(8),
     "x48_cluster_reps" -> Dedup.clusterRepresentativesSql(3),
     "x49_hard_negatives" -> Similarity.hardNegativesSql(nQueries = 5, k = 5),

@@ -15,7 +15,7 @@ import org.apache.spark.sql.functions._
   * explode + hash agg over the vocabulary, never the corpus, and the
   * only driver transfer per round is the single argmax pair row. The
   * round count is the (small, fixed) number of merges requested;
-  * every per-round table is `localCheckpoint`ed so lineage stays flat.
+  * every per-round table is pinned (graft.tools.Materialize) so lineage stays flat.
   *
   * Symbols are wrapped in angle brackets inside the working string
   * ("he" → "<h> <e>") so the merge rewrite `replace(sym, "<l> <r>",
@@ -57,7 +57,7 @@ object Bpe {
         "concat_ws(' ', transform(sequence(1, length(w)), " +
           "i -> concat('<', substr(w, i, 1), '>')))").as("sym"),
         col("freq"))
-      .localCheckpoint()
+      .transform(graft.tools.Materialize(_))
     val learned = ListBuffer[(Int, String, String, String, Long)]()
     var r = 1
     var exhausted = false
@@ -82,7 +82,7 @@ object Bpe {
         val mergedSym = "<" + strip(l) + strip(rt) + ">"
         vocab = vocab.withColumn("sym", expr(
           s"replace(sym, '${sqlLit(l + " " + rt)}', '${sqlLit(mergedSym)}')"))
-          .localCheckpoint()
+          .transform(graft.tools.Materialize(_))
         r += 1
       }
     }

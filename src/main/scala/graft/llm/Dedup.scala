@@ -306,7 +306,7 @@ object Dedup {
     * label tables of |V| rows plus one join against the edge list —
     * the shape that holds when V and E are 100 TB-scale (GraphX
     * does the same thing; no driver-side graph, no global sort).
-    * Labels/edges are materialized per round (localCheckpoint) so the
+    * Labels/edges are materialized per round (graft.tools.Materialize) so the
     * lineage doesn't grow with the iteration count.
     *
     * Pair endpoints absent from `vertices` are discovered through the
@@ -316,7 +316,7 @@ object Dedup {
       maxIter: Int = 25): DataFrame = {
     val bidir = pairs.select(col("d1").as("a"), col("d2").as("b"))
       .unionByName(pairs.select(col("d2").as("a"), col("d1").as("b")))
-      .localCheckpoint()
+      .transform(graft.tools.Materialize(_))
     // Iterate only over nodes that touch at least one edge — every
     // other vertex is trivially its own component and joins back after
     // the loop. Per-round tables are |endpoints| rows, not |V|: on a
@@ -330,7 +330,7 @@ object Dedup {
     var lbl = bidir.groupBy(col("a"))
       .agg(min(col("b")).as("mb"))
       .select(col("a").as("node"), least(col("a"), col("mb")).as("label"))
-      .localCheckpoint()
+      .transform(graft.tools.Materialize(_))
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
@@ -350,7 +350,7 @@ object Dedup {
       val next = prop.join(hop, col("label") === col("ln"), "left")
         .select(col("node"),
           coalesce(col("ll"), col("label")).as("label"), col("old"))
-        .localCheckpoint()
+        .transform(graft.tools.Materialize(_))
       // null-safe: a pair endpoint absent from `vertices` enters via
       // the edge join with old=null — plain =!= returns null there,
       // the filter drops the row, and the loop would stop early with
@@ -567,7 +567,7 @@ object Dedup {
     // per-doc set sizes fall out of the same bucketed table, so the
     // two consumers share one exchange instead of recomputing the
     // explosion four times.
-    // localCheckpoint: both consumers (sizes, pair explosion) read this
+    // Materialize: both consumers (sizes, pair explosion) read this
     // table and Catalyst does not reuse the exchange across them
     // (verified in the plan); the capped bucket table is tiny relative
     // to the shingle explosion, so materializing it once is strictly
@@ -577,7 +577,7 @@ object Dedup {
       .agg(graft.functions.MinK.bounded_min_k(dfCap)(col("doc_id"))
         .as("ds"))
       .filter(size(col("ds")) > 0)
-      .localCheckpoint()
+      .transform(graft.tools.Materialize(_))
     val sizes = buckets
       .select(explode(col("ds")).as("doc_id"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))

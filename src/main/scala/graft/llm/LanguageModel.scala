@@ -115,15 +115,11 @@ object LanguageModel {
   def perplexityBuckets(docs: DataFrame, alpha: Double = 0.5,
       lmLang: String = "en", tiles: Int = 3): DataFrame = {
     require(tiles >= 2)
-    // materialize the score table before ranking: OrderedRank reads
-    // its input three times (quantile bounds, the bucketed window
-    // pass, the per-bucket counts) and the LM pipeline above it is
-    // the expensive part — without this the trigram scoring runs 3×.
-    // The checkpoint is the |docs|×2-column score frame, the same
-    // persist a 100 TB run would make before any rank/ntile stage.
+    // OrderedRank pins its own input (graft.tools.Materialize), so
+    // the expensive LM scoring upstream runs exactly once — no
+    // caller-side checkpoint needed.
     val ppl = trigramPerplexity(docs, alpha, lmLang)
       .select(col("doc_id"), col("avg_nll"))
-      .localCheckpoint()
     graft.ts.OrderedRank.withNtile(ppl, col("avg_nll"), col("doc_id"),
         tiles, "tile")
       .select(col("doc_id"), col("avg_nll"),

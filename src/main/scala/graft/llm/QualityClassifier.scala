@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
   * partial sums, no shuffle of rows) producing the d+1-dimensional
   * gradient — the only driver transfer, bounded by the feature count,
   * exactly the treeAggregate shape MLlib uses. The feature table is
-  * computed once and `localCheckpoint`ed; T iterations are T cheap
+  * computed once and pinned (graft.tools.Materialize); T iterations are T cheap
   * jobs regardless of corpus size.
   *
   * Float discipline (the oracle replays the same loop in SQL): the
@@ -76,7 +76,7 @@ object QualityClassifier {
     }.toArray
     val z = raw.select(col("doc_id") +: col("y") +: (1 to 4).map(j =>
       ((col(s"x$j") - lit(mu(j - 1))) / lit(sd(j - 1))).as(s"z$j")): _*)
-      .localCheckpoint()
+      .transform(graft.tools.Materialize(_))
     val w = Array.fill(5)(0.0) // bias, z1..z4
     for (_ <- 1 to iters) {
       val p = lit(1.0) / (lit(1.0) + exp(-margin(w)))

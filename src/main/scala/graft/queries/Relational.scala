@@ -160,7 +160,7 @@ object Relational {
       .select(col("event_id"), col("value").as("v"),
         col("value_lag1").as("pred"), col("value_lag24").as("season"))
       .filter(col("pred").isNotNull && col("season").isNotNull)
-      .localCheckpoint()
+      .transform(graft.tools.Materialize(_))
     val scalars = lagged.agg(
       avg(abs(col("v") - col("season"))).as("scale"),
       stddev_samp(col("v")).as("sd"))

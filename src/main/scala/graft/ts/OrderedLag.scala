@@ -138,7 +138,7 @@ object OrderedLag {
     // last maxLag rows before any boundary are a subset of the union
     // of earlier tails). Both are at most buckets·maxLag rows, found
     // by ONE narrow pass (keys + carry only, no lag building) and
-    // materialized once (localCheckpoint): deriving them from `local`
+    // materialized once (graft.tools.Materialize): deriving them from `local`
     // instead re-ran the full build-and-sort once per boundary
     // relation — 3 full-data window passes where 2 suffice.
     val dataCols =
@@ -149,7 +149,7 @@ object OrderedLag {
       .withColumn("__cnt", count(lit(1)).over(wAll))
       .filter(col("__rn") <= maxLag ||
         col("__cnt") - col("__rn") < maxLag)
-      .localCheckpoint()
+      .transform(graft.tools.Materialize(_))
     val heads = boundary
       .filter(col("__rn") <= maxLag && col("__bucket") > 0)
       .select(dataCols.map(col) :+ col("__bucket").as("__tgt"): _*)

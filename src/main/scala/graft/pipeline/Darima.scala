@@ -36,6 +36,14 @@ final case class DarimaConfig(
       */
     maxSP: Int = 2,
     maxSQ: Int = 2,
+    /** Cap on TOTAL differencing d + D for the arma/sarima fitters.
+      * Each unit root compounds forecast-variance growth (d+D = 2 →
+      * Var(ŷ_h) ~ h³), so [[Darima.run]] tightens this to 1 when the
+      * horizon extends far beyond the seasonal period — the
+      * long-horizon interval calibration auto.arima achieves with its
+      * drift handling.
+      */
+    maxTotalD: Int = 2,
     levels: Array[Int] = Array(80, 95),
     /** "longar" = Levinson–Durbin long-AR with seasonal-spanning lags
       * (default; see ArimaFit.fitLongAr); "arma" = stepwise
@@ -164,12 +172,12 @@ object Darima {
         Sarima2Ar.toAr(ArimaFit.fitLongAr(values, cfg.freq, cfg.maxLag),
           cfg.tol)
       case "arma" =>
-        Sarima2Ar.toAr(ArimaFit.fit(values, cfg.freq, cfg.maxP, cfg.maxQ),
-          cfg.tol)
+        Sarima2Ar.toAr(ArimaFit.fit(values, cfg.freq, cfg.maxP, cfg.maxQ,
+          maxD = cfg.maxTotalD), cfg.tol)
       case "sarima" =>
         Sarima2Ar.toAr(
           ArimaFit.fitSeasonal(values, cfg.freq, cfg.maxP, cfg.maxQ,
-            cfg.maxSP, cfg.maxSQ),
+            cfg.maxSP, cfg.maxSQ, maxTotalD = cfg.maxTotalD),
           cfg.tol)
       case other => throw new IllegalArgumentException(
         s"unknown fitter '$other' (expected longar|arma|sarima|olsar)")
@@ -518,10 +526,22 @@ object Darima {
     */
   def run(spark: SparkSession, series: DataFrame, h: Int,
       cfg: DarimaConfig): (ArLinearModel, ForecastResult) = {
+    // Long-horizon interval calibration: at h ≫ m a double unit root
+    // (d = D = 1) makes interval width grow ~h^(3/2) — MSIS95 ≈ 485
+    // on the electricity fixture vs ≈ 9 single-rooted. Cap total
+    // differencing at one root; the seasonal difference takes the
+    // slot when seasonal strength demands it, and a surviving linear
+    // trend becomes drift through the mean term (the practical
+    // behavior of auto.arima's allowdrift at long horizons).
+    val cfgFit =
+      if (cfg.maxTotalD > 1 && cfg.freq > 1 && h > 2 * cfg.freq &&
+        (cfg.fitter == "sarima" || cfg.fitter == "arma"))
+        cfg.copy(maxTotalD = 1)
+      else cfg
     val cached = series.cache()
     try {
       val n = cached.count()
-      val coefsRaw = fitChunkCoefs(spark, cached, cfg)
+      val coefsRaw = fitChunkCoefs(spark, cached, cfgFit)
       val useHoldoutW = cfg.seasonalWeighting == "holdout"
       // the coef table is tiny (K·(p+3) rows) — cache it when the
       // holdout scoring pass would otherwise re-run the whole fit

@@ -84,6 +84,47 @@ class SarimaSearchSpec extends AnyFunSuite {
       mod.sphi.length + mod.stheta.length <= 1)
   }
 
+  test("long-horizon cap: maxTotalD=1 keeps d+D ≤ 1 and tames interval growth") {
+    val m = 24
+    // doubly-integrated seasonal series: (1−B)(1−B^m)x = ε — both the
+    // seasonal-strength gate and KPSS fire, so the uncapped search
+    // takes d = D = 1 (the electricity-fixture behavior that exploded
+    // h=2879 intervals, RESULTS round-5: MSIS95 ≈ 485)
+    val e = noise(4000, 17L)
+    val s = new Array[Double](4000)
+    var t = 0
+    while (t < 4000) {
+      s(t) = e(t) + (if (t >= m) s(t - m) else 0.0)
+      t += 1
+    }
+    val x = new Array[Double](4000)
+    x(0) = s(0)
+    t = 1
+    while (t < 4000) { x(t) = x(t - 1) + s(t); t += 1 }
+
+    val un = ArimaFit.fitSeasonal(x, m, maxP = 2, maxQ = 2,
+      maxSP = 1, maxSQ = 1)
+    val capped = ArimaFit.fitSeasonal(x, m, maxP = 2, maxQ = 2,
+      maxSP = 1, maxSQ = 1, maxTotalD = 1)
+    assert(un.d + un.bigD == 2, s"uncapped d=${un.d} D=${un.bigD}")
+    assert(capped.d + capped.bigD <= 1,
+      s"capped d=${capped.d} D=${capped.bigD}")
+
+    // interval-width growth ∝ sqrt(Σψ²): a double root grows the
+    // cumulative ψ² like h³, a single root like h² — at h = 120·m the
+    // capped model's h-step se must be far below the uncapped one's
+    def seGrowth(mod: SarimaModel): Double = {
+      val ar = Sarima2Ar.toAr(mod, 2000)
+      val h = 120 * m
+      val psi = graft.forecast.Forecast.psiWeights(ar.pi, h)
+      math.sqrt(psi.map(p => p * p).sum)
+    }
+    val gU = seGrowth(un)
+    val gC = seGrowth(capped)
+    info(f"sqrt(sum psi^2) at h=120m: uncapped=$gU%.1f capped=$gC%.1f")
+    assert(gC < gU / 5.0, s"capped $gC vs uncapped $gU")
+  }
+
   test("m=1 falls through to the non-seasonal search") {
     val x = noise(300, 5L)
     val mod = ArimaFit.fitSeasonal(x, 1)

@@ -103,21 +103,7 @@ object Sampling {
   def temperatureMix(docs: DataFrame, budget: Int,
       tau: Double = 0.7): DataFrame = {
     val cnt = docs.groupBy(col("source")).agg(count(lit(1)).as("cnt"))
-    val z = cnt.agg(round(sum(pow(col("cnt"), lit(tau))), 9).as("z"))
-    val quota = cnt.crossJoin(broadcast(z))
-      .withColumn("q",
-        round(lit(budget) * pow(col("cnt"), lit(tau)) / col("z"), 9))
-      .withColumn("base", floor(col("q")).cast("long"))
-      .withColumn("rem", col("q") - floor(col("q")))
-    val spent = quota.agg(sum(col("base")).as("sb"))
-    val alloc = quota
-      .withColumn("rrk", row_number().over(
-        Window.orderBy(col("rem").desc, col("source"))))
-      .crossJoin(broadcast(spent))
-      .withColumn("alloc",
-        (col("base") + when(col("rrk") <= lit(budget) - col("sb"), 1L)
-          .otherwise(0L)).cast("int"))
-      .select(col("source"), col("alloc"))
+    val alloc = allocations(cnt, budget, tau)
     val w = Window.partitionBy(col("source"))
       .orderBy(expr("md5(cast(doc_id as string))"))
     docs
@@ -127,6 +113,32 @@ object Sampling {
       .select(col("source"), col("rk"), col("alloc"), col("doc_id"),
         col("n_chars"))
       .orderBy(col("source"), col("rk"))
+  }
+
+  /** The allocation finisher of [[temperatureMix]], factored over a
+    * (source, cnt) count table so the batch operator and the
+    * streaming running-count twin share one definition (the stream
+    * maintains the counts as bounded per-source state and applies
+    * this at drain/checkpoint time — the |sources|-row dimension is
+    * the only input, so the finisher costs nothing at any corpus
+    * size).
+    */
+  def allocations(cnt: DataFrame, budget: Int, tau: Double): DataFrame = {
+    val z = cnt.agg(round(sum(pow(col("cnt"), lit(tau))), 9).as("z"))
+    val quota = cnt.crossJoin(broadcast(z))
+      .withColumn("q",
+        round(lit(budget) * pow(col("cnt"), lit(tau)) / col("z"), 9))
+      .withColumn("base", floor(col("q")).cast("long"))
+      .withColumn("rem", col("q") - floor(col("q")))
+    val spent = quota.agg(sum(col("base")).as("sb"))
+    quota
+      .withColumn("rrk", row_number().over(
+        Window.orderBy(col("rem").desc, col("source"))))
+      .crossJoin(broadcast(spent))
+      .withColumn("alloc",
+        (col("base") + when(col("rrk") <= lit(budget) - col("sb"), 1L)
+          .otherwise(0L)).cast("int"))
+      .select(col("source"), col("alloc"))
   }
 
   def temperatureMixSql(budget: Int, tau: Double = 0.7): String =

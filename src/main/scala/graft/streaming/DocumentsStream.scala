@@ -137,6 +137,52 @@ object DocumentsStream {
       expr(s"(${graft.llm.Dedup.hash16FastExpr(keyExpr)} % $shards)")
         .cast("int"))
 
+  /** Running per-source count table — the streaming half of
+    * temperature-mix allocation (llm.Sampling.temperatureMix):
+    * UPDATE-mode stateful aggregation whose state is one row per
+    * source (a dimension, bounded by the domain list). At drain or
+    * checkpoint time [[temperatureQuotas]] turns the counts into the
+    * exact batch allocation.
+    */
+  def sourceCountsRunning(docs: DataFrame): DataFrame =
+    docs.groupBy(col("source")).agg(count(lit(1)).as("cnt"))
+
+  /** Drain-time finisher: the same largest-remainder apportionment as
+    * the batch operator, over the drained running counts — a
+    * |sources|-row computation, so running it per micro-batch
+    * checkpoint is free. Batch parity: identical counts → identical
+    * quotas, bit for bit.
+    */
+  def temperatureQuotas(counts: DataFrame, budget: Int,
+      tau: Double = 0.7): DataFrame =
+    graft.llm.Sampling.allocations(counts, budget, tau)
+
+  /** Stateless ingest half of length-sorted batching
+    * (llm.Packing.sortedBatches): per-arrival token counts with the
+    * batch operator's exact split arithmetic. The drained count table
+    * feeds Packing.batchesFromTokenCounts for the global rank-and-cut
+    * (a batch/drain-time concern by nature — the batch index of a
+    * document depends on every other document's length).
+    */
+  def tokenCountsOnIngest(docs: DataFrame): DataFrame =
+    graft.llm.Packing.tokenCounts(docs)
+
+  /** Stateless length-bucket routing against FIXED boundaries (e.g. a
+    * batch-computed quantile snapshot riding along as literals — the
+    * train-in-batch / serve-in-stream shape): bucket = number of
+    * boundaries strictly below the arrival's token count. Arrivals
+    * with near-equal lengths land in the same bucket, so pad-to-
+    * longest batches can form within buckets as they fill without any
+    * global order.
+    */
+  def lengthBucketAssign(docs: DataFrame, bounds: Seq[Long]): DataFrame = {
+    val nTok = size(split(col("text"), " ")).cast("long")
+    val bucket = bounds.sorted.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(nTok > lit(b), 1).otherwise(0)
+    }
+    docs.withColumn("n_tokens", nTok).withColumn("bucket", bucket)
+  }
+
   /** Stateless bloom prescreen — the stream half of
     * operators.BloomPrune: a batch-built filter over already-ingested
     * content keys rides into every task as a literal map (≤ bits/64

@@ -216,4 +216,76 @@ class DocumentsStreamSpec extends AnyFunSuite {
       assert(kept.forall(_ % 2 == 1))
     } finally q.stop()
   }
+
+  test("running source counts + drain-time quotas match the batch " +
+    "temperature mix allocation") {
+    val stream = DocumentsStream.readDocuments(spark, docsDir)
+    val q = DocumentsStream.sourceCountsRunning(stream)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("src_counts").start()
+    try {
+      q.processAllAvailable()
+      val drained = spark.sql("SELECT source, cnt FROM src_counts")
+      val batchCnt = Tables.documents(spark, sf)
+        .groupBy(col("source")).agg(count(lit(1)).as("cnt"))
+      // per-source running state drains to the exact batch counts
+      assert(drained.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        == batchCnt.collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
+      // identical counts through the shared finisher → identical quotas
+      val sq = DocumentsStream.temperatureQuotas(drained, 200)
+        .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+      val bq = graft.llm.Sampling.allocations(batchCnt, 200, 0.7)
+        .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+      assert(sq == bq)
+      assert(sq.values.sum == 200, s"quota sum ${sq.values.sum}")
+      // the x45 batch operator admits exactly alloc docs per source
+      // (or everything it has, for an undersized source)
+      val admitted = graft.llm.Sampling
+        .temperatureMix(Tables.documents(spark, sf), 200)
+        .groupBy(col("source")).count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      admitted.foreach { case (src, n) => assert(n <= bq(src), src) }
+    } finally q.stop()
+  }
+
+  test("ingest token counts feed the exact batch sorted-batches layout") {
+    val stream = DocumentsStream.readDocuments(spark, docsDir)
+    val q = DocumentsStream.tokenCountsOnIngest(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("tok_counts").start()
+    try {
+      q.processAllAvailable()
+      val drained = spark.sql("SELECT doc_id, n_tokens FROM tok_counts")
+      val fromStream = graft.llm.Packing
+        .batchesFromTokenCounts(drained, 32)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+          r.getInt(3))).toSeq
+      val batch = graft.llm.Packing
+        .sortedBatches(Tables.documents(spark, sf), 32)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+          r.getInt(3))).toSeq
+      assert(fromStream == batch)
+    } finally q.stop()
+  }
+
+  test("length-bucket routing on ingest agrees with the batch expression") {
+    val bounds = Seq(50L, 100L, 200L)
+    val q = DocumentsStream.lengthBucketAssign(
+        DocumentsStream.readDocuments(spark, docsDir), bounds)
+      .select(col("doc_id"), col("n_tokens"), col("bucket"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("len_buckets").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql("SELECT * FROM len_buckets").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val batch = DocumentsStream.lengthBucketAssign(
+          Tables.documents(spark, sf), bounds)
+        .select(col("doc_id"), col("n_tokens"), col("bucket")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got == batch)
+      // the boundaries actually split this corpus
+      assert(got.map(_._3).size >= 2)
+    } finally q.stop()
+  }
 }

@@ -1,9 +1,17 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // best-of-N protocol: per-query wall time is the MIN across reps
+    // (one-off GC/compilation/page-cache noise only ever adds time),
+    // with every rep's total recorded so run-to-run spread is visible
+    // in the artifact instead of being methodology guesswork
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "/root/repo/BENCH_full.json")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -21,7 +29,9 @@ object Bench {
       try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    def timeOne(name: String): Double = {
+      val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       // noop sink materializes every row (projections, sorts, round/md5
       // in the select list) — .count() would let Catalyst prune them
@@ -32,12 +42,35 @@ object Bench {
       // one query's garbage is not billed to the next one's timing
       spark.sqlContext.clearCache()
       System.gc()
-      name -> dt
+      dt
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val runs: Seq[Seq[(String, Double)]] =
+      (1 to reps).map(_ => names.map(n => n -> timeOne(n)))
+    val best: Seq[(String, Double)] =
+      names.map(n => n -> runs.map(_.toMap.apply(n)).min)
+    def r4(v: Double): Double = math.rint(v * 1e4) / 1e4
+    val qs = best.map { case (k, v) => s"\"" + k + "\":" + r4(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = r4(best.map(_._2).sum)
+    val repTotals = runs.map(r => r4(r.map(_._2).sum))
+      .mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec"""" +
+      s""","reps":$reps,"rep_totals":$repTotals,"queries":$qs""" +
+      s""","sf":"$sfDir"}"""
+    // stdout for the driver (kept compact — 4dp — so log tails never
+    // truncate the per-query map) AND the full artifact to a file,
+    // with every rep's per-query timing
+    println(line)
+    try {
+      val perRep = runs.zipWithIndex.map { case (r, i) =>
+        s""""run${i + 1}":""" + r.map { case (k, v) =>
+          s"\"" + k + "\":" + r4(v)
+        }.mkString("{", ",", "}")
+      }.mkString(",")
+      java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+        (line.dropRight(1) + s""","per_rep":{$perRep}}""" + "\n")
+          .getBytes("UTF-8"))
+    } catch { case _: Throwable => () } // bench must not fail on IO
     spark.stop()
   }
 }

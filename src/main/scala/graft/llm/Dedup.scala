@@ -622,4 +622,5 @@ object Dedup {
        |JOIN sizes s2 ON s2.doc_id = d2
        |WHERE CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) >= $threshold
        |ORDER BY d1, d2""".stripMargin
+
 }

@@ -739,4 +739,96 @@ object Similarity {
       |       round(avg(CAST(embedding[i + 1] AS DOUBLE)), 6) AS centroid
       |FROM embeddings, UNNEST(range(len(embedding))) AS r(i)
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** X1/X2: semantic deduplication, SemDeDup shape (Abbas et al.
+    * 2023): cluster the embedding space, then mark as duplicates the
+    * vectors whose cosine to a LOWER-id member of the SAME cluster
+    * clears the threshold — all-pairs similarity never runs, only the
+    * within-cluster candidate enumeration.
+    *
+    * Scale honesty: the cluster assignment is one broadcast-k pass
+    * (k centroids, argmax cosine); per-cluster member lists come from
+    * the cap-and-drop BoundedMinK aggregate (buffer ≤ clusterCap+1 —
+    * an over-cap cluster is dropped whole rather than enumerated,
+    * the same guard as the LSH near-dup buckets), so pair work is
+    * ≤ clusterCap²/2 per cluster. In production k grows ~√N to hold
+    * cluster sizes, exactly as SemDeDup prescribes; the harness run
+    * pins the arithmetic with fixed seeds. The pmod on the seed ids
+    * is the identity on [0, k) and hands the centroid broadcast its
+    * structural cardinality certificate.
+    */
+  def semanticDedup(emb: DataFrame, k: Int, threshold: Double,
+      clusterCap: Int = 256): DataFrame = {
+    val centroids = emb.filter(col("vec_id") < k)
+      .select(pmod(col("vec_id"), lit(k)).as("__cid"),
+        col("embedding").cast("array<double>").as("ce"))
+    val assigned = emb.crossJoin(broadcast(centroids))
+      .withColumn("c", round(graft.functions.VectorFunctions
+        .cosine_similarity(col("embedding"), col("ce")), 6))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("vec_id"))
+        .orderBy(col("c").desc, col("__cid"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("__cid").as("cid"))
+    val pairs = assigned.groupBy(col("cid"))
+      .agg(graft.functions.MinK.bounded_min_k(clusterCap)(col("vec_id"))
+        .as("vs"))
+      .filter(size(col("vs")) > 0)
+      .select(explode(expr(
+        """flatten(transform(vs, (x, i) ->
+          |  transform(slice(vs, i + 2, size(vs)),
+          |            y -> struct(x AS i, y AS j))))""".stripMargin)).as("p"))
+      .select(col("p.i").as("i"), col("p.j").as("j"))
+    val e1 = emb.select(col("vec_id").as("i"), col("embedding").as("ei"))
+    val e2 = emb.select(col("vec_id").as("j"), col("embedding").as("ej"))
+    // a vector is a duplicate iff SOME lower-id same-cluster member
+    // is within the threshold (keep-the-first rule — deterministic,
+    // no transitive chaining)
+    val dropped = pairs.join(e1, "i").join(e2, "j")
+      .withColumn("cos", round(graft.functions.VectorFunctions
+        .cosine_similarity(col("ei"), col("ej")), 6))
+      .filter(col("cos") >= threshold)
+      .select(col("j").as("vec_id"), lit(true).as("dup"))
+      .distinct()
+    assigned.join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"),
+        coalesce(col("dup"), lit(false)).as("is_dup"))
+      .orderBy(col("vec_id"))
+  }
+
+  def semanticDedupSql(k: Int, threshold: Double,
+      clusterCap: Int = 256): String = {
+    def cos(a: String, b: String): String =
+      s"""round(list_dot_product($a, $b)
+         |  / (sqrt(list_dot_product($a, $a))
+         |   * sqrt(list_dot_product($b, $b))), 6)""".stripMargin
+    s"""WITH dbl AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |  FROM embeddings
+       |), cent AS (
+       |  SELECT vec_id % $k AS cid, e AS ce FROM dbl WHERE vec_id < $k
+       |), assigned AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT d.vec_id, c.cid,
+       |      row_number() OVER (PARTITION BY d.vec_id
+       |        ORDER BY ${cos("d.e", "c.ce")} DESC, c.cid) AS rn
+       |    FROM dbl d CROSS JOIN cent c)
+       |  WHERE rn = 1
+       |), small AS (
+       |  SELECT cid FROM assigned GROUP BY cid
+       |  HAVING count(*) <= $clusterCap
+       |), dropped AS (
+       |  SELECT DISTINCT b.vec_id
+       |  FROM assigned a
+       |  JOIN small s ON a.cid = s.cid
+       |  JOIN assigned b ON a.cid = b.cid AND a.vec_id < b.vec_id
+       |  JOIN dbl ea ON ea.vec_id = a.vec_id
+       |  JOIN dbl eb ON eb.vec_id = b.vec_id
+       |  WHERE ${cos("ea.e", "eb.e")} >= $threshold
+       |)
+       |SELECT a.vec_id, CAST(a.cid AS BIGINT) AS cid,
+       |       (d.vec_id IS NOT NULL) AS is_dup
+       |FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+       |ORDER BY a.vec_id""".stripMargin
+  }
 }

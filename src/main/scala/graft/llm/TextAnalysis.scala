@@ -468,4 +468,129 @@ object TextAnalysis {
        |FROM ex JOIN sk ON ex.lang = sk.lang
        |ORDER BY ex.lang""".stripMargin
   }
+
+  /** X3: PMI collocation mining — the phrase-vocabulary signal of a
+    * tokenizer/curation pipeline: score every adjacent word bigram by
+    * pointwise mutual information ln(p(xy) / (p(x)·p(y))) and keep
+    * the top-k above a count floor (the floor kills the
+    * one-occurrence artifacts PMI is notorious for).
+    *
+    * Shape at scale: bigram and unigram tables are each ONE explode +
+    * hash aggregate; the two corpus totals ride in as a 1-row
+    * broadcast; candidate scoring joins the (already minCount-pruned)
+    * bigram table to the unigram counts on each word — key-grouped,
+    * linear — and the final cut is a bounded TakeOrdered (k rows to
+    * the driver, never the bigram table). PMI is rounded to 6dp
+    * BEFORE ranking so the order is engine-stable.
+    */
+  def pmiCollocations(docs: DataFrame, minCount: Int, k: Int): DataFrame = {
+    val biAll = docs
+      .select(split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(t) - 1), " +
+          "i -> struct(t[i-1] AS w1, t[i] AS w2))")).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .filter(col("w1") =!= "" && col("w2") =!= "")
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+      // two consumers (total + candidates) — pin once
+      .transform(graft.tools.Materialize(_))
+    val uni = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("c1"))
+      .transform(graft.tools.Materialize(_))
+    val tot = biAll.agg(sum(col("c2")).as("nb"))
+      .crossJoin(uni.agg(sum(col("c1")).as("nt")))
+    biAll.filter(col("c2") >= minCount)
+      .join(uni.select(col("w").as("w1"), col("c1").as("cx")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c1").as("cy")), "w2")
+      .crossJoin(broadcast(tot))
+      .withColumn("pmi", round(log(
+        col("c2").cast("double") * col("nt") * col("nt") /
+          (col("nb").cast("double") * col("cx") * col("cy"))), 6))
+      .select(col("w1"), col("w2"), col("c2"), col("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
+  def pmiCollocationsSql(minCount: Int, k: Int): String =
+    s"""WITH tt AS (
+       |  SELECT string_split(text, ' ') AS t FROM documents
+       |  WHERE len(string_split(text, ' ')) >= 2
+       |), bi AS (
+       |  SELECT t[CAST(i AS INT)] AS w1, t[CAST(i AS INT) + 1] AS w2
+       |  FROM tt, UNNEST(range(1, len(t))) AS u(i)
+       |  WHERE t[CAST(i AS INT)] <> '' AND t[CAST(i AS INT) + 1] <> ''
+       |), biall AS (
+       |  SELECT w1, w2, count(*) AS c2 FROM bi GROUP BY 1, 2
+       |), uni AS (
+       |  SELECT w, count(*) AS c1
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE w <> '' GROUP BY w
+       |), tot AS (
+       |  SELECT (SELECT CAST(sum(c2) AS BIGINT) FROM biall) AS nb,
+       |         (SELECT CAST(sum(c1) AS BIGINT) FROM uni) AS nt
+       |)
+       |SELECT b.w1, b.w2, b.c2,
+       |  round(ln(CAST(b.c2 AS DOUBLE) * nt * nt
+       |         / (CAST(nb AS DOUBLE) * u1.c1 * u2.c1)), 6) AS pmi
+       |FROM biall b
+       |JOIN uni u1 ON b.w1 = u1.w
+       |JOIN uni u2 ON b.w2 = u2.w
+       |CROSS JOIN tot
+       |WHERE b.c2 >= $minCount
+       |ORDER BY pmi DESC, w1, w2 LIMIT $k""".stripMargin
+
+  /** X3: vocabulary-coverage / OOV-rate scoring — the tokenizer-fit
+    * signal of a curation pipeline: build the corpus top-V vocabulary
+    * (count desc, token asc — a total order, so the cut is exact) and
+    * score every document by the fraction of its tokens that fall
+    * outside it. High OOV flags garbled text, wrong-language slices,
+    * and domains a V-size tokenizer will shred into bytes.
+    *
+    * Shape at scale: one token explode + hash aggregate builds the
+    * counts; the top-V cut is a bounded TakeOrdered (V rows — never
+    * the full vocabulary — cross the wire) broadcast back over the
+    * same exploded stream; the per-doc rate is a map-side-combined
+    * aggregate. The only wide exchange is the token count itself.
+    */
+  def vocabCoverage(docs: DataFrame, vocabSize: Int): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+    val vocab = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w")).limit(vocabSize)
+      .select(col("w"), lit(true).as("in_v"))
+    toks.join(broadcast(vocab), Seq("w"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_v"), 1L).otherwise(0L)).as("n_in_vocab"))
+      .withColumn("oov_ratio",
+        round(lit(1.0) - col("n_in_vocab") / col("n_tokens"), 6))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle: same top-V cut (count desc, token asc) via ORDER BY /
+    * LIMIT, same left-join scoring. Documents with no tokens drop
+    * out in both engines (no denominator — documented).
+    */
+  def vocabCoverageSql(vocabSize: Int): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+       |  FROM documents
+       |), tk AS (
+       |  SELECT doc_id, w FROM toks WHERE w <> ''
+       |), vocab AS (
+       |  SELECT w FROM (
+       |    SELECT w, count(*) AS c FROM tk GROUP BY w
+       |    ORDER BY c DESC, w LIMIT $vocabSize)
+       |)
+       |SELECT t.doc_id, count(*) AS n_tokens,
+       |       CAST(sum(CASE WHEN v.w IS NOT NULL THEN 1 ELSE 0 END)
+       |         AS BIGINT) AS n_in_vocab,
+       |       round(1.0 - sum(CASE WHEN v.w IS NOT NULL THEN 1 ELSE 0 END)
+       |             / count(*), 6) AS oov_ratio
+       |FROM tk t LEFT JOIN vocab v ON t.w = v.w
+       |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
 }

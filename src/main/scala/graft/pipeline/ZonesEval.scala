@@ -9,8 +9,15 @@ import graft.eval.Metrics
   * mean row. Usage: ZonesEval [dataDir] (default /root/reference/data).
   */
 object ZonesEval {
-  val zones: Seq[String] = Seq("CT", "MASS", "ME", "NEMASSBOST", "NH",
+  val allZones: Seq[String] = Seq("CT", "MASS", "ME", "NEMASSBOST", "NH",
     "RI", "SEMASS", "TOTAL", "VT", "WCMASS")
+
+  /** GRAFT_ZONES=NEMASSBOST,VT narrows the run (single-zone fitter
+    * measurements); default is the full 10-zone corpus.
+    */
+  def zones: Seq[String] = sys.env.get("GRAFT_ZONES")
+    .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    .getOrElse(allZones)
 
   def main(args: Array[String]): Unit = {
     val dataDir = args.headOption.getOrElse("/root/reference/data")

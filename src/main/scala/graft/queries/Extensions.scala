@@ -440,6 +440,30 @@ object Extensions {
       .orderBy(col("event_type"))
   }
 
+  /** X1/X2: SemDeDup-shape semantic dedup — cluster the embedding
+    * space (broadcast-k argmax assignment), mark vectors whose cosine
+    * to a lower-id same-cluster member clears 0.95 (cap-and-drop
+    * bounded member lists; all-pairs never runs).
+    */
+  private val x57SemanticDedup: Q = (s, d) =>
+    Similarity.semanticDedup(Tables.embeddings(s, d), k = 16,
+      threshold = 0.95)
+
+  /** X3: PMI collocation mining — top-50 adjacent bigrams by
+    * pointwise mutual information above a count floor (two hash
+    * aggs + 1-row totals broadcast + bounded TakeOrdered).
+    */
+  private val x58PmiCollocations: Q = (s, d) =>
+    TextAnalysis.pmiCollocations(Tables.documents(s, d), minCount = 5,
+      k = 50)
+
+  /** X3: vocabulary-coverage / OOV-rate — corpus top-V vocabulary
+    * (V-row bounded broadcast) scores each document's out-of-vocab
+    * token fraction.
+    */
+  private val x59VocabCoverage: Q = (s, d) =>
+    TextAnalysis.vocabCoverage(Tables.documents(s, d), vocabSize = 16)
+
   val queries: Map[String, Q] = Map(
     "x01_dedup_exact" -> x01DedupExact,
     "x02_dedup_minhash" -> x02DedupMinhash,
@@ -498,6 +522,9 @@ object Extensions {
     "x54_doc_chunks" -> x54DocChunks,
     "x55_sorted_batches" -> x55SortedBatches,
     "x56_salted_join" -> x56SaltedJoin,
+    "x57_semantic_dedup" -> x57SemanticDedup,
+    "x58_pmi_collocations" -> x58PmiCollocations,
+    "x59_vocab_coverage" -> x59VocabCoverage,
   )
 
   /** The PNG pixel statistics in closed form: the fixture image's
@@ -685,5 +712,8 @@ object Extensions {
         |         AS sum_user_total
         |FROM events e JOIN dim d ON e.user_id = d.user_id
         |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+    "x57_semantic_dedup" -> Similarity.semanticDedupSql(16, 0.95),
+    "x58_pmi_collocations" -> TextAnalysis.pmiCollocationsSql(5, 50),
+    "x59_vocab_coverage" -> TextAnalysis.vocabCoverageSql(16),
   )
 }

@@ -184,7 +184,11 @@ object PlanAudit {
       // ≤32-row broadcast target list on an inequality — bounded by
       // construction (buckets·maxLag rows)
       "d07_fitted_residuals" -> Set("BNLJoin"),
-      "x32_rolling_sum" -> Set("BNLJoin"))
+      "x32_rolling_sum" -> Set("BNLJoin"),
+      // k broadcast centroids (pmod-certified seed frame, cf. x36)
+      "x57_semantic_dedup" -> Set("BNLJoin"),
+      // 1-row (nb, nt) corpus totals into the PMI projection
+      "x58_pmi_collocations" -> Set("SinglePartition", "BNLJoin"))
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")

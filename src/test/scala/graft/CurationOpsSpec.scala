@@ -245,4 +245,70 @@ class CurationOpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getBoolean(1)))
     assert(a.toSeq == b.toSeq)
   }
+
+  test("semantic dedup: clone of a seed is marked dup, orthogonal is not") {
+    import spark.implicits._
+    // seeds 0,1 orthogonal; 10 is a near-clone of seed 0 (same
+    // direction, scaled — cosine 1), 11 is aligned with seed 1
+    // but only to cos ≈ 0.95−ε against every cluster-0 member
+    val emb = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(0f, 1f, 0f, 0f)),
+      (10L, Array(2f, 0f, 0f, 0f)),
+      (11L, Array(0.1f, 0.99f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedup(emb, k = 2, threshold = 0.999)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2)))
+      .toMap
+    assert(out(0L) == ((0L, false))) // keeper: lowest id in its cluster
+    assert(out(10L)._2, "clone of seed 0 must be marked dup")
+    assert(!out(11L)._2, "cos < threshold must survive")
+    assert(out(10L)._1 == 0L && out(11L)._1 == 1L) // cluster sanity
+  }
+
+  test("semantic dedup: over-cap cluster is dropped whole, not enumerated") {
+    import spark.implicits._
+    // 10 identical vectors: with clusterCap=4 the cluster is dropped
+    // before pair enumeration, so nothing is marked (the documented
+    // cap-and-drop contract — same as the LSH bucket cap)
+    val emb = (0L until 10L).map(i => (i, Array(1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedup(emb, k = 1, threshold = 0.9,
+      clusterCap = 4)
+    assert(out.filter(col("is_dup")).count() == 0)
+    assert(out.count() == 10)
+  }
+
+  test("pmi collocations: a planted bigram outranks independent pairs") {
+    import spark.implicits._
+    // "fizz buzz" always adjacent (40 occurrences); every other word
+    // sits next to a per-doc unique pad, so no other bigram reaches
+    // the count floor — the planted pair is the only candidate and
+    // must take rank 1
+    val docs = (1L to 20L).map { i =>
+      (i, s"fizz buzz a$i alpha b$i beta c$i gamma d$i fizz buzz")
+    }.toDF("doc_id", "text")
+    val top = graft.llm.TextAnalysis
+      .pmiCollocations(docs, minCount = 5, k = 5).collect()
+    assert(top.length == 1, s"${top.length} bigrams crossed the floor")
+    assert(top(0).getString(0) == "fizz" && top(0).getString(1) == "buzz",
+      s"rank 1 was ${top(0).getString(0)} ${top(0).getString(1)}")
+    assert(top(0).getLong(2) == 40L) // 2 per doc × 20 docs
+  }
+
+  test("vocab coverage: rare-token documents score high OOV") {
+    import spark.implicits._
+    // vocabulary of size 2 covers the two frequent words; doc 3 is
+    // all rare tokens -> oov 1.0, doc 1 all frequent -> oov 0.0
+    val docs = Seq(
+      (1L, "alpha beta alpha beta alpha"),
+      (2L, "alpha beta rare1 rare2"),
+      (3L, "zzz1 zzz2 zzz3"))
+      .toDF("doc_id", "text")
+    val out = graft.llm.TextAnalysis.vocabCoverage(docs, vocabSize = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(out(1L) == 0.0)
+    assert(out(2L) == 0.5)
+    assert(out(3L) == 1.0)
+  }
 }

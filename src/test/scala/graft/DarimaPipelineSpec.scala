@@ -82,6 +82,60 @@ class DarimaPipelineSpec extends AnyFunSuite {
       java.nio.file.Paths.get(s"$tmp/forecast.json")) > 1000)
   }
 
+  test("electricity e2e: calibrated sarima fitter at long horizon") {
+    // the r5-documented failure: fitter="sarima" selected a unit root
+    // and h=2879 intervals exploded (MSIS95 ≈ 485). The long-horizon
+    // calibration (stationary cap + Fourier harmonics + last-year
+    // level anchor, Darima.run) must bring intervals within 2× of the
+    // shipped harmonic default while keeping points usable.
+    val train = Darima.loadSeriesCsv(spark,
+      "/root/reference/data/NEMASSBOST_train.csv")
+    val test0 = Darima.loadSeriesCsv(spark,
+      "/root/reference/data/NEMASSBOST_test.csv")
+    val testVals = test0.orderBy("time").select("value").collect()
+      .map(_.getDouble(0))
+    val h = testVals.length
+    val cfg = DarimaConfig(fitter = "sarima")
+    val (_, fc) = Darima.run(spark, train, h, cfg)
+    val trainVals = train.orderBy("time").select("value").collect()
+      .map(_.getDouble(0))
+    val mase = Metrics.mean(Metrics.mase(trainVals, testVals, fc.mean, 24))
+    val msis95 = Metrics.mean(Metrics.msis(trainVals, testVals,
+      fc.lower(1), fc.upper(1), 95, 24))
+    info(s"NEMASSBOST sarima: MASE=$mase MSIS95=$msis95")
+    assert(mase < 1.6, s"MASE=$mase")
+    assert(msis95 > 0 && msis95 < 18, s"MSIS95=$msis95")
+  }
+
+  test("harmonic phase survives DST-style gaps (gap-robust dt)") {
+    import spark.implicits._
+    // hourly sinusoid with three 2-hour holes: the average-dt phase
+    // (t / ((last-first)/(n-1))) drifts; the median-dt phase is exact
+    // and the forecast must continue the wall-clock cycle
+    val n = 2000
+    val gaps = Set(400, 900, 1500)
+    val times = (0 until n).scanLeft(1.6e9) { (t, i) =>
+      t + (if (gaps.contains(i)) 7200.0 else 3600.0)
+    }.tail
+    // the 0.3-amplitude incommensurate ripple keeps the post-harmonic
+    // residuals non-degenerate (a pure sinusoid fits exactly and the
+    // AR normal equations go singular)
+    val ser = times.map(t =>
+      (t, 100.0 + 10.0 * math.sin(2 * math.Pi * (t / 3600.0) / 24.0)
+        + 0.3 * math.sin(t / 3600.0 * 1.7)))
+      .toDF("time", "value")
+    val cfg = DarimaConfig(numChunks = 2, freq = 24, fitter = "olsar",
+      olsP = 2, harmDaily = 1, chunker = "timerange")
+    val (_, fc) = Darima.run(spark, ser, h = 48, cfg)
+    val tLast = times.last
+    val expected = (1 to 48).map(s =>
+      100.0 + 10.0 * math.sin(2 * math.Pi * ((tLast + s * 3600.0) / 3600.0) / 24.0))
+    val maxErr = fc.mean.zip(expected).map { case (a, b) => math.abs(a - b) }.max
+    // ≥1.0 would mean ≥ 0.1 rad of daily-phase drift (the averaged-dt
+    // bug lands whole CYCLES off); the 0.3 ripple bounds the rest
+    assert(maxErr < 1.0, s"phase drift: maxErr=$maxErr")
+  }
+
   test("darima queries run and return rows at sf0.001") {
     DarimaQueries.queries.foreach { case (name, fn) =>
       assert(fn(spark, sf).count() > 0, s"$name empty")

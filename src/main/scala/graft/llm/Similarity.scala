@@ -584,9 +584,15 @@ object Similarity {
     val subDim = dim / m
     def d2u6(a: Column, b: Column): Column = pqD2u6(a, b)
     def subvec(e: Column, sub: Column): Column = pqSubvec(e, sub, subDim)
+    // cache, not Materialize: BOTH consumers (encode, ADC tables)
+    // read this 1-row frame, and without the pin the whole Lloyd
+    // training subtree runs twice. cache() keeps the lineage visible
+    // (a checkpoint would hide the aggregate root from PlanAudit's
+    // boundedness certificate) and the one-row InMemoryRelation is
+    // shared by both broadcast sides within the single final plan.
     val cbRow =
-      if (trainIters > 0) pqTrainCodebook(emb, dim, m, ksub, trainIters)
-      else pqCodebook(emb, dim, m, ksub)
+      (if (trainIters > 0) pqTrainCodebook(emb, dim, m, ksub, trainIters)
+       else pqCodebook(emb, dim, m, ksub)).cache()
     val codes = pqEncode(emb, cbRow, dim, m)
     // per-query ADC tables: dt[sub·ksub + cid] = d²(q_sub, c_sub,cid)
     val dt = emb.filter(col("vec_id") < nQueries)

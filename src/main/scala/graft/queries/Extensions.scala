@@ -464,6 +464,21 @@ object Extensions {
   private val x59VocabCoverage: Q = (s, d) =>
     TextAnalysis.vocabCoverage(Tables.documents(s, d), vocabSize = 16)
 
+  /** Box–Cox forward/log/inverse-roundtrip over the event values
+    * (reference utils.py:10-37; the inverse is dead code there —
+    * implemented so the pair is complete). Pure codegen projection.
+    */
+  private val x60BoxCox: Q = (s, d) =>
+    Tables.events(s, d).filter(col("value") > 0)
+      .select(col("event_id"), col("value"),
+        round(graft.ts.Transforms.boxCox(col("value"), 0.3), 6).as("bc"),
+        round(graft.ts.Transforms.boxCox(col("value"), 0.0), 6)
+          .as("bc_log"),
+        round(graft.ts.Transforms.invBoxCox(
+          graft.ts.Transforms.boxCox(col("value"), 0.3), 0.3), 6)
+          .as("roundtrip"))
+      .orderBy(col("event_id"))
+
   val queries: Map[String, Q] = Map(
     "x01_dedup_exact" -> x01DedupExact,
     "x02_dedup_minhash" -> x02DedupMinhash,
@@ -525,6 +540,7 @@ object Extensions {
     "x57_semantic_dedup" -> x57SemanticDedup,
     "x58_pmi_collocations" -> x58PmiCollocations,
     "x59_vocab_coverage" -> x59VocabCoverage,
+    "x60_box_cox" -> x60BoxCox,
   )
 
   /** The PNG pixel statistics in closed form: the fixture image's
@@ -715,5 +731,12 @@ object Extensions {
     "x57_semantic_dedup" -> Similarity.semanticDedupSql(16, 0.95),
     "x58_pmi_collocations" -> TextAnalysis.pmiCollocationsSql(5, 50),
     "x59_vocab_coverage" -> TextAnalysis.vocabCoverageSql(16),
+    "x60_box_cox" ->
+      """SELECT event_id, value,
+        |  round((pow(value, 0.3) - 1.0) / 0.3, 6) AS bc,
+        |  round(ln(value), 6) AS bc_log,
+        |  round(pow(((pow(value, 0.3) - 1.0) / 0.3) * 0.3 + 1.0,
+        |        1.0 / 0.3), 6) AS roundtrip
+        |FROM events WHERE value > 0 ORDER BY event_id""".stripMargin,
   )
 }

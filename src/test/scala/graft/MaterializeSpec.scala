@@ -15,9 +15,11 @@ class MaterializeSpec extends AnyFunSuite {
   // one query per swapped pin site: OrderedRank's internal pin under
   // an expensive upstream (x51), the connected-components iteration
   // (x33), the BPE per-round vocab (x47), the jaccard bucket table
-  // (x04), and the prefix-sum pin (x38)
+  // (x04), the prefix-sum pin (x38), the PMI bigram/unigram pins
+  // (x58), and OrderedLag's boundary pool (x32)
   private val probes = Seq("x51_ppl_buckets", "x33_dedup_clusters",
-    "x47_bpe_encode", "x04_ngram_jaccard", "x38_seq_pack")
+    "x47_bpe_encode", "x04_ngram_jaccard", "x38_seq_pack",
+    "x58_pmi_collocations", "x32_rolling_sum")
 
   test("durable checkpoint mode is bit-identical to localCheckpoint") {
     val baseline = probes.map { q =>

@@ -768,13 +768,16 @@ object Similarity {
     val centroids = emb.filter(col("vec_id") < k)
       .select(pmod(col("vec_id"), lit(k)).as("__cid"),
         col("embedding").cast("array<double>").as("ce"))
+    // argmax as ONE hash aggregate (min over struct(−cos, cid) ≡
+    // ORDER BY cos DESC, cid) — map-side partial per vector, no
+    // rank-window sort of the |emb|·k crossed rows
     val assigned = emb.crossJoin(broadcast(centroids))
       .withColumn("c", round(graft.functions.VectorFunctions
         .cosine_similarity(col("embedding"), col("ce")), 6))
-      .withColumn("rn", row_number().over(Window.partitionBy(col("vec_id"))
-        .orderBy(col("c").desc, col("__cid"))))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("__cid").as("cid"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct((-col("c")).as("nc"), col("__cid").as("cid")))
+        .as("b"))
+      .select(col("vec_id"), col("b.cid").as("cid"))
     val pairs = assigned.groupBy(col("cid"))
       .agg(graft.functions.MinK.bounded_min_k(clusterCap)(col("vec_id"))
         .as("vs"))

@@ -368,6 +368,63 @@ class ScaleSpec extends AnyFunSuite {
     assert(secs < 180, s"took ${secs}s")
   }
 
+  test("1M-vector semantic dedup: bounded assignment + cap-and-drop guard") {
+    import spark.implicits._
+    // 1M 2-D unit vectors over 64 seed angles: every cluster is
+    // ~15.6k members — far over clusterCap, so the guard must drop
+    // every cluster WHOLE (zero pair enumeration, zero dups marked)
+    // instead of attempting ~15.6k²/2 pairs per cluster. The
+    // assignment itself (64M broadcast cosines → per-vector argmax
+    // hash agg) is the full-scale cost and must stay bounded.
+    val n = 1_000_000L
+    val emb = spark.range(n).select(
+      col("id").as("vec_id"),
+      array(cos((col("id") % 64).cast("double") * 0.098),
+        sin((col("id") % 64).cast("double") * 0.098)).as("embedding"))
+    val t0 = System.nanoTime()
+    val out = graft.llm.Similarity.semanticDedup(emb, k = 64,
+      threshold = 0.95, clusterCap = 64)
+    val agg = out.agg(count(lit(1)),
+      sum(when(col("is_dup"), 1L).otherwise(0L))).head()
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"1M vectors, k=64: ${secs}%.1f s, dups=${agg.getLong(1)}")
+    assert(agg.getLong(0) == n)
+    assert(agg.getLong(1) == 0L, "over-cap clusters must drop whole")
+    // assignment must be the hash-agg argmax, not a rank window over
+    // the |emb|·k crossed rows
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "rank window leaked into assignment")
+    assert(secs < 180, s"took ${secs}s")
+  }
+
+  test("300k-doc corpus: PMI collocations stay two-hash-agg + TakeOrdered") {
+    import spark.implicits._
+    // 300k docs × 10 tokens from a 1k-word vocabulary, with "fizz
+    // buzz" planted adjacent in every 3rd doc — the planted pair must
+    // take PMI rank 1 among floor-crossing bigrams
+    val n = 300_000L
+    val doc = (0 until 8).map(j =>
+      expr(s"concat('w', (hash(id, $j) % 1000 + 1000) % 1000)"))
+      .reduce((a, b) => concat(a, lit(" "), b))
+    val docs = spark.range(n).select(col("id").as("doc_id"),
+      when(col("id") % 3 === 0, concat(lit("fizz buzz "), doc))
+        .otherwise(doc).as("text"))
+    val t0 = System.nanoTime()
+    val top = graft.llm.TextAnalysis
+      .pmiCollocations(docs, minCount = 50, k = 10)
+    val rows = top.collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"300k docs PMI: ${secs}%.1f s, top=(${rows(0).getString(0)} " +
+      f"${rows(0).getString(1)}, c2=${rows(0).getLong(2)})")
+    assert(rows(0).getString(0) == "fizz" && rows(0).getString(1) == "buzz")
+    assert(rows(0).getLong(2) == (n + 2) / 3)
+    // final cut is a bounded TakeOrdered, not a global sort of the
+    // bigram table
+    val plan = top.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrdered"), plan.take(400))
+    assert(secs < 180, s"took ${secs}s")
+  }
+
   test("5M-key bloom prune: bounded filter, zero false negatives") {
     import spark.implicits._
     val n = 5_000_000L

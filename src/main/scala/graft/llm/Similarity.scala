@@ -363,7 +363,13 @@ object Similarity {
     * Clusters that lose all members drop out — identically in the
     * oracle.
     */
-  def kmeansRefine(emb: DataFrame, k: Int, iters: Int): DataFrame = {
+  /** The Lloyd centroid loop behind [[kmeansRefine]], returning the
+    * (`__cid`, `ce`) centroid frame — shared with the trained
+    * [[semanticDedup]] assignment so the two operators cannot drift.
+    * iters = 0 returns the raw seed frame.
+    */
+  private[graft] def kmeansCentroids(emb: DataFrame, k: Int,
+      iters: Int): DataFrame = {
     def cosTo(v: Column, c: Column): Column =
       round(graft.functions.VectorFunctions.cosine_similarity(v, c), 6)
     // pmod(vec_id, k) is the identity on the filtered seed domain
@@ -392,22 +398,31 @@ object Similarity {
           .as("ce"))
     }
     centroids
+  }
+
+  def kmeansRefine(emb: DataFrame, k: Int, iters: Int): DataFrame =
+    kmeansCentroids(emb, k, iters)
       .select(col("__cid").as("cid"),
         posexplode(col("ce")).as(Seq("i", "centroid")))
       .orderBy(col("cid"), col("i"))
-  }
 
-  def kmeansRefineSql(k: Int, iters: Int): String = {
-    def cos(a: String, b: String): String =
-      s"""round(list_dot_product($a, $b)
-         |  / (sqrt(list_dot_product($a, $a))
-         |   * sqrt(list_dot_product($b, $b))), 6)""".stripMargin
+  private def sqlCos(a: String, b: String): String =
+    s"""round(list_dot_product($a, $b)
+       |  / (sqrt(list_dot_product($a, $a))
+       |   * sqrt(list_dot_product($b, $b))), 6)""".stripMargin
+
+  /** The dbl → c0 → (a_t, d_t, c_t)* Lloyd CTE chain mirroring
+    * [[kmeansCentroids]]; the final centroid relation is `c<iters>`
+    * (cid, ce). Shared by the kmeansRefine and trained-semanticDedup
+    * oracles.
+    */
+  private def kmeansCtesSql(k: Int, iters: Int): String = {
     def stage(cin: String, aOut: String, dOut: String, cOut: String): String =
       s"""$aOut AS (
          |  SELECT vec_id, cid, e FROM (
          |    SELECT d.vec_id, c.cid, d.e,
          |      row_number() OVER (PARTITION BY d.vec_id ORDER BY
-         |        ${cos("d.e", "c.ce")} DESC, c.cid) AS rn
+         |        ${sqlCos("d.e", "c.ce")} DESC, c.cid) AS rn
          |    FROM dbl d CROSS JOIN $cin c)
          |  WHERE rn = 1
          |), $dOut AS (
@@ -420,16 +435,18 @@ object Similarity {
     val stages = (1 to iters)
       .map(t => stage(s"c${t - 1}", s"a$t", s"d$t", s"c$t"))
       .mkString(",\n")
-    s"""WITH dbl AS (
+    s"""dbl AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
        |  FROM embeddings
        |), c0 AS (
        |  SELECT vec_id AS cid, e AS ce FROM dbl WHERE vec_id < $k
-       |),
-       |$stages
+       |)${if (iters > 0) ",\n" + stages else ""}""".stripMargin
+  }
+
+  def kmeansRefineSql(k: Int, iters: Int): String =
+    s"""WITH ${kmeansCtesSql(k, iters)}
        |SELECT cid, i, cv AS centroid FROM d$iters
        |ORDER BY cid, i""".stripMargin
-  }
 
   /** Product-quantization ANN (x46): split each `dim`-vector into `m`
     * subvectors, quantize every subvector to its nearest of `ksub`
@@ -764,10 +781,14 @@ object Similarity {
     * structural cardinality certificate.
     */
   def semanticDedup(emb: DataFrame, k: Int, threshold: Double,
-      clusterCap: Int = 256): DataFrame = {
-    val centroids = emb.filter(col("vec_id") < k)
-      .select(pmod(col("vec_id"), lit(k)).as("__cid"),
-        col("embedding").cast("array<double>").as("ce"))
+      clusterCap: Int = 256, trainIters: Int = 0): DataFrame = {
+    // trainIters > 0 runs the shared Lloyd loop (kmeansCentroids —
+    // the x36 machinery) so the space partition reflects the actual
+    // vector distribution instead of whichever k vectors carry the
+    // lowest ids; cache: the 1-row-per-centroid frame feeds every
+    // assignment and a checkpoint would hide the boundedness
+    // certificate from PlanAudit
+    val centroids = kmeansCentroids(emb, k, trainIters).cache()
     // argmax as ONE hash aggregate (min over struct(−cos, cid) ≡
     // ORDER BY cos DESC, cid) — map-side partial per vector, no
     // rank-window sort of the |emb|·k crossed rows
@@ -805,23 +826,14 @@ object Similarity {
   }
 
   def semanticDedupSql(k: Int, threshold: Double,
-      clusterCap: Int = 256): String = {
-    def cos(a: String, b: String): String =
-      s"""round(list_dot_product($a, $b)
-         |  / (sqrt(list_dot_product($a, $a))
-         |   * sqrt(list_dot_product($b, $b))), 6)""".stripMargin
-    s"""WITH dbl AS (
-       |  SELECT vec_id,
-       |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-       |  FROM embeddings
-       |), cent AS (
-       |  SELECT vec_id % $k AS cid, e AS ce FROM dbl WHERE vec_id < $k
-       |), assigned AS (
+      clusterCap: Int = 256, trainIters: Int = 0): String = {
+    def cos(a: String, b: String): String = sqlCos(a, b)
+    s"""WITH ${kmeansCtesSql(k, trainIters)}, assigned AS (
        |  SELECT vec_id, cid FROM (
        |    SELECT d.vec_id, c.cid,
        |      row_number() OVER (PARTITION BY d.vec_id
        |        ORDER BY ${cos("d.e", "c.ce")} DESC, c.cid) AS rn
-       |    FROM dbl d CROSS JOIN cent c)
+       |    FROM dbl d CROSS JOIN c$trainIters c)
        |  WHERE rn = 1
        |), small AS (
        |  SELECT cid FROM assigned GROUP BY cid

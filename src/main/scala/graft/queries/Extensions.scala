@@ -440,14 +440,15 @@ object Extensions {
       .orderBy(col("event_type"))
   }
 
-  /** X1/X2: SemDeDup-shape semantic dedup — cluster the embedding
-    * space (broadcast-k argmax assignment), mark vectors whose cosine
-    * to a lower-id same-cluster member clears 0.95 (cap-and-drop
-    * bounded member lists; all-pairs never runs).
+  /** X1/X2: SemDeDup-shape semantic dedup — one Lloyd round trains
+    * the k cluster centroids (shared x36 machinery), then vectors
+    * whose cosine to a lower-id same-cluster member clears 0.95 are
+    * marked (cap-and-drop bounded member lists; all-pairs never
+    * runs).
     */
   private val x57SemanticDedup: Q = (s, d) =>
     Similarity.semanticDedup(Tables.embeddings(s, d), k = 16,
-      threshold = 0.95)
+      threshold = 0.95, trainIters = 1)
 
   /** X3: PMI collocation mining — top-50 adjacent bigrams by
     * pointwise mutual information above a count floor (two hash
@@ -728,7 +729,8 @@ object Extensions {
         |         AS sum_user_total
         |FROM events e JOIN dim d ON e.user_id = d.user_id
         |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
-    "x57_semantic_dedup" -> Similarity.semanticDedupSql(16, 0.95),
+    "x57_semantic_dedup" -> Similarity.semanticDedupSql(16, 0.95,
+      trainIters = 1),
     "x58_pmi_collocations" -> TextAnalysis.pmiCollocationsSql(5, 50),
     "x59_vocab_coverage" -> TextAnalysis.vocabCoverageSql(16),
     "x60_box_cox" ->

@@ -279,6 +279,32 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(out.count() == 10)
   }
 
+  test("semantic dedup: a Lloyd round recovers dups clumped seeds miss") {
+    import spark.implicits._
+    // all four seeds sit in one corner of the space (angles ≤ 0.03
+    // rad) while the corpus has four true groups of duplicates; with
+    // untrained seeds most groups funnel into one over-cap cluster
+    // (dropped whole — dups missed), while one training round spreads
+    // the centroids and recovers strictly more duplicate marks
+    def vec(angle: Double) =
+      Array(math.cos(angle).toFloat, math.sin(angle).toFloat)
+    val seeds = (0 until 4).map(i => (i.toLong, vec(i * 0.01)))
+    val groups = Seq(0.0, math.Pi / 6, math.Pi / 3, math.Pi / 2)
+      .zipWithIndex.flatMap { case (a, g) =>
+        (0 until 10).map(j => (4L + g * 10 + j, vec(a)))
+      }
+    val emb = (seeds ++ groups).toDF("vec_id", "embedding")
+    def marks(iters: Int): Long =
+      graft.llm.Similarity.semanticDedup(emb, k = 4, threshold = 0.95,
+        clusterCap = 12, trainIters = iters)
+        .filter(col("is_dup")).count()
+    val untrained = marks(0)
+    val trained = marks(1)
+    info(s"dup marks: untrained=$untrained trained=$trained")
+    assert(trained > untrained,
+      s"training must recover dups: $trained <= $untrained")
+  }
+
   test("pmi collocations: a planted bigram outranks independent pairs") {
     import spark.implicits._
     // "fizz buzz" always adjacent (40 occurrences); every other word

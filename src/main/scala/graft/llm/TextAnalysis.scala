@@ -555,12 +555,20 @@ object TextAnalysis {
     * same exploded stream; the per-doc rate is a map-side-combined
     * aggregate. The only wide exchange is the token count itself.
     */
+  /** The top-V cut over a (w, c) count table — factored so the batch
+    * operator and the streaming running-count twin share one
+    * definition (count desc, token asc: a total order, exact cut).
+    */
+  def topVocab(counts: DataFrame, vocabSize: Int): DataFrame =
+    counts.orderBy(col("c").desc, col("w")).limit(vocabSize)
+      .select(col("w"))
+
   def vocabCoverage(docs: DataFrame, vocabSize: Int): DataFrame = {
     val toks = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .filter(col("w") =!= "")
-    val vocab = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
-      .orderBy(col("c").desc, col("w")).limit(vocabSize)
+    val vocab = topVocab(
+        toks.groupBy(col("w")).agg(count(lit(1)).as("c")), vocabSize)
       .select(col("w"), lit(true).as("in_v"))
     toks.join(broadcast(vocab), Seq("w"), "left")
       .groupBy(col("doc_id"))

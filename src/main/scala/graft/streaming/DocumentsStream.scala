@@ -183,6 +183,43 @@ object DocumentsStream {
     docs.withColumn("n_tokens", nTok).withColumn("bucket", bucket)
   }
 
+  /** Running word-count table — the streaming half of the
+    * vocabulary behind OOV scoring (llm.TextAnalysis.vocabCoverage):
+    * UPDATE-mode stateful aggregation keyed by word. State is the
+    * corpus vocabulary — Heaps-law-bounded for natural text; bound it
+    * hard with a frequency floor or the Misra–Gries sketch upstream
+    * when the token space is adversarial.
+    */
+  def vocabCountsRunning(docs: DataFrame): DataFrame =
+    docs.select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+
+  /** Drain-time finisher: the exact batch top-V cut over the drained
+    * running counts (shared definition — TextAnalysis.topVocab).
+    */
+  def vocabTopV(counts: DataFrame, vocabSize: Int): DataFrame =
+    graft.llm.TextAnalysis.topVocab(counts, vocabSize)
+
+  /** Stateless OOV serving against a FIXED vocabulary (the batch/
+    * drained top-V riding along as literals — train-in-batch /
+    * serve-in-stream, like [[applyClassifier]]): per arrival, the
+    * same token count and in-vocabulary fraction as the batch
+    * operator, no join, no shuffle.
+    */
+  def oovScore(docs: DataFrame, vocab: Seq[String]): DataFrame = {
+    val lits = array(vocab.map(lit): _*)
+    docs
+      .withColumn("t",
+        filter(split(col("text"), " "), w => w =!= ""))
+      .filter(size(col("t")) > 0)
+      .select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"),
+        size(filter(col("t"), w => array_contains(lits, w)))
+          .cast("long").as("n_in_vocab"))
+      .withColumn("oov_ratio",
+        round(lit(1.0) - col("n_in_vocab") / col("n_tokens"), 6))
+  }
+
   /** Stateless bloom prescreen — the stream half of
     * operators.BloomPrune: a batch-built filter over already-ingested
     * content keys rides into every task as a literal map (≤ bits/64

@@ -268,6 +268,48 @@ class DocumentsStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("running vocab counts + stateless OOV serving match batch " +
+    "vocab coverage") {
+    val docs = Tables.documents(spark, sf)
+    val stream = DocumentsStream.readDocuments(spark, docsDir)
+    val q = DocumentsStream.vocabCountsRunning(stream)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("vocab_counts").start()
+    try {
+      q.processAllAvailable()
+      val drained = spark.sql("SELECT w, c FROM vocab_counts")
+      // drained counts ≡ batch counts, and the shared top-V finisher
+      // over them ≡ the batch cut
+      val batchCounts = docs
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      assert(drained.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        == batchCounts.collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
+      val vocab = DocumentsStream.vocabTopV(drained, 16)
+        .collect().map(_.getString(0)).toSeq
+      assert(vocab == graft.llm.TextAnalysis
+        .topVocab(batchCounts, 16).collect().map(_.getString(0)).toSeq)
+      // stateless serving with that vocabulary reproduces the batch
+      // operator row for row
+      val q2 = DocumentsStream.oovScore(
+          DocumentsStream.readDocuments(spark, docsDir), vocab)
+        .writeStream.outputMode("append")
+        .format("memory").queryName("oov_out").start()
+      try {
+        q2.processAllAvailable()
+        val got = spark.sql("SELECT * FROM oov_out").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getDouble(3))).toSet
+        val batch = graft.llm.TextAnalysis.vocabCoverage(docs, 16)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getDouble(3))).toSet
+        assert(got == batch)
+      } finally q2.stop()
+    } finally q.stop()
+  }
+
   test("length-bucket routing on ingest agrees with the batch expression") {
     val bounds = Seq(50L, 100L, 200L)
     val q = DocumentsStream.lengthBucketAssign(

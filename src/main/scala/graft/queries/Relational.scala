@@ -317,6 +317,31 @@ object Relational {
       .orderBy(col("event_type").asc_nulls_first,
         col("ubucket").asc_nulls_first)
 
+  /** TPC-H Q22 shape (engine addition): scalar-subquery threshold +
+    * semi join — customers whose balance exceeds the average POSITIVE
+    * balance and who placed at least one large order, rolled up per
+    * market segment. The average is a 1-row broadcast scalar (rounded
+    * to 6dp on both sides so the threshold compare cannot flip on
+    * summation-order ulps); the order check is a left_semi join (the
+    * dual of q16's anti join — Q22's NOT EXISTS side is empty on the
+    * harness's dense orders table, so the EXISTS form keeps the hash
+    * check meaningful at every scale factor).
+    */
+  private val q22ScalarSubquery: Q = (s, d) => {
+    val cust = Tables.customer(s, d)
+    val avgBal = cust.filter(col("c_acctbal") > 0)
+      .agg(round(avg(col("c_acctbal")), 6).as("ab"))
+    cust.crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("ab"))
+      .join(Tables.orders(s, d).filter(col("o_totalprice") > 250000)
+          .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_cust"),
+        round(sum(col("c_acctbal")), 2).as("total_bal"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q01_scan_filter_project" -> q01ScanFilterProject,
     "q02_agg_sum" -> q02AggSum,
@@ -339,6 +364,7 @@ object Relational {
     "q19_percentile" -> q19Percentile,
     "q20_pivot" -> q20Pivot,
     "q21_cube" -> q21Cube,
+    "q22_scalar_subquery" -> q22ScalarSubquery,
   )
 
   val oracles: Map[String, String] = Map(
@@ -459,5 +485,14 @@ object Relational {
         |  round(sum(value), 2) AS total
         |FROM events GROUP BY CUBE(event_type, ubucket)
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
+    "q22_scalar_subquery" ->
+      """SELECT c_mktsegment, count(*) AS n_cust,
+        |       round(sum(c_acctbal), 2) AS total_bal
+        |FROM customer
+        |WHERE c_acctbal > (SELECT round(avg(c_acctbal), 6)
+        |                   FROM customer WHERE c_acctbal > 0)
+        |  AND c_custkey IN (SELECT o_custkey FROM orders
+        |                    WHERE o_totalprice > 250000)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
   )
 }

@@ -162,6 +162,8 @@ object PlanAudit {
     val allow: Map[String, Set[String]] = Map(
       "q12_metrics" -> Set("SinglePartition", "BNLJoin"), // 1-row scale/sd scalars
       "q13_metric_means" -> Set("SinglePartition", "BNLJoin"), // global means
+      // 1-row average-balance scalar subquery (TPC-H Q22 shape)
+      "q22_scalar_subquery" -> Set("SinglePartition", "BNLJoin"),
       "x23_tfidf" -> Set("SinglePartition", "BNLJoin"), // 1-row corpus count N
       "x41_lm_perplexity" -> Set("SinglePartition", "BNLJoin"), // 1-row (N, V)
       "x42_dsir_weights" -> Set("SinglePartition", "BNLJoin"), // 1-row (Nt, Nr)

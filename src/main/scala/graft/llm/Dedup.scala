@@ -623,4 +623,65 @@ object Dedup {
        |WHERE CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) >= $threshold
        |ORDER BY d1, d2""".stripMargin
 
+  /** X2d: n-gram CONTAINMENT pairs — |grams(a) ∩ grams(b)| / |grams(a)|,
+    * the asymmetric cousin of Jaccard that catches sub-document
+    * duplication (doc a embedded in a longer doc b scores ~1.0 in the
+    * a→b direction while Jaccard stays low). Same capped-bucket
+    * machinery as [[jaccardPairs]]: one bounded MinK aggregate builds
+    * df-capped per-shingle doc lists, pairs are enumerated inside
+    * surviving buckets (≤ dfCap²/2 each), and both directions of each
+    * unordered pair are scored from the same intersection count —
+    * containment is over the capped sets in both dialects.
+    */
+  def containmentPairs(docs: DataFrame, dfCap: Int, threshold: Double)
+      : DataFrame = {
+    val buckets = shingles(docs)
+      .groupBy(col("s"))
+      .agg(graft.functions.MinK.bounded_min_k(dfCap)(col("doc_id"))
+        .as("ds"))
+      .filter(size(col("ds")) > 0)
+      .transform(graft.tools.Materialize(_))
+    val sizes = buckets
+      .select(explode(col("ds")).as("a"))
+      .groupBy(col("a")).agg(count(lit(1)).as("sz_a"))
+    val inter = buckets
+      .select(explode(expr(
+        """flatten(transform(ds, (x, i) ->
+          |  transform(slice(ds, i + 2, size(ds)), y -> struct(x AS d1, y AS d2))))"""
+          .stripMargin)).as("p"))
+      .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
+      .agg(count(lit(1)).as("inter"))
+    // score each unordered pair in both directions off the one count
+    val both = inter
+      .select(col("d1").as("a"), col("d2").as("b"), col("inter"))
+      .unionAll(inter
+        .select(col("d2").as("a"), col("d1").as("b"), col("inter")))
+    both.join(sizes, "a")
+      .withColumn("containment", col("inter") / col("sz_a"))
+      .filter(col("containment") >= threshold)
+      .select(col("a"), col("b"), col("inter"), col("sz_a"),
+        round(col("containment"), 6).as("containment"))
+      .orderBy(col("a"), col("b"))
+  }
+
+  def containmentPairsSql(dfCap: Int, threshold: Double): String =
+    s"""WITH sh AS ($shinglesSql),
+       |rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= $dfCap),
+       |capped AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare ON sh.s = rare.s),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM capped GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+       |  FROM capped a JOIN capped b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |), both_dirs AS (
+       |  SELECT d1 AS a, d2 AS b, inter FROM inter
+       |  UNION ALL
+       |  SELECT d2 AS a, d1 AS b, inter FROM inter
+       |)
+       |SELECT a, b, inter, s.sz AS sz_a,
+       |       round(CAST(inter AS DOUBLE) / s.sz, 6) AS containment
+       |FROM both_dirs JOIN sizes s ON s.doc_id = a
+       |WHERE CAST(inter AS DOUBLE) / s.sz >= $threshold
+       |ORDER BY a, b""".stripMargin
+
 }

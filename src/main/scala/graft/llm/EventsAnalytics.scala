@@ -176,4 +176,66 @@ object EventsAnalytics {
        |       round(max(ep) - min(ep), 3) AS dur_sec,
        |       round(sum(value), 2) AS total
        |FROM sess GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** X5': per-type z-score anomaly flags — events whose value sits
+    * more than `z` population standard deviations from the type mean.
+    * Values are 2dp by construction, so moments are computed from
+    * exact integer-cent sums (sum and sum-of-squares as BIGINT, well
+    * inside both long and 2^53 at harness scales) and the remaining
+    * float math is one fixed IEEE expression evaluated identically in
+    * both engines — no parallel-summation-order dependence anywhere.
+    * The output z is integer-quantized (ten-thousandths).
+    *
+    * Shape: one hash aggregate keyed on event_type (map-side
+    * partials), a join back against the ≤|event types|-row stats dim
+    * (AQE broadcasts it), one filter — linear at any SF.
+    */
+  def anomalies(events: DataFrame, z: Double = 3.0): DataFrame = {
+    val cents = events
+      .withColumn("v100", round(col("value") * 100, 0).cast("long"))
+    val stats = cents
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("v100")).as("s"),
+        sum(col("v100") * col("v100")).as("ss"))
+      .select(col("event_type"),
+        (col("s").cast("double") / col("n")).as("mean100"),
+        sqrt((col("ss").cast("double") -
+          col("s").cast("double") * col("s").cast("double") / col("n"))
+          / col("n")).as("sd100"))
+      // sd = 0 (constant type, or a single row) admits no anomaly and
+      // would divide by zero under ANSI — drop the type up front
+      .filter(col("sd100") > 0)
+    cents.join(stats, "event_type")
+      .withColumn("zs",
+        (col("v100").cast("double") - col("mean100")) / col("sd100"))
+      .filter(abs(col("zs")) > z)
+      .select(col("event_id"), col("event_type"), col("value"),
+        round(col("zs") * 10000, 0).cast("long").as("z4"))
+      .orderBy(col("event_id"))
+  }
+
+  def anomaliesSql(z: Double = 3.0): String =
+    s"""WITH cents AS (
+       |  SELECT event_id, event_type, value,
+       |         CAST(round(value * 100, 0) AS BIGINT) AS v100
+       |  FROM events
+       |), stats AS (
+       |  SELECT event_type,
+       |         CAST(sum(v100) AS DOUBLE) / count(*) AS mean100,
+       |         sqrt((CAST(sum(v100 * v100) AS DOUBLE)
+       |               - CAST(sum(v100) AS DOUBLE) * CAST(sum(v100) AS DOUBLE)
+       |                 / count(*))
+       |              / count(*)) AS sd100
+       |  FROM cents GROUP BY event_type
+       |  HAVING sqrt((CAST(sum(v100 * v100) AS DOUBLE)
+       |               - CAST(sum(v100) AS DOUBLE) * CAST(sum(v100) AS DOUBLE)
+       |                 / count(*))
+       |              / count(*)) > 0
+       |)
+       |SELECT event_id, event_type, value,
+       |       CAST(round((CAST(v100 AS DOUBLE) - mean100) / sd100 * 10000,
+       |                  0) AS BIGINT) AS z4
+       |FROM cents JOIN stats USING (event_type)
+       |WHERE abs((CAST(v100 AS DOUBLE) - mean100) / sd100) > $z
+       |ORDER BY event_id""".stripMargin
 }

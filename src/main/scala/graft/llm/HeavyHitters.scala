@@ -53,4 +53,93 @@ object HeavyHitters {
        |FROM c CROSS JOIN n
        |WHERE cnt * ${k + 1} > n
        |ORDER BY cnt DESC, w""".stripMargin
+
+  /** Count–Min point-frequency estimates, verified against exact
+    * counts. One bounded-memory sketch pass over the token stream
+    * (a single depth×width long grid — elementwise-sum merges make
+    * it deterministic on any cluster shape), then each probe word is
+    * answered by min over its depth cells; an exact counting pass
+    * over just the probe set pins the CMS guarantee est ≥ cnt row by
+    * row. The probe set is the distinct vocabulary of doc_id 0 — a
+    * bounded, data-derived query list.
+    *
+    * Scale path: the sketch transfer is ONE depth·width·8-byte row;
+    * the probe table is ≤|doc-0 vocab| rows; the exact pass is a
+    * semi-join + hash count on the probe keys. Nothing enumerates
+    * the corpus vocabulary.
+    */
+  def cmEstimates(docs: DataFrame, depth: Int = 3, width: Int = 16)
+      : DataFrame = {
+    val tok = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+    val probes = docs.filter(col("doc_id") === 0)
+      .select(explode(array_distinct(split(col("text"), " "))).as("w"))
+      .filter(length(col("w")) > 0)
+    // ONE row holding the whole grid; posexplode to (pos, cnt) cells
+    val cells = tok
+      .agg(graft.functions.CountMin.cm_sketch(depth, width)(col("w"))
+        .as("sk"))
+      .select(posexplode(col("sk")).as(Seq("pos", "cell_cnt")))
+    // per probe word: its depth cell positions, via the same md5
+    // probe hash the sketch used (fast conv form engine-side;
+    // bit-identical to the oracle's portable nibble form)
+    val qcells = probes
+      .select(col("w"),
+        explode(sequence(lit(0), lit(depth - 1))).as("j"))
+      .withColumn("pos", col("j") * lit(width) + pmod(expr(
+        graft.llm.Dedup.hash16FastExpr("concat(cast(j as string), ':', w)")),
+        lit(width)))
+    // cells is depth·width rows exploded from a 1-row aggregate —
+    // bounded by construction, but the explode (Generate) blocks the
+    // structural certificate, so no hard hint: AQE sees the tiny
+    // frame at runtime and broadcasts it on its own
+    val est = qcells.join(cells, "pos")
+      .groupBy(col("w")).agg(min(col("cell_cnt")).as("est"))
+    val exact = tok.join(probes, Seq("w"), "left_semi")
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    est.join(exact, Seq("w"))
+      .select(col("w"), col("est"), col("cnt"),
+        (col("est") - col("cnt")).as("overcount"))
+      .orderBy(col("w"))
+  }
+
+  /** Oracle: recompute the grid cells exactly (count of token
+    * occurrences per (row, cell)) and take the same min — the CMS
+    * estimate is a pure function of the data, so DuckDB reproduces
+    * it without any sketch machinery.
+    */
+  def cmEstimatesSql(depth: Int = 3, width: Int = 16): String = {
+    val h = Dedup.hash16Expr("strpos", "cast(j as varchar) || ':' || w")
+    s"""WITH tok AS (
+       |  SELECT w FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE len(w) > 0
+       |), probes AS (
+       |  SELECT DISTINCT w FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS w FROM documents
+       |    WHERE doc_id = 0)
+       |  WHERE len(w) > 0
+       |), rows_j AS (
+       |  SELECT unnest(range($depth)) AS j
+       |), grid AS (
+       |  SELECT j, $h % $width AS cell, count(*) AS cell_cnt
+       |  FROM tok CROSS JOIN rows_j
+       |  GROUP BY 1, 2
+       |), est AS (
+       |  SELECT p.w, min(g.cell_cnt) AS est
+       |  FROM (
+       |    SELECT w, j, $h % $width AS cell
+       |    FROM probes CROSS JOIN rows_j) p
+       |  JOIN grid g ON g.j = p.j AND g.cell = p.cell
+       |  GROUP BY p.w
+       |), exact AS (
+       |  SELECT w, count(*) AS cnt FROM tok
+       |  WHERE w IN (SELECT w FROM probes)
+       |  GROUP BY w
+       |)
+       |SELECT w, est, cnt, est - cnt AS overcount
+       |FROM est JOIN exact USING (w)
+       |ORDER BY w""".stripMargin
+  }
 }

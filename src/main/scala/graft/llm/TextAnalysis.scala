@@ -601,4 +601,96 @@ object TextAnalysis {
        |             / count(*), 6) AS oov_ratio
        |FROM tk t LEFT JOIN vocab v ON t.w = v.w
        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
+
+  /** X3h: the corpus Zipf curve — every token ranked by frequency
+    * (count desc, token asc: a total order) with its cumulative
+    * token-mass fraction, the plot a tokenizer/vocab design starts
+    * from. Rank and running mass both come from the distributed
+    * OrderedRank machinery (bucketed range sort + ≤buckets-row offset
+    * broadcast — no single-reducer `OVER (ORDER BY)` anywhere), so
+    * the operator holds for a 10M-type vocabulary. The cumulative
+    * fraction is computed from exact integer counts and quantized to
+    * millionths.
+    */
+  def zipfCurve(docs: DataFrame): DataFrame = {
+    val cnts = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    // one total over the count table (not the token stream) — tiny
+    val tot = cnts.agg(sum(col("cnt")).as("n_total"))
+    val ranked = graft.ts.OrderedRank.withRowNumber(
+      cnts, negate(col("cnt")).cast("double"), col("w"), "rank")
+    val summed = graft.ts.OrderedRank.withPrefixSum(
+      ranked, negate(col("cnt")).cast("double"), col("w"),
+      col("cnt"), "cum_before")
+    summed.crossJoin(broadcast(tot))
+      .select(col("rank"), col("w"), col("cnt"),
+        round((col("cum_before") + col("cnt")).cast("double") * 1000000.0
+          / col("n_total"), 0).cast("long").as("cum_frac6"))
+      .orderBy(col("rank"))
+  }
+
+  val zipfCurveSql: String =
+    """WITH cnts AS (
+      |  SELECT w, count(*) AS cnt FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      |  WHERE w <> '' GROUP BY w
+      |), tot AS (SELECT sum(cnt) AS n_total FROM cnts)
+      |SELECT row_number() OVER (ORDER BY cnt DESC, w) AS rank, w, cnt,
+      |       CAST(round(CAST(sum(cnt) OVER (ORDER BY cnt DESC, w
+      |           ROWS UNBOUNDED PRECEDING) AS DOUBLE) * 1000000.0
+      |           / n_total, 0) AS BIGINT) AS cum_frac6
+      |FROM cnts CROSS JOIN tot
+      |ORDER BY rank""".stripMargin
+
+  /** X3i: pairwise source vocabulary overlap — Jaccard between the
+    * distinct-token sets of every source pair, the corpus-comparison
+    * matrix a data-mixing decision reads. One (source, token)
+    * distinct pass, then the pair enumeration happens INSIDE each
+    * token's bucket via a self-join on the token key — ≤|sources|²/2
+    * candidates per token, bounded by source cardinality (domains,
+    * not documents), never by corpus size.
+    */
+  def sourceOverlap(docs: DataFrame): DataFrame = {
+    val sv = docs
+      .select(col("source"), explode(array_distinct(
+        split(col("text"), " "))).as("w"))
+      .filter(col("w") =!= "")
+      .distinct()
+    val sizes = sv.groupBy(col("source")).agg(count(lit(1)).as("sz"))
+    val inter = sv.as("a")
+      .join(sv.as("b"),
+        col("a.w") === col("b.w") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("s1"), col("b.source").as("s2"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("source").as("s1"), col("sz").as("sz1")), "s1")
+      .join(sizes.select(col("source").as("s2"), col("sz").as("sz2")), "s2")
+      .select(col("s1"), col("s2"), col("inter"), col("sz1"), col("sz2"),
+        round(col("inter").cast("double") /
+          (col("sz1") + col("sz2") - col("inter")), 6).as("jaccard"))
+      .orderBy(col("s1"), col("s2"))
+  }
+
+  val sourceOverlapSql: String =
+    """WITH sv AS (
+      |  SELECT DISTINCT source, w FROM (
+      |    SELECT source, unnest(string_split(text, ' ')) AS w
+      |    FROM documents)
+      |  WHERE w <> ''
+      |), sizes AS (
+      |  SELECT source, count(*) AS sz FROM sv GROUP BY source
+      |), inter AS (
+      |  SELECT a.source AS s1, b.source AS s2, count(*) AS inter
+      |  FROM sv a JOIN sv b ON a.w = b.w AND a.source < b.source
+      |  GROUP BY 1, 2
+      |)
+      |SELECT s1, s2, inter, z1.sz AS sz1, z2.sz AS sz2,
+      |       round(CAST(inter AS DOUBLE) / (z1.sz + z2.sz - inter), 6)
+      |         AS jaccard
+      |FROM inter
+      |JOIN sizes z1 ON z1.source = s1
+      |JOIN sizes z2 ON z2.source = s2
+      |ORDER BY s1, s2""".stripMargin
 }

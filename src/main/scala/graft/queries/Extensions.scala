@@ -480,6 +480,43 @@ object Extensions {
           .as("roundtrip"))
       .orderBy(col("event_id"))
 
+  /** X3: Count–Min point-frequency estimates (deterministic sketch —
+    * elementwise-sum merges) with the est ≥ exact guarantee pinned by
+    * an exact verify pass. width=16 over the harness's ~31-type vocab
+    * forces real collisions, so overcount > 0 rows genuinely exercise
+    * the sketch semantics.
+    */
+  private val x61CmEstimates: Q = (s, d) =>
+    HeavyHitters.cmEstimates(Tables.documents(s, d), depth = 3,
+      width = 16)
+
+  /** X2: asymmetric n-gram containment pairs — sub-document
+    * duplication that Jaccard (x04) underscores; same df-capped
+    * bucket machinery.
+    */
+  private val x62Containment: Q = (s, d) =>
+    Dedup.containmentPairs(Tables.documents(s, d), dfCap = 10,
+      threshold = 0.5)
+
+  /** X5: per-type z-score anomaly flags over event values (exact
+    * integer-cent moments; IEEE-fixed scoring expression).
+    */
+  private val x63EventAnomalies: Q = (s, d) =>
+    EventsAnalytics.anomalies(Tables.events(s, d), z = 3.0)
+
+  /** X3: corpus Zipf curve — distributed rank + running token-mass
+    * via OrderedRank (no single-reducer global window).
+    */
+  private val x64ZipfCurve: Q = (s, d) =>
+    TextAnalysis.zipfCurve(Tables.documents(s, d))
+
+  /** X3: pairwise source vocabulary-overlap matrix (Jaccard over
+    * distinct-token sets; pair enumeration bounded by source
+    * cardinality inside each token bucket).
+    */
+  private val x65SourceOverlap: Q = (s, d) =>
+    TextAnalysis.sourceOverlap(Tables.documents(s, d))
+
   val queries: Map[String, Q] = Map(
     "x01_dedup_exact" -> x01DedupExact,
     "x02_dedup_minhash" -> x02DedupMinhash,
@@ -542,6 +579,11 @@ object Extensions {
     "x58_pmi_collocations" -> x58PmiCollocations,
     "x59_vocab_coverage" -> x59VocabCoverage,
     "x60_box_cox" -> x60BoxCox,
+    "x61_cm_estimates" -> x61CmEstimates,
+    "x62_containment" -> x62Containment,
+    "x63_event_anomalies" -> x63EventAnomalies,
+    "x64_zipf_curve" -> x64ZipfCurve,
+    "x65_source_overlap" -> x65SourceOverlap,
   )
 
   /** The PNG pixel statistics in closed form: the fixture image's
@@ -740,5 +782,11 @@ object Extensions {
         |  round(pow(((pow(value, 0.3) - 1.0) / 0.3) * 0.3 + 1.0,
         |        1.0 / 0.3), 6) AS roundtrip
         |FROM events WHERE value > 0 ORDER BY event_id""".stripMargin,
+    "x61_cm_estimates" -> HeavyHitters.cmEstimatesSql(depth = 3,
+      width = 16),
+    "x62_containment" -> Dedup.containmentPairsSql(10, 0.5),
+    "x63_event_anomalies" -> EventsAnalytics.anomaliesSql(3.0),
+    "x64_zipf_curve" -> TextAnalysis.zipfCurveSql,
+    "x65_source_overlap" -> TextAnalysis.sourceOverlapSql,
   )
 }

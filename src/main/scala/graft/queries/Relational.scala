@@ -342,6 +342,52 @@ object Relational {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** TPC-H Q17 shape (engine addition): correlated-average threshold
+    * — lineitems whose quantity is below half their part's average
+    * quantity, rolled up per part. Catalyst rewrites the shape into
+    * the same self-join the DataFrame states explicitly: one
+    * per-part average aggregate joined back on l_partkey (both sides
+    * shuffle on the same key, so AQE coalesces into one exchange
+    * reuse). Quantities are integral doubles, so the per-part average
+    * is an exact-integer sum over a count — no summation-order
+    * dependence in the threshold compare.
+    */
+  private val q23CorrAvg: Q = (s, d) => {
+    val l = Tables.lineitem(s, d)
+    val avgQty = l.groupBy(col("l_partkey"))
+      .agg(avg(col("l_quantity")).as("aq"))
+    l.join(avgQty, "l_partkey")
+      .filter(col("l_quantity") < lit(0.5) * col("aq"))
+      .groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n_small"),
+        round(sum(col("l_extendedprice")), 2).as("small_rev"))
+      .orderBy(col("l_partkey"))
+  }
+
+  /** Per-customer order cadence via lag over an event-time window
+    * (engine addition — the reference has no window functions,
+    * SURVEY.md §2.8): day gaps between consecutive orders, rolled up
+    * to min/max per customer. The window partitions on o_custkey —
+    * millions of independent keys, so it hash-distributes; nothing
+    * single-partition. Gaps are integer day counts (order-stat
+    * arithmetic, no float anywhere).
+    */
+  private val q24OrderGaps: Q = (s, d) => {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("od"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("date").as("od"))
+      // long, to line up with DuckDB's BIGINT date_diff
+      .withColumn("gap",
+        datediff(col("od"), lag(col("od"), 1).over(w)).cast("long"))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        min(col("gap")).as("min_gap"), max(col("gap")).as("max_gap"))
+      .filter(col("n_orders") >= 8)
+      .orderBy(col("o_custkey"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q01_scan_filter_project" -> q01ScanFilterProject,
     "q02_agg_sum" -> q02AggSum,
@@ -365,6 +411,8 @@ object Relational {
     "q20_pivot" -> q20Pivot,
     "q21_cube" -> q21Cube,
     "q22_scalar_subquery" -> q22ScalarSubquery,
+    "q23_corr_avg" -> q23CorrAvg,
+    "q24_order_gaps" -> q24OrderGaps,
   )
 
   val oracles: Map[String, String] = Map(
@@ -494,5 +542,29 @@ object Relational {
         |  AND c_custkey IN (SELECT o_custkey FROM orders
         |                    WHERE o_totalprice > 250000)
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q23_corr_avg" ->
+      """SELECT l.l_partkey, count(*) AS n_small,
+        |       round(sum(l.l_extendedprice), 2) AS small_rev
+        |FROM lineitem l
+        |JOIN (SELECT l_partkey, avg(l_quantity) AS aq
+        |      FROM lineitem GROUP BY l_partkey) t
+        |  ON l.l_partkey = t.l_partkey
+        |WHERE l.l_quantity < 0.5 * t.aq
+        |GROUP BY l.l_partkey ORDER BY l.l_partkey""".stripMargin,
+    "q24_order_gaps" ->
+      """WITH g AS (
+        |  SELECT o_custkey,
+        |         date_diff('day',
+        |           lag(CAST(o_orderdate AS DATE)) OVER
+        |             (PARTITION BY o_custkey
+        |              ORDER BY CAST(o_orderdate AS DATE), o_orderkey),
+        |           CAST(o_orderdate AS DATE)) AS gap
+        |  FROM orders
+        |)
+        |SELECT o_custkey, count(*) AS n_orders,
+        |       min(gap) AS min_gap, max(gap) AS max_gap
+        |FROM g GROUP BY o_custkey
+        |HAVING count(*) >= 8
+        |ORDER BY o_custkey""".stripMargin,
   )
 }

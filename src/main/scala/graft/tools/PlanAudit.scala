@@ -190,7 +190,12 @@ object PlanAudit {
       // k broadcast centroids (pmod-certified seed frame, cf. x36)
       "x57_semantic_dedup" -> Set("BNLJoin"),
       // 1-row (nb, nt) corpus totals into the PMI projection
-      "x58_pmi_collocations" -> Set("SinglePartition", "BNLJoin"))
+      "x58_pmi_collocations" -> Set("SinglePartition", "BNLJoin"),
+      // 1-row global sketch-grid aggregate (one depth·width long
+      // array into the scalar reduce)
+      "x61_cm_estimates" -> Set("SinglePartition"),
+      // 1-row corpus token-total scalar into the cumulative fraction
+      "x64_zipf_curve" -> Set("SinglePartition", "BNLJoin"))
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")

@@ -1,0 +1,126 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.llm.{Dedup, EventsAnalytics, HeavyHitters, TextAnalysis}
+
+/** Semantic checks for the round-6 sketch/analysis additions:
+  * Count–Min estimates, n-gram containment, z-score anomalies, the
+  * Zipf curve, and source vocabulary overlap — each on a hand corpus
+  * with closed-form expected values.
+  */
+class SketchOpsSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("count-min: est >= exact always; exact when cells don't collide") {
+    import spark.implicits._
+    // doc 0 is the probe document (its distinct words are the query
+    // set); words chosen so CountMin.cell maps them to distinct cells
+    // at width 1024 (asserted below, not assumed)
+    val words = Seq("alpha", "beta", "gamma")
+    val depth = 3
+    val wide = 1024
+    for (j <- 0 until depth) {
+      val cells = words.map(w => graft.functions.CountMin.cell(j, w, wide))
+      assert(cells.distinct.length == words.length,
+        s"test words collide at row $j — pick different words")
+    }
+    val docs = Seq(
+      (0L, "alpha beta gamma"),
+      (1L, "alpha alpha beta"),
+      (2L, "alpha noise more noise")).toDF("doc_id", "text")
+    val wideRes = HeavyHitters.cmEstimates(docs, depth, wide)
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("est"), r.getAs[Long]("cnt")))).toMap
+    assert(wideRes.keySet == Set("alpha", "beta", "gamma"))
+    // no collisions at width 1024 for these words -> est is exact
+    assert(wideRes("alpha") == ((4L, 4L)))
+    assert(wideRes("beta") == ((2L, 2L)))
+    assert(wideRes("gamma") == ((1L, 1L)))
+    // width 2 forces collisions: the CMS guarantee est >= cnt must
+    // hold on every row, and at least one probe genuinely overcounts
+    val tight = HeavyHitters.cmEstimates(docs, depth, width = 2).collect()
+    assert(tight.forall(r => r.getAs[Long]("est") >= r.getAs[Long]("cnt")))
+    assert(tight.exists(r => r.getAs[Long]("overcount") > 0L),
+      "width=2 over a 6-type vocab should collide somewhere")
+  }
+
+  test("count-min: sketch is partitioning-invariant (elementwise-sum merge)") {
+    import spark.implicits._
+    val docs = Seq.tabulate(40)(i =>
+      (i.toLong, s"w${i % 7} w${i % 3} shared")).toDF("doc_id", "text")
+    def run(parts: Int) =
+      HeavyHitters.cmEstimates(docs.repartition(parts), depth = 3, width = 8)
+        .collect().map(_.toSeq).toSeq
+    assert(run(1) == run(7))
+  }
+
+  test("containment: embedded doc scores 1.0 forward, Jaccard-low backward") {
+    import spark.implicits._
+    // doc 1's three 3-shingles all occur in doc 2 (6 shingles):
+    // containment 1->2 = 3/3, 2->1 = 3/6
+    val docs = Seq(
+      (1L, "a b c d e"),
+      (2L, "a b c d e f g h")).toDF("doc_id", "text")
+    val rows = Dedup.containmentPairs(docs, dfCap = 10, threshold = 0.5)
+      .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")) ->
+        (r.getAs[Long]("inter"), r.getAs[Long]("sz_a"),
+          r.getAs[Double]("containment"))).toMap
+    assert(rows.keySet == Set((1L, 2L), (2L, 1L)))
+    assert(rows((1L, 2L)) == ((3L, 3L, 1.0)))
+    assert(rows((2L, 1L)) == ((3L, 6L, 0.5)))
+  }
+
+  test("containment: direction below threshold is dropped") {
+    import spark.implicits._
+    // doc 2 is long enough that 3/|grams(2)| < 0.3 while 1->2 stays 1.0
+    val docs = Seq(
+      (1L, "a b c d e"),
+      (2L, "a b c d e f g h i j k l m n o p")).toDF("doc_id", "text")
+    val rows = Dedup.containmentPairs(docs, dfCap = 10, threshold = 0.6)
+      .collect()
+    assert(rows.length == 1)
+    assert(rows(0).getAs[Long]("a") == 1L && rows(0).getAs[Long]("b") == 2L)
+  }
+
+  test("z-score anomalies: closed-form z on a planted outlier") {
+    import spark.implicits._
+    // ten 1.00s and one 100.00: mean100=1000, population sd100 =
+    // sqrt(8_100_000) -> outlier z = 9000/sd = sqrt(10) = 3.16228
+    val ev = (1 to 10).map(i => (i.toLong, "t", 1.00)) :+ (11L, "t", 100.00)
+    val df = ev.toDF("event_id", "event_type", "value")
+    val rows = EventsAnalytics.anomalies(df, z = 3.0).collect()
+    assert(rows.length == 1)
+    assert(rows(0).getAs[Long]("event_id") == 11L)
+    assert(rows(0).getAs[Long]("z4") == 31623L) // round(sqrt(10)*1e4)
+  }
+
+  test("zipf curve: ranks by count desc then token, cumulates to 1e6") {
+    import spark.implicits._
+    val docs = Seq((1L, "b b b a a c")).toDF("doc_id", "text")
+    val rows = TextAnalysis.zipfCurve(docs).collect()
+      .map(r => (r.getAs[Long]("rank"), r.getAs[String]("w"),
+        r.getAs[Long]("cnt"), r.getAs[Long]("cum_frac6")))
+    assert(rows.toSeq == Seq(
+      (1L, "b", 3L, 500000L),
+      (2L, "a", 2L, 833333L),
+      (3L, "c", 1L, 1000000L)))
+  }
+
+  test("source overlap: Jaccard over distinct-token sets, zero pairs absent") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c", "s1"),
+      (2L, "b c d", "s2"),
+      (3L, "x", "s3"),
+      (4L, "c b", "s2") // duplicates within a source must not inflate
+    ).toDF("doc_id", "text", "source")
+    val rows = TextAnalysis.sourceOverlap(docs).collect()
+    assert(rows.length == 1) // s3 shares nothing -> no s3 rows
+    val r = rows(0)
+    assert(r.getAs[String]("s1") == "s1" && r.getAs[String]("s2") == "s2")
+    assert(r.getAs[Long]("inter") == 2L && r.getAs[Long]("sz1") == 3L &&
+      r.getAs[Long]("sz2") == 3L)
+    assert(r.getAs[Double]("jaccard") == 0.5)
+  }
+}

@@ -190,13 +190,31 @@ object EventsAnalytics {
     * partials), a join back against the ≤|event types|-row stats dim
     * (AQE broadcasts it), one filter — linear at any SF.
     */
-  def anomalies(events: DataFrame, z: Double = 3.0): DataFrame = {
-    val cents = events
-      .withColumn("v100", round(col("value") * 100, 0).cast("long"))
-    val stats = cents
+  def anomalies(events: DataFrame, z: Double = 3.0): DataFrame =
+    scoreAnomalies(events,
+      anomalyStatsFromMoments(anomalyMoments(events)), z)
+      .orderBy(col("event_id"))
+
+  /** The integer-cent projection every anomaly stage shares. */
+  private def cents(events: DataFrame): DataFrame =
+    events.withColumn("v100", round(col("value") * 100, 0).cast("long"))
+
+  /** Per-type exact integer moments (n, Σv, Σv²) — pure sums, so the
+    * same groupBy runs as an UPDATE-mode streaming aggregation whose
+    * drained state equals the batch table (streaming twin:
+    * `EventsStream.anomalyMomentsRunning`).
+    */
+  def anomalyMoments(events: DataFrame): DataFrame =
+    cents(events)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("v100")).as("s"),
         sum(col("v100") * col("v100")).as("ss"))
+
+  /** Moments → (mean, population sd) stats dim, one fixed IEEE
+    * expression per column.
+    */
+  def anomalyStatsFromMoments(moments: DataFrame): DataFrame =
+    moments
       .select(col("event_type"),
         (col("s").cast("double") / col("n")).as("mean100"),
         sqrt((col("ss").cast("double") -
@@ -205,14 +223,18 @@ object EventsAnalytics {
       // sd = 0 (constant type, or a single row) admits no anomaly and
       // would divide by zero under ANSI — drop the type up front
       .filter(col("sd100") > 0)
-    cents.join(stats, "event_type")
+
+  /** Stateless scoring against a FIXED stats dim — usable on a batch
+    * frame or per-row on an ingest stream.
+    */
+  def scoreAnomalies(events: DataFrame, stats: DataFrame,
+      z: Double): DataFrame =
+    cents(events).join(stats, "event_type")
       .withColumn("zs",
         (col("v100").cast("double") - col("mean100")) / col("sd100"))
       .filter(abs(col("zs")) > z)
       .select(col("event_id"), col("event_type"), col("value"),
         round(col("zs") * 10000, 0).cast("long").as("z4"))
-      .orderBy(col("event_id"))
-  }
 
   def anomaliesSql(z: Double = 3.0): String =
     s"""WITH cents AS (

@@ -69,18 +69,40 @@ object HeavyHitters {
     * the corpus vocabulary.
     */
   def cmEstimates(docs: DataFrame, depth: Int = 3, width: Int = 16)
-      : DataFrame = {
-    val tok = docs
-      .select(explode(split(col("text"), " ")).as("w"))
+      : DataFrame =
+    cmEstimatesFromCells(docs, cmSketchCells(cmSketch(docs, depth, width)),
+      depth, width)
+
+  /** The whitespace token stream every CMS stage shares. */
+  private[graft] def cmTokens(docs: DataFrame): DataFrame =
+    docs.select(explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0)
+
+  /** ONE row holding the whole depth×width grid. The same global
+    * aggregation runs as a COMPLETE-mode streaming query (state = the
+    * one grid row; merges are elementwise sums, so the drained sketch
+    * is bit-equal to the batch one — streaming twin:
+    * `DocumentsStream.cmSketchRunning`).
+    */
+  def cmSketch(docs: DataFrame, depth: Int, width: Int): DataFrame =
+    cmTokens(docs)
+      .agg(graft.functions.CountMin.cm_sketch(depth, width)(col("w"))
+        .as("sk"))
+
+  /** Sketch row → (pos, cell_cnt) cells. */
+  def cmSketchCells(sketch: DataFrame): DataFrame =
+    sketch.select(posexplode(col("sk")).as(Seq("pos", "cell_cnt")))
+
+  /** Point estimates for doc-0's vocabulary against a cells frame
+    * (from the batch aggregate or a drained streaming sketch), with
+    * the exact verify pass alongside.
+    */
+  def cmEstimatesFromCells(docs: DataFrame, cells: DataFrame,
+      depth: Int, width: Int): DataFrame = {
+    val tok = cmTokens(docs)
     val probes = docs.filter(col("doc_id") === 0)
       .select(explode(array_distinct(split(col("text"), " "))).as("w"))
       .filter(length(col("w")) > 0)
-    // ONE row holding the whole grid; posexplode to (pos, cnt) cells
-    val cells = tok
-      .agg(graft.functions.CountMin.cm_sketch(depth, width)(col("w"))
-        .as("sk"))
-      .select(posexplode(col("sk")).as(Seq("pos", "cell_cnt")))
     // per probe word: its depth cell positions, via the same md5
     // probe hash the sketch used (fast conv form engine-side;
     // bit-identical to the oracle's portable nibble form)

@@ -238,4 +238,24 @@ object DocumentsStream {
       .drop("bloom")
       .drop(graft.operators.BloomPrune.probeCols(k): _*)
   }
+
+  /** Running Count–Min sketch — the streaming half of
+    * HeavyHitters.cmEstimates (x61): the SAME global cm_sketch
+    * aggregation as the batch operator, run COMPLETE-mode over the
+    * ingest token stream. State is the one depth×width long grid
+    * (bytes, regardless of feed size), and because the merge is an
+    * elementwise sum the drained sketch is bit-equal to the batch
+    * sketch over the same corpus; [[cmEstimatesAtDrain]] then answers
+    * point queries through the shared estimate machinery.
+    */
+  def cmSketchRunning(docs: DataFrame, depth: Int, width: Int): DataFrame =
+    graft.llm.HeavyHitters.cmSketch(docs, depth, width)
+
+  /** Drain-time finisher: point estimates + exact verify from a
+    * drained sketch row, identical to the batch x61 output.
+    */
+  def cmEstimatesAtDrain(batchDocs: DataFrame, drainedSketch: DataFrame,
+      depth: Int, width: Int): DataFrame =
+    graft.llm.HeavyHitters.cmEstimatesFromCells(batchDocs,
+      graft.llm.HeavyHitters.cmSketchCells(drainedSketch), depth, width)
 }

@@ -44,6 +44,25 @@ object EventsStream {
       .select(col("window.start").as("hr"), col("event_type"), col("n"),
         col("total"))
 
+  /** Running per-type anomaly moments — the streaming half of
+    * EventsAnalytics.anomalies (x63): the SAME exact integer-cent
+    * (n, Σv, Σv²) aggregation, run UPDATE/COMPLETE-mode. State is one
+    * row per event type (a dimension, bounded by the type list), and
+    * pure integer sums drain to exactly the batch moment table;
+    * [[scoreAnomaliesAgainst]] then serves per-arrival scoring
+    * against the frozen stats dim with the batch formulas.
+    */
+  def anomalyMomentsRunning(events: DataFrame): DataFrame =
+    graft.llm.EventsAnalytics.anomalyMoments(events)
+
+  /** Stateless scoring of a feed against a FIXED stats dim (built by
+    * [[graft.llm.EventsAnalytics.anomalyStatsFromMoments]] from
+    * drained moments) — per-row math identical to batch x63.
+    */
+  def scoreAnomaliesAgainst(events: DataFrame, stats: DataFrame,
+      z: Double): DataFrame =
+    graft.llm.EventsAnalytics.scoreAnomalies(events, stats, z)
+
   /** Watermarked sliding-window aggregation — the streaming twin of
     * EventsAnalytics.slidingWindows (each event contributes to
     * window/slide overlapping windows; state per open window is one

@@ -330,4 +330,28 @@ class DocumentsStreamSpec extends AnyFunSuite {
       assert(got.map(_._3).size >= 2)
     } finally q.stop()
   }
+
+  test("running count-min sketch drains bit-equal to batch; estimates " +
+    "match x61") {
+    val stream = DocumentsStream.readDocuments(spark, docsDir)
+    val q = DocumentsStream.cmSketchRunning(stream, depth = 3, width = 16)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("cm_sketch_out").start()
+    try {
+      q.processAllAvailable()
+      val drained = spark.sql("SELECT sk FROM cm_sketch_out")
+      val docs = Tables.documents(spark, sf)
+      // elementwise-sum merges: the drained grid is bit-equal to batch
+      val batchSk = graft.llm.HeavyHitters.cmSketch(docs, 3, 16)
+        .collect()(0).getSeq[Long](0)
+      assert(drained.collect()(0).getSeq[Long](0) == batchSk)
+      // and the shared estimate machinery reproduces x61 exactly
+      val fromStream = DocumentsStream
+        .cmEstimatesAtDrain(docs, drained, 3, 16)
+        .collect().map(_.toSeq).toSeq
+      val batch = graft.llm.HeavyHitters.cmEstimates(docs, 3, 16)
+        .collect().map(_.toSeq).toSeq
+      assert(fromStream == batch)
+    } finally q.stop()
+  }
 }

@@ -213,4 +213,31 @@ class StreamingSpec extends AnyFunSuite {
         s"final state ${stateRows.last} rows (copy=$perCopy) — not evicted")
     } finally q.stop()
   }
+
+  test("running anomaly moments drain to batch moments; scoring " +
+    "against them matches x63") {
+    val stream = EventsStream.readEvents(spark, eventsDir)
+    val q = EventsStream.anomalyMomentsRunning(stream)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("anom_moments").start()
+    try {
+      q.processAllAvailable()
+      val drained = spark.sql("SELECT event_type, n, s, ss FROM anom_moments")
+      val ev = Tables.events(spark, sf)
+      def asMap(rows: Array[org.apache.spark.sql.Row]) =
+        rows.map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      // pure integer sums: drained state equals the batch moment table
+      val batchMoments =
+        asMap(graft.llm.EventsAnalytics.anomalyMoments(ev).collect())
+      assert(asMap(drained.collect()) == batchMoments)
+      // frozen stats dim + stateless scorer reproduce batch x63 exactly
+      val stats = graft.llm.EventsAnalytics.anomalyStatsFromMoments(drained)
+      val fromStream = EventsStream.scoreAnomaliesAgainst(ev, stats, 3.0)
+        .orderBy("event_id").collect().map(_.toSeq).toSeq
+      val batch = graft.llm.EventsAnalytics.anomalies(ev, 3.0)
+        .collect().map(_.toSeq).toSeq
+      assert(fromStream == batch)
+    } finally q.stop()
+  }
 }

@@ -49,7 +49,17 @@ object Bench {
     val best: Seq[(String, Double)] =
       names.map(n => n -> runs.map(_.toMap.apply(n)).min)
     def r4(v: Double): Double = math.rint(v * 1e4) / 1e4
-    val qs = best.map { case (k, v) => s"\"" + k + "\":" + r4(v) }
+    def r3(v: Double): Double = math.rint(v * 1e3) / 1e3
+    // The driver snapshots only the LAST 2000 chars of stdout and
+    // json-parses them; 96 full query names at 4dp is ~2600 chars and
+    // truncates mid-line (BENCH_r06 had parsed:null). The stdout map
+    // therefore keys on the short query id (the `d01`/`q09`/`x46`
+    // prefix — unique across the suite) at 3dp (~1300 chars); the file
+    // artifact below keeps full names and per-rep detail.
+    def shortId(name: String): String = name.takeWhile(_ != '_')
+    val qs = best.map { case (k, v) => s"\"" + shortId(k) + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    val qsFull = best.map { case (k, v) => s"\"" + k + "\":" + r4(v) }
       .mkString("{", ",", "}")
     val total = r4(best.map(_._2).sum)
     val repTotals = runs.map(r => r4(r.map(_._2).sum))
@@ -57,9 +67,9 @@ object Bench {
     val line = s"""{"metric":"total","value":$total,"unit":"sec"""" +
       s""","reps":$reps,"rep_totals":$repTotals,"queries":$qs""" +
       s""","sf":"$sfDir"}"""
-    // stdout for the driver (kept compact — 4dp — so log tails never
-    // truncate the per-query map) AND the full artifact to a file,
-    // with every rep's per-query timing
+    val fileLine = s"""{"metric":"total","value":$total,"unit":"sec"""" +
+      s""","reps":$reps,"rep_totals":$repTotals,"queries":$qsFull""" +
+      s""","sf":"$sfDir"}"""
     println(line)
     try {
       val perRep = runs.zipWithIndex.map { case (r, i) =>
@@ -68,7 +78,7 @@ object Bench {
         }.mkString("{", ",", "}")
       }.mkString(",")
       java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-        (line.dropRight(1) + s""","per_rep":{$perRep}}""" + "\n")
+        (fileLine.dropRight(1) + s""","per_rep":{$perRep}}""" + "\n")
           .getBytes("UTF-8"))
     } catch { case _: Throwable => () } // bench must not fail on IO
     spark.stop()

@@ -363,15 +363,40 @@ object Similarity {
     * Clusters that lose all members drop out — identically in the
     * oracle.
     */
+  /** Collect a BOUNDED model frame (the 1-row PQ codebook, the ≤k
+    * centroid rows) to the driver and rebuild it as a LocalRelation:
+    * training executes exactly ONCE per operator invocation (the r6
+    * cache() pin achieved the same sharing but leaked an
+    * InMemoryRelation per invocation in long-lived sessions), nothing
+    * stays persisted in executor storage, and the collected rows are
+    * exactly what a persisted model table would hold — the
+    * train-once/serve-many split ([[pqServeTopK]]) reads the same
+    * schema back from parquet. The collect is bounded by construction:
+    * callers only pass frames whose root is a grouping-free aggregate
+    * or a ≤k-key aggregate.
+    */
+  private def localized(df: DataFrame): DataFrame =
+    df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(df.collect(): _*), df.schema)
+
   /** The Lloyd centroid loop behind [[kmeansRefine]], returning the
     * (`__cid`, `ce`) centroid frame — shared with the trained
     * [[semanticDedup]] assignment so the two operators cannot drift.
-    * iters = 0 returns the raw seed frame.
+    * iters = 0 returns the raw seed frame. trainSample = r > 1 runs
+    * the per-iteration assignment passes over the deterministic 1-in-r
+    * slice `vec_id % r = 0` (a pushed-down scan filter — at 100 TB
+    * training I/O shrinks r-fold while the iteration shape is
+    * unchanged); seeds always come from the full corpus so the
+    * codebook keys stay the first k ids regardless of r.
     */
   private[graft] def kmeansCentroids(emb: DataFrame, k: Int,
-      iters: Int): DataFrame = {
+      iters: Int, trainSample: Int = 1): DataFrame = {
     def cosTo(v: Column, c: Column): Column =
       round(graft.functions.VectorFunctions.cosine_similarity(v, c), 6)
+    val trainEmb =
+      if (trainSample > 1)
+        emb.filter(pmod(col("vec_id"), lit(trainSample)) === 0)
+      else emb
     // pmod(vec_id, k) is the identity on the filtered seed domain
     // vec_id ∈ [0, k) — it exists to give the per-iteration centroid
     // broadcast a STRUCTURAL cardinality-≤-k certificate (PlanAudit
@@ -380,7 +405,7 @@ object Similarity {
       .select(pmod(col("vec_id"), lit(k)).as("__cid"),
         col("embedding").cast("array<double>").as("ce"))
     for (_ <- 1 to iters) {
-      val assigned = emb.crossJoin(broadcast(centroids))
+      val assigned = trainEmb.crossJoin(broadcast(centroids))
         .withColumn("c", cosTo(col("embedding"), col("ce")))
         .withColumn("rn", row_number().over(Window
           .partitionBy(col("vec_id"))
@@ -416,14 +441,15 @@ object Similarity {
     * (cid, ce). Shared by the kmeansRefine and trained-semanticDedup
     * oracles.
     */
-  private def kmeansCtesSql(k: Int, iters: Int): String = {
+  private def kmeansCtesSql(k: Int, iters: Int,
+      trainSample: Int = 1): String = {
     def stage(cin: String, aOut: String, dOut: String, cOut: String): String =
       s"""$aOut AS (
          |  SELECT vec_id, cid, e FROM (
          |    SELECT d.vec_id, c.cid, d.e,
          |      row_number() OVER (PARTITION BY d.vec_id ORDER BY
          |        ${sqlCos("d.e", "c.ce")} DESC, c.cid) AS rn
-         |    FROM dbl d CROSS JOIN $cin c)
+         |    FROM dblt d CROSS JOIN $cin c)
          |  WHERE rn = 1
          |), $dOut AS (
          |  SELECT cid, i, round(avg(e[i+1]), 6) AS cv
@@ -435,9 +461,13 @@ object Similarity {
     val stages = (1 to iters)
       .map(t => stage(s"c${t - 1}", s"a$t", s"d$t", s"c$t"))
       .mkString(",\n")
+    val slice =
+      if (trainSample > 1) s"WHERE vec_id % $trainSample = 0" else ""
     s"""dbl AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
        |  FROM embeddings
+       |), dblt AS (
+       |  SELECT * FROM dbl $slice
        |), c0 AS (
        |  SELECT vec_id AS cid, e AS ce FROM dbl WHERE vec_id < $k
        |)${if (iters > 0) ",\n" + stages else ""}""".stripMargin
@@ -547,12 +577,15 @@ object Similarity {
     * aggregate row (provably bounded → broadcast), assignment is a
     * map-only projection against it, and the update is one
     * posexplode + hash aggregate whose shuffle carries m·ksub·subDim
-    * rows regardless of corpus size. At 100 TB you would train on a
-    * pushed-down sample (`emb.filter(pmod(hash(vec_id), r) === 0)`)
-    * — the iteration shape is unchanged.
+    * rows regardless of corpus size. trainSample = r > 1 is the
+    * 100 TB knob: the per-iteration assignment passes read only the
+    * deterministic 1-in-r slice `vec_id % r = 0` (a pushed-down scan
+    * filter — r-fold less training I/O per round), while seeds and the
+    * downstream encode/ADC still cover the full corpus; the iteration
+    * shape is unchanged.
     */
   def pqTrainCodebook(emb: DataFrame, dim: Int, m: Int, ksub: Int,
-      iters: Int): DataFrame = {
+      iters: Int, trainSample: Int = 1): DataFrame = {
     val subDim = dim / m
     val sv = emb.select(col("vec_id"),
         explode(sequence(lit(0), lit(m - 1))).as("sub"),
@@ -560,6 +593,10 @@ object Similarity {
       .select(col("vec_id"), col("sub"),
         transform(pqSubvec(col("e"), col("sub"), subDim),
           x => floor(x * lit(1e6) + lit(0.5)).cast("long")).as("v"))
+    val svT =
+      if (trainSample > 1)
+        sv.filter(pmod(col("vec_id"), lit(trainSample)) === 0)
+      else sv
     var cent = sv.filter(col("vec_id") < ksub)
       .select(col("sub"), col("vec_id").cast("int").as("cid"),
         col("v").as("cv"))
@@ -567,7 +604,7 @@ object Similarity {
       val cb1 = cent.groupBy()
         .agg(sort_array(collect_list(
           struct(col("sub"), col("cid"), col("cv")))).as("cb"))
-      val assigned = sv.crossJoin(broadcast(cb1))
+      val assigned = svT.crossJoin(broadcast(cb1))
         .select(col("sub"), col("v"),
           array_min(transform(
             filter(col("cb"), c => c.getField("sub") === col("sub")),
@@ -596,20 +633,53 @@ object Similarity {
   }
 
   def pqTopK(emb: DataFrame, dim: Int, m: Int, ksub: Int, nQueries: Int,
-      k: Int, trainIters: Int = 0): DataFrame = {
+      k: Int, trainIters: Int = 0, trainSample: Int = 1): DataFrame = {
     require(dim % m == 0, s"dim=$dim not divisible by m=$m subspaces")
+    // localized, not cache(): BOTH consumers (encode, ADC tables) read
+    // this 1-row frame; collecting it once to a LocalRelation runs the
+    // training subtree exactly once and leaves nothing persisted in
+    // executor storage (the r6 cache() pin leaked an InMemoryRelation
+    // per invocation in long-lived sessions). PlanAudit certifies a
+    // LocalRelation broadcast directly (driver-local by construction),
+    // and audits the training plan itself as a separate entry.
+    val cbRow = localized(
+      if (trainIters > 0)
+        pqTrainCodebook(emb, dim, m, ksub, trainIters, trainSample)
+      else pqCodebook(emb, dim, m, ksub))
+    pqAdcTopK(emb, cbRow, dim, m, nQueries, k)
+  }
+
+  /** PQ ANN, SERVE path — identical encode/ADC/top-k to [[pqTopK]],
+    * but the trained codebook comes from a persisted model table
+    * ([[graft.tools.ModelStore]]): trained and written on first use,
+    * read back (a few-KB parquet scan, no training plan at all) on
+    * every subsequent execution. The oracle for this query is the
+    * full deterministic in-query-training SQL, so a hash match proves
+    * the parquet round-trip is bit-exact — the train-once/serve-many
+    * split costs nothing in fidelity.
+    */
+  def pqServeTopK(emb: DataFrame, modelPath: String, dim: Int, m: Int,
+      ksub: Int, nQueries: Int, k: Int, trainIters: Int = 0,
+      trainSample: Int = 1): DataFrame = {
+    require(dim % m == 0, s"dim=$dim not divisible by m=$m subspaces")
+    val cbRow = localized(graft.tools.ModelStore.ensure(modelPath,
+      if (trainIters > 0)
+        pqTrainCodebook(emb, dim, m, ksub, trainIters, trainSample)
+      else pqCodebook(emb, dim, m, ksub)))
+    pqAdcTopK(emb, cbRow, dim, m, nQueries, k)
+  }
+
+  /** The serve stage of PQ ANN — map-only encode against the 1-row
+    * broadcast codebook, per-query ADC distance tables, bounded
+    * partial top-k — shared verbatim by [[pqTopK]] (in-query
+    * training) and [[pqServeTopK]] (persisted model), so the two
+    * paths cannot drift.
+    */
+  private def pqAdcTopK(emb: DataFrame, cbRow: DataFrame, dim: Int,
+      m: Int, nQueries: Int, k: Int): DataFrame = {
     val subDim = dim / m
     def d2u6(a: Column, b: Column): Column = pqD2u6(a, b)
     def subvec(e: Column, sub: Column): Column = pqSubvec(e, sub, subDim)
-    // cache, not Materialize: BOTH consumers (encode, ADC tables)
-    // read this 1-row frame, and without the pin the whole Lloyd
-    // training subtree runs twice. cache() keeps the lineage visible
-    // (a checkpoint would hide the aggregate root from PlanAudit's
-    // boundedness certificate) and the one-row InMemoryRelation is
-    // shared by both broadcast sides within the single final plan.
-    val cbRow =
-      (if (trainIters > 0) pqTrainCodebook(emb, dim, m, ksub, trainIters)
-       else pqCodebook(emb, dim, m, ksub)).cache()
     val codes = pqEncode(emb, cbRow, dim, m)
     // per-query ADC tables: dt[sub·ksub + cid] = d²(q_sub, c_sub,cid)
     val dt = emb.filter(col("vec_id") < nQueries)
@@ -645,7 +715,7 @@ object Similarity {
     * keeping their previous centroid.
     */
   private def pqTrainedCbSql(subDim: Int, m: Int, ksub: Int,
-      iters: Int): String = {
+      iters: Int, trainSample: Int = 1): String = {
     val d2 =
       """CAST(list_aggregate(list_transform(range(len(s.v)),
         |  i -> (s.v[CAST(i AS INT)+1] - c.cv[CAST(i AS INT)+1])
@@ -675,15 +745,19 @@ object Similarity {
          |  FROM c$p p LEFT JOIN u$t u ON u.sub = p.sub AND u.cid = p.cid
          |)""".stripMargin
     }.mkString(",\n")
-    s"""sv AS (
+    val slice =
+      if (trainSample > 1) s"WHERE vec_id % $trainSample = 0" else ""
+    s"""sva AS (
        |  SELECT vec_id, s.sub,
        |    list_transform(embedding[s.sub*$subDim+1 : s.sub*$subDim+$subDim],
        |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5)
        |             AS BIGINT)) AS v
        |  FROM embeddings, UNNEST(range($m)) AS s(sub)
+       |), sv AS (
+       |  SELECT * FROM sva $slice
        |), c0 AS (
        |  SELECT sub, CAST(vec_id AS INT) AS cid, v AS cv
-       |  FROM sv WHERE vec_id < $ksub
+       |  FROM sva WHERE vec_id < $ksub
        |),
        |$stages,
        |cb AS (
@@ -693,10 +767,11 @@ object Similarity {
   }
 
   def pqTopKSql(dim: Int, m: Int, ksub: Int, nQueries: Int,
-      k: Int, trainIters: Int = 0): String = {
+      k: Int, trainIters: Int = 0, trainSample: Int = 1): String = {
     val subDim = dim / m
     val cbSql =
-      if (trainIters > 0) pqTrainedCbSql(subDim, m, ksub, trainIters)
+      if (trainIters > 0)
+        pqTrainedCbSql(subDim, m, ksub, trainIters, trainSample)
       else
         s"""cb AS (
            |  SELECT s.sub, e.vec_id AS cid,
@@ -781,14 +856,15 @@ object Similarity {
     * structural cardinality certificate.
     */
   def semanticDedup(emb: DataFrame, k: Int, threshold: Double,
-      clusterCap: Int = 256, trainIters: Int = 0): DataFrame = {
+      clusterCap: Int = 256, trainIters: Int = 0,
+      trainSample: Int = 1): DataFrame = {
     // trainIters > 0 runs the shared Lloyd loop (kmeansCentroids —
     // the x36 machinery) so the space partition reflects the actual
     // vector distribution instead of whichever k vectors carry the
-    // lowest ids; cache: the 1-row-per-centroid frame feeds every
-    // assignment and a checkpoint would hide the boundedness
-    // certificate from PlanAudit
-    val centroids = kmeansCentroids(emb, k, trainIters).cache()
+    // lowest ids; localized (driver-collected ≤k rows) so training
+    // runs once and no cache pin outlives the query — see [[localized]]
+    val centroids =
+      localized(kmeansCentroids(emb, k, trainIters, trainSample))
     // argmax as ONE hash aggregate (min over struct(−cos, cid) ≡
     // ORDER BY cos DESC, cid) — map-side partial per vector, no
     // rank-window sort of the |emb|·k crossed rows
@@ -826,9 +902,10 @@ object Similarity {
   }
 
   def semanticDedupSql(k: Int, threshold: Double,
-      clusterCap: Int = 256, trainIters: Int = 0): String = {
+      clusterCap: Int = 256, trainIters: Int = 0,
+      trainSample: Int = 1): String = {
     def cos(a: String, b: String): String = sqlCos(a, b)
-    s"""WITH ${kmeansCtesSql(k, trainIters)}, assigned AS (
+    s"""WITH ${kmeansCtesSql(k, trainIters, trainSample)}, assigned AS (
        |  SELECT vec_id, cid FROM (
        |    SELECT d.vec_id, c.cid,
        |      row_number() OVER (PARTITION BY d.vec_id

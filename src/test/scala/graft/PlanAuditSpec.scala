@@ -99,4 +99,32 @@ class PlanAuditSpec extends AnyFunSuite {
     // plain corpus scan
     assert(!PlanAudit.provablyBounded(analyzed(corpus.select(col("doc_id")))))
   }
+
+  test("a LocalRelation (driver-collected model frame) is bounded") {
+    import spark.implicits._
+    val local = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    assert(PlanAudit.provablyBounded(analyzed(local)))
+  }
+
+  test("q22's scalar subquery carries the 1-row structural " +
+      "certificate — not an allow-list entry") {
+    val certs = PlanAudit.joinCertificates(analyzed(
+      SparkEntry.queries("q22_scalar_subquery")(spark, sf)))
+    assert(certs.contains("scalar-subquery-1row"), certs.toString)
+    assert(!certs.contains("UNCERTIFIED-CROSS"), certs.toString)
+  }
+
+  test("q23's correlated average certifies as a co-partitioned " +
+      "aggregate join (both sides shuffle on l_partkey)") {
+    val certs = PlanAudit.joinCertificates(analyzed(
+      SparkEntry.queries("q23_corr_avg")(spark, sf)))
+    assert(certs.contains("copartitioned-agg-join"), certs.toString)
+    assert(!certs.contains("UNCERTIFIED-CROSS"), certs.toString)
+  }
+
+  test("a cross join with no bounded side is UNCERTIFIED at any sf") {
+    val certs = PlanAudit.joinCertificates(analyzed(
+      corpus.crossJoin(corpus.select(col("doc_id").as("d2")))))
+    assert(certs.contains("UNCERTIFIED-CROSS"), certs.toString)
+  }
 }

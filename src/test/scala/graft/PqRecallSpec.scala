@@ -44,11 +44,12 @@ class PqRecallSpec extends AnyFunSuite {
     d / (math.sqrt(na) * math.sqrt(nb))
   }
 
-  private def recallAt10(trainIters: Int): Double = {
+  private def recallAt10(trainIters: Int, trainSample: Int = 1): Double = {
     import spark.implicits._
     val emb = vecs.zipWithIndex.toSeq.map { case (v, i) => (i.toLong, v) }
       .toDF("vec_id", "embedding")
-    val pq = Similarity.pqTopK(emb, dim, m, ksub, nq, k, trainIters)
+    val pq = Similarity.pqTopK(emb, dim, m, ksub, nq, k, trainIters,
+      trainSample)
       .collect().groupBy(_.getLong(0))
       .map { case (q, rows) => q -> rows.map(_.getLong(2)).toSet }
     (0 until nq).map { q =>
@@ -67,5 +68,12 @@ class PqRecallSpec extends AnyFunSuite {
     assert(trained >= 0.7, s"trained recall $trained")
     assert(trained > untrained,
       s"training did not help: $trained <= $untrained")
+  }
+
+  test("sample-trained codebook (the 100 TB knob) keeps the recall " +
+      "floor: training on the 1-in-2 slice still >= 0.7") {
+    val sampled = recallAt10(3, trainSample = 2)
+    info(f"recall@10: sample-trained=$sampled%.3f")
+    assert(sampled >= 0.7, s"sample-trained recall $sampled")
   }
 }

@@ -28,6 +28,13 @@ import org.apache.spark.sql.functions.udaf
 final class CountMin(depth: Int, width: Int)
     extends Aggregator[String, Array[Long], Seq[Long]] {
 
+  // the cell hash is 16 bits: any width beyond 2^16 would silently
+  // leave counters unreachable (and widths just below it take a
+  // non-uniform modulo bias) — reject instead of degrading
+  require(depth >= 1, s"depth=$depth must be >= 1")
+  require(width >= 1 && width <= 65536,
+    s"width=$width outside [1, 65536] (16-bit cell hash)")
+
   override def zero: Array[Long] = new Array[Long](depth * width)
 
   override def reduce(buf: Array[Long], w: String): Array[Long] = {

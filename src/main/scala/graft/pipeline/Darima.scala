@@ -43,8 +43,14 @@ final case class DarimaConfig(
       * period, re-expressing seasonality/level via Fourier harmonics
       * and the level anchor — the Fourier-plus-stationary-ARMA-errors
       * recipe auto.arima users apply for long seasonal horizons.
+      *
+      * −1 (the default) = auto: 2 normally, 0 under the long-horizon
+      * calibration. Any explicit value ≥ 0 always wins — the
+      * calibration never overrides a configured cap (it cannot tell
+      * an explicit 2 from the default otherwise, so the sentinel is
+      * the whole mechanism).
       */
-    maxTotalD: Int = 2,
+    maxTotalD: Int = -1,
     levels: Array[Int] = Array(80, 95),
     /** "longar" = Levinson–Durbin long-AR with seasonal-spanning lags
       * (default; see ArimaFit.fitLongAr); "arma" = stepwise
@@ -115,7 +121,14 @@ final case class DarimaConfig(
       * distributed filtered aggregate; skipped when a drift term is
       * present.
       */
-    anchorWindow: Int = 0)
+    anchorWindow: Int = 0) {
+
+  /** The differencing cap the fitters actually use: the −1 sentinel
+    * resolves to 2 (the reference's auto.arima d+D reach); explicit
+    * values pass through.
+    */
+  def maxTotalDEff: Int = if (maxTotalD < 0) 2 else maxTotalD
+}
 
 object Darima {
 
@@ -193,11 +206,11 @@ object Darima {
           cfg.tol)
       case "arma" =>
         Sarima2Ar.toAr(ArimaFit.fit(values, cfg.freq, cfg.maxP, cfg.maxQ,
-          maxD = cfg.maxTotalD), cfg.tol)
+          maxD = cfg.maxTotalDEff), cfg.tol)
       case "sarima" =>
         Sarima2Ar.toAr(
           ArimaFit.fitSeasonal(values, cfg.freq, cfg.maxP, cfg.maxQ,
-            cfg.maxSP, cfg.maxSQ, maxTotalD = cfg.maxTotalD),
+            cfg.maxSP, cfg.maxSQ, maxTotalD = cfg.maxTotalDEff),
           cfg.tol)
       case other => throw new IllegalArgumentException(
         s"unknown fitter '$other' (expected longar|arma|sarima|olsar)")
@@ -564,40 +577,46 @@ object Darima {
     * series tail. `n` (series length) rides along from a count on the
     * same cached plan.
     */
-  def run(spark: SparkSession, series: DataFrame, h: Int,
-      cfg: DarimaConfig): (ArLinearModel, ForecastResult) = {
-    // Long-horizon calibration for the search fitters (h ≫ m,
-    // measured on NEMASSBOST h=2879): ANY unit root makes interval
-    // width grow without bound (d=1 alone scored MSIS95 ≈ 485 vs ≈ 10
-    // stationary), so differencing is capped OUT and the structure a
-    // root would have carried is re-expressed horizon-stably —
-    // auto.arima's own long-seasonal recipe (Fourier terms as
-    // regressors + stationary ARMA errors, Hyndman's fourier+xreg):
-    //  - seasonal pattern → Fourier harmonics (daily+weekly+yearly)
-    //    when the user configured none;
-    //  - level → anchored to the last year's deseasonalized mean
-    //    (a stationary ARMA otherwise reverts to the multi-year
-    //    train mean — a +7% bias on the fixture).
-    // Each knob only fills in when unset, so explicit configuration
-    // always wins. Measured: MASE 1.38 / MSIS95 ≈ 10 vs the
-    // uncalibrated 1.21 / 485 — intervals usable, points within the
-    // bar.
+  /** Long-horizon calibration for the search fitters (h ≫ m,
+    * measured on NEMASSBOST h=2879): ANY unit root makes interval
+    * width grow without bound (d=1 alone scored MSIS95 ≈ 485 vs ≈ 10
+    * stationary), so differencing is capped OUT and the structure a
+    * root would have carried is re-expressed horizon-stably —
+    * auto.arima's own long-seasonal recipe (Fourier terms as
+    * regressors + stationary ARMA errors, Hyndman's fourier+xreg):
+    *  - seasonal pattern → Fourier harmonics (daily+weekly+yearly)
+    *    when the user configured none;
+    *  - level → anchored to the last year's deseasonalized mean
+    *    (a stationary ARMA otherwise reverts to the multi-year
+    *    train mean — a +7% bias on the fixture).
+    * Each knob only fills in when unset (maxTotalD's unset state is
+    * the −1 sentinel), so explicit configuration always wins — a
+    * caller who sets maxTotalD = 1 keeps it even at long horizons.
+    * Measured: MASE 1.38 / MSIS95 ≈ 10 vs the uncalibrated
+    * 1.21 / 485 — intervals usable, points within the bar.
+    */
+  private[graft] def calibrateLongHorizon(cfg: DarimaConfig,
+      h: Int): DarimaConfig = {
     val longHorizon = cfg.freq > 1 && h > 2 * cfg.freq &&
       (cfg.fitter == "sarima" || cfg.fitter == "arma")
-    val cfgFit =
-      if (!longHorizon) cfg
-      else {
-        val noHarm = cfg.harmDaily == 0 && cfg.harmWeekly == 0 &&
-          cfg.harmYearly == 0
-        cfg.copy(
-          maxTotalD = 0,
-          harmDaily = if (noHarm) 3 else cfg.harmDaily,
-          harmWeekly = if (noHarm) 2 else cfg.harmWeekly,
-          harmYearly = if (noHarm) 3 else cfg.harmYearly,
-          anchorWindow =
-            if (cfg.anchorWindow == 0) (365.25 * cfg.freq).round.toInt
-            else cfg.anchorWindow)
-      }
+    if (!longHorizon) cfg
+    else {
+      val noHarm = cfg.harmDaily == 0 && cfg.harmWeekly == 0 &&
+        cfg.harmYearly == 0
+      cfg.copy(
+        maxTotalD = if (cfg.maxTotalD < 0) 0 else cfg.maxTotalD,
+        harmDaily = if (noHarm) 3 else cfg.harmDaily,
+        harmWeekly = if (noHarm) 2 else cfg.harmWeekly,
+        harmYearly = if (noHarm) 3 else cfg.harmYearly,
+        anchorWindow =
+          if (cfg.anchorWindow == 0) (365.25 * cfg.freq).round.toInt
+          else cfg.anchorWindow)
+    }
+  }
+
+  def run(spark: SparkSession, series: DataFrame, h: Int,
+      cfg: DarimaConfig): (ArLinearModel, ForecastResult) = {
+    val cfgFit = calibrateLongHorizon(cfg, h)
     val cached = series.cache()
     try {
       val n = cached.count()

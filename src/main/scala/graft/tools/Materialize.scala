@@ -23,6 +23,15 @@ import org.apache.spark.sql.DataFrame
   * Both modes are eager on purpose: every call site follows the pin
   * with ≥2 consumers (or an iteration), so paying the materialization
   * immediately is the point.
+  *
+  * Disk growth in durable mode: reliable checkpoints are only GC'd
+  * when `spark.cleaner.referenceTracking.cleanCheckpoints=true` is
+  * set AT SparkContext CREATION (the ContextCleaner reads it once) —
+  * iterative call sites (connected components: ~25 rounds × full
+  * label+edge tables) otherwise accumulate one checkpoint copy per
+  * round until the session ends. Set that conf in the session builder
+  * for long-lived durable clusters; the temp-dir fallback's growth is
+  * bounded by the (local-only, see below) session lifetime.
   */
 object Materialize {
 
@@ -34,8 +43,22 @@ object Materialize {
       .getOption(DurableKey).exists(_.trim.equalsIgnoreCase("true"))
     if (durable) {
       val sc = df.sparkSession.sparkContext
-      if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(
-        java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
+      if (sc.getCheckpointDir.isEmpty) {
+        // A driver-local temp dir only delivers the durability
+        // promise in single-JVM mode: on a real cluster executors
+        // would write "reliable" checkpoints to their OWN local
+        // disks and never find each other's blocks. Fail fast there
+        // instead of silently degrading; a DFS checkpoint dir is the
+        // caller's one mandatory cluster setting.
+        if (!sc.master.startsWith("local"))
+          throw new IllegalStateException(
+            s"$DurableKey=true on master '${sc.master}' requires " +
+              "sparkContext.setCheckpointDir(<DFS path>): a " +
+              "driver-local temp fallback is not fault-tolerant " +
+              "off local mode")
+        sc.setCheckpointDir(
+          java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
+      }
       df.checkpoint()
     } else df.localCheckpoint()
   }

@@ -224,4 +224,34 @@ class SarimaSearchSpec extends AnyFunSuite {
     assert(wide.sigma2 <= capped.sigma2 + 1e-6,
       s"wide ${wide.sigma2} vs capped ${capped.sigma2}")
   }
+
+  test("long-horizon calibration fills only UNSET knobs: an explicit " +
+      "maxTotalD survives, the -1 sentinel resolves to 0") {
+    import graft.pipeline.{Darima, DarimaConfig}
+    val h = 24 * 120 // h >> 2*freq -> calibration branch active
+    // default sentinel: calibration caps differencing out, injects
+    // harmonics and the year-window anchor
+    val auto = Darima.calibrateLongHorizon(
+      DarimaConfig(freq = 24, fitter = "sarima"), h)
+    assert(auto.maxTotalD == 0 && auto.maxTotalDEff == 0)
+    assert(auto.harmDaily == 3 && auto.harmWeekly == 2 &&
+      auto.harmYearly == 3)
+    assert(auto.anchorWindow == (365.25 * 24).round.toInt)
+    // explicit configuration wins over every calibration knob
+    val explicit = Darima.calibrateLongHorizon(
+      DarimaConfig(freq = 24, fitter = "sarima", maxTotalD = 2,
+        harmDaily = 1, anchorWindow = 48), h)
+    assert(explicit.maxTotalD == 2 && explicit.maxTotalDEff == 2)
+    assert(explicit.harmDaily == 1 && explicit.harmWeekly == 0 &&
+      explicit.harmYearly == 0)
+    assert(explicit.anchorWindow == 48)
+    // short horizon or non-search fitter: untouched; the sentinel
+    // then resolves to the reference's d+D <= 2 reach
+    val short = Darima.calibrateLongHorizon(
+      DarimaConfig(freq = 24, fitter = "sarima"), 24)
+    assert(short.maxTotalD == -1 && short.maxTotalDEff == 2)
+    val longar = Darima.calibrateLongHorizon(
+      DarimaConfig(freq = 24, fitter = "longar"), h)
+    assert(longar.maxTotalD == -1)
+  }
 }

@@ -12,6 +12,16 @@ import graft.llm.{Dedup, EventsAnalytics, HeavyHitters, TextAnalysis}
 class SketchOpsSpec extends AnyFunSuite {
   import SparkTestSession._
 
+  test("count-min rejects widths the 16-bit cell hash cannot reach") {
+    new graft.functions.CountMin(3, 65536) // max reachable: fine
+    intercept[IllegalArgumentException] {
+      new graft.functions.CountMin(3, 65537)
+    }
+    intercept[IllegalArgumentException] {
+      new graft.functions.CountMin(0, 1024)
+    }
+  }
+
   test("count-min: est >= exact always; exact when cells don't collide") {
     import spark.implicits._
     // doc 0 is the probe document (its distinct words are the query

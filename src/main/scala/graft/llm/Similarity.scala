@@ -277,8 +277,13 @@ object Similarity {
           |            y -> struct(x AS i, y AS j))))""".stripMargin)).as("p"))
       .select(col("p.i").as("i"), col("p.j").as("j"))
       .distinct()
+    // zero-norm vectors (failed upstream encoders) have no direction:
+    // cosine is undefined, and the raw dot/(ni·nj) division would
+    // throw under ANSI mode — they can never be near-duplicates, so
+    // they leave the pair pool here (mirrored in the oracle SQL)
     val normed = emb.select(col("vec_id"), col("embedding"),
       sqrt(dot_product(col("embedding"), col("embedding"))).as("nrm"))
+      .filter(col("nrm") > 0)
     val e1 = normed.select(col("vec_id").as("i"), col("embedding").as("ei"),
       col("nrm").as("ni"))
     val e2 = normed.select(col("vec_id").as("j"), col("embedding").as("ej"),
@@ -329,6 +334,10 @@ object Similarity {
        |  FROM cands c
        |  JOIN embeddings e1 ON e1.vec_id = c.i
        |  JOIN embeddings e2 ON e2.vec_id = c.j
+       |  WHERE list_dot_product(list_transform(e1.embedding, x -> CAST(x AS DOUBLE)),
+       |                         list_transform(e1.embedding, x -> CAST(x AS DOUBLE))) > 0
+       |    AND list_dot_product(list_transform(e2.embedding, x -> CAST(x AS DOUBLE)),
+       |                         list_transform(e2.embedding, x -> CAST(x AS DOUBLE))) > 0
        |)
        |SELECT i, j, cos FROM scored WHERE cos >= $threshold
        |ORDER BY i, j""".stripMargin

@@ -554,30 +554,38 @@ object Dedup {
     * the pair blow-up at scale); Jaccard is over the capped sets in
     * both dialects.
     */
-  def jaccardPairs(docs: DataFrame, dfCap: Int, threshold: Double): DataFrame = {
-    // Bucket form: ONE groupBy(s) over the shingle explosion builds
-    // the capped per-shingle doc lists via the cap-and-drop
-    // BoundedMinK aggregate — its buffer never exceeds dfCap+1
-    // entries, so a stop-word shingle appearing in most of a 100 TB
-    // corpus cannot materialize its doc list (the single-buffer OOM a
-    // post-hoc size filter would allow), and there is no second
-    // aggregation pass over the exploded rows. Candidate pairs are
-    // enumerated inside each surviving bucket — at most dfCap²/2 per
-    // shingle, the bound that keeps the pair blow-up linear — and
-    // per-doc set sizes fall out of the same bucketed table, so the
-    // two consumers share one exchange instead of recomputing the
-    // explosion four times.
-    // Materialize: both consumers (sizes, pair explosion) read this
-    // table and Catalyst does not reuse the exchange across them
-    // (verified in the plan); the capped bucket table is tiny relative
-    // to the shingle explosion, so materializing it once is strictly
-    // cheaper than recomputing the explosion + aggregate twice
-    val buckets = shingles(docs)
+  /** Df-capped per-shingle doc-list table (s, ds) — the shared
+    * candidate-generation backbone of [[jaccardPairs]],
+    * [[containmentPairs]], and the streaming ingest prescreen
+    * (DocumentsStream.shingleCandidates). ONE groupBy(s) over the
+    * shingle explosion builds the capped lists via the cap-and-drop
+    * BoundedMinK aggregate — its buffer never exceeds dfCap+1
+    * entries, so a stop-word shingle appearing in most of a 100 TB
+    * corpus cannot materialize its doc list (the single-buffer OOM a
+    * post-hoc size filter would allow), and there is no second
+    * aggregation pass over the exploded rows.
+    * Materialized: every caller has at least two consumers (sizes +
+    * pair explosion, or a long-lived stream-static join) and Catalyst
+    * does not reuse the exchange across them (verified in the plan);
+    * the capped bucket table is tiny relative to the shingle
+    * explosion, so pinning it once is strictly cheaper than
+    * recomputing the explosion + aggregate per consumer.
+    */
+  def shingleBuckets(docs: DataFrame, dfCap: Int): DataFrame =
+    shingles(docs)
       .groupBy(col("s"))
       .agg(graft.functions.MinK.bounded_min_k(dfCap)(col("doc_id"))
         .as("ds"))
       .filter(size(col("ds")) > 0)
       .transform(graft.tools.Materialize(_))
+
+  def jaccardPairs(docs: DataFrame, dfCap: Int, threshold: Double): DataFrame = {
+    // Candidate pairs are enumerated inside each surviving bucket —
+    // at most dfCap²/2 per shingle, the bound that keeps the pair
+    // blow-up linear — and per-doc set sizes fall out of the same
+    // bucketed table, so the two consumers share one exchange instead
+    // of recomputing the explosion four times.
+    val buckets = shingleBuckets(docs, dfCap)
     val sizes = buckets
       .select(explode(col("ds")).as("doc_id"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
@@ -635,12 +643,7 @@ object Dedup {
     */
   def containmentPairs(docs: DataFrame, dfCap: Int, threshold: Double)
       : DataFrame = {
-    val buckets = shingles(docs)
-      .groupBy(col("s"))
-      .agg(graft.functions.MinK.bounded_min_k(dfCap)(col("doc_id"))
-        .as("ds"))
-      .filter(size(col("ds")) > 0)
-      .transform(graft.tools.Materialize(_))
+    val buckets = shingleBuckets(docs, dfCap)
     val sizes = buckets
       .select(explode(col("ds")).as("a"))
       .groupBy(col("a")).agg(count(lit(1)).as("sz_a"))

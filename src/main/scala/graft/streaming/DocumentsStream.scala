@@ -258,4 +258,26 @@ object DocumentsStream {
       depth: Int, width: Int): DataFrame =
     graft.llm.HeavyHitters.cmEstimatesFromCells(batchDocs,
       graft.llm.HeavyHitters.cmSketchCells(drainedSketch), depth, width)
+
+  /** Stateless near-dup candidate flagging on ingest — the stream
+    * half of the shingle-bucket family (x04 Jaccard / x62
+    * containment): each arrival's 3-gram shingles route through a
+    * stream-static join against the batch-built df-capped bucket
+    * table (Dedup.shingleBuckets), emitting one (a, b) row per
+    * shared surviving shingle, a = the arriving doc, b = a corpus
+    * doc in that shingle's bucket. No state: the bucket table is the
+    * batch side (same train-in-batch / serve-in-stream shape as
+    * [[bloomPrescreen]]), and the per-arrival cost is bounded by
+    * |shingles(a)| · dfCap rows regardless of corpus size. A pair
+    * may repeat across shared shingles — dedup at the drain-time
+    * sink (or score exactly with the batch operators); every batch
+    * pair whose shingle survived the cap is guaranteed to surface,
+    * because the batch pair enumeration reads the SAME bucket rows
+    * this join streams through.
+    */
+  def shingleCandidates(docs: DataFrame, buckets: DataFrame): DataFrame =
+    graft.llm.Dedup.shingles(docs)
+      .join(buckets, "s")
+      .select(col("doc_id").as("a"), explode(col("ds")).as("b"))
+      .filter(col("a") =!= col("b"))
 }

@@ -217,6 +217,35 @@ class DocumentsStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stateless shingle-route candidates cover the batch containment " +
+      "pairs on the streamed slice") {
+    val docs = Tables.documents(spark, sf)
+    // batch-built bucket table at x62's dfCap, over the full corpus
+    val buckets = graft.llm.Dedup.shingleBuckets(docs, dfCap = 10)
+    val q = DocumentsStream
+      .shingleCandidates(DocumentsStream.readDocuments(spark, docsDir),
+        buckets)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("shingle_cand_out").start()
+    try {
+      q.processAllAvailable()
+      val cand = spark.sql("SELECT DISTINCT a, b FROM shingle_cand_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(cand.nonEmpty)
+      // every batch x62 containment pair must be a drained candidate
+      // (threshold 0 keeps ALL bucket-surviving pairs: the candidate
+      // superset property must not depend on the score cut)
+      val batch = graft.llm.Dedup
+        .containmentPairs(docs, dfCap = 10, threshold = 0.0)
+        .select("a", "b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(batch.nonEmpty)
+      val missing = batch -- cand
+      assert(missing.isEmpty,
+        s"${missing.size} batch pairs never surfaced: ${missing.take(5)}")
+    } finally q.stop()
+  }
+
   test("running source counts + drain-time quotas match the batch " +
     "temperature mix allocation") {
     val stream = DocumentsStream.readDocuments(spark, docsDir)

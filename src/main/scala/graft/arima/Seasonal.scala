@@ -10,7 +10,28 @@ package graft.arima
   * instead of freezing at the train-average shape.
   */
 final case class HarmCoef(cycle: Int, k: Int, cos: Double, sin: Double,
-    dcos: Double = 0.0, dsin: Double = 0.0)
+    dcos: Double = 0.0, dsin: Double = 0.0,
+    mcycle: Int = 0, mk: Int = 0, msin: Boolean = false) {
+  /** Modulation factor at phase τ: 1 for a plain pair; cos/sin of the
+    * modulator harmonic for an interaction pair (see [[Seasonal]]'s
+    * "modulated pairs" note).
+    */
+  def modFactor(tau: Double): Double =
+    if (mcycle <= 0) 1.0
+    else {
+      val wm = 2.0 * math.Pi * mk * tau / mcycle
+      if (msin) math.sin(wm) else math.cos(wm)
+    }
+}
+
+/** One requested regressor pair: harmonic `k` of `cycle`, optionally
+  * multiplied by cos (msin=false) or sin (msin=true) of harmonic `mk`
+  * of the modulator `mcycle`. A (cycle, k, mcycle, mk) interaction
+  * needs BOTH the cos- and sin-modulated specs to span the sideband
+  * space cos(k·ω ± mk·ω_m).
+  */
+final case class HarmSpec(cycle: Int, k: Int, mcycle: Int = 0,
+    mk: Int = 0, msin: Boolean = false)
 
 /** Fourier seasonal regression — the deterministic-seasonality stage
   * of the chunk fit. A long-AR model alone mean-reverts over a
@@ -35,8 +56,33 @@ object Seasonal {
       (1 to harmWeekly).map(k => (7 * freq, k)) ++
       (1 to harmYearly).map(k => ((365.25 * freq).round.toInt, k))).toArray
 
-  /** Σ over pairs of (a + da·u)·cos(2πkτ/cycle) + (b + db·u)·sin(…),
-    * u = τ/cycle (amplitude drift in per-cycle units).
+  /** Full regressor-spec set: the plain daily/weekly/yearly pairs
+    * plus daily×yearly interaction pairs — the first `modDaily` daily
+    * harmonics each modulated by the first `modYearly` yearly
+    * harmonics (both the cos- and sin-modulated spec per
+    * combination). The interactions are the sidebands
+    * cos(k·ω_d ± j·ω_y): they let the fitted diurnal SHAPE vary with
+    * the season (a winter double-peak vs a summer single peak), which
+    * a plain Fourier skeleton averages away — measured, that average
+    * is the whole long-horizon accuracy gap between the sarima path
+    * and the adaptive long-AR (RESULTS.md round 7).
+    */
+  def specs(freq: Int, harmDaily: Int, harmWeekly: Int, harmYearly: Int,
+      modDaily: Int, modYearly: Int): Array[HarmSpec] = {
+    val yc = (365.25 * freq).round.toInt
+    val base = pairs(freq, harmDaily, harmWeekly, harmYearly)
+      .map { case (c, k) => HarmSpec(c, k) }
+    val mods = for {
+      k <- 1 to math.min(modDaily, harmDaily)
+      j <- 1 to modYearly
+      s <- Seq(false, true)
+    } yield HarmSpec(freq, k, yc, j, s)
+    base ++ mods
+  }
+
+  /** Σ over pairs of f_m(τ)·[(a + da·u)·cos(2πkτ/cycle) +
+    * (b + db·u)·sin(…)], u = τ/cycle (amplitude drift in per-cycle
+    * units), f_m the modulation factor (1 for plain pairs).
     */
   def value(h: Array[HarmCoef], tau: Double): Double = {
     var acc = 0.0
@@ -44,8 +90,9 @@ object Seasonal {
     while (i < h.length) {
       val w = 2.0 * math.Pi * h(i).k * tau / h(i).cycle
       val u = tau / h(i).cycle
-      acc += (h(i).cos + h(i).dcos * u) * math.cos(w) +
-        (h(i).sin + h(i).dsin * u) * math.sin(w)
+      acc += h(i).modFactor(tau) *
+        ((h(i).cos + h(i).dcos * u) * math.cos(w) +
+          (h(i).sin + h(i).dsin * u) * math.sin(w))
       i += 1
     }
     acc
@@ -65,12 +112,20 @@ object Seasonal {
       ps0: Array[(Int, Int)]): Array[HarmCoef] =
     fitHarmonics(y, tau, ps0, withDrift = false)
 
+  def fitHarmonics(y: Array[Double], tau: Array[Double],
+      ps0: Array[(Int, Int)], withDrift: Boolean): Array[HarmCoef] =
+    fitHarmonics(y, tau,
+      ps0.map { case (c, k) => HarmSpec(c, k) }, withDrift)
+
   /** @param withDrift also fit per-pair amplitude-drift regressors
     *   u·cos / u·sin (u = τ/cycle) for pairs observed over at least
-    *   two full cycles — dynamic harmonic regression.
+    *   two full cycles — dynamic harmonic regression. Drift never
+    *   applies to modulated pairs (the modulator already carries the
+    *   slow amplitude variation).
     */
   def fitHarmonics(y: Array[Double], tau: Array[Double],
-      ps0: Array[(Int, Int)], withDrift: Boolean): Array[HarmCoef] = {
+      specs0: Array[HarmSpec], withDrift: Boolean): Array[HarmCoef] = {
+    val ps0 = specs0
     val n = y.length
     if (ps0.isEmpty || n == 0) return Array.empty
     // A pair whose fundamental cycle exceeds the chunk's tau span is
@@ -87,11 +142,17 @@ object Seasonal {
       i += 1
     }
     val span = tauMax - tauMin
-    val ps = ps0.filter { case (cycle, k) => cycle.toDouble / k <= span }
+    // A modulated pair additionally needs its MODULATOR's period in
+    // span: under one full modulator cycle the factor is near-constant
+    // and the interaction collapses onto the base pair (collinear).
+    val ps = ps0.filter { s =>
+      s.cycle.toDouble / s.k <= span &&
+        (s.mcycle == 0 || s.mcycle.toDouble / s.mk <= span)
+    }
     // Drift terms need ≥ 2 full cycles to separate amplitude change
     // from the shape itself.
-    val drift = ps.map { case (cycle, _) =>
-      withDrift && 2.0 * cycle <= span
+    val drift = ps.map { s =>
+      withDrift && 2.0 * s.cycle <= span && s.mcycle == 0
     }
     val offsets = new Array[Int](ps.length)
     var k = 2
@@ -115,10 +176,14 @@ object Seasonal {
       row(1) = tau(t) - tauMean
       var j = 0
       while (j < ps.length) {
-        val w = 2.0 * math.Pi * ps(j)._2 * tau(t) / ps(j)._1
+        val w = 2.0 * math.Pi * ps(j).k * tau(t) / ps(j).cycle
         val o = offsets(j)
-        row(o) = math.cos(w)
-        row(o + 1) = math.sin(w)
+        val f = if (ps(j).mcycle <= 0) 1.0 else {
+          val wm = 2.0 * math.Pi * ps(j).mk * tau(t) / ps(j).mcycle
+          if (ps(j).msin) math.sin(wm) else math.cos(wm)
+        }
+        row(o) = f * math.cos(w)
+        row(o + 1) = f * math.sin(w)
         if (drift(j)) {
           // center the drift regressor: raw u = τ/cycle is huge and
           // nearly constant within a chunk (epoch-scale τ), making
@@ -126,7 +191,7 @@ object Seasonal {
           // ill-conditioned; the fit uses (u − ū)·cos and the
           // coefficients are un-centered back to the absolute
           // convention below
-          val u = tau(t) / ps(j)._1 - tauMean / ps(j)._1
+          val u = tau(t) / ps(j).cycle - tauMean / ps(j).cycle
           row(o + 2) = u * row(o)
           row(o + 3) = u * row(o + 1)
         }
@@ -156,12 +221,13 @@ object Seasonal {
         val o = offsets(j)
         if (drift(j)) {
           // un-center: (a + d(u − ū))cos = ((a − d·ū) + d·u)cos
-          val uBar = tauMean / ps(j)._1
-          HarmCoef(ps(j)._1, ps(j)._2,
+          val uBar = tauMean / ps(j).cycle
+          HarmCoef(ps(j).cycle, ps(j).k,
             beta(o) - beta(o + 2) * uBar,
             beta(o + 1) - beta(o + 3) * uBar,
             beta(o + 2), beta(o + 3))
-        } else HarmCoef(ps(j)._1, ps(j)._2, beta(o), beta(o + 1))
+        } else HarmCoef(ps(j).cycle, ps(j).k, beta(o), beta(o + 1),
+          0.0, 0.0, ps(j).mcycle, ps(j).mk, ps(j).msin)
       }
     } catch {
       case _: IllegalArgumentException => Array.empty
@@ -177,24 +243,65 @@ object Seasonal {
   def coefName(trig: String, cycle: Int, k: Int): String =
     s"${trig}_${cycle}_$k"
 
+  /** Mod-aware name: a modulated pair appends the modulator —
+    * "cos_24_1_mc_8766_1" (mc = cos-modulated, ms = sin-modulated).
+    */
+  def coefName(trig: String, h: HarmCoef): String =
+    if (h.mcycle <= 0) coefName(trig, h.cycle, h.k)
+    else s"${trig}_${h.cycle}_${h.k}_m${if (h.msin) "s" else "c"}_" +
+      s"${h.mcycle}_${h.mk}"
+
   private val variants = Seq("cos", "sin", "dcos", "dsin")
 
   def lagIdx(cycle: Int, k: Int, trig: String): Int = {
     // 1024-stride keeps (cycle, k, variant) injective up to k < 253;
-    // a 128 stride let 4k bleed into the next cycle's slot from k=32
+    // a 128 stride let 4k bleed into the next cycle's slot from k=32.
+    // Cycles stay under 48000 so the plain range never reaches the
+    // modulated pairs' slot range below.
     require(k < 253, s"harmonic k=$k overflows the lag_idx stride")
+    require(cycle < 48000, s"cycle=$cycle overflows the lag_idx range")
     -(10 + 1024 * cycle + 4 * k + variants.indexOf(trig))
   }
 
   def lagIdx(cycle: Int, k: Int, isSin: Boolean): Int =
     lagIdx(cycle, k, if (isSin) "sin" else "cos")
 
-  /** Parse a "cos_24_1"/"dsin_8766_2"-style name; None otherwise. */
-  def parseName(name: String): Option[(String, Int, Int)] = {
+  /** Mod-aware slot: modulated pairs live in their own negative range
+    * (base −5·10⁷, beyond any plain cycle's slots), injective in
+    * (k, mk, trig, msin). The daily/yearly cycle lengths are the
+    * same for every chunk of one job, so they need no slot bits —
+    * the NAME carries them for the human-readable round trip.
+    */
+  def lagIdx(h: HarmCoef, trig: String): Int =
+    if (h.mcycle <= 0) lagIdx(h.cycle, h.k, trig)
+    else {
+      require(h.k < 253 && h.mk < 253,
+        s"modulated harmonic (k=${h.k}, mk=${h.mk}) overflows the slot")
+      -(50000000 + 4096 * h.k + 16 * h.mk +
+        2 * variants.indexOf(trig) + (if (h.msin) 1 else 0))
+    }
+
+  /** Parse a "cos_24_1"/"dsin_8766_2"-style name; None otherwise
+    * (modulated names parse only through [[parseNameFull]]).
+    */
+  def parseName(name: String): Option[(String, Int, Int)] =
+    parseNameFull(name).collect {
+      case (trig, s) if s.mcycle == 0 => (trig, s.cycle, s.k)
+    }
+
+  /** Parse any harmonic coefficient name, plain or modulated, into
+    * (trig variant, full pair spec).
+    */
+  def parseNameFull(name: String): Option[(String, HarmSpec)] = {
     val parts = name.split("_")
-    if (parts.length == 3 && variants.contains(parts(0)))
-      try Some((parts(0), parts(1).toInt, parts(2).toInt))
-      catch { case _: NumberFormatException => None }
-    else None
+    try {
+      if (parts.length == 3 && variants.contains(parts(0)))
+        Some((parts(0), HarmSpec(parts(1).toInt, parts(2).toInt)))
+      else if (parts.length == 6 && variants.contains(parts(0)) &&
+          (parts(3) == "mc" || parts(3) == "ms"))
+        Some((parts(0), HarmSpec(parts(1).toInt, parts(2).toInt,
+          parts(4).toInt, parts(5).toInt, parts(3) == "ms")))
+      else None
+    } catch { case _: NumberFormatException => None }
   }
 }

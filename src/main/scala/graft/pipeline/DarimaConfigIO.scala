@@ -30,6 +30,8 @@ object DarimaConfigIO {
       harmDaily = int("harmonics_daily", 0),
       harmWeekly = int("harmonics_weekly", 0),
       harmYearly = int("harmonics_yearly", 3),
+      modDaily = int("harmonics_mod_daily", 0),
+      modYearly = int("harmonics_mod_yearly", 0),
       // engine extension keys: fitter selection + ARIMA search bounds
       // (library defaults match auto_arima.R:74; the pipeline ships
       // tighter measured caps — see DarimaConfig)

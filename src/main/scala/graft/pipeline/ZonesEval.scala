@@ -37,6 +37,12 @@ object ZonesEval {
         harmDaily = sys.env.getOrElse("GRAFT_HARM_DAILY", "0").toInt,
         harmWeekly = sys.env.getOrElse("GRAFT_HARM_WEEKLY", "0").toInt,
         harmYearly = if (harmEnv0 == "auto") 3 else harmEnv0.toInt,
+        modDaily = sys.env.getOrElse("GRAFT_MOD_DAILY", "0").toInt,
+        modYearly = sys.env.getOrElse("GRAFT_MOD_YEARLY", "0").toInt,
+        maxP = sys.env.getOrElse("GRAFT_MAX_P", "5").toInt,
+        maxQ = sys.env.getOrElse("GRAFT_MAX_Q", "5").toInt,
+        maxSP = sys.env.getOrElse("GRAFT_MAX_SP", "2").toInt,
+        maxSQ = sys.env.getOrElse("GRAFT_MAX_SQ", "2").toInt,
         maxLag = sys.env.getOrElse("GRAFT_MAX_LAG", "0").toInt,
         recencyDecay = sys.env.getOrElse("GRAFT_DECAY", "1.0").toDouble,
         decayScope = sys.env.getOrElse("GRAFT_DECAY_SCOPE", "all"),
@@ -71,6 +77,49 @@ object ZonesEval {
         f""""smape":${rows.map(_._2).sum / n}%.4f,""" +
         f""""msis_80":${rows.map(_._3).sum / n}%.4f,""" +
         f""""msis_95":${rows.map(_._4).sum / n}%.4f}""")
+      writeArtifact(zones.zip(rows))
     } finally spark.stop()
+  }
+
+  /** Versioned accuracy artifact: per-zone metrics as one JSON file
+    * (GRAFT_ZONES_OUT, default ZONES_latest.json — copied to
+    * ZONES_r{N}.json per round), machine-diffable like BENCH_r{N}.
+    * If a previous round's ZONES_r*.json exists, any zone whose MASE
+    * regressed > 5% against it is flagged on stdout (and fails the
+    * run under GRAFT_ZONES_STRICT=1) so accuracy regressions surface
+    * mechanically instead of via RESULTS.md prose diffing. Partial
+    * runs (GRAFT_ZONES=...) compare only the zones they ran.
+    */
+  private def writeArtifact(
+      rows: Seq[(String, (Double, Double, Double, Double))]): Unit = {
+    val out = sys.env.getOrElse("GRAFT_ZONES_OUT",
+      "/root/repo/ZONES_latest.json")
+    val body = rows.map { case (z, (mase, smape, m80, m95)) =>
+      f"""  {"zone":"$z","mase":$mase%.4f,"smape":$smape%.4f,""" +
+        f""""msis_80":$m80%.4f,"msis_95":$m95%.4f}"""
+    }.mkString("[\n", ",\n", "\n]")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(out), body)
+    println(s"""{"zones_artifact":"$out"}""")
+    // regression gate vs the newest prior round artifact
+    val repo = new java.io.File("/root/repo")
+    val prior = Option(repo.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.matches("ZONES_r\\d+\\.json"))
+      .sortBy(_.getName).lastOption
+    prior.foreach { pf =>
+      val txt = java.nio.file.Files.readString(pf.toPath)
+      val entry = """"zone":"([A-Z]+)","mase":([0-9.]+)""".r
+      val prev = entry.findAllMatchIn(txt)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      val regressed = rows.flatMap { case (z, (mase, _, _, _)) =>
+        prev.get(z).filter(p => mase > p * 1.05)
+          .map(p => f"""{"zone_regression":"$z","prev":$p%.4f,"""
+            + f""""now":$mase%.4f,"vs":"${pf.getName}"}""")
+      }
+      regressed.foreach(println)
+      if (regressed.nonEmpty && sys.env.get("GRAFT_ZONES_STRICT")
+          .contains("1"))
+        throw new IllegalStateException(
+          s"${regressed.size} zone(s) regressed > 5% vs ${pf.getName}")
+    }
   }
 }

@@ -103,8 +103,11 @@ class DarimaPipelineSpec extends AnyFunSuite {
     val msis95 = Metrics.mean(Metrics.msis(trainVals, testVals,
       fc.lower(1), fc.upper(1), 95, 24))
     info(s"NEMASSBOST sarima: MASE=$mase MSIS95=$msis95")
-    assert(mase < 1.6, s"MASE=$mase")
-    assert(msis95 > 0 && msis95 < 18, s"MSIS95=$msis95")
+    // round 7: the family search (long-AR candidate under the same
+    // AICc) + yearly-only injected skeleton brought this to ≈ 0.87,
+    // level with the shipped harmonic default — pin it there
+    assert(mase < 1.05, s"MASE=$mase")
+    assert(msis95 > 0 && msis95 < 12, s"MSIS95=$msis95")
   }
 
   test("harmonic phase survives DST-style gaps (gap-robust dt)") {

@@ -225,6 +225,35 @@ class SarimaSearchSpec extends AnyFunSuite {
       s"wide ${wide.sigma2} vs capped ${capped.sigma2}")
   }
 
+  test("family search picks the compact SARIMA on a low-order " +
+      "seasonal process and the long AR on a multi-cyclic one") {
+    import graft.pipeline.{Darima, DarimaConfig}
+    val m = 12
+    // direction 1: a true SARIMA(1,0,0)(1,0,0)_12 — the parameter
+    // penalty must keep the compact seasonal form ahead of a
+    // hundreds-of-coefficients AR approximation
+    val sar = simulateSar(phi = 0.4, sphi = 0.5, m = m, c = 2.0,
+      n = 1000, seed = 99L)
+    val pick1 = Darima.sarimaFamilySearch(sar,
+      DarimaConfig(freq = m, maxP = 2, maxQ = 2))
+    assert(pick1.sphi.length + pick1.stheta.length >= 1,
+      s"long AR (p=${pick1.phi.length}) beat the true seasonal form")
+    // direction 2: two incommensurate cycles + noise (daily 12 and
+    // "weekly" 84 on the same grid) — a (p≤2)(P≤2)_12 SARIMA cannot
+    // carry the 84-lag structure; the long AR must win the criterion
+    val e = noise(4000, seed = 5L)
+    val multi = Array.tabulate(4000) { t =>
+      10.0 + 4.0 * math.sin(2 * math.Pi * t / 12.0) +
+        3.0 * math.sin(2 * math.Pi * t / 84.0) + e(t)
+    }
+    val pick2 = Darima.sarimaFamilySearch(multi,
+      DarimaConfig(freq = m, maxP = 2, maxQ = 2))
+    assert(pick2.sphi.isEmpty && pick2.stheta.isEmpty &&
+      pick2.theta.isEmpty && pick2.phi.length > 2 * m,
+      s"(p,q,P,Q)=(${pick2.phi.length},${pick2.theta.length}," +
+        s"${pick2.sphi.length},${pick2.stheta.length})")
+  }
+
   test("long-horizon calibration fills only UNSET knobs: an explicit " +
       "maxTotalD survives, the -1 sentinel resolves to 0") {
     import graft.pipeline.{Darima, DarimaConfig}
@@ -234,9 +263,18 @@ class SarimaSearchSpec extends AnyFunSuite {
     val auto = Darima.calibrateLongHorizon(
       DarimaConfig(freq = 24, fitter = "sarima"), h)
     assert(auto.maxTotalD == 0 && auto.maxTotalDEff == 0)
-    assert(auto.harmDaily == 3 && auto.harmWeekly == 2 &&
+    // sarima's family search carries daily/weekly adaptively in the
+    // AR candidate — only the yearly pairs are injected
+    assert(auto.harmDaily == 0 && auto.harmWeekly == 0 &&
       auto.harmYearly == 3)
+    assert(auto.modDaily == 0 && auto.modYearly == 0)
     assert(auto.anchorWindow == (365.25 * 24).round.toInt)
+    // arma has no seasonal dynamics: full modulated skeleton injected
+    val armaCal = Darima.calibrateLongHorizon(
+      DarimaConfig(freq = 24, fitter = "arma"), h)
+    assert(armaCal.harmDaily == 3 && armaCal.harmWeekly == 2 &&
+      armaCal.harmYearly == 3)
+    assert(armaCal.modDaily == 3 && armaCal.modYearly == 2)
     // explicit configuration wins over every calibration knob
     val explicit = Darima.calibrateLongHorizon(
       DarimaConfig(freq = 24, fitter = "sarima", maxTotalD = 2,

@@ -228,6 +228,49 @@ object DarimaQueries {
       .orderBy(col("t"))
   }
 
+  /** The Fourier stage (M2 seasonal regression, Seasonal.fitHarmonics)
+    * as a DISTRIBUTED oracle-checked query: OLS of value on
+    * [1, cos(ωτ), sin(ωτ)] at the daily period, by closed-form 3×3
+    * normal equations — nine streaming sums in ONE hash aggregate
+    * (map-side partials, no shuffle wider than the 9-number row),
+    * then Cramer's rule in the projection. τ is the day-phase
+    * (t − ⌊t/P⌋·P), keeping the trig arguments small and
+    * bit-comparable across engines. Both dialects expand the three
+    * determinants along the first column in the same float-op order.
+    */
+  private val d08HarmonicFit: Q = (s, d) => {
+    val P = 86400.0
+    val w = 2.0 * math.Pi / P
+    val tr = series(s, d).select(col("value").as("y"),
+      cos((col("time") - floor(col("time") / P) * P) * w).as("cx"),
+      sin((col("time") - floor(col("time") / P) * P) * w).as("sx"))
+    val sums = tr.agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(col("cx")).as("sc"), sum(col("sx")).as("ss"),
+      sum(col("cx") * col("cx")).as("scc"),
+      sum(col("sx") * col("sx")).as("sss"),
+      sum(col("cx") * col("sx")).as("scs"),
+      sum(col("y")).as("sy"),
+      sum(col("y") * col("cx")).as("syc"),
+      sum(col("y") * col("sx")).as("sys"))
+    val det = col("n") * (col("scc") * col("sss") - col("scs") * col("scs")) -
+      col("sc") * (col("sc") * col("sss") - col("ss") * col("scs")) +
+      col("ss") * (col("sc") * col("scs") - col("ss") * col("scc"))
+    val detA = col("sy") * (col("scc") * col("sss") - col("scs") * col("scs")) -
+      col("syc") * (col("sc") * col("sss") - col("ss") * col("scs")) +
+      col("sys") * (col("sc") * col("scs") - col("ss") * col("scc"))
+    val detB = col("n") * (col("syc") * col("sss") - col("scs") * col("sys")) -
+      col("sc") * (col("sy") * col("sss") - col("ss") * col("sys")) +
+      col("ss") * (col("sy") * col("scs") - col("ss") * col("syc"))
+    val detC = col("n") * (col("scc") * col("sys") - col("syc") * col("scs")) -
+      col("sc") * (col("sc") * col("sys") - col("sy") * col("scs")) +
+      col("ss") * (col("sc") * col("syc") - col("sy") * col("scc"))
+    sums.select(col("n").cast("long").as("n"),
+      round(detA / det, 6).as("level"),
+      round(detB / det, 6).as("cos_coef"),
+      round(detC / det, 6).as("sin_coef"))
+  }
+
   val queries: Map[String, Q] = Map(
     "d01_chunk_coefs" -> d01ChunkCoefs,
     "d02_global_coefs" -> d02GlobalCoefs,
@@ -236,6 +279,7 @@ object DarimaQueries {
     "d05_ar1_ols" -> d05Ar1Ols,
     "d06_fit_aggregator" -> d06FitAggregator,
     "d07_fitted_residuals" -> d07FittedResiduals,
+    "d08_harmonic_fit" -> d08HarmonicFit,
   )
 
   // ---------------------------------------------------------------
@@ -498,6 +542,46 @@ object DarimaQueries {
        |FROM ser s, gm g
        |ORDER BY s.t""".stripMargin
 
+  /** d08 oracle: the same nine sums and first-column Cramer
+    * expansion, term for term.
+    */
+  private val d08Sql: String =
+    """WITH tr AS (
+      |  SELECT value AS y,
+      |    cos((epoch(ts) - floor(epoch(ts) / 86400.0) * 86400.0)
+      |        * (2.0 * pi() / 86400.0)) AS cx,
+      |    sin((epoch(ts) - floor(epoch(ts) / 86400.0) * 86400.0)
+      |        * (2.0 * pi() / 86400.0)) AS sx
+      |  FROM events
+      |), s AS (
+      |  SELECT CAST(count(*) AS DOUBLE) AS n,
+      |    sum(cx) AS sc, sum(sx) AS ss,
+      |    sum(cx * cx) AS scc, sum(sx * sx) AS sss,
+      |    sum(cx * sx) AS scs,
+      |    sum(y) AS sy, sum(y * cx) AS syc, sum(y * sx) AS sys
+      |  FROM tr
+      |)
+      |SELECT CAST(n AS BIGINT) AS n,
+      |  round((sy * (scc * sss - scs * scs) -
+      |         syc * (sc * sss - ss * scs) +
+      |         sys * (sc * scs - ss * scc)) /
+      |        (n * (scc * sss - scs * scs) -
+      |         sc * (sc * sss - ss * scs) +
+      |         ss * (sc * scs - ss * scc)), 6) AS level,
+      |  round((n * (syc * sss - scs * sys) -
+      |         sc * (sy * sss - ss * sys) +
+      |         ss * (sy * scs - ss * syc)) /
+      |        (n * (scc * sss - scs * scs) -
+      |         sc * (sc * sss - ss * scs) +
+      |         ss * (sc * scs - ss * scc)), 6) AS cos_coef,
+      |  round((n * (scc * sys - syc * scs) -
+      |         sc * (sc * sys - sy * scs) +
+      |         ss * (sc * syc - sy * scc)) /
+      |        (n * (scc * sss - scs * scs) -
+      |         sc * (sc * sss - ss * scs) +
+      |         ss * (sc * scs - ss * scc)), 6) AS sin_coef
+      |FROM s""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "d01_chunk_coefs" -> d01Sql,
     "d02_global_coefs" -> d02Sql,
@@ -505,6 +589,7 @@ object DarimaQueries {
     "d04_forecast_eval" -> d04Sql,
     "d06_fit_aggregator" -> d01Sql,
     "d07_fitted_residuals" -> d07Sql,
+    "d08_harmonic_fit" -> d08Sql,
     "d05_ar1_ols" ->
       """WITH ordered AS (
         |  SELECT value, ntile(4) OVER (ORDER BY ts, event_id) AS chunk_id,

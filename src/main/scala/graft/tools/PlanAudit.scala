@@ -237,6 +237,8 @@ object PlanAudit {
     // clean.
     val allow: Map[String, Set[String]] = Map(
       "q12_metrics" -> Set("SinglePartition", "BNLJoin"), // 1-row scale/sd scalars
+      // nine-sum global aggregate → one 9-number row (Cramer projection)
+      "d08_harmonic_fit" -> Set("SinglePartition"),
       "q13_metric_means" -> Set("SinglePartition", "BNLJoin"), // global means
       // 1-row average-balance scalar subquery (TPC-H Q22 shape)
       "q22_scalar_subquery" -> Set("SinglePartition", "BNLJoin"),

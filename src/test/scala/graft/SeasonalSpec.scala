@@ -25,6 +25,64 @@ class SeasonalSpec extends AnyFunSuite {
     assert(math.abs(hs(1).sin - 0.8) < 1e-8)
   }
 
+  test("modulated pairs recover a season-varying diurnal shape " +
+      "exactly, and drop when the modulator period exceeds the span") {
+    import graft.arima.HarmSpec
+    // "yearly" cycle 480 on a daily cycle 24: amplitude of the daily
+    // cos swings with the season — y = (3 + 2cos(w_y t))·cos(w_d t),
+    // i.e. plain (24,1).cos = 3 and the cos-modulated pair = 2
+    val specs = Seasonal.specs(24, harmDaily = 1, harmWeekly = 0,
+      harmYearly = 0, modDaily = 1, modYearly = 1)
+      .map(s => if (s.mcycle > 0) s.copy(mcycle = 480) else s)
+    val n = 480 * 4
+    val tau = Array.tabulate(n)(_.toDouble + 500.0)
+    val y = tau.map { t =>
+      (3.0 + 2.0 * math.cos(2 * math.Pi * t / 480)) *
+        math.cos(2 * math.Pi * t / 24)
+    }
+    val hs = Seasonal.fitHarmonics(y, tau, specs, withDrift = false)
+    assert(hs.length == 3, hs.mkString(","))
+    val plain = hs.find(_.mcycle == 0).get
+    val mc = hs.find(h => h.mcycle == 480 && !h.msin).get
+    val ms = hs.find(h => h.mcycle == 480 && h.msin).get
+    assert(math.abs(plain.cos - 3.0) < 1e-7 &&
+      math.abs(plain.sin) < 1e-7, plain.toString)
+    assert(math.abs(mc.cos - 2.0) < 1e-7 &&
+      math.abs(mc.sin) < 1e-7, mc.toString)
+    assert(math.abs(ms.cos) < 1e-7 && math.abs(ms.sin) < 1e-7,
+      ms.toString)
+    // Seasonal.value reproduces the signal through the mod factor
+    val maxErr = tau.indices.map(i =>
+      math.abs(Seasonal.value(hs, tau(i)) - y(i))).max
+    assert(maxErr < 1e-6, s"maxErr=$maxErr")
+    // under one modulator period observed, the interaction pairs are
+    // near-collinear with the base pair and must drop out
+    val short = Seasonal.fitHarmonics(y.take(240), tau.take(240), specs,
+      withDrift = false)
+    assert(short.forall(_.mcycle == 0), short.mkString(","))
+  }
+
+  test("modulated coefficient names round-trip with distinct slots") {
+    val h = HarmCoef(24, 2, 1.0, 0.0, mcycle = 8766, mk = 1, msin = true)
+    val name = Seasonal.coefName("sin", h)
+    assert(name == "sin_24_2_ms_8766_1")
+    val parsed = Seasonal.parseNameFull(name)
+    assert(parsed.exists { case (t, s) => t == "sin" &&
+      s == graft.arima.HarmSpec(24, 2, 8766, 1, msin = true) })
+    // plain parseName must NOT mistake a modulated name for a plain
+    // pair (it would corrupt the AR map fallback otherwise)
+    assert(Seasonal.parseName(name).isEmpty)
+    // slots: distinct across msin/variant/mk and disjoint from the
+    // plain range
+    val slots = for {
+      trig <- Seq("cos", "sin"); mk <- 1 to 3; msin <- Seq(false, true)
+    } yield Seasonal.lagIdx(
+      HarmCoef(24, 2, 0, 0, mcycle = 8766, mk = mk, msin = msin), trig)
+    assert(slots.distinct.length == slots.length)
+    assert(slots.forall(s => s <= -50000000))
+    assert(Seasonal.lagIdx(8766, 252, "dsin") > -50000000)
+  }
+
   test("too-short series returns no harmonics (safe no-op)") {
     val ps = Seasonal.pairs(24, 3, 2)
     val hs = Seasonal.fitHarmonics(Array(1.0, 2.0, 3.0),

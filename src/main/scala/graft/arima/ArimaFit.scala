@@ -263,9 +263,9 @@ object ArimaFit {
     * at a fraction of a stepwise SARIMA search's cost, and
     * Yule–Walker solutions are always stationary.
     */
-  def fitLongAr(x: Array[Double], m: Int = 1, maxLag: Int = 0)
-      : SarimaModel = {
-    val d = selectD(x)
+  def fitLongAr(x: Array[Double], m: Int = 1, maxLag: Int = 0,
+      maxD: Int = 2): SarimaModel = {
+    val d = selectD(x, maxD = maxD)
     var w = x
     var i = 0
     while (i < d) { w = diff(w); i += 1 }

@@ -190,7 +190,12 @@ object Darima {
       cfg: DarimaConfig): graft.arima.SarimaModel = {
     val seas = ArimaFit.fitSeasonal(values, cfg.freq, cfg.maxP,
       cfg.maxQ, cfg.maxSP, cfg.maxSQ, maxTotalD = cfg.maxTotalDEff)
-    val lar = ArimaFit.fitLongAr(values, cfg.freq, cfg.maxLag)
+    // the differencing cap binds BOTH candidates: a caller who set
+    // maxTotalD = 0 must not receive a unit root through the AR
+    // family either (the standalone longar fitter keeps its own
+    // KPSS-chosen d — the cap is an arma/sarima contract)
+    val lar = ArimaFit.fitLongAr(values, cfg.freq, cfg.maxLag,
+      maxD = cfg.maxTotalDEff)
     val n = values.length
     val kSeas = seas.phi.length + seas.theta.length +
       seas.sphi.length + seas.stheta.length + 1

@@ -94,8 +94,10 @@ object ZonesEval {
       rows: Seq[(String, (Double, Double, Double, Double))]): Unit = {
     val out = sys.env.getOrElse("GRAFT_ZONES_OUT",
       "/root/repo/ZONES_latest.json")
+    val fitter = sys.env.getOrElse("GRAFT_FITTER", "longar")
     val body = rows.map { case (z, (mase, smape, m80, m95)) =>
-      f"""  {"zone":"$z","mase":$mase%.4f,"smape":$smape%.4f,""" +
+      f"""  {"zone":"$z","fitter":"$fitter","mase":$mase%.4f,""" +
+        f""""smape":$smape%.4f,""" +
         f""""msis_80":$m80%.4f,"msis_95":$m95%.4f}"""
     }.mkString("[\n", ",\n", "\n]")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), body)
@@ -107,9 +109,16 @@ object ZonesEval {
       .sortBy(_.getName).lastOption
     prior.foreach { pf =>
       val txt = java.nio.file.Files.readString(pf.toPath)
-      val entry = """"zone":"([A-Z]+)","mase":([0-9.]+)""".r
+      // compare within one fitter config only — a sarima run flagged
+      // against a longar artifact is a config diff, not a regression
+      // (pre-round-7 artifacts carry no fitter field: treated as the
+      // longar default)
+      val entry =
+        (""""zone":"([A-Z]+)",(?:"fitter":"([a-z]+)",)?""" +
+          """"mase":([0-9.]+)""").r
       val prev = entry.findAllMatchIn(txt)
-        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        .filter(m => Option(m.group(2)).getOrElse("longar") == fitter)
+        .map(m => m.group(1) -> m.group(3).toDouble).toMap
       val regressed = rows.flatMap { case (z, (mase, _, _, _)) =>
         prev.get(z).filter(p => mase > p * 1.05)
           .map(p => f"""{"zone_regression":"$z","prev":$p%.4f,"""

@@ -72,8 +72,12 @@ object Seasonal {
     val yc = (365.25 * freq).round.toInt
     val base = pairs(freq, harmDaily, harmWeekly, harmYearly)
       .map { case (c, k) => HarmSpec(c, k) }
+    // modulated pairs are NOT capped at harmDaily: a sideband is a
+    // regressor in its own right (the base pair need not be present),
+    // and silently discarding an explicit modDaily would be the
+    // config-ignoring trap this engine avoids elsewhere
     val mods = for {
-      k <- 1 to math.min(modDaily, harmDaily)
+      k <- 1 to modDaily
       j <- 1 to modYearly
       s <- Seq(false, true)
     } yield HarmSpec(freq, k, yc, j, s)

@@ -62,6 +62,16 @@ class SeasonalSpec extends AnyFunSuite {
     assert(short.forall(_.mcycle == 0), short.mkString(","))
   }
 
+  test("explicit modDaily is honored independent of harmDaily") {
+    // a sideband is a regressor in its own right — modDaily=2 with NO
+    // plain daily pairs must still yield 2·modYearly·2 interaction
+    // specs, not silently drop to zero
+    val specs = Seasonal.specs(24, harmDaily = 0, harmWeekly = 0,
+      harmYearly = 1, modDaily = 2, modYearly = 1)
+    assert(specs.count(_.mcycle > 0) == 4, specs.mkString(","))
+    assert(specs.count(_.mcycle == 0) == 1)
+  }
+
   test("modulated coefficient names round-trip with distinct slots") {
     val h = HarmCoef(24, 2, 1.0, 0.0, mcycle = 8766, mk = 1, msin = true)
     val name = Seasonal.coefName("sin", h)

@@ -15,18 +15,27 @@ object Tables {
     if (name == "events") eventsNanos(spark, sfDir)
     else spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects outright. Read it as raw nanos and truncate to
-    * microseconds — exactly what DuckDB does when it loads the same
-    * file, so oracle comparisons stay bit-identical.
+  /** `events.ts` has shipped as both parquet TIMESTAMP(NANOS) (which
+    * Spark's vectorized reader rejects — read as raw nanos via the
+    * legacy knob and truncate) and plain TIMESTAMP(MICROS) NTZ.
+    * Detect which variant this dataset carries and normalize both to
+    * microsecond TIMESTAMP, matching what DuckDB sees when it loads
+    * the same file so oracle comparisons stay bit-identical (session
+    * timezone is UTC everywhere, so the NTZ cast is a no-op shift).
     */
   private def eventsNanos(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$sfDir/events.parquet")
-    // integer `div`, not double division: epoch-nanos exceeds 2^53 so a
-    // double round-trip would corrupt the low microsecond digits.
-    raw.withColumn("ts",
-      org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    import org.apache.spark.sql.functions.{col, expr}
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // integer `div`, not double division: epoch-nanos exceeds 2^53
+        // so a double round-trip would corrupt the low microsecond digits.
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ =>
+        raw.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
   }
 
   def region(s: SparkSession, d: String): DataFrame   = table(s, d, "region")

@@ -15,9 +15,11 @@ import org.apache.spark.sql.types._
   */
 object EventsStream {
 
-  /** Events schema for streaming reads. `ts` arrives as raw
-    * nanosecond longs (same parquet nanos caveat as the batch path,
-    * graft.Tables) and is truncated to microsecond timestamps.
+  /** Events schema for streaming reads. `ts` has shipped as both raw
+    * nanosecond longs (parquet TIMESTAMP(NANOS) under the legacy
+    * nanosAsLong knob — same caveat as the batch path, graft.Tables)
+    * and plain TIMESTAMP(MICROS) NTZ; [[readEvents]] probes the
+    * directory with a one-off batch read to declare the right one.
     */
   val rawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
@@ -29,10 +31,18 @@ object EventsStream {
 
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(rawSchema)
-      .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    // FileStreamSource needs the schema up front; probe the staged
+    // files once (batch) to learn which ts encoding this dir carries.
+    val tsType = scala.util.Try(
+      spark.read.parquet(dir).schema("ts").dataType).getOrElse(LongType)
+    val schema = StructType(rawSchema.map(f =>
+      if (f.name == "ts") f.copy(dataType = tsType) else f))
+    val raw = spark.readStream.schema(schema).parquet(dir)
+    tsType match {
+      case LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ => raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
 
   /** Watermarked tumbling-window aggregation (append mode capable). */

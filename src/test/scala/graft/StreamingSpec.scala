@@ -150,14 +150,14 @@ class StreamingSpec extends AnyFunSuite {
     // long the feed runs. Month shifts >> the 1h range also mean the
     // join output is exactly 10x the single-copy result.
     val dir = java.nio.file.Files.createTempDirectory("events-10x")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.schema(EventsStream.rawSchema)
-      .parquet(sf + "/events.parquet")
+    // read through the normalized accessor (handles both ts encodings)
+    // and stage month-shifted copies with ts as plain TIMESTAMP
+    val raw = graft.Tables.events(spark, sf)
     (0 until 10).foreach { k =>
       val tmp = dir.resolve(s"stage$k")
       raw.select(
         (col("event_id") + lit(k * 10_000_000L)).as("event_id"),
-        (col("ts") + lit(k * 31L * 86_400L * 1_000_000_000L)).as("ts"),
+        (col("ts") + expr(s"INTERVAL ${k * 31} DAYS")).as("ts"),
         col("user_id"), col("event_type"), col("value"), col("props"))
         .coalesce(1).write.parquet(tmp.toString)
       val part = java.nio.file.Files.list(tmp)
@@ -171,11 +171,15 @@ class StreamingSpec extends AnyFunSuite {
       java.nio.file.Files.setLastModifiedTime(dst,
         java.nio.file.attribute.FileTime.fromMillis(1_000_000_000_000L + k * 60_000L))
     }
+    val stagedSchema = org.apache.spark.sql.types.StructType(
+      EventsStream.rawSchema.map(f =>
+        if (f.name == "ts")
+          f.copy(dataType = org.apache.spark.sql.types.TimestampType)
+        else f))
     val stream = spark.readStream
-      .schema(EventsStream.rawSchema)
+      .schema(stagedSchema)
       .option("maxFilesPerTrigger", "1")
       .parquet(dir.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     val joined = EventsStream.viewPurchaseJoin(stream, rangeSec = 3600)
     val q = joined.writeStream.outputMode("append")
       .format("memory").queryName("ssjoin10_out").start()

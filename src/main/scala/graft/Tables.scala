@@ -25,16 +25,25 @@ object Tables {
     */
   private def eventsNanos(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the NTZ→Timestamp cast below is identity ONLY under a UTC
+    // session zone; pin it here so correctness never depends on
+    // caller configuration (a non-UTC session would silently shift
+    // every event timestamp vs what DuckDB reads from the same file)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val raw = spark.read.parquet(s"$sfDir/events.parquet")
     import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampType, TimestampNTZType}
     raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
+      case LongType =>
         // integer `div`, not double division: epoch-nanos exceeds 2^53
         // so a double round-trip would corrupt the low microsecond digits.
         raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case _ =>
-        raw.withColumn("ts",
-          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case TimestampType => raw
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case other => throw new IllegalStateException(
+        s"events.ts has unsupported type $other (expected nanos-long, " +
+          "TIMESTAMP, or TIMESTAMP_NTZ) — refusing to cast blindly")
     }
   }
 

@@ -28,7 +28,14 @@ object Verify {
     // run queries through a small pool: Spark's scheduler interleaves
     // the jobs, hiding per-query planning latency behind execution
     val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
-    val tasks = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // local-iteration filter (comma-separated name prefixes); the
+    // driver never sets it, so the full suite is the default
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter {
+      case (name, _) => only.forall(_.exists(name.startsWith))
+    }
+    val tasks = selected.map { case (name, fn) =>
       pool.submit(new Runnable {
         def run(): Unit =
           try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -388,24 +388,44 @@ object Similarity {
     df.sparkSession.createDataFrame(
       java.util.Arrays.asList(df.collect(): _*), df.schema)
 
+  /** Absolute-row training-sample modulus: train on ~`target` rows
+    * REGARDLESS of corpus size via the deterministic 1-in-r slice
+    * `vec_id % r = 0` with r = max(1, ⌊N/target⌋). The former ratio
+    * knob (`trainSample = r`) was a constant-factor reduction — at
+    * 100× data the training pass still cost 100× — while Lloyd
+    * quality needs only a FIXED sample; this pins the absolute
+    * training I/O. The one count job here is metadata-cheap (a
+    * columnless parquet scan) and runs only when training actually
+    * executes (the serve path never reaches it). The oracle mirrors
+    * the same arithmetic as a scalar subquery
+    * (`count(*) // target`, floor division on both engines).
+    */
+  private[graft] def sampleModulus(emb: DataFrame, target: Long): Long =
+    if (target <= 0) 1L else math.max(1L, emb.count() / target)
+
+  private def sampleSliceSql(target: Long): String =
+    if (target <= 0) ""
+    else s"WHERE vec_id % greatest(1, " +
+      s"(SELECT count(*) // $target FROM embeddings)) = 0"
+
   /** The Lloyd centroid loop behind [[kmeansRefine]], returning the
     * (`__cid`, `ce`) centroid frame — shared with the trained
     * [[semanticDedup]] assignment so the two operators cannot drift.
-    * iters = 0 returns the raw seed frame. trainSample = r > 1 runs
-    * the per-iteration assignment passes over the deterministic 1-in-r
-    * slice `vec_id % r = 0` (a pushed-down scan filter — at 100 TB
-    * training I/O shrinks r-fold while the iteration shape is
-    * unchanged); seeds always come from the full corpus so the
-    * codebook keys stay the first k ids regardless of r.
+    * iters = 0 returns the raw seed frame. trainTarget = N > 0 runs
+    * the per-iteration assignment passes over a deterministic
+    * ~N-row slice of the corpus ([[sampleModulus]] — a pushed-down
+    * scan filter, so at 100 TB training I/O is CONSTANT in corpus
+    * size); seeds always come from the full corpus so the codebook
+    * keys stay the first k ids regardless of the slice.
     */
   private[graft] def kmeansCentroids(emb: DataFrame, k: Int,
-      iters: Int, trainSample: Int = 1): DataFrame = {
+      iters: Int, trainTarget: Long = 0): DataFrame = {
     def cosTo(v: Column, c: Column): Column =
       round(graft.functions.VectorFunctions.cosine_similarity(v, c), 6)
-    val trainEmb =
-      if (trainSample > 1)
-        emb.filter(pmod(col("vec_id"), lit(trainSample)) === 0)
-      else emb
+    val trainEmb = {
+      val r = if (iters > 0) sampleModulus(emb, trainTarget) else 1L
+      if (r > 1) emb.filter(pmod(col("vec_id"), lit(r)) === 0) else emb
+    }
     // pmod(vec_id, k) is the identity on the filtered seed domain
     // vec_id ∈ [0, k) — it exists to give the per-iteration centroid
     // broadcast a STRUCTURAL cardinality-≤-k certificate (PlanAudit
@@ -451,7 +471,7 @@ object Similarity {
     * oracles.
     */
   private def kmeansCtesSql(k: Int, iters: Int,
-      trainSample: Int = 1): String = {
+      trainTarget: Long = 0): String = {
     def stage(cin: String, aOut: String, dOut: String, cOut: String): String =
       s"""$aOut AS (
          |  SELECT vec_id, cid, e FROM (
@@ -470,8 +490,7 @@ object Similarity {
     val stages = (1 to iters)
       .map(t => stage(s"c${t - 1}", s"a$t", s"d$t", s"c$t"))
       .mkString(",\n")
-    val slice =
-      if (trainSample > 1) s"WHERE vec_id % $trainSample = 0" else ""
+    val slice = sampleSliceSql(if (iters > 0) trainTarget else 0)
     s"""dbl AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
        |  FROM embeddings
@@ -586,15 +605,15 @@ object Similarity {
     * aggregate row (provably bounded → broadcast), assignment is a
     * map-only projection against it, and the update is one
     * posexplode + hash aggregate whose shuffle carries m·ksub·subDim
-    * rows regardless of corpus size. trainSample = r > 1 is the
-    * 100 TB knob: the per-iteration assignment passes read only the
-    * deterministic 1-in-r slice `vec_id % r = 0` (a pushed-down scan
-    * filter — r-fold less training I/O per round), while seeds and the
-    * downstream encode/ADC still cover the full corpus; the iteration
-    * shape is unchanged.
+    * rows regardless of corpus size. trainTarget = N > 0 is the
+    * 100 TB knob: the per-iteration assignment passes read only a
+    * deterministic ~N-row slice ([[sampleModulus]] — a pushed-down
+    * scan filter, so training I/O is CONSTANT in corpus size), while
+    * seeds and the downstream encode/ADC still cover the full corpus;
+    * the iteration shape is unchanged.
     */
   def pqTrainCodebook(emb: DataFrame, dim: Int, m: Int, ksub: Int,
-      iters: Int, trainSample: Int = 1): DataFrame = {
+      iters: Int, trainTarget: Long = 0): DataFrame = {
     val subDim = dim / m
     val sv = emb.select(col("vec_id"),
         explode(sequence(lit(0), lit(m - 1))).as("sub"),
@@ -602,10 +621,10 @@ object Similarity {
       .select(col("vec_id"), col("sub"),
         transform(pqSubvec(col("e"), col("sub"), subDim),
           x => floor(x * lit(1e6) + lit(0.5)).cast("long")).as("v"))
-    val svT =
-      if (trainSample > 1)
-        sv.filter(pmod(col("vec_id"), lit(trainSample)) === 0)
-      else sv
+    val svT = {
+      val r = if (iters > 0) sampleModulus(emb, trainTarget) else 1L
+      if (r > 1) sv.filter(pmod(col("vec_id"), lit(r)) === 0) else sv
+    }
     var cent = sv.filter(col("vec_id") < ksub)
       .select(col("sub"), col("vec_id").cast("int").as("cid"),
         col("v").as("cv"))
@@ -642,7 +661,7 @@ object Similarity {
   }
 
   def pqTopK(emb: DataFrame, dim: Int, m: Int, ksub: Int, nQueries: Int,
-      k: Int, trainIters: Int = 0, trainSample: Int = 1): DataFrame = {
+      k: Int, trainIters: Int = 0, trainTarget: Long = 0): DataFrame = {
     require(dim % m == 0, s"dim=$dim not divisible by m=$m subspaces")
     // localized, not cache(): BOTH consumers (encode, ADC tables) read
     // this 1-row frame; collecting it once to a LocalRelation runs the
@@ -653,7 +672,7 @@ object Similarity {
     // and audits the training plan itself as a separate entry.
     val cbRow = localized(
       if (trainIters > 0)
-        pqTrainCodebook(emb, dim, m, ksub, trainIters, trainSample)
+        pqTrainCodebook(emb, dim, m, ksub, trainIters, trainTarget)
       else pqCodebook(emb, dim, m, ksub))
     pqAdcTopK(emb, cbRow, dim, m, nQueries, k)
   }
@@ -669,11 +688,11 @@ object Similarity {
     */
   def pqServeTopK(emb: DataFrame, modelPath: String, dim: Int, m: Int,
       ksub: Int, nQueries: Int, k: Int, trainIters: Int = 0,
-      trainSample: Int = 1): DataFrame = {
+      trainTarget: Long = 0): DataFrame = {
     require(dim % m == 0, s"dim=$dim not divisible by m=$m subspaces")
     val cbRow = localized(graft.tools.ModelStore.ensure(modelPath,
       if (trainIters > 0)
-        pqTrainCodebook(emb, dim, m, ksub, trainIters, trainSample)
+        pqTrainCodebook(emb, dim, m, ksub, trainIters, trainTarget)
       else pqCodebook(emb, dim, m, ksub)))
     pqAdcTopK(emb, cbRow, dim, m, nQueries, k)
   }
@@ -724,7 +743,7 @@ object Similarity {
     * keeping their previous centroid.
     */
   private def pqTrainedCbSql(subDim: Int, m: Int, ksub: Int,
-      iters: Int, trainSample: Int = 1): String = {
+      iters: Int, trainTarget: Long = 0): String = {
     val d2 =
       """CAST(list_aggregate(list_transform(range(len(s.v)),
         |  i -> (s.v[CAST(i AS INT)+1] - c.cv[CAST(i AS INT)+1])
@@ -754,8 +773,7 @@ object Similarity {
          |  FROM c$p p LEFT JOIN u$t u ON u.sub = p.sub AND u.cid = p.cid
          |)""".stripMargin
     }.mkString(",\n")
-    val slice =
-      if (trainSample > 1) s"WHERE vec_id % $trainSample = 0" else ""
+    val slice = sampleSliceSql(if (iters > 0) trainTarget else 0)
     s"""sva AS (
        |  SELECT vec_id, s.sub,
        |    list_transform(embedding[s.sub*$subDim+1 : s.sub*$subDim+$subDim],
@@ -776,11 +794,11 @@ object Similarity {
   }
 
   def pqTopKSql(dim: Int, m: Int, ksub: Int, nQueries: Int,
-      k: Int, trainIters: Int = 0, trainSample: Int = 1): String = {
+      k: Int, trainIters: Int = 0, trainTarget: Long = 0): String = {
     val subDim = dim / m
     val cbSql =
       if (trainIters > 0)
-        pqTrainedCbSql(subDim, m, ksub, trainIters, trainSample)
+        pqTrainedCbSql(subDim, m, ksub, trainIters, trainTarget)
       else
         s"""cb AS (
            |  SELECT s.sub, e.vec_id AS cid,
@@ -866,14 +884,14 @@ object Similarity {
     */
   def semanticDedup(emb: DataFrame, k: Int, threshold: Double,
       clusterCap: Int = 256, trainIters: Int = 0,
-      trainSample: Int = 1): DataFrame = {
+      trainTarget: Long = 0): DataFrame = {
     // trainIters > 0 runs the shared Lloyd loop (kmeansCentroids —
     // the x36 machinery) so the space partition reflects the actual
     // vector distribution instead of whichever k vectors carry the
     // lowest ids; localized (driver-collected ≤k rows) so training
     // runs once and no cache pin outlives the query — see [[localized]]
     val centroids =
-      localized(kmeansCentroids(emb, k, trainIters, trainSample))
+      localized(kmeansCentroids(emb, k, trainIters, trainTarget))
     // argmax as ONE hash aggregate (min over struct(−cos, cid) ≡
     // ORDER BY cos DESC, cid) — map-side partial per vector, no
     // rank-window sort of the |emb|·k crossed rows
@@ -912,9 +930,9 @@ object Similarity {
 
   def semanticDedupSql(k: Int, threshold: Double,
       clusterCap: Int = 256, trainIters: Int = 0,
-      trainSample: Int = 1): String = {
+      trainTarget: Long = 0): String = {
     def cos(a: String, b: String): String = sqlCos(a, b)
-    s"""WITH ${kmeansCtesSql(k, trainIters, trainSample)}, assigned AS (
+    s"""WITH ${kmeansCtesSql(k, trainIters, trainTarget)}, assigned AS (
        |  SELECT vec_id, cid FROM (
        |    SELECT d.vec_id, c.cid,
        |      row_number() OVER (PARTITION BY d.vec_id

@@ -332,7 +332,7 @@ object Extensions {
     */
   private val x46PqTopK: Q = (s, d) =>
     Similarity.pqTopK(Tables.embeddings(s, d), dim = 64, m = 4, ksub = 16,
-      nQueries = 5, k = 10, trainIters = 2, trainSample = 4)
+      nQueries = 5, k = 10, trainIters = 2, trainTarget = 125)
 
   /** X3: TF-IDF top terms per document. */
   private val x23Tfidf: Q = (s, d) =>
@@ -448,7 +448,7 @@ object Extensions {
     */
   private val x57SemanticDedup: Q = (s, d) =>
     Similarity.semanticDedup(Tables.embeddings(s, d), k = 16,
-      threshold = 0.95, trainIters = 1)
+      threshold = 0.95, trainIters = 1, trainTarget = 250)
 
   /** X3: PMI collocation mining — top-50 adjacent bigrams by
     * pointwise mutual information above a count floor (two hash
@@ -526,9 +526,9 @@ object Extensions {
     */
   private val x66PqServe: Q = (s, d) =>
     Similarity.pqServeTopK(Tables.embeddings(s, d),
-      graft.tools.ModelStore.pathFor("pq_cb", d, "d64_m4_k16_i2_s4"),
+      graft.tools.ModelStore.pathFor("pq_cb", d, "d64_m4_k16_i2_t125"),
       dim = 64, m = 4, ksub = 16, nQueries = 5, k = 10,
-      trainIters = 2, trainSample = 4)
+      trainIters = 2, trainTarget = 125)
 
   val queries: Map[String, Q] = Map(
     "x01_dedup_exact" -> x01DedupExact,
@@ -762,7 +762,7 @@ object Extensions {
     "x44_heavy_hitters" -> HeavyHitters.heavyHittersSql(32),
     "x45_temperature_mix" -> Sampling.temperatureMixSql(200),
     "x46_pq_topk" -> Similarity.pqTopKSql(dim = 64, m = 4, ksub = 16,
-      nQueries = 5, k = 10, trainIters = 2, trainSample = 4),
+      nQueries = 5, k = 10, trainIters = 2, trainTarget = 125),
     "x47_bpe_encode" -> Bpe.encodeSql(8),
     "x48_cluster_reps" -> Dedup.clusterRepresentativesSql(3),
     "x49_hard_negatives" -> Similarity.hardNegativesSql(nQueries = 5, k = 5),
@@ -786,7 +786,7 @@ object Extensions {
         |FROM events e JOIN dim d ON e.user_id = d.user_id
         |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
     "x57_semantic_dedup" -> Similarity.semanticDedupSql(16, 0.95,
-      trainIters = 1),
+      trainIters = 1, trainTarget = 250),
     "x58_pmi_collocations" -> TextAnalysis.pmiCollocationsSql(5, 50),
     "x59_vocab_coverage" -> TextAnalysis.vocabCoverageSql(16),
     "x60_box_cox" ->
@@ -803,6 +803,6 @@ object Extensions {
     "x64_zipf_curve" -> TextAnalysis.zipfCurveSql,
     "x65_source_overlap" -> TextAnalysis.sourceOverlapSql,
     "x66_pq_serve" -> Similarity.pqTopKSql(dim = 64, m = 4, ksub = 16,
-      nQueries = 5, k = 10, trainIters = 2, trainSample = 4),
+      nQueries = 5, k = 10, trainIters = 2, trainTarget = 125),
   )
 }

@@ -33,8 +33,14 @@ object EventsStream {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // FileStreamSource needs the schema up front; probe the staged
     // files once (batch) to learn which ts encoding this dir carries.
+    // A failed probe (empty / not-yet-populated dir) must NOT fall
+    // back silently: declaring LongType against later micros-encoded
+    // files fails at runtime with an opaque parquet conversion error.
     val tsType = scala.util.Try(
-      spark.read.parquet(dir).schema("ts").dataType).getOrElse(LongType)
+      spark.read.parquet(dir).schema("ts").dataType).getOrElse(
+      throw new IllegalStateException(
+        s"cannot probe events ts encoding from '$dir' (empty or " +
+          "unreadable) — stage at least one parquet file first"))
     val schema = StructType(rawSchema.map(f =>
       if (f.name == "ts") f.copy(dataType = tsType) else f))
     val raw = spark.readStream.schema(schema).parquet(dir)

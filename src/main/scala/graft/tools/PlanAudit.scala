@@ -293,7 +293,7 @@ object PlanAudit {
       "TRAIN_pq_codebook" -> ((s: SparkSession) =>
         graft.llm.Similarity.pqTrainCodebook(
           graft.Tables.embeddings(s, sf), dim = 64, m = 4, ksub = 16,
-          iters = 2, trainSample = 4)),
+          iters = 2, trainTarget = 125)),
       "TRAIN_kmeans_centroids" -> ((s: SparkSession) =>
         graft.llm.Similarity.kmeansCentroids(
           graft.Tables.embeddings(s, sf), k = 16, iters = 1)))

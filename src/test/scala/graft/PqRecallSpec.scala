@@ -44,12 +44,12 @@ class PqRecallSpec extends AnyFunSuite {
     d / (math.sqrt(na) * math.sqrt(nb))
   }
 
-  private def recallAt10(trainIters: Int, trainSample: Int = 1): Double = {
+  private def recallAt10(trainIters: Int, trainTarget: Long = 0): Double = {
     import spark.implicits._
     val emb = vecs.zipWithIndex.toSeq.map { case (v, i) => (i.toLong, v) }
       .toDF("vec_id", "embedding")
     val pq = Similarity.pqTopK(emb, dim, m, ksub, nq, k, trainIters,
-      trainSample)
+      trainTarget)
       .collect().groupBy(_.getLong(0))
       .map { case (q, rows) => q -> rows.map(_.getLong(2)).toSet }
     (0 until nq).map { q =>
@@ -71,8 +71,9 @@ class PqRecallSpec extends AnyFunSuite {
   }
 
   test("sample-trained codebook (the 100 TB knob) keeps the recall " +
-      "floor: training on the 1-in-2 slice still >= 0.7") {
-    val sampled = recallAt10(3, trainSample = 2)
+      "floor: training on the ~24-row absolute target (1-in-2 here) " +
+      "still >= 0.7") {
+    val sampled = recallAt10(3, trainTarget = 24)
     info(f"recall@10: sample-trained=$sampled%.3f")
     assert(sampled >= 0.7, s"sample-trained recall $sampled")
   }

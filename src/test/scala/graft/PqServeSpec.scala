@@ -35,11 +35,11 @@ class PqServeSpec extends AnyFunSuite {
     val path = freshPath()
     val inQuery = Similarity
       .pqTopK(emb, dim, m, ksub, nQueries = 4, k = 5,
-        trainIters = 2, trainSample = 2)
+        trainIters = 2, trainTarget = 20)
       .collect().map(_.toSeq)
     val served = Similarity
       .pqServeTopK(emb, path, dim, m, ksub, nQueries = 4, k = 5,
-        trainIters = 2, trainSample = 2)
+        trainIters = 2, trainTarget = 20)
       .collect().map(_.toSeq)
     assert(served.toSeq == inQuery.toSeq)
   }
@@ -48,7 +48,7 @@ class PqServeSpec extends AnyFunSuite {
     val path = freshPath()
     def run() = Similarity
       .pqServeTopK(emb, path, dim, m, ksub, nQueries = 4, k = 5,
-        trainIters = 2, trainSample = 2)
+        trainIters = 2, trainTarget = 20)
       .collect().map(_.toSeq).toSeq
     val first = run()
     val dir = new java.io.File(path)

@@ -158,6 +158,24 @@ object Bpe {
       learned.map(m => (m.getAs[String]("lhs"), m.getAs[String]("rhs"))).toSeq)
   }
 
+  /** BPE encode SERVE path (train-once/serve-many,
+    * [[graft.tools.ModelStore]]): the ≤rounds-row merge table is
+    * learned + persisted on first use and read back — no per-round
+    * argmax jobs at all — on every later one; the encode itself is
+    * the same map-only [[encodeWith]] pass, so the served result is
+    * bit-identical to [[encode]] (strings and integer counts
+    * round-trip parquet exactly).
+    */
+  def encodeServe(docs: DataFrame, modelPath: String,
+      rounds: Int): DataFrame = {
+    val learned = graft.tools.ModelStore
+      .ensure(modelPath, merges(docs, rounds))
+      .orderBy(col("merge_rank"))
+      .collect() // bounded: ≤rounds merge rows, applied in rank order
+    encodeWith(docs,
+      learned.map(m => (m.getAs[String]("lhs"), m.getAs[String]("rhs"))).toSeq)
+  }
+
   /** Encode against an already-learned merge table, in rank order. */
   def encodeWith(docs: DataFrame, ms: Seq[(String, String)]): DataFrame = {
     val spark = docs.sparkSession

@@ -44,11 +44,14 @@ object QualityClassifier {
     (mu, sd, w)
   }
 
-  private def trainedModelWithFrame(docs: DataFrame)
-      : (Array[Double], Array[Double], Array[Double], DataFrame) = {
+  /** The per-document feature projection (map-only; shared by the
+    * training pass and the serve path so the two build z from the
+    * IDENTICAL expressions).
+    */
+  private def rawFeatures(docs: DataFrame): DataFrame = {
     val swArray = TextAnalysis.stopwords.map(s => s"'$s'")
       .mkString("array(", ", ", ")")
-    val raw = docs
+    docs
       .withColumn("t", split(col("text"), " "))
       .withColumn("nt", size(col("t")))
       .select(col("doc_id"),
@@ -59,6 +62,20 @@ object QualityClassifier {
         (size(array_distinct(col("t"))).cast("double") / col("nt")).as("x3"),
         (expr(s"size(filter(t, w -> array_contains($swArray, w)))")
           .cast("double") / col("nt")).as("x4"))
+  }
+
+  /** Standardize raw features with mu/sd as LITERALS — both the
+    * trained and the served model inject the same 9dp-rounded doubles,
+    * so z is bit-identical on the two paths.
+    */
+  private def standardized(raw: DataFrame, mu: Array[Double],
+      sd: Array[Double]): DataFrame =
+    raw.select(col("doc_id") +: col("y") +: (1 to 4).map(j =>
+      ((col(s"x$j") - lit(mu(j - 1))) / lit(sd(j - 1))).as(s"z$j")): _*)
+
+  private def trainedModelWithFrame(docs: DataFrame)
+      : (Array[Double], Array[Double], Array[Double], DataFrame) = {
+    val raw = rawFeatures(docs)
     val statAggs = (1 to 4).flatMap { j =>
       Seq(avg(col(s"x$j")).as(s"m$j"),
         avg(col(s"x$j") * col(s"x$j")).as(s"q$j"))
@@ -74,8 +91,7 @@ object QualityClassifier {
       val s = round9(math.sqrt(math.max(ax2 - ax * ax, 0.0)))
       if (s == 0.0) 1.0 else s
     }.toArray
-    val z = raw.select(col("doc_id") +: col("y") +: (1 to 4).map(j =>
-      ((col(s"x$j") - lit(mu(j - 1))) / lit(sd(j - 1))).as(s"z$j")): _*)
+    val z = standardized(raw, mu, sd)
       .transform(graft.tools.Materialize(_))
     val w = Array.fill(5)(0.0) // bias, z1..z4
     for (_ <- 1 to iters) {
@@ -96,13 +112,53 @@ object QualityClassifier {
   private[graft] def margin(wv: Array[Double]): Column =
     lit(wv(0)) + (1 to 4).map(j => lit(wv(j)) * col(s"z$j")).reduce(_ + _)
 
-  /** Train and score every document: (doc_id, y, prob, pred). */
-  def trainScore(docs: DataFrame): DataFrame = {
-    val (_, _, w, z) = trainedModelWithFrame(docs)
+  /** The scoring projection over a standardized frame — shared by
+    * [[trainScore]] and [[serveScore]] so the two paths cannot drift.
+    */
+  private def scored(z: DataFrame, w: Array[Double]): DataFrame = {
     val p = lit(1.0) / (lit(1.0) + exp(-margin(w)))
     z.select(col("doc_id"), col("y"), round(p, 6).as("prob"),
         (round(p, 6) > 0.5).as("pred"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Train and score every document: (doc_id, y, prob, pred). */
+  def trainScore(docs: DataFrame): DataFrame = {
+    val (_, _, w, z) = trainedModelWithFrame(docs)
+    scored(z, w)
+  }
+
+  /** The trained model as ONE persistable row — (m1..m4, s1..s4,
+    * c0..c4), all 9dp-rounded doubles so a parquet round-trip is
+    * bit-exact. Training runs in full; the GD loop's only driver
+    * transfers are the per-iteration 1-row gradients, same as
+    * [[trainScore]].
+    */
+  def modelFrame(docs: DataFrame): DataFrame = {
+    val (mu, sd, w) = trainedModel(docs)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    Seq((mu(0), mu(1), mu(2), mu(3), sd(0), sd(1), sd(2), sd(3),
+      w(0), w(1), w(2), w(3), w(4)))
+      .toDF("m1", "m2", "m3", "m4", "s1", "s2", "s3", "s4",
+        "c0", "c1", "c2", "c3", "c4")
+  }
+
+  /** Classifier SERVE path (train-once/serve-many,
+    * [[graft.tools.ModelStore]]): the 13-double model row is trained +
+    * persisted on first use and read back — NO gradient loop, no
+    * feature statistics pass — on every later one; scoring is then a
+    * single map-only projection over the corpus. Bit-identical to
+    * [[trainScore]] because mu/sd/w round-trip parquet exactly and the
+    * feature/standardize/score expressions are shared.
+    */
+  def serveScore(docs: DataFrame, modelPath: String): DataFrame = {
+    val row = graft.tools.ModelStore.ensure(modelPath, modelFrame(docs))
+      .collect()(0) // bounded: the 13-double model row
+    val mu = (1 to 4).map(j => row.getAs[Double](s"m$j")).toArray
+    val sd = (1 to 4).map(j => row.getAs[Double](s"s$j")).toArray
+    val w = (0 to 4).map(j => row.getAs[Double](s"c$j")).toArray
+    scored(standardized(rawFeatures(docs), mu, sd), w)
   }
 
   /** DuckDB oracle: the identical GD loop as chained CTEs — one

@@ -892,6 +892,32 @@ object Similarity {
     // runs once and no cache pin outlives the query — see [[localized]]
     val centroids =
       localized(kmeansCentroids(emb, k, trainIters, trainTarget))
+    semanticDedupFrom(emb, centroids, threshold, clusterCap)
+  }
+
+  /** Semantic-dedup SERVE path (train-once/serve-many,
+    * [[graft.tools.ModelStore]]): the ≤k-row centroid table is trained
+    * + persisted on first use and read back (no Lloyd loop at all) on
+    * every later one; assignment + within-cluster dedup are shared
+    * verbatim with [[semanticDedup]], so the served result is
+    * bit-identical to in-query training (the 6dp-rounded centroid
+    * doubles round-trip parquet exactly).
+    */
+  def semanticDedupServe(emb: DataFrame, modelPath: String, k: Int,
+      threshold: Double, clusterCap: Int = 256, trainIters: Int = 0,
+      trainTarget: Long = 0): DataFrame = {
+    val centroids = localized(graft.tools.ModelStore.ensure(modelPath,
+      kmeansCentroids(emb, k, trainIters, trainTarget)))
+    semanticDedupFrom(emb, centroids, threshold, clusterCap)
+  }
+
+  /** The serve stage of semantic dedup — broadcast-centroid argmax
+    * assignment, capped within-cluster pair enumeration, keep-the-
+    * first marking — shared by [[semanticDedup]] (in-query training)
+    * and [[semanticDedupServe]] (persisted model).
+    */
+  private def semanticDedupFrom(emb: DataFrame, centroids: DataFrame,
+      threshold: Double, clusterCap: Int): DataFrame = {
     // argmax as ONE hash aggregate (min over struct(−cos, cid) ≡
     // ORDER BY cos DESC, cid) — map-side partial per vector, no
     // rank-window sort of the |emb|·k crossed rows

@@ -530,6 +530,34 @@ object Extensions {
       dim = 64, m = 4, ksub = 16, nQueries = 5, k = 10,
       trainIters = 2, trainTarget = 125)
 
+  /** X3: classifier serve path (train-once/serve-many) — the 13-double
+    * logistic-regression model row is a persisted model table; scoring
+    * is one map-only projection. Oracle recomputes the full GD
+    * training in-SQL, so the hash gate proves the persisted weights
+    * serve bit-identically to in-query training (x43's twin).
+    */
+  private val x67ClassifierServe: Q = (s, d) =>
+    QualityClassifier.serveScore(Tables.documents(s, d),
+      graft.tools.ModelStore.pathFor("lr_cls", d, "en_i8", "documents"))
+
+  /** X1/X2: semantic-dedup serve path — the ≤k-row trained centroid
+    * table is a persisted model; assignment + within-cluster dedup are
+    * shared with x57, whose in-query-training SQL is the oracle.
+    */
+  private val x68SemdedupServe: Q = (s, d) =>
+    Similarity.semanticDedupServe(Tables.embeddings(s, d),
+      graft.tools.ModelStore.pathFor("sd_cent", d, "k16_i1_t250"),
+      k = 16, threshold = 0.95, trainIters = 1, trainTarget = 250)
+
+  /** X3: BPE encode serve path — the ≤rounds-row merge table is a
+    * persisted model; encoding is the same map-only pass as x47,
+    * whose learn-then-encode SQL is the oracle.
+    */
+  private val x69BpeEncodeServe: Q = (s, d) =>
+    Bpe.encodeServe(Tables.documents(s, d),
+      graft.tools.ModelStore.pathFor("bpe_merges", d, "r8", "documents"),
+      rounds = 8)
+
   val queries: Map[String, Q] = Map(
     "x01_dedup_exact" -> x01DedupExact,
     "x02_dedup_minhash" -> x02DedupMinhash,
@@ -598,6 +626,9 @@ object Extensions {
     "x64_zipf_curve" -> x64ZipfCurve,
     "x65_source_overlap" -> x65SourceOverlap,
     "x66_pq_serve" -> x66PqServe,
+    "x67_classifier_serve" -> x67ClassifierServe,
+    "x68_semdedup_serve" -> x68SemdedupServe,
+    "x69_bpe_encode_serve" -> x69BpeEncodeServe,
   )
 
   /** The PNG pixel statistics in closed form: the fixture image's
@@ -804,5 +835,9 @@ object Extensions {
     "x65_source_overlap" -> TextAnalysis.sourceOverlapSql,
     "x66_pq_serve" -> Similarity.pqTopKSql(dim = 64, m = 4, ksub = 16,
       nQueries = 5, k = 10, trainIters = 2, trainTarget = 125),
+    "x67_classifier_serve" -> QualityClassifier.trainScoreSql,
+    "x68_semdedup_serve" -> Similarity.semanticDedupSql(16, 0.95,
+      trainIters = 1, trainTarget = 250),
+    "x69_bpe_encode_serve" -> Bpe.encodeSql(8),
   )
 }

@@ -270,6 +270,9 @@ object PlanAudit {
       "x32_rolling_sum" -> Set("BNLJoin"),
       // k broadcast centroids (pmod-certified seed frame, cf. x36)
       "x57_semantic_dedup" -> Set("BNLJoin"),
+      // serve path: the same ≤k-centroid broadcast, read back as a
+      // LocalRelation from the persisted model table (cf. x66)
+      "x68_semdedup_serve" -> Set("BNLJoin"),
       // 1-row (nb, nt) corpus totals into the PMI projection
       "x58_pmi_collocations" -> Set("SinglePartition", "BNLJoin"),
       // 1-row global sketch-grid aggregate (one depth·width long

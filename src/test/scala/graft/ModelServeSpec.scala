@@ -1,0 +1,110 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.llm.{Bpe, QualityClassifier, Similarity}
+import graft.tools.ModelStore
+
+/** Train-once/serve-many gates for the non-PQ model families
+  * (PqServeSpec covers the codebook): each serve path must return
+  * BIT-identical rows to its in-query-trained twin, and the model
+  * table must be written exactly once — the second execution reads it
+  * instead of retraining. Plus the concurrent-trainer race: two
+  * simultaneous `ensure()` calls on the same path must both return
+  * the complete artifact with no partial reads and no leftover tmp
+  * dirs (the tmp-dir + atomic-rename design claim, actually raced).
+  */
+class ModelServeSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def freshPath(kind: String): String =
+    java.nio.file.Files.createTempDirectory(s"$kind-model").toString +
+      "/model"
+
+  private lazy val docs = Tables.documents(spark, sf)
+  private lazy val emb = Tables.embeddings(spark, sf)
+
+  private def assertServedOnce(path: String,
+      run: () => Seq[Seq[Any]], trained: Seq[Seq[Any]]): Unit = {
+    val first = run()
+    assert(first == trained, "serve path differs from in-query training")
+    val dir = new java.io.File(path)
+    assert(dir.exists(), "model table not persisted")
+    val stamps = dir.listFiles().map(f => f.getName -> f.lastModified())
+      .toMap
+    val second = run()
+    assert(second == first)
+    val after = new java.io.File(path).listFiles()
+      .map(f => f.getName -> f.lastModified()).toMap
+    assert(after == stamps, "model table was rewritten on serve")
+  }
+
+  test("classifier serve is bit-identical to in-query training and " +
+      "writes the model row once") {
+    val path = freshPath("lr")
+    val trained = QualityClassifier.trainScore(docs)
+      .collect().map(_.toSeq).toSeq
+    assertServedOnce(path,
+      () => QualityClassifier.serveScore(docs, path)
+        .collect().map(_.toSeq).toSeq,
+      trained)
+  }
+
+  test("semantic-dedup serve is bit-identical to in-query training " +
+      "and writes the centroid table once") {
+    val path = freshPath("sd")
+    val trained = Similarity
+      .semanticDedup(emb, k = 4, threshold = 0.9, trainIters = 1,
+        trainTarget = 100)
+      .collect().map(_.toSeq).toSeq
+    assertServedOnce(path,
+      () => Similarity.semanticDedupServe(emb, path, k = 4,
+          threshold = 0.9, trainIters = 1, trainTarget = 100)
+        .collect().map(_.toSeq).toSeq,
+      trained)
+  }
+
+  test("bpe encode serve is bit-identical to in-query learning and " +
+      "writes the merge table once") {
+    val path = freshPath("bpe")
+    val trained = Bpe.encode(docs, rounds = 3)
+      .collect().map(_.toSeq).toSeq
+    assertServedOnce(path,
+      () => Bpe.encodeServe(docs, path, rounds = 3)
+        .collect().map(_.toSeq).toSeq,
+      trained)
+  }
+
+  test("two concurrent ensure() trainers produce one complete " +
+      "artifact, identical frames, and no leftover tmp dirs") {
+    import spark.implicits._
+    val path = freshPath("race")
+    def train() = (0 until 64).map(i => (i.toLong, s"v$i"))
+      .toDF("id", "v")
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val futures = (1 to 2).map { _ =>
+      pool.submit(new java.util.concurrent.Callable[Seq[Seq[Any]]] {
+        def call(): Seq[Seq[Any]] = {
+          barrier.await()
+          ModelStore.ensure(path, train())
+            .orderBy("id").collect().map(_.toSeq).toSeq
+        }
+      })
+    }
+    val results = futures.map(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+    pool.shutdown()
+    assert(results(0) == results(1),
+      "racing trainers returned different frames")
+    assert(results(0).size == 64)
+    // the artifact on disk is complete and readable
+    val persisted = spark.read.parquet(path)
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    assert(persisted == results(0), "persisted artifact differs")
+    // the losing trainer's tmp dir was cleaned up
+    val parent = new java.io.File(path).getParentFile
+    val leftovers = parent.listFiles().map(_.getName)
+      .filter(_.contains(".tmp-"))
+    assert(leftovers.isEmpty,
+      s"leftover tmp dirs: ${leftovers.mkString(", ")}")
+  }
+}

@@ -77,9 +77,40 @@ object Bench {
           s"\"" + k + "\":" + r4(v)
         }.mkString("{", ",", "}")
       }.mkString(",")
+      val full = fileLine.dropRight(1) + s""","per_rep":{$perRep}}""" + "\n"
       java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-        (fileLine.dropRight(1) + s""","per_rep":{$perRep}}""" + "\n")
-          .getBytes("UTF-8"))
+        full.getBytes("UTF-8"))
+      // ALSO write the per-round snapshot + a generated prose summary,
+      // so neither the round artifact (formerly scraped from a 2000-
+      // char stdout tail → BENCH_r06 had parsed:null) nor the RESULTS
+      // bench paragraph (drifted from the artifact in r7: claimed
+      // 100.4 s vs recorded 109.9 s) can disagree with the numbers
+      // Bench actually measured.
+      val repoDir = java.nio.file.Paths.get(outPath).toAbsolutePath.getParent
+      val round = sys.env.get("SPARK_GRAFT_ROUND").map(_.toInt).getOrElse {
+        val rx = "CORRECTNESS_r(\\d+)\\.json".r
+        val prior = Option(repoDir.toFile.listFiles()).toSeq.flatten
+          .flatMap(f => rx.findFirstMatchIn(f.getName).map(_.group(1).toInt))
+        if (prior.isEmpty) 1 else prior.max + 1
+      }
+      java.nio.file.Files.write(
+        repoDir.resolve(f"BENCH_r$round%02d.json"), full.getBytes("UTF-8"))
+      val slowest = best.sortBy(-_._2).take(10)
+        .map { case (k, v) => f"$k ${r3(v)}%.3f s" }.mkString(", ")
+      val summary =
+        f"""## Bench (generated by graft.Bench — round $round%d)
+           |
+           |- sf dir: `$sfDir`, local[$cpus%s], best-of-$reps%d per query
+           |- **${best.size}%d queries, total ${total}%.1f s** (sum of
+           |  per-query minima); rep totals: $repTotals%s
+           |- slowest 10: $slowest%s
+           |
+           |Numbers above are emitted from the same measurement that
+           |writes `BENCH_full.json` / `BENCH_r$round%02d.json`; quote them
+           |from here, do not hand-copy from an in-round run.
+           |""".stripMargin
+      java.nio.file.Files.write(repoDir.resolve("BENCH_SUMMARY.md"),
+        summary.getBytes("UTF-8"))
     } catch { case _: Throwable => () } // bench must not fail on IO
     spark.stop()
   }

@@ -644,9 +644,6 @@ object Dedup {
   def containmentPairs(docs: DataFrame, dfCap: Int, threshold: Double)
       : DataFrame = {
     val buckets = shingleBuckets(docs, dfCap)
-    val sizes = buckets
-      .select(explode(col("ds")).as("a"))
-      .groupBy(col("a")).agg(count(lit(1)).as("sz_a"))
     val inter = buckets
       .select(explode(expr(
         """flatten(transform(ds, (x, i) ->
@@ -659,7 +656,22 @@ object Dedup {
       .select(col("d1").as("a"), col("d2").as("b"), col("inter"))
       .unionAll(inter
         .select(col("d2").as("a"), col("d1").as("b"), col("inter")))
-    both.join(sizes, "a")
+    containmentScore(both, buckets, threshold)
+  }
+
+  /** The containment-score finisher — directed (a, b, inter) rows
+    * against the capped per-doc set sizes from the SAME bucket table,
+    * threshold cut at 6dp. Shared by [[containmentPairs]] and the
+    * streaming drain-time finisher
+    * (DocumentsStream.containmentAtDrain), so the two paths score
+    * with identical expressions.
+    */
+  private[graft] def containmentScore(pairs: DataFrame, buckets: DataFrame,
+      threshold: Double): DataFrame = {
+    val sizes = buckets
+      .select(explode(col("ds")).as("a"))
+      .groupBy(col("a")).agg(count(lit(1)).as("sz_a"))
+    pairs.join(sizes, "a")
       .withColumn("containment", col("inter") / col("sz_a"))
       .filter(col("containment") >= threshold)
       .select(col("a"), col("b"), col("inter"), col("sz_a"),

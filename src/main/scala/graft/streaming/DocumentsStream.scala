@@ -280,4 +280,21 @@ object DocumentsStream {
       .join(buckets, "s")
       .select(col("doc_id").as("a"), explode(col("ds")).as("b"))
       .filter(col("a") =!= col("b"))
+
+  /** Drain-time finisher for [[shingleCandidates]]: the drained
+    * candidate rows carry EXACTLY one row per shared surviving
+    * shingle (a survived bucket holds every doc sharing its shingle,
+    * so a ∈ ds(s) whenever s ∈ shingles(a) and the bucket survived
+    * the cap — the per-pair row count IS the batch intersection
+    * count), so grouping them to (a, b, inter) and scoring through
+    * the SHARED batch finisher (Dedup.containmentScore, same sizes
+    * table, same 6dp cut) yields rows EQUAL to batch x62 restricted
+    * to streamed `a`s — equality, not a superset.
+    */
+  def containmentAtDrain(candidates: DataFrame, buckets: DataFrame,
+      threshold: Double): DataFrame =
+    graft.llm.Dedup.containmentScore(
+      candidates.groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).as("inter")),
+      buckets, threshold)
 }

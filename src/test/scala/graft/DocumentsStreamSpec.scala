@@ -246,6 +246,38 @@ class DocumentsStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("drain-time containment finisher EQUALS batch x62 on the " +
+      "streamed slice — scores included, not a superset") {
+    val docs = Tables.documents(spark, sf)
+    val buckets = graft.llm.Dedup.shingleBuckets(docs, dfCap = 10)
+    // stream only a SLICE of the corpus (every third doc) so the
+    // restriction in the equality claim is exercised for real
+    val sliceDir = java.nio.file.Files
+      .createTempDirectory("docs-slice").toString
+    docs.filter(col("doc_id") % 3 === 0)
+      .write.mode("overwrite").parquet(sliceDir)
+    val q = DocumentsStream
+      .shingleCandidates(DocumentsStream.readDocuments(spark, sliceDir),
+        buckets)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("shingle_slice_out").start()
+    try {
+      q.processAllAvailable()
+      val drained = spark.sql("SELECT a, b FROM shingle_slice_out")
+      val got = DocumentsStream
+        .containmentAtDrain(drained, buckets, threshold = 0.5)
+        .collect().map(_.toSeq).toSet
+      val batch = graft.llm.Dedup
+        .containmentPairs(docs, dfCap = 10, threshold = 0.5)
+        .filter(col("a") % 3 === 0)
+        .collect().map(_.toSeq).toSet
+      assert(batch.nonEmpty, "batch restriction is empty — weak fixture")
+      assert(got == batch,
+        s"drained≠batch: only-drained=${(got -- batch).take(3)} " +
+          s"only-batch=${(batch -- got).take(3)}")
+    } finally q.stop()
+  }
+
   test("running source counts + drain-time quotas match the batch " +
     "temperature mix allocation") {
     val stream = DocumentsStream.readDocuments(spark, docsDir)

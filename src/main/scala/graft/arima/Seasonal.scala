@@ -128,7 +128,35 @@ object Seasonal {
     *   slow amplitude variation).
     */
   def fitHarmonics(y: Array[Double], tau: Array[Double],
-      specs0: Array[HarmSpec], withDrift: Boolean): Array[HarmCoef] = {
+      specs0: Array[HarmSpec], withDrift: Boolean): Array[HarmCoef] =
+    fitHarmonicsCore(y, tau, specs0, withDrift, Array.empty)
+
+  /** GLS refit of the harmonic regression under an AR error model —
+    * the joint-estimation step of "Fourier terms + ARMA errors"
+    * (Hyndman's fourier+xreg): both y and every regressor column are
+    * whitened by the error model's AR(∞) filter
+    * xf_t = x_t − Σ πᵢ x_{t−i} before the normal equations, so the
+    * harmonic coefficients are estimated in the metric where the
+    * errors are (approximately) white instead of the OLS metric where
+    * strongly autocorrelated errors drown the low-frequency pairs.
+    * One Cochrane–Orcutt-style iteration: OLS → fit errors → GLS
+    * refit → refit errors (the caller owns the loop). Returns empty
+    * when the whitened sample cannot identify the regressors — the
+    * caller keeps the OLS fit.
+    */
+  def fitHarmonicsGls(y: Array[Double], tau: Array[Double],
+      specs0: Array[HarmSpec], withDrift: Boolean,
+      pi: Array[Double]): Array[HarmCoef] = {
+    // trim the π tail: a linearized pure-AR carries tol≈2000 slots of
+    // exact zeros past lag p, and the filter cost is O(n·L·k)
+    var last = pi.length - 1
+    while (last >= 0 && math.abs(pi(last)) < 1e-12) last -= 1
+    fitHarmonicsCore(y, tau, specs0, withDrift, pi.take(last + 1))
+  }
+
+  private def fitHarmonicsCore(y: Array[Double], tau: Array[Double],
+      specs0: Array[HarmSpec], withDrift: Boolean,
+      pi: Array[Double]): Array[HarmCoef] = {
     val ps0 = specs0
     val n = y.length
     if (ps0.isEmpty || n == 0) return Array.empty
@@ -166,7 +194,8 @@ object Seasonal {
       k += (if (drift(i)) 4 else 2)
       i += 1
     }
-    if (ps.isEmpty || n < 2 * k + 4) return Array.empty
+    val L = pi.length
+    if (ps.isEmpty || n - L < 2 * k + 4) return Array.empty
     var tauMean = 0.0
     i = 0
     while (i < n) { tauMean += tau(i); i += 1 }
@@ -174,6 +203,9 @@ object Seasonal {
     val xtx = Array.ofDim[Double](k, k)
     val xty = new Array[Double](k)
     val row = new Array[Double](k)
+    // whitening ring buffer of the last L design rows (L = 0 → OLS)
+    val ring = if (L > 0) Array.ofDim[Double](L, k) else null
+    val rowF = if (L > 0) new Array[Double](k) else row
     var t = 0
     while (t < n) {
       row(0) = 1.0
@@ -201,13 +233,36 @@ object Seasonal {
         }
         j += 1
       }
-      var a = 0
-      while (a < k) {
-        val ra = row(a)
-        xty(a) += ra * y(t)
-        var b = a
-        while (b < k) { xtx(a)(b) += ra * row(b); b += 1 }
-        a += 1
+      var yv = y(t)
+      var include = true
+      if (L > 0) {
+        if (t >= L) {
+          var a = 0
+          while (a < k) { rowF(a) = row(a); a += 1 }
+          var l = 1
+          while (l <= L) {
+            val p = pi(l - 1)
+            if (p != 0.0) {
+              val past = ring((t - l) % L)
+              yv -= p * y(t - l)
+              a = 0
+              while (a < k) { rowF(a) -= p * past(a); a += 1 }
+            }
+            l += 1
+          }
+        } else include = false
+        // the current raw row replaces the oldest slot AFTER use
+        System.arraycopy(row, 0, ring(t % L), 0, k)
+      }
+      if (include) {
+        var a = 0
+        while (a < k) {
+          val ra = rowF(a)
+          xty(a) += ra * yv
+          var b = a
+          while (b < k) { xtx(a)(b) += ra * rowF(b); b += 1 }
+          a += 1
+        }
       }
       t += 1
     }

@@ -131,7 +131,16 @@ final case class DarimaConfig(
       * distributed filtered aggregate; skipped when a drift term is
       * present.
       */
-    anchorWindow: Int = 0) {
+    anchorWindow: Int = 0,
+    /** Joint (GLS) estimation of the harmonic stage with the ARMA
+      * error model for the search fitters — one-to-three
+      * Cochrane–Orcutt rounds of regression-with-ARMA-errors
+      * (Hyndman's fourier+xreg estimates these jointly; the
+      * fit-then-subtract OLS stage mis-weights low-frequency pairs
+      * under strongly autocorrelated errors). Off = the pre-r8
+      * fit-then-subtract behavior, kept for attribution runs.
+      */
+    jointHarmonics: Boolean = true) {
 
   /** The differencing cap the fitters actually use: the −1 sentinel
     * resolves to 2 (the reference's auto.arima d+D reach); explicit
@@ -213,20 +222,22 @@ object Darima {
     // stage models the deseasonalized series (no-op when off).
     val ps = Seasonal.specs(cfg.freq, cfg.harmDaily, cfg.harmWeekly,
       cfg.harmYearly, cfg.modDaily, cfg.modYearly)
-    val (values, harms) =
-      if (ps.isEmpty || buf.length < 2) (raw, Array.empty[HarmCoef])
+    val tau0: Array[Double] =
+      if (ps.isEmpty || buf.length < 2) null
       else {
         val dt = medianDt(buf.map(_._1))
-        if (dt <= 0) (raw, Array.empty[HarmCoef])
-        else {
-          val tau = buf.map(_._1 / dt)
-          val hs = Seasonal.fitHarmonics(raw, tau, ps, cfg.harmTrend)
-          val z = Array.tabulate(raw.length)(i =>
-            raw(i) - Seasonal.value(hs, tau(i)))
-          (z, hs)
-        }
+        if (dt <= 0) null else buf.map(_._1 / dt)
       }
-    val ar = cfg.fitter match {
+    val (values0, harms0) =
+      if (tau0 == null) (raw, Array.empty[HarmCoef])
+      else {
+        val hs = Seasonal.fitHarmonics(raw, tau0, ps, cfg.harmTrend)
+        val z = Array.tabulate(raw.length)(i =>
+          raw(i) - Seasonal.value(hs, tau0(i)))
+        (z, hs)
+      }
+    def fitAr(values: Array[Double]): graft.arima.ArLinearModel =
+      cfg.fitter match {
       case "olsar" =>
         // timerange chunks are equal-width in TIME, so a temporally
         // sparse bucket can be tiny; fall back to the mean-only AR(0)
@@ -254,6 +265,50 @@ object Darima {
       case other => throw new IllegalArgumentException(
         s"unknown fitter '$other' (expected longar|arma|sarima|olsar)")
     }
+    val ar0 = fitAr(values0)
+    // Joint estimation for the search fitters (one Cochrane–Orcutt
+    // round of regression-with-ARMA-errors): refit the harmonic
+    // coefficients by GLS under the fitted error model's AR(∞)
+    // filter, then refit the error model on the new residuals.
+    // Under strongly autocorrelated errors the OLS harmonic stage
+    // systematically mis-weights the low-frequency pairs; the GLS
+    // metric is where those errors are white. Skipped for olsar
+    // (the closed-form oracle fitter — d01–d06 stay bit-stable) and
+    // longar (the shipped default profile, measured optimal as-is).
+    val doJoint = cfg.jointHarmonics &&
+      (cfg.fitter == "sarima" || cfg.fitter == "arma") &&
+      harms0.nonEmpty && ar0.pi.nonEmpty
+    val (harms, ar) =
+      if (!doJoint) (harms0, ar0)
+      else {
+        // iterate to convergence (≤3 rounds — the loop contracts
+        // fast; round 2+ moves are typically <1e-3 relative)
+        var hs = harms0
+        var m = ar0
+        var prev = Double.MaxValue
+        var rounds = 0
+        var stop = false
+        while (rounds < 3 && !stop) {
+          val hs1 = Seasonal.fitHarmonicsGls(raw, tau0, ps,
+            cfg.harmTrend, m.pi)
+          if (hs1.isEmpty) stop = true
+          else {
+            val z1 = Array.tabulate(raw.length)(i =>
+              raw(i) - Seasonal.value(hs1, tau0(i)))
+            val delta = hs1.zip(hs).map { case (a, b) =>
+              math.abs(a.cos - b.cos) + math.abs(a.sin - b.sin)
+            }.sum
+            val norm = hs1.map(h =>
+              math.abs(h.cos) + math.abs(h.sin)).sum.max(1e-12)
+            hs = hs1
+            m = fitAr(z1)
+            if (delta / norm >= prev || delta / norm < 1e-3) stop = true
+            prev = delta / norm
+          }
+          rounds += 1
+        }
+        (hs, m)
+      }
     val w = ar.n.toDouble / math.max(ar.sigma2, 1e-12)
     val base = Array(
       CoefRow("beta0", -2, ar.beta0, w, ar.n),
@@ -681,8 +736,14 @@ object Darima {
         modYearly =
           if (noHarm && wantShape && cfg.modYearly == 0) 2
           else cfg.modYearly,
+        // ONE QUARTER, not a year: the anchored level should be the
+        // current-season deseasonalized level — long enough to
+        // average out weather noise, short enough to track the slow
+        // level drift a stationary model cannot carry. Measured
+        // ladder on NEMASSBOST h=2879 (sarima + joint harmonics):
+        // 4wk 0.941, 2mo 0.876, 3mo 0.873, 6mo 0.960, 1yr 0.906.
         anchorWindow =
-          if (cfg.anchorWindow == 0) (365.25 * cfg.freq).round.toInt
+          if (cfg.anchorWindow == 0) (365.25 * cfg.freq / 4).round.toInt
           else cfg.anchorWindow)
     }
   }

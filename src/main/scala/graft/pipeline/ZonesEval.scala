@@ -44,6 +44,9 @@ object ZonesEval {
         maxSP = sys.env.getOrElse("GRAFT_MAX_SP", "2").toInt,
         maxSQ = sys.env.getOrElse("GRAFT_MAX_SQ", "2").toInt,
         maxLag = sys.env.getOrElse("GRAFT_MAX_LAG", "0").toInt,
+        anchorWindow = sys.env.getOrElse("GRAFT_ANCHOR", "0").toInt,
+        jointHarmonics =
+          sys.env.getOrElse("GRAFT_JOINT", "1") != "0",
         recencyDecay = sys.env.getOrElse("GRAFT_DECAY", "1.0").toDouble,
         decayScope = sys.env.getOrElse("GRAFT_DECAY_SCOPE", "all"),
         seasonalWeighting = sys.env.getOrElse("GRAFT_SEASONAL_W", "off"))

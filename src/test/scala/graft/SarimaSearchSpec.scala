@@ -268,7 +268,9 @@ class SarimaSearchSpec extends AnyFunSuite {
     assert(auto.harmDaily == 0 && auto.harmWeekly == 0 &&
       auto.harmYearly == 3)
     assert(auto.modDaily == 0 && auto.modYearly == 0)
-    assert(auto.anchorWindow == (365.25 * 24).round.toInt)
+    // quarter-window anchor: the current-season deseasonalized level
+    // (measured ladder in calibrateLongHorizon — 1yr was +4% MASE)
+    assert(auto.anchorWindow == (365.25 * 24 / 4).round.toInt)
     // arma has no seasonal dynamics: full modulated skeleton injected
     val armaCal = Darima.calibrateLongHorizon(
       DarimaConfig(freq = 24, fitter = "arma"), h)

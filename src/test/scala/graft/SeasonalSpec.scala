@@ -93,6 +93,44 @@ class SeasonalSpec extends AnyFunSuite {
     assert(Seasonal.lagIdx(8766, 252, "dsin") > -50000000)
   }
 
+  test("GLS refit under AR(1) errors beats OLS on the harmonic " +
+      "coefficients and recovers a clean signal exactly") {
+    import graft.arima.HarmSpec
+    val n = 24 * 80
+    val tau = Array.tabulate(n)(_.toDouble)
+    val specs = Array(HarmSpec(24, 1))
+    // clean signal: GLS with ANY filter must still recover exactly
+    val clean = tau.map(t => 2.0 * math.cos(2 * math.Pi * t / 24)
+      - 0.7 * math.sin(2 * math.Pi * t / 24))
+    val hsClean = Seasonal.fitHarmonicsGls(clean, tau, specs,
+      withDrift = false, pi = Array(0.9))
+    assert(math.abs(hsClean(0).cos - 2.0) < 1e-8)
+    assert(math.abs(hsClean(0).sin + 0.7) < 1e-8)
+    // AR(1) errors, phi = 0.95: strongly autocorrelated noise
+    val rng = new scala.util.Random(42)
+    val e = new Array[Double](n)
+    var prev = 0.0
+    for (i <- 0 until n) {
+      prev = 0.95 * prev + rng.nextGaussian()
+      e(i) = prev
+    }
+    val y = Array.tabulate(n)(i => clean(i) + e(i))
+    def err(h: Array[HarmCoef]): Double =
+      math.abs(h(0).cos - 2.0) + math.abs(h(0).sin + 0.7)
+    val ols = Seasonal.fitHarmonics(y, tau, specs, withDrift = false)
+    val gls = Seasonal.fitHarmonicsGls(y, tau, specs,
+      withDrift = false, pi = Array(0.95))
+    assert(err(gls) < err(ols),
+      s"GLS ${err(gls)} not better than OLS ${err(ols)}")
+    // empty π ≡ OLS bit-for-bit
+    val viaEmpty = Seasonal.fitHarmonicsGls(y, tau, specs,
+      withDrift = false, pi = Array.empty)
+    assert(viaEmpty(0).cos == ols(0).cos && viaEmpty(0).sin == ols(0).sin)
+    // an over-long filter leaves too few whitened rows: safe empty
+    assert(Seasonal.fitHarmonicsGls(y.take(16), tau.take(16), specs,
+      withDrift = false, pi = Array.fill(14)(0.1)).isEmpty)
+  }
+
   test("too-short series returns no harmonics (safe no-op)") {
     val ps = Seasonal.pairs(24, 3, 2)
     val hs = Seasonal.fitHarmonics(Array(1.0, 2.0, 3.0),

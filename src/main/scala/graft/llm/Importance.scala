@@ -56,7 +56,63 @@ object Importance {
         log((col("ct") + lit(1)) / (col("nt") + lit(buckets))) -
           log((col("cr") + lit(1)) / (col("nr") + lit(buckets)))) *
         lit(1e9), 0).cast("long").as("nano"))
-    base.join(lam, Seq("b"))
+    scoreWith(base, lam)
+  }
+
+  /** The per-doc (doc_id, b, k) bucket counts — the scoring-side
+    * tokenize+hash pass, shared by the serve path.
+    */
+  private def docBuckets(docs: DataFrame, buckets: Int): DataFrame =
+    docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .withColumn("b", expr(s"${Dedup.hash16Expr("instr", "w")} % $buckets"))
+      .groupBy(col("doc_id"), col("b"))
+      .agg(count(lit(1)).as("k"))
+
+  /** The trained DSIR model as a persistable table: the B-row
+    * (b, nano) integer log-ratio relation — CONSTANT-bounded whatever
+    * the corpus size.
+    */
+  def lambdaTable(docs: DataFrame, buckets: Int = 256,
+      targetSources: Seq[String] = Seq("src1", "src2")): DataFrame = {
+    val inTarget = col("source").isin(targetSources: _*)
+    val bk = docs
+      .select(inTarget.as("is_t"),
+        explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .withColumn("b", expr(s"${Dedup.hash16Expr("instr", "w")} % $buckets"))
+      .groupBy(col("b"))
+      .agg(count(lit(1)).as("cr"),
+        sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"))
+    val tot = bk.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"))
+    bk.crossJoin(broadcast(tot))
+      .select(col("b"), round((
+        log((col("ct") + lit(1)) / (col("nt") + lit(buckets))) -
+          log((col("cr") + lit(1)) / (col("nr") + lit(buckets)))) *
+        lit(1e9), 0).cast("long").as("nano"))
+  }
+
+  /** DSIR SERVE path (train-once/serve-many,
+    * [[graft.tools.ModelStore]]): the B-row λ table persists on first
+    * use; every later execution reads it back and the whole query is
+    * one tokenize+hash pass joined to the broadcast model — no
+    * target/raw distribution rollup in-plan. Bit-identical to
+    * [[dsirWeights]]: the integer nano-unit ratios round-trip parquet
+    * exactly and the scoring expressions are shared.
+    */
+  def dsirServe(docs: DataFrame, modelPath: String, buckets: Int = 256,
+      targetSources: Seq[String] = Seq("src1", "src2")): DataFrame =
+    scoreWith(docBuckets(docs, buckets),
+      graft.tools.ModelStore.ensure(modelPath,
+        lambdaTable(docs, buckets, targetSources)))
+
+  /** The scoring stage — per-doc integer-exact λ sums against a
+    * (b, nano) model table — shared verbatim by [[dsirWeights]]
+    * (in-query training) and [[dsirServe]] (persisted model).
+    */
+  private def scoreWith(docBk: DataFrame, lam: DataFrame): DataFrame =
+    docBk.join(lam, Seq("b"))
       .groupBy(col("doc_id"))
       .agg(sum(col("k")).as("n_tokens"),
         sum(col("k") * col("nano")).as("s"))
@@ -64,7 +120,6 @@ object Importance {
         round(col("s").cast("double") / lit(1e9), 6).as("log_weight"),
         (col("s") > 0).as("keep"))
       .orderBy(col("doc_id"))
-  }
 
   def dsirWeightsSql(buckets: Int = 256,
       targetSources: Seq[String] = Seq("src1", "src2")): String = {

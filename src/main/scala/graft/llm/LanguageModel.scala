@@ -37,21 +37,60 @@ object LanguageModel {
     // explosion, but as parallel stages of one job the wall cost is
     // ~one pass (eager-checkpointing was measured slower here; on a
     // saturated cluster, persist the exploded stream instead).
-    val raw = docs
-      .filter(length(col("text")) >= 3)
-      .select(col("doc_id"), (col("lang") === lmLang).as("in_lm"),
+    val raw = trigrams(docs)
+    scoreAgainst(raw, lmFrom(raw, lmLang), alpha, cap)
+  }
+
+  /** The per-doc trigram stream (doc_id, lang, g) — shared by
+    * training, batch scoring, and the serve path.
+    */
+  private def trigrams(docs: DataFrame): DataFrame =
+    docs.filter(length(col("text")) >= 3)
+      .select(col("doc_id"), col("lang"),
         explode(expr(
           "transform(sequence(1, length(text) - 2), i -> substr(text, i, 3))"))
           .as("g"))
+
+  private def lmFrom(tri: DataFrame, lmLang: String): DataFrame =
+    tri.filter(col("lang") === lmLang)
+      .groupBy(col("g")).agg(count(lit(1)).as("c"))
+
+  /** The trained LM as a persistable table: one (g, c) row per
+    * distinct training trigram — bounded by ≤|charset|³, in practice
+    * a few-K-row few-KB relation; the (N, V) totals recompute from it
+    * in one tiny aggregate, so the artifact is the count table alone.
+    */
+  def lmTable(docs: DataFrame, lmLang: String = "en"): DataFrame =
+    lmFrom(trigrams(docs), lmLang)
+
+  /** LM SERVE path (train-once/serve-many,
+    * [[graft.tools.ModelStore]]): the trigram count table persists on
+    * first use; every later execution reads it back and scores with
+    * NO training branch at all — the wide gram-key exchange (the x41
+    * plan's only one) disappears from the serve plan. Bit-identical
+    * to [[trigramPerplexity]]: integer counts round-trip parquet
+    * exactly and the scoring expressions are shared.
+    */
+  def perplexityServe(docs: DataFrame, modelPath: String,
+      alpha: Double = 0.5, lmLang: String = "en",
+      cap: Double = 11.0): DataFrame =
+    scoreAgainst(trigrams(docs),
+      graft.tools.ModelStore.ensure(modelPath, lmTable(docs, lmLang)),
+      alpha, cap)
+
+  /** The scoring stage — per-doc NLL against a (g, c) model table —
+    * shared verbatim by [[trigramPerplexity]] (in-query training) and
+    * [[perplexityServe]] (persisted model).
+    */
+  private def scoreAgainst(tri: DataFrame, lm: DataFrame, alpha: Double,
+      cap: Double): DataFrame = {
     // coalesce guards the degenerate empty-LM corpus (no in-language
     // docs): n is then 0, v 0, and the α-floored denominator below
     // scores every trigram at the uninformative P = 1 instead of
     // dividing by zero — "no model, no signal"
-    val lm = raw.filter(col("in_lm"))
-      .groupBy(col("g")).agg(count(lit(1)).as("c"))
     val tot = lm.agg(coalesce(sum(col("c")), lit(0L)).as("n"),
       count(lit(1)).as("v"))
-    raw.join(lm, Seq("g"), "left")
+    tri.join(lm, Seq("g"), "left")
       .na.fill(0L, Seq("c"))
       .crossJoin(broadcast(tot))
       .withColumn("nll",

@@ -558,6 +558,23 @@ object Extensions {
       graft.tools.ModelStore.pathFor("bpe_merges", d, "r8", "documents"),
       rounds = 8)
 
+  /** X3: LM serve path — the few-KB trigram count table is a
+    * persisted model; scoring drops the training branch (and with it
+    * the x41 plan's only wide exchange). Oracle = x41's
+    * train-and-score SQL.
+    */
+  private val x70LmServe: Q = (s, d) =>
+    LanguageModel.perplexityServe(Tables.documents(s, d),
+      graft.tools.ModelStore.pathFor("lm_tri", d, "en_a05", "documents"))
+
+  /** X3: DSIR serve path — the B-row integer λ table is a persisted
+    * model; the serve query is one tokenize+hash pass against the
+    * broadcast model. Oracle = x42's train-and-score SQL.
+    */
+  private val x71DsirServe: Q = (s, d) =>
+    Importance.dsirServe(Tables.documents(s, d),
+      graft.tools.ModelStore.pathFor("dsir_lam", d, "b256", "documents"))
+
   val queries: Map[String, Q] = Map(
     "x01_dedup_exact" -> x01DedupExact,
     "x02_dedup_minhash" -> x02DedupMinhash,
@@ -629,6 +646,8 @@ object Extensions {
     "x67_classifier_serve" -> x67ClassifierServe,
     "x68_semdedup_serve" -> x68SemdedupServe,
     "x69_bpe_encode_serve" -> x69BpeEncodeServe,
+    "x70_lm_serve" -> x70LmServe,
+    "x71_dsir_serve" -> x71DsirServe,
   )
 
   /** The PNG pixel statistics in closed form: the fixture image's
@@ -839,5 +858,7 @@ object Extensions {
     "x68_semdedup_serve" -> Similarity.semanticDedupSql(16, 0.95,
       trainIters = 1, trainTarget = 250),
     "x69_bpe_encode_serve" -> Bpe.encodeSql(8),
+    "x70_lm_serve" -> LanguageModel.trigramPerplexitySql(),
+    "x71_dsir_serve" -> Importance.dsirWeightsSql(),
   )
 }

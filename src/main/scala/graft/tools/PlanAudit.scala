@@ -244,6 +244,9 @@ object PlanAudit {
       "q22_scalar_subquery" -> Set("SinglePartition", "BNLJoin"),
       "x23_tfidf" -> Set("SinglePartition", "BNLJoin"), // 1-row corpus count N
       "x41_lm_perplexity" -> Set("SinglePartition", "BNLJoin"), // 1-row (N, V)
+      // serve path: same 1-row (N, V) totals, recomputed from the
+      // few-KB persisted model table instead of the training branch
+      "x70_lm_serve" -> Set("SinglePartition", "BNLJoin"),
       "x42_dsir_weights" -> Set("SinglePartition", "BNLJoin"), // 1-row (Nt, Nr)
       "x44_heavy_hitters" -> Set("SinglePartition", "BNLJoin"), // 1-row n
       // |sources|-row allocation table: dimension-sized window + 1-row scalars

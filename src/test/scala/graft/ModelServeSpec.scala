@@ -74,6 +74,28 @@ class ModelServeSpec extends AnyFunSuite {
       trained)
   }
 
+  test("lm serve is bit-identical to in-query training and writes " +
+      "the trigram table once") {
+    val path = freshPath("lm")
+    val trained = graft.llm.LanguageModel.trigramPerplexity(docs)
+      .collect().map(_.toSeq).toSeq
+    assertServedOnce(path,
+      () => graft.llm.LanguageModel.perplexityServe(docs, path)
+        .collect().map(_.toSeq).toSeq,
+      trained)
+  }
+
+  test("dsir serve is bit-identical to in-query training and writes " +
+      "the lambda table once") {
+    val path = freshPath("dsir")
+    val trained = graft.llm.Importance.dsirWeights(docs)
+      .collect().map(_.toSeq).toSeq
+    assertServedOnce(path,
+      () => graft.llm.Importance.dsirServe(docs, path)
+        .collect().map(_.toSeq).toSeq,
+      trained)
+  }
+
   test("two concurrent ensure() trainers produce one complete " +
       "artifact, identical frames, and no leftover tmp dirs") {
     import spark.implicits._

@@ -128,9 +128,47 @@ object Similarity {
       k: Int): DataFrame = {
     val seeds = emb.filter(col("vec_id") < nLists)
       .select(col("vec_id").as("list_id"), col("embedding").as("ce"))
+    ivfSearch(emb, seeds, nProbe, nQueries, k)
+  }
+
+  /** IVF with a TRAINED coarse quantizer: the inverted lists come
+    * from the shared Lloyd loop ([[kmeansCentroids]] — the x36
+    * machinery) instead of whichever vectors carry the first ids, so
+    * list occupancy reflects the actual vector distribution (balanced
+    * lists are what make nProbe/nLists recall-vs-cost behave at
+    * scale). The search stage is shared verbatim with [[ivfTopK]].
+    */
+  def ivfTrainedTopK(emb: DataFrame, nLists: Int, trainIters: Int,
+      trainTarget: Long, nProbe: Int, nQueries: Int, k: Int): DataFrame =
+    ivfSearch(emb,
+      localized(kmeansCentroids(emb, nLists, trainIters, trainTarget))
+        .select(col("__cid").cast("long").as("list_id"), col("ce")),
+      nProbe, nQueries, k)
+
+  /** IVF SERVE path (train-once/serve-many,
+    * [[graft.tools.ModelStore]]): the ≤nLists-row trained centroid
+    * table persists on first use; later executions read it back with
+    * no Lloyd loop in-plan. Same pattern as [[pqServeTopK]].
+    */
+  def ivfServeTopK(emb: DataFrame, modelPath: String, nLists: Int,
+      trainIters: Int, trainTarget: Long, nProbe: Int, nQueries: Int,
+      k: Int): DataFrame =
+    ivfSearch(emb,
+      localized(graft.tools.ModelStore.ensure(modelPath,
+        kmeansCentroids(emb, nLists, trainIters, trainTarget)))
+        .select(col("__cid").cast("long").as("list_id"), col("ce")),
+      nProbe, nQueries, k)
+
+  /** The IVF search stage — broadcast-centroid list assignment,
+    * nProbe probe lists per query, ranking only the probed lists'
+    * members — shared by the fixed-seed, trained, and serve variants.
+    */
+  private def ivfSearch(emb: DataFrame, seeds: DataFrame, nProbe: Int,
+      nQueries: Int, k: Int): DataFrame = {
     def cosTo(v: Column, c: Column): Column =
       round(graft.functions.VectorFunctions.cosine_similarity(v, c), 6)
-    // assignment: argmax cosine over the 16 seeds (broadcast NL join)
+    // assignment: argmax cosine over the ≤nLists centroids
+    // (broadcast NL join)
     val assigned = emb.crossJoin(broadcast(seeds))
       .withColumn("c", cosTo(col("embedding"), col("ce")))
       .withColumn("rn", row_number().over(Window.partitionBy(col("vec_id"))
@@ -160,9 +198,30 @@ object Similarity {
     s"""WITH dbl AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
        |  FROM embeddings
-       |), seeds AS (
+       |), lists AS (
        |  SELECT vec_id AS list_id, e AS ce FROM dbl WHERE vec_id < $nLists
-       |), assigned AS (
+       |),
+       |${ivfSearchSql(nProbe, nQueries, k)}""".stripMargin
+
+  /** Trained-quantizer IVF oracle: the Lloyd CTE chain supplies the
+    * centroid relation, the shared search chain does the rest. Also
+    * the x72 serve oracle — recomputing the training in-SQL is what
+    * proves the persisted model serves bit-identically.
+    */
+  def ivfTrainedTopKSql(nLists: Int, trainIters: Int, trainTarget: Long,
+      nProbe: Int, nQueries: Int, k: Int): String =
+    s"""WITH ${kmeansCtesSql(nLists, trainIters, trainTarget)},
+       |lists AS (
+       |  SELECT CAST(cid AS BIGINT) AS list_id, ce FROM c$trainIters
+       |),
+       |${ivfSearchSql(nProbe, nQueries, k)}""".stripMargin
+
+  /** The IVF search CTE chain over a `lists(list_id, ce)` relation
+    * and the `dbl` double-cast corpus — shared by the fixed-seed and
+    * trained oracles so the two cannot drift.
+    */
+  private def ivfSearchSql(nProbe: Int, nQueries: Int, k: Int): String =
+    s"""assigned AS (
        |  SELECT vec_id, list_id, e FROM (
        |    SELECT d.vec_id, s.list_id, d.e,
        |      row_number() OVER (PARTITION BY d.vec_id ORDER BY
@@ -170,7 +229,7 @@ object Similarity {
        |          / (sqrt(list_dot_product(d.e, d.e))
        |           * sqrt(list_dot_product(s.ce, s.ce))), 6) DESC,
        |        s.list_id) AS rn
-       |    FROM dbl d CROSS JOIN seeds s)
+       |    FROM dbl d CROSS JOIN lists s)
        |  WHERE rn = 1
        |), probes AS (
        |  SELECT qid, qe, list_id FROM (
@@ -180,7 +239,7 @@ object Similarity {
        |          / (sqrt(list_dot_product(d.e, d.e))
        |           * sqrt(list_dot_product(s.ce, s.ce))), 6) DESC,
        |        s.list_id) AS rn
-       |    FROM dbl d CROSS JOIN seeds s WHERE d.vec_id < $nQueries)
+       |    FROM dbl d CROSS JOIN lists s WHERE d.vec_id < $nQueries)
        |  WHERE rn <= $nProbe
        |), scored AS (
        |  SELECT p.qid, a.vec_id,

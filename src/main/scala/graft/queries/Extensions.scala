@@ -575,6 +575,19 @@ object Extensions {
     Importance.dsirServe(Tables.documents(s, d),
       graft.tools.ModelStore.pathFor("dsir_lam", d, "b256", "documents"))
 
+  /** X2: trained-quantizer IVF, served from a persisted centroid
+    * model — closes the gap x18 documents ("a trained k-means would
+    * replace them"): inverted lists from the shared Lloyd loop,
+    * persisted via ModelStore, search stage shared with x18. The
+    * oracle recomputes the training in-SQL, so one hash gate covers
+    * quantizer training AND the serve round-trip.
+    */
+  private val x72IvfServe: Q = (s, d) =>
+    Similarity.ivfServeTopK(Tables.embeddings(s, d),
+      graft.tools.ModelStore.pathFor("ivf_cent", d, "k16_i2_t250"),
+      nLists = 16, trainIters = 2, trainTarget = 250,
+      nProbe = 4, nQueries = 3, k = 3)
+
   val queries: Map[String, Q] = Map(
     "x01_dedup_exact" -> x01DedupExact,
     "x02_dedup_minhash" -> x02DedupMinhash,
@@ -648,6 +661,7 @@ object Extensions {
     "x69_bpe_encode_serve" -> x69BpeEncodeServe,
     "x70_lm_serve" -> x70LmServe,
     "x71_dsir_serve" -> x71DsirServe,
+    "x72_ivf_serve" -> x72IvfServe,
   )
 
   /** The PNG pixel statistics in closed form: the fixture image's
@@ -860,5 +874,7 @@ object Extensions {
     "x69_bpe_encode_serve" -> Bpe.encodeSql(8),
     "x70_lm_serve" -> LanguageModel.trigramPerplexitySql(),
     "x71_dsir_serve" -> Importance.dsirWeightsSql(),
+    "x72_ivf_serve" -> Similarity.ivfTrainedTopKSql(nLists = 16,
+      trainIters = 2, trainTarget = 250, nProbe = 4, nQueries = 3, k = 3),
   )
 }

@@ -259,6 +259,9 @@ object PlanAudit {
       // scalar reduce) broadcast back across the fact keys
       "x52_bloom_prune" -> Set("SinglePartition", "BNLJoin"),
       "x18_ivf_topk" -> Set("BNLJoin"), // broadcast probe lists
+      // serve path: same broadcast probe lists, centroids read back
+      // as a LocalRelation from the persisted model (cf. x66/x68)
+      "x72_ivf_serve" -> Set("BNLJoin"),
       "x36_kmeans_refine" -> Set("BNLJoin"), // k broadcast centroids
       // 1-row codebook aggregate (ksub·m bounded rows into the scalar
       // reduce) + nQueries-row ADC tables, both certified broadcasts

@@ -96,6 +96,20 @@ class ModelServeSpec extends AnyFunSuite {
       trained)
   }
 
+  test("ivf serve is bit-identical to in-query training and writes " +
+      "the centroid table once") {
+    val path = freshPath("ivf")
+    val trained = Similarity.ivfTrainedTopK(emb, nLists = 4,
+        trainIters = 2, trainTarget = 100, nProbe = 2, nQueries = 3, k = 3)
+      .collect().map(_.toSeq).toSeq
+    assertServedOnce(path,
+      () => Similarity.ivfServeTopK(emb, path, nLists = 4,
+          trainIters = 2, trainTarget = 100, nProbe = 2, nQueries = 3,
+          k = 3)
+        .collect().map(_.toSeq).toSeq,
+      trained)
+  }
+
   test("two concurrent ensure() trainers produce one complete " +
       "artifact, identical frames, and no leftover tmp dirs") {
     import spark.implicits._

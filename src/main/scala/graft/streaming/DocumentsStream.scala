@@ -281,6 +281,78 @@ object DocumentsStream {
       .select(col("doc_id").as("a"), explode(col("ds")).as("b"))
       .filter(col("a") =!= col("b"))
 
+  /** Stateless LM scoring on ingest against a FROZEN trigram model
+    * (train-in-batch / serve-in-stream, like [[applyClassifier]] —
+    * the streaming face of `LanguageModel.perplexityServe`): the
+    * few-K-row (g, c) model rides as a broadcast map, and each
+    * arrival's NLL is one pass over its trigrams in string order —
+    * the same order the batch plan's partial sums accumulate, so
+    * scores agree to float round-off (spec asserts 1e-9). No state,
+    * no shuffle; cost per arrival is |text| lookups.
+    */
+  def scoreLmAgainst(docs: DataFrame, lmRows: Seq[(String, Long)],
+      alpha: Double = 0.5, cap: Double = 11.0): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val n = lmRows.map(_._2).sum
+    val v = lmRows.size
+    val bc = spark.sparkContext.broadcast(
+      scala.collection.immutable.HashMap(lmRows: _*))
+    val denom = math.max(n + alpha * v, alpha)
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Option[Long], String)]
+      .mapPartitions { it =>
+        val m = bc.value
+        it.flatMap { case (id, text) =>
+          if (text == null || text.length < 3) None
+          else {
+            val nt = text.length - 2
+            var s = 0.0
+            var i = 0
+            while (i < nt) {
+              val c = m.getOrElse(text.substring(i, i + 3), 0L)
+              s += -math.log((c + alpha) / denom)
+              i += 1
+            }
+            Some((id, nt.toLong, s / nt))
+          }
+        }
+      }
+      .toDF("doc_id", "n_tri", "raw")
+      .select(col("doc_id"), col("n_tri"),
+        round(col("raw"), 6).as("avg_nll"),
+        (round(col("raw"), 6) > lit(cap)).as("flagged"))
+  }
+
+  /** Stateless DSIR weighting on ingest against the FROZEN B-row λ
+    * model (the streaming face of `Importance.dsirServe`): the model
+    * is a map literal, the bucket hash is the shared 16-bit md5 hash
+    * (Spark fast form, bit-identical to the portable nibble form),
+    * and the per-doc sums are integer nano-units — EXACT, so drained
+    * scores equal the batch operator bit-for-bit. Tokens hashing to
+    * buckets absent from the model drop out exactly as the batch
+    * inner join drops them; a doc with no surviving token drops out
+    * whole.
+    */
+  def scoreDsirAgainst(docs: DataFrame, lam: Map[Int, Long],
+      buckets: Int = 256): DataFrame = {
+    val mapLit = typedLit(lam)
+    def hash16(c: org.apache.spark.sql.Column) =
+      conv(substring(md5(c), 1, 4), 16, 10).cast("int")
+    docs
+      .withColumn("t", filter(split(col("text"), " "),
+        w => length(w) > 0))
+      .withColumn("ns", filter(
+        transform(col("t"),
+          w => element_at(mapLit, pmod(hash16(w), lit(buckets)))),
+        x => x.isNotNull))
+      .filter(size(col("ns")) > 0)
+      .withColumn("s", aggregate(col("ns"), lit(0L), (acc, x) => acc + x))
+      .select(col("doc_id"), size(col("ns")).cast("long").as("n_tokens"),
+        round(col("s").cast("double") / lit(1e9), 6).as("log_weight"),
+        (col("s") > 0).as("keep"))
+  }
+
   /** Drain-time finisher for [[shingleCandidates]]: the drained
     * candidate rows carry EXACTLY one row per shared surviving
     * shingle (a survived bucket holds every doc sharing its shingle,

@@ -246,6 +246,54 @@ class DocumentsStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming LM scoring against the frozen trigram model " +
+      "matches the batch scores") {
+    val docs = Tables.documents(spark, sf)
+    val lmRows = graft.llm.LanguageModel.lmTable(docs)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    val batch = graft.llm.LanguageModel.trigramPerplexity(docs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    val q = DocumentsStream
+      .scoreLmAgainst(DocumentsStream.readDocuments(spark, docsDir), lmRows)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("lm_serve_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT doc_id, n_tri, avg_nll, flagged FROM lm_serve_out")
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+      assert(got.size == batch.size)
+      assert(got.forall { case (id, (nt, nll, fl)) =>
+        val (bnt, bnll, bfl) = batch(id)
+        nt == bnt && math.abs(nll - bnll) < 1e-9 && fl == bfl
+      })
+    } finally q.stop()
+  }
+
+  test("streaming DSIR weighting against the frozen lambda model " +
+      "equals the batch weights bit-for-bit") {
+    val docs = Tables.documents(spark, sf)
+    val lam = graft.llm.Importance.lambdaTable(docs)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val batch = graft.llm.Importance.dsirWeights(docs)
+      .collect().map(_.toSeq).toSet
+    val q = DocumentsStream
+      .scoreDsirAgainst(DocumentsStream.readDocuments(spark, docsDir), lam)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dsir_serve_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT doc_id, n_tokens, log_weight, keep FROM dsir_serve_out")
+        .collect().map(_.toSeq).toSet
+      assert(got == batch,
+        s"stream≠batch: only-stream=${(got -- batch).take(3)} " +
+          s"only-batch=${(batch -- got).take(3)}")
+    } finally q.stop()
+  }
+
   test("drain-time containment finisher EQUALS batch x62 on the " +
       "streamed slice — scores included, not a superset") {
     val docs = Tables.documents(spark, sf)

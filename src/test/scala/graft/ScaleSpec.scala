@@ -340,6 +340,43 @@ class ScaleSpec extends AnyFunSuite {
     assert(secs < 120, s"took ${secs}s")
   }
 
+  test("1M-vector trained IVF: absolute-row training sample, probed " +
+      "lists recover the cluster structure") {
+    import spark.implicits._
+    // 16 well-separated directions in 8-D (±e_j): vector i belongs to
+    // direction class i % 16 with a small deterministic jitter, so a
+    // trained 16-list quantizer must put each class in its own list
+    // and a 1-probe search must return only same-class neighbors
+    val n = 1_000_000L
+    val cls = col("id") % 16
+    val comps = (0 until 8).map { j =>
+      (when(cls % 8 === j, when(cls < 8, lit(3.0)).otherwise(lit(-3.0)))
+        .otherwise(lit(0.0)) +
+        lit(0.05) * sin(col("id").cast("double") * (j + 1)))
+        .cast("float")
+    }
+    val emb = spark.range(n).select(col("id").as("vec_id"),
+      array(comps: _*).as("embedding"))
+    val t0 = System.nanoTime()
+    // trainTarget = 50k: the Lloyd passes read a fixed ~50k-row slice
+    // (modulus 20 on this corpus) regardless of corpus size — the r8
+    // absolute-row knob at its intended scale
+    val top = graft.llm.Similarity.ivfTrainedTopK(emb, nLists = 16,
+      trainIters = 2, trainTarget = 50_000, nProbe = 1, nQueries = 3,
+      k = 5)
+    val rows = top.collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"1M vectors, trained 16-list IVF, 3 queries, k=5: ${secs}%.1f s")
+    assert(rows.length == 15)
+    rows.foreach { r =>
+      val (qid, vecId) = (r.getLong(0), r.getLong(2))
+      assert(vecId % 16 == qid % 16,
+        s"qid=$qid (class ${qid % 16}) got cross-class hit " +
+          s"$vecId (class ${vecId % 16})")
+    }
+    assert(secs < 240, s"took ${secs}s")
+  }
+
   test("5M-doc shard shuffle: contiguous hash layout, no whole-shard sort") {
     import spark.implicits._
     val n = 5_000_000L

@@ -709,8 +709,6 @@ object Darima {
       (cfg.fitter == "sarima" || cfg.fitter == "arma")
     if (!longHorizon) cfg
     else {
-      val noHarm = cfg.harmDaily == 0 && cfg.harmWeekly == 0 &&
-        cfg.harmYearly == 0
       // Injected skeleton is FITTER-dependent (each number measured
       // on NEMASSBOST h=2879, RESULTS.md round 7):
       //  - "sarima" searches dynamics families end-to-end (stepwise
@@ -719,23 +717,28 @@ object Darima {
       //    diurnal shape first measurably hurts it (1.15 vs 0.87) —
       //    so only the yearly pairs are injected;
       //  - "arma" has no seasonal dynamics at all, so the skeleton
-      //    must carry the full shape: daily+weekly+yearly pairs plus
-      //    daily×yearly interactions (the season-modulated diurnal
-      //    shape; without them the forecast decays to the AVERAGE
-      //    profile — the wrong shape in any given season, and the
-      //    dominant error term: 1.38 plain vs 1.23 modulated).
+      //    must carry the shape: PLAIN daily+weekly+yearly pairs.
+      //    The daily×yearly interaction pairs r7 injected here are
+      //    REMOVED: re-measured reproducibly in r8 they HURT
+      //    (NEMASSBOST 1.338 plain vs 1.645 modulated; the r7 prose
+      //    claiming 1.23 modulated is not reproducible from the r7
+      //    commit — sideband coefficients estimated per chunk are too
+      //    noisy at this span, the same failure the sarima+GLS
+      //    sideband probe measured). Explicit GRAFT_MOD_* still wins.
+      // Fill-in is PER KNOB (0 = unset), not all-or-nothing: the old
+      // `noHarm` guard required every harm count to be zero, so any
+      // caller presetting harmYearly (ZonesEval does) silently
+      // disabled the arma daily/weekly injection — the r7/r8 arma
+      // fleets actually ran yearly-only, which is where the
+      // irreproducible r7 prose numbers came from.
       val wantShape = cfg.fitter == "arma"
       cfg.copy(
         maxTotalD = if (cfg.maxTotalD < 0) 0 else cfg.maxTotalD,
-        harmDaily = if (noHarm && wantShape) 3 else cfg.harmDaily,
-        harmWeekly = if (noHarm && wantShape) 2 else cfg.harmWeekly,
-        harmYearly = if (noHarm) 3 else cfg.harmYearly,
-        modDaily =
-          if (noHarm && wantShape && cfg.modDaily == 0) 3
-          else cfg.modDaily,
-        modYearly =
-          if (noHarm && wantShape && cfg.modYearly == 0) 2
-          else cfg.modYearly,
+        harmDaily =
+          if (cfg.harmDaily == 0 && wantShape) 3 else cfg.harmDaily,
+        harmWeekly =
+          if (cfg.harmWeekly == 0 && wantShape) 2 else cfg.harmWeekly,
+        harmYearly = if (cfg.harmYearly == 0) 3 else cfg.harmYearly,
         // ONE QUARTER, not a year: the anchored level should be the
         // current-season deseasonalized level — long enough to
         // average out weather noise, short enough to track the slow

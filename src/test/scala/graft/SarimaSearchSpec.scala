@@ -276,14 +276,21 @@ class SarimaSearchSpec extends AnyFunSuite {
       DarimaConfig(freq = 24, fitter = "arma"), h)
     assert(armaCal.harmDaily == 3 && armaCal.harmWeekly == 2 &&
       armaCal.harmYearly == 3)
-    assert(armaCal.modDaily == 3 && armaCal.modYearly == 2)
-    // explicit configuration wins over every calibration knob
+    // r8: NO mod injection — sidebands measured harmful for arma
+    // (1.338 plain vs 1.645 modulated, NEMASSBOST reproducible runs)
+    assert(armaCal.modDaily == 0 && armaCal.modYearly == 0)
+    // explicit configuration wins over every calibration knob;
+    // fill-in is PER KNOB (r8 fix: the old all-or-nothing noHarm
+    // guard meant any preset harm count disabled the rest of the
+    // skeleton injection — ZonesEval's yearly preset silently ran
+    // arma with no daily/weekly pairs), so the unset yearly slot
+    // still fills while the explicit daily survives
     val explicit = Darima.calibrateLongHorizon(
       DarimaConfig(freq = 24, fitter = "sarima", maxTotalD = 2,
         harmDaily = 1, anchorWindow = 48), h)
     assert(explicit.maxTotalD == 2 && explicit.maxTotalDEff == 2)
     assert(explicit.harmDaily == 1 && explicit.harmWeekly == 0 &&
-      explicit.harmYearly == 0)
+      explicit.harmYearly == 3)
     assert(explicit.anchorWindow == 48)
     // short horizon or non-search fitter: untouched; the sentinel
     // then resolves to the reference's d+D <= 2 reach

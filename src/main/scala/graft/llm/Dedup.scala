@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators over the `documents` table (SURVEY.md §2.9
@@ -678,6 +679,117 @@ object Dedup {
         round(col("containment"), 6).as("containment"))
       .orderBy(col("a"), col("b"))
   }
+
+  /** Exact duplicated-substring spans: the sliding-window form of
+    * exact substring dedup (the pass suffix-array pipelines run over
+    * training corpora — find every maximal token range whose content
+    * also occurs elsewhere). x39's spanDedup only sees duplication
+    * aligned to fixed non-overlapping windows; this operator slides a
+    * k-token window over EVERY position, marks positions whose k-gram
+    * occurs ≥2 times corpus-wide (cross-doc or within-doc), and
+    * coalesces overlapping/adjacent duplicated windows into maximal
+    * spans per document (gaps-and-islands over the gram start
+    * positions: a new island starts when the gap to the previous
+    * duplicated start exceeds k).
+    *
+    * Scale shape: one narrow (doc_id, pos, md5) gram exchange for the
+    * global frequency count, a co-keyed join back on the hash, a
+    * PER-DOCUMENT window (partition key = doc_id, bounded by doc
+    * length), and a doc_id-keyed join to slice the span text. Nothing
+    * is pairwise; cost is linear in corpus token count, exactly the
+    * posture the 50-token-window pass needs at 100 TB.
+    */
+  def substringDupSpans(docs: DataFrame, k: Int): DataFrame = {
+    require(k >= 1)
+    val toks = tokenArrays(docs)
+    val grams = slidingGrams(toks, k)
+    val dupH = grams.groupBy(col("h"))
+      .agg(count(lit(1)).as("c")).filter(col("c") >= 2).select(col("h"))
+    val dupPos = grams.join(dupH, "h").select(col("doc_id"), col("pos"))
+    coalesceDupSpans(dupPos, toks, k)
+  }
+
+  private[graft] def tokenArrays(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+
+  /** (doc_id, pos, h = md5 of the k-gram starting at pos) for every
+    * sliding-window position — positions are NOT deduplicated, they
+    * are the coordinate system the span coalescing runs over.
+    */
+  private[graft] def slidingGrams(toks: DataFrame, k: Int): DataFrame =
+    toks.filter(size(col("t")) >= k)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, size(t)-$k)," +
+          s" i -> md5(concat_ws(' ', slice(t, i+1, $k))))"))
+        .as(Seq("pos", "h")))
+
+  /** The corpus-side "model" for dedup-on-ingest: one row per
+    * distinct k-gram hash with its corpus occurrence count and — when
+    * the count is exactly 1 — the single holder's doc_id, so a
+    * streaming arrival can test "occurs anywhere OTHER than me"
+    * without a per-document postings list. Few columns, one hash agg.
+    */
+  def gramTable(docs: DataFrame, k: Int): DataFrame =
+    slidingGrams(tokenArrays(docs), k)
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("c"),
+        when(count(lit(1)) === 1, min(col("doc_id"))).as("only_doc"))
+
+  /** Island-coalescing tail shared by the batch operator and the
+    * streaming drain-time finisher: duplicated gram start positions →
+    * maximal spans (a new island starts when the gap to the previous
+    * duplicated start exceeds k), then the span text sliced from the
+    * token arrays. The window is PER DOCUMENT (partition key doc_id).
+    */
+  private[graft] def coalesceDupSpans(dupPos: DataFrame, toks: DataFrame,
+      k: Int): DataFrame = {
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val islands = dupPos
+      .withColumn("prev", lag(col("pos"), 1).over(byDoc))
+      .withColumn("island", sum(
+        when(col("prev").isNull || col("pos") - col("prev") > k, 1)
+          .otherwise(0)).over(byDoc))
+    islands.groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(k - 1)).as("span_end"),
+        count(lit(1)).as("n_dup_grams"))
+      .join(toks, "doc_id")
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_tokens"),
+        col("n_dup_grams"),
+        expr("concat_ws(' ', slice(t, span_start + 1, span_end - span_start + 1))")
+          .as("dup_text"))
+      .orderBy(col("doc_id"), col("span_start"))
+  }
+
+  def substringDupSpansSql(k: Int): String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |g AS (
+       |  SELECT doc_id, CAST(i AS INT) AS pos,
+       |         md5(array_to_string(t[i+1:i+$k], ' ')) AS h
+       |  FROM t, UNNEST(range(len(t)-${k - 1})) AS r(i)
+       |  WHERE len(t) >= $k
+       |), duph AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2),
+       |dp AS (SELECT g.doc_id, g.pos FROM g JOIN duph ON g.h = duph.h),
+       |isl AS (
+       |  SELECT doc_id, pos,
+       |    sum(CASE WHEN prev IS NULL OR pos - prev > $k THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY pos) AS island
+       |  FROM (SELECT doc_id, pos,
+       |          lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+       |        FROM dp)
+       |), sp AS (
+       |  SELECT doc_id, CAST(min(pos) AS INT) AS span_start,
+       |         CAST(max(pos) + $k - 1 AS INT) AS span_end,
+       |         count(*) AS n_dup_grams
+       |  FROM isl GROUP BY doc_id, island
+       |)
+       |SELECT sp.doc_id AS doc_id, span_start, span_end,
+       |       CAST(span_end - span_start + 1 AS INT) AS span_tokens,
+       |       n_dup_grams,
+       |       array_to_string(t.t[span_start+1 : span_end+1], ' ') AS dup_text
+       |FROM sp JOIN t ON sp.doc_id = t.doc_id
+       |ORDER BY sp.doc_id, span_start""".stripMargin
 
   def containmentPairsSql(dfCap: Int, threshold: Double): String =
     s"""WITH sh AS ($shinglesSql),

@@ -588,6 +588,13 @@ object Extensions {
       nLists = 16, trainIters = 2, trainTarget = 250,
       nProbe = 4, nQueries = 3, k = 3)
 
+  /** X1'': exact duplicated-substring spans (sliding 8-gram, island
+    * coalescing) — the suffix-array-style substring dedup pass; see
+    * Dedup.substringDupSpans for the scale shape.
+    */
+  private val x73SubstringDedup: Q = (s, d) =>
+    Dedup.substringDupSpans(Tables.documents(s, d), k = 8)
+
   val queries: Map[String, Q] = Map(
     "x01_dedup_exact" -> x01DedupExact,
     "x02_dedup_minhash" -> x02DedupMinhash,
@@ -662,6 +669,7 @@ object Extensions {
     "x70_lm_serve" -> x70LmServe,
     "x71_dsir_serve" -> x71DsirServe,
     "x72_ivf_serve" -> x72IvfServe,
+    "x73_substring_dedup" -> x73SubstringDedup,
   )
 
   /** The PNG pixel statistics in closed form: the fixture image's
@@ -876,5 +884,6 @@ object Extensions {
     "x71_dsir_serve" -> Importance.dsirWeightsSql(),
     "x72_ivf_serve" -> Similarity.ivfTrainedTopKSql(nLists = 16,
       trainIters = 2, trainTarget = 250, nProbe = 4, nQueries = 3, k = 3),
+    "x73_substring_dedup" -> Dedup.substringDupSpansSql(8),
   )
 }

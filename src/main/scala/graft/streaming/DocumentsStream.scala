@@ -369,4 +369,34 @@ object DocumentsStream {
       candidates.groupBy(col("a"), col("b"))
         .agg(count(lit(1)).as("inter")),
       buckets, threshold)
+
+  /** Stateless duplicated-substring flagging on ingest — the stream
+    * half of x73 (Dedup.substringDupSpans): each arrival's sliding
+    * k-gram hashes route through a stream-static join against the
+    * FROZEN corpus gram table (Dedup.gramTable — the few-column
+    * count-per-hash "model"), keeping a position iff its gram occurs
+    * in the corpus somewhere OTHER than the arriving doc itself
+    * (count ≥ 2, or count 1 held by a different doc — which makes a
+    * streamed slice of the corpus reproduce the batch duplicated
+    * positions EXACTLY, self-matches excluded the same way the batch
+    * global count ≥ 2 excludes them). No state; per-arrival cost is
+    * |text| hash lookups through one co-keyed join.
+    */
+  def substringDupPositions(docs: DataFrame, grams: DataFrame,
+      k: Int): DataFrame =
+    graft.llm.Dedup.slidingGrams(graft.llm.Dedup.tokenArrays(docs), k)
+      .join(grams, "h")
+      .filter(col("c") >= 2 || col("only_doc") =!= col("doc_id"))
+      .select(col("doc_id"), col("pos"))
+
+  /** Drain-time finisher for [[substringDupPositions]]: coalesce the
+    * drained duplicated positions into maximal spans through the
+    * SHARED batch tail (Dedup.coalesceDupSpans — same island window,
+    * same slice expressions), so drained spans EQUAL batch x73
+    * restricted to the streamed doc_ids.
+    */
+  def substringSpansAtDrain(drained: DataFrame, docs: DataFrame,
+      k: Int): DataFrame =
+    graft.llm.Dedup.coalesceDupSpans(drained,
+      graft.llm.Dedup.tokenArrays(docs), k)
 }

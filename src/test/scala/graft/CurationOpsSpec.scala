@@ -337,4 +337,46 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(out(2L) == 0.5)
     assert(out(3L) == 1.0)
   }
+
+  test("substring dup spans: shared run becomes one maximal span per doc") {
+    import spark.implicits._
+    // A 10-token run shared verbatim by two docs, embedded at
+    // different offsets between globally-unique tokens. With k=4 the
+    // duplicated gram starts are exactly those fully inside the run,
+    // and island coalescing must recover the FULL 10-token range.
+    val shared = (1 to 10).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"u1 u2 u3 $shared v1 v2 v3"),
+      (2L, s"w1 w2 $shared x1"))
+      .toDF("doc_id", "text")
+    val spans = Dedup.substringDupSpans(docs, k = 4).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Int]("span_start"), r.getAs[Int]("span_end"),
+          r.getAs[Int]("span_tokens"), r.getAs[String]("dup_text"))))
+      .toMap
+    assert(spans.size == 2)
+    assert(spans(1L) == ((3, 12, 10, shared)))
+    assert(spans(2L) == ((2, 11, 10, shared)))
+  }
+
+  test("substring dup spans: gap > k splits islands; within-doc repeats count") {
+    import spark.implicits._
+    val r1 = (1 to 5).map(i => s"r$i").mkString(" ")
+    val q1 = (1 to 5).map(i => s"q$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$r1 g1 g2 g3 g4 g5 $q1"), // two dup regions, 5-token gap
+      (2L, r1), (3L, q1),              // the cross-doc partners
+      // within-doc repetition, contiguous: back-to-back duplicated
+      // 4-gram starts at 0 and 4 (gap == k) must MERGE into one span
+      (4L, "m1 m2 m3 m4 m1 m2 m3 m4 y1 y2"))
+      .toDF("doc_id", "text")
+    val byDoc = Dedup.substringDupSpans(docs, k = 4).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    val d1 = byDoc(1L).map(r => (r.getAs[Int]("span_start"),
+      r.getAs[Int]("span_end"))).sorted
+    assert(d1.toSeq == Seq((0, 4), (10, 14))) // split: gap 9 > k 4
+    val d4 = byDoc(4L).map(r => (r.getAs[Int]("span_start"),
+      r.getAs[Int]("span_end"), r.getAs[Long]("n_dup_grams")))
+    assert(d4.toSeq == Seq((0, 7, 2L))) // merged across the k-gap
+  }
 }

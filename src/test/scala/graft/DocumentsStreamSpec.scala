@@ -294,6 +294,36 @@ class DocumentsStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamed substring-dup positions + drain finisher EQUAL " +
+      "batch x73 spans on the streamed slice") {
+    val docs = Tables.documents(spark, sf)
+    val k = 8
+    val grams = graft.llm.Dedup.gramTable(docs, k)
+    val sliceDir = java.nio.file.Files
+      .createTempDirectory("docs-sub-slice").toString
+    docs.filter(col("doc_id") % 3 === 0)
+      .write.mode("overwrite").parquet(sliceDir)
+    val q = DocumentsStream
+      .substringDupPositions(
+        DocumentsStream.readDocuments(spark, sliceDir), grams, k)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sub_dup_out").start()
+    try {
+      q.processAllAvailable()
+      val drained = spark.sql("SELECT doc_id, pos FROM sub_dup_out")
+      val got = DocumentsStream
+        .substringSpansAtDrain(drained, docs, k)
+        .collect().map(_.toSeq).toSet
+      val batch = graft.llm.Dedup.substringDupSpans(docs, k)
+        .filter(col("doc_id") % 3 === 0)
+        .collect().map(_.toSeq).toSet
+      assert(batch.nonEmpty, "batch restriction is empty — weak fixture")
+      assert(got == batch,
+        s"drained≠batch: only-drained=${(got -- batch).take(3)} " +
+          s"only-batch=${(batch -- got).take(3)}")
+    } finally q.stop()
+  }
+
   test("drain-time containment finisher EQUALS batch x62 on the " +
       "streamed slice — scores included, not a superset") {
     val docs = Tables.documents(spark, sf)

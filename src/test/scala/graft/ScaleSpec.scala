@@ -147,6 +147,40 @@ class ScaleSpec extends AnyFunSuite {
       s"minhash $tMinhash s, jaccard $tJaccard s")
   }
 
+  test("300k-doc corpus: substring-dup spans stay linear, recover " +
+      "planted runs exactly") {
+    import spark.implicits._
+    // 300k docs of 32 tokens, all doc-unique EXCEPT a 12-token run at
+    // offset 10 shared between docs i and i + n/2 for i < 100. With
+    // k=8 the duplicated gram starts are exactly 10..14, so each of
+    // the 200 docs must yield ONE span [10,21] — and nothing else in
+    // the corpus may surface.
+    val n = 300_000L
+    val planted = 100L
+    val docs = spark.range(n).select(
+      col("id").as("doc_id"),
+      when(col("id") >= n / 2 && col("id") < n / 2 + planted,
+        col("id") - n / 2).otherwise(col("id")).as("seed"))
+      .select(col("doc_id"), concat_ws(" ",
+        (0 until 32).map { j =>
+          if (j >= 10 && j <= 21)
+            when(col("seed") < planted,
+              concat(lit(s"r${j}_"), col("seed").cast("string")))
+              .otherwise(concat(lit(s"u${j}_"), col("doc_id").cast("string")))
+          else concat(lit(s"u${j}_"), col("doc_id").cast("string"))
+        }: _*).as("text"))
+    val t0 = System.nanoTime()
+    val spans = graft.llm.Dedup.substringDupSpans(docs, k = 8).collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"300k docs: substring-dup spans ${secs}%.1f s, ${spans.length} spans")
+    assert(spans.length == 2 * planted, s"found ${spans.length} spans")
+    assert(spans.forall { r =>
+      r.getAs[Int]("span_start") == 10 && r.getAs[Int]("span_end") == 21 &&
+        r.getAs[Int]("span_tokens") == 12 && r.getAs[Long]("n_dup_grams") == 5L
+    })
+    assert(secs < 120, s"took $secs s")
+  }
+
   test("200k-node chain: connected components converge in O(log n) rounds") {
     import spark.implicits._
     // a single chain is the adversarial case for label propagation:

@@ -693,4 +693,94 @@ object TextAnalysis {
       |JOIN sizes z1 ON z1.source = s1
       |JOIN sizes z2 ON z2.source = s2
       |ORDER BY s1, s2""".stripMargin
+
+  /** BM25 ranked retrieval (Robertson/Lucene idf, k1/b saturation):
+    * the lexical-search face of the curation surface — retrieval-
+    * based decontamination, "find corpus docs matching this eval
+    * prompt", nearest-neighbor text lookup without embeddings. The
+    * query set is the first `nQueries` docs' first `qTerms` distinct
+    * tokens (a deterministic stand-in for user queries, same
+    * convention as x05/x28); the query doc itself is excluded from
+    * its own result list.
+    *
+    * Scale shape: this is an INVERTED-INDEX probe, not a scan-per-
+    * query — tf/df/dl are corpus-keyed aggregates, the tiny (qid,
+    * term) relation broadcasts, and only postings of query terms
+    * flow into scoring. Per-term contributions quantize to integer
+    * nano-units (the DSIR idiom) so the per-(qid,doc) sum is exact
+    * and engine-order-independent; ranking is the bounded partial
+    * top-k aggregate (TopK.top_k), never a per-qid row_number sort
+    * funnel. Cost ≈ |postings of query terms| regardless of corpus
+    * width at 100 TB.
+    */
+  def bm25TopK(docs: DataFrame, nQueries: Int, qTerms: Int, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("w"))
+    val tf = toks.groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val q = docs.filter(col("doc_id") < nQueries)
+      .select(col("doc_id").as("qid"),
+        explode(array_distinct(slice(split(col("text"), " "), 1, qTerms)))
+          .as("w"))
+    // no broadcast hint on q: its Generate (explode) blocks the
+    // structural boundedness certificate (same as x61) — AQE
+    // broadcasts the tiny (qid, term) frame on its own at runtime
+    tf.join(dl, "doc_id").join(dfreq, "w")
+      .join(q, "w")
+      .filter(col("doc_id") =!= col("qid"))
+      .crossJoin(broadcast(stats))
+      .withColumn("nano", round(
+        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+          (col("tf") * lit(k1 + 1)) /
+          (col("tf") + lit(k1) *
+            (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))) *
+          lit(1e9), 0).cast("long"))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(sum(col("nano")).as("s"))
+      .groupBy(col("qid"))
+      .agg(graft.functions.TopK.top_k(k)(
+        col("s").cast("double"), col("doc_id")).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("pos", "hit")))
+      .select(col("qid"), (col("pos") + 1).as("rank"),
+        col("hit.vec_id").as("doc_id"),
+        round(col("hit.cos") / lit(1e9), 6).as("bm25"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  def bm25TopKSql(nQueries: Int, qTerms: Int, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): String =
+    s"""WITH tok AS MATERIALIZED (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+       |), tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+       |stats AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl FROM dl
+       |), dfreq AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+       |q AS (
+       |  SELECT DISTINCT doc_id AS qid, unnest(t[1:$qTerms]) AS w
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+       |        WHERE doc_id < $nQueries)
+       |), contrib AS (
+       |  SELECT q.qid, tf.doc_id,
+       |    CAST(round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+       |      * (tf * ${k1 + 1}) / (tf + $k1 * (1.0 - $b + $b * dl / avgdl))
+       |      * 1e9) AS BIGINT) AS nano
+       |  FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (w)
+       |       JOIN q ON tf.w = q.w CROSS JOIN stats
+       |  WHERE tf.doc_id <> q.qid
+       |), scored AS (
+       |  SELECT qid, doc_id, CAST(sum(nano) AS BIGINT) AS s
+       |  FROM contrib GROUP BY 1, 2
+       |), ranked AS (
+       |  SELECT qid, doc_id, s, row_number()
+       |    OVER (PARTITION BY qid ORDER BY s DESC, doc_id) AS rank
+       |  FROM scored
+       |)
+       |SELECT qid, CAST(rank AS INT) AS rank, doc_id,
+       |       round(CAST(s AS DOUBLE) / 1e9, 6) AS bm25
+       |FROM ranked WHERE rank <= $k ORDER BY qid, rank""".stripMargin
 }

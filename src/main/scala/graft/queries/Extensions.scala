@@ -595,6 +595,13 @@ object Extensions {
   private val x73SubstringDedup: Q = (s, d) =>
     Dedup.substringDupSpans(Tables.documents(s, d), k = 8)
 
+  /** X3': BM25 ranked retrieval — lexical search via an inverted-
+    * index probe; see TextAnalysis.bm25TopK for the scale shape.
+    */
+  private val x74Bm25Topk: Q = (s, d) =>
+    TextAnalysis.bm25TopK(Tables.documents(s, d),
+      nQueries = 3, qTerms = 8, k = 5)
+
   val queries: Map[String, Q] = Map(
     "x01_dedup_exact" -> x01DedupExact,
     "x02_dedup_minhash" -> x02DedupMinhash,
@@ -670,6 +677,7 @@ object Extensions {
     "x71_dsir_serve" -> x71DsirServe,
     "x72_ivf_serve" -> x72IvfServe,
     "x73_substring_dedup" -> x73SubstringDedup,
+    "x74_bm25_topk" -> x74Bm25Topk,
   )
 
   /** The PNG pixel statistics in closed form: the fixture image's
@@ -885,5 +893,7 @@ object Extensions {
     "x72_ivf_serve" -> Similarity.ivfTrainedTopKSql(nLists = 16,
       trainIters = 2, trainTarget = 250, nProbe = 4, nQueries = 3, k = 3),
     "x73_substring_dedup" -> Dedup.substringDupSpansSql(8),
+    "x74_bm25_topk" -> TextAnalysis.bm25TopKSql(
+      nQueries = 3, qTerms = 8, k = 5),
   )
 }

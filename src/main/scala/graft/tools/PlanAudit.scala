@@ -243,6 +243,7 @@ object PlanAudit {
       // 1-row average-balance scalar subquery (TPC-H Q22 shape)
       "q22_scalar_subquery" -> Set("SinglePartition", "BNLJoin"),
       "x23_tfidf" -> Set("SinglePartition", "BNLJoin"), // 1-row corpus count N
+      "x74_bm25_topk" -> Set("SinglePartition", "BNLJoin"), // 1-row (N, avgdl)
       "x41_lm_perplexity" -> Set("SinglePartition", "BNLJoin"), // 1-row (N, V)
       // serve path: same 1-row (N, V) totals, recomputed from the
       // few-KB persisted model table instead of the training branch

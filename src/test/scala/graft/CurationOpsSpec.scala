@@ -338,6 +338,31 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(out(3L) == 1.0)
   }
 
+  test("bm25: idf ranks rare over common, length norm ranks short " +
+      "over long, ties break on doc_id, query doc excluded") {
+    import spark.implicits._
+    // query = doc 0's tokens ("rare common"); df(rare)=3 < df(common)=6
+    val docs = Seq(
+      (0L, "rare common"),
+      (1L, "rare u1 u2 u3"),           // rare, len 4  -> rank 1
+      (3L, "rare u7 u8 u9 u10 u11 u12 u13"), // rare, len 8 -> rank 2
+      (2L, "common u4 u5 u6"),         // common, len 4 -> tie group
+      (4L, "nomatch x1 x2"),           // no query term -> absent
+      (5L, "common f1 f2 f3"), (6L, "common f4 f5 f6"),
+      (7L, "common f7 f8 f9"), (8L, "common g1 g2 g3"))
+      .toDF("doc_id", "text")
+    val out = graft.llm.TextAnalysis
+      .bm25TopK(docs, nQueries = 1, qTerms = 2, k = 5).collect()
+    assert(out.map(_.getAs[Long]("qid")).forall(_ == 0L))
+    val ids = out.sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("doc_id"))
+    // rare/len4 > rare/len8 > the common tie group in doc_id order
+    assert(ids.toSeq == Seq(1L, 3L, 2L, 5L, 6L), ids.mkString(","))
+    val scores = out.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("bm25"))
+    assert(scores(0) > scores(1) && scores(1) > scores(2))
+    assert(scores(2) == scores(3) && scores(3) == scores(4)) // exact tie
+    assert(!ids.contains(0L)) // the query doc never retrieves itself
+  }
+
   test("substring dup spans: shared run becomes one maximal span per doc") {
     import spark.implicits._
     // A 10-token run shared verbatim by two docs, embedded at

@@ -715,6 +715,16 @@ object TextAnalysis {
     */
   def bm25TopK(docs: DataFrame, nQueries: Int, qTerms: Int, k: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val (postings, stats) = bm25Index(docs)
+    val q = bm25QueryTerms(docs.filter(col("doc_id") < nQueries), qTerms)
+    bm25Finish(bm25Score(q, postings, stats, k1, b), k)
+  }
+
+  /** The frozen corpus side of BM25: the postings relation
+    * (w, doc_id, tf, dl, df) and the 1-row (n_docs, avgdl) stats —
+    * the "model" the streaming retrieval twin serves against.
+    */
+  def bm25Index(docs: DataFrame): (DataFrame, DataFrame) = {
     val toks = docs.select(col("doc_id"),
       explode(split(col("text"), " ")).as("w"))
     val tf = toks.groupBy(col("doc_id"), col("w"))
@@ -722,14 +732,25 @@ object TextAnalysis {
     val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
     val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
-    val q = docs.filter(col("doc_id") < nQueries)
-      .select(col("doc_id").as("qid"),
-        explode(array_distinct(slice(split(col("text"), " "), 1, qTerms)))
-          .as("w"))
-    // no broadcast hint on q: its Generate (explode) blocks the
-    // structural boundedness certificate (same as x61) — AQE
-    // broadcasts the tiny (qid, term) frame on its own at runtime
-    tf.join(dl, "doc_id").join(dfreq, "w")
+    (tf.join(dl, "doc_id").join(dfreq, "w"), stats)
+  }
+
+  /** Distinct first-`qTerms` tokens per query doc — the (qid, w)
+    * probe relation (shared by batch and the streaming twin).
+    */
+  private[graft] def bm25QueryTerms(docs: DataFrame, qTerms: Int): DataFrame =
+    docs.select(col("doc_id").as("qid"),
+      explode(array_distinct(slice(split(col("text"), " "), 1, qTerms)))
+        .as("w"))
+
+  /** Per-term contributions in integer nano-units: (qid, doc_id,
+    * nano), self-matches excluded. No broadcast hint on q: its
+    * Generate (explode) blocks the structural boundedness certificate
+    * (same as x61) — AQE broadcasts the tiny frame on its own.
+    */
+  private[graft] def bm25Score(q: DataFrame, postings: DataFrame,
+      stats: DataFrame, k1: Double, b: Double): DataFrame =
+    postings
       .join(q, "w")
       .filter(col("doc_id") =!= col("qid"))
       .crossJoin(broadcast(stats))
@@ -739,6 +760,14 @@ object TextAnalysis {
           (col("tf") + lit(k1) *
             (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))) *
           lit(1e9), 0).cast("long"))
+      .select(col("qid"), col("doc_id"), col("nano"))
+
+  /** Sum the exact nano contributions per (qid, doc) and rank with
+    * the bounded partial top-k aggregate (shared by batch and the
+    * streaming drain-time finisher).
+    */
+  private[graft] def bm25Finish(scored: DataFrame, k: Int): DataFrame =
+    scored
       .groupBy(col("qid"), col("doc_id"))
       .agg(sum(col("nano")).as("s"))
       .groupBy(col("qid"))
@@ -749,7 +778,6 @@ object TextAnalysis {
         col("hit.vec_id").as("doc_id"),
         round(col("hit.cos") / lit(1e9), 6).as("bm25"))
       .orderBy(col("qid"), col("rank"))
-  }
 
   def bm25TopKSql(nQueries: Int, qTerms: Int, k: Int,
       k1: Double = 1.2, b: Double = 0.75): String =

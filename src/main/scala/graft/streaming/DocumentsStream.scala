@@ -399,4 +399,28 @@ object DocumentsStream {
       k: Int): DataFrame =
     graft.llm.Dedup.coalesceDupSpans(drained,
       graft.llm.Dedup.tokenArrays(docs), k)
+
+  /** Stateless BM25 retrieval-on-ingest — the stream half of x74:
+    * each arrival is a QUERY against the frozen corpus index
+    * (TextAnalysis.bm25Index — the postings relation + 1-row stats).
+    * The arrival's distinct first-`qTerms` tokens route through a
+    * stream-static join against the postings; per-term contributions
+    * are the SAME integer nano-units as batch (shared bm25Score), so
+    * the drained rows sum exactly. No state; per-arrival cost is the
+    * postings of its query terms.
+    */
+  def bm25Candidates(docs: DataFrame, postings: DataFrame,
+      stats: DataFrame, qTerms: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    graft.llm.TextAnalysis.bm25Score(
+      graft.llm.TextAnalysis.bm25QueryTerms(docs, qTerms),
+      postings, stats, k1, b)
+
+  /** Drain-time finisher for [[bm25Candidates]]: sum the exact nano
+    * contributions and rank through the SHARED batch tail
+    * (TextAnalysis.bm25Finish — same bounded top-k, same tie-break),
+    * so drained rankings EQUAL batch x74 restricted to streamed qids.
+    */
+  def bm25AtDrain(drained: DataFrame, k: Int): DataFrame =
+    graft.llm.TextAnalysis.bm25Finish(drained, k)
 }

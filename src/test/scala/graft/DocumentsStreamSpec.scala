@@ -324,6 +324,37 @@ class DocumentsStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamed BM25 retrieval + drain finisher EQUALS batch x74 " +
+      "on the streamed query slice") {
+    val docs = Tables.documents(spark, sf)
+    val (postings, stats) = graft.llm.TextAnalysis.bm25Index(docs)
+    // stream a SLICE of the batch query set (even ids among the
+    // first 6), so the restriction in the equality claim is real
+    val sliceDir = java.nio.file.Files
+      .createTempDirectory("docs-bm25-slice").toString
+    docs.filter(col("doc_id") < 6 && col("doc_id") % 2 === 0)
+      .write.mode("overwrite").parquet(sliceDir)
+    val q = DocumentsStream
+      .bm25Candidates(DocumentsStream.readDocuments(spark, sliceDir),
+        postings, stats, qTerms = 8)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("bm25_cand_out").start()
+    try {
+      q.processAllAvailable()
+      val drained = spark.sql("SELECT qid, doc_id, nano FROM bm25_cand_out")
+      val got = DocumentsStream.bm25AtDrain(drained, k = 5)
+        .collect().map(_.toSeq).toSet
+      val batch = graft.llm.TextAnalysis
+        .bm25TopK(docs, nQueries = 6, qTerms = 8, k = 5)
+        .filter(col("qid") % 2 === 0)
+        .collect().map(_.toSeq).toSet
+      assert(batch.nonEmpty, "batch restriction is empty — weak fixture")
+      assert(got == batch,
+        s"drained≠batch: only-drained=${(got -- batch).take(3)} " +
+          s"only-batch=${(batch -- got).take(3)}")
+    } finally q.stop()
+  }
+
   test("drain-time containment finisher EQUALS batch x62 on the " +
       "streamed slice — scores included, not a superset") {
     val docs = Tables.documents(spark, sf)

@@ -181,6 +181,34 @@ class ScaleSpec extends AnyFunSuite {
     assert(secs < 120, s"took $secs s")
   }
 
+  test("300k-doc corpus: bm25 retrieval probes postings, not the corpus") {
+    import spark.implicits._
+    // 300k docs of 16 doc-unique tokens; docs n/2+i (i < 3) open with
+    // the first 8 tokens of query doc i. Only those postings match a
+    // query term, so each query's top hit must be its planted partner
+    // — and the whole run costs one tf/df build + a 24-term probe.
+    val n = 300_000L
+    val docs = spark.range(n).select(
+      col("id").as("doc_id"),
+      concat_ws(" ", (0 until 16).map { j =>
+        when(col("id") < 3, concat(lit(s"q${j}_"), col("id").cast("string")))
+          .when(col("id") >= n / 2 && col("id") < n / 2 + 3 && lit(j) < 8,
+            concat(lit(s"q${j}_"), (col("id") - n / 2).cast("string")))
+          .otherwise(concat(lit(s"u${j}_"), col("id").cast("string")))
+      }: _*).as("text"))
+    val t0 = System.nanoTime()
+    val out = graft.llm.TextAnalysis
+      .bm25TopK(docs, nQueries = 3, qTerms = 8, k = 2).collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"300k docs: bm25 probe ${secs}%.1f s, ${out.length} hits")
+    val top1 = out.filter(_.getAs[Int]("rank") == 1)
+      .map(r => r.getAs[Long]("qid") -> r.getAs[Long]("doc_id")).toMap
+    assert(top1 == Map(0L -> (n / 2), 1L -> (n / 2 + 1), 2L -> (n / 2 + 2)))
+    // no other doc shares a query term, so each list has exactly 1 hit
+    assert(out.length == 3, out.mkString(";"))
+    assert(secs < 120, s"took $secs s")
+  }
+
   test("200k-node chain: connected components converge in O(log n) rounds") {
     import spark.implicits._
     // a single chain is the adversarial case for label propagation:

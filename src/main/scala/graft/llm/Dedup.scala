@@ -791,6 +791,122 @@ object Dedup {
        |FROM sp JOIN t ON sp.doc_id = t.doc_id
        |ORDER BY sp.doc_id, span_start""".stripMargin
 
+  /** The APPLY step for [[substringDupSpans]] — scrub the corpus of
+    * duplicated substrings, keeping exactly one copy: a maximal span
+    * is removed from its document unless the document holds the
+    * CANONICAL claim to it — the global min (doc_id, pos) occurrence
+    * of the span's first k-gram (deterministic, and within-doc
+    * repeats resolve the same way: the earlier occurrence stays).
+    * Output is one row per document: the surviving text, with counts
+    * of removed spans and kept tokens — the cleaned corpus a
+    * training pipeline actually feeds to the tokenizer.
+    *
+    * Scale: everything from x73 plus a keeper min per gram hash (same
+    * hash agg), one co-keyed (doc_id) anti-join of token positions
+    * against the removed ranges (ranges per doc are bounded by doc
+    * length), and a per-doc re-assembly — still linear, still
+    * nothing pairwise.
+    */
+  def substringScrub(docs: DataFrame, k: Int): DataFrame = {
+    require(k >= 1)
+    val toks = tokenArrays(docs)
+    val grams = slidingGrams(toks, k)
+    val counts = grams.groupBy(col("h"))
+      .agg(count(lit(1)).as("c"),
+        min(struct(col("doc_id"), col("pos"))).as("keep"))
+      .filter(col("c") >= 2)
+      .select(col("h"), col("keep.doc_id").as("kd"), col("keep.pos").as("kp"))
+    val dupPos = grams.join(counts, "h")
+      .select(col("doc_id"), col("pos"), col("kd"), col("kp"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val islands = dupPos
+      .withColumn("prev", lag(col("pos"), 1).over(byDoc))
+      .withColumn("island", sum(
+        when(col("prev").isNull || col("pos") - col("prev") > k, 1)
+          .otherwise(0)).over(byDoc))
+    // min(struct(pos, kd, kp)) rides the FIRST gram's keeper along
+    // with span_start (pos is unique per doc, so the min is exact)
+    val spans = islands.groupBy(col("doc_id"), col("island"))
+      .agg(min(struct(col("pos"), col("kd"), col("kp"))).as("f"),
+        (max(col("pos")) + lit(k - 1)).as("span_end"))
+      .select(col("doc_id"), col("f.pos").as("span_start"), col("span_end"),
+        (col("f.kd") === col("doc_id") &&
+          col("f.kp") === col("f.pos")).as("canonical"))
+    val rem = spans.filter(!col("canonical"))
+      .select(col("doc_id").as("rd"), col("span_start"), col("span_end"))
+    val tokp = toks.select(col("doc_id"), posexplode(col("t")).as(Seq("p", "w")))
+    val kept = tokp.join(rem,
+      col("doc_id") === col("rd") &&
+        col("p").between(col("span_start"), col("span_end")), "left_anti")
+    val assembled = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("nt"),
+        concat_ws(" ", expr(
+          "transform(array_sort(collect_list(struct(p, w))), s -> s.w)"))
+          .as("ct"))
+    val remCounts = rem.groupBy(col("rd")).agg(count(lit(1)).as("nr"))
+    docs.select(col("doc_id"))
+      .join(assembled, Seq("doc_id"), "left")
+      .join(remCounts, col("doc_id") === col("rd"), "left")
+      .select(col("doc_id"),
+        coalesce(col("nr"), lit(0L)).as("n_removed_spans"),
+        coalesce(col("nt"), lit(0L)).as("n_tokens_kept"),
+        coalesce(col("ct"), lit("")).as("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  def substringScrubSql(k: Int): String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |g AS (
+       |  SELECT doc_id, CAST(i AS INT) AS pos,
+       |         md5(array_to_string(t[i+1:i+$k], ' ')) AS h
+       |  FROM t, UNNEST(range(len(t)-${k - 1})) AS r(i)
+       |  WHERE len(t) >= $k
+       |), duph AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2),
+       |dg AS (SELECT g.doc_id, g.pos, g.h FROM g JOIN duph ON g.h = duph.h),
+       |keep AS (
+       |  SELECT h, doc_id AS kd, pos AS kp FROM (
+       |    SELECT h, doc_id, pos, row_number()
+       |      OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+       |    FROM dg) WHERE rn = 1
+       |), isl AS (
+       |  SELECT doc_id, pos,
+       |    sum(CASE WHEN prev IS NULL OR pos - prev > $k THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY pos) AS island
+       |  FROM (SELECT doc_id, pos,
+       |          lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+       |        FROM dg)
+       |), sp AS (
+       |  SELECT doc_id, CAST(min(pos) AS INT) AS span_start,
+       |         CAST(max(pos) + $k - 1 AS INT) AS span_end
+       |  FROM isl GROUP BY doc_id, island
+       |), rem AS (
+       |  SELECT sp.doc_id, sp.span_start, sp.span_end
+       |  FROM sp
+       |  JOIN dg ON dg.doc_id = sp.doc_id AND dg.pos = sp.span_start
+       |  JOIN keep ON keep.h = dg.h
+       |  WHERE NOT (keep.kd = sp.doc_id AND keep.kp = sp.span_start)
+       |), tokp AS (
+       |  SELECT doc_id, CAST(i AS INT) AS p, t[i+1] AS w
+       |  FROM t, UNNEST(range(len(t))) AS r(i)
+       |), kept AS (
+       |  SELECT tk.doc_id, tk.p, tk.w FROM tokp tk
+       |  WHERE NOT EXISTS (SELECT 1 FROM rem r
+       |    WHERE r.doc_id = tk.doc_id
+       |      AND tk.p BETWEEN r.span_start AND r.span_end)
+       |), agg AS (
+       |  SELECT doc_id, count(*) AS nt,
+       |         string_agg(w, ' ' ORDER BY p) AS ct
+       |  FROM kept GROUP BY doc_id
+       |), remc AS (SELECT doc_id, count(*) AS nr FROM rem GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |       CAST(COALESCE(remc.nr, 0) AS BIGINT) AS n_removed_spans,
+       |       CAST(COALESCE(agg.nt, 0) AS BIGINT) AS n_tokens_kept,
+       |       COALESCE(agg.ct, '') AS clean_text
+       |FROM documents d
+       |LEFT JOIN agg ON agg.doc_id = d.doc_id
+       |LEFT JOIN remc ON remc.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   def containmentPairsSql(dfCap: Int, threshold: Double): String =
     s"""WITH sh AS ($shinglesSql),
        |rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= $dfCap),

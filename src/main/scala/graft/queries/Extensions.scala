@@ -602,6 +602,13 @@ object Extensions {
     TextAnalysis.bm25TopK(Tables.documents(s, d),
       nQueries = 3, qTerms = 8, k = 5)
 
+  /** X1''': substring scrub — the apply step for x73: remove every
+    * duplicated span except its canonical copy, emit the cleaned
+    * corpus. See Dedup.substringScrub.
+    */
+  private val x75SubstringScrub: Q = (s, d) =>
+    Dedup.substringScrub(Tables.documents(s, d), k = 8)
+
   val queries: Map[String, Q] = Map(
     "x01_dedup_exact" -> x01DedupExact,
     "x02_dedup_minhash" -> x02DedupMinhash,
@@ -678,6 +685,7 @@ object Extensions {
     "x72_ivf_serve" -> x72IvfServe,
     "x73_substring_dedup" -> x73SubstringDedup,
     "x74_bm25_topk" -> x74Bm25Topk,
+    "x75_substring_scrub" -> x75SubstringScrub,
   )
 
   /** The PNG pixel statistics in closed form: the fixture image's
@@ -895,5 +903,6 @@ object Extensions {
     "x73_substring_dedup" -> Dedup.substringDupSpansSql(8),
     "x74_bm25_topk" -> TextAnalysis.bm25TopKSql(
       nQueries = 3, qTerms = 8, k = 5),
+    "x75_substring_scrub" -> Dedup.substringScrubSql(8),
   )
 }

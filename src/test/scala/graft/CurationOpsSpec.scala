@@ -363,6 +363,27 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(!ids.contains(0L)) // the query doc never retrieves itself
   }
 
+  test("substring scrub: one canonical copy survives, within-doc " +
+      "repeats keep the first occurrence, unique docs untouched") {
+    import spark.implicits._
+    val ten = (1 to 10).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, ten),                       // canonical holder — untouched
+      (2L, ten),                       // full-doc dup — scrubbed empty
+      (3L, "p1 p2 p3 p4 z1 z2 z3 z4 z5 p1 p2 p3 p4"), // self-repeat
+      (4L, "u1 u2 u3 u4 u5"))          // unique — untouched
+      .toDF("doc_id", "text")
+    val out = Dedup.substringScrub(docs, k = 4).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_removed_spans"), r.getAs[Long]("n_tokens_kept"),
+          r.getAs[String]("clean_text")))).toMap
+    assert(out.size == 4) // every doc appears, scrubbed or not
+    assert(out(1L) == ((0L, 10L, ten)))
+    assert(out(2L) == ((1L, 0L, "")))
+    assert(out(3L) == ((1L, 9L, "p1 p2 p3 p4 z1 z2 z3 z4 z5")))
+    assert(out(4L) == ((0L, 5L, "u1 u2 u3 u4 u5")))
+  }
+
   test("substring dup spans: shared run becomes one maximal span per doc") {
     import spark.implicits._
     // A 10-token run shared verbatim by two docs, embedded at

@@ -834,6 +834,16 @@ object Dedup {
           col("f.kp") === col("f.pos")).as("canonical"))
     val rem = spans.filter(!col("canonical"))
       .select(col("doc_id").as("rd"), col("span_start"), col("span_end"))
+    scrubRanges(docs, toks, rem)
+  }
+
+  /** Remove the token ranges in `rem` (rd, span_start, span_end) from
+    * every document and re-assemble: one co-keyed anti-join of token
+    * positions against the ranges, then a per-doc rebuild. Shared by
+    * [[substringScrub]] and the streaming ingest-scrub drain finisher.
+    */
+  private[graft] def scrubRanges(docs: DataFrame, toks: DataFrame,
+      rem: DataFrame): DataFrame = {
     val tokp = toks.select(col("doc_id"), posexplode(col("t")).as(Seq("p", "w")))
     val kept = tokp.join(rem,
       col("doc_id") === col("rd") &&
@@ -852,6 +862,25 @@ object Dedup {
         coalesce(col("nt"), lit(0L)).as("n_tokens_kept"),
         coalesce(col("ct"), lit("")).as("clean_text"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Coalesce duplicated positions into spans WITHOUT canonicality
+    * (every span is a removal candidate) — the island logic of
+    * [[coalesceDupSpans]] reduced to its range output. Used by the
+    * streaming ingest scrubber, where the frozen corpus always holds
+    * the canonical copy.
+    */
+  private[graft] def dupRanges(dupPos: DataFrame, k: Int): DataFrame = {
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    dupPos
+      .withColumn("prev", lag(col("pos"), 1).over(byDoc))
+      .withColumn("island", sum(
+        when(col("prev").isNull || col("pos") - col("prev") > k, 1)
+          .otherwise(0)).over(byDoc))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(k - 1)).as("span_end"))
+      .select(col("doc_id").as("rd"), col("span_start"), col("span_end"))
   }
 
   def substringScrubSql(k: Int): String =

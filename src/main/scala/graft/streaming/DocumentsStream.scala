@@ -400,6 +400,19 @@ object DocumentsStream {
     graft.llm.Dedup.coalesceDupSpans(drained,
       graft.llm.Dedup.tokenArrays(docs), k)
 
+  /** Drain-time SCRUB finisher for [[substringDupPositions]] — the
+    * ingest face of x75: on ingest the frozen corpus always holds the
+    * canonical copy, so EVERY coalesced duplicated span of an
+    * arriving document is removed (a crawl re-serving known content
+    * contributes only its novel text). Coalescing and re-assembly are
+    * the shared batch stages (Dedup.dupRanges / Dedup.scrubRanges);
+    * a streamed doc identical to a corpus doc scrubs to empty, a
+    * doc with no corpus overlap passes through untouched.
+    */
+  def scrubAtDrain(drained: DataFrame, docs: DataFrame, k: Int): DataFrame =
+    graft.llm.Dedup.scrubRanges(docs, graft.llm.Dedup.tokenArrays(docs),
+      graft.llm.Dedup.dupRanges(drained, k))
+
   /** Stateless BM25 retrieval-on-ingest — the stream half of x74:
     * each arrival is a QUERY against the frozen corpus index
     * (TextAnalysis.bm25Index — the postings relation + 1-row stats).

@@ -324,6 +324,44 @@ class DocumentsStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("ingest scrub drain finisher: known content removed, novel " +
+      "text survives, corpus stays canonical") {
+    import spark.implicits._
+    val ten = (1 to 10).map(i => s"s$i").mkString(" ")
+    val other = (1 to 10).map(i => s"o$i").mkString(" ")
+    val corpus = Seq((1L, ten), (2L, other)).toDF("doc_id", "text")
+    val arrivals = Seq(
+      (100L, ten),                        // exact re-serve -> empty
+      (101L, s"n1 n2 n3 $other n4 n5"),   // embedded known run
+      (102L, "v1 v2 v3 v4 v5 v6"))        // novel -> untouched
+      .toDF("doc_id", "text")
+    val k = 4
+    val grams = graft.llm.Dedup.gramTable(corpus, k)
+    val dir = java.nio.file.Files
+      .createTempDirectory("docs-scrub-stream").toString
+    arrivals.select(col("doc_id"), col("text"),
+      lit("en").as("lang"), lit("srcX").as("source"),
+      length(col("text")).cast("long").as("n_chars"))
+      .write.mode("overwrite").parquet(dir)
+    val q = DocumentsStream
+      .substringDupPositions(
+        DocumentsStream.readDocuments(spark, dir), grams, k)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("scrub_pos_out").start()
+    try {
+      q.processAllAvailable()
+      val drained = spark.sql("SELECT doc_id, pos FROM scrub_pos_out")
+      val out = DocumentsStream.scrubAtDrain(drained, arrivals, k)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_removed_spans"),
+            r.getAs[String]("clean_text")))).toMap
+      assert(out.size == 3)
+      assert(out(100L) == ((1L, "")))
+      assert(out(101L) == ((1L, "n1 n2 n3 n4 n5")))
+      assert(out(102L) == ((0L, "v1 v2 v3 v4 v5 v6")))
+    } finally q.stop()
+  }
+
   test("streamed BM25 retrieval + drain finisher EQUALS batch x74 " +
       "on the streamed query slice") {
     val docs = Tables.documents(spark, sf)

@@ -209,6 +209,45 @@ class ScaleSpec extends AnyFunSuite {
     assert(secs < 120, s"took $secs s")
   }
 
+  test("300k-doc corpus: substring scrub removes only the non-canonical " +
+      "copies, stays linear") {
+    import spark.implicits._
+    // same planted-run fixture as the span test: docs i and i + n/2
+    // (i < 100) share a 12-token run at offset 10. The lower doc_id
+    // holds the canonical claim, so EXACTLY the 100 partners lose
+    // exactly their 12 run tokens and everything else is untouched.
+    val n = 300_000L
+    val planted = 100L
+    val docs = spark.range(n).select(
+      col("id").as("doc_id"),
+      when(col("id") >= n / 2 && col("id") < n / 2 + planted,
+        col("id") - n / 2).otherwise(col("id")).as("seed"))
+      .select(col("doc_id"), concat_ws(" ",
+        (0 until 32).map { j =>
+          if (j >= 10 && j <= 21)
+            when(col("seed") < planted,
+              concat(lit(s"r${j}_"), col("seed").cast("string")))
+              .otherwise(concat(lit(s"u${j}_"), col("doc_id").cast("string")))
+          else concat(lit(s"u${j}_"), col("doc_id").cast("string"))
+        }: _*).as("text"))
+    val t0 = System.nanoTime()
+    val out = graft.llm.Dedup.substringScrub(docs, k = 8)
+    val scrubbed = out.filter(col("n_removed_spans") > 0).collect()
+    val totals = out.agg(count(lit(1)), sum(col("n_tokens_kept"))).head()
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"300k docs: substring scrub ${secs}%.1f s, ${scrubbed.length} docs scrubbed")
+    assert(scrubbed.length == planted)
+    assert(scrubbed.forall { r =>
+      r.getAs[Long]("doc_id") >= n / 2 &&
+        r.getAs[Long]("n_removed_spans") == 1L &&
+        r.getAs[Long]("n_tokens_kept") == 20L &&
+        !r.getAs[String]("clean_text").contains("r10_")
+    })
+    assert(totals.getLong(0) == n)
+    assert(totals.getLong(1) == 32L * n - 12L * planted)
+    assert(secs < 180, s"took $secs s")
+  }
+
   test("200k-node chain: connected components converge in O(log n) rounds") {
     import spark.implicits._
     // a single chain is the adversarial case for label propagation:

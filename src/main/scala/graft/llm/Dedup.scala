@@ -410,7 +410,15 @@ object Dedup {
     * projection.
     */
   def clusterRepresentatives(docs: DataFrame, maxDist: Int,
-      bucketCap: Int = 64): DataFrame = {
+      bucketCap: Int = 64): DataFrame =
+    componentReps(docs, maxDist, bucketCap).orderBy(col("component"))
+
+  /** Shared reps frame for x48/x76: one row per component —
+    * (component, rep_id, n_docs, score), argmax by quality then
+    * lowest doc_id. Singletons are their own rep.
+    */
+  private def componentReps(docs: DataFrame, maxDist: Int,
+      bucketCap: Int): DataFrame = {
     val pairs = simhashNearDup(docs, maxDist, bucketCap)
       .select(col("d1"), col("d2"))
     val comp = connectedComponents(docs.select(col("doc_id")), pairs)
@@ -423,14 +431,47 @@ object Dedup {
           .as("best"))
       .select(col("component"), (-col("best.nid")).as("rep_id"),
         col("n_docs"), col("best.s").as("score"))
-      .orderBy(col("component"))
   }
+
+  /** X1 fuzzy-dedup APPLY step (the x75 symmetry for the simhash
+    * family): x33 resolves near-dup clusters and x48 elects each
+    * cluster's best member — x76 emits the SURVIVING corpus a
+    * training pipeline actually keeps: one row per retained document
+    * (the elected representative of its cluster; unique docs are
+    * their own singleton cluster and survive unchanged) with its
+    * component, cluster size, and how many near-duplicates were
+    * dropped in its favor.
+    *
+    * Scale shape: everything up to the reps table is the x48 plan
+    * (endpoint-bounded CC rounds + one |V|-row argmax aggregate);
+    * the apply itself is ONE additional hash join of that ≤|V|-row
+    * reps frame against the corpus on doc_id — co-keyed, no window,
+    * no second pass over text.
+    */
+  def fuzzyScrub(docs: DataFrame, maxDist: Int,
+      bucketCap: Int = 64): DataFrame =
+    docs.join(
+        componentReps(docs, maxDist, bucketCap)
+          .select(col("rep_id").as("doc_id"), col("component"),
+            col("n_docs").as("cluster_size")),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("component"), col("cluster_size"),
+        (col("cluster_size") - 1).as("n_dups_removed"), col("source"))
+      .orderBy(col("doc_id"))
 
   /** Oracle: the x33 fixpoint CTE chain + the quality projection,
     * argmax via a per-component rank (fine in DuckDB; the engine side
     * deliberately avoids the window form).
     */
   def clusterRepresentativesSql(maxDist: Int, bucketCap: Int = 64): String =
+    s"""${repsCtes(maxDist, bucketCap)}
+       |SELECT component, doc_id AS rep_id, n_docs, score
+       |FROM ranked WHERE rk = 1 ORDER BY component""".stripMargin
+
+  /** Shared x48/x76 oracle chain: simhash pairs → CC fixpoint →
+    * quality-ranked members (`ranked`; rk = 1 is the representative).
+    */
+  private def repsCtes(maxDist: Int, bucketCap: Int): String =
     s"""WITH RECURSIVE ${simhashPairCtes(bucketCap)},
        |edges AS MATERIALIZED (
        |  SELECT d1, d2 FROM pairs
@@ -462,9 +503,17 @@ object Dedup {
        |           ORDER BY sc.score DESC, c.doc_id) AS rk,
        |         count(*) OVER (PARTITION BY c.component) AS n_docs
        |  FROM comp c JOIN sc USING (doc_id)
-       |)
-       |SELECT component, doc_id AS rep_id, n_docs, score
-       |FROM ranked WHERE rk = 1 ORDER BY component""".stripMargin
+       |)""".stripMargin
+
+  /** Oracle for x76: the x48 chain, representatives joined back to
+    * the corpus row they keep.
+    */
+  def fuzzyScrubSql(maxDist: Int, bucketCap: Int = 64): String =
+    s"""${repsCtes(maxDist, bucketCap)}
+       |SELECT r.doc_id, r.component, r.n_docs AS cluster_size,
+       |       r.n_docs - 1 AS n_dups_removed, d.source
+       |FROM ranked r JOIN documents d USING (doc_id)
+       |WHERE r.rk = 1 ORDER BY r.doc_id""".stripMargin
 
   /** X1 span-level exact dedup (Lee et al.-style "deduplicating
     * training data" at sub-document granularity): chunk every

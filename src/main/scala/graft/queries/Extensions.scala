@@ -609,6 +609,13 @@ object Extensions {
   private val x75SubstringScrub: Q = (s, d) =>
     Dedup.substringScrub(Tables.documents(s, d), k = 8)
 
+  /** X1'''': fuzzy-dedup apply step — the surviving corpus after
+    * simhash-cluster dedup (x33 clusters + x48 reps applied): one row
+    * per retained document. See Dedup.fuzzyScrub.
+    */
+  private val x76FuzzyScrub: Q = (s, d) =>
+    Dedup.fuzzyScrub(Tables.documents(s, d), maxDist = 3)
+
   val queries: Map[String, Q] = Map(
     "x01_dedup_exact" -> x01DedupExact,
     "x02_dedup_minhash" -> x02DedupMinhash,
@@ -686,6 +693,7 @@ object Extensions {
     "x73_substring_dedup" -> x73SubstringDedup,
     "x74_bm25_topk" -> x74Bm25Topk,
     "x75_substring_scrub" -> x75SubstringScrub,
+    "x76_fuzzy_scrub" -> x76FuzzyScrub,
   )
 
   /** The PNG pixel statistics in closed form: the fixture image's
@@ -904,5 +912,6 @@ object Extensions {
     "x74_bm25_topk" -> TextAnalysis.bm25TopKSql(
       nQueries = 3, qTerms = 8, k = 5),
     "x75_substring_scrub" -> Dedup.substringScrubSql(8),
+    "x76_fuzzy_scrub" -> Dedup.fuzzyScrubSql(3),
   )
 }

@@ -344,6 +344,104 @@ object TextAnalysis {
        |    > CAST('$dupCap' AS DOUBLE) AS repetitive
        |FROM st ORDER BY doc_id""".stripMargin
 
+  /** X3: Gopher-style rule filter (Rae et al. 2021 §A1.1 adapted to
+    * this corpus' shape) — the per-rule verdict table a curation
+    * pipeline audits before dropping documents. Unlike x08's single
+    * verdict, every rule is its own boolean column so rule-level
+    * pass rates can be monitored and thresholds tuned per source:
+    *   r_count — token count within [minTokens, maxTokens]
+    *   r_wlen  — mean word length within [minWlen, maxWlen]
+    *   r_stop  — at least minStop distinct stopwords present
+    *   r_alpha — fraction of tokens containing a letter ≥ minAlpha
+    *   r_rep   — top-unigram mass ≤ repCap (the unigram face of
+    *             Gopher's duplicate-n-gram rules; x35 covers n-grams)
+    * keep = every rule passes. Rules evaluate on the 6dp-rounded
+    * metrics so boundary docs get the same verdict in both dialects.
+    *
+    * Scale shape: one map-only metrics pass (split/intersect/filter
+    * are codegen'd array expressions) plus the top-unigram aggregate
+    * — (doc_id, w) hash count with map-side partials, max per doc,
+    * joined back co-keyed on doc_id. No windows, nothing pairwise.
+    */
+  def gopherRules(docs: DataFrame,
+      minTokens: Int = 50, maxTokens: Int = 100000,
+      minWlen: Double = 3.0, maxWlen: Double = 10.0, minStop: Int = 2,
+      minAlpha: Double = 0.8, repCap: Double = 0.1): DataFrame = {
+    val swArray = stopwords.map(s => s"'$s'").mkString("array(", ", ", ")")
+    val top = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("top_c"))
+    docs
+      .withColumn("t", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("t")))
+      .withColumn("mean_wlen", round(
+        (length(col("text")) - (col("n_tokens") - 1)).cast("double") /
+          col("n_tokens"), 6))
+      .withColumn("stop_hits",
+        size(array_intersect(array_distinct(col("t")),
+          expr(swArray))))
+      .withColumn("alpha_frac", round(
+        expr("size(filter(t, x -> x rlike '[A-Za-z]'))").cast("double") /
+          col("n_tokens"), 6))
+      .join(top, Seq("doc_id"))
+      .withColumn("top_frac",
+        round(col("top_c").cast("double") / col("n_tokens"), 6))
+      .withColumn("r_count",
+        col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens)
+      .withColumn("r_wlen",
+        col("mean_wlen") >= minWlen && col("mean_wlen") <= maxWlen)
+      .withColumn("r_stop", col("stop_hits") >= minStop)
+      .withColumn("r_alpha", col("alpha_frac") >= minAlpha)
+      .withColumn("r_rep", col("top_frac") <= repCap)
+      .select(col("doc_id"), col("n_tokens"), col("mean_wlen"),
+        col("stop_hits"), col("alpha_frac"), col("top_frac"),
+        col("r_count"), col("r_wlen"), col("r_stop"), col("r_alpha"),
+        col("r_rep"),
+        (col("r_count") && col("r_wlen") && col("r_stop") &&
+          col("r_alpha") && col("r_rep")).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  def gopherRulesSql(
+      minTokens: Int = 50, maxTokens: Int = 100000,
+      minWlen: Double = 3.0, maxWlen: Double = 10.0, minStop: Int = 2,
+      minAlpha: Double = 0.8, repCap: Double = 0.1): String = {
+    val swList = stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+    s"""WITH t AS (
+       |  SELECT doc_id, text, string_split(text, ' ') AS toks
+       |  FROM documents
+       |), tc AS (
+       |  SELECT doc_id, w, count(*) AS c
+       |  FROM (SELECT doc_id, unnest(toks) AS w FROM t) GROUP BY 1, 2
+       |), tp AS (
+       |  SELECT doc_id, CAST(max(c) AS BIGINT) AS top_c FROM tc GROUP BY 1
+       |), m AS (
+       |  SELECT t.doc_id, CAST(len(toks) AS INT) AS n_tokens,
+       |    round(CAST(length(text) - (len(toks) - 1) AS DOUBLE)
+       |      / len(toks), 6) AS mean_wlen,
+       |    CAST(len(list_intersect(list_distinct(toks), $swList)) AS INT)
+       |      AS stop_hits,
+       |    round(CAST(len(list_filter(toks,
+       |        x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+       |      / len(toks), 6) AS alpha_frac,
+       |    round(CAST(tp.top_c AS DOUBLE) / len(toks), 6) AS top_frac
+       |  FROM t JOIN tp ON t.doc_id = tp.doc_id
+       |)
+       |SELECT doc_id, n_tokens, mean_wlen, stop_hits, alpha_frac,
+       |  top_frac,
+       |  n_tokens >= $minTokens AND n_tokens <= $maxTokens AS r_count,
+       |  mean_wlen >= $minWlen AND mean_wlen <= $maxWlen AS r_wlen,
+       |  stop_hits >= $minStop AS r_stop,
+       |  alpha_frac >= $minAlpha AS r_alpha,
+       |  top_frac <= $repCap AS r_rep,
+       |  (n_tokens >= $minTokens AND n_tokens <= $maxTokens)
+       |    AND (mean_wlen >= $minWlen AND mean_wlen <= $maxWlen)
+       |    AND stop_hits >= $minStop AND alpha_frac >= $minAlpha
+       |    AND top_frac <= $repCap AS keep
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
   /** PII redaction — the scrub pass every pre-training corpus gets
     * before anything else sees it: emails, phone numbers, and IPv4
     * addresses replaced by typed placeholders, with per-document

@@ -616,6 +616,13 @@ object Extensions {
   private val x76FuzzyScrub: Q = (s, d) =>
     Dedup.fuzzyScrub(Tables.documents(s, d), maxDist = 3)
 
+  /** X3: Gopher-style per-rule quality-filter table — each curation
+    * rule as its own boolean column plus the combined keep verdict.
+    * See TextAnalysis.gopherRules.
+    */
+  private val x77GopherRules: Q = (s, d) =>
+    TextAnalysis.gopherRules(Tables.documents(s, d))
+
   val queries: Map[String, Q] = Map(
     "x01_dedup_exact" -> x01DedupExact,
     "x02_dedup_minhash" -> x02DedupMinhash,
@@ -694,6 +701,7 @@ object Extensions {
     "x74_bm25_topk" -> x74Bm25Topk,
     "x75_substring_scrub" -> x75SubstringScrub,
     "x76_fuzzy_scrub" -> x76FuzzyScrub,
+    "x77_gopher_rules" -> x77GopherRules,
   )
 
   /** The PNG pixel statistics in closed form: the fixture image's
@@ -913,5 +921,6 @@ object Extensions {
       nQueries = 3, qTerms = 8, k = 5),
     "x75_substring_scrub" -> Dedup.substringScrubSql(8),
     "x76_fuzzy_scrub" -> Dedup.fuzzyScrubSql(3),
+    "x77_gopher_rules" -> TextAnalysis.gopherRulesSql(),
   )
 }

@@ -425,4 +425,45 @@ class CurationOpsSpec extends AnyFunSuite {
       r.getAs[Int]("span_end"), r.getAs[Long]("n_dup_grams")))
     assert(d4.toSeq == Seq((0, 7, 2L))) // merged across the k-gap
   }
+
+  test("fuzzy scrub: cluster collapses to its rep, singletons survive") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", "s0"),
+      (2L, "alpha beta gamma delta epsilon zeta", "s0"),
+      (3L, "alpha beta gamma delta epsilon zeta", "s1"),
+      (9L, "utterly different content entirely here now", "s2"))
+      .toDF("doc_id", "text", "source")
+    val out = Dedup.fuzzyScrub(docs, maxDist = 3).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("cluster_size"), r.getAs[Long]("n_dups_removed"),
+          r.getAs[String]("source"))))
+      .toMap
+    assert(out.keySet == Set(1L, 9L)) // docs 2, 3 scrubbed
+    assert(out(1L) == ((3L, 2L, "s0")))
+    assert(out(9L) == ((1L, 0L, "s2")))
+  }
+
+  test("gopher rules: each rule trips on its own pathology") {
+    import spark.implicits._
+    // 60 distinct-ish tokens with stopwords, mean wlen in range
+    val good = (1 to 58).map(i => s"word$i").mkString(" ") + " the a"
+    val short = "the a tiny doc here now"                 // r_count fails
+    val numeric = (1 to 60).map(i => s"$i").mkString(" ") // r_alpha+r_stop fail
+    val repeated = (Seq.fill(55)("dup") ++
+      Seq("the", "a", "word1", "word2", "word3")).mkString(" ") // r_rep fails
+    val docs = Seq((0L, good), (1L, short), (2L, numeric), (3L, repeated))
+      .toDF("doc_id", "text")
+    val rows = graft.llm.TextAnalysis.gopherRules(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(rows(0L).getAs[Boolean]("keep"))
+    assert(!rows(1L).getAs[Boolean]("r_count") &&
+      rows(1L).getAs[Boolean]("r_stop"))
+    assert(!rows(2L).getAs[Boolean]("r_alpha") &&
+      !rows(2L).getAs[Boolean]("r_stop") &&
+      !rows(2L).getAs[Boolean]("keep"))
+    assert(!rows(3L).getAs[Boolean]("r_rep") &&
+      rows(3L).getAs[Double]("top_frac") > 0.9)
+    assert(Seq(1L, 2L, 3L).forall(i => !rows(i).getAs[Boolean]("keep")))
+  }
 }

@@ -48,6 +48,16 @@ object Similarity {
     */
   private def broadcastCosineTopK(emb: DataFrame, q: DataFrame,
       pairFilter: Column, k: Int): DataFrame =
+    broadcastCosineTopKUnsorted(emb, q, pairFilter, k)
+      .orderBy(col("qid"), col("rank"))
+
+  /** The exact-scoring kernel without the presentation sort — for
+    * consumers that aggregate the ranking further (x78 fusion), where
+    * an inner global sort would survive as a pointless coalesced-to-
+    * one-partition range exchange in the composed plan.
+    */
+  private def broadcastCosineTopKUnsorted(emb: DataFrame, q: DataFrame,
+      pairFilter: Column, k: Int): DataFrame =
     emb.crossJoin(broadcast(q))
       .filter(pairFilter)
       .withColumn("cos",
@@ -58,7 +68,14 @@ object Similarity {
       .select(col("qid"), posexplode(col("top")).as(Seq("pos", "hit")))
       .select(col("qid"), (col("pos") + 1).as("rank"),
         col("hit.vec_id").as("vec_id"), col("hit.cos").as("cos"))
-      .orderBy(col("qid"), col("rank"))
+
+  /** The x05 ranking without the final sort (see above). */
+  private[graft] def cosineTopKUnsorted(emb: DataFrame, nQueries: Int,
+      k: Int): DataFrame = {
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    broadcastCosineTopKUnsorted(emb, q, col("vec_id") =!= col("qid"), k)
+  }
 
   private def broadcastCosineTopKSql(qProjection: String, pairPred: String,
       nQueries: Int, k: Int): String =

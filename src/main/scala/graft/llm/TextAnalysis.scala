@@ -865,6 +865,15 @@ object TextAnalysis {
     * streaming drain-time finisher).
     */
   private[graft] def bm25Finish(scored: DataFrame, k: Int): DataFrame =
+    bm25FinishUnsorted(scored, k).orderBy(col("qid"), col("rank"))
+
+  /** bm25Finish without the presentation sort — for consumers that
+    * aggregate the ranking further (x78 fusion): an inner global sort
+    * would survive into the composed plan as a pointless range
+    * exchange (AQE coalesces it to a single partition on bounded
+    * frames, which the plan audit rightly flags).
+    */
+  private[graft] def bm25FinishUnsorted(scored: DataFrame, k: Int): DataFrame =
     scored
       .groupBy(col("qid"), col("doc_id"))
       .agg(sum(col("nano")).as("s"))
@@ -875,7 +884,14 @@ object TextAnalysis {
       .select(col("qid"), (col("pos") + 1).as("rank"),
         col("hit.vec_id").as("doc_id"),
         round(col("hit.cos") / lit(1e9), 6).as("bm25"))
-      .orderBy(col("qid"), col("rank"))
+
+  /** The x74 ranking without the final sort (see bm25FinishUnsorted). */
+  private[graft] def bm25TopKUnsorted(docs: DataFrame, nQueries: Int,
+      qTerms: Int, k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val (postings, stats) = bm25Index(docs)
+    val q = bm25QueryTerms(docs.filter(col("doc_id") < nQueries), qTerms)
+    bm25FinishUnsorted(bm25Score(q, postings, stats, k1, b), k)
+  }
 
   def bm25TopKSql(nQueries: Int, qTerms: Int, k: Int,
       k1: Double = 1.2, b: Double = 0.75): String =

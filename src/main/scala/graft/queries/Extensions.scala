@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.llm.{Bpe, Dedup, HeavyHitters, EventsAnalytics, Importance, LanguageModel, Multimodal, Packing, QualityClassifier, Sampling, Similarity, TextAnalysis}
+import graft.llm.{Bpe, Dedup, HeavyHitters, EventsAnalytics, Importance, LanguageModel, Multimodal, Packing, QualityClassifier, Retrieval, Sampling, Similarity, TextAnalysis}
 
 /** The LLM-data-pipeline extension surface (SURVEY.md §2.9 X1-X5):
   * dedup, similarity search, text analysis, multimodal columns, and
@@ -623,6 +623,14 @@ object Extensions {
   private val x77GopherRules: Q = (s, d) =>
     TextAnalysis.gopherRules(Tables.documents(s, d))
 
+  /** X2/X3': hybrid retrieval — reciprocal-rank fusion of the x74
+    * BM25 ranking and the x05 dense cosine ranking (vec_id ≙ doc_id).
+    * See Retrieval.rrfFusion.
+    */
+  private val x78RrfFusion: Q = (s, d) =>
+    Retrieval.rrfFusion(Tables.documents(s, d), Tables.embeddings(s, d),
+      nQueries = 3, qTerms = 8, perList = 10, k = 5)
+
   val queries: Map[String, Q] = Map(
     "x01_dedup_exact" -> x01DedupExact,
     "x02_dedup_minhash" -> x02DedupMinhash,
@@ -702,6 +710,7 @@ object Extensions {
     "x75_substring_scrub" -> x75SubstringScrub,
     "x76_fuzzy_scrub" -> x76FuzzyScrub,
     "x77_gopher_rules" -> x77GopherRules,
+    "x78_rrf_fusion" -> x78RrfFusion,
   )
 
   /** The PNG pixel statistics in closed form: the fixture image's
@@ -922,5 +931,7 @@ object Extensions {
     "x75_substring_scrub" -> Dedup.substringScrubSql(8),
     "x76_fuzzy_scrub" -> Dedup.fuzzyScrubSql(3),
     "x77_gopher_rules" -> TextAnalysis.gopherRulesSql(),
+    "x78_rrf_fusion" -> Retrieval.rrfFusionSql(
+      nQueries = 3, qTerms = 8, perList = 10, k = 5),
   )
 }

@@ -249,6 +249,9 @@ object PlanAudit {
       // few-KB persisted model table instead of the training branch
       "x70_lm_serve" -> Set("SinglePartition", "BNLJoin"),
       "x42_dsir_weights" -> Set("SinglePartition", "BNLJoin"), // 1-row (Nt, Nr)
+      // inherits x74's 1-row (N, avgdl) stats scalar and x05's
+      // bounded broadcast query vectors through the fusion union
+      "x78_rrf_fusion" -> Set("SinglePartition", "BNLJoin"),
       "x44_heavy_hitters" -> Set("SinglePartition", "BNLJoin"), // 1-row n
       // |sources|-row allocation table: dimension-sized window + 1-row scalars
       "x45_temperature_mix" -> Set("SinglePartition", "BNLJoin"),

@@ -1,0 +1,44 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.llm.Retrieval
+
+/** Semantics of the hybrid RRF fusion (x78): presence in both
+  * modality lists must dominate a good rank in one, the fused score
+  * is the exact integer-nano RRF sum, and the query document never
+  * retrieves itself.
+  */
+class RetrievalSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("rrf: doc in both lists outranks single-list docs; exact score") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "apple banana cherry"),                  // the query doc
+      (5L, "apple banana cherry date"),             // lexical hit
+      (6L, "apple unrelatedone unrelatedtwo"),      // weak lexical hit
+      (7L, "nothing shared here at all"))           // no lexical hit
+      .toDF("doc_id", "text")
+    val emb = Seq(
+      (0L, Array(1f, 0f, 0f)),
+      (5L, Array(1f, 0.05f, 0f)),                   // dense rank 1
+      (6L, Array(0f, 0f, 1f)),                      // orthogonal
+      (7L, Array(0.9f, 0.44f, 0f)))                 // dense rank 2
+      .toDF("vec_id", "embedding")
+    val out = Retrieval.rrfFusion(docs, emb,
+      nQueries = 1, qTerms = 8, perList = 3, k = 4).collect()
+    val ids = out.map(_.getAs[Long]("doc_id")).toSeq
+    assert(!ids.contains(0L))            // self-exclusion survives fusion
+    val bySc = out.map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Double]("rrf")).toMap
+    // doc 5: rank 1 in both lists — 2 * floor(1e9/61) / 1e9 at 6dp
+    assert(bySc(5L) == 0.032787)
+    // doc 6: lex rank 2 + dense rank 3 (everything makes the dense
+    // top-3 here) — floor(1e9/62) + floor(1e9/63)
+    assert(bySc(6L) == 0.032002)
+    // doc 7: dense rank 2 only — its single contribution loses to
+    // doc 6's two worse-ranked ones: both-list presence dominates
+    assert(bySc(7L) == 0.016129)
+    assert(ids == Seq(5L, 6L, 7L))
+  }
+}

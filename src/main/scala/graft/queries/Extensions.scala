@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.llm.{Bpe, Dedup, HeavyHitters, EventsAnalytics, Importance, LanguageModel, Multimodal, Packing, QualityClassifier, Retrieval, Sampling, Similarity, TextAnalysis}
+import graft.llm.{Bpe, Dedup, HeavyHitters, EventsAnalytics, Hll, Importance, LanguageModel, Multimodal, Packing, QualityClassifier, Retrieval, Sampling, Similarity, TextAnalysis}
 
 /** The LLM-data-pipeline extension surface (SURVEY.md §2.9 X1-X5):
   * dedup, similarity search, text analysis, multimodal columns, and
@@ -631,6 +631,14 @@ object Extensions {
     Retrieval.rrfFusion(Tables.documents(s, d), Tables.embeddings(s, d),
       nQueries = 3, qTerms = 8, perList = 10, k = 5)
 
+  /** X4: deterministic HyperLogLog distinct-token sketch per source
+    * plus the merged-corpus row — the mergeable distinct counter of
+    * the sketch family, est-vs-exact self-validating. See
+    * Hll.hllDistinct.
+    */
+  private val x79HllDistinct: Q = (s, d) =>
+    Hll.hllDistinct(Tables.documents(s, d))
+
   val queries: Map[String, Q] = Map(
     "x01_dedup_exact" -> x01DedupExact,
     "x02_dedup_minhash" -> x02DedupMinhash,
@@ -711,6 +719,7 @@ object Extensions {
     "x76_fuzzy_scrub" -> x76FuzzyScrub,
     "x77_gopher_rules" -> x77GopherRules,
     "x78_rrf_fusion" -> x78RrfFusion,
+    "x79_hll_distinct" -> x79HllDistinct,
   )
 
   /** The PNG pixel statistics in closed form: the fixture image's
@@ -933,5 +942,6 @@ object Extensions {
     "x77_gopher_rules" -> TextAnalysis.gopherRulesSql(),
     "x78_rrf_fusion" -> Retrieval.rrfFusionSql(
       nQueries = 3, qTerms = 8, perList = 10, k = 5),
+    "x79_hll_distinct" -> Hll.hllDistinctSql,
   )
 }

@@ -252,6 +252,9 @@ object PlanAudit {
       // inherits x74's 1-row (N, avgdl) stats scalar and x05's
       // bounded broadcast query vectors through the fusion union
       "x78_rrf_fusion" -> Set("SinglePartition", "BNLJoin"),
+      // merged-'ALL' row: 1-row grouping-free corpus aggregate joined
+      // on a constant-folded key (the literal source = 'ALL')
+      "x79_hll_distinct" -> Set("SinglePartition", "BNLJoin"),
       "x44_heavy_hitters" -> Set("SinglePartition", "BNLJoin"), // 1-row n
       // |sources|-row allocation table: dimension-sized window + 1-row scalars
       "x45_temperature_mix" -> Set("SinglePartition", "BNLJoin"),

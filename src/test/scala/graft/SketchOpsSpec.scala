@@ -133,4 +133,39 @@ class SketchOpsSpec extends AnyFunSuite {
       r.getAs[Long]("sz2") == 3L)
     assert(r.getAs[Double]("jaccard") == 0.5)
   }
+
+  test("hll: estimate within the m=256 error envelope on 5k distincts") {
+    import spark.implicits._
+    // 5000 distinct tokens spread over 50 docs — far past the
+    // linear-counting cutover (2.5m = 640), so this exercises the
+    // raw harmonic-mean branch
+    val docs = (0 until 50).map { d =>
+      (d.toLong, (0 until 100).map(i => s"tok${d * 100 + i}")
+        .mkString(" "), "s0")
+    }.toDF("doc_id", "text", "source")
+    val r = graft.llm.Hll.hllDistinct(docs).collect()
+      .map(x => x.getAs[String]("source") -> x).toMap
+    assert(r("s0").getAs[Long]("exact_distinct") == 5000L)
+    // standard error 1.04/sqrt(256) = 6.5%; 3 sigma ~ 20%
+    assert(r("s0").getAs[Double]("rel_err") < 0.2)
+    assert(r("s0").getAs[Long]("zeros") == 0L)
+    // the merged row sketches the identical token set
+    assert(r("ALL").getAs[Double]("hll_est") ==
+      r("s0").getAs[Double]("hll_est"))
+  }
+
+  test("hll: merged row estimates the union of disjoint source vocabs") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, (0 until 2000).map(i => s"a$i").mkString(" "), "sa"),
+      (1L, (0 until 2000).map(i => s"b$i").mkString(" "), "sb"))
+      .toDF("doc_id", "text", "source")
+    val r = graft.llm.Hll.hllDistinct(docs).collect()
+      .map(x => x.getAs[String]("source") -> x).toMap
+    assert(r("ALL").getAs[Long]("exact_distinct") == 4000L)
+    // merged registers must see all 4000, not either side's 2000
+    val est = r("ALL").getAs[Double]("hll_est")
+    assert(est > 3200 && est < 4800)
+    assert(r("ALL").getAs[Double]("rel_err") < 0.2)
+  }
 }

@@ -48,10 +48,16 @@ object Hll {
 
   private val nibbles = "0123456789abcdef"
 
-  def hllDistinct(docs: DataFrame): DataFrame = {
+  /** The per-source register table — (source, idx, reg), ≤ 256 rows
+    * per source. This is the sketch STATE: the batch operator and the
+    * streaming twin both aggregate into exactly this shape (max is
+    * the HLL merge), so a drained streaming register table is
+    * bit-equal to the batch one over the same corpus.
+    */
+  def registers(docs: DataFrame): DataFrame = {
     val tok = docs.select(col("source"),
       explode(split(col("text"), " ")).as("w"))
-    val pos = tok
+    tok
       .withColumn("h", md5(col("w")))
       .withColumn("idx",
         (expr(s"instr('$nibbles', substring(h, 1, 1))") - 1) * 16 +
@@ -67,16 +73,17 @@ object Hll {
               when(col("v") >= 8, 4).when(col("v") >= 4, 3)
                 .when(col("v") >= 2, 2).otherwise(1))))
       .select(col("source"), col("idx"), col("reg"))
-    val regs = pos.groupBy(col("source"), col("idx"))
+      .groupBy(col("source"), col("idx"))
       .agg(max(col("reg")).as("reg"))
+  }
+
+  /** Per-source raw estimate from a register table — (source, zeros,
+    * est), plus the merged 'ALL' row (max-per-register merge of the
+    * per-source registers). Shared verbatim by the batch operator
+    * and the streaming twin's drain-time finisher.
+    */
+  def estimatesFromRegisters(regs: DataFrame): DataFrame = {
     val gregs = regs.groupBy(col("idx")).agg(max(col("reg")).as("reg"))
-      .withColumn("source", lit("ALL"))
-    val exacts = tok.groupBy(col("source"))
-      .agg(count(lit(1)).as("n_tokens"),
-        countDistinct(col("w")).as("exact_distinct"))
-    val gexact = tok
-      .agg(count(lit(1)).as("n_tokens"),
-        countDistinct(col("w")).as("exact_distinct"))
       .withColumn("source", lit("ALL"))
     def estimate(r: DataFrame): DataFrame =
       r.groupBy(col("source"))
@@ -92,8 +99,20 @@ object Hll {
             lit(m.toDouble) * log(lit(m.toDouble) / col("zeros")))
             .otherwise(col("raw")))
         .select(col("source"), col("zeros"), col("est"))
-    estimate(regs).join(exacts, Seq("source"))
-      .unionByName(estimate(gregs).join(broadcast(gexact), Seq("source")))
+    estimate(regs).unionByName(estimate(gregs))
+  }
+
+  def hllDistinct(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("source"),
+      explode(split(col("text"), " ")).as("w"))
+    val exacts = tok.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct(col("w")).as("exact_distinct"))
+      .unionByName(tok
+        .agg(count(lit(1)).as("n_tokens"),
+          countDistinct(col("w")).as("exact_distinct"))
+        .withColumn("source", lit("ALL")))
+    estimatesFromRegisters(registers(docs)).join(exacts, Seq("source"))
       .select(col("source"), col("n_tokens"), col("exact_distinct"),
         col("zeros"), round(col("est"), 4).as("hll_est"),
         round(abs(col("est") - col("exact_distinct")) /

@@ -251,6 +251,26 @@ object DocumentsStream {
   def cmSketchRunning(docs: DataFrame, depth: Int, width: Int): DataFrame =
     graft.llm.HeavyHitters.cmSketch(docs, depth, width)
 
+  /** Running HyperLogLog registers — the streaming half of x79: the
+    * SAME (source, idx) max-register aggregation as the batch
+    * operator (Hll.registers), run COMPLETE-mode over the ingest
+    * token stream. State is ≤ |sources|·256 register rows (bytes,
+    * regardless of feed size), and because max IS the HLL merge the
+    * drained register table is bit-equal to the batch one over the
+    * same corpus; [[hllEstimatesAtDrain]] then produces the x79
+    * estimates through the shared finisher.
+    */
+  def hllRegistersRunning(docs: DataFrame): DataFrame =
+    graft.llm.Hll.registers(docs)
+
+  /** Drain-time finisher: per-source + merged-'ALL' estimates from a
+    * drained register table, identical to the batch x79 estimate
+    * stage (exact-distinct validation columns excluded — exactness
+    * over an unbounded stream is precisely what the sketch replaces).
+    */
+  def hllEstimatesAtDrain(drainedRegs: DataFrame): DataFrame =
+    graft.llm.Hll.estimatesFromRegisters(drainedRegs)
+
   /** Drain-time finisher: point estimates + exact verify from a
     * drained sketch row, identical to the batch x61 output.
     */

@@ -562,4 +562,36 @@ class DocumentsStreamSpec extends AnyFunSuite {
       assert(fromStream == batch)
     } finally q.stop()
   }
+
+  test("running hll registers drain bit-equal to batch; estimates " +
+    "match x79") {
+    val stream = DocumentsStream.readDocuments(spark, docsDir)
+    val q = DocumentsStream.hllRegistersRunning(stream)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("hll_regs_out").start()
+    try {
+      q.processAllAvailable()
+      val drained = spark.sql("SELECT source, idx, reg FROM hll_regs_out")
+      val docs = Tables.documents(spark, sf)
+      // max merges: the drained register table is bit-equal to batch
+      val key = (r: org.apache.spark.sql.Row) =>
+        (r.getAs[String]("source"), r.getAs[Int]("idx"))
+      val batchRegs = graft.llm.Hll.registers(docs).collect()
+        .map(r => key(r) -> r.getAs[Int]("reg")).toMap
+      val gotRegs = drained.collect()
+        .map(r => key(r) -> r.getAs[Int]("reg")).toMap
+      assert(gotRegs == batchRegs)
+      // shared finisher reproduces the x79 estimate columns exactly
+      val fromStream = DocumentsStream.hllEstimatesAtDrain(drained)
+        .collect()
+        .map(r => r.getAs[String]("source") ->
+          ((r.getAs[Long]("zeros"), r.getAs[Double]("est")))).toMap
+      val batchEst = graft.llm.Hll
+        .estimatesFromRegisters(graft.llm.Hll.registers(docs)).collect()
+        .map(r => r.getAs[String]("source") ->
+          ((r.getAs[Long]("zeros"), r.getAs[Double]("est")))).toMap
+      assert(fromStream == batchEst)
+      assert(fromStream.contains("ALL"))
+    } finally q.stop()
+  }
 }

@@ -132,6 +132,130 @@ object Similarity {
       "vec_id AS qid, embedding AS qe, label AS qlabel",
       "e.label <> q.qlabel", nQueries, k)
 
+  /** Symmetric per-vector int8 quantization (the embedding-
+    * compression face of the ANN family): scale = max|v|/127, code_i
+    * = round(v_i/scale) ∈ [-127, 127]. Codes are carried as an
+    * array<double> of exact integers so the fused codegen cosine
+    * kernel applies unchanged — every downstream product and sum
+    * stays EXACTLY representable (|code| ≤ 127, dot ≤ 64·127² ≪ 2^53),
+    * which is what makes the quantized scores engine-order-
+    * independent and oracle-checkable. An all-zero vector quantizes
+    * to the zero code vector (scale 0 guard).
+    */
+  private[graft] def int8Vectors(emb: DataFrame): DataFrame =
+    emb
+      .withColumn("s", expr(
+        "array_max(transform(embedding, x -> abs(cast(x as double)))) / 127"))
+      .withColumn("qv", expr(
+        """CASE WHEN s = 0D THEN transform(embedding, x -> 0D)
+          |ELSE transform(embedding, x -> round(cast(x as double) / s, 0))
+          |END""".stripMargin))
+
+  private def int8Sql: String =
+    s"""sc AS (
+       |  SELECT vec_id, label, embedding,
+       |    list_max(list_transform(embedding,
+       |      x -> abs(CAST(x AS DOUBLE)))) / 127 AS s
+       |  FROM embeddings
+       |), q8 AS (
+       |  SELECT vec_id, label, embedding, s,
+       |    CASE WHEN s = 0 THEN list_transform(embedding,
+       |           x -> CAST(0 AS DOUBLE))
+       |         ELSE list_transform(embedding,
+       |           x -> round(CAST(x AS DOUBLE) / s)) END AS qv
+       |  FROM sc
+       |)""".stripMargin
+
+  /** X2: quantized cosine top-k — the x05 search run entirely on the
+    * int8 codes. The per-vector scales CANCEL in the cosine
+    * (dot·s_q·s_p / (√(n_q)·s_q · √(n_p)·s_p)), so the score is a
+    * pure function of exact integers: deterministic in any engine
+    * and any order. Same 100 TB shape as cosineTopK (broadcast
+    * queries, one corpus pass through the fused kernel, bounded
+    * partial top-k) at one quarter the memory traffic per vector —
+    * which at 100 TB of embeddings is the difference between a
+    * scan that fits in cluster memory and one that doesn't.
+    * Recall vs the float ranking is pinned by spec (x05 comparison).
+    */
+  def int8TopK(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val q8 = int8Vectors(emb)
+    val q = q8.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("qv").as("qq"))
+    q8.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("qcos",
+        round(graft.functions.VectorFunctions
+          .cosine_similarity(col("qv"), col("qq")), 6))
+      .filter(col("qcos").isNotNull) // zero-norm codes drop, not crash
+      .groupBy(col("qid"))
+      .agg(graft.functions.TopK.top_k(k)(col("qcos"), col("vec_id"))
+        .as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("pos", "hit")))
+      .select(col("qid"), (col("pos") + 1).as("rank"),
+        col("hit.vec_id").as("vec_id"), col("hit.cos").as("qcos"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  def int8TopKSql(nQueries: Int, k: Int): String =
+    s"""WITH $int8Sql, prods AS (
+       |  SELECT q.qid, e.vec_id,
+       |         sum(e.qv[i+1] * q.qq[i+1]) AS dot,
+       |         sum(e.qv[i+1] * e.qv[i+1]) AS na,
+       |         sum(q.qq[i+1] * q.qq[i+1]) AS nb
+       |  FROM q8 e
+       |  CROSS JOIN (SELECT vec_id AS qid, qv AS qq FROM q8
+       |              WHERE vec_id < $nQueries) q,
+       |       UNNEST(range(len(e.qv))) AS r(i)
+       |  WHERE e.vec_id <> q.qid
+       |  GROUP BY 1, 2
+       |), scored AS (
+       |  SELECT qid, vec_id, round(dot / (sqrt(na) * sqrt(nb)), 6) AS qcos
+       |  FROM prods WHERE na > 0 AND nb > 0
+       |), ranked AS (
+       |  SELECT qid, vec_id, qcos,
+       |         row_number() OVER (PARTITION BY qid
+       |           ORDER BY qcos DESC, vec_id) AS rank
+       |  FROM scored
+       |)
+       |SELECT qid, CAST(rank AS INT) AS rank, vec_id, qcos
+       |FROM ranked WHERE rank <= $k ORDER BY qid, rank""".stripMargin
+
+  /** X2: quantization-error report — per-label reconstruction MSE and
+    * scale statistics, the monitoring table a pipeline checks before
+    * switching its serving index to int8. One map-only pass (the
+    * per-vector MSE is a sequential fold over the 64 elements) plus a
+    * |labels|-row aggregate.
+    */
+  def int8QuantError(emb: DataFrame): DataFrame =
+    int8Vectors(emb)
+      .withColumn("mse", expr(
+        """aggregate(zip_with(embedding, qv,
+          |  (v, q) -> (cast(v as double) - q * s)
+          |          * (cast(v as double) - q * s)),
+          |  0D, (a, x) -> a + x)""".stripMargin) / size(col("embedding")))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        round(avg(col("s")), 9).as("avg_scale"),
+        round(avg(col("mse")), 12).as("avg_mse"),
+        round(max(col("mse")), 12).as("max_mse"))
+      .orderBy(col("label"))
+
+  def int8QuantErrorSql: String =
+    s"""WITH $int8Sql, err AS (
+       |  SELECT e.vec_id, e.label, e.s,
+       |         sum((CAST(e.embedding[i+1] AS DOUBLE) - e.qv[i+1] * e.s)
+       |           * (CAST(e.embedding[i+1] AS DOUBLE) - e.qv[i+1] * e.s))
+       |           AS sse,
+       |         count(*) AS dim
+       |  FROM q8 e, UNNEST(range(len(e.qv))) AS r(i)
+       |  GROUP BY 1, 2, 3
+       |)
+       |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+       |       round(avg(s), 9) AS avg_scale,
+       |       round(avg(sse / dim), 12) AS avg_mse,
+       |       round(max(sse / dim), 12) AS max_mse
+       |FROM err GROUP BY label ORDER BY label""".stripMargin
+
   /** IVF-style ANN search. Coarse lists come from fixed seed vectors
     * (vec_id < nLists — a trained k-means would replace them; the
     * inverted-file *search* shape is the point): every vector is

@@ -639,6 +639,19 @@ object Extensions {
   private val x79HllDistinct: Q = (s, d) =>
     Hll.hllDistinct(Tables.documents(s, d))
 
+  /** X2: int8-quantized cosine top-k — the x05 search on symmetric
+    * per-vector int8 codes (scales cancel; scores are pure functions
+    * of exact integers). See Similarity.int8TopK.
+    */
+  private val x80Int8TopK: Q = (s, d) =>
+    Similarity.int8TopK(Tables.embeddings(s, d), nQueries = 3, k = 5)
+
+  /** X2: int8 quantization-error report — per-label reconstruction
+    * MSE / scale statistics. See Similarity.int8QuantError.
+    */
+  private val x81Int8Error: Q = (s, d) =>
+    Similarity.int8QuantError(Tables.embeddings(s, d))
+
   val queries: Map[String, Q] = Map(
     "x01_dedup_exact" -> x01DedupExact,
     "x02_dedup_minhash" -> x02DedupMinhash,
@@ -720,6 +733,8 @@ object Extensions {
     "x77_gopher_rules" -> x77GopherRules,
     "x78_rrf_fusion" -> x78RrfFusion,
     "x79_hll_distinct" -> x79HllDistinct,
+    "x80_int8_topk" -> x80Int8TopK,
+    "x81_int8_error" -> x81Int8Error,
   )
 
   /** The PNG pixel statistics in closed form: the fixture image's
@@ -943,5 +958,7 @@ object Extensions {
     "x78_rrf_fusion" -> Retrieval.rrfFusionSql(
       nQueries = 3, qTerms = 8, perList = 10, k = 5),
     "x79_hll_distinct" -> Hll.hllDistinctSql,
+    "x80_int8_topk" -> Similarity.int8TopKSql(nQueries = 3, k = 5),
+    "x81_int8_error" -> Similarity.int8QuantErrorSql,
   )
 }

@@ -259,6 +259,8 @@ object PlanAudit {
       // |sources|-row allocation table: dimension-sized window + 1-row scalars
       "x45_temperature_mix" -> Set("SinglePartition", "BNLJoin"),
       "x05_cosine_topk" -> Set("BNLJoin"), // 5 broadcast query vectors
+      // same bounded broadcast-query shape as x05, on int8 codes
+      "x80_int8_topk" -> Set("BNLJoin"),
       "x49_hard_negatives" -> Set("BNLJoin"), // 5 broadcast anchor vectors
       // inherits x41's 1-row (N, V) LM scalar shapes
       "x51_ppl_buckets" -> Set("SinglePartition", "BNLJoin"),

@@ -294,6 +294,50 @@ object Dedup {
        |FROM pairs WHERE bit_count(xor(s1, s2)) <= $maxDist
        |ORDER BY d1, d2""".stripMargin
 
+  /** Map-only 32-bit simhash — bit-identical to simhash32Signatures
+    * but computed with array expressions instead of the per-doc
+    * groupBy (bit j set iff strictly more distinct-token hashes have
+    * it set than not, same threshold). This is the SERVING form: a
+    * streaming arrival gets its signature in the projection, no
+    * stateful aggregation, so ingest-time dedup stays stateless.
+    */
+  def simhashSignatureMapOnly(docs: DataFrame): DataFrame = {
+    val bits = (0 until 32).map { j =>
+      s"CASE WHEN 2 * size(filter(vs, v -> (v div ${1L << j}) % 2 = 1))" +
+        s" > size(vs) THEN ${1L << j} ELSE 0 END"
+    }.mkString(" + ")
+    docs
+      .withColumn("vs", expr("transform(array_distinct(split(text, ' ')), " +
+        s"w -> ${hash32Expr("instr", "w")})"))
+      .withColumn("simhash", expr(s"CAST($bits AS BIGINT)"))
+      .drop("vs")
+  }
+
+  /** Frozen serving model for ingest-time fuzzy dedup: the x76
+    * survivors' banded signature buckets — (band, nib, rep_id,
+    * rep_sim), capped per bucket with the same BoundedMinK the batch
+    * pair machinery uses, so a skewed bucket can never make a single
+    * arrival's probe unbounded.
+    */
+  def repSignatureBuckets(docs: DataFrame, maxDist: Int,
+      bucketCap: Int = 64): DataFrame = {
+    val reps = fuzzyScrub(docs, maxDist, bucketCap).select(col("doc_id"))
+    simhash32Signatures(docs).join(reps, "doc_id")
+      .select(col("doc_id"), col("simhash"),
+        explode(expr("array(0, 1, 2, 3, 4, 5, 6, 7)")).as("band"))
+      .withColumn("nib",
+        expr("(simhash div shiftleft(1L, 4 * band)) % 16"))
+      .groupBy(col("band"), col("nib"))
+      .agg(graft.functions.MinK.bounded_min_k(bucketCap)(
+        col("doc_id") * lit(4294967296L) + col("simhash")).as("ps"))
+      .select(col("band"), col("nib"), explode(expr(
+        """transform(ps, p -> struct(p div 4294967296 AS rep_id,
+          |                          p % 4294967296 AS rep_sim))"""
+          .stripMargin)).as("r"))
+      .select(col("band"), col("nib"), col("r.rep_id").as("rep_id"),
+        col("r.rep_sim").as("rep_sim"))
+  }
+
   /** X1 cluster resolution: connected components over a near-dup pair
     * graph — the final stage of a dedup pipeline (pairs say "these
     * two are dups"; the cluster's minimum doc_id becomes the

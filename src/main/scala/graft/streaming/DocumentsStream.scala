@@ -279,6 +279,46 @@ object DocumentsStream {
     graft.llm.HeavyHitters.cmEstimatesFromCells(batchDocs,
       graft.llm.HeavyHitters.cmSketchCells(drainedSketch), depth, width)
 
+  /** Ingest-time fuzzy dedup — the streaming half of x76: each
+    * arrival's map-only simhash (no stateful aggregation) probes the
+    * frozen rep-signature buckets (Dedup.repSignatureBuckets) through
+    * a stream-static banded join; a Hamming match ≤ maxDist against a
+    * kept representative means the frozen corpus already keeps this
+    * content. Emits one (doc_id, rep_id, dist) row per matching
+    * band (dedup at drain via [[fuzzyVerdictsAtDrain]]); per-arrival
+    * cost ≤ 8 · bucketCap rows regardless of corpus size.
+    *
+    * Scope is the same as the x75 twin's: ingest-time flags DIRECT
+    * near-dups of kept representatives (a crawl re-serving known
+    * content). A member that joins a cluster only through a CHAIN of
+    * pairwise links needs the batch CC pass — that is what the batch
+    * x33/x76 run is for.
+    */
+  def fuzzyMatchesOnIngest(docs: DataFrame, buckets: DataFrame,
+      maxDist: Int): DataFrame =
+    graft.llm.Dedup.simhashSignatureMapOnly(docs)
+      .select(col("doc_id"), col("simhash"),
+        explode(expr("array(0, 1, 2, 3, 4, 5, 6, 7)")).as("band"))
+      .withColumn("nib",
+        expr("(simhash div shiftleft(1L, 4 * band)) % 16"))
+      .join(buckets, Seq("band", "nib"))
+      .withColumn("dist", expr("cast(bit_count(simhash ^ rep_sim) as int)"))
+      .filter(col("dist") <= maxDist)
+      .select(col("doc_id"), col("rep_id"), col("dist"))
+
+  /** Drain-time finisher: one verdict row per arrival — kept iff no
+    * match surfaced, else the nearest (dist, rep_id) match.
+    */
+  def fuzzyVerdictsAtDrain(arrivals: DataFrame,
+      matches: DataFrame): DataFrame = {
+    val best = matches
+      .groupBy(col("doc_id"))
+      .agg(min(struct(col("dist"), col("rep_id"))).as("b"))
+    arrivals.select(col("doc_id")).join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("b").isNull.as("kept"),
+        col("b.rep_id").as("rep_id"), col("b.dist").as("dist"))
+  }
+
   /** Stateless near-dup candidate flagging on ingest — the stream
     * half of the shingle-bucket family (x04 Jaccard / x62
     * containment): each arrival's 3-gram shingles route through a

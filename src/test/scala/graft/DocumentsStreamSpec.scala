@@ -563,6 +563,54 @@ class DocumentsStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("ingest-time fuzzy dedup: re-served content drops against the " +
+    "frozen rep buckets, novel arrivals keep") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", "s0"),
+      (2L, "alpha beta gamma delta epsilon zeta", "s0"),
+      (3L, "alpha beta gamma delta epsilon zeta", "s1"),
+      (9L, "utterly different content entirely here now", "s2"))
+      .toDF("doc_id", "text", "source")
+    // the serving signature must be bit-equal to the batch groupBy form
+    val mapOnly = graft.llm.Dedup.simhashSignatureMapOnly(corpus)
+      .select("doc_id", "simhash").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batchSig = graft.llm.Dedup.simhash32Signatures(corpus)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(mapOnly == batchSig)
+    val buckets = graft.llm.Dedup.repSignatureBuckets(corpus, maxDist = 3)
+    // reps: 1 (cluster {1,2,3}) and 9 (singleton) — members 2, 3 absent
+    assert(buckets.select("rep_id").distinct().collect()
+      .map(_.getLong(0)).toSet == Set(1L, 9L))
+    val dir = java.nio.file.Files.createTempDirectory("fuzzy-ingest")
+    Seq(
+      (101L, "alpha beta gamma delta epsilon zeta", "en", "s9", 35L),
+      (102L, "wholly novel arrival content nothing matches", "en", "s9",
+        44L),
+      (103L, "utterly different content entirely here now", "en", "s9",
+        43L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(dir.toString)
+    val q = DocumentsStream.fuzzyMatchesOnIngest(
+        DocumentsStream.readDocuments(spark, dir.toString), buckets,
+        maxDist = 3)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("fuzzy_ingest_out").start()
+    try {
+      q.processAllAvailable()
+      val verdicts = DocumentsStream.fuzzyVerdictsAtDrain(
+          spark.read.parquet(dir.toString),
+          spark.sql("SELECT * FROM fuzzy_ingest_out"))
+        .collect()
+        .map(r => r.getLong(0) ->
+          ((r.getBoolean(1), Option(r.get(2))))).toMap
+      assert(!verdicts(101L)._1 && verdicts(101L)._2 == Some(1L))
+      assert(verdicts(102L)._1 && verdicts(102L)._2.isEmpty)
+      assert(!verdicts(103L)._1 && verdicts(103L)._2 == Some(9L))
+    } finally q.stop()
+  }
+
   test("running hll registers drain bit-equal to batch; estimates " +
     "match x79") {
     val stream = DocumentsStream.readDocuments(spark, docsDir)

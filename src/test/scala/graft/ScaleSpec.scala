@@ -585,4 +585,66 @@ class ScaleSpec extends AnyFunSuite {
     assert(fp < n / 100, s"fp=$fp")
     assert(secs < 180, s"took ${secs}s")
   }
+
+  test("2M-vector int8 top-k: map-only quantization, cluster recovery") {
+    import spark.implicits._
+    // 4 well-separated clusters in 8-D with deterministic jitter
+    // (no RNG): within-cluster cosine ~0.998, cross ~0.01, far past
+    // the int8 quantization noise — the top-3 of every query must
+    // come from its own cluster (id % 4)
+    val n = 2_000_000L
+    val dims = (0 until 8).map(j =>
+      (when(col("id") % 4 === j % 4, 4.0).otherwise(0.0) +
+        ((col("id") * (j + 3)) % 11).cast("double") * 0.02)
+        .cast("float"))
+    val emb = spark.range(n).select(col("id").as("vec_id"),
+      array(dims: _*).as("embedding"))
+    val t0 = System.nanoTime()
+    val top = graft.llm.Similarity.int8TopK(emb, nQueries = 4, k = 3)
+    val rows = top.collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"2M vectors int8 top-3: ${secs}%.1f s")
+    assert(rows.length == 12)
+    rows.foreach { r =>
+      val (qid, vecId, c) = (r.getLong(0), r.getLong(2), r.getDouble(3))
+      assert(vecId % 4 == qid % 4, s"qid=$qid vec=$vecId")
+      assert(c > 0.99, s"qid=$qid qcos=$c")
+    }
+    val plan = top.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "rank window leaked back")
+    assert(plan.contains("ObjectHashAggregate"), plan.take(500))
+    assert(secs < 120, s"took ${secs}s")
+  }
+
+  test("10M-token hll: register state stays bounded, estimates track " +
+    "a ~1.25M-distinct stream") {
+    import spark.implicits._
+    // 1M docs x 10 tokens over 4 sources; token ids cover the
+    // residue space mod 1.25M, so every source sees far more
+    // distincts than the 640-value linear-counting cutover — this
+    // exercises the raw harmonic-mean branch at scale
+    val n = 1_000_000L
+    val docs = spark.range(n).select(
+      col("id").as("doc_id"),
+      concat_ws(" ", (0 until 10).map(j =>
+        concat(lit("t"), ((col("id") * 10 + j) % 1250000)
+          .cast("string"))): _*).as("text"),
+      concat(lit("src"), (col("id") % 4).cast("string")).as("source"))
+    val t0 = System.nanoTime()
+    val regs = graft.llm.Hll.registers(docs)
+    val nRegs = regs.count()
+    val out = graft.llm.Hll.hllDistinct(docs).collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"10M tokens hll: ${secs}%.1f s, $nRegs register rows")
+    // sketch state: at most |sources| * 256 registers, period
+    assert(nRegs <= 4 * 256, s"$nRegs register rows")
+    assert(out.length == 5) // 4 sources + ALL
+    out.foreach { r =>
+      val err = r.getAs[Double]("rel_err")
+      assert(err < 0.2,
+        s"${r.getAs[String]("source")} rel_err=$err")
+      assert(r.getAs[Long]("zeros") == 0L) // saturated registers
+    }
+    assert(secs < 180, s"took ${secs}s")
+  }
 }

@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over `documents` (SURVEY.md §2.9 X3):
@@ -441,6 +441,121 @@ object TextAnalysis {
        |    AND top_frac <= $repCap AS keep
        |FROM m ORDER BY doc_id""".stripMargin
   }
+
+  /** X3: per-source distribution-drift monitor — Population
+    * Stability Index of each source's token distribution against the
+    * corpus-wide one, over the top-`v` corpus tokens plus an OTHER
+    * residual bucket (the standard PSI binning). The table a
+    * curation pipeline watches to catch a source whose crawl
+    * changed character: PSI < 0.1 stable, 0.1–0.25 drifting, > 0.25
+    * shifted (the conventional thresholds, emitted as a verdict).
+    *
+    * term_i = (p_i − q_i)·ln(p_i'/q_i') with p' = max(p, 1e-9)
+    * (sources missing a bucket contribute a finite penalty instead
+    * of −∞). Terms quantize to integer nano-units before the
+    * per-source sum (the DSIR/BM25 idiom) so the 21-term total is
+    * exact in any engine order.
+    *
+    * Scale shape: two token hash aggregates (corpus and per-source
+    * counts, map-side partials), a vocabulary-bounded top-v sort, and
+    * a |sources|×v grid built from broadcast bounded dimension
+    * frames. Nothing scans the corpus twice; no windows.
+    */
+  def psiDrift(docs: DataFrame, v: Int = 20): DataFrame = {
+    val tok = docs.select(col("source"),
+      explode(split(col("text"), " ")).as("w"))
+    val cw = tok.groupBy(col("w")).agg(count(lit(1)).as("cq"))
+    val topv = cw.orderBy(col("cq").desc, col("w")).limit(v)
+    val nTot = cw.agg(sum(col("cq")).as("nq"))
+    val sw = tok.groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("cp"))
+    val ns = tok.groupBy(col("source")).agg(count(lit(1)).as("np"))
+    val grid = ns.crossJoin(broadcast(topv))
+      .join(sw, Seq("source", "w"), "left")
+      .na.fill(0L, Seq("cp"))
+      .crossJoin(broadcast(nTot))
+    val p = col("cp").cast("double") / col("np")
+    val q = col("cq").cast("double") / col("nq")
+    def term(pc: Column, qc: Column): Column =
+      round((pc - qc) *
+        log(greatest(pc, lit(1e-9)) / greatest(qc, lit(1e-9))) * 1e9, 0)
+        .cast("long")
+    val perTok = grid.select(col("source"), col("np"), col("nq"),
+      col("cp"), col("cq"), term(p, q).as("nano"))
+    val other = perTok.groupBy(col("source"))
+      .agg(sum(col("nano")).as("top_nano"),
+        max(col("np")).as("np"), max(col("nq")).as("nq"),
+        sum(col("cp")).as("cp_top"), sum(col("cq")).as("cq_top"))
+      .withColumn("p_other",
+        (col("np") - col("cp_top")).cast("double") / col("np"))
+      .withColumn("q_other",
+        (col("nq") - col("cq_top")).cast("double") / col("nq"))
+      .withColumn("psi",
+        (col("top_nano") + term(col("p_other"), col("q_other")))
+          .cast("double") / 1e9)
+    other.select(col("source"), round(col("psi"), 6).as("psi"),
+        round(col("p_other"), 6).as("p_other"),
+        round(col("q_other"), 6).as("q_other"),
+        when(col("psi") < 0.1, "stable")
+          .when(col("psi") < 0.25, "drifting")
+          .otherwise("shifted").as("verdict"))
+      .orderBy(col("source"))
+  }
+
+  def psiDriftSql(v: Int = 20): String =
+    s"""WITH tok AS MATERIALIZED (
+       |  SELECT source, unnest(string_split(text, ' ')) AS w
+       |  FROM documents
+       |), cw AS (
+       |  SELECT w, count(*) AS cq FROM tok GROUP BY 1
+       |), topv AS (
+       |  SELECT w, cq FROM (
+       |    SELECT w, cq, row_number()
+       |      OVER (ORDER BY cq DESC, w) AS rk FROM cw
+       |  ) WHERE rk <= $v
+       |), ntot AS (SELECT CAST(sum(cq) AS BIGINT) AS nq FROM cw),
+       |sw AS (
+       |  SELECT source, w, count(*) AS cp FROM tok GROUP BY 1, 2
+       |), ns AS (
+       |  SELECT source, count(*) AS np FROM tok GROUP BY 1
+       |), grid AS (
+       |  SELECT ns.source, ns.np, ntot.nq, topv.w, topv.cq,
+       |         COALESCE(sw.cp, 0) AS cp
+       |  FROM ns CROSS JOIN topv CROSS JOIN ntot
+       |  LEFT JOIN sw ON sw.source = ns.source AND sw.w = topv.w
+       |), pertok AS (
+       |  SELECT source, np, nq, cp, cq,
+       |    CAST(round((CAST(cp AS DOUBLE) / np - CAST(cq AS DOUBLE) / nq)
+       |      * ln(greatest(CAST(cp AS DOUBLE) / np, 1e-9)
+       |          / greatest(CAST(cq AS DOUBLE) / nq, 1e-9)) * 1e9)
+       |      AS BIGINT) AS nano
+       |  FROM grid
+       |), agg AS (
+       |  SELECT source, CAST(sum(nano) AS BIGINT) AS top_nano,
+       |         max(np) AS np, max(nq) AS nq,
+       |         CAST(sum(cp) AS BIGINT) AS cp_top,
+       |         CAST(sum(cq) AS BIGINT) AS cq_top
+       |  FROM pertok GROUP BY 1
+       |), fin AS (
+       |  SELECT source,
+       |    CAST(np - cp_top AS DOUBLE) / np AS p_other,
+       |    CAST(nq - cq_top AS DOUBLE) / nq AS q_other,
+       |    top_nano
+       |  FROM agg
+       |), psis AS (
+       |  SELECT source,
+       |    CAST(top_nano + CAST(round((p_other - q_other)
+       |        * ln(greatest(p_other, 1e-9) / greatest(q_other, 1e-9))
+       |        * 1e9) AS BIGINT) AS DOUBLE) / 1e9 AS psi,
+       |    p_other, q_other
+       |  FROM fin
+       |)
+       |SELECT source, round(psi, 6) AS psi,
+       |  round(p_other, 6) AS p_other, round(q_other, 6) AS q_other,
+       |  CASE WHEN psi < 0.1 THEN 'stable'
+       |       WHEN psi < 0.25 THEN 'drifting'
+       |       ELSE 'shifted' END AS verdict
+       |FROM psis ORDER BY source""".stripMargin
 
   /** PII redaction — the scrub pass every pre-training corpus gets
     * before anything else sees it: emails, phone numbers, and IPv4

@@ -652,6 +652,13 @@ object Extensions {
   private val x81Int8Error: Q = (s, d) =>
     Similarity.int8QuantError(Tables.embeddings(s, d))
 
+  /** X3: per-source PSI drift monitor against the corpus token
+    * distribution (top-20 buckets + OTHER). See
+    * TextAnalysis.psiDrift.
+    */
+  private val x82PsiDrift: Q = (s, d) =>
+    TextAnalysis.psiDrift(Tables.documents(s, d))
+
   val queries: Map[String, Q] = Map(
     "x01_dedup_exact" -> x01DedupExact,
     "x02_dedup_minhash" -> x02DedupMinhash,
@@ -735,6 +742,7 @@ object Extensions {
     "x79_hll_distinct" -> x79HllDistinct,
     "x80_int8_topk" -> x80Int8TopK,
     "x81_int8_error" -> x81Int8Error,
+    "x82_psi_drift" -> x82PsiDrift,
   )
 
   /** The PNG pixel statistics in closed form: the fixture image's
@@ -960,5 +968,6 @@ object Extensions {
     "x79_hll_distinct" -> Hll.hllDistinctSql,
     "x80_int8_topk" -> Similarity.int8TopKSql(nQueries = 3, k = 5),
     "x81_int8_error" -> Similarity.int8QuantErrorSql,
+    "x82_psi_drift" -> TextAnalysis.psiDriftSql(),
   )
 }

@@ -261,6 +261,9 @@ object PlanAudit {
       "x05_cosine_topk" -> Set("BNLJoin"), // 5 broadcast query vectors
       // same bounded broadcast-query shape as x05, on int8 codes
       "x80_int8_topk" -> Set("BNLJoin"),
+      // 1-row corpus token total + limit-bounded top-v broadcast into
+      // the |sources|×v grid
+      "x82_psi_drift" -> Set("SinglePartition", "BNLJoin"),
       "x49_hard_negatives" -> Set("BNLJoin"), // 5 broadcast anchor vectors
       // inherits x41's 1-row (N, V) LM scalar shapes
       "x51_ppl_buckets" -> Set("SinglePartition", "BNLJoin"),

@@ -134,6 +134,30 @@ class SketchOpsSpec extends AnyFunSuite {
     assert(r.getAs[Double]("jaccard") == 0.5)
   }
 
+  test("psi drift: a skewed source trips 'shifted', matching sources " +
+    "stay stable, missing buckets penalize finitely") {
+    import spark.implicits._
+    // s0/s1 carry the corpus-typical mix and dominate the corpus
+    // baseline; s2 is one small all-'zonly' doc — its distribution
+    // has diverged from the (mostly-typical) corpus and must trip
+    // the 0.25 threshold with a finite psi even though it misses
+    // every top bucket
+    val typical = (0 until 10).map(i => s"w$i").mkString(" ")
+    val docs = ((0 until 10).map(i => (i.toLong, typical, "s0")) ++
+      (10 until 20).map(i => (i.toLong, typical, "s1")) :+
+      ((20L, Seq.fill(10)("zonly").mkString(" "), "s2")))
+      .toDF("doc_id", "text", "source")
+    val r = graft.llm.TextAnalysis.psiDrift(docs, v = 8).collect()
+      .map(x => x.getAs[String]("source") ->
+        ((x.getAs[Double]("psi"), x.getAs[String]("verdict")))).toMap
+    assert(r("s0")._2 == "stable" && r("s0")._1 < 0.1)
+    assert(r("s1")._2 == "stable")
+    assert(r("s2")._2 == "shifted" && r("s2")._1 > 0.25)
+    assert(!r("s2")._1.isInfinite && !r("s2")._1.isNaN)
+    // s0 and s1 are identical mixes: identical psi
+    assert(r("s0")._1 == r("s1")._1)
+  }
+
   test("hll: estimate within the m=256 error envelope on 5k distincts") {
     import spark.implicits._
     // 5000 distinct tokens spread over 50 docs — far past the

@@ -559,6 +559,49 @@ object Dedup {
        |FROM ranked r JOIN documents d USING (doc_id)
        |WHERE r.rk = 1 ORDER BY r.doc_id""".stripMargin
 
+  /** X1: leakage-safe train/val/test splits — the split assignment a
+    * training pipeline must use instead of hashing doc ids: hashing
+    * per-document lets two near-duplicates straddle train and test,
+    * which silently inflates eval scores (the test set "leaks" into
+    * training). Here every document inherits the split of its
+    * near-dup CLUSTER (md5 of the x33 component id, mod 100 →
+    * test / val / train bands), so a cluster is atomic across
+    * splits: either all its copies train or none do.
+    *
+    * Scale shape: the x33 CC machinery (endpoint-bounded rounds) plus
+    * one map-only hash projection — no new exchanges beyond the
+    * cluster resolution itself.
+    */
+  def leakageSafeSplits(docs: DataFrame, maxDist: Int,
+      bucketCap: Int = 64, testPct: Int = 10, valPct: Int = 10)
+      : DataFrame = {
+    val pairs = simhashNearDup(docs, maxDist, bucketCap)
+      .select(col("d1"), col("d2"))
+    connectedComponents(docs.select(col("doc_id")), pairs)
+      .withColumn("bucket",
+        expr(hash32Expr("instr", "cast(component AS string)")) % 100)
+      .withColumn("split",
+        when(col("bucket") < testPct, "test")
+          .when(col("bucket") < testPct + valPct, "val")
+          .otherwise("train"))
+      .select(col("doc_id"), col("component"), col("bucket"), col("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle: the x33 CC fixpoint + the identical md5-band hash. */
+  def leakageSafeSplitsSql(maxDist: Int, bucketCap: Int = 64,
+      testPct: Int = 10, valPct: Int = 10): String =
+    s"""${repsCtes(maxDist, bucketCap)}
+       |SELECT doc_id, component,
+       |  ${hash32Expr("strpos", "CAST(component AS VARCHAR)")} % 100
+       |    AS bucket,
+       |  CASE WHEN ${hash32Expr("strpos", "CAST(component AS VARCHAR)")}
+       |         % 100 < $testPct THEN 'test'
+       |       WHEN ${hash32Expr("strpos", "CAST(component AS VARCHAR)")}
+       |         % 100 < ${testPct + valPct} THEN 'val'
+       |       ELSE 'train' END AS split
+       |FROM comp ORDER BY doc_id""".stripMargin
+
   /** X1 span-level exact dedup (Lee et al.-style "deduplicating
     * training data" at sub-document granularity): chunk every
     * document into fixed `span`-token windows, keep each distinct

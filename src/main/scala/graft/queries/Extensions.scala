@@ -659,6 +659,12 @@ object Extensions {
   private val x82PsiDrift: Q = (s, d) =>
     TextAnalysis.psiDrift(Tables.documents(s, d))
 
+  /** X1: leakage-safe splits — every near-dup cluster is atomic
+    * across train/val/test. See Dedup.leakageSafeSplits.
+    */
+  private val x83LeakageSplits: Q = (s, d) =>
+    Dedup.leakageSafeSplits(Tables.documents(s, d), maxDist = 3)
+
   val queries: Map[String, Q] = Map(
     "x01_dedup_exact" -> x01DedupExact,
     "x02_dedup_minhash" -> x02DedupMinhash,
@@ -743,6 +749,7 @@ object Extensions {
     "x80_int8_topk" -> x80Int8TopK,
     "x81_int8_error" -> x81Int8Error,
     "x82_psi_drift" -> x82PsiDrift,
+    "x83_leakage_splits" -> x83LeakageSplits,
   )
 
   /** The PNG pixel statistics in closed form: the fixture image's
@@ -969,5 +976,6 @@ object Extensions {
     "x80_int8_topk" -> Similarity.int8TopKSql(nQueries = 3, k = 5),
     "x81_int8_error" -> Similarity.int8QuantErrorSql,
     "x82_psi_drift" -> TextAnalysis.psiDriftSql(),
+    "x83_leakage_splits" -> Dedup.leakageSafeSplitsSql(3),
   )
 }

@@ -444,6 +444,29 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(out(9L) == ((1L, 0L, "s2")))
   }
 
+  test("leakage-safe splits: cluster members are atomic across splits") {
+    import spark.implicits._
+    // identical trio = one cluster; 60 distinct singletons give the
+    // hash bands enough mass to populate more than one split
+    val trio = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "alpha beta gamma delta epsilon zeta"))
+    val singles = (10 until 70).map(i =>
+      (i.toLong, (0 until 8).map(j => s"tok${i}_$j").mkString(" ")))
+    val docs = (trio ++ singles).toDF("doc_id", "text")
+    val out = Dedup.leakageSafeSplits(docs, maxDist = 3).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("component"), r.getAs[String]("split")))).toMap
+    // the trio shares one component and therefore ONE split
+    assert(out(1L)._1 == out(2L)._1 && out(2L)._1 == out(3L)._1)
+    assert(out(1L)._2 == out(2L)._2 && out(2L)._2 == out(3L)._2)
+    // bands actually split the corpus, with train the majority
+    val bySplit = out.values.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(bySplit.keySet.size >= 2)
+    assert(bySplit.getOrElse("train", 0) > bySplit.getOrElse("test", 0))
+  }
+
   test("gopher rules: each rule trips on its own pathology") {
     import spark.implicits._
     // 60 distinct-ish tokens with stopwords, mean wlen in range

@@ -60,6 +60,167 @@ object Retrieval {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** X2': MMR diversified re-ranking (Carbonell & Goldstein 1998) —
+    * greedy selection of k results from the bounded cosine candidate
+    * list maximizing λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s): the
+    * standard fix for a dense top-k that returns five near-copies of
+    * the same answer. Step 1 takes the most relevant candidate;
+    * every later step penalizes similarity to what is already
+    * selected.
+    *
+    * Scale shape: the expensive work is the x05 bounded top-`perList`
+    * search (broadcast queries, one corpus pass, partial top-k); the
+    * greedy itself runs per query over ≤ perList candidates inside
+    * one `flatMapGroups` — group size is bounded by CONSTRUCTION
+    * (the candidate list is the bounded aggregate's output), so the
+    * typed group step holds at any corpus size.
+    *
+    * Determinism across engines: relevances are the 6dp-rounded x05
+    * cosines, pairwise sims round at 6dp the same way, and every
+    * greedy comparison happens on ⌊score·1e9⌉ integers (round half
+    * away from zero — the same arithmetic the SQL oracle's unrolled
+    * argmax chain computes), ties to the lowest id.
+    */
+  def mmrTopK(emb: DataFrame, nQueries: Int, perList: Int, k: Int,
+      lambda: Double = 0.7): DataFrame = {
+    val om = 1.0 - lambda // the exact double the SQL literal reproduces
+    val session = emb.sparkSession
+    import session.implicits._
+    val cand = Similarity.cosineTopKUnsorted(emb, nQueries, perList)
+      .select(col("qid"), col("vec_id"), col("cos"))
+      .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .select(col("qid"), col("vec_id"), col("cos"), col("embedding"))
+      .as[(Long, Long, Double, Array[Float])]
+    def round6(x: Double): Double =
+      BigDecimal.valueOf(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    def cos6(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      round6(d / (math.sqrt(na) * math.sqrt(nb)))
+    }
+    // DuckDB round(): half away from zero on the same double product
+    def nano(x: Double): Long = {
+      val y = x * 1e9
+      (if (y >= 0) math.floor(y + 0.5) else math.ceil(y - 0.5)).toLong
+    }
+    cand.groupByKey(_._1)
+      .flatMapGroups { (qid, it) =>
+        val cs = it.map { case (_, id, rel, e) =>
+          (id, rel, e.map(_.toDouble)) }.toArray
+          .sortBy { case (id, rel, _) => (-rel, id) }
+        val picks = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Long, Array[Double])] // (id, scoreNano, emb)
+        while (picks.size < k && picks.size < cs.length) {
+          val best =
+            if (picks.isEmpty) {
+              val h = cs.head
+              (h._1, nano(lambda * h._2), h._3)
+            } else {
+              val chosen = picks.map(_._1).toSet
+              cs.iterator.filterNot(c => chosen(c._1)).map { c =>
+                val maxSim = picks.iterator.map(p => cos6(c._3, p._3)).max
+                (c._1, nano(lambda * c._2 - om * maxSim), c._3)
+              }.reduceLeft { (a, b) =>
+                if (b._2 > a._2 || (b._2 == a._2 && b._1 < a._1)) b else a
+              }
+            }
+          picks += best
+        }
+        picks.iterator.zipWithIndex.map { case ((id, sn, _), i) =>
+          // 6dp output derived from the integer nanos (half away from
+          // zero in integer space) — round(sn/1e9, 6) would hit the
+          // engines' double-tie divergence when sn ends in 500
+          val m = if (sn >= 0) (sn + 500) / 1000 else -((-sn + 500) / 1000)
+          (qid, i + 1, id, m.toDouble / 1e6)
+        }
+      }
+      .toDF("qid", "sel_rank", "vec_id", "mmr")
+      .orderBy(col("qid"), col("sel_rank"))
+  }
+
+  /** Oracle: the x05 candidate list + pairwise sims, with the greedy
+    * unrolled into k chained argmax CTEs (a window per step over the
+    * ≤ perList-row candidate frame — fine in DuckDB; the engine side
+    * deliberately avoids per-step plans). Arithmetic mirrors the
+    * engine exactly: 6dp sims, ⌊score·1e9⌉ comparisons, id ties.
+    */
+  def mmrTopKSql(nQueries: Int, perList: Int, k: Int,
+      lambda: Double = 0.7): String = {
+    require(k >= 2, "unrolled oracle expects k >= 2")
+    val om = java.lang.Double.toString(1.0 - lambda)
+    val lam = java.lang.Double.toString(lambda)
+    def simJoins(t: Int): String = (1 until t).map(j =>
+      s"  JOIN sims m$j ON m$j.qid = c.qid AND m$j.i1 = c.id" +
+        s" AND m$j.i2 = x.p$j").mkString("\n")
+    def carry(t: Int): String = (1 until t).map(j =>
+      s"x.p$j, x.n$j").mkString(", ")
+    val stepCtes = (2 to k).map { t =>
+      val maxSim =
+        if (t == 2) "m1.sim"
+        else (1 until t).map(j => s"m$j.sim").mkString("greatest(", ", ", ")")
+      val notIn = (1 until t).map(j => s"x.p$j").mkString(", ")
+      s"""sel$t AS (
+         |  SELECT qid, ${(1 until t).map(j => s"p$j, n$j").mkString(", ")},
+         |         id AS p$t, sn AS n$t
+         |  FROM (
+         |    SELECT *, row_number()
+         |      OVER (PARTITION BY qid ORDER BY sn DESC, id) AS rk
+         |    FROM (
+         |      SELECT c.qid, ${carry(t)}, c.id,
+         |        CAST(round(($lam * c.rel - $om * $maxSim) * 1e9)
+         |          AS BIGINT) AS sn
+         |      FROM cand c
+         |      JOIN sel${t - 1} x USING (qid)
+         |${simJoins(t)}
+         |      WHERE c.id NOT IN ($notIn)
+         |    )
+         |  ) WHERE rk = 1
+         |)""".stripMargin
+    }.mkString(",\n")
+    // 6dp output from the integer nanos (half away from zero in
+    // integer space), mirroring the engine exactly
+    def mmrOut(n: String): String =
+      s"CAST(CASE WHEN $n >= 0 THEN ($n + 500) // 1000" +
+        s" ELSE -((-$n + 500) // 1000) END AS DOUBLE) / 1e6"
+    val outArms = (1 to k).map(t =>
+      s"SELECT qid, $t AS sel_rank, p$t AS vec_id," +
+        s" ${mmrOut(s"n$t")} AS mmr FROM sel$k")
+      .mkString("\n  UNION ALL ")
+    s"""WITH cand AS MATERIALIZED (
+       |  SELECT t.qid, t.vec_id AS id, t.cos AS rel, e.embedding
+       |  FROM (${Similarity.cosineTopKSql(nQueries, perList)}) t
+       |  JOIN embeddings e ON e.vec_id = t.vec_id
+       |), sims AS MATERIALIZED (
+       |  SELECT a.qid, a.id AS i1, b.id AS i2,
+       |    round(sum(CAST(a.embedding[i+1] AS DOUBLE)
+       |              * CAST(b.embedding[i+1] AS DOUBLE))
+       |      / (sqrt(sum(CAST(a.embedding[i+1] AS DOUBLE)
+       |                  * CAST(a.embedding[i+1] AS DOUBLE)))
+       |       * sqrt(sum(CAST(b.embedding[i+1] AS DOUBLE)
+       |                  * CAST(b.embedding[i+1] AS DOUBLE)))), 6)
+       |      AS sim
+       |  FROM cand a JOIN cand b ON a.qid = b.qid AND a.id <> b.id,
+       |       UNNEST(range(len(a.embedding))) AS r(i)
+       |  GROUP BY 1, 2, 3
+       |), sel1 AS (
+       |  SELECT qid, id AS p1,
+       |    CAST(round($lam * rel * 1e9) AS BIGINT) AS n1
+       |  FROM (
+       |    SELECT qid, id, rel, row_number()
+       |      OVER (PARTITION BY qid ORDER BY rel DESC, id) AS rk
+       |    FROM cand
+       |  ) WHERE rk = 1
+       |),
+       |$stepCtes
+       |SELECT qid, CAST(sel_rank AS INT) AS sel_rank, vec_id, mmr
+       |FROM (
+       |  $outArms
+       |) ORDER BY qid, sel_rank""".stripMargin
+  }
+
   /** Oracle: the x74 and x05 oracle pipelines verbatim as scoped
     * subqueries, fused with the identical integer-nano arithmetic.
     */

@@ -665,6 +665,13 @@ object Extensions {
   private val x83LeakageSplits: Q = (s, d) =>
     Dedup.leakageSafeSplits(Tables.documents(s, d), maxDist = 3)
 
+  /** X2': MMR diversified re-ranking over the x05 candidate list —
+    * greedy λ·rel − (1−λ)·max-sim selection. See Retrieval.mmrTopK.
+    */
+  private val x84MmrRerank: Q = (s, d) =>
+    Retrieval.mmrTopK(Tables.embeddings(s, d),
+      nQueries = 3, perList = 10, k = 5)
+
   val queries: Map[String, Q] = Map(
     "x01_dedup_exact" -> x01DedupExact,
     "x02_dedup_minhash" -> x02DedupMinhash,
@@ -750,6 +757,7 @@ object Extensions {
     "x81_int8_error" -> x81Int8Error,
     "x82_psi_drift" -> x82PsiDrift,
     "x83_leakage_splits" -> x83LeakageSplits,
+    "x84_mmr_rerank" -> x84MmrRerank,
   )
 
   /** The PNG pixel statistics in closed form: the fixture image's
@@ -977,5 +985,7 @@ object Extensions {
     "x81_int8_error" -> Similarity.int8QuantErrorSql,
     "x82_psi_drift" -> TextAnalysis.psiDriftSql(),
     "x83_leakage_splits" -> Dedup.leakageSafeSplitsSql(3),
+    "x84_mmr_rerank" -> Retrieval.mmrTopKSql(
+      nQueries = 3, perList = 10, k = 5),
   )
 }

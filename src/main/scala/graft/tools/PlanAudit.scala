@@ -264,6 +264,8 @@ object PlanAudit {
       // 1-row corpus token total + limit-bounded top-v broadcast into
       // the |sources|×v grid
       "x82_psi_drift" -> Set("SinglePartition", "BNLJoin"),
+      // inherits x05's bounded broadcast query vectors (candidate gen)
+      "x84_mmr_rerank" -> Set("BNLJoin"),
       "x49_hard_negatives" -> Set("BNLJoin"), // 5 broadcast anchor vectors
       // inherits x41's 1-row (N, V) LM scalar shapes
       "x51_ppl_buckets" -> Set("SinglePartition", "BNLJoin"),

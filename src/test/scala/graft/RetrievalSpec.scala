@@ -1,7 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import graft.llm.Retrieval
+import graft.llm.{Retrieval, Similarity}
 
 /** Semantics of the hybrid RRF fusion (x78): presence in both
   * modality lists must dominate a good rank in one, the fused score
@@ -40,5 +40,42 @@ class RetrievalSpec extends AnyFunSuite {
     // doc 6's two worse-ranked ones: both-list presence dominates
     assert(bySc(7L) == 0.016129)
     assert(ids == Seq(5L, 6L, 7L))
+  }
+
+  test("mmr: diversification beats a redundant second pick at lambda=0.5") {
+    import spark.implicits._
+    // a1/a2/a3 are near-copies aligned with the query; b is less
+    // relevant but diverse. Plain top-2 returns (a1, a2); MMR at
+    // lambda=0.5 must return (a1, b): a2's redundancy penalty
+    // (~0.5·1.0) exceeds its relevance edge over b.
+    // 3-D so b can diverge from the a-cluster's plane: score(a2) =
+    // 0.5·0.990 − 0.5·0.999 ≈ −0.005 < score(b) = 0.5·0.6 − 0.5·0.597
+    val emb = Seq(
+      (0L, Array(1f, 0f, 0f), 0),            // query
+      (10L, Array(0.995f, 0.1f, 0f), 0),     // a1
+      (11L, Array(0.99f, 0.14f, 0f), 0),     // a2
+      (12L, Array(0.985f, 0.17f, 0f), 0),    // a3
+      (20L, Array(0.6f, 0f, 0.8f), 1))       // b — diverse
+      .toDF("vec_id", "embedding", "label")
+    val plain = Similarity.cosineTopK(emb, nQueries = 1, k = 2)
+      .collect().map(_.getAs[Long]("vec_id")).toSeq
+    assert(plain == Seq(10L, 11L))
+    val mmr = Retrieval.mmrTopK(emb, nQueries = 1, perList = 4, k = 2,
+        lambda = 0.5)
+      .collect().map(_.getAs[Long]("vec_id")).toSeq
+    assert(mmr == Seq(10L, 20L))
+  }
+
+  test("mmr: equal candidates tie-break to the lowest id at every step") {
+    import spark.implicits._
+    val same = Array(0.9f, 0.44f)
+    val emb = Seq(
+      (0L, Array(1f, 0f), 0),
+      (30L, same, 0), (31L, same, 0), (32L, same, 0))
+      .toDF("vec_id", "embedding", "label")
+    val mmr = Retrieval.mmrTopK(emb, nQueries = 1, perList = 3, k = 3)
+      .collect().map(r =>
+        (r.getAs[Int]("sel_rank"), r.getAs[Long]("vec_id")))
+    assert(mmr.toSeq == Seq((1, 30L), (2, 31L), (3, 32L)))
   }
 }

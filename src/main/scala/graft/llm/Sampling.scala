@@ -123,7 +123,8 @@ object Sampling {
     * the only input, so the finisher costs nothing at any corpus
     * size).
     */
-  def allocations(cnt: DataFrame, budget: Int, tau: Double): DataFrame = {
+  def allocations(cnt: DataFrame, budget: Int, tau: Double,
+      keyCol: String = "source"): DataFrame = {
     val z = cnt.agg(round(sum(pow(col("cnt"), lit(tau))), 9).as("z"))
     val quota = cnt.crossJoin(broadcast(z))
       .withColumn("q",
@@ -133,12 +134,12 @@ object Sampling {
     val spent = quota.agg(sum(col("base")).as("sb"))
     quota
       .withColumn("rrk", row_number().over(
-        Window.orderBy(col("rem").desc, col("source"))))
+        Window.orderBy(col("rem").desc, col(keyCol))))
       .crossJoin(broadcast(spent))
       .withColumn("alloc",
         (col("base") + when(col("rrk") <= lit(budget) - col("sb"), 1L)
           .otherwise(0L)).cast("int"))
-      .select(col("source"), col("alloc"))
+      .select(col(keyCol), col("alloc"))
   }
 
   def temperatureMixSql(budget: Int, tau: Double = 0.7): String =

@@ -1116,18 +1116,24 @@ object Similarity {
     * first marking — shared by [[semanticDedup]] (in-query training)
     * and [[semanticDedupServe]] (persisted model).
     */
-  private def semanticDedupFrom(emb: DataFrame, centroids: DataFrame,
-      threshold: Double, clusterCap: Int): DataFrame = {
-    // argmax as ONE hash aggregate (min over struct(−cos, cid) ≡
-    // ORDER BY cos DESC, cid) — map-side partial per vector, no
-    // rank-window sort of the |emb|·k crossed rows
-    val assigned = emb.crossJoin(broadcast(centroids))
+  /** Broadcast-centroid argmax assignment — ONE hash aggregate (min
+    * over struct(−cos, cid) ≡ ORDER BY cos DESC, cid), map-side
+    * partial per vector, no rank-window sort of the |emb|·k crossed
+    * rows. Shared by x57/x68 (dedup) and x85 (cluster sampling).
+    */
+  private[graft] def assignToCentroids(emb: DataFrame,
+      centroids: DataFrame): DataFrame =
+    emb.crossJoin(broadcast(centroids))
       .withColumn("c", round(graft.functions.VectorFunctions
         .cosine_similarity(col("embedding"), col("ce")), 6))
       .groupBy(col("vec_id"))
       .agg(min(struct((-col("c")).as("nc"), col("__cid").as("cid")))
         .as("b"))
       .select(col("vec_id"), col("b.cid").as("cid"))
+
+  private def semanticDedupFrom(emb: DataFrame, centroids: DataFrame,
+      threshold: Double, clusterCap: Int): DataFrame = {
+    val assigned = assignToCentroids(emb, centroids)
     val pairs = assigned.groupBy(col("cid"))
       .agg(graft.functions.MinK.bounded_min_k(clusterCap)(col("vec_id"))
         .as("vs"))
@@ -1154,18 +1160,90 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
-  def semanticDedupSql(k: Int, threshold: Double,
-      clusterCap: Int = 256, trainIters: Int = 0,
-      trainTarget: Long = 0): String = {
-    def cos(a: String, b: String): String = sqlCos(a, b)
-    s"""WITH ${kmeansCtesSql(k, trainIters, trainTarget)}, assigned AS (
+  /** The argmax-assignment CTE over the kmeansCtesSql outputs —
+    * shared by the x57 and x85 oracles.
+    */
+  private def assignedCteSql(trainIters: Int): String =
+    s"""assigned AS (
        |  SELECT vec_id, cid FROM (
        |    SELECT d.vec_id, c.cid,
        |      row_number() OVER (PARTITION BY d.vec_id
-       |        ORDER BY ${cos("d.e", "c.ce")} DESC, c.cid) AS rn
+       |        ORDER BY ${sqlCos("d.e", "c.ce")} DESC, c.cid) AS rn
        |    FROM dbl d CROSS JOIN c$trainIters c)
        |  WHERE rn = 1
-       |), small AS (
+       |)""".stripMargin
+
+  /** X2: cluster-balanced sampling — the data-mixing face of the
+    * trained-centroid family: per-cluster quotas ∝ size^tau with
+    * largest-remainder rounding (the x45 temperature arithmetic,
+    * keyed on semantic clusters instead of sources), members chosen
+    * by deterministic md5 rank within each cluster. tau < 1
+    * deliberately over-samples small clusters — the standard
+    * counter to web-scale corpora where a few dominant modes drown
+    * the tail (cf. cluster-balanced data selection; same family as
+    * DSIR/SemDeDup pipelines).
+    *
+    * Scale shape: the trained-centroid assignment (broadcast ≤k
+    * centroids, one corpus pass), a k-row allocation frame, and the
+    * per-cluster rank window (k partitions — the x45 posture; swap
+    * for OrderedRank if k must grow past the executor count).
+    */
+  def clusterSample(emb: DataFrame, k: Int, budget: Int,
+      tau: Double = 0.5, trainIters: Int = 1,
+      trainTarget: Long = 250): DataFrame = {
+    val centroids =
+      localized(kmeansCentroids(emb, k, trainIters, trainTarget))
+    val assigned = assignToCentroids(emb, centroids)
+    val cnt = assigned.groupBy(col("cid")).agg(count(lit(1)).as("cnt"))
+    val alloc = Sampling.allocations(cnt, budget, tau, keyCol = "cid")
+    val w = Window.partitionBy(col("cid"))
+      .orderBy(expr("md5(cast(vec_id as string))"))
+    assigned
+      .withColumn("rk", row_number().over(w))
+      .join(alloc, Seq("cid"))
+      .filter(col("rk") <= col("alloc"))
+      .select(col("cid"), col("rk"), col("alloc"), col("vec_id"))
+      .orderBy(col("cid"), col("rk"))
+  }
+
+  def clusterSampleSql(k: Int, budget: Int, tau: Double = 0.5,
+      trainIters: Int = 1, trainTarget: Long = 250): String =
+    s"""WITH ${kmeansCtesSql(k, trainIters, trainTarget)},
+       |${assignedCteSql(trainIters)}, cnt AS (
+       |  SELECT cid, count(*) AS cnt FROM assigned GROUP BY 1
+       |), z AS (
+       |  SELECT round(sum(pow(cnt, $tau)), 9) AS z FROM cnt
+       |), quota AS (
+       |  SELECT cid, round($budget * pow(cnt, $tau) / z, 9) AS q
+       |  FROM cnt CROSS JOIN z
+       |), qb AS (
+       |  SELECT cid, CAST(floor(q) AS BIGINT) AS base,
+       |         q - floor(q) AS rem
+       |  FROM quota
+       |), spent AS (
+       |  SELECT CAST(sum(base) AS BIGINT) AS sb FROM qb
+       |), alloc AS (
+       |  SELECT cid, CAST(base + (CASE WHEN rrk <= $budget - sb
+       |    THEN 1 ELSE 0 END) AS INT) AS alloc
+       |  FROM (SELECT cid, base, rem,
+       |          row_number() OVER (ORDER BY rem DESC, cid) AS rrk
+       |        FROM qb) CROSS JOIN spent
+       |), ranked AS (
+       |  SELECT cid, vec_id, CAST(row_number() OVER (
+       |    PARTITION BY cid
+       |    ORDER BY md5(CAST(vec_id AS VARCHAR))) AS INT) AS rk
+       |  FROM assigned
+       |)
+       |SELECT CAST(r.cid AS BIGINT) AS cid, r.rk, a.alloc, r.vec_id
+       |FROM ranked r JOIN alloc a USING (cid)
+       |WHERE r.rk <= a.alloc
+       |ORDER BY cid, rk""".stripMargin
+
+  def semanticDedupSql(k: Int, threshold: Double,
+      clusterCap: Int = 256, trainIters: Int = 0,
+      trainTarget: Long = 0): String = {
+    s"""WITH ${kmeansCtesSql(k, trainIters, trainTarget)},
+       |${assignedCteSql(trainIters)}, small AS (
        |  SELECT cid FROM assigned GROUP BY cid
        |  HAVING count(*) <= $clusterCap
        |), dropped AS (
@@ -1175,7 +1253,7 @@ object Similarity {
        |  JOIN assigned b ON a.cid = b.cid AND a.vec_id < b.vec_id
        |  JOIN dbl ea ON ea.vec_id = a.vec_id
        |  JOIN dbl eb ON eb.vec_id = b.vec_id
-       |  WHERE ${cos("ea.e", "eb.e")} >= $threshold
+       |  WHERE ${sqlCos("ea.e", "eb.e")} >= $threshold
        |)
        |SELECT a.vec_id, CAST(a.cid AS BIGINT) AS cid,
        |       (d.vec_id IS NOT NULL) AS is_dup

@@ -672,6 +672,14 @@ object Extensions {
     Retrieval.mmrTopK(Tables.embeddings(s, d),
       nQueries = 3, perList = 10, k = 5)
 
+  /** X2: cluster-balanced sampling over trained semantic clusters —
+    * size^tau quotas with largest-remainder rounding. See
+    * Similarity.clusterSample.
+    */
+  private val x85ClusterSample: Q = (s, d) =>
+    Similarity.clusterSample(Tables.embeddings(s, d),
+      k = 8, budget = 100)
+
   val queries: Map[String, Q] = Map(
     "x01_dedup_exact" -> x01DedupExact,
     "x02_dedup_minhash" -> x02DedupMinhash,
@@ -758,6 +766,7 @@ object Extensions {
     "x82_psi_drift" -> x82PsiDrift,
     "x83_leakage_splits" -> x83LeakageSplits,
     "x84_mmr_rerank" -> x84MmrRerank,
+    "x85_cluster_sample" -> x85ClusterSample,
   )
 
   /** The PNG pixel statistics in closed form: the fixture image's
@@ -987,5 +996,7 @@ object Extensions {
     "x83_leakage_splits" -> Dedup.leakageSafeSplitsSql(3),
     "x84_mmr_rerank" -> Retrieval.mmrTopKSql(
       nQueries = 3, perList = 10, k = 5),
+    "x85_cluster_sample" -> Similarity.clusterSampleSql(
+      k = 8, budget = 100),
   )
 }

@@ -266,6 +266,9 @@ object PlanAudit {
       "x82_psi_drift" -> Set("SinglePartition", "BNLJoin"),
       // inherits x05's bounded broadcast query vectors (candidate gen)
       "x84_mmr_rerank" -> Set("BNLJoin"),
+      // x45's allocation shapes keyed on clusters: 1-row z/spent
+      // scalars + k-row remainder window + LocalRelation centroids
+      "x85_cluster_sample" -> Set("SinglePartition", "BNLJoin"),
       "x49_hard_negatives" -> Set("BNLJoin"), // 5 broadcast anchor vectors
       // inherits x41's 1-row (N, V) LM scalar shapes
       "x51_ppl_buckets" -> Set("SinglePartition", "BNLJoin"),

@@ -467,6 +467,31 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(bySplit.getOrElse("train", 0) > bySplit.getOrElse("test", 0))
   }
 
+  test("cluster sample: quotas sum to budget, tau<1 over-samples the " +
+    "small cluster") {
+    import spark.implicits._
+    // 90 vectors near +x, 10 near +y: two clean clusters. tau=0.5
+    // quotas ~ sqrt(90):sqrt(10) = 15:5 on budget 20 — the small
+    // cluster gets 25%, far above its 10% proportional share
+    val vecs = (0 until 100).map { i =>
+      val big = i < 90
+      (i.toLong, Array(
+        (if (big) 4.0 else 0.0) + (i % 5) * 0.02,
+        (if (big) 0.0 else 4.0) + (i % 7) * 0.02).map(_.toFloat), 0)
+    }
+    val emb = vecs.toDF("vec_id", "embedding", "label")
+    val out = graft.llm.Similarity.clusterSample(emb, k = 2,
+      budget = 20, tau = 0.5, trainIters = 1, trainTarget = 0).collect()
+    assert(out.length == 20) // quotas sum exactly to the budget
+    val byCid = out.groupBy(_.getAs[Long]("cid")).view
+      .mapValues(_.map(_.getAs[Long]("vec_id")).toSet).toMap
+    assert(byCid.size == 2)
+    val (smallCid, smallIds) = byCid.minBy(_._2.size)
+    assert(smallIds.size == 5, s"small cluster got ${smallIds.size}")
+    // and the small-cluster picks really are the +y vectors
+    assert(smallIds.forall(_ >= 90L), s"$smallCid -> $smallIds")
+  }
+
   test("gopher rules: each rule trips on its own pathology") {
     import spark.implicits._
     // 60 distinct-ish tokens with stopwords, mean wlen in range

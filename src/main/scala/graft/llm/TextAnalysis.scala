@@ -363,15 +363,11 @@ object TextAnalysis {
     * — (doc_id, w) hash count with map-side partials, max per doc,
     * joined back co-keyed on doc_id. No windows, nothing pairwise.
     */
-  def gopherRules(docs: DataFrame,
-      minTokens: Int = 50, maxTokens: Int = 100000,
-      minWlen: Double = 3.0, maxWlen: Double = 10.0, minStop: Int = 2,
-      minAlpha: Double = 0.8, repCap: Double = 0.1): DataFrame = {
+  /** The shared base metrics (everything except top_frac, which the
+    * batch and serving forms compute differently).
+    */
+  private def gopherBase(docs: DataFrame): DataFrame = {
     val swArray = stopwords.map(s => s"'$s'").mkString("array(", ", ", ")")
-    val top = docs
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id")).agg(max(col("c")).as("top_c"))
     docs
       .withColumn("t", split(col("text"), " "))
       .withColumn("n_tokens", size(col("t")))
@@ -384,9 +380,16 @@ object TextAnalysis {
       .withColumn("alpha_frac", round(
         expr("size(filter(t, x -> x rlike '[A-Za-z]'))").cast("double") /
           col("n_tokens"), 6))
-      .join(top, Seq("doc_id"))
-      .withColumn("top_frac",
-        round(col("top_c").cast("double") / col("n_tokens"), 6))
+  }
+
+  /** Rule verdicts from the rounded metrics — shared verbatim by the
+    * batch operator and the streaming twin, so ingest-time keeps are
+    * exactly the batch keeps.
+    */
+  private def gopherVerdicts(df: DataFrame,
+      minTokens: Int, maxTokens: Int, minWlen: Double, maxWlen: Double,
+      minStop: Int, minAlpha: Double, repCap: Double): DataFrame =
+    df
       .withColumn("r_count",
         col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens)
       .withColumn("r_wlen",
@@ -400,8 +403,44 @@ object TextAnalysis {
         col("r_rep"),
         (col("r_count") && col("r_wlen") && col("r_stop") &&
           col("r_alpha") && col("r_rep")).as("keep"))
+
+  def gopherRules(docs: DataFrame,
+      minTokens: Int = 50, maxTokens: Int = 100000,
+      minWlen: Double = 3.0, maxWlen: Double = 10.0, minStop: Int = 2,
+      minAlpha: Double = 0.8, repCap: Double = 0.1): DataFrame = {
+    val top = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("top_c"))
+    gopherVerdicts(
+      gopherBase(docs)
+        .join(top, Seq("doc_id"))
+        .withColumn("top_frac",
+          round(col("top_c").cast("double") / col("n_tokens"), 6)),
+      minTokens, maxTokens, minWlen, maxWlen, minStop, minAlpha, repCap)
       .orderBy(col("doc_id"))
   }
+
+  /** The SERVING form of x77 — identical verdicts from one map-only
+    * projection: the top-unigram count comes from an array fold over
+    * the row's own tokens (O(distinct·n) per document) instead of the
+    * corpus-keyed aggregate, so a streaming arrival is scored with
+    * ZERO state and no shuffle. Values are bit-identical to the
+    * batch operator's (same counts, same rounding).
+    */
+  def gopherRulesMapOnly(docs: DataFrame,
+      minTokens: Int = 50, maxTokens: Int = 100000,
+      minWlen: Double = 3.0, maxWlen: Double = 10.0, minStop: Int = 2,
+      minAlpha: Double = 0.8, repCap: Double = 0.1): DataFrame =
+    gopherVerdicts(
+      gopherBase(docs)
+        .withColumn("top_c", expr(
+          """array_max(transform(array_distinct(t),
+            |  w -> size(filter(t, x -> x = w))))""".stripMargin)
+          .cast("long"))
+        .withColumn("top_frac",
+          round(col("top_c").cast("double") / col("n_tokens"), 6)),
+      minTokens, maxTokens, minWlen, maxWlen, minStop, minAlpha, repCap)
 
   def gopherRulesSql(
       minTokens: Int = 50, maxTokens: Int = 100000,

@@ -279,6 +279,15 @@ object DocumentsStream {
     graft.llm.HeavyHitters.cmEstimatesFromCells(batchDocs,
       graft.llm.HeavyHitters.cmSketchCells(drainedSketch), depth, width)
 
+  /** Stateless Gopher-rule filtering on ingest — the streaming half
+    * of x77: one map-only projection per arrival (the top-unigram
+    * stat folds over the row's own token array instead of the batch
+    * corpus aggregate), rule verdicts shared verbatim with the batch
+    * operator, so the stream keeps exactly the batch keep-set.
+    */
+  def gopherRulesOnIngest(docs: DataFrame): DataFrame =
+    graft.llm.TextAnalysis.gopherRulesMapOnly(docs)
+
   /** Ingest-time fuzzy dedup — the streaming half of x76: each
     * arrival's map-only simhash (no stateful aggregation) probes the
     * frozen rep-signature buckets (Dedup.repSignatureBuckets) through

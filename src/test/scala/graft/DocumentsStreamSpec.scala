@@ -563,6 +563,26 @@ class DocumentsStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming gopher rules reproduce the batch verdict table " +
+    "bit-for-bit") {
+    val stream = DocumentsStream.readDocuments(spark, docsDir)
+    val q = DocumentsStream.gopherRulesOnIngest(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("gopher_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql("SELECT * FROM gopher_out").collect()
+        .map(_.toSeq).toSet
+      val batch = graft.llm.TextAnalysis
+        .gopherRules(Tables.documents(spark, sf)).collect()
+        .map(_.toSeq).toSet
+      assert(got == batch)
+      // the fixture corpus actually splits on the verdicts
+      assert(spark.sql("SELECT DISTINCT keep FROM gopher_out")
+        .count() == 2)
+    } finally q.stop()
+  }
+
   test("ingest-time fuzzy dedup: re-served content drops against the " +
     "frozen rep buckets, novel arrivals keep") {
     import spark.implicits._

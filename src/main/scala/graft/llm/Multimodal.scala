@@ -157,6 +157,143 @@ object Multimodal {
         .cast("int").as("crop_y"))
   }
 
+  /** 63-bit perceptual hash (aHash) from REAL decoded pixels: an 8×8
+    * sampled grid (x = ⌊i·w/8⌋, y = ⌊j·h/8⌋; cell (7,7) dropped so
+    * the hash never touches the sign bit — signed-64 portability
+    * across engines), bit(i,j) set iff 63·g ≥ Σg (the mean test in
+    * exact integer arithmetic). PNG is lossless and the fixture
+    * pixels are closed-form, so the DuckDB oracle reproduces the
+    * identical hash from [[pixel]]/[[pngDims]] arithmetic without
+    * decoding anything. Corrupt payloads drop (no row), the
+    * [[PngDecoder]] convention.
+    */
+  def pHash(spark: SparkSession, pngs: DataFrame): DataFrame = {
+    import spark.implicits._
+    javax.imageio.ImageIO.setUseCache(false)
+    pngs.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, payload) =>
+          val img =
+            try javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(payload))
+            catch { case scala.util.control.NonFatal(_) => null }
+          if (img == null) None
+          else {
+            val w = img.getWidth
+            val h = img.getHeight
+            val gs = new Array[Int](64)
+            var s = 0L
+            var k = 0
+            while (k < 63) {
+              val i = k / 8
+              val j = k % 8
+              val g = img.getRGB(i * w / 8, j * h / 8) & 0xff
+              gs(k) = g
+              s += g
+              k += 1
+            }
+            var ph = 0L
+            k = 0
+            while (k < 63) {
+              if (63L * gs(k) >= s) ph |= 1L << k
+              k += 1
+            }
+            Some((id, ph))
+          }
+        }
+      }
+      .toDF("doc_id", "ph")
+  }
+
+  /** X4: perceptual-hash image near-dup pairs — the media face of the
+    * dedup family: images whose sampled luminance PATTERN matches
+    * (aHash Hamming ≤ maxDist) pair up, regardless of absolute
+    * brightness (a constant shift moves every sample and the mean
+    * together, so the bits — and the hash — are unchanged). The
+    * fixture corpus genuinely clusters: documents sharing a
+    * dimension class whose pixel windows don't wrap mod 256 hash
+    * identically.
+    *
+    * Scale shape: the simhash LSH layout on a 63-bit hash — 4
+    * 16-bit bands, cap-and-drop BoundedMinK buckets (an over-full
+    * band is non-discriminative; no member list ever materializes),
+    * pair enumeration inside surviving buckets, distinct across
+    * bands, Hamming filter via two co-keyed hash joins. Decode cost
+    * is one mapPartitions pass over the media bytes.
+    */
+  def phashPairs(spark: SparkSession, docs: DataFrame, maxDist: Int,
+      bucketCap: Int = 64): DataFrame = {
+    val ph = pHash(spark, encodePng(spark, docs))
+    val buckets = ph
+      .select(col("doc_id"), col("ph"),
+        explode(expr("array(0, 1, 2, 3)")).as("band"))
+      .withColumn("key",
+        expr("(ph div shiftleft(1L, 16 * band)) % 65536"))
+      .groupBy(col("band"), col("key"))
+      .agg(graft.functions.MinK.bounded_min_k(bucketCap)(col("doc_id"))
+        .as("ds"))
+      .filter(size(col("ds")) > 0)
+    buckets
+      .select(explode(expr(
+        """flatten(transform(ds, (x, i) ->
+          |  transform(slice(ds, i + 2, size(ds)),
+          |            y -> struct(x AS d1, y AS d2))))""".stripMargin))
+        .as("p"))
+      .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
+      .distinct()
+      .join(ph.select(col("doc_id").as("d1"), col("ph").as("p1")), "d1")
+      .join(ph.select(col("doc_id").as("d2"), col("ph").as("p2")), "d2")
+      .withColumn("dist", expr("cast(bit_count(p1 ^ p2) as int)"))
+      .filter(col("dist") <= maxDist)
+      .select(col("d1"), col("d2"), col("dist"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  /** Oracle: the identical hash from the closed-form fixture
+    * arithmetic — dims from pngDims, samples from pixel(), the same
+    * 63·g ≥ Σg bit rule, band buckets, cap, and Hamming filter.
+    */
+  def phashPairsSql(maxDist: Int, bucketCap: Int = 64): String =
+    s"""WITH dims AS (
+       |  SELECT doc_id, CAST(4 + doc_id % 5 AS BIGINT) AS w,
+       |         CAST(3 + doc_id % 4 AS BIGINT) AS h
+       |  FROM documents
+       |), cells AS (
+       |  SELECT doc_id, CAST(8 * i + j AS INT) AS k,
+       |    (doc_id * 31 + ((i * w) // 8) * 7 + ((j * h) // 8) * 13) % 256
+       |      AS g
+       |  FROM dims, UNNEST(range(8)) r1(i), UNNEST(range(8)) r2(j)
+       |  WHERE NOT (i = 7 AND j = 7)
+       |), ph AS (
+       |  SELECT doc_id,
+       |    CAST(sum(CASE WHEN 63 * g >= s
+       |      THEN (CAST(1 AS BIGINT) << k) ELSE 0 END) AS BIGINT) AS ph
+       |  FROM (SELECT doc_id, k, g,
+       |          sum(g) OVER (PARTITION BY doc_id) AS s
+       |        FROM cells)
+       |  GROUP BY 1
+       |), buck AS (
+       |  SELECT band, (ph // (CAST(1 AS BIGINT) << (16 * band))) % 65536
+       |           AS key, doc_id
+       |  FROM ph, UNNEST([0, 1, 2, 3]) b(band)
+       |), ok AS (
+       |  SELECT band, key FROM buck GROUP BY 1, 2
+       |  HAVING count(*) <= $bucketCap
+       |), pairs AS (
+       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM buck a
+       |  JOIN ok USING (band, key)
+       |  JOIN buck b ON a.band = b.band AND a.key = b.key
+       |              AND a.doc_id < b.doc_id
+       |)
+       |SELECT p.d1, p.d2,
+       |       CAST(bit_count(xor(h1.ph, h2.ph)) AS INT) AS dist
+       |FROM pairs p
+       |JOIN ph h1 ON h1.doc_id = p.d1
+       |JOIN ph h2 ON h2.doc_id = p.d2
+       |WHERE bit_count(xor(h1.ph, h2.ph)) <= $maxDist
+       |ORDER BY d1, d2""".stripMargin
+
   /** Distributed feature extraction: one decoder instance per
     * partition (the expensive part for a real codec), streaming
     * through rows — the Spark-side shape a real multimodal pipeline

@@ -680,6 +680,12 @@ object Extensions {
     Similarity.clusterSample(Tables.embeddings(s, d),
       k = 8, budget = 100)
 
+  /** X4: perceptual-hash image near-dup — aHash over real decoded
+    * PNG pixels, banded LSH pairing. See Multimodal.phashPairs.
+    */
+  private val x86MediaPhash: Q = (s, d) =>
+    Multimodal.phashPairs(s, Tables.documents(s, d), maxDist = 4)
+
   val queries: Map[String, Q] = Map(
     "x01_dedup_exact" -> x01DedupExact,
     "x02_dedup_minhash" -> x02DedupMinhash,
@@ -767,6 +773,7 @@ object Extensions {
     "x83_leakage_splits" -> x83LeakageSplits,
     "x84_mmr_rerank" -> x84MmrRerank,
     "x85_cluster_sample" -> x85ClusterSample,
+    "x86_media_phash" -> x86MediaPhash,
   )
 
   /** The PNG pixel statistics in closed form: the fixture image's
@@ -998,5 +1005,6 @@ object Extensions {
       nQueries = 3, perList = 10, k = 5),
     "x85_cluster_sample" -> Similarity.clusterSampleSql(
       k = 8, budget = 100),
+    "x86_media_phash" -> Multimodal.phashPairsSql(4),
   )
 }

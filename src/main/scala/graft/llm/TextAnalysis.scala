@@ -500,6 +500,25 @@ object TextAnalysis {
     * a |sources|×v grid built from broadcast bounded dimension
     * frames. Nothing scans the corpus twice; no windows.
     */
+  /** PSI term in integer nano-units — shared by the batch operator
+    * and the streaming drain-time finisher.
+    */
+  private[graft] def psiTermNano(pc: Column, qc: Column): Column =
+    round((pc - qc) *
+      log(greatest(pc, lit(1e-9)) / greatest(qc, lit(1e-9))) * 1e9, 0)
+      .cast("long")
+
+  /** The frozen baseline the streaming PSI twin serves against:
+    * (w, cq, nq) — the top-`v` corpus tokens with their counts and
+    * the 1-row corpus total joined in (bounded: v rows).
+    */
+  def psiBaseline(docs: DataFrame, v: Int = 20): DataFrame = {
+    val cw = docs.select(explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cq"))
+    cw.orderBy(col("cq").desc, col("w")).limit(v)
+      .crossJoin(broadcast(cw.agg(sum(col("cq")).as("nq"))))
+  }
+
   def psiDrift(docs: DataFrame, v: Int = 20): DataFrame = {
     val tok = docs.select(col("source"),
       explode(split(col("text"), " ")).as("w"))
@@ -515,12 +534,8 @@ object TextAnalysis {
       .crossJoin(broadcast(nTot))
     val p = col("cp").cast("double") / col("np")
     val q = col("cq").cast("double") / col("nq")
-    def term(pc: Column, qc: Column): Column =
-      round((pc - qc) *
-        log(greatest(pc, lit(1e-9)) / greatest(qc, lit(1e-9))) * 1e9, 0)
-        .cast("long")
     val perTok = grid.select(col("source"), col("np"), col("nq"),
-      col("cp"), col("cq"), term(p, q).as("nano"))
+      col("cp"), col("cq"), psiTermNano(p, q).as("nano"))
     val other = perTok.groupBy(col("source"))
       .agg(sum(col("nano")).as("top_nano"),
         max(col("np")).as("np"), max(col("nq")).as("nq"),
@@ -530,7 +545,7 @@ object TextAnalysis {
       .withColumn("q_other",
         (col("nq") - col("cq_top")).cast("double") / col("nq"))
       .withColumn("psi",
-        (col("top_nano") + term(col("p_other"), col("q_other")))
+        (col("top_nano") + psiTermNano(col("p_other"), col("q_other")))
           .cast("double") / 1e9)
     other.select(col("source"), round(col("psi"), 6).as("psi"),
         round(col("p_other"), 6).as("p_other"),

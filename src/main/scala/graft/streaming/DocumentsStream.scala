@@ -279,6 +279,67 @@ object DocumentsStream {
     graft.llm.HeavyHitters.cmEstimatesFromCells(batchDocs,
       graft.llm.HeavyHitters.cmSketchCells(drainedSketch), depth, width)
 
+  /** Running PSI drift counts — the streaming half of x82 and the
+    * op's actual production shape: drift monitoring belongs on LIVE
+    * ingest, against a FROZEN baseline distribution
+    * (TextAnalysis.psiBaseline — the top-v corpus tokens + total).
+    * Each arrival's tokens map to their baseline bucket (top-v word,
+    * or OTHER via the stream-static left join) and feed a
+    * COMPLETE-mode (source, bucket) count — state is ≤
+    * |sources|·(v+1) rows regardless of feed size.
+    */
+  def psiCountsRunning(docs: DataFrame, baseline: DataFrame): DataFrame =
+    docs
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .join(baseline.select(col("w"), lit(true).as("topv")), Seq("w"),
+        "left")
+      .withColumn("bucket",
+        when(col("topv"), col("w")).otherwise(lit(" OTHER")))
+      .groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("cp"))
+
+  /** Drain-time finisher: per-source PSI against the frozen baseline
+    * from the drained counts — the x82 grid completion (sources ×
+    * top-v, zeros filled) and the shared integer-nano term
+    * arithmetic, so a stream that replays the baseline corpus drains
+    * to EXACTLY the batch x82 psi values.
+    */
+  def psiAtDrain(drainedCounts: DataFrame, baseline: DataFrame)
+      : DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, sum => fsum}
+    val nq = baseline.select(col("nq")).distinct()
+    val ns = drainedCounts.groupBy(col("source"))
+      .agg(fsum(col("cp")).as("np"))
+    // rename the second reference to the drained frame: both sides
+    // of the join would otherwise carry the same attribute ids (the
+    // memory-sink view self-join conflict)
+    val counts2 = drainedCounts.select(col("source").as("src2"),
+      col("bucket").as("w2"), col("cp").as("cp2"))
+    val grid = ns.crossJoin(broadcast(baseline.select(col("w"), col("cq"))))
+      .join(counts2,
+        col("source") === col("src2") && col("w") === col("w2"), "left")
+      .withColumn("cp", coalesce(col("cp2"), lit(0L)))
+      .crossJoin(broadcast(nq))
+    val p = col("cp").cast("double") / col("np")
+    val q = col("cq").cast("double") / col("nq")
+    grid
+      .select(col("source"), col("np"), col("nq"), col("cp"), col("cq"),
+        graft.llm.TextAnalysis.psiTermNano(p, q).as("nano"))
+      .groupBy(col("source"))
+      .agg(fsum(col("nano")).as("top_nano"),
+        max(col("np")).as("np"), max(col("nq")).as("nq"),
+        fsum(col("cp")).as("cp_top"), fsum(col("cq")).as("cq_top"))
+      .withColumn("p_other",
+        (col("np") - col("cp_top")).cast("double") / col("np"))
+      .withColumn("q_other",
+        (col("nq") - col("cq_top")).cast("double") / col("nq"))
+      .withColumn("psi",
+        (col("top_nano") + graft.llm.TextAnalysis.psiTermNano(
+          col("p_other"), col("q_other"))).cast("double") / 1e9)
+      .select(col("source"), round(col("psi"), 6).as("psi"))
+      .orderBy(col("source"))
+  }
+
   /** Stateless Gopher-rule filtering on ingest — the streaming half
     * of x77: one map-only projection per arrival (the top-unigram
     * stat folds over the row's own token array instead of the batch

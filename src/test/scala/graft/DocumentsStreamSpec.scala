@@ -563,6 +563,27 @@ class DocumentsStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("running psi counts drain to the exact batch x82 psi values") {
+    val docs = Tables.documents(spark, sf)
+    val baseline = graft.llm.TextAnalysis.psiBaseline(docs)
+    val stream = DocumentsStream.readDocuments(spark, docsDir)
+    val q = DocumentsStream.psiCountsRunning(stream, baseline)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("psi_counts_out").start()
+    try {
+      q.processAllAvailable()
+      val fromStream = DocumentsStream.psiAtDrain(
+          spark.sql("SELECT * FROM psi_counts_out"), baseline)
+        .collect()
+        .map(r => r.getAs[String]("source") -> r.getAs[Double]("psi"))
+        .toMap
+      val batch = graft.llm.TextAnalysis.psiDrift(docs).collect()
+        .map(r => r.getAs[String]("source") -> r.getAs[Double]("psi"))
+        .toMap
+      assert(fromStream == batch)
+    } finally q.stop()
+  }
+
   test("streaming gopher rules reproduce the batch verdict table " +
     "bit-for-bit") {
     val stream = DocumentsStream.readDocuments(spark, docsDir)

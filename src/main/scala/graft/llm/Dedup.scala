@@ -559,6 +559,110 @@ object Dedup {
        |FROM ranked r JOIN documents d USING (doc_id)
        |WHERE r.rk = 1 ORDER BY r.doc_id""".stripMargin
 
+  /** X2a': MinHash Jaccard ESTIMATION vs exact — the sketch-accuracy
+    * face of the minhash family (the x61/x79 est-vs-exact
+    * convention): at 100 TB nobody computes exact shingle-set
+    * Jaccard for every candidate pair; they compare `perms`
+    * permutation minima and take the match fraction. This operator
+    * emits both numbers side by side (plus the absolute error) for
+    * every x04 candidate pair, which is how a pipeline calibrates
+    * its permutation count before trusting the estimate.
+    *
+    * Exact Jaccard here is over the FULL (uncapped) shingle sets —
+    * intersection counted only for the bounded candidate pairs via
+    * two co-keyed joins; the estimate's signature table is ONE
+    * groupBy carrying all `perms` minima as map-side partial min
+    * aggregates (no ×perms row explosion on the engine side — the
+    * x02 trick).
+    */
+  def minhashEstimate(docs: DataFrame, perms: Int, dfCap: Int,
+      threshold: Double): DataFrame = {
+    val pairs = jaccardPairs(docs, dfCap, threshold)
+      .select(col("d1"), col("d2"))
+    val sh = shingles(docs)
+    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val inter = pairs
+      .join(sh.select(col("doc_id").as("d1"), col("s")), "d1")
+      .join(sh.select(col("doc_id").as("d2"), col("s")), Seq("d2", "s"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("inter"))
+    val minAggs = (0 until perms).map(b =>
+      min(md5(concat(lit(s"$b:"), col("s")))).as(s"mh$b"))
+    val sig = sh.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
+    val sigA = sig.select(col("doc_id").as("d1") +:
+      (0 until perms).map(b => col(s"mh$b").as(s"a$b")): _*)
+    val sigB = sig.select(col("doc_id").as("d2") +:
+      (0 until perms).map(b => col(s"mh$b").as(s"b$b")): _*)
+    val matchExpr = (0 until perms).map(b =>
+      when(col(s"a$b") === col(s"b$b"), 1).otherwise(0)).reduce(_ + _)
+    val exactJac = round(col("inter") /
+      (col("sz1") + col("sz2") - col("inter")), 6)
+    inter
+      .join(sigA, "d1").join(sigB, "d2")
+      .join(sz.select(col("doc_id").as("d1"), col("sz").as("sz1")), "d1")
+      .join(sz.select(col("doc_id").as("d2"), col("sz").as("sz2")), "d2")
+      .withColumn("exact_jac", exactJac)
+      .withColumn("matches", matchExpr)
+      .withColumn("est_jac",
+        round(col("matches").cast("double") / perms, 6))
+      .withColumn("abs_err",
+        round(abs(col("est_jac") - col("exact_jac")), 6))
+      .select(col("d1"), col("d2"), col("inter"), col("sz1"), col("sz2"),
+        col("exact_jac"), col("matches"), col("est_jac"), col("abs_err"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  def minhashEstimateSql(perms: Int, dfCap: Int,
+      threshold: Double): String =
+    s"""WITH sh AS ($shinglesSql),
+       |rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= $dfCap),
+       |capped AS (
+       |  SELECT sh.doc_id, sh.s FROM sh JOIN rare ON sh.s = rare.s
+       |), csz AS (
+       |  SELECT doc_id, count(*) AS sz FROM capped GROUP BY doc_id
+       |), cinter AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+       |  FROM capped a JOIN capped b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |), pairs AS (
+       |  SELECT d1, d2 FROM cinter
+       |  JOIN csz s1 ON s1.doc_id = d1 JOIN csz s2 ON s2.doc_id = d2
+       |  WHERE CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter)
+       |    >= $threshold
+       |), sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+       |iall AS (
+       |  SELECT p.d1, p.d2, CAST(count(*) AS BIGINT) AS inter
+       |  FROM pairs p
+       |  JOIN sh x ON x.doc_id = p.d1
+       |  JOIN sh y ON y.doc_id = p.d2 AND y.s = x.s
+       |  GROUP BY 1, 2
+       |), mins AS (
+       |  SELECT doc_id, b, min(md5(b || ':' || s)) AS mh
+       |  FROM sh CROSS JOIN (SELECT unnest(range($perms)) AS b) bands
+       |  GROUP BY 1, 2
+       |), m AS (
+       |  SELECT p.d1, p.d2,
+       |    CAST(sum(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END) AS INT)
+       |      AS matches
+       |  FROM pairs p
+       |  JOIN mins ma ON ma.doc_id = p.d1
+       |  JOIN mins mb ON mb.doc_id = p.d2 AND mb.b = ma.b
+       |  GROUP BY 1, 2
+       |)
+       |SELECT i.d1, i.d2, i.inter,
+       |  CAST(s1.sz AS BIGINT) AS sz1, CAST(s2.sz AS BIGINT) AS sz2,
+       |  round(CAST(i.inter AS DOUBLE) / (s1.sz + s2.sz - i.inter), 6)
+       |    AS exact_jac,
+       |  m.matches,
+       |  round(CAST(m.matches AS DOUBLE) / $perms, 6) AS est_jac,
+       |  round(abs(round(CAST(m.matches AS DOUBLE) / $perms, 6)
+       |    - round(CAST(i.inter AS DOUBLE)
+       |        / (s1.sz + s2.sz - i.inter), 6)), 6) AS abs_err
+       |FROM iall i
+       |JOIN m ON m.d1 = i.d1 AND m.d2 = i.d2
+       |JOIN sz s1 ON s1.doc_id = i.d1
+       |JOIN sz s2 ON s2.doc_id = i.d2
+       |ORDER BY i.d1, i.d2""".stripMargin
+
   /** X1: leakage-safe train/val/test splits — the split assignment a
     * training pipeline must use instead of hashing doc ids: hashing
     * per-document lets two near-duplicates straddle train and test,

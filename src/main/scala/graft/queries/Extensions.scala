@@ -686,6 +686,14 @@ object Extensions {
   private val x86MediaPhash: Q = (s, d) =>
     Multimodal.phashPairs(s, Tables.documents(s, d), maxDist = 4)
 
+  /** X2a': MinHash-estimated vs exact Jaccard for the x04 candidate
+    * pairs — the sketch-accuracy calibration table. See
+    * Dedup.minhashEstimate.
+    */
+  private val x87MinhashEst: Q = (s, d) =>
+    Dedup.minhashEstimate(Tables.documents(s, d),
+      perms = 128, dfCap = 10, threshold = 0.5)
+
   val queries: Map[String, Q] = Map(
     "x01_dedup_exact" -> x01DedupExact,
     "x02_dedup_minhash" -> x02DedupMinhash,
@@ -774,6 +782,7 @@ object Extensions {
     "x84_mmr_rerank" -> x84MmrRerank,
     "x85_cluster_sample" -> x85ClusterSample,
     "x86_media_phash" -> x86MediaPhash,
+    "x87_minhash_est" -> x87MinhashEst,
   )
 
   /** The PNG pixel statistics in closed form: the fixture image's
@@ -1006,5 +1015,7 @@ object Extensions {
     "x85_cluster_sample" -> Similarity.clusterSampleSql(
       k = 8, budget = 100),
     "x86_media_phash" -> Multimodal.phashPairsSql(4),
+    "x87_minhash_est" -> Dedup.minhashEstimateSql(
+      perms = 128, dfCap = 10, threshold = 0.5),
   )
 }

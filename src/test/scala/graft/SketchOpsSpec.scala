@@ -158,6 +158,29 @@ class SketchOpsSpec extends AnyFunSuite {
     assert(r("s0")._1 == r("s1")._1)
   }
 
+  test("minhash estimate: exact on identical docs, 3-sigma on " +
+    "half-overlap") {
+    import spark.implicits._
+    val a = (0 until 40).map(i => s"w$i").mkString(" ")
+    // doc 2 shares the first 20 tokens' shingles with doc 0/1:
+    // J(0,2) ~ 18/58 of the 38-shingle sets
+    val b = ((0 until 20).map(i => s"w$i") ++
+      (0 until 20).map(i => s"z$i")).mkString(" ")
+    val docs = Seq((0L, a), (1L, a), (2L, b)).toDF("doc_id", "text")
+    val rows = graft.llm.Dedup
+      .minhashEstimate(docs, perms = 128, dfCap = 10, threshold = 0.2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getAs[Double]("exact_jac"), r.getAs[Double]("est_jac"),
+          r.getAs[Double]("abs_err")))).toMap
+    val (e01, s01, err01) = rows((0L, 1L))
+    assert(e01 == 1.0 && s01 == 1.0 && err01 == 0.0)
+    val (e02, _, err02) = rows((0L, 2L))
+    assert(e02 > 0.2 && e02 < 0.5)
+    // sigma = sqrt(J(1-J)/128) ~ 0.04; 3 sigma + rounding slack
+    assert(err02 < 0.15, s"err=$err02")
+  }
+
   test("hll: estimate within the m=256 error envelope on 5k distincts") {
     import spark.implicits._
     // 5000 distinct tokens spread over 50 docs — far past the

@@ -134,6 +134,44 @@ object Dedup {
   private def nibbleExpr(pos: Int, instrFn: String, strCol: String): String =
     s"($instrFn('0123456789abcdef', substr(md5($strCol), $pos, 1)) - 1)"
 
+  private[graft] val MersenneP = 2147483647L
+
+  /** Deterministic per-permutation constants in [1, p−1] — generated
+    * once at query construction and embedded as LITERALS in both the
+    * engine plan and the oracle SQL, so the two dialects share the
+    * identical permutation family.
+    */
+  private[graft] def permConsts(perms: Int): (Seq[Long], Seq[Long]) = {
+    def h(seed: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(seed.getBytes("UTF-8"))
+      val v = BigInt(1, d.take(8)).toLong & Long.MaxValue
+      v % (MersenneP - 1) + 1
+    }
+    ((0 until perms).map(b => h(s"a$b")),
+      (0 until perms).map(b => h(s"c$b")))
+  }
+
+  /** The permConsts table as a SQL VALUES list. */
+  private def permConstsValuesSql(perms: Int): String = {
+    val (pa, pc) = permConsts(perms)
+    (0 until perms).map(b =>
+      s"(CAST($b AS BIGINT), CAST(${pa(b)} AS BIGINT), " +
+        s"CAST(${pc(b)} AS BIGINT))").mkString(", ")
+  }
+
+  /** Parse `n` hex chars of an ALREADY-hex string column starting at
+    * 1-based `from` into a BIGINT — the portable (instr/strpos)
+    * nibble form for oracles; engine hot paths use `conv` (see
+    * [[hash16FastExpr]] — the two are verified bit-identical).
+    */
+  private[graft] def hexParseExpr(instrFn: String, hexCol: String,
+      from: Int, n: Int): String =
+    (0 until n).map { i =>
+      s"(CAST($instrFn('0123456789abcdef', substr($hexCol, " +
+        s"${from + i}, 1)) - 1 AS BIGINT) * ${1L << (4 * (n - 1 - i))})"
+    }.mkString("(", " + ", ")")
+
   private[graft] def hash16Expr(instrFn: String, strCol: String): String =
     s"(${nibbleExpr(1, instrFn, strCol)} * 4096 + " +
       s"${nibbleExpr(2, instrFn, strCol)} * 256 + " +
@@ -585,9 +623,25 @@ object Dedup {
       .join(sh.select(col("doc_id").as("d1"), col("s")), "d1")
       .join(sh.select(col("doc_id").as("d2"), col("s")), Seq("d2", "s"))
       .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("inter"))
+    // Carter–Wegman permutation family over Z_p (p = 2³¹−1): ONE md5
+    // per shingle parsed to a 28-bit x, permutation b's value is
+    // (a_b·x + c_b) mod p with per-permutation constants baked into
+    // both dialects as literals. Products stay < 2⁵⁹ — no overflow
+    // in ANSI mode, nothing engine-specific. The naive per-band-md5
+    // form costs perms× the digest work per shingle row (measured
+    // 20.6 s at sf0.1 vs ~2 s here); pairwise independence is what
+    // the MinHash estimator needs. (h1 + b·h2 WITHOUT the modulus
+    // was tried and rejected: for b ≥ 16 the argmin collapses to
+    // argmin h2 across all bands — est errors up to 0.93.)
+    val (pa, pc) = permConsts(perms)
     val minAggs = (0 until perms).map(b =>
-      min(md5(concat(lit(s"$b:"), col("s")))).as(s"mh$b"))
-    val sig = sh.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
+      min((col("x") * lit(pa(b)) + lit(pc(b))) % lit(MersenneP))
+        .as(s"mh$b"))
+    val sig = sh
+      .withColumn("hh", md5(col("s")))
+      .withColumn("x",
+        expr("cast(conv(substr(hh, 1, 7), 16, 10) as bigint)"))
+      .groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
     val sigA = sig.select(col("doc_id").as("d1") +:
       (0 until perms).map(b => col(s"mh$b").as(s"a$b")): _*)
     val sigB = sig.select(col("doc_id").as("d2") +:
@@ -635,9 +689,15 @@ object Dedup {
        |  JOIN sh x ON x.doc_id = p.d1
        |  JOIN sh y ON y.doc_id = p.d2 AND y.s = x.s
        |  GROUP BY 1, 2
+       |), hs AS (
+       |  SELECT doc_id,
+       |    ${hexParseExpr("instr", "hh", 1, 7)} AS x
+       |  FROM (SELECT doc_id, md5(s) AS hh FROM sh)
+       |), consts(b, a, c) AS (
+       |  VALUES ${permConstsValuesSql(perms)}
        |), mins AS (
-       |  SELECT doc_id, b, min(md5(b || ':' || s)) AS mh
-       |  FROM sh CROSS JOIN (SELECT unnest(range($perms)) AS b) bands
+       |  SELECT doc_id, b, min((x * a + c) % $MersenneP) AS mh
+       |  FROM hs CROSS JOIN consts
        |  GROUP BY 1, 2
        |), m AS (
        |  SELECT p.d1, p.d2,

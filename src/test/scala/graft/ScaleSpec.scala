@@ -616,6 +616,33 @@ class ScaleSpec extends AnyFunSuite {
     assert(secs < 120, s"took ${secs}s")
   }
 
+  test("300k-image phash: decode throughput holds, over-full buckets " +
+    "drop instead of exploding") {
+    import spark.implicits._
+    // 300k fixture images: every non-wrapping brightness base in a
+    // dimension class collapses to ONE hash (invariance), so the
+    // identical-hash clusters are ~8k members — far past the bucket
+    // cap. The scale property under test is exactly that: the
+    // cap-and-drop buckets never materialize those member lists, so
+    // pair enumeration cannot go quadratic no matter how degenerate
+    // the corpus.
+    val n = 300000L
+    val docs = spark.range(n).select(col("id").as("doc_id"),
+      lit("t").as("text"))
+    val t0 = System.nanoTime()
+    val hashes = graft.llm.Multimodal
+      .pHash(spark, graft.llm.Multimodal.encodePng(spark, docs))
+    assert(hashes.count() == n) // every image decoded
+    val pairs = graft.llm.Multimodal.phashPairs(spark, docs, maxDist = 4)
+    val cnt = pairs.count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"300k images: encode+decode+pairs ${secs}%.1f s, $cnt pairs")
+    // bounded output: surviving buckets hold <= 64 members, so pairs
+    // are capped at C(64,2) per surviving bucket — nothing quadratic
+    assert(cnt < 2000000L, s"$cnt pairs")
+    assert(secs < 180, s"took ${secs}s")
+  }
+
   test("10M-token hll: register state stays bounded, estimates track " +
     "a ~1.25M-distinct stream") {
     import spark.implicits._

@@ -181,12 +181,22 @@ object Similarity {
     val q8 = int8Vectors(emb)
     val q = q8.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("qv").as("qq"))
-    q8.crossJoin(broadcast(q))
-      .filter(col("vec_id") =!= col("qid"))
-      .withColumn("qcos",
-        round(graft.functions.VectorFunctions
-          .cosine_similarity(col("qv"), col("qq")), 6))
-      .filter(col("qcos").isNotNull) // zero-norm codes drop, not crash
+    int8Finish(
+      q8.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("qcos",
+          round(graft.functions.VectorFunctions
+            .cosine_similarity(col("qv"), col("qq")), 6))
+        .filter(col("qcos").isNotNull) // zero-norm codes drop, not crash
+        .select(col("qid"), col("vec_id"), col("qcos")),
+      k)
+  }
+
+  /** The x80 ranking tail (bounded partial top-k + presentation) —
+    * shared by the batch search and the streaming drain finisher.
+    */
+  private[graft] def int8Finish(scored: DataFrame, k: Int): DataFrame =
+    scored
       .groupBy(col("qid"))
       .agg(graft.functions.TopK.top_k(k)(col("qcos"), col("vec_id"))
         .as("top"))
@@ -194,7 +204,6 @@ object Similarity {
       .select(col("qid"), (col("pos") + 1).as("rank"),
         col("hit.vec_id").as("vec_id"), col("hit.cos").as("qcos"))
       .orderBy(col("qid"), col("rank"))
-  }
 
   def int8TopKSql(nQueries: Int, k: Int): String =
     s"""WITH $int8Sql, prods AS (

@@ -43,4 +43,35 @@ object EmbeddingsStream {
         graft.llm.Similarity.pqArgminCodes(col("embedding"), m, subDim)
           .as("codes"))
   }
+
+  /** Int8-quantized scoring on ingest — the streaming half of x80:
+    * each arriving vector quantizes in the projection (the shared
+    * int8Vectors expressions — scale = max|v|/127, exact-integer
+    * codes) and scores against the FROZEN query codes carried as
+    * literals (train-in-batch / serve-in-stream, like [[pqEncode]]).
+    * Stateless: no join, no state store; emits one (qid, vec_id,
+    * qcos) row per (arrival, query), cost ∝ |queries| per arrival.
+    * Scales cancel in the quantized cosine, so the streamed scores
+    * are bit-equal to the batch x80 scores.
+    */
+  def int8ScoreOnIngest(vecs: DataFrame,
+      queries: Seq[(Long, Array[Double])]): DataFrame = {
+    val qLit: Column = array(queries.map { case (qid, qq) =>
+      struct(lit(qid).as("qid"), array(qq.map(lit(_)): _*).as("qq"))
+    }: _*)
+    graft.llm.Similarity.int8Vectors(vecs)
+      .withColumn("q", explode(qLit))
+      .filter(col("vec_id") =!= col("q.qid"))
+      .withColumn("qcos",
+        round(graft.functions.VectorFunctions
+          .cosine_similarity(col("qv"), col("q.qq")), 6))
+      .filter(col("qcos").isNotNull)
+      .select(col("q.qid").as("qid"), col("vec_id"), col("qcos"))
+  }
+
+  /** Drain-time finisher: the shared x80 ranking tail over the
+    * drained score rows — identical output to the batch search.
+    */
+  def int8TopKAtDrain(scored: DataFrame, k: Int): DataFrame =
+    graft.llm.Similarity.int8Finish(scored, k)
 }

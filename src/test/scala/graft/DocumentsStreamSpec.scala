@@ -94,6 +94,40 @@ class DocumentsStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming int8 scoring drains to the exact batch x80 ranking") {
+    import graft.llm.Similarity
+    import org.apache.spark.sql.functions.col
+    val embDir = {
+      val dir = java.nio.file.Files.createTempDirectory("emb-stream-i8")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(sf + "/embeddings.parquet"),
+        dir.resolve("embeddings.parquet"))
+      dir.toString
+    }
+    val emb = Tables.embeddings(spark, sf)
+    // frozen query codes: the batch quantization of vec_id < 3,
+    // collected once (bounded by construction) -> literals
+    val queries = Similarity.int8Vectors(emb)
+      .filter(col("vec_id") < 3)
+      .select(col("vec_id"), col("qv")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+    val stream = graft.streaming.EmbeddingsStream
+      .readEmbeddings(spark, embDir)
+    val q = graft.streaming.EmbeddingsStream
+      .int8ScoreOnIngest(stream, queries)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("i8_scores_out").start()
+    try {
+      q.processAllAvailable()
+      val got = graft.streaming.EmbeddingsStream
+        .int8TopKAtDrain(spark.sql("SELECT * FROM i8_scores_out"), k = 5)
+        .collect().map(_.toSeq).toSeq
+      val batch = Similarity.int8TopK(emb, nQueries = 3, k = 5)
+        .collect().map(_.toSeq).toSeq
+      assert(got == batch)
+    } finally q.stop()
+  }
+
   test("streaming content dedup keeps one copy per digest") {
     val q = DocumentsStream
       .dedupByContent(DocumentsStream.readDocuments(spark, docsDir))

@@ -1202,9 +1202,23 @@ object Similarity {
       trainTarget: Long = 250): DataFrame = {
     val centroids =
       localized(kmeansCentroids(emb, k, trainIters, trainTarget))
-    val assigned = assignToCentroids(emb, centroids)
-    val cnt = assigned.groupBy(col("cid")).agg(count(lit(1)).as("cnt"))
-    val alloc = Sampling.allocations(cnt, budget, tau, keyCol = "cid")
+    clusterSampleFromAssigned(assignToCentroids(emb, centroids),
+      budget, tau)
+  }
+
+  /** The x85 quota-and-select tail over an assignment table — shared
+    * by the batch operator and the streaming drain-time finisher.
+    */
+  private[graft] def clusterSampleFromAssigned(assigned: DataFrame,
+      budget: Int, tau: Double): DataFrame = {
+    // quota side built over a RENAMED projection: both join sides
+    // would otherwise reference the same attribute ids when
+    // `assigned` is a drained memory-sink view (the self-join
+    // conflict the streaming finisher hits)
+    val cnt = assigned.select(col("cid").as("cid2"))
+      .groupBy(col("cid2")).agg(count(lit(1)).as("cnt"))
+    val alloc = Sampling.allocations(cnt, budget, tau, keyCol = "cid2")
+      .select(col("cid2").as("cid"), col("alloc"))
     val w = Window.partitionBy(col("cid"))
       .orderBy(expr("md5(cast(vec_id as string))"))
     assigned

@@ -74,4 +74,33 @@ object EmbeddingsStream {
     */
   def int8TopKAtDrain(scored: DataFrame, k: Int): DataFrame =
     graft.llm.Similarity.int8Finish(scored, k)
+
+  /** Cluster assignment on ingest — the serving half of the trained-
+    * centroid family (x57/x68/x85): each arriving vector takes the
+    * argmax-cosine cluster of the FROZEN centroids, carried as
+    * literal columns (train-in-batch / serve-in-stream). The argmax
+    * is `array_min(array(struct(−cos_i, cid_i)...)).cid` — the exact
+    * ordering of the batch `min(struct(−cos, cid))` aggregate — so
+    * streamed assignments are bit-equal to batch. Stateless: one
+    * projection, k fused-kernel cosines per row, no join, no state.
+    */
+  def clusterAssignOnIngest(vecs: DataFrame,
+      centroids: Seq[(Long, Array[Double])]): DataFrame = {
+    val entries = centroids.map { case (cid, ce) =>
+      struct(
+        (-round(graft.functions.VectorFunctions.cosine_similarity(
+          col("embedding"), array(ce.map(lit(_)): _*)), 6)).as("nc"),
+        lit(cid).as("cid"))
+    }
+    vecs.select(col("vec_id"),
+      array_min(array(entries: _*)).getField("cid").as("cid"))
+  }
+
+  /** Drain-time finisher: the shared x85 quota-and-select tail over
+    * the drained assignment table — identical output to the batch
+    * cluster sample.
+    */
+  def clusterSampleAtDrain(assigned: DataFrame, budget: Int,
+      tau: Double = 0.5): DataFrame =
+    graft.llm.Similarity.clusterSampleFromAssigned(assigned, budget, tau)
 }

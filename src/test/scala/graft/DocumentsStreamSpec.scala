@@ -128,6 +128,49 @@ class DocumentsStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming cluster assignment drains to the exact batch x85 " +
+    "sample") {
+    import graft.llm.Similarity
+    import org.apache.spark.sql.functions.col
+    val embDir = {
+      val dir = java.nio.file.Files.createTempDirectory("emb-stream-ca")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(sf + "/embeddings.parquet"),
+        dir.resolve("embeddings.parquet"))
+      dir.toString
+    }
+    val emb = Tables.embeddings(spark, sf)
+    // frozen trained centroids, collected once (<= k rows) -> literals
+    val cents = Similarity.kmeansCentroids(emb, k = 8, iters = 1,
+        trainTarget = 250).collect()
+      .map(r => (r.getAs[Long]("__cid"),
+        r.getAs[Seq[Double]]("ce").toArray)).toSeq
+    val stream = graft.streaming.EmbeddingsStream
+      .readEmbeddings(spark, embDir)
+    val q = graft.streaming.EmbeddingsStream
+      .clusterAssignOnIngest(stream, cents)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ca_out").start()
+    try {
+      q.processAllAvailable()
+      val drained = spark.sql("SELECT vec_id, cid FROM ca_out")
+      // assignments bit-equal to the batch argmax aggregate
+      val gotAssign = drained.collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val batchAssign = Similarity.assignToCentroids(emb,
+          Similarity.kmeansCentroids(emb, 8, 1, 250)).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(gotAssign == batchAssign)
+      // shared finisher reproduces x85 exactly
+      val got = graft.streaming.EmbeddingsStream
+        .clusterSampleAtDrain(drained, budget = 100)
+        .collect().map(_.toSeq).toSeq
+      val batch = Similarity.clusterSample(emb, k = 8, budget = 100)
+        .collect().map(_.toSeq).toSeq
+      assert(got == batch)
+    } finally q.stop()
+  }
+
   test("streaming content dedup keeps one copy per digest") {
     val q = DocumentsStream
       .dedupByContent(DocumentsStream.readDocuments(spark, docsDir))

@@ -1206,6 +1206,22 @@ object Similarity {
       budget, tau)
   }
 
+  /** Cluster-sample SERVE path (train-once/serve-many,
+    * [[graft.tools.ModelStore]]): the ≤k-row trained centroid table
+    * is persisted on first use and read back on every later one (no
+    * Lloyd loop in the serve plan); assignment + quota selection are
+    * shared verbatim with [[clusterSample]], so the served sample is
+    * bit-identical to in-query training.
+    */
+  def clusterSampleServe(emb: DataFrame, modelPath: String, k: Int,
+      budget: Int, tau: Double = 0.5, trainIters: Int = 1,
+      trainTarget: Long = 250): DataFrame = {
+    val centroids = localized(graft.tools.ModelStore.ensure(modelPath,
+      kmeansCentroids(emb, k, trainIters, trainTarget)))
+    clusterSampleFromAssigned(assignToCentroids(emb, centroids),
+      budget, tau)
+  }
+
   /** The x85 quota-and-select tail over an assignment table — shared
     * by the batch operator and the streaming drain-time finisher.
     */

@@ -686,6 +686,16 @@ object Extensions {
   private val x86MediaPhash: Q = (s, d) =>
     Multimodal.phashPairs(s, Tables.documents(s, d), maxDist = 4)
 
+  /** X2/X3: cluster-sample serve path — the ≤k-row trained centroid
+    * table persists via ModelStore (every trained model has a serve
+    * path); assignment + quota selection shared verbatim with x85,
+    * whose in-query-training SQL is the oracle.
+    */
+  private val x88ClusterSampleServe: Q = (s, d) =>
+    Similarity.clusterSampleServe(Tables.embeddings(s, d),
+      graft.tools.ModelStore.pathFor("cs_cent", d, "k8_i1_t250"),
+      k = 8, budget = 100)
+
   /** X2a': MinHash-estimated vs exact Jaccard for the x04 candidate
     * pairs — the sketch-accuracy calibration table. See
     * Dedup.minhashEstimate.
@@ -783,6 +793,7 @@ object Extensions {
     "x85_cluster_sample" -> x85ClusterSample,
     "x86_media_phash" -> x86MediaPhash,
     "x87_minhash_est" -> x87MinhashEst,
+    "x88_cluster_sample_serve" -> x88ClusterSampleServe,
   )
 
   /** The PNG pixel statistics in closed form: the fixture image's
@@ -1017,5 +1028,7 @@ object Extensions {
     "x86_media_phash" -> Multimodal.phashPairsSql(4),
     "x87_minhash_est" -> Dedup.minhashEstimateSql(
       perms = 128, dfCap = 10, threshold = 0.5),
+    "x88_cluster_sample_serve" -> Similarity.clusterSampleSql(
+      k = 8, budget = 100),
   )
 }

@@ -269,6 +269,9 @@ object PlanAudit {
       // x45's allocation shapes keyed on clusters: 1-row z/spent
       // scalars + k-row remainder window + LocalRelation centroids
       "x85_cluster_sample" -> Set("SinglePartition", "BNLJoin"),
+      // serve path: identical shapes, centroids read back as a
+      // LocalRelation from the persisted model table (cf. x68)
+      "x88_cluster_sample_serve" -> Set("SinglePartition", "BNLJoin"),
       "x49_hard_negatives" -> Set("BNLJoin"), // 5 broadcast anchor vectors
       // inherits x41's 1-row (N, V) LM scalar shapes
       "x51_ppl_buckets" -> Set("SinglePartition", "BNLJoin"),

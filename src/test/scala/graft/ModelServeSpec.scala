@@ -63,6 +63,20 @@ class ModelServeSpec extends AnyFunSuite {
       trained)
   }
 
+  test("cluster-sample serve is bit-identical to in-query training " +
+      "and writes the centroid table once") {
+    val path = freshPath("cs")
+    val trained = Similarity
+      .clusterSample(emb, k = 4, budget = 30, trainIters = 1,
+        trainTarget = 100)
+      .collect().map(_.toSeq).toSeq
+    assertServedOnce(path,
+      () => Similarity.clusterSampleServe(emb, path, k = 4,
+          budget = 30, trainIters = 1, trainTarget = 100)
+        .collect().map(_.toSeq).toSeq,
+      trained)
+  }
+
   test("bpe encode serve is bit-identical to in-query learning and " +
       "writes the merge table once") {
     val path = freshPath("bpe")

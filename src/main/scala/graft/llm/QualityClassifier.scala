@@ -161,6 +161,40 @@ object QualityClassifier {
     scored(standardized(rawFeatures(docs), mu, sd), w)
   }
 
+  /** X3/ML-ops: classifier RELIABILITY table (calibration curve) —
+    * the gate a pipeline checks before trusting the classifier's
+    * probabilities as sampling weights: predictions bucket into
+    * `bins` equal-width probability bands; per band the mean
+    * predicted probability sits next to the observed positive rate,
+    * and the |gap| is the per-band calibration error (the reliability
+    * diagram's vertical distance; a well-calibrated model has
+    * gap ≈ 0 everywhere it has mass). One extra |bins|-row hash
+    * aggregate over the x43 scoring output — nothing beyond the
+    * training plan's own cost.
+    */
+  def calibration(docs: DataFrame, bins: Int = 10): DataFrame =
+    trainScore(docs)
+      .withColumn("bucket",
+        least(floor(col("prob") * bins), lit((bins - 1).toLong))
+          .cast("int"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("prob")), 6).as("avg_prob"),
+        round(avg(col("y")), 6).as("obs_rate"))
+      .withColumn("gap",
+        round(abs(col("avg_prob") - col("obs_rate")), 6))
+      .orderBy(col("bucket"))
+
+  def calibrationSql(bins: Int = 10): String =
+    s"""SELECT CAST(LEAST(floor(prob * $bins), ${bins - 1}) AS INT)
+       |    AS bucket,
+       |  CAST(count(*) AS BIGINT) AS n,
+       |  round(avg(prob), 6) AS avg_prob,
+       |  round(avg(y), 6) AS obs_rate,
+       |  round(abs(round(avg(prob), 6) - round(avg(y), 6)), 6) AS gap
+       |FROM ($trainScoreSql) s
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** DuckDB oracle: the identical GD loop as chained CTEs — one
     * (gradient, weight-update) pair per iteration, every aggregate
     * rounded to 9dp exactly as the engine rounds.

@@ -696,6 +696,12 @@ object Extensions {
       graft.tools.ModelStore.pathFor("cs_cent", d, "k8_i1_t250"),
       k = 8, budget = 100)
 
+  /** X3/ML-ops: classifier reliability (calibration) table over the
+    * x43 scores. See QualityClassifier.calibration.
+    */
+  private val x89Calibration: Q = (s, d) =>
+    QualityClassifier.calibration(Tables.documents(s, d))
+
   /** X2a': MinHash-estimated vs exact Jaccard for the x04 candidate
     * pairs — the sketch-accuracy calibration table. See
     * Dedup.minhashEstimate.
@@ -794,6 +800,7 @@ object Extensions {
     "x86_media_phash" -> x86MediaPhash,
     "x87_minhash_est" -> x87MinhashEst,
     "x88_cluster_sample_serve" -> x88ClusterSampleServe,
+    "x89_calibration" -> x89Calibration,
   )
 
   /** The PNG pixel statistics in closed form: the fixture image's
@@ -1030,5 +1037,6 @@ object Extensions {
       perms = 128, dfCap = 10, threshold = 0.5),
     "x88_cluster_sample_serve" -> Similarity.clusterSampleSql(
       k = 8, budget = 100),
+    "x89_calibration" -> QualityClassifier.calibrationSql(),
   )
 }

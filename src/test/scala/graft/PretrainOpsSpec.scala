@@ -121,6 +121,36 @@ class PretrainOpsSpec extends AnyFunSuite {
       s"en prob floor $minEn must exceed de prob ceiling $maxDe")
   }
 
+  test("calibration: buckets partition the corpus and mean prob " +
+    "stays inside its band") {
+    import spark.implicits._
+    val en = (1L to 10L).map(i =>
+      (i, "the a of and in to is the a of and in to is", "en"))
+    val de = (11L to 20L).map(i =>
+      (i, "der das und ein eine mit von der das und ein eine mit von",
+        "de"))
+    val docs = (en ++ de).toDF("doc_id", "text", "lang")
+    val rows = QualityClassifier.calibration(docs).collect()
+    assert(rows.map(_.getAs[Long]("n")).sum == 20L)
+    rows.foreach { r =>
+      val b = r.getAs[Int]("bucket")
+      val ap = r.getAs[Double]("avg_prob")
+      val or = r.getAs[Double]("obs_rate")
+      // the band's mean prediction must lie in the band itself
+      // (last band is closed above)
+      assert(ap >= b / 10.0 - 1e-6 &&
+        (ap < (b + 1) / 10.0 + 1e-6 || b == 9), s"b=$b ap=$ap")
+      assert(or >= 0.0 && or <= 1.0)
+      assert(r.getAs[Double]("gap") ==
+        BigDecimal.valueOf(math.abs(ap - or))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    // the separable fixture puts en-docs in high bands, de in low —
+    // at least two distinct bands with opposite observed rates
+    val byRate = rows.map(r => r.getAs[Double]("obs_rate"))
+    assert(byRate.max == 1.0 && byRate.min == 0.0)
+  }
+
   test("misra-gries: candidate set always contains true heavy hitters") {
     import spark.implicits._
     // 60% "hot", the rest unique cold tokens — hot must be a candidate

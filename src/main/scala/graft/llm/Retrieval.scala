@@ -88,6 +88,10 @@ object Retrieval {
     import session.implicits._
     val cand = Similarity.cosineTopKUnsorted(emb, nQueries, perList)
       .select(col("qid"), col("vec_id"), col("cos"))
+      // a zero-norm query or candidate has no defined relevance —
+      // drop it (the x80 convention) instead of decoding null into
+      // a primitive Double
+      .filter(col("cos").isNotNull)
       .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
       .select(col("qid"), col("vec_id"), col("cos"), col("embedding"))
       .as[(Long, Long, Double, Array[Float])]
@@ -99,7 +103,11 @@ object Retrieval {
       while (i < a.length) {
         d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
       }
-      round6(d / (math.sqrt(na) * math.sqrt(nb)))
+      // zero-norm member: no similarity information → no penalty
+      // (rounding NaN would throw, killing the stage on a corpus
+      // with degenerate vectors)
+      if (na == 0.0 || nb == 0.0) 0.0
+      else round6(d / (math.sqrt(na) * math.sqrt(nb)))
     }
     // DuckDB round(): half away from zero on the same double product
     def nano(x: Double): Long = {

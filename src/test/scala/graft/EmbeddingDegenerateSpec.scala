@@ -24,7 +24,9 @@ class EmbeddingDegenerateSpec extends AnyFunSuite {
   private val embQueries = Seq("x05_cosine_topk", "x06_embed_lsh",
     "x16_embed_neardup", "x18_ivf_topk", "x24_embed_centroids",
     "x36_kmeans_refine", "x46_pq_topk", "x49_hard_negatives",
-    "x57_semantic_dedup", "x66_pq_serve")
+    "x57_semantic_dedup", "x66_pq_serve",
+    "x80_int8_topk", "x81_int8_error", "x84_mmr_rerank",
+    "x85_cluster_sample")
 
   /** 50 rows per table, with the embeddings rewritten by `vec`. */
   private def corpusWith(vec: org.apache.spark.sql.Column,

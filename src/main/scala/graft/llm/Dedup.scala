@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -596,6 +596,98 @@ object Dedup {
        |       r.n_docs - 1 AS n_dups_removed, d.source
        |FROM ranked r JOIN documents d USING (doc_id)
        |WHERE r.rk = 1 ORDER BY r.doc_id""".stripMargin
+
+  /** X1: split-leakage audit — the check a training pipeline runs
+    * before trusting its splits: for every near-dup pair, do the two
+    * copies land in the same split? Audited under BOTH policies side
+    * by side: `cluster` (x83's cluster-atomic assignment — crossings
+    * are zero BY CONSTRUCTION, and this query proves it on the
+    * actual corpus) and `doc_hash` (the naive per-document hash
+    * everyone reaches for first — its crossing count is exactly the
+    * number of eval-set documents whose near-copy was trained on).
+    *
+    * Scale shape: the near-dup pairs and CC labels are the x33
+    * machinery; the audit itself is two co-keyed joins of the pair
+    * list against the split projections and one 2-row aggregate.
+    */
+  def leakageAudit(docs: DataFrame, maxDist: Int,
+      bucketCap: Int = 64, testPct: Int = 10, valPct: Int = 10)
+      : DataFrame = {
+    val pairs = simhashNearDup(docs, maxDist, bucketCap)
+      .select(col("d1"), col("d2"))
+    def splitOf(bucket: Column): Column =
+      when(bucket < testPct, "test")
+        .when(bucket < testPct + valPct, "val")
+        .otherwise("train")
+    val clusterSplits =
+      leakageSafeSplits(docs, maxDist, bucketCap, testPct, valPct)
+        .select(col("doc_id"), col("split").as("cluster_split"))
+    val naiveSplits = docs.select(col("doc_id"),
+      splitOf(expr(hash32Expr("instr", "cast(doc_id AS string)")) % 100)
+        .as("naive_split"))
+    // pinned: both audit arms read the same sided pair table — the
+    // simhash + CC machinery must not execute twice
+    val sided = graft.tools.Materialize(pairs
+      .join(clusterSplits.select(col("doc_id").as("d1"),
+        col("cluster_split").as("c1")), "d1")
+      .join(clusterSplits.select(col("doc_id").as("d2"),
+        col("cluster_split").as("c2")), "d2")
+      .join(naiveSplits.select(col("doc_id").as("d1"),
+        col("naive_split").as("n1")), "d1")
+      .join(naiveSplits.select(col("doc_id").as("d2"),
+        col("naive_split").as("n2")), "d2"))
+    sided.agg(count(lit(1)).as("n_pairs"),
+        sum((col("c1") =!= col("c2")).cast("long")).as("n_cross"))
+      .withColumn("policy", lit("cluster"))
+      .unionByName(sided.agg(count(lit(1)).as("n_pairs"),
+          sum((col("n1") =!= col("n2")).cast("long")).as("n_cross"))
+        .withColumn("policy", lit("doc_hash")))
+      .select(col("policy"), col("n_pairs"), col("n_cross"))
+      .orderBy(col("policy"))
+  }
+
+  /** Oracle: the x83 chain + the naive per-doc hash, audited over the
+    * same pair list.
+    */
+  def leakageAuditSql(maxDist: Int, bucketCap: Int = 64,
+      testPct: Int = 10, valPct: Int = 10): String = {
+    def splitCase(b: String): String =
+      s"CASE WHEN $b < $testPct THEN 'test' " +
+        s"WHEN $b < ${testPct + valPct} THEN 'val' ELSE 'train' END"
+    val naiveB = s"(${hash32Expr("strpos", "CAST(doc_id AS VARCHAR)")}" +
+      s" % 100)"
+    val clusterB = s"(${hash32Expr("strpos", "CAST(component AS VARCHAR)")}" +
+      s" % 100)"
+    s"""${repsCtes(maxDist, bucketCap)},
+       |cs AS (
+       |  SELECT doc_id, ${splitCase(clusterB)} AS cluster_split
+       |  FROM comp
+       |),
+       |nv AS (
+       |  SELECT doc_id, ${splitCase(naiveB)} AS naive_split
+       |  FROM documents
+       |),
+       |sided AS (
+       |  SELECT p.d1, p.d2, c1.cluster_split AS c1, c2.cluster_split
+       |    AS c2, n1.naive_split AS n1, n2.naive_split AS n2
+       |  FROM edges p
+       |  JOIN cs c1 ON c1.doc_id = p.d1
+       |  JOIN cs c2 ON c2.doc_id = p.d2
+       |  JOIN nv n1 ON n1.doc_id = p.d1
+       |  JOIN nv n2 ON n2.doc_id = p.d2
+       |)
+       |SELECT policy, n_pairs, n_cross FROM (
+       |  SELECT 'cluster' AS policy, CAST(count(*) AS BIGINT)
+       |      AS n_pairs,
+       |    CAST(sum(CASE WHEN c1 <> c2 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_cross
+       |  FROM sided
+       |  UNION ALL
+       |  SELECT 'doc_hash', CAST(count(*) AS BIGINT),
+       |    CAST(sum(CASE WHEN n1 <> n2 THEN 1 ELSE 0 END) AS BIGINT)
+       |  FROM sided
+       |) ORDER BY policy""".stripMargin
+  }
 
   /** X2a': MinHash Jaccard ESTIMATION vs exact — the sketch-accuracy
     * face of the minhash family (the x61/x79 est-vs-exact

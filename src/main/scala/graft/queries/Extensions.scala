@@ -702,6 +702,13 @@ object Extensions {
   private val x89Calibration: Q = (s, d) =>
     QualityClassifier.calibration(Tables.documents(s, d))
 
+  /** X1: split-leakage audit — near-dup pairs crossing splits, under
+    * the cluster-atomic policy (provably zero) vs the naive per-doc
+    * hash (the leak count). See Dedup.leakageAudit.
+    */
+  private val x90LeakageAudit: Q = (s, d) =>
+    Dedup.leakageAudit(Tables.documents(s, d), maxDist = 3)
+
   /** X2a': MinHash-estimated vs exact Jaccard for the x04 candidate
     * pairs — the sketch-accuracy calibration table. See
     * Dedup.minhashEstimate.
@@ -801,6 +808,7 @@ object Extensions {
     "x87_minhash_est" -> x87MinhashEst,
     "x88_cluster_sample_serve" -> x88ClusterSampleServe,
     "x89_calibration" -> x89Calibration,
+    "x90_leakage_audit" -> x90LeakageAudit,
   )
 
   /** The PNG pixel statistics in closed form: the fixture image's
@@ -1038,5 +1046,6 @@ object Extensions {
     "x88_cluster_sample_serve" -> Similarity.clusterSampleSql(
       k = 8, budget = 100),
     "x89_calibration" -> QualityClassifier.calibrationSql(),
+    "x90_leakage_audit" -> Dedup.leakageAuditSql(3),
   )
 }

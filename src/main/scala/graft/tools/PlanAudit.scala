@@ -272,6 +272,8 @@ object PlanAudit {
       // serve path: identical shapes, centroids read back as a
       // LocalRelation from the persisted model table (cf. x68)
       "x88_cluster_sample_serve" -> Set("SinglePartition", "BNLJoin"),
+      // two grouping-free 1-row audit aggregates (cf. d08)
+      "x90_leakage_audit" -> Set("SinglePartition"),
       "x49_hard_negatives" -> Set("BNLJoin"), // 5 broadcast anchor vectors
       // inherits x41's 1-row (N, V) LM scalar shapes
       "x51_ppl_buckets" -> Set("SinglePartition", "BNLJoin"),

@@ -492,6 +492,24 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(smallIds.forall(_ >= 90L), s"$smallCid -> $smallIds")
   }
 
+  test("leakage audit: cluster policy crosses zero, doc-hash leaks") {
+    import spark.implicits._
+    // many identical trios -> many near-dup pairs; with 100 hash
+    // bands some pair is near-certain to straddle under per-doc
+    // hashing, while the cluster policy cannot by construction
+    val docs = (0 until 30).flatMap { c =>
+      val text = (0 until 8).map(j => s"c${c}tok$j").mkString(" ")
+      Seq((c * 10L, text), (c * 10L + 1, text), (c * 10L + 2, text))
+    }.toDF("doc_id", "text")
+    val rows = Dedup.leakageAudit(docs, maxDist = 3).collect()
+      .map(r => r.getAs[String]("policy") ->
+        ((r.getAs[Long]("n_pairs"), r.getAs[Long]("n_cross")))).toMap
+    assert(rows("cluster")._2 == 0L)
+    assert(rows("cluster")._1 == rows("doc_hash")._1)
+    assert(rows("cluster")._1 >= 90L) // 3 pairs per trio, 30 trios
+    assert(rows("doc_hash")._2 > 0L, "naive hashing should leak here")
+  }
+
   test("gopher rules: each rule trips on its own pathology") {
     import spark.implicits._
     // 60 distinct-ish tokens with stopwords, mean wlen in range

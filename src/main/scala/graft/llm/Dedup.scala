@@ -613,15 +613,20 @@ object Dedup {
   def leakageAudit(docs: DataFrame, maxDist: Int,
       bucketCap: Int = 64, testPct: Int = 10, valPct: Int = 10)
       : DataFrame = {
-    val pairs = simhashNearDup(docs, maxDist, bucketCap)
-      .select(col("d1"), col("d2"))
+    // pinned: the SAME near-dup pair list feeds the cluster
+    // resolution and the audit itself — calling leakageSafeSplits
+    // here would run the simhash machinery twice
+    val pairs = graft.tools.Materialize(
+      simhashNearDup(docs, maxDist, bucketCap).select(col("d1"), col("d2")))
     def splitOf(bucket: Column): Column =
       when(bucket < testPct, "test")
         .when(bucket < testPct + valPct, "val")
         .otherwise("train")
     val clusterSplits =
-      leakageSafeSplits(docs, maxDist, bucketCap, testPct, valPct)
-        .select(col("doc_id"), col("split").as("cluster_split"))
+      connectedComponents(docs.select(col("doc_id")), pairs)
+        .select(col("doc_id"),
+          splitOf(expr(hash32Expr("instr", "cast(component AS string)"))
+            % 100).as("cluster_split"))
     val naiveSplits = docs.select(col("doc_id"),
       splitOf(expr(hash32Expr("instr", "cast(doc_id AS string)")) % 100)
         .as("naive_split"))

@@ -266,6 +266,19 @@ object Dedup {
     * bounded by bucket sizes, never all-pairs — the same LSH shape
     * that holds at 100 TB.
     */
+  /** (doc_id, simhash32) packed into one signed long for BoundedMinK:
+    * doc_id·2³² + simhash — exact, and ordered like the tuple, only
+    * for doc_id < 2³¹. The guard raises instead of silently
+    * corrupting buckets when an id crosses the bound (one codegen'd
+    * comparison per row — noise next to the md5 signature work).
+    */
+  private def packedDocSim: Column =
+    when(col("doc_id") < lit(2147483648L),
+      col("doc_id") * lit(4294967296L) + col("simhash"))
+      .otherwise(raise_error(concat(
+        lit("doc_id >= 2^31 overflows the (doc_id, simhash) packing: "),
+        col("doc_id").cast("string"))))
+
   def simhashNearDup(docs: DataFrame, maxDist: Int,
       bucketCap: Int = 64): DataFrame = {
     // Bucket-list form (same shape as jaccardPairs): one groupBy per
@@ -284,7 +297,7 @@ object Dedup {
         expr("(simhash div shiftleft(1L, 4 * band)) % 16"))
       .groupBy(col("band"), col("nib"))
       .agg(graft.functions.MinK.bounded_min_k(bucketCap)(
-        col("doc_id") * lit(4294967296L) + col("simhash")).as("ps"))
+        packedDocSim).as("ps"))
       .filter(size(col("ps")) > 0)
       .withColumn("ds", expr(
         """transform(ps, p -> struct(p div 4294967296 AS doc_id,
@@ -367,7 +380,7 @@ object Dedup {
         expr("(simhash div shiftleft(1L, 4 * band)) % 16"))
       .groupBy(col("band"), col("nib"))
       .agg(graft.functions.MinK.bounded_min_k(bucketCap)(
-        col("doc_id") * lit(4294967296L) + col("simhash")).as("ps"))
+        packedDocSim).as("ps"))
       .select(col("band"), col("nib"), explode(expr(
         """transform(ps, p -> struct(p div 4294967296 AS rep_id,
           |                          p % 4294967296 AS rep_sim))"""

@@ -54,9 +54,16 @@ object Hll {
     * the HLL merge), so a drained streaming register table is
     * bit-equal to the batch one over the same corpus.
     */
-  def registers(docs: DataFrame): DataFrame = {
-    val tok = docs.select(col("source"),
-      explode(split(col("text"), " ")).as("w"))
+  def registers(docs: DataFrame): DataFrame =
+    registersFromTok(docs.select(col("source"),
+      explode(split(col("text"), " ")).as("w")))
+
+  /** Register derivation from an already-tokenized (source, w) frame —
+    * lets a caller tokenize ONCE and feed both the sketch and an
+    * exact-validation aggregate (the x79 shape) from the same pinned
+    * frame, mirroring the oracle's `tok AS MATERIALIZED`.
+    */
+  def registersFromTok(tok: DataFrame): DataFrame = {
     tok
       .withColumn("h", md5(col("w")))
       .withColumn("idx",
@@ -103,8 +110,11 @@ object Hll {
   }
 
   def hllDistinct(docs: DataFrame): DataFrame = {
-    val tok = docs.select(col("source"),
-      explode(split(col("text"), " ")).as("w"))
+    // tokenize ONCE (the oracle pins `tok AS MATERIALIZED`): both the
+    // register sketch and the exact-distinct validation aggregate read
+    // the pinned frame instead of re-exploding the corpus
+    val tok = graft.tools.Materialize(docs.select(col("source"),
+      explode(split(col("text"), " ")).as("w")))
     val exacts = tok.groupBy(col("source"))
       .agg(count(lit(1)).as("n_tokens"),
         countDistinct(col("w")).as("exact_distinct"))
@@ -112,7 +122,7 @@ object Hll {
         .agg(count(lit(1)).as("n_tokens"),
           countDistinct(col("w")).as("exact_distinct"))
         .withColumn("source", lit("ALL")))
-    estimatesFromRegisters(registers(docs)).join(exacts, Seq("source"))
+    estimatesFromRegisters(registersFromTok(tok)).join(exacts, Seq("source"))
       .select(col("source"), col("n_tokens"), col("exact_distinct"),
         col("zeros"), round(col("est"), 4).as("hll_est"),
         round(abs(col("est") - col("exact_distinct")) /

@@ -121,6 +121,14 @@ object Retrieval {
           .sortBy { case (id, rel, _) => (-rel, id) }
         val picks = scala.collection.mutable.ArrayBuffer
           .empty[(Long, Long, Array[Double])] // (id, scoreNano, emb)
+        // each (candidate, pick) similarity is needed at every later
+        // greedy step — memoize so the loop costs O(k·perList) cosine
+        // evaluations instead of O(k²·perList)
+        val simCache = scala.collection.mutable.HashMap
+          .empty[(Long, Long), Double]
+        def sim(cId: Long, cEmb: Array[Double],
+            p: (Long, Long, Array[Double])): Double =
+          simCache.getOrElseUpdate((cId, p._1), cos6(cEmb, p._3))
         while (picks.size < k && picks.size < cs.length) {
           val best =
             if (picks.isEmpty) {
@@ -129,7 +137,7 @@ object Retrieval {
             } else {
               val chosen = picks.map(_._1).toSet
               cs.iterator.filterNot(c => chosen(c._1)).map { c =>
-                val maxSim = picks.iterator.map(p => cos6(c._3, p._3)).max
+                val maxSim = picks.iterator.map(p => sim(c._1, c._3, p)).max
                 (c._1, nano(lambda * c._2 - om * maxSim), c._3)
               }.reduceLeft { (a, b) =>
                 if (b._2 > a._2 || (b._2 == a._2 && b._1 < a._1)) b else a

@@ -24,7 +24,7 @@ class Int8QuantSpec extends AnyFunSuite {
     assert(out.head.getAs[Double]("qcos") == 1.0)
   }
 
-  test("recall@5 of the int8 ranking vs float cosine >= 0.8 on " +
+  test("recall@10 of the int8 ranking vs float cosine >= 0.8 on " +
     "clustered vectors") {
     import spark.implicits._
     // 4 well-separated clusters (the PqRecallSpec convention): recall

@@ -236,6 +236,204 @@ object EventsAnalytics {
       .select(col("event_id"), col("event_type"), col("value"),
         round(col("zs") * 10000, 0).cast("long").as("z4"))
 
+  /** X5'': ordered conversion funnel (view → click → purchase) — the
+    * product-analytics staple the events surface lacked. A user
+    * reaches step k iff they have a step-k event AFTER their step-
+    * (k−1) arrival and within `gapSec` of it; step times are the
+    * EARLIEST qualifying events (min-aggregation semantics, the
+    * standard funnel definition). Output is always exactly 3 rows:
+    * (step_idx, step, users, conv_bp) with conversion from the
+    * previous stage in integer basis points (users·10⁴ div prev —
+    * exact integers, no float division anywhere; NULL when the
+    * previous stage is empty, so the ANSI dialect can't divide by
+    * zero on a degenerate corpus).
+    *
+    * Scale shape: three user_id-keyed aggregates chained by
+    * user_id-co-keyed joins (each join key is the previous
+    * aggregation's grouping key, so the exchange is reused), then
+    * three 1-row counts cross-joined — the allowlisted
+    * 1-row-broadcast shape. Linear at any SF.
+    */
+  def funnel(events: DataFrame, gapSec: Long = 604800L): DataFrame = {
+    val e = events.select(col("user_id"), col("event_type"),
+      col("ts").cast("double").as("ep"))
+    val all = e.select(col("user_id")).distinct()
+    val v = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ep")).as("t1"))
+    val c = e.join(v, "user_id")
+      .filter(col("event_type") === "click" && col("ep") > col("t1") &&
+        col("ep") <= col("t1") + gapSec)
+      .groupBy(col("user_id")).agg(min(col("ep")).as("t2"))
+    val p = e.join(c, "user_id")
+      .filter(col("event_type") === "purchase" && col("ep") > col("t2") &&
+        col("ep") <= col("t2") + gapSec)
+      .groupBy(col("user_id")).agg(min(col("ep")).as("t3"))
+    val row = all.agg(count(lit(1)).as("u0"))
+      .crossJoin(v.agg(count(lit(1)).as("u1")))
+      .crossJoin(c.agg(count(lit(1)).as("u2")))
+      .crossJoin(p.agg(count(lit(1)).as("u3")))
+    def bp(num: String, den: String) =
+      when(col(den) === 0, lit(null).cast("long"))
+        .otherwise(expr(s"10000 * $num div $den"))
+    row.select(explode(array(
+      struct(lit(1).as("step_idx"), lit("view").as("step"),
+        col("u1").as("users"), bp("u1", "u0").as("conv_bp")),
+      struct(lit(2).as("step_idx"), lit("click").as("step"),
+        col("u2").as("users"), bp("u2", "u1").as("conv_bp")),
+      struct(lit(3).as("step_idx"), lit("purchase").as("step"),
+        col("u3").as("users"), bp("u3", "u2").as("conv_bp")))).as("r"))
+      .select(col("r.step_idx"), col("r.step"), col("r.users"),
+        col("r.conv_bp"))
+      .orderBy(col("step_idx"))
+  }
+
+  def funnelSql(gapSec: Long = 604800L): String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_type, epoch(ts) AS ep FROM events
+       |), v AS (
+       |  SELECT user_id, min(ep) AS t1 FROM e
+       |  WHERE event_type = 'view' GROUP BY 1
+       |), c AS (
+       |  SELECT e.user_id, min(e.ep) AS t2
+       |  FROM e JOIN v USING (user_id)
+       |  WHERE e.event_type = 'click' AND e.ep > v.t1
+       |    AND e.ep <= v.t1 + $gapSec
+       |  GROUP BY 1
+       |), p AS (
+       |  SELECT e.user_id, min(e.ep) AS t3
+       |  FROM e JOIN c USING (user_id)
+       |  WHERE e.event_type = 'purchase' AND e.ep > c.t2
+       |    AND e.ep <= c.t2 + $gapSec
+       |  GROUP BY 1
+       |), u AS (
+       |  SELECT (SELECT count(DISTINCT user_id) FROM e) AS u0,
+       |         (SELECT count(*) FROM v) AS u1,
+       |         (SELECT count(*) FROM c) AS u2,
+       |         (SELECT count(*) FROM p) AS u3
+       |)
+       |SELECT step_idx, step, users, conv_bp FROM (
+       |  SELECT 1 AS step_idx, 'view' AS step,
+       |    CAST(u1 AS BIGINT) AS users,
+       |    CASE WHEN u0 = 0 THEN NULL
+       |         ELSE CAST(10000 * u1 // u0 AS BIGINT) END AS conv_bp
+       |  FROM u
+       |  UNION ALL
+       |  SELECT 2, 'click', CAST(u2 AS BIGINT),
+       |    CASE WHEN u1 = 0 THEN NULL
+       |         ELSE CAST(10000 * u2 // u1 AS BIGINT) END
+       |  FROM u
+       |  UNION ALL
+       |  SELECT 3, 'purchase', CAST(u3 AS BIGINT),
+       |    CASE WHEN u2 = 0 THEN NULL
+       |         ELSE CAST(10000 * u3 // u2 AS BIGINT) END
+       |  FROM u
+       |) ORDER BY step_idx""".stripMargin
+
+  /** X5'': signup-free cohort retention — cohort = each user's first
+    * event DATE, and the matrix counts distinct users from each
+    * cohort active again `day_off` days later, with retention in
+    * integer basis points against the cohort's size (exact integer
+    * division; cohort_users ≥ 1 by construction, so no zero guard is
+    * needed). The (cohort, day_off) matrix is the table every
+    * growth dashboard draws.
+    *
+    * Scale shape: one user_id aggregate (first date), one co-keyed
+    * join back (user_id — the aggregate's own key), one
+    * (cohort, day_off) hash aggregate with map-side distinct
+    * partials, one ≤|dates|-row cohort-size dim joined on cohort.
+    * Linear; no window anywhere.
+    */
+  def retentionCohorts(events: DataFrame): DataFrame = {
+    val e = events.select(col("user_id"), to_date(col("ts")).as("d"))
+    val first = e.groupBy(col("user_id")).agg(min(col("d")).as("cohort"))
+    val sizes = first.groupBy(col("cohort"))
+      .agg(count(lit(1)).as("cohort_users"))
+    e.join(first, "user_id")
+      .groupBy(col("cohort"), datediff(col("d"), col("cohort")).as("day_off"))
+      .agg(countDistinct(col("user_id")).as("active"))
+      .join(sizes, "cohort")
+      .select(col("cohort"), col("day_off"), col("active"),
+        col("cohort_users"),
+        expr("10000 * active div cohort_users").as("ret_bp"))
+      .orderBy(col("cohort"), col("day_off"))
+  }
+
+  val retentionCohortsSql: String =
+    """WITH e AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS d FROM events
+      |), first AS (
+      |  SELECT user_id, min(d) AS cohort FROM e GROUP BY 1
+      |), sizes AS (
+      |  SELECT cohort, CAST(count(*) AS BIGINT) AS cohort_users
+      |  FROM first GROUP BY 1
+      |), act AS (
+      |  SELECT first.cohort, date_diff('day', first.cohort, e.d) AS day_off,
+      |         CAST(count(DISTINCT e.user_id) AS BIGINT) AS active
+      |  FROM e JOIN first USING (user_id)
+      |  GROUP BY 1, 2
+      |)
+      |SELECT cohort, CAST(day_off AS INT) AS day_off, active, cohort_users,
+      |       CAST(10000 * active // cohort_users AS BIGINT) AS ret_bp
+      |FROM act JOIN sizes USING (cohort)
+      |ORDER BY cohort, day_off""".stripMargin
+
+  /** X5'': session path analysis — the event-type transition matrix
+    * over CONSECUTIVE events of a user within one session. Two
+    * consecutive events share a session iff their gap is ≤ `gapSec`
+    * (exactly the x14 sessionization rule: sessions split where the
+    * gap exceeds it), so the transition relation needs no session
+    * index at all — one lag per user and a gap filter, saving the
+    * second exchange a (user, session)-keyed window would force.
+    * Output: (src, dst, n, p_bp) — counts plus the row-normalized
+    * transition probability in integer basis points (the first-order
+    * Markov model of user behavior).
+    *
+    * Scale shape: one user_id-partitioned window (bounded per-user
+    * partitions — no global window), one |types|²-bounded hash
+    * aggregate, one ≤|types|-row totals dim joined on src.
+    */
+  def sessionTransitions(events: DataFrame, gapSec: Int = 1800): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ep"), col("event_id"))
+    val pairs = events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("ts").cast("double").as("ep"))
+      .withColumn("prev_t", lag(col("event_type"), 1).over(byUser))
+      .withColumn("prev_ep", lag(col("ep"), 1).over(byUser))
+      .filter(col("prev_t").isNotNull &&
+        col("ep") - col("prev_ep") <= gapSec)
+      .groupBy(col("prev_t").as("src"), col("event_type").as("dst"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy(col("src"))
+      .agg(sum(col("n")).as("out_n"))
+    pairs.join(totals, "src")
+      .select(col("src"), col("dst"), col("n"),
+        expr("10000 * n div out_n").as("p_bp"))
+      .orderBy(col("src"), col("dst"))
+  }
+
+  def sessionTransitionsSql(gapSec: Int = 1800): String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, event_type, epoch(ts) AS ep FROM events
+       |), lagged AS (
+       |  SELECT event_type,
+       |         lag(event_type) OVER w AS prev_t,
+       |         ep, lag(ep) OVER w AS prev_ep
+       |  FROM e
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ep, event_id)
+       |), pairs AS (
+       |  SELECT prev_t AS src, event_type AS dst,
+       |         CAST(count(*) AS BIGINT) AS n
+       |  FROM lagged
+       |  WHERE prev_t IS NOT NULL AND ep - prev_ep <= $gapSec
+       |  GROUP BY 1, 2
+       |), totals AS (
+       |  SELECT src, CAST(sum(n) AS BIGINT) AS out_n FROM pairs GROUP BY 1
+       |)
+       |SELECT src, dst, n, CAST(10000 * n // out_n AS BIGINT) AS p_bp
+       |FROM pairs JOIN totals USING (src)
+       |ORDER BY src, dst""".stripMargin
+
   def anomaliesSql(z: Double = 3.0): String =
     s"""WITH cents AS (
        |  SELECT event_id, event_type, value,

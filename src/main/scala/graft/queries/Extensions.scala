@@ -717,6 +717,24 @@ object Extensions {
     Dedup.minhashEstimate(Tables.documents(s, d),
       perms = 128, dfCap = 10, threshold = 0.5)
 
+  /** X5'': ordered conversion funnel over events. See
+    * EventsAnalytics.funnel.
+    */
+  private val x91EventFunnel: Q = (s, d) =>
+    EventsAnalytics.funnel(Tables.events(s, d))
+
+  /** X5'': first-seen cohort retention matrix. See
+    * EventsAnalytics.retentionCohorts.
+    */
+  private val x92RetentionCohorts: Q = (s, d) =>
+    EventsAnalytics.retentionCohorts(Tables.events(s, d))
+
+  /** X5'': within-session event-type transition matrix (first-order
+    * Markov counts). See EventsAnalytics.sessionTransitions.
+    */
+  private val x93SessionPaths: Q = (s, d) =>
+    EventsAnalytics.sessionTransitions(Tables.events(s, d))
+
   val queries: Map[String, Q] = Map(
     "x01_dedup_exact" -> x01DedupExact,
     "x02_dedup_minhash" -> x02DedupMinhash,
@@ -809,6 +827,9 @@ object Extensions {
     "x88_cluster_sample_serve" -> x88ClusterSampleServe,
     "x89_calibration" -> x89Calibration,
     "x90_leakage_audit" -> x90LeakageAudit,
+    "x91_event_funnel" -> x91EventFunnel,
+    "x92_retention_cohorts" -> x92RetentionCohorts,
+    "x93_session_paths" -> x93SessionPaths,
   )
 
   /** The PNG pixel statistics in closed form: the fixture image's
@@ -1047,5 +1068,8 @@ object Extensions {
       k = 8, budget = 100),
     "x89_calibration" -> QualityClassifier.calibrationSql(),
     "x90_leakage_audit" -> Dedup.leakageAuditSql(3),
+    "x91_event_funnel" -> EventsAnalytics.funnelSql(),
+    "x92_retention_cohorts" -> EventsAnalytics.retentionCohortsSql,
+    "x93_session_paths" -> EventsAnalytics.sessionTransitionsSql(),
   )
 }

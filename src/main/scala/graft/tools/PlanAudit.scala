@@ -237,6 +237,9 @@ object PlanAudit {
     // clean.
     val allow: Map[String, Set[String]] = Map(
       "q12_metrics" -> Set("SinglePartition", "BNLJoin"), // 1-row scale/sd scalars
+      // four grouping-free 1-row step counts cross-joined into the
+      // 3-row funnel report (certified scalar-subquery-1row above)
+      "x91_event_funnel" -> Set("SinglePartition", "BNLJoin"),
       // nine-sum global aggregate → one 9-number row (Cramer projection)
       "d08_harmonic_fit" -> Set("SinglePartition"),
       "q13_metric_means" -> Set("SinglePartition", "BNLJoin"), // global means

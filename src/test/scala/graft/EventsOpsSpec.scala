@@ -1,0 +1,90 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.llm.EventsAnalytics
+
+/** Semantic checks for the round-9 event analytics: ordered funnel,
+  * cohort retention, and within-session transition paths.
+  */
+class EventsOpsSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def ev(rows: Seq[(Long, Long, String, Long)]) = {
+    import spark.implicits._
+    rows.toDF("event_id", "user_id", "event_type", "ep")
+      .withColumn("ts", timestamp_seconds(col("ep")))
+      .withColumn("value", lit(1.0))
+      .drop("ep")
+  }
+
+  test("funnel: steps must occur in order — a click before the first " +
+    "view does not convert") {
+    // user 1: view -> click -> purchase (full funnel)
+    // user 2: click at t=0, view at t=10, no later click -> view only
+    // user 3: view and click at the SAME second -> strict > excludes it
+    val events = ev(Seq(
+      (1L, 1L, "view", 100L), (2L, 1L, "click", 110L),
+      (3L, 1L, "purchase", 120L),
+      (4L, 2L, "click", 0L), (5L, 2L, "view", 10L),
+      (6L, 3L, "view", 50L), (7L, 3L, "click", 50L)))
+    val out = EventsAnalytics.funnel(events).collect()
+      .map(r => r.getAs[Int]("step_idx") ->
+        (r.getAs[Long]("users"), r.getAs[Long]("conv_bp"))).toMap
+    assert(out(1) == ((3L, 10000L))) // all 3 users viewed
+    assert(out(2) == ((1L, 3333L)))  // only user 1 clicked after viewing
+    assert(out(3) == ((1L, 10000L)))
+  }
+
+  test("funnel: a step arriving after gapSec of the previous step " +
+    "does not convert") {
+    val events = ev(Seq(
+      (1L, 1L, "view", 0L), (2L, 1L, "click", 700000L))) // > 604800
+    val out = EventsAnalytics.funnel(events).collect()
+      .map(r => r.getAs[Int]("step_idx") -> r.getAs[Long]("users")).toMap
+    assert(out(1) == 1L && out(2) == 0L)
+  }
+
+  test("funnel: empty input yields 3 rows with null conversions") {
+    val events = ev(Seq.empty)
+    val out = EventsAnalytics.funnel(events).collect()
+    assert(out.length == 3)
+    assert(out.forall(r => r.getAs[Long]("users") == 0L &&
+      r.isNullAt(r.fieldIndex("conv_bp"))))
+  }
+
+  test("retention: cohort is the first event date; ret_bp is exact " +
+    "basis points of the cohort size") {
+    // users 1,2 first seen day 0; user 1 returns day 1; user 3 first
+    // seen day 1 (its own cohort)
+    val day = 86400L
+    val events = ev(Seq(
+      (1L, 1L, "view", 0L), (2L, 2L, "view", 100L),
+      (3L, 1L, "click", day + 50L),
+      (4L, 3L, "view", day + 60L)))
+    val out = EventsAnalytics.retentionCohorts(events).collect()
+      .map(r => (r.getAs[java.sql.Date]("cohort").toString,
+        r.getAs[Int]("day_off")) ->
+        (r.getAs[Long]("active"), r.getAs[Long]("ret_bp"))).toMap
+    assert(out(("1970-01-01", 0)) == ((2L, 10000L)))
+    assert(out(("1970-01-01", 1)) == ((1L, 5000L)))
+    assert(out(("1970-01-02", 0)) == ((1L, 10000L)))
+    assert(out.size == 3)
+  }
+
+  test("session transitions: cross-session gaps break the chain; " +
+    "p_bp row-normalizes per source type") {
+    // user 1: view->click within gap, then a >gap pause, then
+    // view->purchase — the click->view crossing must NOT count
+    val events = ev(Seq(
+      (1L, 1L, "view", 0L), (2L, 1L, "click", 10L),
+      (3L, 1L, "view", 5000L), (4L, 1L, "purchase", 5010L)))
+    val out = EventsAnalytics.sessionTransitions(events, gapSec = 1800)
+      .collect()
+      .map(r => (r.getAs[String]("src"), r.getAs[String]("dst")) ->
+        (r.getAs[Long]("n"), r.getAs[Long]("p_bp"))).toMap
+    assert(out(("view", "click")) == ((1L, 5000L)))
+    assert(out(("view", "purchase")) == ((1L, 5000L)))
+    assert(out.size == 2)
+  }
+}

@@ -229,6 +229,244 @@ object Similarity {
        |SELECT qid, CAST(rank AS INT) AS rank, vec_id, qcos
        |FROM ranked WHERE rank <= $k ORDER BY qid, rank""".stripMargin
 
+  /** 1-bit sign signature: bit i (i < 63) set iff embedding[i] > 0.
+    * 63 bits so the packed value stays in positive signed-64 (the x86
+    * phash convention — bit 63 would be the sign bit). 8 bytes per
+    * vector: 32× smaller than the float array, which at 100 TB of
+    * embeddings is the difference between a prefilter scan that lives
+    * in memory and one that doesn't.
+    */
+  private[graft] def binarySigs(emb: DataFrame): DataFrame =
+    emb.withColumn("sig", expr(
+      """aggregate(transform(slice(embedding, 1, 63),
+        |  (x, i) -> IF(cast(x as double) > 0D,
+        |    shiftleft(cast(1 as bigint), i), cast(0 as bigint))),
+        |  cast(0 as bigint), (a, x) -> a + x)""".stripMargin))
+
+  private def binarySigsSqlCte: String =
+    """sigs AS MATERIALIZED (
+      |  SELECT e.vec_id, e.embedding,
+      |    CAST(sum(CASE WHEN CAST(e.embedding[i+1] AS DOUBLE) > 0
+      |             THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT)
+      |      AS sig
+      |  FROM embeddings e, UNNEST(range(63)) AS r(i)
+      |  GROUP BY 1, 2
+      |)""".stripMargin
+
+  /** X2: binary-quantized search — Hamming-radius prefilter on the
+    * 63-bit sign signatures (for sign vectors, P(bit differs) = θ/π,
+    * so a Hamming ball IS an angular ball), then exact float-cosine
+    * rerank of the survivors. The asymmetric two-stage everyone
+    * ships for billion-scale dense retrieval: the cheap 8-byte
+    * signature scan (one codegen'd `bit_count(xor)` per pair) kills
+    * ~90% of candidates before a float array is ever touched.
+    *
+    * Scale shape: identical to cosineTopK (broadcast queries, one
+    * corpus pass, bounded partial top-k) except the expensive cosine
+    * kernel runs only on pairs inside the Hamming ball — the filter
+    * sits BEFORE the array math in the same codegen stage, so the
+    * pruned pairs cost one long-XOR-popcount each.
+    */
+  def binaryTopK(emb: DataFrame, nQueries: Int, radius: Int,
+      k: Int): DataFrame = {
+    val sigs = binarySigs(emb)
+    val q = sigs.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("sig").as("qsig"))
+    sigs.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid") &&
+        expr("bit_count(sig ^ qsig)") <= radius)
+      .withColumn("cos",
+        round(graft.functions.VectorFunctions
+          .cosine_similarity(col("embedding"), col("qe")), 6))
+      .filter(col("cos").isNotNull) // zero-norm vectors drop, not crash
+      .groupBy(col("qid"))
+      .agg(graft.functions.TopK.top_k(k)(col("cos"), col("vec_id"))
+        .as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("pos", "hit")))
+      .select(col("qid"), (col("pos") + 1).as("rank"),
+        col("hit.vec_id").as("vec_id"), col("hit.cos").as("cos"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  def binaryTopKSql(nQueries: Int, radius: Int, k: Int): String =
+    s"""WITH $binarySigsSqlCte, cand AS (
+       |  SELECT q.qid, e.vec_id, e.embedding, q.qe
+       |  FROM sigs e
+       |  CROSS JOIN (SELECT vec_id AS qid, embedding AS qe, sig AS qsig
+       |              FROM sigs WHERE vec_id < $nQueries) q
+       |  WHERE e.vec_id <> q.qid
+       |    AND bit_count(xor(e.sig, q.qsig)) <= $radius
+       |), prods AS (
+       |  SELECT c.qid, c.vec_id,
+       |         sum(CAST(c.embedding[i+1] AS DOUBLE)
+       |             * CAST(c.qe[i+1] AS DOUBLE)) AS dot,
+       |         sum(CAST(c.embedding[i+1] AS DOUBLE)
+       |             * CAST(c.embedding[i+1] AS DOUBLE)) AS na,
+       |         sum(CAST(c.qe[i+1] AS DOUBLE)
+       |             * CAST(c.qe[i+1] AS DOUBLE)) AS nb
+       |  FROM cand c, UNNEST(range(len(c.embedding))) AS r(i)
+       |  GROUP BY 1, 2
+       |), scored AS (
+       |  SELECT qid, vec_id, round(dot / (sqrt(na) * sqrt(nb)), 6) AS cos
+       |  FROM prods WHERE na > 0 AND nb > 0
+       |), ranked AS (
+       |  SELECT qid, vec_id, cos,
+       |         row_number() OVER (PARTITION BY qid
+       |           ORDER BY cos DESC, vec_id) AS rank
+       |  FROM scored
+       |)
+       |SELECT qid, CAST(rank AS INT) AS rank, vec_id, cos
+       |FROM ranked WHERE rank <= $k ORDER BY qid, rank""".stripMargin
+
+  /** Deterministic ±1 Johnson–Lindenstrauss sign matrix: entry (j, i)
+    * is +1 iff the first hex nibble of md5("i_j") is even — the same
+    * bits both engines derive, so the projection is reproducible
+    * anywhere without shipping a matrix. (Achlioptas 2003: ±1 entries
+    * preserve pairwise angles in expectation exactly like Gaussian
+    * ones.)
+    */
+  private def jlSign(i: Int, j: Int): Int = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${i}_${j}".getBytes("UTF-8"))
+    val nib = (d(0) >> 4) & 0xf
+    if (nib % 2 == 0) 1 else -1
+  }
+
+  /** Integer-exact vector frame for the JL family: embeddings
+    * quantized to micro-units (round(v·10⁶) as bigint) plus the
+    * rDim-dimensional ±1 projection — EVERY sum downstream is exact
+    * integer arithmetic, so scores are engine-order-independent (the
+    * int8 lesson applied to projections: floats only appear in the
+    * final fixed sqrt/divide expression).
+    */
+  private[graft] def jlProjected(emb: DataFrame, rDim: Int): DataFrame = {
+    val micro = emb.select(col("vec_id"), expr(
+      "transform(embedding, x -> cast(round(cast(x as double) " +
+        "* 1000000, 0) as bigint))").as("m"))
+    val projCols = (0 until rDim).map { j =>
+      val lits = (0 until 64).map(i => jlSign(i, j)).mkString(",")
+      expr(s"""aggregate(transform(m, (v, i) ->
+        |  v * cast(element_at(array($lits), cast(i + 1 as int)) as bigint)),
+        |  cast(0 as bigint), (a, x) -> a + x)""".stripMargin).as(s"p$j")
+    }
+    micro.select(col("vec_id") +: col("m") +: projCols: _*)
+      .withColumn("rv", array((0 until rDim).map(j => col(s"p$j")): _*))
+      .select(col("vec_id"), col("m"), col("rv"))
+  }
+
+  /** Exact-integer cosine between two bigint array columns, one fixed
+    * IEEE expression at the end (sums are exact; the bigint→double
+    * conversions and the sqrt/divide are deterministic round-to-
+    * nearest, identical in both engines). NULL when either norm is 0.
+    */
+  private def intCos(a: String, b: String): Column = {
+    def dot(x: String, y: String) =
+      s"""aggregate(zip_with($x, $y, (u, v) -> u * v),
+         |  cast(0 as bigint), (acc, t) -> acc + t)""".stripMargin
+    expr(s"""CASE WHEN ${dot(a, a)} > 0 AND ${dot(b, b)} > 0
+      |THEN round(cast(${dot(a, b)} as double)
+      |  / (sqrt(cast(${dot(a, a)} as double))
+      |     * sqrt(cast(${dot(b, b)} as double))), 6)
+      |ELSE NULL END""".stripMargin)
+  }
+
+  /** X2: random-projection (JL) search — the coarse-search/refine
+    * pattern for dense retrieval when a 64-float scan is too hot:
+    * rank in the rDim·8-byte projected space (4× less memory traffic
+    * at rDim=16), keep the top k, then score ONLY those k·nQueries
+    * winners at full dimension. Output carries both scores plus the
+    * absolute gap — the distortion calibration table (the x87
+    * est-vs-exact convention) that tells an operator whether rDim is
+    * big enough before they trust the coarse ranking at scale.
+    *
+    * Scale shape: projection is map-only (16 integer folds per
+    * vector); the search is the x05 broadcast-query shape on the
+    * short vectors; the full-dim refine touches a bounded
+    * k·nQueries-row frame joined co-keyed back to the corpus.
+    */
+  def jlTopK(emb: DataFrame, nQueries: Int, rDim: Int, k: Int): DataFrame = {
+    val proj = jlProjected(emb, rDim)
+    val q = proj.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("m").as("qm"),
+        col("rv").as("qrv"))
+    val ranked = proj.crossJoin(broadcast(q.select(col("qid"), col("qrv"))))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos16", intCos("rv", "qrv"))
+      .filter(col("cos16").isNotNull)
+      .groupBy(col("qid"))
+      .agg(graft.functions.TopK.top_k(k)(col("cos16"), col("vec_id"))
+        .as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("pos", "hit")))
+      .select(col("qid"), (col("pos") + 1).as("rank"),
+        col("hit.vec_id").as("vec_id"), col("hit.cos").as("cos16"))
+    ranked
+      .join(proj.select(col("vec_id"), col("m")), "vec_id")
+      .join(q.select(col("qid"), col("qm")), "qid")
+      .withColumn("cos64", intCos("m", "qm"))
+      .select(col("qid"), col("rank"), col("vec_id"), col("cos16"),
+        col("cos64"),
+        round(abs(col("cos16") - col("cos64")), 6).as("err"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  def jlTopKSql(nQueries: Int, rDim: Int, k: Int): String =
+    s"""WITH micro AS MATERIALIZED (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS m
+       |  FROM embeddings
+       |), signs AS (
+       |  SELECT j, i,
+       |    CASE WHEN (instr('0123456789abcdef',
+       |      substr(md5(CAST(i AS VARCHAR) || '_' || CAST(j AS VARCHAR)),
+       |        1, 1)) - 1) % 2 = 0 THEN 1 ELSE -1 END AS s
+       |  FROM UNNEST(range($rDim)) AS a(j), UNNEST(range(64)) AS b(i)
+       |), proj AS MATERIALIZED (
+       |  SELECT t.vec_id, s.j, CAST(sum(s.s * t.m[s.i + 1]) AS BIGINT) AS p
+       |  FROM micro t JOIN signs s ON s.i < len(t.m)
+       |  GROUP BY 1, 2
+       |), p16 AS (
+       |  SELECT q.vec_id AS qid, c.vec_id,
+       |    CAST(sum(c.p * q.p) AS BIGINT) AS dot,
+       |    CAST(sum(c.p * c.p) AS BIGINT) AS na,
+       |    CAST(sum(q.p * q.p) AS BIGINT) AS nb
+       |  FROM proj c
+       |  JOIN (SELECT * FROM proj WHERE vec_id < $nQueries) q ON c.j = q.j
+       |  WHERE c.vec_id <> q.vec_id
+       |  GROUP BY 1, 2
+       |), ranked AS (
+       |  SELECT qid, vec_id, cos16,
+       |    row_number() OVER (PARTITION BY qid
+       |      ORDER BY cos16 DESC, vec_id) AS rank
+       |  FROM (
+       |    SELECT qid, vec_id, round(CAST(dot AS DOUBLE)
+       |      / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))), 6)
+       |      AS cos16
+       |    FROM p16 WHERE na > 0 AND nb > 0
+       |  )
+       |), full64 AS (
+       |  SELECT r.qid, r.rank, r.vec_id, r.cos16,
+       |    CAST(sum(c.m[i+1] * q.m[i+1]) AS BIGINT) AS dot,
+       |    CAST(sum(c.m[i+1] * c.m[i+1]) AS BIGINT) AS na,
+       |    CAST(sum(q.m[i+1] * q.m[i+1]) AS BIGINT) AS nb
+       |  FROM ranked r
+       |  JOIN micro c ON c.vec_id = r.vec_id
+       |  JOIN micro q ON q.vec_id = r.qid,
+       |       UNNEST(range(len(c.m))) AS x(i)
+       |  WHERE r.rank <= $k
+       |  GROUP BY 1, 2, 3, 4
+       |)
+       |SELECT qid, CAST(rank AS INT) AS rank, vec_id, cos16,
+       |  CASE WHEN na > 0 AND nb > 0
+       |    THEN round(CAST(dot AS DOUBLE)
+       |      / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))), 6)
+       |    ELSE NULL END AS cos64,
+       |  round(abs(cos16 - CASE WHEN na > 0 AND nb > 0
+       |    THEN round(CAST(dot AS DOUBLE)
+       |      / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))), 6)
+       |    ELSE NULL END), 6) AS err
+       |FROM full64 ORDER BY qid, rank""".stripMargin
+
   /** X2: quantization-error report — per-label reconstruction MSE and
     * scale statistics, the monitoring table a pipeline checks before
     * switching its serving index to int8. One map-only pass (the

@@ -735,6 +735,21 @@ object Extensions {
   private val x93SessionPaths: Q = (s, d) =>
     EventsAnalytics.sessionTransitions(Tables.events(s, d))
 
+  /** X2: 1-bit binary quantization — Hamming-radius prefilter on
+    * 63-bit sign signatures, exact cosine rerank. See
+    * Similarity.binaryTopK.
+    */
+  private val x94BinaryTopK: Q = (s, d) =>
+    Similarity.binaryTopK(Tables.embeddings(s, d),
+      nQueries = 5, radius = 26, k = 3)
+
+  /** X2: Johnson–Lindenstrauss projected search with full-dim refine
+    * and distortion calibration columns. See Similarity.jlTopK.
+    */
+  private val x95JlTopK: Q = (s, d) =>
+    Similarity.jlTopK(Tables.embeddings(s, d),
+      nQueries = 5, rDim = 16, k = 3)
+
   val queries: Map[String, Q] = Map(
     "x01_dedup_exact" -> x01DedupExact,
     "x02_dedup_minhash" -> x02DedupMinhash,
@@ -830,6 +845,8 @@ object Extensions {
     "x91_event_funnel" -> x91EventFunnel,
     "x92_retention_cohorts" -> x92RetentionCohorts,
     "x93_session_paths" -> x93SessionPaths,
+    "x94_binary_topk" -> x94BinaryTopK,
+    "x95_jl_topk" -> x95JlTopK,
   )
 
   /** The PNG pixel statistics in closed form: the fixture image's
@@ -1071,5 +1088,8 @@ object Extensions {
     "x91_event_funnel" -> EventsAnalytics.funnelSql(),
     "x92_retention_cohorts" -> EventsAnalytics.retentionCohortsSql,
     "x93_session_paths" -> EventsAnalytics.sessionTransitionsSql(),
+    "x94_binary_topk" -> Similarity.binaryTopKSql(
+      nQueries = 5, radius = 26, k = 3),
+    "x95_jl_topk" -> Similarity.jlTopKSql(nQueries = 5, rDim = 16, k = 3),
   )
 }

@@ -262,6 +262,8 @@ object PlanAudit {
       // |sources|-row allocation table: dimension-sized window + 1-row scalars
       "x45_temperature_mix" -> Set("SinglePartition", "BNLJoin"),
       "x05_cosine_topk" -> Set("BNLJoin"), // 5 broadcast query vectors
+      "x94_binary_topk" -> Set("BNLJoin"), // 5 broadcast query signatures
+      "x95_jl_topk" -> Set("BNLJoin"), // 5 broadcast projected queries
       // same bounded broadcast-query shape as x05, on int8 codes
       "x80_int8_topk" -> Set("BNLJoin"),
       // 1-row corpus token total + limit-bounded top-v broadcast into

@@ -26,7 +26,7 @@ class EmbeddingDegenerateSpec extends AnyFunSuite {
     "x36_kmeans_refine", "x46_pq_topk", "x49_hard_negatives",
     "x57_semantic_dedup", "x66_pq_serve",
     "x80_int8_topk", "x81_int8_error", "x84_mmr_rerank",
-    "x85_cluster_sample")
+    "x85_cluster_sample", "x94_binary_topk", "x95_jl_topk")
 
   /** 50 rows per table, with the embeddings rewritten by `vec`. */
   private def corpusWith(vec: org.apache.spark.sql.Column,

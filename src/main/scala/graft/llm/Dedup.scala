@@ -1149,6 +1149,113 @@ object Dedup {
           s" i -> md5(concat_ws(' ', slice(t, i+1, $k))))"))
         .as(Seq("pos", "h")))
 
+  /** X1': per-document n-gram novelty — the fraction of a document's
+    * DISTINCT k-gram hashes first introduced by THIS document in
+    * doc_id order (min doc_id over the corpus holds the claim). The
+    * crawl-snapshot ordering signal: a re-crawl of known content
+    * scores near 0, genuinely new material near 10000, and the score
+    * is what a pipeline sorts on when it can only afford to keep the
+    * most additive slice of a snapshot.
+    *
+    * Scale shape: the x73 gram machinery (one narrow (doc_id, h)
+    * exchange), a min-per-hash aggregate, a join back CO-KEYED on the
+    * hash (the aggregate's own grouping key), and a per-doc count —
+    * linear in corpus tokens, nothing pairwise. novelty_bp is exact
+    * integer basis points (n_grams ≥ 1 whenever the row exists, so
+    * no zero guard is needed; docs shorter than k grams are absent,
+    * same rule as x73).
+    */
+  def ngramNovelty(docs: DataFrame, k: Int): DataFrame = {
+    val grams = slidingGrams(tokenArrays(docs), k)
+      .select(col("doc_id"), col("h")).distinct()
+    val first = grams.groupBy(col("h"))
+      .agg(min(col("doc_id")).as("first_doc"))
+    grams.join(first, "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("novel"))
+      .select(col("doc_id"), col("n_grams"), col("novel"),
+        expr("10000 * novel div n_grams").as("novelty_bp"))
+      .orderBy(col("doc_id"))
+  }
+
+  def ngramNoveltySql(k: Int): String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |g AS (
+       |  SELECT DISTINCT doc_id,
+       |         md5(array_to_string(t[i+1:i+$k], ' ')) AS h
+       |  FROM t, UNNEST(range(len(t)-${k - 1})) AS r(i)
+       |  WHERE len(t) >= $k
+       |), f AS (SELECT h, min(doc_id) AS first_doc FROM g GROUP BY 1)
+       |SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       |  CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS novel,
+       |  CAST(10000 * sum(CASE WHEN f.first_doc = g.doc_id
+       |      THEN 1 ELSE 0 END) // count(*) AS BIGINT) AS novelty_bp
+       |FROM g JOIN f USING (h)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** X1': incremental exact dedup — the batch form of dedup-on-
+    * ingest: a "new batch" (the md5(doc_id)-sliced ~1/newMod of the
+    * corpus, a stand-in crawl delta) deduplicates against the FROZEN
+    * remainder and against itself, first-occurrence-wins. Verdicts:
+    * `dup_of_corpus` (text hash exists in the frozen corpus — its
+    * min-id holder is the keeper), `dup_in_batch` (an earlier new doc
+    * holds the hash), `novel` (keep_id NULL). This is the relation an
+    * ingestion job MERGEs every cycle; the streaming exact-dedup twin
+    * consumes the same frozen-hash model.
+    *
+    * Scale shape: one md5 projection, two hash-keyed min aggregates
+    * (old/new), two joins CO-KEYED on the same hash — linear,
+    * all-exchange-reusing, no pairwise anything.
+    */
+  def incrementalDedup(docs: DataFrame, newMod: Int = 5): DataFrame = {
+    val tagged = docs.select(col("doc_id"), md5(col("text")).as("h"),
+      (expr(hash16FastExpr("cast(doc_id as string)")) % newMod === 0)
+        .as("is_new"))
+    val oldMin = tagged.filter(!col("is_new"))
+      .groupBy(col("h")).agg(min(col("doc_id")).as("old_keep"))
+    val newMin = tagged.filter(col("is_new"))
+      .groupBy(col("h")).agg(min(col("doc_id")).as("new_keep"))
+    tagged.filter(col("is_new"))
+      .join(oldMin, Seq("h"), "left")
+      .join(newMin, Seq("h"))
+      .select(col("doc_id"),
+        when(col("old_keep").isNotNull, lit("dup_of_corpus"))
+          .when(col("new_keep") < col("doc_id"), lit("dup_in_batch"))
+          .otherwise(lit("novel")).as("verdict"),
+        coalesce(col("old_keep"),
+          when(col("new_keep") < col("doc_id"), col("new_keep")))
+          .as("keep_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  def incrementalDedupSql(newMod: Int = 5): String =
+    s"""WITH tagged AS (
+       |  SELECT doc_id, md5(text) AS h,
+       |    ${hash16Expr("strpos", "CAST(doc_id AS VARCHAR)")} % $newMod = 0
+       |      AS is_new
+       |  FROM documents
+       |), oldm AS (
+       |  SELECT h, min(doc_id) AS old_keep FROM tagged
+       |  WHERE NOT is_new GROUP BY 1
+       |), newm AS (
+       |  SELECT h, min(doc_id) AS new_keep FROM tagged
+       |  WHERE is_new GROUP BY 1
+       |)
+       |SELECT t.doc_id,
+       |  CASE WHEN o.old_keep IS NOT NULL THEN 'dup_of_corpus'
+       |       WHEN n.new_keep < t.doc_id THEN 'dup_in_batch'
+       |       ELSE 'novel' END AS verdict,
+       |  COALESCE(o.old_keep,
+       |    CASE WHEN n.new_keep < t.doc_id THEN n.new_keep END) AS keep_id
+       |FROM tagged t
+       |LEFT JOIN oldm o USING (h)
+       |JOIN newm n USING (h)
+       |WHERE t.is_new
+       |ORDER BY t.doc_id""".stripMargin
+
   /** The corpus-side "model" for dedup-on-ingest: one row per
     * distinct k-gram hash with its corpus occurrence count and — when
     * the count is exactly 1 — the single holder's doc_id, so a

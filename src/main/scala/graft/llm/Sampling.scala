@@ -142,6 +142,109 @@ object Sampling {
       .select(col(keyCol), col("alloc"))
   }
 
+  /** X6': token-budget mix planning with repetition caps — the "data
+    * recipe" table a pretraining run is configured from. A global
+    * token `budget` spreads across sources ∝ tokens^τ (the x45
+    * temperature flattening, largest-remainder exact so round 1 sums
+    * to the budget), but no source may be allocated more than
+    * `maxEpochs` passes over its actual tokens; the budget stranded
+    * at capped sources re-spreads ONCE across the uncapped ones
+    * (floor-only, so a second cap tier can undershoot by design —
+    * one waterfill round is the standard practical approximation,
+    * and the undershoot is visible as sum(alloc) < budget). Output
+    * per source: tokens, cap, alloc, implied epochs in exact basis
+    * points, and the capped flag.
+    *
+    * Scale shape: ONE corpus aggregate (token counts per source);
+    * everything after runs on the |sources|-row dimension table —
+    * the x45 convention, including its benign dimension-table window.
+    */
+  def epochMixPlan(docs: DataFrame, budget: Long, tau: Double = 0.7,
+      maxEpochs: Int = 4): DataFrame = {
+    val cnt = docs
+      .select(col("source"), size(split(col("text"), " ")).as("nt"))
+      .groupBy(col("source")).agg(sum(col("nt")).as("tokens"))
+    val z = cnt.agg(round(sum(pow(col("tokens"), lit(tau))), 9).as("z"))
+    val quota = cnt.crossJoin(broadcast(z))
+      .withColumn("q",
+        round(lit(budget) * pow(col("tokens"), lit(tau)) / col("z"), 9))
+      .withColumn("base", floor(col("q")).cast("long"))
+      .withColumn("rem", col("q") - floor(col("q")))
+    val spent = quota.agg(sum(col("base")).as("sb"))
+    val r1 = quota
+      .withColumn("rrk", row_number().over(
+        Window.orderBy(col("rem").desc, col("source"))))
+      .crossJoin(broadcast(spent))
+      .withColumn("alloc0",
+        col("base") + when(col("rrk") <= lit(budget) - col("sb"), 1L)
+          .otherwise(0L))
+      .withColumn("cap", col("tokens") * maxEpochs)
+      .withColumn("a1", least(col("alloc0"), col("cap")))
+    val leftover = r1.agg(coalesce(sum(col("alloc0") - col("a1")), lit(0L))
+      .as("lo"))
+    val z2 = r1.filter(col("a1") < col("cap"))
+      .agg(round(sum(pow(col("tokens"), lit(tau))), 9).as("z2"))
+    r1.crossJoin(broadcast(leftover)).crossJoin(broadcast(z2))
+      .withColumn("alloc", least(
+        col("a1") + when(
+          col("a1") < col("cap") && col("z2").isNotNull && col("z2") > 0,
+          floor(round(col("lo") * pow(col("tokens"), lit(tau)) / col("z2"),
+            9)).cast("long")).otherwise(0L),
+        col("cap")))
+      .select(col("source"), col("tokens"), col("cap"), col("alloc"),
+        expr("10000 * alloc div tokens").as("epochs_bp"),
+        (col("alloc") === col("cap")).as("capped"))
+      .orderBy(col("source"))
+  }
+
+  def epochMixPlanSql(budget: Long, tau: Double = 0.7,
+      maxEpochs: Int = 4): String =
+    s"""WITH cnt AS (
+       |  SELECT source,
+       |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+       |  FROM documents GROUP BY 1
+       |), z AS (SELECT round(sum(pow(tokens, $tau)), 9) AS z FROM cnt),
+       |quota AS (
+       |  SELECT source, tokens,
+       |    round($budget * pow(tokens, $tau) / z, 9) AS q
+       |  FROM cnt CROSS JOIN z
+       |), qb AS (
+       |  SELECT source, tokens, CAST(floor(q) AS BIGINT) AS base,
+       |    q - floor(q) AS rem
+       |  FROM quota
+       |), spent AS (SELECT CAST(sum(base) AS BIGINT) AS sb FROM qb),
+       |r1 AS (
+       |  SELECT source, tokens,
+       |    base + (CASE WHEN rrk <= $budget - sb THEN 1 ELSE 0 END)
+       |      AS alloc0,
+       |    tokens * $maxEpochs AS cap
+       |  FROM (SELECT source, tokens, base, rem,
+       |          row_number() OVER (ORDER BY rem DESC, source) AS rrk
+       |        FROM qb)
+       |       CROSS JOIN spent
+       |), a1t AS (
+       |  SELECT source, tokens, cap, alloc0, least(alloc0, cap) AS a1
+       |  FROM r1
+       |), lo AS (
+       |  SELECT COALESCE(CAST(sum(alloc0 - a1) AS BIGINT), 0) AS lo
+       |  FROM a1t
+       |), z2 AS (
+       |  SELECT round(sum(pow(tokens, $tau)), 9) AS z2
+       |  FROM a1t WHERE a1 < cap
+       |), fin AS (
+       |  SELECT source, tokens, cap,
+       |    least(a1 + CASE WHEN a1 < cap AND z2 IS NOT NULL AND z2 > 0
+       |      THEN CAST(floor(round(lo * pow(tokens, $tau) / z2, 9))
+       |           AS BIGINT)
+       |      ELSE 0 END, cap) AS alloc
+       |  FROM a1t CROSS JOIN lo CROSS JOIN z2
+       |)
+       |SELECT source, tokens, CAST(cap AS BIGINT) AS cap,
+       |  CAST(alloc AS BIGINT) AS alloc,
+       |  CAST(10000 * alloc // tokens AS BIGINT) AS epochs_bp,
+       |  alloc = cap AS capped
+       |FROM fin ORDER BY source""".stripMargin
+
   def temperatureMixSql(budget: Int, tau: Double = 0.7): String =
     s"""WITH cnt AS (
        |  SELECT source, count(*) AS cnt FROM documents GROUP BY source

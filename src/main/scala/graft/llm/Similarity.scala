@@ -953,6 +953,85 @@ object Similarity {
        |SELECT cid, i, cv AS centroid FROM d$iters
        |ORDER BY cid, i""".stripMargin
 
+  /** X2/X3: embedding outlier report — every vector's cosine to its
+    * assigned TRAINED centroid (shared Lloyd loop, the x57/x85
+    * model), flagged when it sits more than `z` population standard
+    * deviations BELOW its cluster's mean affinity. The curation
+    * signal for "this embedding belongs to no cluster": encoder
+    * failures, off-distribution content, and mislabeled modality all
+    * surface here before they poison a semantic-dedup or
+    * cluster-sampling pass.
+    *
+    * Determinism: affinities quantize to integer ten-thousandths
+    * (c4) before the per-cluster moments, so mean/sd come from exact
+    * integer sums (the x63 idiom); zero-sd clusters admit no outlier
+    * and drop. Zero-norm vectors and zero-norm centroids are
+    * excluded up front (no NaN enters a comparison in either
+    * dialect).
+    *
+    * Scale shape: one broadcast-centroid pass (argmax assignment as
+    * a map-side struct-min aggregate), one ≤k-row moments dim, one
+    * co-keyed join back — linear, the x63 shape over trained
+    * clusters.
+    */
+  def centroidOutliers(emb: DataFrame, k: Int, trainIters: Int,
+      z: Double): DataFrame = {
+    val cents = kmeansCentroids(emb, k, trainIters)
+    val scored = emb.crossJoin(broadcast(cents))
+      .withColumn("c", round(graft.functions.VectorFunctions
+        .cosine_similarity(col("embedding"), col("ce")), 6))
+      .filter(col("c").isNotNull)
+      .groupBy(col("vec_id"))
+      .agg(min(struct((-col("c")).as("nc"), col("__cid").as("cid")))
+        .as("b"))
+      .select(col("vec_id"), col("b.cid").as("cid"),
+        round((-col("b.nc")) * 10000, 0).cast("long").as("c4"))
+    val stats = scored.groupBy(col("cid"))
+      .agg(count(lit(1)).as("n"), sum(col("c4")).as("s"),
+        sum(col("c4") * col("c4")).as("ss"))
+      .select(col("cid"),
+        (col("s").cast("double") / col("n")).as("mean"),
+        sqrt((col("ss").cast("double") -
+          col("s").cast("double") * col("s").cast("double") / col("n"))
+          / col("n")).as("sd"))
+      .filter(col("sd") > 0)
+    scored.join(stats, "cid")
+      .withColumn("zs", (col("c4").cast("double") - col("mean")) / col("sd"))
+      .filter(col("zs") < -z)
+      .select(col("vec_id"), col("cid"), col("c4"),
+        round(col("zs") * 10000, 0).cast("long").as("z4"))
+      .orderBy(col("vec_id"))
+  }
+
+  def centroidOutliersSql(k: Int, trainIters: Int, z: Double): String =
+    s"""WITH ${kmeansCtesSql(k, trainIters)}, scored AS (
+       |  SELECT vec_id, cid, CAST(round(c * 10000, 0) AS BIGINT) AS c4
+       |  FROM (
+       |    SELECT d.vec_id, c.cid, ${sqlCos("d.e", "c.ce")} AS c,
+       |      row_number() OVER (PARTITION BY d.vec_id
+       |        ORDER BY ${sqlCos("d.e", "c.ce")} DESC, c.cid) AS rn
+       |    FROM dbl d CROSS JOIN c$trainIters c
+       |    WHERE list_dot_product(d.e, d.e) > 0
+       |      AND list_dot_product(c.ce, c.ce) > 0)
+       |  WHERE rn = 1
+       |), stats AS (
+       |  SELECT cid,
+       |    CAST(sum(c4) AS DOUBLE) / count(*) AS mean,
+       |    sqrt((CAST(sum(c4 * c4) AS DOUBLE)
+       |          - CAST(sum(c4) AS DOUBLE) * CAST(sum(c4) AS DOUBLE)
+       |            / count(*)) / count(*)) AS sd
+       |  FROM scored GROUP BY cid
+       |  HAVING sqrt((CAST(sum(c4 * c4) AS DOUBLE)
+       |          - CAST(sum(c4) AS DOUBLE) * CAST(sum(c4) AS DOUBLE)
+       |            / count(*)) / count(*)) > 0
+       |)
+       |SELECT vec_id, cid, c4,
+       |  CAST(round((CAST(c4 AS DOUBLE) - mean) / sd * 10000, 0) AS BIGINT)
+       |    AS z4
+       |FROM scored JOIN stats USING (cid)
+       |WHERE (CAST(c4 AS DOUBLE) - mean) / sd < -$z
+       |ORDER BY vec_id""".stripMargin
+
   /** Product-quantization ANN (x46): split each `dim`-vector into `m`
     * subvectors, quantize every subvector to its nearest of `ksub`
     * codebook centroids (the first `ksub` vectors' subvectors — a

@@ -750,6 +750,32 @@ object Extensions {
     Similarity.jlTopK(Tables.embeddings(s, d),
       nQueries = 5, rDim = 16, k = 3)
 
+  /** X1': per-doc n-gram novelty score (crawl-snapshot ordering
+    * signal). See Dedup.ngramNovelty.
+    */
+  private val x96NgramNovelty: Q = (s, d) =>
+    Dedup.ngramNovelty(Tables.documents(s, d), k = 8)
+
+  /** X2/X3: trained-centroid embedding outlier report. See
+    * Similarity.centroidOutliers.
+    */
+  private val x97CentroidOutliers: Q = (s, d) =>
+    Similarity.centroidOutliers(Tables.embeddings(s, d),
+      k = 8, trainIters = 1, z = 1.5)
+
+  /** X6': token-budget mix plan with repetition caps. See
+    * Sampling.epochMixPlan.
+    */
+  private val x98EpochMix: Q = (s, d) =>
+    Sampling.epochMixPlan(Tables.documents(s, d),
+      budget = 40000L, tau = 0.7, maxEpochs = 1)
+
+  /** X1': incremental new-batch-vs-frozen-corpus exact dedup. See
+    * Dedup.incrementalDedup.
+    */
+  private val x99IncrementalDedup: Q = (s, d) =>
+    Dedup.incrementalDedup(Tables.documents(s, d), newMod = 5)
+
   val queries: Map[String, Q] = Map(
     "x01_dedup_exact" -> x01DedupExact,
     "x02_dedup_minhash" -> x02DedupMinhash,
@@ -847,6 +873,10 @@ object Extensions {
     "x93_session_paths" -> x93SessionPaths,
     "x94_binary_topk" -> x94BinaryTopK,
     "x95_jl_topk" -> x95JlTopK,
+    "x96_ngram_novelty" -> x96NgramNovelty,
+    "x97_centroid_outliers" -> x97CentroidOutliers,
+    "x98_epoch_mix" -> x98EpochMix,
+    "x99_incremental_dedup" -> x99IncrementalDedup,
   )
 
   /** The PNG pixel statistics in closed form: the fixture image's
@@ -1091,5 +1121,11 @@ object Extensions {
     "x94_binary_topk" -> Similarity.binaryTopKSql(
       nQueries = 5, radius = 26, k = 3),
     "x95_jl_topk" -> Similarity.jlTopKSql(nQueries = 5, rDim = 16, k = 3),
+    "x96_ngram_novelty" -> Dedup.ngramNoveltySql(k = 8),
+    "x97_centroid_outliers" -> Similarity.centroidOutliersSql(
+      k = 8, trainIters = 1, z = 1.5),
+    "x98_epoch_mix" -> Sampling.epochMixPlanSql(
+      budget = 40000L, tau = 0.7, maxEpochs = 1),
+    "x99_incremental_dedup" -> Dedup.incrementalDedupSql(newMod = 5),
   )
 }

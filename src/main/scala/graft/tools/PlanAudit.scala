@@ -263,6 +263,11 @@ object PlanAudit {
       "x45_temperature_mix" -> Set("SinglePartition", "BNLJoin"),
       "x05_cosine_topk" -> Set("BNLJoin"), // 5 broadcast query vectors
       "x94_binary_topk" -> Set("BNLJoin"), // 5 broadcast query signatures
+      // k broadcast trained centroids (the x36/x57 shape)
+      "x97_centroid_outliers" -> Set("BNLJoin"),
+      // |sources|-row dimension allocation + 1-row budget scalars
+      // (the x45 shape)
+      "x98_epoch_mix" -> Set("SinglePartition", "BNLJoin"),
       "x95_jl_topk" -> Set("BNLJoin"), // 5 broadcast projected queries
       // same bounded broadcast-query shape as x05, on int8 codes
       "x80_int8_topk" -> Set("BNLJoin"),

@@ -1,0 +1,143 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.llm.{Dedup, Sampling, Similarity}
+
+/** Semantic checks for the round-9 curation operators: n-gram novelty
+  * (x96), trained-centroid outliers (x97), the epoch-capped token mix
+  * plan (x98), and incremental exact dedup (x99).
+  */
+class NoveltyMixSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("ngram novelty: the first holder scores 10000, an exact copy " +
+    "scores 0, a half-new doc lands strictly between") {
+    import spark.implicits._
+    val base = (1 to 10).map(i => s"w$i").mkString(" ")
+    val fresh = (1 to 10).map(i => s"u$i").mkString(" ")
+    val docs = Seq(
+      (1L, base),
+      (2L, base), // exact copy: every gram first held by doc 1
+      (3L, base.split(" ").take(5).mkString(" ") + " " +
+        fresh.split(" ").take(5).mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Dedup.ngramNovelty(docs, k = 3).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("novelty_bp"))
+      .toMap
+    assert(out(1L) == 10000L)
+    assert(out(2L) == 0L)
+    assert(out(3L) > 0L && out(3L) < 10000L)
+  }
+
+  test("centroid outliers: a no-cluster vector is flagged, tight " +
+    "cluster members are not") {
+    import spark.implicits._
+    // vec_ids 0 and 1 seed the two clusters; 11 more members each
+    // (tight), plus one vector orthogonal-ish to both clusters
+    val rng = new scala.util.Random(7)
+    def cvec(c: Int) = Array.tabulate(64)(j =>
+      ((if (j / 32 == c) 4.0 else 0.0) + rng.nextGaussian() * 0.1).toFloat)
+    val members = (0 until 24).map(i => (i.toLong, cvec(i % 2), i % 2))
+    val outlier = (99L,
+      Array.tabulate(64)(j => (if (j % 2 == 0) 1.0f else -1.0f)), 0)
+    val emb = (members :+ outlier).toDF("vec_id", "embedding", "label")
+    val flagged = Similarity
+      .centroidOutliers(emb, k = 2, trainIters = 1, z = 1.5)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(flagged == Set(99L), s"flagged $flagged")
+  }
+
+  test("epoch mix: one waterfill round moves a capped source's " +
+    "stranded budget to the uncapped one, exactly") {
+    import spark.implicits._
+    // source a: 100 tokens, source b: 900. tau=0.5 -> weights 10/30,
+    // want 250/750 at budget 1000; cap(1 epoch) 100/900 -> a strands
+    // 150, all of it flows to b: alloc 100/900, both end capped.
+    def doc(id: Long, src: String, n: Int) =
+      (id, (1 to n).map(i => s"t$i").mkString(" "), src)
+    val docs = Seq(doc(1, "a", 100), doc(2, "b", 450), doc(3, "b", 450))
+      .toDF("doc_id", "text", "source")
+    val out = Sampling.epochMixPlan(docs, budget = 1000L, tau = 0.5,
+      maxEpochs = 1).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("tokens"), r.getAs[Long]("alloc"),
+          r.getAs[Long]("epochs_bp"), r.getAs[Boolean]("capped"))).toMap
+    assert(out("a") == ((100L, 100L, 10000L, true)))
+    assert(out("b") == ((900L, 900L, 10000L, true)))
+  }
+
+  test("epoch mix: under-budget sources keep their proportional " +
+    "allocation uncapped") {
+    import spark.implicits._
+    def doc(id: Long, src: String, n: Int) =
+      (id, (1 to n).map(i => s"t$i").mkString(" "), src)
+    val docs = Seq(doc(1, "a", 100), doc(2, "b", 900))
+      .toDF("doc_id", "text", "source")
+    // tau=1 -> proportional: want 50/450, caps 100/900 -> untouched
+    val out = Sampling.epochMixPlan(docs, budget = 500L, tau = 1.0,
+      maxEpochs = 1).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("alloc"), r.getAs[Boolean]("capped"))).toMap
+    assert(out("a") == ((50L, false)))
+    assert(out("b") == ((450L, false)))
+  }
+
+  test("incremental dedup: newMod=1 makes everything a batch; " +
+    "first-occurrence wins within it") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "alpha beta gamma"),
+      (3L, "totally different text"),
+      (4L, "alpha beta gamma"))
+      .toDF("doc_id", "text")
+    val out = Dedup.incrementalDedup(docs, newMod = 1).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("verdict"),
+          Option(r.getAs[java.lang.Long]("keep_id")))).toMap
+    assert(out(1L) == (("novel", None)))
+    assert(out(2L) == (("dup_in_batch", Some(1L))))
+    assert(out(3L) == (("novel", None)))
+    assert(out(4L) == (("dup_in_batch", Some(1L))))
+  }
+
+  test("incremental dedup: a new doc whose text lives in the frozen " +
+    "corpus is dup_of_corpus with the corpus keeper") {
+    import spark.implicits._
+    // learn the operator's own hash split, then assert its verdicts
+    // against a straightforward recomputation
+    val texts = Seq(
+      "one two three", "one two three", "four five six",
+      "seven eight nine", "four five six", "ten eleven twelve",
+      "one two three", "thirteen fourteen", "four five six",
+      "fifteen sixteen")
+    val docs = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val newIds = docs.select(col("doc_id"))
+      .filter(expr(
+        "cast(conv(substr(md5(cast(doc_id as string)), 1, 4), 16, 10) " +
+          "as int) % 3 = 0"))
+      .collect().map(_.getLong(0)).toSet
+    assume(newIds.nonEmpty && newIds.size < texts.size,
+      "fixture must split into both old and new")
+    val byText = texts.zipWithIndex.groupBy(_._1)
+    val out = Dedup.incrementalDedup(docs, newMod = 3).collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSet == newIds)
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val t = texts(id.toInt)
+      val oldHolders = byText(t).map(_._2.toLong)
+        .filterNot(newIds.contains)
+      val earlierNew = byText(t).map(_._2.toLong)
+        .filter(x => newIds.contains(x) && x < id)
+      val expected =
+        if (oldHolders.nonEmpty) ("dup_of_corpus", Some(oldHolders.min))
+        else if (earlierNew.nonEmpty) ("dup_in_batch", Some(earlierNew.min))
+        else ("novel", None)
+      val got = (r.getAs[String]("verdict"),
+        Option(r.getAs[java.lang.Long]("keep_id")).map(_.toLong))
+      assert(got == expected, s"doc $id: got $got expected $expected")
+    }
+  }
+}

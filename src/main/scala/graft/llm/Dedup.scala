@@ -1165,12 +1165,35 @@ object Dedup {
     * no zero guard is needed; docs shorter than k grams are absent,
     * same rule as x73).
     */
-  def ngramNovelty(docs: DataFrame, k: Int): DataFrame = {
-    val grams = slidingGrams(tokenArrays(docs), k)
-      .select(col("doc_id"), col("h")).distinct()
-    val first = grams.groupBy(col("h"))
-      .agg(min(col("doc_id")).as("first_doc"))
-    grams.join(first, "h")
+  def ngramNovelty(docs: DataFrame, k: Int): DataFrame =
+    noveltyFromGrams(distinctGrams(docs, k))
+
+  /** Per-document DISTINCT k-gram hashes as (doc_id, h) rows — the
+    * per-doc dedup happens INSIDE the projection (array_distinct over
+    * the gram list), so the relation is map-only: no distinct
+    * exchange in the batch plan, and the identical expression runs
+    * statelessly per arrival in the streaming twin.
+    */
+  private[graft] def distinctGrams(docs: DataFrame, k: Int): DataFrame =
+    tokenArrays(docs).filter(size(col("t")) >= k)
+      .select(col("doc_id"), explode(expr(
+        s"array_distinct(transform(sequence(0, size(t)-$k)," +
+          s" i -> md5(concat_ws(' ', slice(t, i+1, $k)))))")).as("h"))
+
+  /** The x96 tail over a (doc_id, h) distinct-gram relation — shared
+    * by the batch operator and the streaming drain finisher (which
+    * feeds it the drained arrival grams unioned with the frozen
+    * corpus grams).
+    */
+  private[graft] def noveltyFromGrams(grams: DataFrame): DataFrame = {
+    // first-holder as a window min over the gram hash: one exchange
+    // keyed on h (partitions bounded by per-gram df), no self-join —
+    // which also keeps the relation join-free when the streaming
+    // drain finisher feeds it a union (self-joining a union of the
+    // same memory-sink relation trips Spark's reference dedup)
+    grams
+      .withColumn("first_doc",
+        min(col("doc_id")).over(Window.partitionBy(col("h"))))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))

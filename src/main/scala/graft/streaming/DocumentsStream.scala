@@ -543,6 +543,26 @@ object DocumentsStream {
     graft.llm.Dedup.scrubRanges(docs, graft.llm.Dedup.tokenArrays(docs),
       graft.llm.Dedup.dupRanges(drained, k))
 
+  /** Stateless novelty grams on ingest — the stream half of x96
+    * (Dedup.ngramNovelty): each arrival's DISTINCT k-gram hashes as
+    * (doc_id, h) candidate rows, deduplicated INSIDE the projection
+    * (Dedup.distinctGrams — array_distinct over the gram list), so
+    * the stage is map-only with zero state; per-arrival cost is
+    * |text| md5s.
+    */
+  def noveltyGramsOnIngest(docs: DataFrame, k: Int): DataFrame =
+    graft.llm.Dedup.distinctGrams(docs, k)
+
+  /** Drain-time finisher for [[noveltyGramsOnIngest]]: union the
+    * drained arrival grams with the FROZEN corpus grams and run the
+    * SHARED batch tail (Dedup.noveltyFromGrams — same first-holder
+    * min, same count arithmetic), so when frozen ∪ streamed is the
+    * corpus the drained table EQUALS batch x96 row-for-row.
+    */
+  def noveltyAtDrain(drained: DataFrame,
+      frozenGrams: DataFrame): DataFrame =
+    graft.llm.Dedup.noveltyFromGrams(drained.unionByName(frozenGrams))
+
   /** Stateless BM25 retrieval-on-ingest — the stream half of x74:
     * each arrival is a QUERY against the frozen corpus index
     * (TextAnalysis.bm25Index — the postings relation + 1-row stats).

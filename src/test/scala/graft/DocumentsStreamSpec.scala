@@ -401,6 +401,35 @@ class DocumentsStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamed novelty grams + drain finisher EQUAL batch x96 " +
+      "row-for-row when frozen + streamed cover the corpus") {
+    val docs = Tables.documents(spark, sf)
+    val k = 8
+    val frozen = graft.llm.Dedup.distinctGrams(
+      docs.filter(col("doc_id") % 3 =!= 0), k)
+    val sliceDir = java.nio.file.Files
+      .createTempDirectory("docs-novelty-slice").toString
+    docs.filter(col("doc_id") % 3 === 0)
+      .write.mode("overwrite").parquet(sliceDir)
+    val q = DocumentsStream
+      .noveltyGramsOnIngest(
+        DocumentsStream.readDocuments(spark, sliceDir), k)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("novelty_out").start()
+    try {
+      q.processAllAvailable()
+      val drained = spark.sql("SELECT doc_id, h FROM novelty_out")
+      val got = DocumentsStream.noveltyAtDrain(drained, frozen)
+        .collect().map(_.toSeq).toSet
+      val batch = graft.llm.Dedup.ngramNovelty(docs, k)
+        .collect().map(_.toSeq).toSet
+      assert(batch.nonEmpty)
+      assert(got == batch,
+        s"drained≠batch: only-drained=${(got -- batch).take(3)} " +
+          s"only-batch=${(batch -- got).take(3)}")
+    } finally q.stop()
+  }
+
   test("ingest scrub drain finisher: known content removed, novel " +
       "text survives, corpus stays canonical") {
     import spark.implicits._

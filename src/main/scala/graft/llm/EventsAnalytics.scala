@@ -254,10 +254,19 @@ object EventsAnalytics {
     * three 1-row counts cross-joined — the allowlisted
     * 1-row-broadcast shape. Linear at any SF.
     */
-  def funnel(events: DataFrame, gapSec: Long = 604800L): DataFrame = {
+  def funnel(events: DataFrame, gapSec: Long = 604800L): DataFrame =
+    funnelReport(funnelSteps(events, gapSec),
+      events.select(col("user_id")).distinct())
+
+  /** The per-user step-completion relation behind [[funnel]]:
+    * (user_id, step_idx, t) — one row per step a user reaches, t the
+    * earliest qualifying event time. Shared with the streaming
+    * funnel-progress twin, whose drained output must equal this
+    * relation exactly.
+    */
+  def funnelSteps(events: DataFrame, gapSec: Long = 604800L): DataFrame = {
     val e = events.select(col("user_id"), col("event_type"),
       col("ts").cast("double").as("ep"))
-    val all = e.select(col("user_id")).distinct()
     val v = e.filter(col("event_type") === "view")
       .groupBy(col("user_id")).agg(min(col("ep")).as("t1"))
     val c = e.join(v, "user_id")
@@ -268,10 +277,25 @@ object EventsAnalytics {
       .filter(col("event_type") === "purchase" && col("ep") > col("t2") &&
         col("ep") <= col("t2") + gapSec)
       .groupBy(col("user_id")).agg(min(col("ep")).as("t3"))
-    val row = all.agg(count(lit(1)).as("u0"))
-      .crossJoin(v.agg(count(lit(1)).as("u1")))
-      .crossJoin(c.agg(count(lit(1)).as("u2")))
-      .crossJoin(p.agg(count(lit(1)).as("u3")))
+    v.select(col("user_id"), lit(1).as("step_idx"), col("t1").as("t"))
+      .unionByName(c.select(col("user_id"), lit(2).as("step_idx"),
+        col("t2").as("t")))
+      .unionByName(p.select(col("user_id"), lit(3).as("step_idx"),
+        col("t3").as("t")))
+  }
+
+  /** The 3-row report finisher over a step relation plus the distinct
+    * user dim — shared by the batch operator and the streaming
+    * drain-time finisher.
+    */
+  def funnelReport(steps: DataFrame, users: DataFrame): DataFrame = {
+    val row = users.agg(count(lit(1)).as("u0"))
+      .crossJoin(steps.filter(col("step_idx") === 1)
+        .agg(count(lit(1)).as("u1")))
+      .crossJoin(steps.filter(col("step_idx") === 2)
+        .agg(count(lit(1)).as("u2")))
+      .crossJoin(steps.filter(col("step_idx") === 3)
+        .agg(count(lit(1)).as("u3")))
     def bp(num: String, den: String) =
       when(col(den) === 0, lit(null).cast("long"))
         .otherwise(expr(s"10000 * $num div $den"))

@@ -113,6 +113,60 @@ object EventsStream {
   def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(broadcast(dim), Seq(key), "left")
 
+  final case class FunnelState(t1: Option[Double], t2: Option[Double],
+      t3: Option[Double])
+  final case class FunnelStepOut(user_id: Long, step_idx: Int, t: Double)
+
+  /** Stateful funnel-progress tracking — the stream half of x91
+    * (EventsAnalytics.funnel): per-user state is the three earliest
+    * qualifying step times (three optional doubles — BOUNDED state,
+    * |users|·24 bytes, never grows with event volume), and a row is
+    * emitted the moment a user first completes a step. Within a
+    * micro-batch events sort by (event time, event_id); across
+    * batches the feed is assumed per-user event-time ordered (the
+    * post-watermark contract a funnel tracker runs behind) — under
+    * that order the greedy "first qualifying event wins" rule is
+    * EXACTLY the batch min-aggregation semantics, so the drained
+    * step table equals EventsAnalytics.funnelSteps row-for-row and
+    * the shared funnelReport finisher reproduces x91 at drain.
+    */
+  def funnelProgress(spark: SparkSession, events: DataFrame,
+      gapSec: Long = 604800L): Dataset[FunnelStepOut] = {
+    import spark.implicits._
+    val typed = events
+      .select(col("user_id"), col("event_type"),
+        col("ts").cast("double").as("ep"), col("event_id"))
+      .as[(Long, String, Double, Long)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelState, FunnelStepOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[(Long, String, Double, Long)],
+            state: GroupState[FunnelState]) =>
+          val evs = it.toArray.sortBy(t => (t._3, t._4))
+          var s = state.getOption.getOrElse(FunnelState(None, None, None))
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[FunnelStepOut]
+          evs.foreach { case (_, et, ep, _) =>
+            et match {
+              case "view" if s.t1.isEmpty =>
+                s = s.copy(t1 = Some(ep))
+                out += FunnelStepOut(uid, 1, ep)
+              case "click" if s.t1.nonEmpty && s.t2.isEmpty &&
+                  ep > s.t1.get && ep <= s.t1.get + gapSec =>
+                s = s.copy(t2 = Some(ep))
+                out += FunnelStepOut(uid, 2, ep)
+              case "purchase" if s.t2.nonEmpty && s.t3.isEmpty &&
+                  ep > s.t2.get && ep <= s.t2.get + gapSec =>
+                s = s.copy(t3 = Some(ep))
+                out += FunnelStepOut(uid, 3, ep)
+              case _ =>
+            }
+          }
+          state.update(s)
+          out.iterator
+      }
+  }
+
   final case class SessionEvent(user_id: Long, ep: Double, value: Double)
   final case class SessionState(start: Double, last: Double, n: Long,
       total: Double)

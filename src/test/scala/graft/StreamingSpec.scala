@@ -244,4 +244,67 @@ class StreamingSpec extends AnyFunSuite {
       assert(fromStream == batch)
     } finally q.stop()
   }
+
+  test("stateful funnel progress: drained steps equal batch " +
+      "funnelSteps; shared report finisher reproduces x91") {
+    val stream = EventsStream.readEvents(spark, eventsDir)
+    val steps = EventsStream.funnelProgress(spark, stream)
+    val q = steps.toDF.writeStream.outputMode("append")
+      .format("memory").queryName("funnel_out").start()
+    try {
+      q.processAllAvailable()
+      val drained = spark.sql("SELECT user_id, step_idx, t FROM funnel_out")
+      val ev = Tables.events(spark, sf)
+      val got = drained.collect().map(_.toSeq).toSet
+      val batch = graft.llm.EventsAnalytics.funnelSteps(ev)
+        .collect().map(_.toSeq).toSet
+      assert(batch.nonEmpty)
+      assert(got == batch,
+        s"drained≠batch: only-drained=${(got -- batch).take(3)} " +
+          s"only-batch=${(batch -- got).take(3)}")
+      // shared finisher over the drained table == the declared x91
+      import org.apache.spark.sql.functions.col
+      val report = graft.llm.EventsAnalytics
+        .funnelReport(drained, ev.select(col("user_id")).distinct())
+        .collect().map(_.toSeq).toSeq
+      val x91 = graft.llm.EventsAnalytics.funnel(ev)
+        .collect().map(_.toSeq).toSeq
+      assert(report == x91)
+    } finally q.stop()
+  }
+
+  test("funnel progress holds state across micro-batches: a " +
+      "time-split two-batch replay emits the same steps") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = Tables.events(spark, sf)
+      .select($"user_id", $"event_type",
+        $"ts".cast("double").as("ep"), $"event_id")
+      .as[(Long, String, Double, Long)]
+      .collect().sortBy(t => (t._3, t._4))
+    val mid = rows(rows.length / 2)._3
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[
+      (Long, String, Double, Long)]
+    val events = ms.toDF
+      .toDF("user_id", "event_type", "ep", "event_id")
+      .withColumn("ts", org.apache.spark.sql.functions
+        .timestamp_seconds($"ep"))
+    val q = EventsStream.funnelProgress(spark, events).toDF
+      .writeStream.outputMode("append")
+      .format("memory").queryName("funnel_2b_out").start()
+    try {
+      ms.addData(rows.filter(_._3 <= mid).toIndexedSeq)
+      q.processAllAvailable()
+      ms.addData(rows.filter(_._3 > mid).toIndexedSeq)
+      q.processAllAvailable()
+      val got = spark.sql("SELECT user_id, step_idx, t FROM funnel_2b_out")
+        .collect().map(_.toSeq).toSet
+      val batch = graft.llm.EventsAnalytics
+        .funnelSteps(Tables.events(spark, sf))
+        .collect().map(_.toSeq).toSet
+      assert(got == batch,
+        s"two-batch≠batch: only-stream=${(got -- batch).take(3)} " +
+          s"only-batch=${(batch -- got).take(3)}")
+    } finally q.stop()
+  }
 }

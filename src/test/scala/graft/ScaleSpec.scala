@@ -674,4 +674,122 @@ class ScaleSpec extends AnyFunSuite {
     }
     assert(secs < 180, s"took ${secs}s")
   }
+
+  test("5M-vector binary top-k: signature prefilter + exact rerank, " +
+      "no rank window") {
+    // the cosineTopK angle fixture: same-residue vectors share the
+    // identical 2-bit sign signature, so at radius 0 the exact top-3
+    // (q+1009, q+2018, q+3027 at cos 1.0) all survive the prefilter
+    val n = 5_000_000L
+    val emb = spark.range(n).select(
+      col("id").as("vec_id"),
+      array(cos((col("id") % 1009).cast("double") * 0.01),
+        sin((col("id") % 1009).cast("double") * 0.01)).as("embedding"))
+    val t0 = System.nanoTime()
+    val top = graft.llm.Similarity.binaryTopK(emb, nQueries = 5,
+      radius = 0, k = 3)
+    val rows = top.collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"5M vectors binary top-k, 5 queries, k=3: ${secs}%.1f s")
+    assert(rows.length == 15)
+    rows.foreach { r =>
+      assert(r.getLong(2) == r.getLong(0) + 1009L * r.getInt(1))
+      assert(r.getDouble(3) == 1.0)
+    }
+    val plan = top.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "rank window leaked back into the plan")
+    assert(plan.contains("ObjectHashAggregate"), plan.take(500))
+    assert(secs < 120, s"took ${secs}s")
+  }
+
+  test("2M-vector jl top-k: integer projection search + bounded " +
+      "full-dim refine") {
+    // four exact clusters (identical member vectors): projections are
+    // identical within a cluster, so query q's top-3 are the three
+    // smallest same-cluster ids at cos16 = cos64 = 1, err = 0
+    val n = 2_000_000L
+    val c = col("id") % 4
+    def oneHot(slot: org.apache.spark.sql.Column, scale: Double) =
+      (0 until 4).map(i => when(slot === i, lit(scale))
+        .otherwise(lit(0.0)).cast("float"))
+    val emb = spark.range(n).select(
+      col("id").as("vec_id"),
+      array(oneHot(c, 4.0) ++ oneHot(c, 1.0): _*).as("embedding"))
+    val t0 = System.nanoTime()
+    val top = graft.llm.Similarity.jlTopK(emb, nQueries = 2, rDim = 16,
+      k = 3)
+    val rows = top.collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"2M vectors jl top-k, 2 queries, k=3: ${secs}%.1f s")
+    assert(rows.length == 6)
+    rows.foreach { r =>
+      val (qid, rank, vecId) = (r.getLong(0), r.getInt(1), r.getLong(2))
+      assert(vecId == qid + 4L * rank, s"qid=$qid rank=$rank vec=$vecId")
+      assert(r.getAs[Double]("cos16") == 1.0)
+      assert(r.getAs[Double]("cos64") == 1.0)
+      assert(r.getAs[Double]("err") == 0.0)
+    }
+    assert(secs < 120, s"took ${secs}s")
+  }
+
+  test("3M-event funnel + transitions: aggregate-only plans, closed-" +
+      "form conversions") {
+    // 1M users x (view, click, purchase) 10 s apart: every user
+    // completes every step; each source type has exactly one
+    // destination, so every p_bp is 10000
+    val n = 3_000_000L
+    val ev = spark.range(n).select(
+      col("id").as("event_id"),
+      (col("id") / 3).cast("long").as("user_id"),
+      element_at(array(lit("view"), lit("click"), lit("purchase")),
+        (col("id") % 3 + 1).cast("int")).as("event_type"),
+      timestamp_seconds((col("id") / 3).cast("long") * 100 +
+        (col("id") % 3) * 10).as("ts"))
+    val t0 = System.nanoTime()
+    val fun = graft.llm.EventsAnalytics.funnel(ev).collect()
+    val tFun = (System.nanoTime() - t0) / 1e9
+    assert(fun.length == 3)
+    fun.foreach { r =>
+      assert(r.getAs[Long]("users") == 1_000_000L)
+      assert(r.getAs[Long]("conv_bp") == 10000L)
+    }
+    val t1 = System.nanoTime()
+    val tr = graft.llm.EventsAnalytics.sessionTransitions(ev, gapSec = 60)
+      .collect()
+    val tTr = (System.nanoTime() - t1) / 1e9
+    info(f"3M events: funnel ${tFun}%.1f s, transitions ${tTr}%.1f s")
+    assert(tr.length == 2)
+    tr.foreach { r =>
+      assert(r.getAs[Long]("n") == 1_000_000L)
+      assert(r.getAs[Long]("p_bp") == 10000L)
+    }
+    assert(tFun < 120, s"funnel took ${tFun}s")
+    assert(tTr < 120, s"transitions took ${tTr}s")
+  }
+
+  test("300k-doc corpus: n-gram novelty stays linear, planted copies " +
+      "score zero") {
+    import spark.implicits._
+    // 16 doc-unique tokens per doc; docs 150000..150099 copy doc 0
+    val n = 300_000L
+    val docs = spark.range(n).select(
+      col("id").as("doc_id"),
+      when(col("id").between(150_000L, 150_099L), lit(0L))
+        .otherwise(col("id")).as("src"))
+      .select(col("doc_id"),
+        concat_ws(" ", (0 until 16).map(i =>
+          concat(lit(s"w${i}_"), col("src"))): _*).as("text"))
+    val t0 = System.nanoTime()
+    val out = graft.llm.Dedup.ngramNovelty(docs, k = 8)
+    val copies = out.filter(col("doc_id").between(150_000L, 150_099L))
+      .collect()
+    val zeroBp = out.filter(col("novelty_bp") === 0L).count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"300k docs novelty: ${secs}%.1f s")
+    assert(copies.length == 100)
+    copies.foreach(r => assert(r.getAs[Long]("novelty_bp") == 0L))
+    // ONLY the planted copies repeat content
+    assert(zeroBp == 100L)
+    assert(secs < 120, s"took ${secs}s")
+  }
 }

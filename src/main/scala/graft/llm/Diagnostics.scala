@@ -1,0 +1,103 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Pipeline observability operators (SURVEY.md §2.9 X5'/X7): the
+  * reports an operator reads BEFORE picking a physical strategy at
+  * 100 TB — e.g. whether a join key needs salting (x56) or AQE skew
+  * handling, straight from the key-frequency distribution.
+  */
+object Diagnostics {
+
+  /** X7: join-key skew report over one key column — (stat, value) KV
+    * rows: row/key counts, max key frequency, exact p50/p99 of the
+    * key-frequency distribution, a skew ratio (max over mean, basis
+    * points), and the topK heaviest keys with their frequencies. The
+    * table that decides between a plain shuffle join, a broadcast,
+    * and the x56 salted join — computed without ever sorting the key
+    * table.
+    *
+    * Exact percentiles WITHOUT a window over the |keys|-row frequency
+    * table: frequencies collapse to a (freq, n_keys) HISTOGRAM first
+    * (bounded by the distinct frequency count — tens of rows even on
+    * skewed corpora), and the p-th percentile is the smallest
+    * frequency whose cumulative key count clears p·n_keys, all in
+    * exact integer arithmetic. The only windows/cross joins run on
+    * that bounded histogram and on 1-row scalar aggregates; the heavy
+    * hitters come from the bounded partial top-k aggregate.
+    */
+  def keySkew(df: DataFrame, keyCol: String, topK: Int = 5): DataFrame = {
+    val freq = df.groupBy(col(keyCol).as("k")).agg(count(lit(1)).as("f"))
+    val hist = freq.groupBy(col("f")).agg(count(lit(1)).as("nk"))
+    val tot = hist.agg(sum(col("f") * col("nk")).as("n_rows"),
+      sum(col("nk")).as("n_keys"), max(col("f")).as("max_f"))
+    val cum = hist
+      .withColumn("cum", sum(col("nk")).over(Window.orderBy(col("f"))
+        .rowsBetween(Window.unboundedPreceding, 0)))
+      .crossJoin(broadcast(tot.select(col("n_keys").as("nkk"))))
+    val p50 = cum.filter(col("cum") * 2 >= col("nkk"))
+      .agg(min(col("f")).as("p50_f"))
+    val p99 = cum.filter(col("cum") * 100 >= col("nkk") * 99)
+      .agg(min(col("f")).as("p99_f"))
+    val summary = tot.crossJoin(p50).crossJoin(p99)
+      .select(explode(array(
+        struct(lit("n_rows").as("stat"), col("n_rows").as("value")),
+        struct(lit("n_keys").as("stat"), col("n_keys").as("value")),
+        struct(lit("max_freq").as("stat"), col("max_f").as("value")),
+        struct(lit("p50_freq").as("stat"), col("p50_f").as("value")),
+        struct(lit("p99_freq").as("stat"), col("p99_f").as("value")),
+        struct(lit("skew_bp").as("stat"),
+          expr("10000 * max_f * n_keys div n_rows").as("value")))).as("r"))
+      .select(col("r.stat"), col("r.value"))
+    val heavy = freq
+      .agg(graft.functions.TopK.top_k(topK)(col("f").cast("double"),
+        col("k")).as("top"))
+      .select(posexplode(col("top")).as(Seq("pos", "hit")))
+      .select(explode(array(
+        struct(concat(lit("heavy_"), (col("pos") + 1).cast("string"),
+          lit("_key")).as("stat"), col("hit.vec_id").as("value")),
+        struct(concat(lit("heavy_"), (col("pos") + 1).cast("string"),
+          lit("_freq")).as("stat"),
+          col("hit.cos").cast("long").as("value")))).as("r"))
+      .select(col("r.stat"), col("r.value"))
+    summary.unionByName(heavy).orderBy(col("stat"))
+  }
+
+  def keySkewSql(table: String, keyCol: String, topK: Int = 5): String =
+    s"""WITH freq AS (
+       |  SELECT $keyCol AS k, count(*) AS f FROM $table GROUP BY 1
+       |), hist AS (
+       |  SELECT f, count(*) AS nk FROM freq GROUP BY 1
+       |), tot AS (
+       |  SELECT CAST(sum(f * nk) AS BIGINT) AS n_rows,
+       |         CAST(sum(nk) AS BIGINT) AS n_keys,
+       |         CAST(max(f) AS BIGINT) AS max_f
+       |  FROM hist
+       |), cum AS (
+       |  SELECT f, sum(nk) OVER (ORDER BY f) AS cum FROM hist
+       |), p50 AS (
+       |  SELECT CAST(min(f) AS BIGINT) AS p50_f
+       |  FROM cum CROSS JOIN tot WHERE cum * 2 >= n_keys
+       |), p99 AS (
+       |  SELECT CAST(min(f) AS BIGINT) AS p99_f
+       |  FROM cum CROSS JOIN tot WHERE cum * 100 >= n_keys * 99
+       |), heavy AS (
+       |  SELECT k, f, row_number() OVER (ORDER BY f DESC, k) AS rnk
+       |  FROM freq
+       |)
+       |SELECT stat, value FROM (
+       |  SELECT 'n_rows' AS stat, n_rows AS value FROM tot
+       |  UNION ALL SELECT 'n_keys', n_keys FROM tot
+       |  UNION ALL SELECT 'max_freq', max_f FROM tot
+       |  UNION ALL SELECT 'p50_freq', p50_f FROM p50
+       |  UNION ALL SELECT 'p99_freq', p99_f FROM p99
+       |  UNION ALL SELECT 'skew_bp',
+       |    CAST(10000 * max_f * n_keys // n_rows AS BIGINT) FROM tot
+       |  UNION ALL SELECT 'heavy_' || rnk || '_key', CAST(k AS BIGINT)
+       |    FROM heavy WHERE rnk <= $topK
+       |  UNION ALL SELECT 'heavy_' || rnk || '_freq', CAST(f AS BIGINT)
+       |    FROM heavy WHERE rnk <= $topK
+       |) ORDER BY stat""".stripMargin
+}

@@ -367,15 +367,31 @@ object EventsAnalytics {
     * partials, one ≤|dates|-row cohort-size dim joined on cohort.
     * Linear; no window anywhere.
     */
-  def retentionCohorts(events: DataFrame): DataFrame = {
-    val e = events.select(col("user_id"), to_date(col("ts")).as("d"))
-    val first = e.groupBy(col("user_id")).agg(min(col("d")).as("cohort"))
-    val sizes = first.groupBy(col("cohort"))
-      .agg(count(lit(1)).as("cohort_users"))
-    e.join(first, "user_id")
+  def retentionCohorts(events: DataFrame): DataFrame =
+    retentionFromPairs(
+      events.select(col("user_id"), to_date(col("ts")).as("d")))
+
+  /** The x92 tail over a (user_id, d) activity relation — shared by
+    * the batch operator and the streaming drain finisher (duplicate
+    * pairs are harmless: first-date is a min, activity a distinct
+    * count).
+    */
+  private[graft] def retentionFromPairs(e: DataFrame): DataFrame = {
+    // join-free form: the cohort is a per-user window min, and the
+    // cohort size is the day-0 activity (every user is active on
+    // their own first day), recovered as a window over the bounded
+    // (cohort, day_off) matrix — two exchanges total, no self-join
+    // (which both drops two joins from the batch plan and sidesteps
+    // Spark's reference-dedup failure on memory-sink relations when
+    // the streaming drain finisher runs this over drained pairs)
+    val withCohort = e.withColumn("cohort",
+      min(col("d")).over(Window.partitionBy(col("user_id"))))
+    withCohort
       .groupBy(col("cohort"), datediff(col("d"), col("cohort")).as("day_off"))
       .agg(countDistinct(col("user_id")).as("active"))
-      .join(sizes, "cohort")
+      .withColumn("cohort_users",
+        sum(when(col("day_off") === 0, col("active")))
+          .over(Window.partitionBy(col("cohort"))))
       .select(col("cohort"), col("day_off"), col("active"),
         col("cohort_users"),
         expr("10000 * active div cohort_users").as("ret_bp"))

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.llm.{Bpe, Dedup, HeavyHitters, EventsAnalytics, Hll, Importance, LanguageModel, Multimodal, Packing, QualityClassifier, Retrieval, Sampling, Similarity, TextAnalysis}
+import graft.llm.{Bpe, Dedup, Diagnostics, HeavyHitters, EventsAnalytics, Hll, Importance, LanguageModel, Multimodal, Packing, QualityClassifier, Retrieval, Sampling, Similarity, TextAnalysis}
 
 /** The LLM-data-pipeline extension surface (SURVEY.md §2.9 X1-X5):
   * dedup, similarity search, text analysis, multimodal columns, and
@@ -776,6 +776,13 @@ object Extensions {
   private val x99IncrementalDedup: Q = (s, d) =>
     Dedup.incrementalDedup(Tables.documents(s, d), newMod = 5)
 
+  /** X7: join-key skew report over lineitem's order key — the table
+    * that decides between plain/broadcast/salted joins. See
+    * Diagnostics.keySkew.
+    */
+  private val x100KeySkew: Q = (s, d) =>
+    Diagnostics.keySkew(Tables.lineitem(s, d), "l_orderkey", topK = 5)
+
   val queries: Map[String, Q] = Map(
     "x01_dedup_exact" -> x01DedupExact,
     "x02_dedup_minhash" -> x02DedupMinhash,
@@ -877,6 +884,7 @@ object Extensions {
     "x97_centroid_outliers" -> x97CentroidOutliers,
     "x98_epoch_mix" -> x98EpochMix,
     "x99_incremental_dedup" -> x99IncrementalDedup,
+    "x100_key_skew" -> x100KeySkew,
   )
 
   /** The PNG pixel statistics in closed form: the fixture image's
@@ -1127,5 +1135,7 @@ object Extensions {
     "x98_epoch_mix" -> Sampling.epochMixPlanSql(
       budget = 40000L, tau = 0.7, maxEpochs = 1),
     "x99_incremental_dedup" -> Dedup.incrementalDedupSql(newMod = 5),
+    "x100_key_skew" -> Diagnostics.keySkewSql(
+      "lineitem", "l_orderkey", topK = 5),
   )
 }

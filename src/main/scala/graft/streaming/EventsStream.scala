@@ -113,6 +113,20 @@ object EventsStream {
   def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(broadcast(dim), Seq(key), "left")
 
+  /** Stateless activity pairs on ingest — the stream half of x92
+    * (EventsAnalytics.retentionCohorts): each arrival projects to its
+    * (user_id, activity date) pair, map-only. The drain finisher is
+    * the SHARED batch tail (retentionFromPairs — min first-date,
+    * distinct-count matrix), which tolerates the per-event duplicate
+    * pairs by construction, so the drained retention matrix EQUALS
+    * batch x92 row-for-row.
+    */
+  def activityPairsOnIngest(events: DataFrame): DataFrame =
+    events.select(col("user_id"), to_date(col("ts")).as("d"))
+
+  def retentionAtDrain(drained: DataFrame): DataFrame =
+    graft.llm.EventsAnalytics.retentionFromPairs(drained)
+
   final case class FunnelState(t1: Option[Double], t2: Option[Double],
       t3: Option[Double])
   final case class FunnelStepOut(user_id: Long, step_idx: Int, t: Double)

@@ -268,6 +268,9 @@ object PlanAudit {
       // |sources|-row dimension allocation + 1-row budget scalars
       // (the x45 shape)
       "x98_epoch_mix" -> Set("SinglePartition", "BNLJoin"),
+      // cumulative window over the bounded (freq, n_keys) histogram
+      // (tens of rows) + 1-row percentile/total scalars
+      "x100_key_skew" -> Set("SinglePartition", "BNLJoin"),
       "x95_jl_topk" -> Set("BNLJoin"), // 5 broadcast projected queries
       // same bounded broadcast-query shape as x05, on int8 codes
       "x80_int8_topk" -> Set("BNLJoin"),

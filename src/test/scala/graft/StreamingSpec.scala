@@ -307,4 +307,23 @@ class StreamingSpec extends AnyFunSuite {
           s"only-batch=${(batch -- got).take(3)}")
     } finally q.stop()
   }
+
+  test("activity pairs on ingest + shared drain finisher reproduce " +
+      "the batch retention matrix") {
+    val stream = EventsStream.readEvents(spark, eventsDir)
+    val q = EventsStream.activityPairsOnIngest(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("retention_out").start()
+    try {
+      q.processAllAvailable()
+      val drained = spark.sql("SELECT user_id, d FROM retention_out")
+      val got = EventsStream.retentionAtDrain(drained)
+        .collect().map(_.toSeq).toSet
+      val batch = graft.llm.EventsAnalytics
+        .retentionCohorts(Tables.events(spark, sf))
+        .collect().map(_.toSeq).toSet
+      assert(batch.nonEmpty)
+      assert(got == batch)
+    } finally q.stop()
+  }
 }

@@ -1279,6 +1279,65 @@ object Dedup {
        |WHERE t.is_new
        |ORDER BY t.doc_id""".stripMargin
 
+  /** X1'/X7: corpus snapshot diff — the dataset-versioning report a
+    * pipeline emits between crawl snapshots: per source, how many
+    * documents were added, removed, changed, or kept byte-identical.
+    * The two snapshots are deterministic md5-sliced views of the
+    * harness corpus (old = base minus the %$addMod bucket, new = base
+    * minus the %$delMod bucket with the %$chgMod bucket's text
+    * upper-cased — a stand-in recrawl edit both engines reproduce
+    * exactly), so the operator itself is the general shape: two
+    * projections, ONE doc_id-keyed full outer join, text-hash
+    * comparison, per-source status counts. Linear, co-keyed,
+    * no pairwise anything.
+    */
+  def snapshotDiff(docs: DataFrame, delMod: Int = 17, addMod: Int = 19,
+      chgMod: Int = 13): DataFrame = {
+    val h = expr(hash16FastExpr("cast(doc_id as string)"))
+    val base = docs.select(col("doc_id"), col("source"), col("text"),
+      h.as("hb"))
+    val old = base.filter(col("hb") % addMod =!= 0)
+      .select(col("doc_id"), col("source").as("src_o"),
+        md5(col("text")).as("h_o"))
+    val neu = base.filter(col("hb") % delMod =!= 0)
+      .select(col("doc_id"), col("source").as("src_n"),
+        md5(when(col("hb") % chgMod === 0, upper(col("text")))
+          .otherwise(col("text"))).as("h_n"))
+    old.join(neu, Seq("doc_id"), "full_outer")
+      .select(coalesce(col("src_n"), col("src_o")).as("source"),
+        when(col("h_o").isNull, lit("added"))
+          .when(col("h_n").isNull, lit("removed"))
+          .when(col("h_o") =!= col("h_n"), lit("changed"))
+          .otherwise(lit("same")).as("status"))
+      .groupBy(col("source"), col("status"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("source"), col("status"))
+  }
+
+  def snapshotDiffSql(delMod: Int = 17, addMod: Int = 19,
+      chgMod: Int = 13): String = {
+    val h = hash16Expr("strpos", "CAST(doc_id AS VARCHAR)")
+    s"""WITH base AS (
+       |  SELECT doc_id, source, text, $h AS hb FROM documents
+       |), old AS (
+       |  SELECT doc_id, source AS src_o, md5(text) AS h_o
+       |  FROM base WHERE hb % $addMod <> 0
+       |), neu AS (
+       |  SELECT doc_id, source AS src_n,
+       |    md5(CASE WHEN hb % $chgMod = 0 THEN upper(text)
+       |             ELSE text END) AS h_n
+       |  FROM base WHERE hb % $delMod <> 0
+       |)
+       |SELECT COALESCE(src_n, src_o) AS source,
+       |  CASE WHEN h_o IS NULL THEN 'added'
+       |       WHEN h_n IS NULL THEN 'removed'
+       |       WHEN h_o <> h_n THEN 'changed'
+       |       ELSE 'same' END AS status,
+       |  CAST(count(*) AS BIGINT) AS n
+       |FROM old FULL OUTER JOIN neu USING (doc_id)
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   /** The corpus-side "model" for dedup-on-ingest: one row per
     * distinct k-gram hash with its corpus occurrence count and — when
     * the count is exactly 1 — the single holder's doc_id, so a

@@ -65,6 +65,78 @@ object Diagnostics {
     summary.unionByName(heavy).orderBy(col("stat"))
   }
 
+  /** X7: ANALYZE-style column profile — per profiled column: non-null
+    * value count, null count, exact distinct count, and min/max (exact
+    * integer cents for numeric columns, lexicographic strings for
+    * varchar — NEVER a double→string render, whose shortest-repr
+    * rules differ between engines). The statistics a planner (or an
+    * operator choosing x100's join strategy) reads before touching a
+    * 100 TB table.
+    *
+    * One pass over the table: all profiles run in a single aggregate
+    * (Spark plans the multi-distinct via Expand — one shuffle), then
+    * unpivot to rows.
+    */
+  def columnProfile(df: DataFrame, numCols: Seq[String],
+      strCols: Seq[String]): DataFrame = {
+    val aggs = numCols.flatMap { c =>
+      Seq(count(col(c)).as(s"n_$c"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"z_$c"),
+        countDistinct(col(c)).as(s"d_$c"),
+        min(round(col(c) * 100, 0).cast("long")).as(s"lo_$c"),
+        max(round(col(c) * 100, 0).cast("long")).as(s"hi_$c"))
+    } ++ strCols.flatMap { c =>
+      Seq(count(col(c)).as(s"n_$c"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"z_$c"),
+        countDistinct(col(c)).as(s"d_$c"),
+        min(col(c)).as(s"slo_$c"), max(col(c)).as(s"shi_$c"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = numCols.map { c =>
+      struct(lit(c).as("column"), col(s"n_$c").as("n_vals"),
+        col(s"z_$c").as("n_null"), col(s"d_$c").as("ndv"),
+        col(s"lo_$c").as("min_cents"), col(s"hi_$c").as("max_cents"),
+        lit(null).cast("string").as("min_str"),
+        lit(null).cast("string").as("max_str"))
+    } ++ strCols.map { c =>
+      struct(lit(c).as("column"), col(s"n_$c").as("n_vals"),
+        col(s"z_$c").as("n_null"), col(s"d_$c").as("ndv"),
+        lit(null).cast("long").as("min_cents"),
+        lit(null).cast("long").as("max_cents"),
+        col(s"slo_$c").as("min_str"), col(s"shi_$c").as("max_str"))
+    }
+    one.select(explode(array(rows: _*)).as("r"))
+      .select(col("r.column"), col("r.n_vals"), col("r.n_null"),
+        col("r.ndv"), col("r.min_cents"), col("r.max_cents"),
+        col("r.min_str"), col("r.max_str"))
+      .orderBy(col("column"))
+  }
+
+  def columnProfileSql(table: String, numCols: Seq[String],
+      strCols: Seq[String]): String = {
+    val arms = numCols.map { c =>
+      s"""  SELECT '$c' AS "column", CAST(count($c) AS BIGINT) AS n_vals,
+         |    CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_null,
+         |    CAST(count(DISTINCT $c) AS BIGINT) AS ndv,
+         |    CAST(min(round($c * 100)) AS BIGINT) AS min_cents,
+         |    CAST(max(round($c * 100)) AS BIGINT) AS max_cents,
+         |    CAST(NULL AS VARCHAR) AS min_str,
+         |    CAST(NULL AS VARCHAR) AS max_str
+         |  FROM $table""".stripMargin
+    } ++ strCols.map { c =>
+      s"""  SELECT '$c', CAST(count($c) AS BIGINT),
+         |    CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         |    CAST(count(DISTINCT $c) AS BIGINT),
+         |    CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+         |    min($c), max($c)
+         |  FROM $table""".stripMargin
+    }
+    s"""SELECT * FROM (
+       |${arms.mkString("\n  UNION ALL\n")}
+       |) ORDER BY "column"""".stripMargin
+  }
+
   def keySkewSql(table: String, keyCol: String, topK: Int = 5): String =
     s"""WITH freq AS (
        |  SELECT $keyCol AS k, count(*) AS f FROM $table GROUP BY 1

@@ -432,25 +432,41 @@ object EventsAnalytics {
     * partitions — no global window), one |types|²-bounded hash
     * aggregate, one ≤|types|-row totals dim joined on src.
     */
-  def sessionTransitions(events: DataFrame, gapSec: Int = 1800): DataFrame = {
+  def sessionTransitions(events: DataFrame, gapSec: Int = 1800): DataFrame =
+    transitionsFromPairs(transitionPairs(events, gapSec))
+
+  /** The raw (src, dst) transition relation (one row per qualifying
+    * consecutive pair) — shared with the streaming twin, whose
+    * drained rows must equal this multiset.
+    */
+  private[graft] def transitionPairs(events: DataFrame,
+      gapSec: Int): DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("ep"), col("event_id"))
-    val pairs = events
+    events
       .select(col("user_id"), col("event_id"), col("event_type"),
         col("ts").cast("double").as("ep"))
       .withColumn("prev_t", lag(col("event_type"), 1).over(byUser))
       .withColumn("prev_ep", lag(col("ep"), 1).over(byUser))
       .filter(col("prev_t").isNotNull &&
         col("ep") - col("prev_ep") <= gapSec)
-      .groupBy(col("prev_t").as("src"), col("event_type").as("dst"))
+      .select(col("prev_t").as("src"), col("event_type").as("dst"))
+  }
+
+  /** The x93 tail over a (src, dst) pair relation — counts +
+    * row-normalized p_bp; the per-src total is a window over the
+    * bounded |types|² matrix (join-free, the drain-finisher-safe
+    * form). Shared by batch and the streaming drain finisher.
+    */
+  private[graft] def transitionsFromPairs(pairs: DataFrame): DataFrame =
+    pairs
+      .groupBy(col("src"), col("dst"))
       .agg(count(lit(1)).as("n"))
-    val totals = pairs.groupBy(col("src"))
-      .agg(sum(col("n")).as("out_n"))
-    pairs.join(totals, "src")
+      .withColumn("out_n",
+        sum(col("n")).over(Window.partitionBy(col("src"))))
       .select(col("src"), col("dst"), col("n"),
         expr("10000 * n div out_n").as("p_bp"))
       .orderBy(col("src"), col("dst"))
-  }
 
   def sessionTransitionsSql(gapSec: Int = 1800): String =
     s"""WITH e AS (
@@ -473,6 +489,77 @@ object EventsAnalytics {
        |SELECT src, dst, n, CAST(10000 * n // out_n AS BIGINT) AS p_bp
        |FROM pairs JOIN totals USING (src)
        |ORDER BY src, dst""".stripMargin
+
+  /** X5''/X7: winsorization report — per event type, the exact
+    * loPct/hiPct percentile bounds of the 2dp value distribution and
+    * what clipping to them does: counts clipped below/above and the
+    * exact winsorized sum. The standard outlier treatment before any
+    * value feeds a mean-sensitive model; the report is what an
+    * operator inspects before enabling it.
+    *
+    * Exact percentiles the x100 way: values quantize to integer
+    * cents, collapse to a per-type (cents, n) HISTOGRAM (bounded by
+    * the distinct 2dp values, NOT by row count), and the p-th
+    * percentile is the smallest cent value whose cumulative count
+    * clears ⌈p·n⌉ — all integer comparisons, windows only over the
+    * bounded histogram partitioned by type. One corpus aggregate,
+    * one co-keyed histogram join; everything exact.
+    */
+  def winsorizeReport(events: DataFrame, loPct: Int = 1,
+      hiPct: Int = 99): DataFrame = {
+    val hist = cents(events)
+      .groupBy(col("event_type"), col("v100").as("c"))
+      .agg(count(lit(1)).as("n"))
+    val byType = Window.partitionBy(col("event_type"))
+    val wcum = hist
+      .withColumn("cum", sum(col("n")).over(byType.orderBy(col("c"))
+        .rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("tot", sum(col("n")).over(byType))
+    val bounds = wcum.groupBy(col("event_type"))
+      .agg(min(when(col("cum") * 100 >= col("tot") * loPct, col("c")))
+        .as("p_lo"),
+        min(when(col("cum") * 100 >= col("tot") * hiPct, col("c")))
+          .as("p_hi"))
+    hist.join(bounds, "event_type")
+      .groupBy(col("event_type"))
+      .agg(min(col("p_lo")).as("p_lo_cents"),
+        min(col("p_hi")).as("p_hi_cents"),
+        sum(when(col("c") < col("p_lo"), col("n")).otherwise(0L))
+          .as("n_clip_low"),
+        sum(when(col("c") > col("p_hi"), col("n")).otherwise(0L))
+          .as("n_clip_high"),
+        sum(col("n") * greatest(least(col("c"), col("p_hi")),
+          col("p_lo"))).as("sum_w_cents"))
+      .orderBy(col("event_type"))
+  }
+
+  def winsorizeReportSql(loPct: Int = 1, hiPct: Int = 99): String =
+    s"""WITH hist AS (
+       |  SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS c,
+       |         count(*) AS n
+       |  FROM events GROUP BY 1, 2
+       |), wcum AS (
+       |  SELECT event_type, c, n,
+       |    sum(n) OVER (PARTITION BY event_type ORDER BY c) AS cum,
+       |    sum(n) OVER (PARTITION BY event_type) AS tot
+       |  FROM hist
+       |), bounds AS (
+       |  SELECT event_type,
+       |    min(CASE WHEN cum * 100 >= tot * $loPct THEN c END) AS p_lo,
+       |    min(CASE WHEN cum * 100 >= tot * $hiPct THEN c END) AS p_hi
+       |  FROM wcum GROUP BY 1
+       |)
+       |SELECT h.event_type,
+       |  CAST(min(p_lo) AS BIGINT) AS p_lo_cents,
+       |  CAST(min(p_hi) AS BIGINT) AS p_hi_cents,
+       |  CAST(sum(CASE WHEN c < p_lo THEN n ELSE 0 END) AS BIGINT)
+       |    AS n_clip_low,
+       |  CAST(sum(CASE WHEN c > p_hi THEN n ELSE 0 END) AS BIGINT)
+       |    AS n_clip_high,
+       |  CAST(sum(n * greatest(least(c, p_hi), p_lo)) AS BIGINT)
+       |    AS sum_w_cents
+       |FROM hist h JOIN bounds USING (event_type)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   def anomaliesSql(z: Double = 3.0): String =
     s"""WITH cents AS (

@@ -783,6 +783,27 @@ object Extensions {
   private val x100KeySkew: Q = (s, d) =>
     Diagnostics.keySkew(Tables.lineitem(s, d), "l_orderkey", topK = 5)
 
+  /** X1'/X7: corpus snapshot diff (dataset versioning report). See
+    * Dedup.snapshotDiff.
+    */
+  private val x101SnapshotDiff: Q = (s, d) =>
+    Dedup.snapshotDiff(Tables.documents(s, d))
+
+  /** X7: ANALYZE-style column profile of lineitem. See
+    * Diagnostics.columnProfile.
+    */
+  private val x102ColumnProfile: Q = (s, d) =>
+    Diagnostics.columnProfile(Tables.lineitem(s, d),
+      numCols = Seq("l_orderkey", "l_linenumber", "l_quantity",
+        "l_discount"),
+      strCols = Seq("l_returnflag", "l_linestatus"))
+
+  /** X5''/X7: per-type winsorization report over event values. See
+    * EventsAnalytics.winsorizeReport.
+    */
+  private val x103Winsorize: Q = (s, d) =>
+    EventsAnalytics.winsorizeReport(Tables.events(s, d))
+
   val queries: Map[String, Q] = Map(
     "x01_dedup_exact" -> x01DedupExact,
     "x02_dedup_minhash" -> x02DedupMinhash,
@@ -885,6 +906,9 @@ object Extensions {
     "x98_epoch_mix" -> x98EpochMix,
     "x99_incremental_dedup" -> x99IncrementalDedup,
     "x100_key_skew" -> x100KeySkew,
+    "x101_snapshot_diff" -> x101SnapshotDiff,
+    "x102_column_profile" -> x102ColumnProfile,
+    "x103_winsorize" -> x103Winsorize,
   )
 
   /** The PNG pixel statistics in closed form: the fixture image's
@@ -1137,5 +1161,11 @@ object Extensions {
     "x99_incremental_dedup" -> Dedup.incrementalDedupSql(newMod = 5),
     "x100_key_skew" -> Diagnostics.keySkewSql(
       "lineitem", "l_orderkey", topK = 5),
+    "x101_snapshot_diff" -> Dedup.snapshotDiffSql(),
+    "x102_column_profile" -> Diagnostics.columnProfileSql("lineitem",
+      numCols = Seq("l_orderkey", "l_linenumber", "l_quantity",
+        "l_discount"),
+      strCols = Seq("l_returnflag", "l_linestatus")),
+    "x103_winsorize" -> EventsAnalytics.winsorizeReportSql(),
   )
 }

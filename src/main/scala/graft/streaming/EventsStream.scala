@@ -181,6 +181,50 @@ object EventsStream {
       }
   }
 
+  final case class PathState(ep: Double, et: String)
+  final case class TransitionOut(src: String, dst: String)
+
+  /** Stateful session-path tracking — the stream half of x93
+    * (EventsAnalytics.sessionTransitions): per-user state is the LAST
+    * event's (time, type) — one tiny row per user, bounded — and each
+    * arrival within `gapSec` of it emits its (src, dst) transition.
+    * Within a micro-batch events sort by (time, event_id); across
+    * batches the feed is assumed per-user event-time ordered (the
+    * same post-watermark contract as funnelProgress), under which the
+    * emitted multiset EQUALS the batch lag-window relation
+    * (transitionPairs) and the shared transitionsFromPairs finisher
+    * reproduces x93 at drain.
+    */
+  def transitionsOnIngest(spark: SparkSession, events: DataFrame,
+      gapSec: Int = 1800): Dataset[TransitionOut] = {
+    import spark.implicits._
+    val typed = events
+      .select(col("user_id"), col("event_type"),
+        col("ts").cast("double").as("ep"), col("event_id"))
+      .as[(Long, String, Double, Long)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[PathState, TransitionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, it: Iterator[(Long, String, Double, Long)],
+            state: GroupState[PathState]) =>
+          val evs = it.toArray.sortBy(t => (t._3, t._4))
+          var prev = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[TransitionOut]
+          evs.foreach { case (_, et, ep, _) =>
+            prev.foreach { p =>
+              if (ep - p.ep <= gapSec) out += TransitionOut(p.et, et)
+            }
+            prev = Some(PathState(ep, et))
+          }
+          prev.foreach(state.update)
+          out.iterator
+      }
+  }
+
+  def transitionsAtDrain(drained: DataFrame): DataFrame =
+    graft.llm.EventsAnalytics.transitionsFromPairs(drained)
+
   final case class SessionEvent(user_id: Long, ep: Double, value: Double)
   final case class SessionState(start: Double, last: Double, n: Long,
       total: Double)

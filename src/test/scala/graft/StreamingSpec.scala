@@ -326,4 +326,55 @@ class StreamingSpec extends AnyFunSuite {
       assert(got == batch)
     } finally q.stop()
   }
+
+  test("stateful transitions on ingest: drained pairs + shared " +
+      "finisher reproduce x93 across micro-batches") {
+    // full replay
+    val stream = EventsStream.readEvents(spark, eventsDir)
+    val q = EventsStream.transitionsOnIngest(spark, stream).toDF
+      .writeStream.outputMode("append")
+      .format("memory").queryName("paths_out").start()
+    try {
+      q.processAllAvailable()
+      val drained = spark.sql("SELECT src, dst FROM paths_out")
+      val got = EventsStream.transitionsAtDrain(drained)
+        .collect().map(_.toSeq).toSeq
+      val batch = graft.llm.EventsAnalytics
+        .sessionTransitions(Tables.events(spark, sf))
+        .collect().map(_.toSeq).toSeq
+      assert(batch.nonEmpty)
+      assert(got == batch)
+    } finally q.stop()
+    // two-batch time-split replay: last-event state must carry over
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = Tables.events(spark, sf)
+      .select($"user_id", $"event_type",
+        $"ts".cast("double").as("ep"), $"event_id")
+      .as[(Long, String, Double, Long)]
+      .collect().sortBy(t => (t._3, t._4))
+    val mid = rows(rows.length / 2)._3
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[
+      (Long, String, Double, Long)]
+    val events = ms.toDF
+      .toDF("user_id", "event_type", "ep", "event_id")
+      .withColumn("ts", org.apache.spark.sql.functions
+        .timestamp_seconds($"ep"))
+    val q2 = EventsStream.transitionsOnIngest(spark, events).toDF
+      .writeStream.outputMode("append")
+      .format("memory").queryName("paths_2b_out").start()
+    try {
+      ms.addData(rows.filter(_._3 <= mid).toIndexedSeq)
+      q2.processAllAvailable()
+      ms.addData(rows.filter(_._3 > mid).toIndexedSeq)
+      q2.processAllAvailable()
+      val got2 = EventsStream.transitionsAtDrain(
+        spark.sql("SELECT src, dst FROM paths_2b_out"))
+        .collect().map(_.toSeq).toSeq
+      val batch2 = graft.llm.EventsAnalytics
+        .sessionTransitions(Tables.events(spark, sf))
+        .collect().map(_.toSeq).toSeq
+      assert(got2 == batch2)
+    } finally q2.stop()
+  }
 }

@@ -271,9 +271,10 @@ object PlanAudit {
       // cumulative window over the bounded (freq, n_keys) histogram
       // (tens of rows) + 1-row percentile/total scalars
       "x100_key_skew" -> Set("SinglePartition", "BNLJoin"),
-      // ONE grouping-free aggregate row carrying every column profile
-      // (global scalar reduce — the correct single-pass shape)
-      "x102_column_profile" -> Set("SinglePartition"),
+      // one grouping-free 1-row aggregate per profiled column over a
+      // pruned scan, cross-joined into the unpivot (certified
+      // scalar-subquery-1row above)
+      "x102_column_profile" -> Set("SinglePartition", "BNLJoin"),
       "x95_jl_topk" -> Set("BNLJoin"), // 5 broadcast projected queries
       // same bounded broadcast-query shape as x05, on int8 codes
       "x80_int8_topk" -> Set("BNLJoin"),

@@ -975,8 +975,24 @@ object Similarity {
     * clusters.
     */
   def centroidOutliers(emb: DataFrame, k: Int, trainIters: Int,
+      z: Double, trainTarget: Long = 0): DataFrame =
+    centroidOutliersFrom(emb,
+      kmeansCentroids(emb, k, trainIters, trainTarget), z)
+
+  /** The x97 serve path: centroids persist via ModelStore like every
+    * other trained model (the x66/x88 invariant — EVERY trained
+    * model in the engine has a train-once/serve-many split); scoring
+    * + moments + flagging shared verbatim with the in-query-training
+    * form, so the serve query is hash-identical to x97.
+    */
+  def centroidOutliersServe(emb: DataFrame, modelPath: String, k: Int,
+      trainIters: Int, z: Double, trainTarget: Long = 0): DataFrame =
+    centroidOutliersFrom(emb, localized(graft.tools.ModelStore
+      .ensure(modelPath, kmeansCentroids(emb, k, trainIters,
+        trainTarget))), z)
+
+  private def centroidOutliersFrom(emb: DataFrame, cents: DataFrame,
       z: Double): DataFrame = {
-    val cents = kmeansCentroids(emb, k, trainIters)
     val scored = emb.crossJoin(broadcast(cents))
       .withColumn("c", round(graft.functions.VectorFunctions
         .cosine_similarity(col("embedding"), col("ce")), 6))

@@ -804,6 +804,17 @@ object Extensions {
   private val x103Winsorize: Q = (s, d) =>
     EventsAnalytics.winsorizeReport(Tables.events(s, d))
 
+  /** X2/X3: centroid-outlier serve path — the ≤k-row trained centroid
+    * table persists via ModelStore (every trained model has a serve
+    * path); scoring, moments, and flagging are shared verbatim with
+    * x97, whose in-query-training SQL is the oracle — so the hash
+    * gate proves the persisted centroids serve bit-identically.
+    */
+  private val x104CentroidOutliersServe: Q = (s, d) =>
+    Similarity.centroidOutliersServe(Tables.embeddings(s, d),
+      graft.tools.ModelStore.pathFor("co_cent", d, "k8_i1"),
+      k = 8, trainIters = 1, z = 1.5)
+
   val queries: Map[String, Q] = Map(
     "x01_dedup_exact" -> x01DedupExact,
     "x02_dedup_minhash" -> x02DedupMinhash,
@@ -909,6 +920,7 @@ object Extensions {
     "x101_snapshot_diff" -> x101SnapshotDiff,
     "x102_column_profile" -> x102ColumnProfile,
     "x103_winsorize" -> x103Winsorize,
+    "x104_centroid_outliers_serve" -> x104CentroidOutliersServe,
   )
 
   /** The PNG pixel statistics in closed form: the fixture image's
@@ -1167,5 +1179,7 @@ object Extensions {
         "l_discount"),
       strCols = Seq("l_returnflag", "l_linestatus")),
     "x103_winsorize" -> EventsAnalytics.winsorizeReportSql(),
+    "x104_centroid_outliers_serve" -> Similarity.centroidOutliersSql(
+      k = 8, trainIters = 1, z = 1.5),
   )
 }

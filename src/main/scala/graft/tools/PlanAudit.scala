@@ -265,6 +265,9 @@ object PlanAudit {
       "x94_binary_topk" -> Set("BNLJoin"), // 5 broadcast query signatures
       // k broadcast trained centroids (the x36/x57 shape)
       "x97_centroid_outliers" -> Set("BNLJoin"),
+      // serve path: the same ≤k-centroid broadcast, read back as a
+      // LocalRelation from the persisted model table (cf. x66/x68)
+      "x104_centroid_outliers_serve" -> Set("BNLJoin"),
       // |sources|-row dimension allocation + 1-row budget scalars
       // (the x45 shape)
       "x98_epoch_mix" -> Set("SinglePartition", "BNLJoin"),

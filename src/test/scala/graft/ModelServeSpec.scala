@@ -124,6 +124,21 @@ class ModelServeSpec extends AnyFunSuite {
       trained)
   }
 
+  test("centroid-outlier serve is bit-identical to in-query training " +
+      "and writes the centroid table once") {
+    val path = freshPath("co")
+    val trained = Similarity
+      .centroidOutliers(emb, k = 4, trainIters = 1, z = 1.0,
+        trainTarget = 100)
+      .collect().map(_.toSeq).toSeq
+    assert(trained.nonEmpty, "outlier report empty — weak fixture")
+    assertServedOnce(path,
+      () => Similarity.centroidOutliersServe(emb, path, k = 4,
+          trainIters = 1, z = 1.0, trainTarget = 100)
+        .collect().map(_.toSeq).toSeq,
+      trained)
+  }
+
   test("two concurrent ensure() trainers produce one complete " +
       "artifact, identical frames, and no leftover tmp dirs") {
     import spark.implicits._

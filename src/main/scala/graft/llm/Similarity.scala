@@ -1632,4 +1632,76 @@ object Similarity {
        |FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.vec_id
        |ORDER BY a.vec_id""".stripMargin
   }
+
+  /** X1/X2: SEMANTIC decontamination — the embedding-space
+    * complement of the n-gram benchmark scrub (x28,
+    * [[Dedup.decontaminate]], `Dedup.scala`; reference surface:
+    * vladislabv/python-darima has no curation ops — this extends the
+    * engine's LLM-pipeline face). A paraphrased eval item shares no
+    * 5-gram with the benchmark but sits next to it in embedding
+    * space, so n-gram decontamination alone under-scrubs; the
+    * standard fix is flagging every training vector whose max cosine
+    * to ANY benchmark vector clears a threshold.
+    *
+    * Benchmark set: the deterministic `vec_id < benchIds` slice (the
+    * x28 convention). Output: per-label contamination report —
+    * n, n_flagged (max-cosine ≥ thetaC4 ten-thousandths), max_c4,
+    * sum_c4 — all integers, so every aggregate is exact in both
+    * dialects (the x63/x97 quantization idiom).
+    *
+    * Scale shape: the benchmark side collapses to ONE grouping-free
+    * aggregate row (an array of ≤benchIds (bid, vec) structs —
+    * provably 1 row, the PQ-codebook certificate), so scoring is a
+    * MAP-ONLY projection: each corpus vector evaluates max cosine
+    * over the broadcast array via a higher-order transform — no
+    * per-vector shuffle anywhere (a groupBy(vec_id) max would
+    * exchange the full corpus). The only exchange is the bounded
+    * per-label report aggregate. Zero-norm vectors are excluded on
+    * both sides in both dialects (no NaN enters a comparison).
+    */
+  def semanticDecontaminate(emb: DataFrame, benchIds: Int,
+      thetaC4: Long): DataFrame = {
+    val bench = emb
+      .filter(col("vec_id") < benchIds &&
+        dot_product(col("embedding"), col("embedding")) > 0)
+      .agg(sort_array(collect_list(struct(col("vec_id").as("bid"),
+        col("embedding").as("be")))).as("barr"))
+    emb
+      .filter(col("vec_id") >= benchIds &&
+        dot_product(col("embedding"), col("embedding")) > 0)
+      .crossJoin(broadcast(bench))
+      .withColumn("c4", round(array_max(transform(col("barr"),
+          b => round(graft.functions.VectorFunctions
+            .cosine_similarity(col("embedding"), b("be")), 6)))
+        * 10000, 0).cast("long"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("c4") >= thetaC4, 1L).otherwise(0L)).as("n_flagged"),
+        max(col("c4")).as("max_c4"),
+        sum(col("c4")).as("sum_c4"))
+      .orderBy(col("label"))
+  }
+
+  def semanticDecontaminateSql(benchIds: Int, thetaC4: Long): String =
+    s"""WITH dbl AS (
+       |  SELECT vec_id, label,
+       |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |  FROM embeddings
+       |), bench AS (
+       |  SELECT vec_id AS bid, e AS be FROM dbl
+       |  WHERE vec_id < $benchIds AND list_dot_product(e, e) > 0
+       |), mx AS (
+       |  SELECT d.vec_id, d.label,
+       |         CAST(round(max(${sqlCos("d.e", "b.be")}) * 10000, 0)
+       |           AS BIGINT) AS c4
+       |  FROM dbl d CROSS JOIN bench b
+       |  WHERE d.vec_id >= $benchIds AND list_dot_product(d.e, d.e) > 0
+       |  GROUP BY 1, 2
+       |)
+       |SELECT label, count(*) AS n,
+       |       CAST(sum(CASE WHEN c4 >= $thetaC4 THEN 1 ELSE 0 END)
+       |         AS BIGINT) AS n_flagged,
+       |       max(c4) AS max_c4,
+       |       CAST(sum(c4) AS BIGINT) AS sum_c4
+       |FROM mx GROUP BY label ORDER BY label""".stripMargin
 }

@@ -815,6 +815,16 @@ object Extensions {
       graft.tools.ModelStore.pathFor("co_cent", d, "k8_i1"),
       k = 8, trainIters = 1, z = 1.5)
 
+  /** X1/X2: semantic decontamination — per-label report of corpus
+    * vectors whose max cosine to the benchmark slice (vec_id < 32)
+    * clears 0.30 (3000 ten-thousandths); the embedding-space
+    * complement of the n-gram scrub x28 (paraphrase leaks share no
+    * 5-gram but sit next to the benchmark in embedding space).
+    */
+  private val x105SemanticDecon: Q = (s, d) =>
+    Similarity.semanticDecontaminate(Tables.embeddings(s, d),
+      benchIds = 32, thetaC4 = 3000L)
+
   val queries: Map[String, Q] = Map(
     "x01_dedup_exact" -> x01DedupExact,
     "x02_dedup_minhash" -> x02DedupMinhash,
@@ -921,6 +931,7 @@ object Extensions {
     "x102_column_profile" -> x102ColumnProfile,
     "x103_winsorize" -> x103Winsorize,
     "x104_centroid_outliers_serve" -> x104CentroidOutliersServe,
+    "x105_semantic_decontaminate" -> x105SemanticDecon,
   )
 
   /** The PNG pixel statistics in closed form: the fixture image's
@@ -1181,5 +1192,7 @@ object Extensions {
     "x103_winsorize" -> EventsAnalytics.winsorizeReportSql(),
     "x104_centroid_outliers_serve" -> Similarity.centroidOutliersSql(
       k = 8, trainIters = 1, z = 1.5),
+    "x105_semantic_decontaminate" -> Similarity
+      .semanticDecontaminateSql(benchIds = 32, thetaC4 = 3000L),
   )
 }

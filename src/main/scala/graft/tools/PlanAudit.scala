@@ -268,6 +268,10 @@ object PlanAudit {
       // serve path: the same ≤k-centroid broadcast, read back as a
       // LocalRelation from the persisted model table (cf. x66/x68)
       "x104_centroid_outliers_serve" -> Set("BNLJoin"),
+      // 1-row benchmark-array aggregate (≤benchIds rows into the
+      // scalar reduce) broadcast back for the map-only max-cosine
+      // scoring pass (the x46 codebook shape, certified above)
+      "x105_semantic_decontaminate" -> Set("SinglePartition", "BNLJoin"),
       // |sources|-row dimension allocation + 1-row budget scalars
       // (the x45 shape)
       "x98_epoch_mix" -> Set("SinglePartition", "BNLJoin"),

@@ -532,4 +532,50 @@ class CurationOpsSpec extends AnyFunSuite {
       rows(3L).getAs[Double]("top_frac") > 0.9)
     assert(Seq(1L, 2L, 3L).forall(i => !rows(i).getAs[Boolean]("keep")))
   }
+
+  test("semantic decontamination: clone of a benchmark vector flags, " +
+      "orthogonal does not, zero-norms are excluded on both sides") {
+    import spark.implicits._
+    // bench slice (vec_id < 3): e0=[1,0,0], e1=[0,1,0], e2=zero-norm
+    // (must drop from the bench array, not crash). Corpus: vec 10 is
+    // a CLONE of e0 (max cos 1.0 -> c4 10000, flagged at 9000);
+    // vec 11 is orthogonal to both (c4 0); vec 12 is zero-norm
+    // (excluded -> label 3 has no row); vec 13 has max cos 0.8 vs e1
+    // (c4 8000 -> NOT flagged at 9000: the threshold is strict).
+    val emb = Seq(
+      (0L, Array(1f, 0f, 0f), 0),
+      (1L, Array(0f, 1f, 0f), 0),
+      (2L, Array(0f, 0f, 0f), 0),
+      (10L, Array(1f, 0f, 0f), 1),
+      (11L, Array(0f, 0f, 1f), 1),
+      (12L, Array(0f, 0f, 0f), 3),
+      (13L, Array(0.6f, 0.8f, 0f), 2))
+      .toDF("vec_id", "embedding", "label")
+    val rows = Similarity
+      .semanticDecontaminate(emb, benchIds = 3, thetaC4 = 9000L)
+      .collect()
+      .map(r => r.getAs[Int]("label") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("n_flagged"),
+          r.getAs[Long]("max_c4"), r.getAs[Long]("sum_c4")))).toMap
+    assert(rows.keySet == Set(1, 2), s"labels: ${rows.keySet}")
+    assert(rows(1) == ((2L, 1L, 10000L, 10000L)))
+    assert(rows(2) == ((1L, 0L, 8000L, 8000L)))
+  }
+
+  test("semantic decontamination: empty benchmark slice yields an " +
+      "unflagged full-corpus report, not a crash") {
+    import spark.implicits._
+    val emb = Seq((10L, Array(1f, 0f, 0f), 1), (11L, Array(0f, 1f, 0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val rows = Similarity
+      .semanticDecontaminate(emb, benchIds = 0, thetaC4 = 1L)
+      .collect()
+    // max over an empty bench array is NULL -> c4 NULL: n counts the
+    // corpus, nothing flags, and the moment columns stay NULL rather
+    // than inventing a 0 affinity
+    assert(rows.length == 1)
+    assert(rows(0).getAs[Long]("n") == 2L)
+    assert(rows(0).getAs[Long]("n_flagged") == 0L)
+    assert(rows(0).isNullAt(rows(0).fieldIndex("max_c4")))
+  }
 }

@@ -1552,7 +1552,18 @@ object Dedup {
        |ORDER BY d.doc_id""".stripMargin
 
   def containmentPairsSql(dfCap: Int, threshold: Double): String =
-    s"""WITH sh AS ($shinglesSql),
+    s"""WITH ${containmentCtesSql(dfCap, threshold)}
+       |SELECT a, b, inter, sz_a, containment FROM cscore
+       |ORDER BY a, b""".stripMargin
+
+  /** The x62 shingle→bucket→score chain as a CTE body (final
+    * relation: `cscore` (a, b, inter, sz_a, containment), directed,
+    * threshold applied) — shared by the standalone oracle and the
+    * cross-modal consensus oracle (x106).
+    */
+  private[graft] def containmentCtesSql(dfCap: Int,
+      threshold: Double): String =
+    s"""sh AS ($shinglesSql),
        |rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= $dfCap),
        |capped AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare ON sh.s = rare.s),
        |sizes AS (SELECT doc_id, count(*) AS sz FROM capped GROUP BY doc_id),
@@ -1564,11 +1575,64 @@ object Dedup {
        |  SELECT d1 AS a, d2 AS b, inter FROM inter
        |  UNION ALL
        |  SELECT d2 AS a, d1 AS b, inter FROM inter
+       |), cscore AS (
+       |  SELECT a, b, inter, s.sz AS sz_a,
+       |         round(CAST(inter AS DOUBLE) / s.sz, 6) AS containment
+       |  FROM both_dirs JOIN sizes s ON s.doc_id = a
+       |  WHERE CAST(inter AS DOUBLE) / s.sz >= $threshold
+       |)""".stripMargin
+
+  /** X1/X2: CROSS-MODAL consensus near-duplicates — the x62 lexical
+    * containment pairs and the x16 embedding-cosine pairs joined on
+    * the unordered (i, j) key (doc_id ≡ vec_id in this corpus), each
+    * pair tagged `both` / `text_only` / `embed_only`. The verdict is
+    * the curation decision table: `both` is a confident duplicate
+    * (drop without review), `embed_only` is the paraphrase band the
+    * lexical pass misses (route to semantic dedup), `text_only` is
+    * lexical coincidence under a weak embedding (route to encoder
+    * audit — x97's outlier report is the follow-up).
+    *
+    * Scale shape: both candidate generators are the bucketed/capped
+    * originals (nothing pairwise over the corpus); the consensus
+    * join is a co-keyed full outer over two already-thresholded pair
+    * sets — bounded by candidate counts, not corpus size.
+    */
+  def crossModalNearDup(docs: DataFrame, emb: DataFrame, dfCap: Int,
+      thetaText: Double, bands: Int, planesPerBand: Int, dim: Int,
+      thetaEmbed: Double): DataFrame = {
+    val e = Similarity.nearDupPairs(emb, bands, planesPerBand, dim,
+      thetaEmbed)
+    // undirected reduction of the directed containment rows: one row
+    // per unordered pair, scored by its best direction
+    val t = containmentPairs(docs, dfCap, thetaText)
+      .select(least(col("a"), col("b")).as("i"),
+        greatest(col("a"), col("b")).as("j"), col("containment"))
+      .groupBy(col("i"), col("j"))
+      .agg(max(col("containment")).as("cont"))
+    e.join(t, Seq("i", "j"), "full_outer")
+      .withColumn("verdict",
+        when(col("cos").isNotNull && col("cont").isNotNull, lit("both"))
+          .when(col("cos").isNotNull, lit("embed_only"))
+          .otherwise(lit("text_only")))
+      .select(col("i"), col("j"), col("cos"), col("cont"), col("verdict"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  def crossModalNearDupSql(dfCap: Int, thetaText: Double, bands: Int,
+      planesPerBand: Int, dim: Int, thetaEmbed: Double): String =
+    s"""WITH ${Similarity.nearDupCtesSql(bands, planesPerBand, dim,
+         thetaEmbed)},
+       |${containmentCtesSql(dfCap, thetaText)}, tund AS (
+       |  SELECT least(a, b) AS i, greatest(a, b) AS j,
+       |         max(containment) AS cont
+       |  FROM cscore GROUP BY 1, 2
        |)
-       |SELECT a, b, inter, s.sz AS sz_a,
-       |       round(CAST(inter AS DOUBLE) / s.sz, 6) AS containment
-       |FROM both_dirs JOIN sizes s ON s.doc_id = a
-       |WHERE CAST(inter AS DOUBLE) / s.sz >= $threshold
-       |ORDER BY a, b""".stripMargin
+       |SELECT COALESCE(e.i, t.i) AS i, COALESCE(e.j, t.j) AS j,
+       |       e.cos, t.cont,
+       |       CASE WHEN e.i IS NOT NULL AND t.i IS NOT NULL THEN 'both'
+       |            WHEN e.i IS NOT NULL THEN 'embed_only'
+       |            ELSE 'text_only' END AS verdict
+       |FROM epairs e FULL OUTER JOIN tund t ON e.i = t.i AND e.j = t.j
+       |ORDER BY i, j""".stripMargin
 
 }

@@ -744,7 +744,18 @@ object Similarity {
   }
 
   def nearDupPairsSql(bands: Int, planesPerBand: Int, dim: Int,
-      threshold: Double, bucketCap: Int = 64): String = {
+      threshold: Double, bucketCap: Int = 64): String =
+    s"""WITH ${nearDupCtesSql(bands, planesPerBand, dim, threshold,
+         bucketCap)}
+       |SELECT i, j, cos FROM epairs
+       |ORDER BY i, j""".stripMargin
+
+  /** The x16 candidate→score chain as a CTE body (final relation:
+    * `epairs` (i, j, cos), i < j) — shared by the standalone oracle
+    * and the cross-modal consensus oracle (x106).
+    */
+  private[graft] def nearDupCtesSql(bands: Int, planesPerBand: Int,
+      dim: Int, threshold: Double, bucketCap: Int = 64): String = {
     val ps = planes(bands * planesPerBand, dim)
     def sigExpr(b: Int): String =
       (0 until planesPerBand).map { j =>
@@ -757,7 +768,7 @@ object Similarity {
     val sigSelects = (0 until bands)
       .map(b => s"SELECT vec_id, $b AS band, ${sigExpr(b)} AS sig FROM embeddings")
       .mkString("\nUNION ALL\n")
-    s"""WITH sigs AS (
+    s"""sigs AS (
        |$sigSelects
        |), kept AS (
        |  SELECT band, sig FROM sigs GROUP BY band, sig
@@ -785,9 +796,9 @@ object Similarity {
        |                         list_transform(e1.embedding, x -> CAST(x AS DOUBLE))) > 0
        |    AND list_dot_product(list_transform(e2.embedding, x -> CAST(x AS DOUBLE)),
        |                         list_transform(e2.embedding, x -> CAST(x AS DOUBLE))) > 0
-       |)
-       |SELECT i, j, cos FROM scored WHERE cos >= $threshold
-       |ORDER BY i, j""".stripMargin
+       |), epairs AS (
+       |  SELECT i, j, cos FROM scored WHERE cos >= $threshold
+       |)""".stripMargin
   }
 
   def lshBucketsSql(nPlanes: Int, dim: Int): String = {

@@ -825,6 +825,17 @@ object Extensions {
     Similarity.semanticDecontaminate(Tables.embeddings(s, d),
       benchIds = 32, thetaC4 = 3000L)
 
+  /** X1/X2: cross-modal consensus near-dups — x62's lexical
+    * containment pairs ⋈ x16's embedding-cosine pairs (doc_id ≡
+    * vec_id), tagged both / text_only / embed_only: the curation
+    * decision table separating confident duplicates from paraphrase
+    * leaks and lexical coincidences.
+    */
+  private val x106CrossModal: Q = (s, d) =>
+    Dedup.crossModalNearDup(Tables.documents(s, d),
+      Tables.embeddings(s, d), dfCap = 10, thetaText = 0.5,
+      bands = 4, planesPerBand = 6, dim = 64, thetaEmbed = 0.4)
+
   val queries: Map[String, Q] = Map(
     "x01_dedup_exact" -> x01DedupExact,
     "x02_dedup_minhash" -> x02DedupMinhash,
@@ -932,6 +943,7 @@ object Extensions {
     "x103_winsorize" -> x103Winsorize,
     "x104_centroid_outliers_serve" -> x104CentroidOutliersServe,
     "x105_semantic_decontaminate" -> x105SemanticDecon,
+    "x106_crossmodal_neardup" -> x106CrossModal,
   )
 
   /** The PNG pixel statistics in closed form: the fixture image's
@@ -1194,5 +1206,8 @@ object Extensions {
       k = 8, trainIters = 1, z = 1.5),
     "x105_semantic_decontaminate" -> Similarity
       .semanticDecontaminateSql(benchIds = 32, thetaC4 = 3000L),
+    "x106_crossmodal_neardup" -> Dedup.crossModalNearDupSql(
+      dfCap = 10, thetaText = 0.5, bands = 4, planesPerBand = 6,
+      dim = 64, thetaEmbed = 0.4),
   )
 }

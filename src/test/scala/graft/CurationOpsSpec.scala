@@ -562,6 +562,38 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(rows(2) == ((1L, 0L, 8000L, 8000L)))
   }
 
+  test("cross-modal near-dups: verdicts split both / embed_only / " +
+      "text_only on a constructed consensus corpus") {
+    import spark.implicits._
+    // (1,2): identical text AND identical embedding -> both
+    // (4,5): identical embedding, disjoint shingles    -> embed_only
+    // (6,7): identical text, cos(v6,v7) = 0 < 0.9      -> text_only
+    // (1,3)/(2,3): one shared shingle of three (0.33 < 0.5) -> absent
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"),
+      (3L, "alpha beta gamma zeta eta"),
+      (4L, "one two three four five"),
+      (5L, "six seven eight nine ten"),
+      (6L, "red green blue cyan magenta"),
+      (7L, "red green blue cyan magenta"))
+      .toDF("doc_id", "text")
+    val emb = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)), (2L, Array(1f, 0f, 0f, 0f)),
+      (3L, Array(0f, 1f, 0f, 0f)),
+      (4L, Array(0f, 0f, 1f, 0f)), (5L, Array(0f, 0f, 1f, 0f)),
+      (6L, Array(0f, 0f, 0f, 1f)), (7L, Array(0f, 1f, 1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val rows = Dedup.crossModalNearDup(docs, emb, dfCap = 10,
+        thetaText = 0.5, bands = 2, planesPerBand = 2, dim = 4,
+        thetaEmbed = 0.9)
+      .collect()
+      .map(r => (r.getAs[Long]("i"), r.getAs[Long]("j")) ->
+        r.getAs[String]("verdict")).toMap
+    assert(rows == Map((1L, 2L) -> "both", (4L, 5L) -> "embed_only",
+      (6L, 7L) -> "text_only"), s"got: $rows")
+  }
+
   test("semantic decontamination: empty benchmark slice yields an " +
       "unflagged full-corpus report, not a crash") {
     import spark.implicits._

@@ -1677,21 +1677,45 @@ object Similarity {
         dot_product(col("embedding"), col("embedding")) > 0)
       .agg(sort_array(collect_list(struct(col("vec_id").as("bid"),
         col("embedding").as("be")))).as("barr"))
-    emb
-      .filter(col("vec_id") >= benchIds &&
-        dot_product(col("embedding"), col("embedding")) > 0)
-      .crossJoin(broadcast(bench))
-      .withColumn("c4", round(array_max(transform(col("barr"),
-          b => round(graft.functions.VectorFunctions
-            .cosine_similarity(col("embedding"), b("be")), 6)))
-        * 10000, 0).cast("long"))
+    deconReport(
+      deconCorpus(emb, benchIds)
+        .crossJoin(broadcast(bench))
+        .withColumn("c4", deconMaxC4(col("barr"))),
+      thetaC4)
+  }
+
+  /** The x105 corpus filter — shared with the streaming ingest twin
+    * so both paths score exactly the same vectors.
+    */
+  private[graft] def deconCorpus(emb: DataFrame, benchIds: Int): DataFrame =
+    emb.filter(col("vec_id") >= benchIds &&
+      dot_product(col("embedding"), col("embedding")) > 0)
+
+  /** The x105 scoring expression — max over the benchmark array of
+    * the 6dp-rounded fused-kernel cosine, quantized to integer
+    * ten-thousandths. Shared verbatim by the batch operator (barr =
+    * the 1-row broadcast aggregate) and the streaming ingest twin
+    * (barr = the frozen literal array), so streamed scores are
+    * bit-equal to batch.
+    */
+  private[graft] def deconMaxC4(barr: Column): Column =
+    round(array_max(transform(barr,
+        b => round(graft.functions.VectorFunctions
+          .cosine_similarity(col("embedding"), b("be")), 6)))
+      * 10000, 0).cast("long")
+
+  /** The x105 per-label report tail over scored (label, c4) rows —
+    * shared by the batch operator and the streaming drain finisher.
+    */
+  private[graft] def deconReport(scored: DataFrame,
+      thetaC4: Long): DataFrame =
+    scored
       .groupBy(col("label"))
       .agg(count(lit(1)).as("n"),
         sum(when(col("c4") >= thetaC4, 1L).otherwise(0L)).as("n_flagged"),
         max(col("c4")).as("max_c4"),
         sum(col("c4")).as("sum_c4"))
       .orderBy(col("label"))
-  }
 
   def semanticDecontaminateSql(benchIds: Int, thetaC4: Long): String =
     s"""WITH dbl AS (

@@ -103,4 +103,32 @@ object EmbeddingsStream {
   def clusterSampleAtDrain(assigned: DataFrame, budget: Int,
       tau: Double = 0.5): DataFrame =
     graft.llm.Similarity.clusterSampleFromAssigned(assigned, budget, tau)
+
+  /** Semantic decontamination on ingest — the streaming half of
+    * x105: each arriving vector scores its max cosine to the FROZEN
+    * benchmark vectors, carried as a literal array (train-in-batch /
+    * serve-in-stream, like [[clusterAssignOnIngest]]). The scoring
+    * expression is [[graft.llm.Similarity.deconMaxC4]] verbatim (the
+    * batch operator evaluates it against the 1-row broadcast bench
+    * aggregate), so streamed c4 scores are bit-equal to batch.
+    * Stateless: one projection, |bench| fused-kernel cosines per
+    * arrival, no join, no state store.
+    */
+  def deconScoreOnIngest(vecs: DataFrame,
+      bench: Seq[(Long, Array[Float])], benchIds: Int): DataFrame = {
+    require(bench.nonEmpty, "frozen benchmark set must be non-empty")
+    val bLit: Column = array(bench.sortBy(_._1).map { case (bid, be) =>
+      struct(lit(bid).as("bid"), array(be.map(lit(_)): _*).as("be"))
+    }: _*)
+    graft.llm.Similarity.deconCorpus(vecs, benchIds)
+      .select(col("vec_id"), col("label"),
+        graft.llm.Similarity.deconMaxC4(bLit).as("c4"))
+  }
+
+  /** Drain-time finisher: the shared x105 per-label report over the
+    * drained (label, c4) rows — identical output to the batch
+    * decontamination report.
+    */
+  def deconReportAtDrain(scored: DataFrame, thetaC4: Long): DataFrame =
+    graft.llm.Similarity.deconReport(scored, thetaC4)
 }

@@ -171,6 +171,46 @@ class DocumentsStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming decontamination scoring drains to the exact batch " +
+      "x105 report") {
+    import graft.llm.Similarity
+    import org.apache.spark.sql.functions.col
+    import graft.functions.VectorFunctions.dot_product
+    val embDir = {
+      val dir = java.nio.file.Files.createTempDirectory("emb-stream-dc")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(sf + "/embeddings.parquet"),
+        dir.resolve("embeddings.parquet"))
+      dir.toString
+    }
+    val emb = Tables.embeddings(spark, sf)
+    // frozen benchmark slice, collected once (< benchIds rows, the
+    // zero-norm exclusion applied exactly as in batch) -> literals
+    val bench = emb
+      .filter(col("vec_id") < 32 &&
+        dot_product(col("embedding"), col("embedding")) > 0)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    val stream = graft.streaming.EmbeddingsStream
+      .readEmbeddings(spark, embDir)
+    val q = graft.streaming.EmbeddingsStream
+      .deconScoreOnIngest(stream, bench, benchIds = 32)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dc_scores_out").start()
+    try {
+      q.processAllAvailable()
+      val got = graft.streaming.EmbeddingsStream
+        .deconReportAtDrain(spark.sql("SELECT * FROM dc_scores_out"),
+          thetaC4 = 3000L)
+        .collect().map(_.toSeq).toSeq
+      val batch = Similarity.semanticDecontaminate(emb, benchIds = 32,
+          thetaC4 = 3000L)
+        .collect().map(_.toSeq).toSeq
+      assert(got == batch)
+      assert(batch.nonEmpty, "weak fixture: empty batch report")
+    } finally q.stop()
+  }
+
   test("streaming content dedup keeps one copy per digest") {
     val q = DocumentsStream
       .dedupByContent(DocumentsStream.readDocuments(spark, docsDir))

@@ -552,7 +552,18 @@ object Similarity {
     * members — shared by the fixed-seed, trained, and serve variants.
     */
   private def ivfSearch(emb: DataFrame, seeds: DataFrame, nProbe: Int,
-      nQueries: Int, k: Int): DataFrame = {
+      nQueries: Int, k: Int): DataFrame =
+    ivfSearchUnsorted(emb, seeds, nProbe, nQueries, k)
+      .orderBy(col("qid"), col("rank"))
+
+  /** The IVF search without the presentation sort — for consumers
+    * that aggregate the ranking further (the x107 recall report),
+    * where an inner global sort would survive as a pointless
+    * coalesced-to-one-partition range exchange in the composed plan
+    * (same reasoning as [[broadcastCosineTopKUnsorted]]).
+    */
+  private def ivfSearchUnsorted(emb: DataFrame, seeds: DataFrame,
+      nProbe: Int, nQueries: Int, k: Int): DataFrame = {
     def cosTo(v: Column, c: Column): Column =
       round(graft.functions.VectorFunctions.cosine_similarity(v, c), 6)
     // assignment: argmax cosine over the ≤nLists centroids
@@ -579,8 +590,68 @@ object Similarity {
         .orderBy(col("cos").desc, col("vec_id"))))
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("vec_id"), col("cos"))
-      .orderBy(col("qid"), col("rank"))
   }
+
+  /** X2: ANN recall@k report — the index-quality observability
+    * table: per query, how many of the EXACT top-k neighbors (the
+    * x05 brute-force baseline) the IVF probe path (the x18 layout)
+    * actually returned. The table that decides nProbe/nLists before
+    * anyone trusts a sublinear index at 100 TB: recall collapsing on
+    * a label slice or after an encoder change shows up here, not in
+    * the (always-plausible) ANN output itself.
+    *
+    * Determinism: both rankings already tie-break on (cos 6dp,
+    * vec_id); hits are set intersections of those exact rankings;
+    * recall_bp = hits · (10000/k) stays in integers (k must divide
+    * 10000). Scale shape: both sides are the existing bounded
+    * searches (broadcast seeds/queries, per-qid bounded rankings);
+    * the comparison join touches ≤ 2·nQueries·k rows.
+    */
+  def annRecallReport(emb: DataFrame, nLists: Int, nProbe: Int,
+      nQueries: Int, k: Int): DataFrame = {
+    require(10000 % k == 0, "k must divide 10000 for exact recall_bp")
+    val seeds = emb.filter(col("vec_id") < nLists)
+      .select(col("vec_id").as("list_id"), col("embedding").as("ce"))
+    val approx = ivfSearchUnsorted(emb, seeds, nProbe, nQueries, k)
+      .select(col("qid"), col("vec_id"), lit(1).as("m"))
+    val exact = cosineTopKUnsorted(emb, nQueries, k)
+      .select(col("qid"), col("vec_id"))
+    exact.join(approx, Seq("qid", "vec_id"), "left_outer")
+      .groupBy(col("qid"))
+      .agg(sum(when(col("m").isNotNull, 1L).otherwise(0L)).as("hits"))
+      .select(col("qid"), col("hits"),
+        (col("hits") * lit((10000 / k).toLong)).as("recall_bp"))
+      .orderBy(col("qid"))
+  }
+
+  def annRecallReportSql(nLists: Int, nProbe: Int, nQueries: Int,
+      k: Int): String =
+    s"""WITH dbl AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |  FROM embeddings
+       |), lists AS (
+       |  SELECT vec_id AS list_id, e AS ce FROM dbl WHERE vec_id < $nLists
+       |),
+       |${ivfSearchSql(nProbe, nQueries, k)}, ivfk AS (
+       |  SELECT qid, vec_id FROM ranked WHERE rank <= $k
+       |), eprods AS (
+       |  SELECT q.vec_id AS qid, d.vec_id,
+       |    round(list_dot_product(d.e, q.e)
+       |      / (sqrt(list_dot_product(d.e, d.e))
+       |       * sqrt(list_dot_product(q.e, q.e))), 6) AS cos
+       |  FROM dbl d CROSS JOIN dbl q
+       |  WHERE q.vec_id < $nQueries AND d.vec_id <> q.vec_id
+       |), exact AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+       |      ORDER BY cos DESC, vec_id) AS rank
+       |    FROM eprods) WHERE rank <= $k
+       |)
+       |SELECT e.qid, CAST(count(i.vec_id) AS BIGINT) AS hits,
+       |       CAST(count(i.vec_id) * ${10000 / k} AS BIGINT) AS recall_bp
+       |FROM exact e LEFT JOIN ivfk i
+       |  ON i.qid = e.qid AND i.vec_id = e.vec_id
+       |GROUP BY e.qid ORDER BY e.qid""".stripMargin
 
   def ivfTopKSql(nLists: Int, nProbe: Int, nQueries: Int, k: Int): String =
     s"""WITH dbl AS (
@@ -589,7 +660,8 @@ object Similarity {
        |), lists AS (
        |  SELECT vec_id AS list_id, e AS ce FROM dbl WHERE vec_id < $nLists
        |),
-       |${ivfSearchSql(nProbe, nQueries, k)}""".stripMargin
+       |${ivfSearchSql(nProbe, nQueries, k)}
+       |${ivfFinalSql(k)}""".stripMargin
 
   /** Trained-quantizer IVF oracle: the Lloyd CTE chain supplies the
     * centroid relation, the shared search chain does the rest. Also
@@ -602,7 +674,8 @@ object Similarity {
        |lists AS (
        |  SELECT CAST(cid AS BIGINT) AS list_id, ce FROM c$trainIters
        |),
-       |${ivfSearchSql(nProbe, nQueries, k)}""".stripMargin
+       |${ivfSearchSql(nProbe, nQueries, k)}
+       |${ivfFinalSql(k)}""".stripMargin
 
   /** The IVF search CTE chain over a `lists(list_id, ce)` relation
     * and the `dbl` double-cast corpus — shared by the fixed-seed and
@@ -641,8 +714,14 @@ object Similarity {
        |    row_number() OVER (PARTITION BY qid
        |      ORDER BY cos DESC, vec_id) AS rank
        |  FROM scored
-       |)
-       |SELECT qid, rank, vec_id, cos FROM ranked WHERE rank <= $k
+       |)""".stripMargin
+
+  /** The final top-k presentation select over the IVF `ranked` CTE —
+    * appended by the standalone oracles; the recall-report oracle
+    * (x107) keeps `ranked` as a relation instead.
+    */
+  private def ivfFinalSql(k: Int): String =
+    s"""SELECT qid, rank, vec_id, cos FROM ranked WHERE rank <= $k
        |ORDER BY qid, rank""".stripMargin
 
   /** Deterministic pseudo-random hyperplanes (fixed seed) shared by

@@ -836,6 +836,15 @@ object Extensions {
       Tables.embeddings(s, d), dfCap = 10, thetaText = 0.5,
       bands = 4, planesPerBand = 6, dim = 64, thetaEmbed = 0.4)
 
+  /** X2: ANN recall@10 report — per query, hits and recall (exact
+    * integer basis points) of the x18 IVF probe path against the x05
+    * exact top-k: the observability table that calibrates
+    * nProbe/nLists before trusting a sublinear index.
+    */
+  private val x107AnnRecall: Q = (s, d) =>
+    Similarity.annRecallReport(Tables.embeddings(s, d), nLists = 16,
+      nProbe = 4, nQueries = 5, k = 10)
+
   val queries: Map[String, Q] = Map(
     "x01_dedup_exact" -> x01DedupExact,
     "x02_dedup_minhash" -> x02DedupMinhash,
@@ -944,6 +953,7 @@ object Extensions {
     "x104_centroid_outliers_serve" -> x104CentroidOutliersServe,
     "x105_semantic_decontaminate" -> x105SemanticDecon,
     "x106_crossmodal_neardup" -> x106CrossModal,
+    "x107_ann_recall" -> x107AnnRecall,
   )
 
   /** The PNG pixel statistics in closed form: the fixture image's
@@ -1209,5 +1219,7 @@ object Extensions {
     "x106_crossmodal_neardup" -> Dedup.crossModalNearDupSql(
       dfCap = 10, thetaText = 0.5, bands = 4, planesPerBand = 6,
       dim = 64, thetaEmbed = 0.4),
+    "x107_ann_recall" -> Similarity.annRecallReportSql(nLists = 16,
+      nProbe = 4, nQueries = 5, k = 10),
   )
 }

@@ -272,6 +272,9 @@ object PlanAudit {
       // scalar reduce) broadcast back for the map-only max-cosine
       // scoring pass (the x46 codebook shape, certified above)
       "x105_semantic_decontaminate" -> Set("SinglePartition", "BNLJoin"),
+      // inherits x18's broadcast seed lists and x05's broadcast query
+      // vectors (both bounded) on the two sides it compares
+      "x107_ann_recall" -> Set("BNLJoin"),
       // |sources|-row dimension allocation + 1-row budget scalars
       // (the x45 shape)
       "x98_epoch_mix" -> Set("SinglePartition", "BNLJoin"),

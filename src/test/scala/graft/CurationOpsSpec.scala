@@ -594,6 +594,27 @@ class CurationOpsSpec extends AnyFunSuite {
       (6L, 7L) -> "text_only"), s"got: $rows")
   }
 
+  test("ann recall report: a neighbor assigned to an unprobed list " +
+      "is counted as a miss, exact integer basis points") {
+    import spark.implicits._
+    // seeds: s0 at 0 deg, s1 at 45 deg; query q = v0 = s0 probes only
+    // list0 (nProbe = 1). v2 (20 deg) assigns to list0; v3 (23 deg)
+    // sits marginally closer to s1 (22 vs 23 deg) -> list1, yet is
+    // q's #2 EXACT neighbor. IVF returns only {v2}: hits 1 of k=2,
+    // recall 5000 bp.
+    val emb = Seq(
+      (0L, Array(1f, 0f)),
+      (1L, Array(0.7f, 0.7f)),
+      (2L, Array(0.93969f, 0.34202f)),
+      (3L, Array(0.92050f, 0.39073f)))
+      .toDF("vec_id", "embedding")
+    val rows = Similarity.annRecallReport(emb, nLists = 2, nProbe = 1,
+        nQueries = 1, k = 2)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("hits"),
+        r.getAs[Long]("recall_bp"))).toSeq
+    assert(rows == Seq((0L, 1L, 5000L)), s"got: $rows")
+  }
+
   test("semantic decontamination: empty benchmark slice yields an " +
       "unflagged full-corpus report, not a crash") {
     import spark.implicits._

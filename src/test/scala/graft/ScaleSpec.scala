@@ -792,4 +792,38 @@ class ScaleSpec extends AnyFunSuite {
     assert(zeroBp == 100L)
     assert(secs < 120, s"took ${secs}s")
   }
+
+  test("2M-vector semantic decontamination: map-only scoring, " +
+      "closed-form per-label report") {
+    // even ids sit on (1,0), odd ids on (0,1); bench = vec 0 alone.
+    // Every even corpus vector is a bench clone (c4 10000, flagged
+    // at 9000), every odd one is orthogonal (c4 0). Labels id % 4
+    // split each direction in two -> the whole report is closed-form.
+    val n = 2_000_000L
+    val emb = spark.range(n).select(
+      col("id").as("vec_id"),
+      when(col("id") % 2 === 0, array(lit(1.0f), lit(0.0f)))
+        .otherwise(array(lit(0.0f), lit(1.0f))).as("embedding"),
+      (col("id") % 4).cast("int").as("label"))
+    val t0 = System.nanoTime()
+    val rep = graft.llm.Similarity
+      .semanticDecontaminate(emb, benchIds = 1, thetaC4 = 9000L)
+    val rows = rep.collect()
+      .map(r => r.getAs[Int]("label") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("n_flagged"),
+          r.getAs[Long]("max_c4"), r.getAs[Long]("sum_c4")))).toMap
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"2M vectors, 1 bench: ${secs}%.1f s")
+    val q = n / 4
+    assert(rows(0) == ((q - 1, q - 1, 10000L, (q - 1) * 10000L)))
+    assert(rows(2) == ((q, q, 10000L, q * 10000L)))
+    assert(rows(1) == ((q, 0L, 0L, 0L)))
+    assert(rows(3) == ((q, 0L, 0L, 0L)))
+    // the scale point: scoring is a MAP-ONLY projection against the
+    // 1-row broadcast bench array — no per-vector shuffle, no window
+    val plan = rep.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "window leaked into the plan")
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(500))
+    assert(secs < 120, s"took ${secs}s")
+  }
 }

@@ -214,6 +214,54 @@ object TextAnalysis {
       |  CAST(sum(n_chars) AS BIGINT) AS total_chars
       |FROM q GROUP BY source ORDER BY source""".stripMargin
 
+  /** X3/X6: truncation-loss report — the packing-policy table: for
+    * each candidate max-sequence-length cap, per source, how many
+    * documents exceed the cap and how many tokens a hard truncation
+    * would discard. This is the table that picks `max_seq_len` for
+    * the x38 sequence-packing stage (and budgets the x98 epoch mix)
+    * BEFORE anyone pays for a tokenization run: cap too low silently
+    * deletes the long-document tail, cap too high wastes pad/packing
+    * slots — both only visible here.
+    *
+    * All counters are exact integer sums; the single rate column is
+    * one 6dp-rounded division of two exact longs (deterministic in
+    * both engines). Scale shape: one scan, a |lens|-way map-side
+    * explode, one hash aggregate keyed (source, max_len) —
+    * |sources|·|lens| output rows, no joins, no windows.
+    */
+  def truncationLoss(docs: DataFrame, lens: Seq[Int]): DataFrame =
+    docs
+      .select(col("source"), size(split(col("text"), " ")).as("nt"))
+      .withColumn("max_len", explode(array(lens.sorted.map(lit): _*)))
+      .groupBy(col("source"), col("max_len"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("nt") > col("max_len")).cast("long")).as("docs_over"),
+        sum(col("nt").cast("long")).as("total_tokens"),
+        sum(greatest(col("nt") - col("max_len"), lit(0)).cast("long"))
+          .as("tokens_dropped"))
+      .withColumn("drop_rate", round(
+        col("tokens_dropped").cast("double") / col("total_tokens"), 6))
+      .orderBy(col("source"), col("max_len"))
+
+  def truncationLossSql(lens: Seq[Int]): String = {
+    val arr = lens.sorted.mkString("[", ", ", "]")
+    s"""WITH t AS (
+       |  SELECT source, len(string_split(text, ' ')) AS nt FROM documents
+       |), x AS (
+       |  SELECT source, nt, max_len FROM t, UNNEST($arr) AS u(max_len)
+       |)
+       |SELECT source, max_len,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN nt > max_len THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS docs_over,
+       |  CAST(sum(nt) AS BIGINT) AS total_tokens,
+       |  CAST(sum(CASE WHEN nt > max_len THEN nt - max_len ELSE 0 END)
+       |    AS BIGINT) AS tokens_dropped,
+       |  round(CAST(sum(CASE WHEN nt > max_len THEN nt - max_len ELSE 0 END)
+       |    AS DOUBLE) / sum(nt), 6) AS drop_rate
+       |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   /** X3d: content fingerprint — md5 of the sorted distinct token set
     * (OpenRefine-style normalization fingerprint), grouped to find
     * same-content docs regardless of word order/duplication.

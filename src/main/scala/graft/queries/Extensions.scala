@@ -845,6 +845,15 @@ object Extensions {
     Similarity.annRecallReport(Tables.embeddings(s, d), nLists = 16,
       nProbe = 4, nQueries = 5, k = 10)
 
+  /** X3/X6: truncation-loss report — per (source, candidate
+    * max_seq_len): docs over the cap, tokens a hard truncation would
+    * drop, exact counters — the table that picks max_seq_len for the
+    * x38 packing stage before paying for a tokenization run.
+    */
+  private val x108TruncationLoss: Q = (s, d) =>
+    TextAnalysis.truncationLoss(Tables.documents(s, d),
+      lens = Seq(32, 48, 64))
+
   val queries: Map[String, Q] = Map(
     "x01_dedup_exact" -> x01DedupExact,
     "x02_dedup_minhash" -> x02DedupMinhash,
@@ -954,6 +963,7 @@ object Extensions {
     "x105_semantic_decontaminate" -> x105SemanticDecon,
     "x106_crossmodal_neardup" -> x106CrossModal,
     "x107_ann_recall" -> x107AnnRecall,
+    "x108_truncation_loss" -> x108TruncationLoss,
   )
 
   /** The PNG pixel statistics in closed form: the fixture image's
@@ -1221,5 +1231,7 @@ object Extensions {
       dim = 64, thetaEmbed = 0.4),
     "x107_ann_recall" -> Similarity.annRecallReportSql(nLists = 16,
       nProbe = 4, nQueries = 5, k = 10),
+    "x108_truncation_loss" -> TextAnalysis.truncationLossSql(
+      lens = Seq(32, 48, 64)),
   )
 }

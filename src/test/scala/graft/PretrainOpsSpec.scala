@@ -185,4 +185,24 @@ class PretrainOpsSpec extends AnyFunSuite {
       assert(rks.toSeq == (1 to rks.length).toSeq)
     }
   }
+
+  test("truncation loss: exact dropped-token counts per (source, cap)") {
+    import spark.implicits._
+    def words(n: Int): String = (1 to n).map(i => s"w$i").mkString(" ")
+    // A: 10 + 40 tokens; B: exactly 64 (a cap of 64 drops NOTHING —
+    // the over test is strict)
+    val docs = Seq(
+      (1L, words(10), "A"), (2L, words(40), "A"), (3L, words(64), "B"))
+      .toDF("doc_id", "text", "source")
+    val rows = graft.llm.TextAnalysis
+      .truncationLoss(docs, lens = Seq(32, 64)).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Int]("max_len")) ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("docs_over"),
+          r.getAs[Long]("total_tokens"), r.getAs[Long]("tokens_dropped"),
+          r.getAs[Double]("drop_rate")))).toMap
+    assert(rows(("A", 32)) == ((2L, 1L, 50L, 8L, 0.16)))
+    assert(rows(("A", 64)) == ((2L, 0L, 50L, 0L, 0.0)))
+    assert(rows(("B", 32)) == ((1L, 1L, 64L, 32L, 0.5)))
+    assert(rows(("B", 64)) == ((1L, 0L, 64L, 0L, 0.0)))
+  }
 }

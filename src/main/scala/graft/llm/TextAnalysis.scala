@@ -66,26 +66,79 @@ object TextAnalysis {
       s"(length($textExpr) - length(replace($textExpr, '$esc', ''))) / ${g.length}"
     }.mkString(" + ")
 
-  def langIdNgram(docs: DataFrame): DataFrame =
+  /** The n-gram scoring projection shared by [[langIdNgram]] and the
+    * confusion-matrix eval ([[langIdConfusion]]) — one definition so
+    * the eval grades exactly the predictor it claims to.
+    */
+  private def ngramScored(docs: DataFrame): DataFrame =
     docs
       .withColumn("score_en", expr(gramCountExpr(enGrams, "text")))
       .withColumn("score_es", expr(gramCountExpr(esGrams, "text")))
-      .select(col("doc_id"), col("score_en"), col("score_es"),
+      .withColumn("pred_lang",
         when(col("score_en") > col("score_es"), "en")
           .when(col("score_es") > col("score_en"), "es")
-          .otherwise("und").as("pred_lang"))
+          .otherwise("und"))
+
+  def langIdNgram(docs: DataFrame): DataFrame =
+    ngramScored(docs)
+      .select(col("doc_id"), col("score_en"), col("score_es"),
+        col("pred_lang"))
       .orderBy(col("doc_id"))
+
+  /** The shared prediction CASE — spliced into both n-gram oracles. */
+  private def ngramPredCaseSql: String =
+    s"""CASE WHEN ${gramCountExpr(enGrams, "text")} >
+       |          ${gramCountExpr(esGrams, "text")} THEN 'en'
+       |     WHEN ${gramCountExpr(esGrams, "text")} >
+       |          ${gramCountExpr(enGrams, "text")} THEN 'es'
+       |     ELSE 'und' END""".stripMargin
 
   def langIdNgramSql: String =
     s"""SELECT doc_id,
        |  ${gramCountExpr(enGrams, "text")} AS score_en,
        |  ${gramCountExpr(esGrams, "text")} AS score_es,
-       |  CASE WHEN ${gramCountExpr(enGrams, "text")} >
-       |            ${gramCountExpr(esGrams, "text")} THEN 'en'
-       |       WHEN ${gramCountExpr(esGrams, "text")} >
-       |            ${gramCountExpr(enGrams, "text")} THEN 'es'
-       |       ELSE 'und' END AS pred_lang
+       |  $ngramPredCaseSql AS pred_lang
        |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** X3a'': lang-id confusion matrix — the EVAL table for the x19
+    * n-gram predictor against the corpus's ground-truth `lang`
+    * column: per (actual, predicted) cell, count and the share of
+    * the actual class (6dp rate of two exact longs). The table that
+    * says whether a cheap heuristic is safe to gate training data
+    * with — per-class recall collapsing for one language is
+    * invisible in x19's per-doc output and obvious here (same eval
+    * face as x107 for ANN and x89 for the classifier).
+    *
+    * Scale shape: the map-side scoring projection, one hash agg to
+    * the ≤\|langs\|·3 cell matrix, one co-keyed class-total join on
+    * the bounded matrix.
+    */
+  def langIdConfusion(docs: DataFrame): DataFrame = {
+    val cell = ngramScored(docs)
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+    val tot = cell.groupBy(col("lang").as("lang2"))
+      .agg(sum(col("n")).as("n_lang"))
+    cell.join(tot, col("lang") === col("lang2"))
+      .select(col("lang"), col("pred_lang"), col("n"), col("n_lang"),
+        round(col("n").cast("double") / col("n_lang"), 6).as("rate"))
+      .orderBy(col("lang"), col("pred_lang"))
+  }
+
+  def langIdConfusionSql: String =
+    s"""WITH pred AS (
+       |  SELECT lang, $ngramPredCaseSql AS pred_lang FROM documents
+       |), cell AS (
+       |  SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+       |  FROM pred GROUP BY 1, 2
+       |), tot AS (
+       |  SELECT lang, CAST(sum(n) AS BIGINT) AS n_lang
+       |  FROM cell GROUP BY 1
+       |)
+       |SELECT c.lang, c.pred_lang, c.n, t.n_lang,
+       |       round(CAST(c.n AS DOUBLE) / t.n_lang, 6) AS rate
+       |FROM cell c JOIN tot t ON t.lang = c.lang
+       |ORDER BY 1, 2""".stripMargin
 
   /** X3b: quality scoring — token count, mean word length, unique
     * ratio, and a composite keep/flag verdict (the shape of a

@@ -854,6 +854,14 @@ object Extensions {
     TextAnalysis.truncationLoss(Tables.documents(s, d),
       lens = Seq(32, 48, 64))
 
+  /** X3: lang-id confusion matrix — the x19 n-gram predictor graded
+    * against the ground-truth lang column (per-class counts + 6dp
+    * class shares): the eval face of lang-id, cf. x107 for ANN and
+    * x89 for the quality classifier.
+    */
+  private val x109LangIdConfusion: Q = (s, d) =>
+    TextAnalysis.langIdConfusion(Tables.documents(s, d))
+
   val queries: Map[String, Q] = Map(
     "x01_dedup_exact" -> x01DedupExact,
     "x02_dedup_minhash" -> x02DedupMinhash,
@@ -964,6 +972,7 @@ object Extensions {
     "x106_crossmodal_neardup" -> x106CrossModal,
     "x107_ann_recall" -> x107AnnRecall,
     "x108_truncation_loss" -> x108TruncationLoss,
+    "x109_langid_confusion" -> x109LangIdConfusion,
   )
 
   /** The PNG pixel statistics in closed form: the fixture image's
@@ -1233,5 +1242,6 @@ object Extensions {
       nProbe = 4, nQueries = 5, k = 10),
     "x108_truncation_loss" -> TextAnalysis.truncationLossSql(
       lens = Seq(32, 48, 64)),
+    "x109_langid_confusion" -> TextAnalysis.langIdConfusionSql,
   )
 }

@@ -615,6 +615,27 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(rows == Seq((0L, 1L, 5000L)), s"got: $rows")
   }
 
+  test("lang-id confusion: correct, mislabeled, and und cells land " +
+      "in the right (actual, predicted) rows with exact class rates") {
+    import spark.implicits._
+    // "the thing" scores en-grams > 0, es-grams 0 -> pred 'en';
+    // doc 2 carries ground truth 'es', so it must land in the
+    // (es, en) miss cell; gram-free text predicts 'und'.
+    val docs = Seq(
+      (1L, "the thing", "en"),
+      (2L, "the thing", "es"),
+      (3L, "xyz zz", "de"))
+      .toDF("doc_id", "text", "lang")
+    val rows = graft.llm.TextAnalysis.langIdConfusion(docs).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[String]("pred_lang")) ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("n_lang"),
+          r.getAs[Double]("rate")))).toMap
+    assert(rows == Map(
+      ("en", "en") -> ((1L, 1L, 1.0)),
+      ("es", "en") -> ((1L, 1L, 1.0)),
+      ("de", "und") -> ((1L, 1L, 1.0))), s"got: $rows")
+  }
+
   test("semantic decontamination: empty benchmark slice yields an " +
       "unflagged full-corpus report, not a crash") {
     import spark.implicits._

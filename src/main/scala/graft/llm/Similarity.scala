@@ -513,11 +513,62 @@ object Similarity {
     * across engines.
     */
   def ivfTopK(emb: DataFrame, nLists: Int, nProbe: Int, nQueries: Int,
-      k: Int): DataFrame = {
-    val seeds = emb.filter(col("vec_id") < nLists)
+      k: Int): DataFrame =
+    ivfSearch(emb, ivfSeeds(emb, nLists), nProbe, nQueries, k)
+
+  /** The fixed-seed coarse lists (vec_id < nLists) — shared by the
+    * x18 search, the x107 recall report, and the x110 occupancy
+    * report.
+    */
+  private def ivfSeeds(emb: DataFrame, nLists: Int): DataFrame =
+    emb.filter(col("vec_id") < nLists)
       .select(col("vec_id").as("list_id"), col("embedding").as("ce"))
-    ivfSearch(emb, seeds, nProbe, nQueries, k)
+
+  /** X2: IVF list-occupancy report — the balance half of index
+    * health (x107's recall is the accuracy half): vectors per
+    * inverted list, each list's corpus share, and its occupancy
+    * relative to perfect balance (1.0 = exactly corpus/nLists).
+    * Skewed occupancy is what makes nProbe cost unpredictable at
+    * scale — one hot list turns a "probe 4 of 16" query into a scan
+    * of half the corpus; this is the table that says re-train the
+    * quantizer (x72) before that happens. Lists no vector chose are
+    * absent (their occupancy is 0 by construction).
+    *
+    * Scale shape: the shared broadcast-seed assignment pass, one
+    * hash agg to ≤nLists rows, one 1-row total broadcast back.
+    */
+  def ivfListOccupancy(emb: DataFrame, nLists: Int): DataFrame = {
+    val counts = ivfAssign(emb, ivfSeeds(emb, nLists))
+      .groupBy(col("list_id"))
+      .agg(count(lit(1)).as("n_vectors"))
+    val tot = counts.agg(sum(col("n_vectors")).as("total"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("list_id"), col("n_vectors"),
+        round(col("n_vectors").cast("double") / col("total"), 6)
+          .as("share"),
+        round(col("n_vectors").cast("double") * nLists / col("total"), 6)
+          .as("occupancy"))
+      .orderBy(col("list_id"))
   }
+
+  def ivfListOccupancySql(nLists: Int): String =
+    s"""WITH dbl AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |  FROM embeddings
+       |), lists AS (
+       |  SELECT vec_id AS list_id, e AS ce FROM dbl WHERE vec_id < $nLists
+       |),
+       |$ivfAssignedCteSql, counts AS (
+       |  SELECT list_id, CAST(count(*) AS BIGINT) AS n_vectors
+       |  FROM assigned GROUP BY 1
+       |), tot AS (
+       |  SELECT CAST(sum(n_vectors) AS BIGINT) AS total FROM counts
+       |)
+       |SELECT list_id, n_vectors,
+       |       round(CAST(n_vectors AS DOUBLE) / total, 6) AS share,
+       |       round(CAST(n_vectors AS DOUBLE) * $nLists / total, 6)
+       |         AS occupancy
+       |FROM counts CROSS JOIN tot ORDER BY list_id""".stripMargin
 
   /** IVF with a TRAINED coarse quantizer: the inverted lists come
     * from the shared Lloyd loop ([[kmeansCentroids]] — the x36
@@ -562,18 +613,24 @@ object Similarity {
     * coalesced-to-one-partition range exchange in the composed plan
     * (same reasoning as [[broadcastCosineTopKUnsorted]]).
     */
-  private def ivfSearchUnsorted(emb: DataFrame, seeds: DataFrame,
-      nProbe: Int, nQueries: Int, k: Int): DataFrame = {
-    def cosTo(v: Column, c: Column): Column =
-      round(graft.functions.VectorFunctions.cosine_similarity(v, c), 6)
-    // assignment: argmax cosine over the ≤nLists centroids
-    // (broadcast NL join)
-    val assigned = emb.crossJoin(broadcast(seeds))
+  private def cosTo(v: Column, c: Column): Column =
+    round(graft.functions.VectorFunctions.cosine_similarity(v, c), 6)
+
+  /** The IVF argmax list assignment (broadcast ≤nLists seeds, one
+    * corpus pass) — shared by the search stage and the x110
+    * list-occupancy report so both see the identical index layout.
+    */
+  private def ivfAssign(emb: DataFrame, seeds: DataFrame): DataFrame =
+    emb.crossJoin(broadcast(seeds))
       .withColumn("c", cosTo(col("embedding"), col("ce")))
       .withColumn("rn", row_number().over(Window.partitionBy(col("vec_id"))
         .orderBy(col("c").desc, col("list_id"))))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("list_id"), col("embedding"))
+
+  private def ivfSearchUnsorted(emb: DataFrame, seeds: DataFrame,
+      nProbe: Int, nQueries: Int, k: Int): DataFrame = {
+    val assigned = ivfAssign(emb, seeds)
     // queries probe their nProbe nearest lists
     val probes = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
@@ -610,8 +667,7 @@ object Similarity {
   def annRecallReport(emb: DataFrame, nLists: Int, nProbe: Int,
       nQueries: Int, k: Int): DataFrame = {
     require(10000 % k == 0, "k must divide 10000 for exact recall_bp")
-    val seeds = emb.filter(col("vec_id") < nLists)
-      .select(col("vec_id").as("list_id"), col("embedding").as("ce"))
+    val seeds = ivfSeeds(emb, nLists)
     val approx = ivfSearchUnsorted(emb, seeds, nProbe, nQueries, k)
       .select(col("qid"), col("vec_id"), lit(1).as("m"))
     val exact = cosineTopKUnsorted(emb, nQueries, k)
@@ -681,7 +737,10 @@ object Similarity {
     * and the `dbl` double-cast corpus — shared by the fixed-seed and
     * trained oracles so the two cannot drift.
     */
-  private def ivfSearchSql(nProbe: Int, nQueries: Int, k: Int): String =
+  /** The IVF argmax-assignment CTE over `dbl` × `lists` — shared by
+    * the search chain and the list-occupancy oracle (x110).
+    */
+  private def ivfAssignedCteSql: String =
     s"""assigned AS (
        |  SELECT vec_id, list_id, e FROM (
        |    SELECT d.vec_id, s.list_id, d.e,
@@ -692,7 +751,10 @@ object Similarity {
        |        s.list_id) AS rn
        |    FROM dbl d CROSS JOIN lists s)
        |  WHERE rn = 1
-       |), probes AS (
+       |)""".stripMargin
+
+  private def ivfSearchSql(nProbe: Int, nQueries: Int, k: Int): String =
+    s"""$ivfAssignedCteSql, probes AS (
        |  SELECT qid, qe, list_id FROM (
        |    SELECT d.vec_id AS qid, d.e AS qe, s.list_id,
        |      row_number() OVER (PARTITION BY d.vec_id ORDER BY

@@ -862,6 +862,13 @@ object Extensions {
   private val x109LangIdConfusion: Q = (s, d) =>
     TextAnalysis.langIdConfusion(Tables.documents(s, d))
 
+  /** X2: IVF list-occupancy report — vectors per inverted list,
+    * corpus share, occupancy vs perfect balance: the balance half of
+    * index health next to x107's recall half.
+    */
+  private val x110IvfOccupancy: Q = (s, d) =>
+    Similarity.ivfListOccupancy(Tables.embeddings(s, d), nLists = 16)
+
   val queries: Map[String, Q] = Map(
     "x01_dedup_exact" -> x01DedupExact,
     "x02_dedup_minhash" -> x02DedupMinhash,
@@ -973,6 +980,7 @@ object Extensions {
     "x107_ann_recall" -> x107AnnRecall,
     "x108_truncation_loss" -> x108TruncationLoss,
     "x109_langid_confusion" -> x109LangIdConfusion,
+    "x110_ivf_occupancy" -> x110IvfOccupancy,
   )
 
   /** The PNG pixel statistics in closed form: the fixture image's
@@ -1243,5 +1251,6 @@ object Extensions {
     "x108_truncation_loss" -> TextAnalysis.truncationLossSql(
       lens = Seq(32, 48, 64)),
     "x109_langid_confusion" -> TextAnalysis.langIdConfusionSql,
+    "x110_ivf_occupancy" -> Similarity.ivfListOccupancySql(nLists = 16),
   )
 }

@@ -275,6 +275,9 @@ object PlanAudit {
       // inherits x18's broadcast seed lists and x05's broadcast query
       // vectors (both bounded) on the two sides it compares
       "x107_ann_recall" -> Set("BNLJoin"),
+      // x18's broadcast seed lists + the 1-row corpus-total scalar
+      // broadcast back over the ≤nLists occupancy rows
+      "x110_ivf_occupancy" -> Set("SinglePartition", "BNLJoin"),
       // |sources|-row dimension allocation + 1-row budget scalars
       // (the x45 shape)
       "x98_epoch_mix" -> Set("SinglePartition", "BNLJoin"),

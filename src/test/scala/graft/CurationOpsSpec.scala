@@ -636,6 +636,24 @@ class CurationOpsSpec extends AnyFunSuite {
       ("de", "und") -> ((1L, 1L, 1.0))), s"got: $rows")
   }
 
+  test("ivf list occupancy: exact per-list counts, shares, and " +
+      "balance factors on a constructed 2-list corpus") {
+    import spark.implicits._
+    // seeds s0=(1,0), s1=(0,1) assign to themselves; v2, v4 argmax to
+    // list 0, v3 to list 1 -> occupancy 3/2.5 = 1.2 and 2/2.5 = 0.8
+    val emb = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(0f, 1f)),
+      (2L, Array(0.9f, 0.1f)), (3L, Array(0.1f, 0.9f)),
+      (4L, Array(0.8f, 0.6f)))
+      .toDF("vec_id", "embedding")
+    val rows = Similarity.ivfListOccupancy(emb, nLists = 2).collect()
+      .map(r => r.getAs[Long]("list_id") ->
+        ((r.getAs[Long]("n_vectors"), r.getAs[Double]("share"),
+          r.getAs[Double]("occupancy")))).toMap
+    assert(rows == Map(0L -> ((3L, 0.6, 1.2)), 1L -> ((2L, 0.4, 0.8))),
+      s"got: $rows")
+  }
+
   test("semantic decontamination: empty benchmark slice yields an " +
       "unflagged full-corpus report, not a crash") {
     import spark.implicits._

@@ -263,4 +263,62 @@ object Retrieval {
        |SELECT qid, CAST(rank AS INT) AS rank, id AS doc_id,
        |       round(CAST(s AS DOUBLE) / 1e9, 6) AS rrf
        |FROM ranked WHERE rank <= $k ORDER BY qid, rank""".stripMargin
+
+  /** X2/X3': ranker-agreement report — per query, how much the
+    * lexical (x74 BM25) and dense (x05 cosine) top-k rankings agree:
+    * common-id count, overlap in exact basis points, and the
+    * Spearman footrule Σ|rank_lex − rank_den| over the common ids
+    * (all integers — no float anywhere). This is the table that says
+    * whether hybrid fusion (x78) is worth its second modality: near-
+    * total overlap means the dense leg adds nothing; near-zero
+    * overlap with sane recall means the two legs see different
+    * relevance and RRF will help. The retrieval eval face, next to
+    * x107 (ANN recall) and x109 (lang-id confusion).
+    *
+    * Scale shape: both rankings are the existing bounded searches
+    * (inverted-index probe; broadcast-query scan); the agreement is
+    * one co-keyed join + aggregate over ≤ 2·nQueries·k rows, with a
+    * left join back to the nQueries-row query spine so zero-overlap
+    * queries still report.
+    */
+  def rankerAgreement(docs: DataFrame, emb: DataFrame, nQueries: Int,
+      qTerms: Int, k: Int): DataFrame = {
+    require(10000 % k == 0, "k must divide 10000 for exact overlap_bp")
+    val lex = TextAnalysis.bm25TopKUnsorted(docs, nQueries, qTerms, k)
+      .select(col("qid"), col("doc_id").as("id"), col("rank").as("rl"))
+    val den = Similarity.cosineTopKUnsorted(emb, nQueries, k)
+      .select(col("qid"), col("vec_id").as("id"), col("rank").as("rd"))
+    val common = lex.join(den, Seq("qid", "id"))
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("nc"),
+        sum(abs(col("rl") - col("rd")).cast("long")).as("fr"))
+    lex.select(col("qid")).distinct()
+      .join(common, Seq("qid"), "left_outer")
+      .select(col("qid"),
+        coalesce(col("nc"), lit(0L)).as("n_common"),
+        (coalesce(col("nc"), lit(0L)) * lit((10000 / k).toLong))
+          .as("overlap_bp"),
+        coalesce(col("fr"), lit(0L)).as("footrule"))
+      .orderBy(col("qid"))
+  }
+
+  def rankerAgreementSql(nQueries: Int, qTerms: Int, k: Int): String =
+    s"""WITH lex AS (
+       |  SELECT qid, doc_id AS id, rank AS rl
+       |  FROM (${TextAnalysis.bm25TopKSql(nQueries, qTerms, k)})
+       |), den AS (
+       |  SELECT qid, vec_id AS id, rank AS rd
+       |  FROM (${Similarity.cosineTopKSql(nQueries, k)})
+       |), common AS (
+       |  SELECT l.qid, CAST(count(*) AS BIGINT) AS nc,
+       |         CAST(sum(abs(l.rl - d.rd)) AS BIGINT) AS fr
+       |  FROM lex l JOIN den d ON d.qid = l.qid AND d.id = l.id
+       |  GROUP BY 1
+       |), spine AS (SELECT DISTINCT qid FROM lex)
+       |SELECT s.qid,
+       |  CAST(COALESCE(c.nc, 0) AS BIGINT) AS n_common,
+       |  CAST(COALESCE(c.nc, 0) * ${10000 / k} AS BIGINT) AS overlap_bp,
+       |  CAST(COALESCE(c.fr, 0) AS BIGINT) AS footrule
+       |FROM spine s LEFT JOIN common c ON c.qid = s.qid
+       |ORDER BY s.qid""".stripMargin
 }

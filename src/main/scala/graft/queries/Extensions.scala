@@ -869,6 +869,15 @@ object Extensions {
   private val x110IvfOccupancy: Q = (s, d) =>
     Similarity.ivfListOccupancy(Tables.embeddings(s, d), nLists = 16)
 
+  /** X2/X3': ranker-agreement report — lexical (x74) vs dense (x05)
+    * top-k overlap + Spearman footrule per query, all integers: the
+    * table that says whether the x78 hybrid fusion earns its second
+    * modality.
+    */
+  private val x111RankerAgreement: Q = (s, d) =>
+    Retrieval.rankerAgreement(Tables.documents(s, d),
+      Tables.embeddings(s, d), nQueries = 3, qTerms = 8, k = 10)
+
   val queries: Map[String, Q] = Map(
     "x01_dedup_exact" -> x01DedupExact,
     "x02_dedup_minhash" -> x02DedupMinhash,
@@ -981,6 +990,7 @@ object Extensions {
     "x108_truncation_loss" -> x108TruncationLoss,
     "x109_langid_confusion" -> x109LangIdConfusion,
     "x110_ivf_occupancy" -> x110IvfOccupancy,
+    "x111_ranker_agreement" -> x111RankerAgreement,
   )
 
   /** The PNG pixel statistics in closed form: the fixture image's
@@ -1252,5 +1262,7 @@ object Extensions {
       lens = Seq(32, 48, 64)),
     "x109_langid_confusion" -> TextAnalysis.langIdConfusionSql,
     "x110_ivf_occupancy" -> Similarity.ivfListOccupancySql(nLists = 16),
+    "x111_ranker_agreement" -> Retrieval.rankerAgreementSql(
+      nQueries = 3, qTerms = 8, k = 10),
   )
 }

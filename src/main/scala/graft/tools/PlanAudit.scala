@@ -278,6 +278,10 @@ object PlanAudit {
       // x18's broadcast seed lists + the 1-row corpus-total scalar
       // broadcast back over the ≤nLists occupancy rows
       "x110_ivf_occupancy" -> Set("SinglePartition", "BNLJoin"),
+      // inherits x74's 1-row (N, avgdl) stats scalar and x05's
+      // bounded broadcast query vectors through the two compared
+      // rankings (the x78 shapes)
+      "x111_ranker_agreement" -> Set("SinglePartition", "BNLJoin"),
       // |sources|-row dimension allocation + 1-row budget scalars
       // (the x45 shape)
       "x98_epoch_mix" -> Set("SinglePartition", "BNLJoin"),

@@ -654,6 +654,48 @@ class CurationOpsSpec extends AnyFunSuite {
       s"got: $rows")
   }
 
+  test("ranker agreement: overlap and footrule equal the set algebra " +
+      "of the two underlying rankings on an overlapping corpus") {
+    import spark.implicits._
+    // doc/vec 1 and 2 are both lexically AND semantically close to
+    // query 0; the dense ranking inverts the lexical order (vec 2 is
+    // the exact embedding match), so the footrule must be non-zero.
+    val docs = Seq(
+      (0L, "apple banana cherry"),
+      (1L, "apple banana cherry"),
+      (2L, "apple banana"),
+      (3L, "unrelated words entirely"),
+      (4L, "other stuff altogether"))
+      .toDF("doc_id", "text")
+    val emb = Seq(
+      (0L, Array(1f, 0f)),
+      (1L, Array(0.9f, 0.43589f)),
+      (2L, Array(1f, 0f)),
+      (3L, Array(0f, 1f)),
+      (4L, Array(-1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val k = 2
+    val lex = graft.llm.TextAnalysis
+      .bm25TopKUnsorted(docs, nQueries = 1, qTerms = 8, k = k)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("rank"))
+      .toMap
+    val den = Similarity.cosineTopKUnsorted(emb, nQueries = 1, k = k)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("rank"))
+      .toMap
+    val commonIds = lex.keySet.intersect(den.keySet)
+    assert(commonIds.nonEmpty, "weak fixture: rankings share no ids")
+    val expFr = commonIds.toSeq.map(i => math.abs(lex(i) - den(i)).toLong).sum
+    assert(expFr > 0, "weak fixture: rankings agree on every rank")
+    val rows = graft.llm.Retrieval
+      .rankerAgreement(docs, emb, nQueries = 1, qTerms = 8, k = k)
+      .collect()
+    assert(rows.length == 1)
+    assert(rows(0).getAs[Long]("n_common") == commonIds.size.toLong)
+    assert(rows(0).getAs[Long]("overlap_bp") ==
+      commonIds.size.toLong * (10000 / k))
+    assert(rows(0).getAs[Long]("footrule") == expFr)
+  }
+
   test("semantic decontamination: empty benchmark slice yields an " +
       "unflagged full-corpus report, not a crash") {
     import spark.implicits._

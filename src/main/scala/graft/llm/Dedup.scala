@@ -1618,6 +1618,86 @@ object Dedup {
       .orderBy(col("i"), col("j"))
   }
 
+  /** X1/X2: decontamination AGREEMENT table — the x28 n-gram scrub
+    * and the x105 semantic scrub run against the SAME benchmark
+    * slice (doc_id ≡ vec_id < benchIds), every corpus doc tagged
+    * `both` / `ngram_only` / `semantic_only` / `neither`. The table
+    * that audits a decontamination policy instead of trusting one
+    * method: `semantic_only` counts the paraphrase leaks the n-gram
+    * pass misses, `ngram_only` the literal-overlap leaks sitting far
+    * away in embedding space (short verbatim quotes), `both` the
+    * unambiguous removals. A zero-norm vector cannot be semantically
+    * flagged (it has no direction); its doc still appears in the
+    * spine.
+    *
+    * Scale shape: the two flag relations are the existing bounded
+    * machines (broadcast benchmark grams; 1-row broadcast bench
+    * array + map-only scoring); the agreement is two doc_id-co-keyed
+    * left joins off the corpus spine, one bounded verdict aggregate,
+    * and a 4-row literal verdict spine so the report shape is fixed.
+    */
+  def deconAgreement(docs: DataFrame, emb: DataFrame, benchIds: Int,
+      n: Int, thetaC4: Long): DataFrame = {
+    val ng = decontaminate(docs, benchIds, n)
+      .select(col("doc_id"), lit(1).as("ngf"))
+    val sem = Similarity.deconScoredBatch(emb, benchIds)
+      .filter(col("c4") >= thetaC4)
+      .select(col("vec_id").as("doc_id"), lit(1).as("smf"))
+    val verdicts = docs.filter(col("doc_id") >= benchIds)
+      .select(col("doc_id"))
+      .join(ng, Seq("doc_id"), "left_outer")
+      .join(sem, Seq("doc_id"), "left_outer")
+      .withColumn("verdict",
+        when(col("ngf").isNotNull && col("smf").isNotNull, lit("both"))
+          .when(col("ngf").isNotNull, lit("ngram_only"))
+          .when(col("smf").isNotNull, lit("semantic_only"))
+          .otherwise(lit("neither")))
+      .groupBy(col("verdict"))
+      .agg(count(lit(1)).as("n"))
+    val session = docs.sparkSession
+    import session.implicits._
+    val spine = Seq("both", "ngram_only", "semantic_only", "neither")
+      .toDF("verdict")
+    spine.join(verdicts, Seq("verdict"), "left_outer")
+      .select(col("verdict"),
+        coalesce(col("n"), lit(0L)).as("n_docs"))
+      .orderBy(col("verdict"))
+  }
+
+  def deconAgreementSql(benchIds: Int, n: Int, thetaC4: Long): String =
+    s"""WITH grams AS (${nGramsSql(n)}),
+       |ngb AS (SELECT DISTINCT g FROM grams WHERE doc_id < $benchIds),
+       |nghits AS (
+       |  SELECT doc_id FROM grams JOIN ngb USING (g)
+       |  WHERE doc_id >= $benchIds GROUP BY doc_id
+       |),
+       |${Similarity.deconCtesSql(benchIds)},
+       |spine AS (
+       |  SELECT doc_id FROM documents WHERE doc_id >= $benchIds
+       |), verdicts AS (
+       |  SELECT s.doc_id,
+       |    CASE WHEN ng.doc_id IS NOT NULL
+       |              AND sc.c4 IS NOT NULL AND sc.c4 >= $thetaC4
+       |           THEN 'both'
+       |         WHEN ng.doc_id IS NOT NULL THEN 'ngram_only'
+       |         WHEN sc.c4 IS NOT NULL AND sc.c4 >= $thetaC4
+       |           THEN 'semantic_only'
+       |         ELSE 'neither' END AS verdict
+       |  FROM spine s
+       |  LEFT JOIN nghits ng ON ng.doc_id = s.doc_id
+       |  LEFT JOIN semscore sc ON sc.vec_id = s.doc_id
+       |), vspine AS (
+       |  SELECT 'both' AS verdict
+       |  UNION ALL SELECT 'ngram_only'
+       |  UNION ALL SELECT 'semantic_only'
+       |  UNION ALL SELECT 'neither'
+       |)
+       |SELECT v.verdict, CAST(COALESCE(c.cnt, 0) AS BIGINT) AS n_docs
+       |FROM vspine v LEFT JOIN (
+       |  SELECT verdict, count(*) AS cnt FROM verdicts GROUP BY 1) c
+       |  ON c.verdict = v.verdict
+       |ORDER BY v.verdict""".stripMargin
+
   def crossModalNearDupSql(dfCap: Int, thetaText: Double, bands: Int,
       planesPerBand: Int, dim: Int, thetaEmbed: Double): String =
     s"""WITH ${Similarity.nearDupCtesSql(bands, planesPerBand, dim,

@@ -1812,17 +1812,23 @@ object Similarity {
     * both sides in both dialects (no NaN enters a comparison).
     */
   def semanticDecontaminate(emb: DataFrame, benchIds: Int,
-      thetaC4: Long): DataFrame = {
+      thetaC4: Long): DataFrame =
+    deconReport(deconScoredBatch(emb, benchIds), thetaC4)
+
+  /** The per-vector scored relation (vec_id, label, c4) the x105
+    * report aggregates — also consumed directly by the x112
+    * decontamination-agreement table.
+    */
+  private[graft] def deconScoredBatch(emb: DataFrame,
+      benchIds: Int): DataFrame = {
     val bench = emb
       .filter(col("vec_id") < benchIds &&
         dot_product(col("embedding"), col("embedding")) > 0)
       .agg(sort_array(collect_list(struct(col("vec_id").as("bid"),
         col("embedding").as("be")))).as("barr"))
-    deconReport(
-      deconCorpus(emb, benchIds)
-        .crossJoin(broadcast(bench))
-        .withColumn("c4", deconMaxC4(col("barr"))),
-      thetaC4)
+    deconCorpus(emb, benchIds)
+      .crossJoin(broadcast(bench))
+      .withColumn("c4", deconMaxC4(col("barr")))
   }
 
   /** The x105 corpus filter — shared with the streaming ingest twin
@@ -1858,26 +1864,35 @@ object Similarity {
         sum(col("c4")).as("sum_c4"))
       .orderBy(col("label"))
 
-  def semanticDecontaminateSql(benchIds: Int, thetaC4: Long): String =
-    s"""WITH dbl AS (
+  /** The x105 scoring chain as a CTE body (final relation:
+    * `semscore` (vec_id, label, c4)) — shared by the standalone
+    * report oracle and the x112 agreement oracle. CTE names are
+    * prefixed (`sdbl`/`semb`) so they compose with the n-gram
+    * decontamination CTEs without collision.
+    */
+  private[graft] def deconCtesSql(benchIds: Int): String =
+    s"""sdbl AS (
        |  SELECT vec_id, label,
        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
        |  FROM embeddings
-       |), bench AS (
-       |  SELECT vec_id AS bid, e AS be FROM dbl
+       |), semb AS (
+       |  SELECT vec_id AS bid, e AS be FROM sdbl
        |  WHERE vec_id < $benchIds AND list_dot_product(e, e) > 0
-       |), mx AS (
+       |), semscore AS (
        |  SELECT d.vec_id, d.label,
        |         CAST(round(max(${sqlCos("d.e", "b.be")}) * 10000, 0)
        |           AS BIGINT) AS c4
-       |  FROM dbl d CROSS JOIN bench b
+       |  FROM sdbl d CROSS JOIN semb b
        |  WHERE d.vec_id >= $benchIds AND list_dot_product(d.e, d.e) > 0
        |  GROUP BY 1, 2
-       |)
+       |)""".stripMargin
+
+  def semanticDecontaminateSql(benchIds: Int, thetaC4: Long): String =
+    s"""WITH ${deconCtesSql(benchIds)}
        |SELECT label, count(*) AS n,
        |       CAST(sum(CASE WHEN c4 >= $thetaC4 THEN 1 ELSE 0 END)
        |         AS BIGINT) AS n_flagged,
        |       max(c4) AS max_c4,
        |       CAST(sum(c4) AS BIGINT) AS sum_c4
-       |FROM mx GROUP BY label ORDER BY label""".stripMargin
+       |FROM semscore GROUP BY label ORDER BY label""".stripMargin
 }

@@ -878,6 +878,16 @@ object Extensions {
     Retrieval.rankerAgreement(Tables.documents(s, d),
       Tables.embeddings(s, d), nQueries = 3, qTerms = 8, k = 10)
 
+  /** X1/X2: decontamination agreement — x28's n-gram scrub vs x105's
+    * semantic scrub against the SAME benchmark slice, every corpus
+    * doc tagged both / ngram_only / semantic_only / neither: the
+    * audit of a decontamination policy (semantic_only = paraphrase
+    * leaks the n-gram pass misses).
+    */
+  private val x112DeconAgreement: Q = (s, d) =>
+    Dedup.deconAgreement(Tables.documents(s, d), Tables.embeddings(s, d),
+      benchIds = 32, n = 4, thetaC4 = 3000L)
+
   val queries: Map[String, Q] = Map(
     "x01_dedup_exact" -> x01DedupExact,
     "x02_dedup_minhash" -> x02DedupMinhash,
@@ -991,6 +1001,7 @@ object Extensions {
     "x109_langid_confusion" -> x109LangIdConfusion,
     "x110_ivf_occupancy" -> x110IvfOccupancy,
     "x111_ranker_agreement" -> x111RankerAgreement,
+    "x112_decon_agreement" -> x112DeconAgreement,
   )
 
   /** The PNG pixel statistics in closed form: the fixture image's
@@ -1264,5 +1275,7 @@ object Extensions {
     "x110_ivf_occupancy" -> Similarity.ivfListOccupancySql(nLists = 16),
     "x111_ranker_agreement" -> Retrieval.rankerAgreementSql(
       nQueries = 3, qTerms = 8, k = 10),
+    "x112_decon_agreement" -> Dedup.deconAgreementSql(
+      benchIds = 32, n = 4, thetaC4 = 3000L),
   )
 }

@@ -282,6 +282,10 @@ object PlanAudit {
       // bounded broadcast query vectors through the two compared
       // rankings (the x78 shapes)
       "x111_ranker_agreement" -> Set("SinglePartition", "BNLJoin"),
+      // x105's 1-row bench-array aggregate broadcast into the
+      // map-only semantic flag side + the 4-row literal verdict
+      // spine joined to the bounded verdict counts
+      "x112_decon_agreement" -> Set("SinglePartition", "BNLJoin"),
       // |sources|-row dimension allocation + 1-row budget scalars
       // (the x45 shape)
       "x98_epoch_mix" -> Set("SinglePartition", "BNLJoin"),

@@ -696,6 +696,36 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(rows(0).getAs[Long]("footrule") == expFr)
   }
 
+  test("decon agreement: one doc per verdict cell on a constructed " +
+      "benchmark corpus, fixed 4-row report") {
+    import spark.implicits._
+    // bench = id 0 (text "a b c d e f", vec (1,0)). doc 1 shares a
+    // 4-gram AND the embedding -> both; doc 2 shares only the
+    // 4-gram -> ngram_only; doc 3 only the embedding ->
+    // semantic_only; doc 4 neither.
+    val docs = Seq(
+      (0L, "a b c d e f"),
+      (1L, "a b c d x y"),
+      (2L, "b c d e q r"),
+      (3L, "p q r s t u"),
+      (4L, "v w x7 y7 z7 k"))
+      .toDF("doc_id", "text")
+    val emb = Seq(
+      (0L, Array(1f, 0f), 0),
+      (1L, Array(1f, 0f), 0),
+      (2L, Array(0f, 1f), 0),
+      (3L, Array(1f, 0f), 0),
+      (4L, Array(0f, 1f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val rows = Dedup.deconAgreement(docs, emb, benchIds = 1, n = 4,
+        thetaC4 = 9000L)
+      .collect()
+      .map(r => r.getAs[String]("verdict") -> r.getAs[Long]("n_docs"))
+      .toMap
+    assert(rows == Map("both" -> 1L, "ngram_only" -> 1L,
+      "semantic_only" -> 1L, "neither" -> 1L), s"got: $rows")
+  }
+
   test("semantic decontamination: empty benchmark slice yields an " +
       "unflagged full-corpus report, not a crash") {
     import spark.implicits._

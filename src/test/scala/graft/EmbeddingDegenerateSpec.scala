@@ -26,7 +26,9 @@ class EmbeddingDegenerateSpec extends AnyFunSuite {
     "x36_kmeans_refine", "x46_pq_topk", "x49_hard_negatives",
     "x57_semantic_dedup", "x66_pq_serve",
     "x80_int8_topk", "x81_int8_error", "x84_mmr_rerank",
-    "x85_cluster_sample", "x94_binary_topk", "x95_jl_topk")
+    "x85_cluster_sample", "x94_binary_topk", "x95_jl_topk",
+    "x97_centroid_outliers", "x105_semantic_decontaminate",
+    "x107_ann_recall", "x110_ivf_occupancy", "x111_ranker_agreement")
 
   /** 50 rows per table, with the embeddings rewritten by `vec`. */
   private def corpusWith(vec: org.apache.spark.sql.Column,
@@ -127,7 +129,15 @@ class EmbeddingDegenerateSpec extends AnyFunSuite {
           trainIters = 1).count()),
       "pqTopK" -> (() =>
         Similarity.pqTopK(dim1, dim = 1, m = 1, ksub = 4, nQueries = 3,
-          k = 3, trainIters = 1).count()))
+          k = 3, trainIters = 1).count()),
+      "semanticDecontaminate" -> (() =>
+        Similarity.semanticDecontaminate(dim1, benchIds = 3,
+          thetaC4 = 9000L).count()),
+      "annRecallReport" -> (() =>
+        Similarity.annRecallReport(dim1, nLists = 4, nProbe = 2,
+          nQueries = 3, k = 2).count()),
+      "ivfListOccupancy" -> (() =>
+        Similarity.ivfListOccupancy(dim1, nLists = 4).count()))
     val failures = ops.flatMap { case (name, run) =>
       try { run(); None }
       catch {

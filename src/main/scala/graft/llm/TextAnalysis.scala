@@ -543,12 +543,17 @@ object TextAnalysis {
           round(col("top_c").cast("double") / col("n_tokens"), 6)),
       minTokens, maxTokens, minWlen, maxWlen, minStop, minAlpha, repCap)
 
-  def gopherRulesSql(
+  /** The x77 per-doc verdict chain as a CTE body (final relation:
+    * `verdicts` — the x77 projection incl. the five per-rule
+    * booleans and `keep`) — shared by the standalone rules oracle
+    * and the x113 funnel oracle (the x112 `deconCtesSql` idiom).
+    */
+  private[graft] def gopherCtesSql(
       minTokens: Int = 50, maxTokens: Int = 100000,
       minWlen: Double = 3.0, maxWlen: Double = 10.0, minStop: Int = 2,
       minAlpha: Double = 0.8, repCap: Double = 0.1): String = {
     val swList = stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
-    s"""WITH t AS (
+    s"""t AS (
        |  SELECT doc_id, text, string_split(text, ' ') AS toks
        |  FROM documents
        |), tc AS (
@@ -567,19 +572,123 @@ object TextAnalysis {
        |      / len(toks), 6) AS alpha_frac,
        |    round(CAST(tp.top_c AS DOUBLE) / len(toks), 6) AS top_frac
        |  FROM t JOIN tp ON t.doc_id = tp.doc_id
+       |), verdicts AS (
+       |  SELECT doc_id, n_tokens, mean_wlen, stop_hits, alpha_frac,
+       |    top_frac,
+       |    n_tokens >= $minTokens AND n_tokens <= $maxTokens AS r_count,
+       |    mean_wlen >= $minWlen AND mean_wlen <= $maxWlen AS r_wlen,
+       |    stop_hits >= $minStop AS r_stop,
+       |    alpha_frac >= $minAlpha AS r_alpha,
+       |    top_frac <= $repCap AS r_rep,
+       |    (n_tokens >= $minTokens AND n_tokens <= $maxTokens)
+       |      AND (mean_wlen >= $minWlen AND mean_wlen <= $maxWlen)
+       |      AND stop_hits >= $minStop AND alpha_frac >= $minAlpha
+       |      AND top_frac <= $repCap AS keep
+       |  FROM m
+       |)""".stripMargin
+  }
+
+  def gopherRulesSql(
+      minTokens: Int = 50, maxTokens: Int = 100000,
+      minWlen: Double = 3.0, maxWlen: Double = 10.0, minStop: Int = 2,
+      minAlpha: Double = 0.8, repCap: Double = 0.1): String =
+    s"""WITH ${gopherCtesSql(minTokens, maxTokens, minWlen, maxWlen,
+        minStop, minAlpha, repCap)}
+       |SELECT * FROM verdicts ORDER BY doc_id""".stripMargin
+
+  /** The funnel stage order — the order the Gopher paper applies the
+    * rules, and the order the x113 attribution table reports them.
+    */
+  private[graft] val gopherRuleOrder: Seq[String] =
+    Seq("r_count", "r_wlen", "r_stop", "r_alpha", "r_rep")
+
+  /** X3: filter-funnel attribution — the policy audit OVER the x77
+    * rule verdicts. Per rule (in fixed funnel order): `n_fail` (docs
+    * failing it at all), `n_fail_unique` (docs failing ONLY it — the
+    * rule's irreplaceable contribution; 0 means every doc it rejects
+    * is also rejected elsewhere and the rule could be dropped),
+    * `n_removed` (docs whose FIRST failure in funnel order is this
+    * rule — the stage attribution), and `n_remaining` (survivors
+    * after this stage). The last stage's `n_remaining` equals x77's
+    * keep count by construction.
+    *
+    * Scale shape: the x77 verdict pass (shared verbatim —
+    * `gopherRules`), then ONE hash aggregate computing all 16
+    * counters as map-side-combinable sums, exploded onto a 5-row
+    * literal rule spine in the projection. The single-row global agg
+    * is the allowlisted 1-row-scalar shape; nothing per-doc survives
+    * the aggregate.
+    */
+  def filterFunnel(docs: DataFrame,
+      minTokens: Int = 50, maxTokens: Int = 100000,
+      minWlen: Double = 3.0, maxWlen: Double = 10.0, minStop: Int = 2,
+      minAlpha: Double = 0.8, repCap: Double = 0.1): DataFrame = {
+    val rules = gopherRuleOrder
+    val v = gopherRules(docs, minTokens, maxTokens, minWlen, maxWlen,
+      minStop, minAlpha, repCap)
+    val aggCols: Seq[Column] =
+      Seq(count(lit(1)).as("n_docs")) ++
+        rules.map(r => sum((!col(r)).cast("long")).as(s"f_$r")) ++
+        rules.map { r =>
+          val others = rules.filterNot(_ == r).map(col).reduce(_ && _)
+          sum((!col(r) && others).cast("long")).as(s"u_$r")
+        } ++
+        rules.zipWithIndex.map { case (r, i) =>
+          val earlier = rules.take(i).map(col)
+            .foldLeft(lit(true))(_ && _)
+          sum((!col(r) && earlier).cast("long")).as(s"c_$r")
+        }
+    val one = v.agg(aggCols.head, aggCols.tail: _*)
+    def z(c: Column): Column = coalesce(c, lit(0L))
+    val stages = rules.zipWithIndex.map { case (r, i) =>
+      val cumRemoved = rules.take(i + 1).map(rr => z(col(s"c_$rr")))
+        .reduce(_ + _)
+      struct(lit(i + 1).as("stage"), lit(r).as("rule"),
+        z(col(s"f_$r")).as("n_fail"),
+        z(col(s"u_$r")).as("n_fail_unique"),
+        z(col(s"c_$r")).as("n_removed"),
+        (col("n_docs") - cumRemoved).as("n_remaining"))
+    }
+    one.select(explode(array(stages: _*)).as("s"))
+      .select(col("s.*"))
+      .orderBy(col("stage"))
+  }
+
+  def filterFunnelSql(
+      minTokens: Int = 50, maxTokens: Int = 100000,
+      minWlen: Double = 3.0, maxWlen: Double = 10.0, minStop: Int = 2,
+      minAlpha: Double = 0.8, repCap: Double = 0.1): String = {
+    val rules = gopherRuleOrder
+    def others(r: String): String =
+      rules.filterNot(_ == r).mkString(" AND ")
+    def earlier(i: Int): String =
+      if (i == 0) "TRUE" else rules.take(i).mkString(" AND ")
+    val sums =
+      (rules.map(r =>
+        s"CAST(COALESCE(sum(CASE WHEN NOT $r THEN 1 ELSE 0 END), 0) " +
+          s"AS BIGINT) AS f_$r") ++
+        rules.map(r =>
+          s"CAST(COALESCE(sum(CASE WHEN NOT $r AND ${others(r)} " +
+            s"THEN 1 ELSE 0 END), 0) AS BIGINT) AS u_$r") ++
+        rules.zipWithIndex.map { case (r, i) =>
+          s"CAST(COALESCE(sum(CASE WHEN NOT $r AND ${earlier(i)} " +
+            s"THEN 1 ELSE 0 END), 0) AS BIGINT) AS c_$r"
+        }).mkString(",\n    ")
+    val arms = rules.zipWithIndex.map { case (r, i) =>
+      val cum = rules.take(i + 1).map(rr => s"c_$rr").mkString(" - ")
+      s"""SELECT ${i + 1} AS stage, '$r' AS rule, f_$r AS n_fail,
+         |  u_$r AS n_fail_unique, c_$r AS n_removed,
+         |  n_docs - $cum AS n_remaining FROM s""".stripMargin
+    }.mkString("\nUNION ALL ")
+    s"""WITH ${gopherCtesSql(minTokens, maxTokens, minWlen, maxWlen,
+        minStop, minAlpha, repCap)},
+       |s AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |    $sums
+       |  FROM verdicts
        |)
-       |SELECT doc_id, n_tokens, mean_wlen, stop_hits, alpha_frac,
-       |  top_frac,
-       |  n_tokens >= $minTokens AND n_tokens <= $maxTokens AS r_count,
-       |  mean_wlen >= $minWlen AND mean_wlen <= $maxWlen AS r_wlen,
-       |  stop_hits >= $minStop AS r_stop,
-       |  alpha_frac >= $minAlpha AS r_alpha,
-       |  top_frac <= $repCap AS r_rep,
-       |  (n_tokens >= $minTokens AND n_tokens <= $maxTokens)
-       |    AND (mean_wlen >= $minWlen AND mean_wlen <= $maxWlen)
-       |    AND stop_hits >= $minStop AND alpha_frac >= $minAlpha
-       |    AND top_frac <= $repCap AS keep
-       |FROM m ORDER BY doc_id""".stripMargin
+       |$arms
+       |ORDER BY stage""".stripMargin
   }
 
   /** X3: per-source distribution-drift monitor — Population

@@ -888,6 +888,15 @@ object Extensions {
     Dedup.deconAgreement(Tables.documents(s, d), Tables.embeddings(s, d),
       benchIds = 32, n = 4, thetaC4 = 3000L)
 
+  /** X3: filter-funnel attribution over the x77 Gopher verdicts —
+    * per rule in funnel order: total fails, unique fails (docs no
+    * other rule would catch), first-failure stage attribution, and
+    * survivors after the stage. The table that says which quality
+    * rule does the work and which is redundant.
+    */
+  private val x113FilterFunnel: Q = (s, d) =>
+    TextAnalysis.filterFunnel(Tables.documents(s, d))
+
   val queries: Map[String, Q] = Map(
     "x01_dedup_exact" -> x01DedupExact,
     "x02_dedup_minhash" -> x02DedupMinhash,
@@ -1002,6 +1011,7 @@ object Extensions {
     "x110_ivf_occupancy" -> x110IvfOccupancy,
     "x111_ranker_agreement" -> x111RankerAgreement,
     "x112_decon_agreement" -> x112DeconAgreement,
+    "x113_filter_funnel" -> x113FilterFunnel,
   )
 
   /** The PNG pixel statistics in closed form: the fixture image's
@@ -1277,5 +1287,6 @@ object Extensions {
       nQueries = 3, qTerms = 8, k = 10),
     "x112_decon_agreement" -> Dedup.deconAgreementSql(
       benchIds = 32, n = 4, thetaC4 = 3000L),
+    "x113_filter_funnel" -> TextAnalysis.filterFunnelSql(),
   )
 }

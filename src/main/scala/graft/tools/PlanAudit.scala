@@ -286,6 +286,9 @@ object PlanAudit {
       // map-only semantic flag side + the 4-row literal verdict
       // spine joined to the bounded verdict counts
       "x112_decon_agreement" -> Set("SinglePartition", "BNLJoin"),
+      // the 16-counter single-row funnel aggregate exploded onto the
+      // 5-row literal rule spine (nothing per-doc survives the agg)
+      "x113_filter_funnel" -> Set("SinglePartition"),
       // |sources|-row dimension allocation + 1-row budget scalars
       // (the x45 shape)
       "x98_epoch_mix" -> Set("SinglePartition", "BNLJoin"),

@@ -726,6 +726,41 @@ class CurationOpsSpec extends AnyFunSuite {
       "semantic_only" -> 1L, "neither" -> 1L), s"got: $rows")
   }
 
+  test("filter funnel: fail / unique-fail / stage attribution match " +
+      "a constructed corpus with one doc per failure mode") {
+    import spark.implicits._
+    // relaxed thresholds so 3-5-token docs are in range:
+    //   d0 passes all; d1 fails ONLY r_count (2 tokens); d2 fails
+    //   ONLY r_stop (no stopword); d3 fails r_alpha AND r_rep
+    //   jointly (3x "11" + "the") -> unique=0 for both, funnel
+    //   charges it to r_alpha (first failure in stage order).
+    val docs = Seq(
+      (0L, "the fast cat runs far"),
+      (1L, "xx the"),
+      (2L, "cat dog bird"),
+      (3L, "11 11 11 the"))
+      .toDF("doc_id", "text")
+    val rows = graft.llm.TextAnalysis.filterFunnel(docs,
+        minTokens = 3, maxTokens = 10, minWlen = 1.0, maxWlen = 10.0,
+        minStop = 1, minAlpha = 0.5, repCap = 0.5)
+      .collect()
+      .map(r => (r.getAs[Int]("stage"), r.getAs[String]("rule"),
+        r.getAs[Long]("n_fail"), r.getAs[Long]("n_fail_unique"),
+        r.getAs[Long]("n_removed"), r.getAs[Long]("n_remaining")))
+    assert(rows.toSeq == Seq(
+      (1, "r_count", 1L, 1L, 1L, 3L),
+      (2, "r_wlen", 0L, 0L, 0L, 3L),
+      (3, "r_stop", 1L, 1L, 1L, 2L),
+      (4, "r_alpha", 1L, 0L, 1L, 1L),
+      (5, "r_rep", 1L, 0L, 0L, 1L)), s"got: ${rows.toSeq}")
+    // the funnel's survivor count is x77's keep count by construction
+    val keep = graft.llm.TextAnalysis.gopherRules(docs,
+        minTokens = 3, maxTokens = 10, minWlen = 1.0, maxWlen = 10.0,
+        minStop = 1, minAlpha = 0.5, repCap = 0.5)
+      .filter(org.apache.spark.sql.functions.col("keep")).count()
+    assert(rows.last._6 == keep)
+  }
+
   test("semantic decontamination: empty benchmark slice yields an " +
       "unflagged full-corpus report, not a crash") {
     import spark.implicits._

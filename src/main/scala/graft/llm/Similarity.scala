@@ -503,6 +503,87 @@ object Similarity {
        |       round(max(sse / dim), 12) AS max_mse
        |FROM err GROUP BY label ORDER BY label""".stripMargin
 
+  /** X2: per-label embedding-diversity report WITHOUT enumerating
+    * pairs — the identity Σ_{i≠j}||x_i−x_j||² = 2n·Σ‖x_i‖² − 2‖Σx_i‖²
+    * turns mean pairwise squared distance (the collapse/mode-coverage
+    * monitor a curation pipeline watches per class) into two hash
+    * aggregates over the corpus: per-vector squared norms, and
+    * per-dimension component sums. A brute-force version is O(n²·d);
+    * this is O(n·d) map work + a (label,pos)-keyed exchange of
+    * |labels|·dim rows — the only shape that survives 100 TB.
+    *
+    * Components are quantized to micro-units (the jlProjected /
+    * int8 idiom) so EVERY sum is exact integer arithmetic in any
+    * execution order; squares are taken in DECIMAL(38,0) (they pass
+    * 2⁶³ long before they pass 10³⁸) and floats appear only in the
+    * final fixed sqrt/divide/round projection. Reported per label:
+    * vector count, centroid norm, RMS vector norm, and mean pairwise
+    * squared distance over ordered pairs (0 for singleton labels).
+    */
+  def embedDiversity(emb: DataFrame): DataFrame = {
+    val u = emb.select(col("vec_id"), col("label"), expr(
+      "transform(embedding, x -> cast(round(cast(x as double) " +
+        "* 1000000, 0) as bigint))").as("u"))
+    val norms = u
+      .select(col("label"), expr(
+        "aggregate(u, cast(0 as bigint), (a, x) -> a + x * x)").as("n2"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("n2").cast("decimal(38,0)")).as("s2"))
+    val m2 = u
+      .select(col("label"), posexplode(col("u")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("v")).as("s"))
+      .groupBy(col("label"))
+      .agg(sum(col("s").cast("decimal(19,0)") *
+        col("s").cast("decimal(19,0)")).as("m2"))
+    norms.join(m2, Seq("label"))
+      .select(col("label"), col("n"),
+        round(sqrt(col("m2").cast("double")) /
+          col("n").cast("double") / 1e6, 6).as("centroid_norm"),
+        round(sqrt(col("s2").cast("double") /
+          col("n").cast("double")) / 1e6, 6).as("rms_norm"),
+        when(col("n") > 1, round(
+          (lit(2d) * col("n").cast("double") * col("s2").cast("double")
+            - lit(2d) * col("m2").cast("double"))
+            / (col("n").cast("double") * (col("n") - 1).cast("double"))
+            / 1e12, 6))
+          .otherwise(lit(0d)).as("mean_pairwise_sqdist"))
+      .orderBy(col("label"))
+  }
+
+  def embedDiversitySql: String =
+    s"""WITH u AS (
+       |  SELECT vec_id, label, list_transform(embedding,
+       |    x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT))
+       |    AS u
+       |  FROM embeddings
+       |), norms AS (
+       |  SELECT label, CAST(count(*) AS BIGINT) AS n,
+       |    sum(CAST(list_sum(list_transform(u, x -> x * x)) AS HUGEINT))
+       |      AS s2
+       |  FROM u GROUP BY 1
+       |), comps AS (
+       |  SELECT label, pos, sum(v) AS s
+       |  FROM (SELECT label, unnest(u) AS v,
+       |          unnest(range(len(u))) AS pos FROM u)
+       |  GROUP BY 1, 2
+       |), msq AS (
+       |  SELECT label, sum(CAST(s AS HUGEINT) * CAST(s AS HUGEINT))
+       |    AS m2
+       |  FROM comps GROUP BY 1
+       |)
+       |SELECT n.label, n.n,
+       |  round(sqrt(CAST(m.m2 AS DOUBLE)) / n.n / 1e6, 6)
+       |    AS centroid_norm,
+       |  round(sqrt(CAST(n.s2 AS DOUBLE) / n.n) / 1e6, 6) AS rms_norm,
+       |  CASE WHEN n.n > 1 THEN round(
+       |    (2 * n.n * CAST(n.s2 AS DOUBLE) - 2 * CAST(m.m2 AS DOUBLE))
+       |      / (CAST(n.n AS DOUBLE) * (n.n - 1)) / 1e12, 6)
+       |  ELSE 0.0 END AS mean_pairwise_sqdist
+       |FROM norms n JOIN msq m ON n.label = m.label
+       |ORDER BY n.label""".stripMargin
+
   /** IVF-style ANN search. Coarse lists come from fixed seed vectors
     * (vec_id < nLists — a trained k-means would replace them; the
     * inverted-file *search* shape is the point): every vector is

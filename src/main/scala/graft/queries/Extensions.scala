@@ -897,6 +897,14 @@ object Extensions {
   private val x113FilterFunnel: Q = (s, d) =>
     TextAnalysis.filterFunnel(Tables.documents(s, d))
 
+  /** X2: per-label embedding diversity in closed form — mean
+    * pairwise squared distance via 2n·Σ‖x‖² − 2‖Σx‖² (no pair
+    * enumeration; two hash aggregates), centroid and RMS norms.
+    * The class-collapse monitor for an embedding corpus.
+    */
+  private val x114EmbedDiversity: Q = (s, d) =>
+    Similarity.embedDiversity(Tables.embeddings(s, d))
+
   val queries: Map[String, Q] = Map(
     "x01_dedup_exact" -> x01DedupExact,
     "x02_dedup_minhash" -> x02DedupMinhash,
@@ -1012,6 +1020,7 @@ object Extensions {
     "x111_ranker_agreement" -> x111RankerAgreement,
     "x112_decon_agreement" -> x112DeconAgreement,
     "x113_filter_funnel" -> x113FilterFunnel,
+    "x114_embed_diversity" -> x114EmbedDiversity,
   )
 
   /** The PNG pixel statistics in closed form: the fixture image's
@@ -1288,5 +1297,6 @@ object Extensions {
     "x112_decon_agreement" -> Dedup.deconAgreementSql(
       benchIds = 32, n = 4, thetaC4 = 3000L),
     "x113_filter_funnel" -> TextAnalysis.filterFunnelSql(),
+    "x114_embed_diversity" -> Similarity.embedDiversitySql,
   )
 }

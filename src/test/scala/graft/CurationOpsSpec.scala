@@ -761,6 +761,32 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(rows.last._6 == keep)
   }
 
+  test("embed diversity: closed-form mean pairwise sqdist equals the " +
+      "hand-computed brute force on a constructed corpus") {
+    import spark.implicits._
+    // label 0: (0,0), (1,0), (0,1) -> pair dists 1, 1, 2 -> mean 4/3;
+    // centroid (1/3, 1/3) norm sqrt(2)/3; rms sqrt(2/3).
+    // label 1: singleton -> mpd 0 by contract, norms = |v|.
+    val emb = Seq(
+      (0L, Array(0f, 0f), 0),
+      (1L, Array(1f, 0f), 0),
+      (2L, Array(0f, 1f), 0),
+      (3L, Array(2f, 0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val rows = graft.llm.Similarity.embedDiversity(emb).collect()
+      .map(r => r.getAs[Int]("label") ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("centroid_norm"),
+          r.getAs[Double]("rms_norm"),
+          r.getAs[Double]("mean_pairwise_sqdist"))))
+      .toMap
+    val (n0, c0, r0, m0) = rows(0)
+    assert(n0 == 3L)
+    assert(math.abs(c0 - math.sqrt(2.0) / 3) < 1e-6)
+    assert(math.abs(r0 - math.sqrt(2.0 / 3)) < 1e-6)
+    assert(math.abs(m0 - 4.0 / 3) < 1e-6)
+    assert(rows(1) == ((1L, 2.0, 2.0, 0.0)))
+  }
+
   test("semantic decontamination: empty benchmark slice yields an " +
       "unflagged full-corpus report, not a crash") {
     import spark.implicits._

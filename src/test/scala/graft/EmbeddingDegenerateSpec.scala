@@ -28,7 +28,8 @@ class EmbeddingDegenerateSpec extends AnyFunSuite {
     "x80_int8_topk", "x81_int8_error", "x84_mmr_rerank",
     "x85_cluster_sample", "x94_binary_topk", "x95_jl_topk",
     "x97_centroid_outliers", "x105_semantic_decontaminate",
-    "x107_ann_recall", "x110_ivf_occupancy", "x111_ranker_agreement")
+    "x107_ann_recall", "x110_ivf_occupancy", "x111_ranker_agreement",
+    "x114_embed_diversity")
 
   /** 50 rows per table, with the embeddings rewritten by `vec`. */
   private def corpusWith(vec: org.apache.spark.sql.Column,
@@ -137,7 +138,9 @@ class EmbeddingDegenerateSpec extends AnyFunSuite {
         Similarity.annRecallReport(dim1, nLists = 4, nProbe = 2,
           nQueries = 3, k = 2).count()),
       "ivfListOccupancy" -> (() =>
-        Similarity.ivfListOccupancy(dim1, nLists = 4).count()))
+        Similarity.ivfListOccupancy(dim1, nLists = 4).count()),
+      "embedDiversity" -> (() =>
+        Similarity.embedDiversity(dim1).count()))
     val failures = ops.flatMap { case (name, run) =>
       try { run(); None }
       catch {

@@ -212,7 +212,11 @@ object Bpe {
     * replaces per document with scalar subqueries against each
     * round's argmax row.
     */
-  def encodeSql(rounds: Int): String = {
+  /** The encode oracle as a CTE body (final relation: `bpetok`
+    * (doc_id, n_chars, n_tokens)) — shared by the standalone x47/x69
+    * oracle and the x115 fertility oracle.
+    */
+  private[graft] def encodeCtesSql(rounds: Int): String = {
     val syms =
       """array_to_string(list_transform(words,
         |  w -> array_to_string(list_transform(range(1, len(w) + 1),
@@ -225,7 +229,7 @@ object Bpe {
          |       replace(replace(r2, '<', ''), '>', '') || '>' FROM b$r))"""
         .stripMargin
     }
-    s"""WITH ${stagesSql(rounds)},
+    s"""${stagesSql(rounds)},
        |fw AS (
        |  SELECT doc_id,
        |    list_filter(string_split(text, ' '),
@@ -239,12 +243,81 @@ object Bpe {
        |      AS n_chars,
        |    $merged AS sym
        |  FROM fw
-       |)
-       |SELECT doc_id, n_chars,
-       |       CAST(len(sym) - len(replace(sym, '<', '')) AS BIGINT)
-       |         AS n_tokens
-       |FROM enc ORDER BY doc_id""".stripMargin
+       |), bpetok AS (
+       |  SELECT doc_id, n_chars,
+       |         CAST(len(sym) - len(replace(sym, '<', '')) AS BIGINT)
+       |           AS n_tokens
+       |  FROM enc
+       |)""".stripMargin
   }
+
+  def encodeSql(rounds: Int): String =
+    s"""WITH ${encodeCtesSql(rounds)}
+       |SELECT doc_id, n_chars, n_tokens
+       |FROM bpetok ORDER BY doc_id""".stripMargin
+
+  /** X3: tokenizer-fertility report — per language: documents,
+    * admitted whitespace words, BPE tokens under the TRAINED merge
+    * table (the x69 `ModelStore` artifact, served not retrained),
+    * and the two ratios a tokenizer eval watches, in exact integer
+    * basis points: fertility (BPE tokens per word — how much the
+    * tokenizer fragments this language) and compression (chars per
+    * BPE token). A language whose fertility runs 2–3× the corpus
+    * mean is under-served by the merge table and will consume that
+    * multiple of sequence length at training time — THE table behind
+    * max-seq-len and per-language budget decisions (x108's cap table
+    * consumes whitespace tokens; this one prices the real tokenizer).
+    *
+    * Scale shape: the map-only served encode pass ([[encodeWith]]
+    * against the ≤rounds-row broadcast merge table), one doc_id
+    * co-keyed join to the lang/word-count projection, one |langs|-row
+    * hash agg; ratios are integer `div` — exact in any engine.
+    */
+  def fertility(docs: DataFrame, modelPath: String,
+      rounds: Int): DataFrame = {
+    val enc = encodeServe(docs, modelPath, rounds)
+    val words = docs.select(col("doc_id"), col("lang"),
+      expr("""size(filter(split(text, ' '),
+        |  w -> w != '' and instr(w, '<') = 0 and instr(w, '>') = 0))"""
+        .stripMargin).cast("long").as("n_words"))
+    enc.join(words, Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("total_words"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(col("n_chars")).as("total_chars"))
+      .select(col("lang"), col("n_docs"), col("total_words"),
+        col("total_tokens"), col("total_chars"),
+        when(col("total_words") > 0,
+          expr("total_tokens * 10000 div total_words"))
+          .otherwise(lit(0L)).as("fertility_bp"),
+        when(col("total_tokens") > 0,
+          expr("total_chars * 10000 div total_tokens"))
+          .otherwise(lit(0L)).as("chars_per_token_bp"))
+      .orderBy(col("lang"))
+  }
+
+  def fertilitySql(rounds: Int): String =
+    s"""WITH ${encodeCtesSql(rounds)},
+       |wl AS (
+       |  SELECT doc_id, lang,
+       |    CAST(len(list_filter(string_split(text, ' '),
+       |      w -> len(w) > 0 AND w NOT LIKE '%<%' AND w NOT LIKE '%>%'))
+       |      AS BIGINT) AS n_words
+       |  FROM documents
+       |)
+       |SELECT w.lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(w.n_words) AS BIGINT) AS total_words,
+       |  CAST(sum(t.n_tokens) AS BIGINT) AS total_tokens,
+       |  CAST(sum(t.n_chars) AS BIGINT) AS total_chars,
+       |  CASE WHEN sum(w.n_words) > 0
+       |    THEN CAST((sum(t.n_tokens) * 10000) // sum(w.n_words)
+       |      AS BIGINT) ELSE 0 END AS fertility_bp,
+       |  CASE WHEN sum(t.n_tokens) > 0
+       |    THEN CAST((sum(t.n_chars) * 10000) // sum(t.n_tokens)
+       |      AS BIGINT) ELSE 0 END AS chars_per_token_bp
+       |FROM bpetok t JOIN wl w ON t.doc_id = w.doc_id
+       |GROUP BY w.lang ORDER BY w.lang""".stripMargin
 
   /** DuckDB oracle: the same merge loop unrolled into CTE stages —
     * one (pairs, argmax, rewrite) triple per round, integer counts

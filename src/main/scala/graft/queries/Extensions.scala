@@ -905,6 +905,16 @@ object Extensions {
   private val x114EmbedDiversity: Q = (s, d) =>
     Similarity.embedDiversity(Tables.embeddings(s, d))
 
+  /** X3: tokenizer-fertility report per language — BPE tokens per
+    * word and chars per token under the TRAINED x69 merge table
+    * (served from ModelStore, not retrained), in exact basis points.
+    * Prices each language's real sequence-length cost.
+    */
+  private val x115BpeFertility: Q = (s, d) =>
+    Bpe.fertility(Tables.documents(s, d),
+      graft.tools.ModelStore.pathFor("bpe_merges", d, "r8", "documents"),
+      rounds = 8)
+
   val queries: Map[String, Q] = Map(
     "x01_dedup_exact" -> x01DedupExact,
     "x02_dedup_minhash" -> x02DedupMinhash,
@@ -1021,6 +1031,7 @@ object Extensions {
     "x112_decon_agreement" -> x112DeconAgreement,
     "x113_filter_funnel" -> x113FilterFunnel,
     "x114_embed_diversity" -> x114EmbedDiversity,
+    "x115_bpe_fertility" -> x115BpeFertility,
   )
 
   /** The PNG pixel statistics in closed form: the fixture image's
@@ -1298,5 +1309,6 @@ object Extensions {
       benchIds = 32, n = 4, thetaC4 = 3000L),
     "x113_filter_funnel" -> TextAnalysis.filterFunnelSql(),
     "x114_embed_diversity" -> Similarity.embedDiversitySql,
+    "x115_bpe_fertility" -> Bpe.fertilitySql(8),
   )
 }

@@ -787,6 +787,32 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(rows(1) == ((1L, 2.0, 2.0, 0.0)))
   }
 
+  test("bpe fertility: per-lang token/word/char ratios match hand " +
+      "computation under a 1-round merge table") {
+    import spark.implicits._
+    // round 1 fuses (a,b) (freq 3): "ab" -> 1 token, "cd" -> 2.
+    // en: 3 words, 4 tokens, 6 chars -> fert 13333 bp, cpt 15000 bp.
+    // fr: 1 word, 1 token, 2 chars -> fert 10000 bp, cpt 20000 bp.
+    val docs = Seq(
+      (0L, "ab ab cd", "en"),
+      (1L, "ab", "fr"))
+      .toDF("doc_id", "text", "lang")
+    val path = java.nio.file.Files
+      .createTempDirectory("fert").toString + "/bpe"
+    val rows = graft.llm.Bpe.fertility(docs, path, rounds = 1)
+      .collect()
+      .map(r => r.getAs[String]("lang") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("total_words"),
+          r.getAs[Long]("total_tokens"), r.getAs[Long]("total_chars"),
+          r.getAs[Long]("fertility_bp"),
+          r.getAs[Long]("chars_per_token_bp"))))
+      .toMap
+    assert(rows("en") == ((1L, 3L, 4L, 6L, 13333L, 15000L)),
+      s"got: ${rows("en")}")
+    assert(rows("fr") == ((1L, 1L, 1L, 2L, 10000L, 20000L)),
+      s"got: ${rows("fr")}")
+  }
+
   test("semantic decontamination: empty benchmark slice yields an " +
       "unflagged full-corpus report, not a crash") {
     import spark.implicits._

@@ -849,6 +849,96 @@ object Dedup {
        |JOIN sz s2 ON s2.doc_id = i.d2
        |ORDER BY i.d1, i.d2""".stripMargin
 
+  /** The (bands, rows-per-band) grid the x116 planner scores: every
+    * factorization of `perms`=128 into powers of two with r ≥ 2
+    * (r = 1 degenerates to exact-signature matching). Stored as
+    * (bands, rowsPerBand, log2 r, log2 bands) so BOTH dialects build
+    * the S-curve by repeated squaring — exact IEEE multiplications,
+    * no libm pow anywhere.
+    */
+  private val lshGrid: Seq[(Int, Int, Int, Int)] =
+    Seq((64, 2, 1, 6), (32, 4, 2, 5), (16, 8, 3, 4),
+      (8, 16, 4, 3), (4, 32, 5, 2))
+
+  /** X1: LSH parameter planner — the banding policy table computed
+    * BEFORE committing to a (bands × rows-per-band) MinHash config.
+    * For every x04 calibration pair with capped-set Jaccard s, the
+    * probability a b-band/r-row signature scheme surfaces the pair
+    * is the standard S-curve 1 − (1 − sʳ)ᵇ; summed over pairs it
+    * prices each config in one table: expected caught candidates,
+    * expected MISSED true duplicates (s ≥ dupTheta — the silent
+    * recall hole), and expected spurious candidates (s < dupTheta —
+    * the wasted verification work). The knee the curve is chosen on,
+    * from the corpus's own pair-similarity distribution rather than
+    * a textbook default.
+    *
+    * Determinism: sʳ and (1−sʳ)ᵇ are built by REPEATED SQUARING
+    * (r and b are powers of two) — plain IEEE multiplies that agree
+    * bit-for-bit across engines, where pow()'s libm rounding does
+    * not — and each pair's probability quantizes to integer
+    * nano-units before the sum (the PSI/DSIR idiom), so report
+    * values are exact integers in any aggregation order.
+    *
+    * Scale shape: the x04 bounded candidate machinery (df-capped
+    * buckets), then a |grid|-way map-side explode and ONE hash agg
+    * to |grid| rows. Nothing new touches the corpus.
+    */
+  def lshPlanner(docs: DataFrame, dfCap: Int, threshold: Double,
+      dupTheta: Double): DataFrame = {
+    def sq(c: Column, k: Int): Column =
+      (1 to k).foldLeft(c)((a, _) => a * a)
+    val pairs = jaccardPairs(docs, dfCap, threshold)
+      .select(col("jaccard"))
+    val configs = lshGrid.map { case (b, r, kr, kb) =>
+      val p = lit(1.0) - sq(lit(1.0) - sq(col("jaccard"), kr), kb)
+      struct(lit(b).as("bands"), lit(r).as("rows_per_band"),
+        round(p * lit(1e9), 0).cast("long").as("p_nano"))
+    }
+    pairs
+      .select(col("jaccard"),
+        explode(array(configs: _*)).as("c"))
+      .select(col("c.bands").as("bands"),
+        col("c.rows_per_band").as("rows_per_band"),
+        col("c.p_nano").as("p_nano"),
+        (col("jaccard") >= dupTheta).as("is_dup"))
+      .groupBy(col("bands"), col("rows_per_band"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("is_dup").cast("long")).as("n_dups"),
+        sum(col("p_nano")).as("caught_nano"),
+        sum(when(col("is_dup"), lit(1000000000L) - col("p_nano"))
+          .otherwise(lit(0L))).as("missed_dup_nano"),
+        sum(when(!col("is_dup"), col("p_nano")).otherwise(lit(0L)))
+          .as("spurious_nano"))
+      .orderBy(col("rows_per_band"))
+  }
+
+  def lshPlannerSql(dfCap: Int, threshold: Double,
+      dupTheta: Double): String = {
+    def sq(e: String, k: Int): String =
+      (1 to k).foldLeft(e)((a, _) => s"($a * $a)")
+    val arms = lshGrid.map { case (b, r, kr, kb) =>
+      val p = s"(1.0 - ${sq(s"(1.0 - ${sq("jaccard", kr)})", kb)})"
+      s"""SELECT $b AS bands, $r AS rows_per_band,
+         |  CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(sum(CASE WHEN jaccard >= $dupTheta THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_dups,
+         |  CAST(sum(CAST(round($p * 1e9, 0) AS BIGINT)) AS BIGINT)
+         |    AS caught_nano,
+         |  CAST(sum(CASE WHEN jaccard >= $dupTheta
+         |    THEN 1000000000 - CAST(round($p * 1e9, 0) AS BIGINT)
+         |    ELSE 0 END) AS BIGINT) AS missed_dup_nano,
+         |  CAST(sum(CASE WHEN jaccard < $dupTheta
+         |    THEN CAST(round($p * 1e9, 0) AS BIGINT)
+         |    ELSE 0 END) AS BIGINT) AS spurious_nano
+         |FROM pairs""".stripMargin
+    }.mkString("\nUNION ALL ")
+    s"""WITH pairs AS (
+       |${jaccardPairsSql(dfCap, threshold)}
+       |)
+       |$arms
+       |ORDER BY rows_per_band""".stripMargin
+  }
+
   /** X1: leakage-safe train/val/test splits — the split assignment a
     * training pipeline must use instead of hashing doc ids: hashing
     * per-document lets two near-duplicates straddle train and test,

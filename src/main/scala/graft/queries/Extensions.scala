@@ -915,6 +915,16 @@ object Extensions {
       graft.tools.ModelStore.pathFor("bpe_merges", d, "r8", "documents"),
       rounds = 8)
 
+  /** X1: LSH parameter planner — each (bands × rows-per-band)
+    * factorization of 128 permutations priced on the corpus's own
+    * x04 pair-similarity distribution via the exact S-curve
+    * (repeated-squaring IEEE arithmetic, integer nano-unit sums):
+    * expected caught / missed-dup / spurious candidates per config.
+    */
+  private val x116LshPlanner: Q = (s, d) =>
+    Dedup.lshPlanner(Tables.documents(s, d), dfCap = 10,
+      threshold = 0.2, dupTheta = 0.8)
+
   val queries: Map[String, Q] = Map(
     "x01_dedup_exact" -> x01DedupExact,
     "x02_dedup_minhash" -> x02DedupMinhash,
@@ -1032,6 +1042,7 @@ object Extensions {
     "x113_filter_funnel" -> x113FilterFunnel,
     "x114_embed_diversity" -> x114EmbedDiversity,
     "x115_bpe_fertility" -> x115BpeFertility,
+    "x116_lsh_planner" -> x116LshPlanner,
   )
 
   /** The PNG pixel statistics in closed form: the fixture image's
@@ -1310,5 +1321,7 @@ object Extensions {
     "x113_filter_funnel" -> TextAnalysis.filterFunnelSql(),
     "x114_embed_diversity" -> Similarity.embedDiversitySql,
     "x115_bpe_fertility" -> Bpe.fertilitySql(8),
+    "x116_lsh_planner" -> Dedup.lshPlannerSql(dfCap = 10,
+      threshold = 0.2, dupTheta = 0.8),
   )
 }

@@ -813,6 +813,39 @@ class CurationOpsSpec extends AnyFunSuite {
       s"got: ${rows("fr")}")
   }
 
+  test("lsh planner: per-config expected counts equal the hand-" +
+      "evaluated S-curve over a constructed pair set") {
+    import spark.implicits._
+    // d0 = d1 (jaccard 1.0, a true dup); d2 shares 1 of 5 union
+    // shingles with each (jaccard 0.2, a borderline candidate).
+    val docs = Seq(
+      (0L, "a b c d e"),
+      (1L, "a b c d e"),
+      (2L, "a b c x y"))
+      .toDF("doc_id", "text")
+    def sq(x: Double, k: Int): Double =
+      (1 to k).foldLeft(x)((a, _) => a * a)
+    // (bands, rows, log2 r, log2 b) — must mirror Dedup.lshGrid
+    val grid = Seq((64, 2, 1, 6), (32, 4, 2, 5), (16, 8, 3, 4),
+      (8, 16, 4, 3), (4, 32, 5, 2))
+    val rows = graft.llm.Dedup.lshPlanner(docs, dfCap = 10,
+        threshold = 0.2, dupTheta = 0.8)
+      .collect()
+      .map(r => (r.getAs[Int]("bands"), r.getAs[Int]("rows_per_band")) ->
+        ((r.getAs[Long]("n_pairs"), r.getAs[Long]("n_dups"),
+          r.getAs[Long]("caught_nano"), r.getAs[Long]("missed_dup_nano"),
+          r.getAs[Long]("spurious_nano"))))
+      .toMap
+    assert(rows.size == 5)
+    grid.foreach { case (b, r, kr, kb) =>
+      val p02 = 1.0 - sq(1.0 - sq(0.2, kr), kb)
+      val nano = math.round(p02 * 1e9)
+      assert(rows((b, r)) ==
+        ((3L, 1L, 1000000000L + 2 * nano, 0L, 2 * nano)),
+        s"config ($b, $r): got ${rows((b, r))}, p(0.2) = $p02")
+    }
+  }
+
   test("semantic decontamination: empty benchmark slice yields an " +
       "unflagged full-corpus report, not a crash") {
     import spark.implicits._

@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Corpus-trained n-gram language-model scoring (SURVEY.md §2.9 X3) —
@@ -186,4 +186,111 @@ object LanguageModel {
        |            WHEN tile = $tiles THEN 'tail'
        |            ELSE 'middle' END AS bucket
        |FROM tiled ORDER BY doc_id""".stripMargin
+
+  /** X3: curation-signal agreement — per source, the Pearson
+    * correlation of the x41 LM perplexity signal against the x08
+    * lexical signals (uniqueness ratio, and raw token length). THE
+    * redundancy audit of a filtering stack: |r(len, nll)| near 1
+    * means the expensive LM pass is mostly re-measuring document
+    * length and a length rule would do; r(uniq, nll) strongly
+    * negative means repetitive docs are exactly the high-perplexity
+    * ones and one of the two filters is paying for the other's
+    * verdict (cf. x111, the retrieval-side agreement table).
+    *
+    * Determinism: both 6dp signals quantize to integer micro-units,
+    * every moment sum runs in DECIMAL(38,0) (exact in any order),
+    * and floats appear only in the final fixed Pearson expression —
+    * identical IEEE ops in both dialects. Zero-variance sides
+    * report r = 0 rather than NULL.
+    *
+    * Scale shape: the x41 scoring plan (its one wide exchange) plus
+    * two doc_id co-keyed joins and a |sources|-row moment aggregate.
+    */
+  def signalCorrelation(docs: DataFrame, alpha: Double = 0.5,
+      lmLang: String = "en", cap: Double = 11.0): DataFrame = {
+    val q = TextAnalysis.quality(docs)
+      .select(col("doc_id"), col("n_tokens").cast("long").as("t"),
+        round(col("uniq_ratio") * 1e6, 0).cast("long").as("u"))
+    val p = trigramPerplexity(docs, alpha, lmLang, cap)
+      .select(col("doc_id"),
+        round(col("avg_nll") * 1e6, 0).cast("long").as("y"))
+    def d19(c: Column): Column = c.cast("decimal(19,0)")
+    val g = docs.select(col("doc_id"), col("source"))
+      .join(q, Seq("doc_id")).join(p, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"),
+        sum(d19(col("u"))).as("su"), sum(d19(col("y"))).as("sy"),
+        sum(d19(col("t"))).as("st"),
+        sum(d19(col("u")) * d19(col("u"))).as("suu"),
+        sum(d19(col("y")) * d19(col("y"))).as("syy"),
+        sum(d19(col("t")) * d19(col("t"))).as("stt"),
+        sum(d19(col("u")) * d19(col("y"))).as("suy"),
+        sum(d19(col("t")) * d19(col("y"))).as("sty"))
+    def pearson(sx: Column, sy: Column, sxx: Column, syy: Column,
+        sxy: Column): Column = {
+      val nd = col("n").cast("double")
+      val (dx, dy, dxx, dyy, dxy) = (sx.cast("double"), sy.cast("double"),
+        sxx.cast("double"), syy.cast("double"), sxy.cast("double"))
+      val den = (nd * dxx - dx * dx) * (nd * dyy - dy * dy)
+      when(den > 0, round((nd * dxy - dx * dy) / sqrt(den), 6))
+        .otherwise(lit(0d))
+    }
+    g.select(col("source"), col("n").as("n_docs"),
+      round(col("sy").cast("double") / col("n").cast("double") / 1e6, 6)
+        .as("mean_nll"),
+      round(col("su").cast("double") / col("n").cast("double") / 1e6, 6)
+        .as("mean_uniq"),
+      pearson(col("su"), col("sy"), col("suu"), col("syy"),
+        col("suy")).as("r_uniq_nll"),
+      pearson(col("st"), col("sy"), col("stt"), col("syy"),
+        col("sty")).as("r_len_nll"))
+      .orderBy(col("source"))
+  }
+
+  def signalCorrelationSql(alpha: Double = 0.5, lmLang: String = "en",
+      cap: Double = 11.0): String = {
+    def pearson(sx: String, sy: String, sxx: String, syy: String,
+        sxy: String): String = {
+      val den = s"(nd * $sxx - $sx * $sx) * (nd * $syy - $sy * $sy)"
+      s"""CASE WHEN $den > 0
+         |  THEN round((nd * $sxy - $sx * $sy) / sqrt($den), 6)
+         |  ELSE 0.0 END""".stripMargin
+    }
+    s"""WITH qual AS (
+       |${TextAnalysis.qualitySql}
+       |), ppl AS (
+       |${trigramPerplexitySql(alpha, lmLang, cap)}
+       |), sig AS (
+       |  SELECT d.source,
+       |    CAST(round(q.uniq_ratio * 1e6, 0) AS BIGINT) AS u,
+       |    CAST(round(p.avg_nll * 1e6, 0) AS BIGINT) AS y,
+       |    CAST(q.n_tokens AS BIGINT) AS t
+       |  FROM documents d
+       |  JOIN qual q ON q.doc_id = d.doc_id
+       |  JOIN ppl p ON p.doc_id = d.doc_id
+       |), mom AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n,
+       |    sum(CAST(u AS HUGEINT)) AS su, sum(CAST(y AS HUGEINT)) AS sy,
+       |    sum(CAST(t AS HUGEINT)) AS st,
+       |    sum(CAST(u AS HUGEINT) * u) AS suu,
+       |    sum(CAST(y AS HUGEINT) * y) AS syy,
+       |    sum(CAST(t AS HUGEINT) * t) AS stt,
+       |    sum(CAST(u AS HUGEINT) * y) AS suy,
+       |    sum(CAST(t AS HUGEINT) * y) AS sty
+       |  FROM sig GROUP BY source
+       |), md AS (
+       |  SELECT source, n, CAST(n AS DOUBLE) AS nd,
+       |    CAST(su AS DOUBLE) AS su, CAST(sy AS DOUBLE) AS sy,
+       |    CAST(st AS DOUBLE) AS st, CAST(suu AS DOUBLE) AS suu,
+       |    CAST(syy AS DOUBLE) AS syy, CAST(stt AS DOUBLE) AS stt,
+       |    CAST(suy AS DOUBLE) AS suy, CAST(sty AS DOUBLE) AS sty
+       |  FROM mom
+       |)
+       |SELECT source, n AS n_docs,
+       |  round(sy / nd / 1e6, 6) AS mean_nll,
+       |  round(su / nd / 1e6, 6) AS mean_uniq,
+       |  ${pearson("su", "sy", "suu", "syy", "suy")} AS r_uniq_nll,
+       |  ${pearson("st", "sy", "stt", "syy", "sty")} AS r_len_nll
+       |FROM md ORDER BY source""".stripMargin
+  }
 }

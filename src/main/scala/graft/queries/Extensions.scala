@@ -925,6 +925,15 @@ object Extensions {
     Dedup.lshPlanner(Tables.documents(s, d), dfCap = 10,
       threshold = 0.2, dupTheta = 0.8)
 
+  /** X3: curation-signal agreement — per-source Pearson correlation
+    * of LM perplexity (x41) against uniqueness ratio and token
+    * length (x08), exact-integer moment sums: the redundancy audit
+    * that says whether the expensive LM filter is re-measuring a
+    * cheap lexical signal.
+    */
+  private val x117SignalCorr: Q = (s, d) =>
+    LanguageModel.signalCorrelation(Tables.documents(s, d))
+
   val queries: Map[String, Q] = Map(
     "x01_dedup_exact" -> x01DedupExact,
     "x02_dedup_minhash" -> x02DedupMinhash,
@@ -1043,6 +1052,7 @@ object Extensions {
     "x114_embed_diversity" -> x114EmbedDiversity,
     "x115_bpe_fertility" -> x115BpeFertility,
     "x116_lsh_planner" -> x116LshPlanner,
+    "x117_signal_corr" -> x117SignalCorr,
   )
 
   /** The PNG pixel statistics in closed form: the fixture image's
@@ -1323,5 +1333,6 @@ object Extensions {
     "x115_bpe_fertility" -> Bpe.fertilitySql(8),
     "x116_lsh_planner" -> Dedup.lshPlannerSql(dfCap = 10,
       threshold = 0.2, dupTheta = 0.8),
+    "x117_signal_corr" -> LanguageModel.signalCorrelationSql(),
   )
 }

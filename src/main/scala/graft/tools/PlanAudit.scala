@@ -318,6 +318,8 @@ object PlanAudit {
       "x49_hard_negatives" -> Set("BNLJoin"), // 5 broadcast anchor vectors
       // inherits x41's 1-row (N, V) LM scalar shapes
       "x51_ppl_buckets" -> Set("SinglePartition", "BNLJoin"),
+      // inherits x41's 1-row (N, V) LM scalar shapes
+      "x117_signal_corr" -> Set("SinglePartition", "BNLJoin"),
       // 1-row bloom-filter map aggregate (≤bits/64 rows into the
       // scalar reduce) broadcast back across the fact keys
       "x52_bloom_prune" -> Set("SinglePartition", "BNLJoin"),

@@ -846,6 +846,62 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("signal correlation: per-source Pearson matches an exact " +
+      "BigInt recomputation from the underlying x08/x41 signals") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "aa bb cc dd ee ff", "en", "s1"),
+      (1L, "aa aa aa aa bb cc", "en", "s1"),
+      (2L, "zz yy xx ww vv uu tt ss", "en", "s1"),
+      (3L, "aa bb aa bb aa bb cc dd", "en", "s1"),
+      (4L, "qq rr", "en", "s2"),
+      (5L, "qq qq qq rr", "en", "s2"))
+      .toDF("doc_id", "text", "lang", "source")
+    val q = graft.llm.TextAnalysis.quality(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Int]("n_tokens").toLong,
+          math.round(r.getAs[Double]("uniq_ratio") * 1e6))))
+      .toMap
+    val p = graft.llm.LanguageModel.trigramPerplexity(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        math.round(r.getAs[Double]("avg_nll") * 1e6))
+      .toMap
+    val bySource = Map(
+      "s1" -> Seq(0L, 1L, 2L, 3L), "s2" -> Seq(4L, 5L))
+    def pearson(xs: Seq[BigInt], ys: Seq[BigInt]): Double = {
+      val n = BigInt(xs.size)
+      val (sx, sy) = (xs.sum, ys.sum)
+      val sxx = xs.map(x => x * x).sum
+      val syy = ys.map(y => y * y).sum
+      val sxy = xs.zip(ys).map { case (x, y) => x * y }.sum
+      val den = (n * sxx - sx * sx).toDouble * (n * syy - sy * sy).toDouble
+      if (den > 0)
+        math.floor((n * sxy - sx * sy).toDouble / math.sqrt(den) * 1e6
+          + 0.5) / 1e6
+      else 0.0
+    }
+    val rows = graft.llm.LanguageModel.signalCorrelation(docs).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Double]("r_uniq_nll"),
+          r.getAs[Double]("r_len_nll"))))
+      .toMap
+    bySource.foreach { case (src, ids) =>
+      val us = ids.map(i => BigInt(q(i)._2))
+      val ts = ids.map(i => BigInt(q(i)._1))
+      val ys = ids.map(i => BigInt(p(i)))
+      val (n, ru, rl) = rows(src)
+      assert(n == ids.size.toLong)
+      assert(math.abs(ru - pearson(us, ys)) < 1e-9,
+        s"$src r_uniq_nll: got $ru want ${pearson(us, ys)}")
+      assert(math.abs(rl - pearson(ts, ys)) < 1e-9,
+        s"$src r_len_nll: got $rl want ${pearson(ts, ys)}")
+    }
+    // the corpus is constructed so at least one correlation is
+    // genuinely informative (not 0, not saturated at +/-1)
+    val r1 = rows("s1")._2
+    assert(r1 != 0.0 && math.abs(r1) < 1.0, s"degenerate r: $r1")
+  }
+
   test("semantic decontamination: empty benchmark slice yields an " +
       "unflagged full-corpus report, not a crash") {
     import spark.implicits._

@@ -622,10 +622,16 @@ object TextAnalysis {
   def filterFunnel(docs: DataFrame,
       minTokens: Int = 50, maxTokens: Int = 100000,
       minWlen: Double = 3.0, maxWlen: Double = 10.0, minStop: Int = 2,
-      minAlpha: Double = 0.8, repCap: Double = 0.1): DataFrame = {
+      minAlpha: Double = 0.8, repCap: Double = 0.1): DataFrame =
+    funnelFrom(gopherRules(docs, minTokens, maxTokens, minWlen,
+      maxWlen, minStop, minAlpha, repCap))
+
+  /** The x113 counter aggregate + rule spine over an already-built
+    * verdict table — shared verbatim by the batch operator and the
+    * streaming drain-time finisher (the psiAtDrain idiom).
+    */
+  private[graft] def funnelFrom(v: DataFrame): DataFrame = {
     val rules = gopherRuleOrder
-    val v = gopherRules(docs, minTokens, maxTokens, minWlen, maxWlen,
-      minStop, minAlpha, repCap)
     val aggCols: Seq[Column] =
       Seq(count(lit(1)).as("n_docs")) ++
         rules.map(r => sum((!col(r)).cast("long")).as(s"f_$r")) ++

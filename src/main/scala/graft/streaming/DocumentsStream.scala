@@ -349,6 +349,16 @@ object DocumentsStream {
   def gopherRulesOnIngest(docs: DataFrame): DataFrame =
     graft.llm.TextAnalysis.gopherRulesMapOnly(docs)
 
+  /** Drain-time filter-funnel finisher — the streaming half of x113:
+    * verdicts accumulate per arrival via [[gopherRulesOnIngest]]
+    * (map-only, stateless), and the 16-counter funnel aggregate +
+    * 5-row rule spine is the SAME `funnelFrom` the batch operator
+    * runs (the psiAtDrain shared-finisher idiom), so the drained
+    * funnel equals batch x113 exactly.
+    */
+  def funnelAtDrain(verdicts: DataFrame): DataFrame =
+    graft.llm.TextAnalysis.funnelFrom(verdicts)
+
   /** Ingest-time fuzzy dedup — the streaming half of x76: each
     * arrival's map-only simhash (no stateful aggregation) probes the
     * frozen rep-signature buckets (Dedup.repSignatureBuckets) through

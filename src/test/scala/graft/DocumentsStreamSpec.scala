@@ -750,6 +750,28 @@ class DocumentsStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming filter funnel at drain equals the batch x113 " +
+    "table exactly") {
+    val stream = DocumentsStream.readDocuments(spark, docsDir)
+    val q = DocumentsStream.gopherRulesOnIngest(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("funnel_verdicts_out").start()
+    try {
+      q.processAllAvailable()
+      val fromStream = DocumentsStream.funnelAtDrain(
+          spark.sql("SELECT * FROM funnel_verdicts_out"))
+        .collect().map(_.toSeq).toSeq
+      val batch = graft.llm.TextAnalysis
+        .filterFunnel(Tables.documents(spark, sf))
+        .collect().map(_.toSeq).toSeq
+      assert(fromStream == batch)
+      // the fixture corpus produces a non-degenerate funnel (some
+      // docs removed, some surviving)
+      assert(batch.last.last.asInstanceOf[Long] > 0L)
+      assert(batch.map(_(4).asInstanceOf[Long]).sum > 0L)
+    } finally q.stop()
+  }
+
   test("ingest-time fuzzy dedup: re-served content drops against the " +
     "frozen rep buckets, novel arrivals keep") {
     import spark.implicits._

@@ -826,4 +826,79 @@ class ScaleSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(500))
     assert(secs < 120, s"took ${secs}s")
   }
+
+  test("2M-vector embed diversity: closed-form identity replaces " +
+      "pair enumeration, no window, exact at scale") {
+    // label 0: half the vectors at (1,0), half at (3,0) -> variance 1
+    // on a line; label 1: all at (0,1) -> zero diversity. Every
+    // report cell is closed-form; a brute-force pairwise pass would
+    // be 10^12 distance evaluations.
+    val n = 2_000_000L
+    val emb = spark.range(n).select(
+      col("id").as("vec_id"),
+      when(col("id") % 2 === 1, array(lit(0.0f), lit(1.0f)))
+        .when(col("id") % 4 === 0, array(lit(1.0f), lit(0.0f)))
+        .otherwise(array(lit(3.0f), lit(0.0f))).as("embedding"),
+      (col("id") % 2).cast("int").as("label"))
+    val t0 = System.nanoTime()
+    val rep = graft.llm.Similarity.embedDiversity(emb)
+    val rows = rep.collect()
+      .map(r => r.getAs[Int]("label") ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("centroid_norm"),
+          r.getAs[Double]("rms_norm"),
+          r.getAs[Double]("mean_pairwise_sqdist"))))
+      .toMap
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"2M vectors diversity: ${secs}%.1f s")
+    val h = n / 2
+    // label 0 closed form, mirrored through the operator's exact
+    // decimal-sum -> double -> round path
+    val s2 = (h / 2).toDouble * 1e12 + (h / 2).toDouble * 9e12
+    val m2 = math.pow((h / 2).toDouble * 1e6 + (h / 2).toDouble * 3e6, 2)
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val mpd0 = r6((2d * h * s2 - 2d * m2) / (h.toDouble * (h - 1)) / 1e12)
+    assert(rows(0)._1 == h)
+    assert(rows(0)._2 == 2.0, s"centroid: ${rows(0)._2}") // mean x = 2
+    assert(rows(0)._4 == mpd0, s"mpd: ${rows(0)._4} want $mpd0")
+    assert(rows(1) == ((h, 1.0, 1.0, 0.0)))
+    val plan = rep.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "window leaked into the plan")
+    assert(!plan.contains("CartesianProduct"), "pairs were enumerated")
+    assert(secs < 120, s"took ${secs}s")
+  }
+
+  test("300k-doc filter funnel: one verdict pass + 16-counter " +
+      "aggregate, closed-form stage table") {
+    import spark.implicits._
+    // four templates by id % 4, mirroring the unit spec's failure
+    // modes under the same relaxed thresholds -> every funnel cell
+    // is n/4-closed-form at any corpus size.
+    val n = 300_000L
+    val docs = spark.range(n).select(
+      col("id").as("doc_id"),
+      when(col("id") % 4 === 0, lit("the fast cat runs far"))
+        .when(col("id") % 4 === 1, lit("xx the"))
+        .when(col("id") % 4 === 2, lit("cat dog bird"))
+        .otherwise(lit("11 11 11 the")).as("text"))
+    val t0 = System.nanoTime()
+    val rep = graft.llm.TextAnalysis.filterFunnel(docs,
+      minTokens = 3, maxTokens = 10, minWlen = 1.0, maxWlen = 10.0,
+      minStop = 1, minAlpha = 0.5, repCap = 0.5)
+    val rows = rep.collect()
+      .map(r => (r.getAs[Int]("stage"), r.getAs[String]("rule"),
+        r.getAs[Long]("n_fail"), r.getAs[Long]("n_fail_unique"),
+        r.getAs[Long]("n_removed"), r.getAs[Long]("n_remaining")))
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"300k docs funnel: ${secs}%.1f s")
+    val q = n / 4
+    assert(rows.toSeq == Seq(
+      (1, "r_count", q, q, q, 3 * q),
+      (2, "r_wlen", 0L, 0L, 0L, 3 * q),
+      (3, "r_stop", q, q, q, 2 * q),
+      (4, "r_alpha", q, 0L, q, q),
+      (5, "r_rep", q, 0L, 0L, q)), s"got: ${rows.toSeq}")
+    val plan = rep.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "window leaked into the plan")
+    assert(secs < 120, s"took ${secs}s")
+  }
 }

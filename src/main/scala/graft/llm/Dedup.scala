@@ -472,8 +472,13 @@ object Dedup {
     * edge CTEs are MATERIALIZED — DuckDB otherwise re-evaluates the
     * whole simhash chain on every fixpoint iteration.
     */
-  def dedupClustersSql(maxDist: Int, bucketCap: Int = 64): String =
-    s"""WITH RECURSIVE ${simhashPairCtes(bucketCap)},
+  /** The x33 connected-components chain as a CTE body (final
+    * relation: `comp` (doc_id, component)) — shared by the cluster
+    * oracle and the x119 histogram oracle. Callers must prefix
+    * `WITH RECURSIVE`.
+    */
+  private[graft] def ccCtesSql(maxDist: Int, bucketCap: Int): String =
+    s"""${simhashPairCtes(bucketCap)},
        |edges AS MATERIALIZED (
        |  SELECT d1, d2 FROM pairs
        |  WHERE bit_count(xor(s1, s2)) <= $maxDist
@@ -486,9 +491,58 @@ object Dedup {
        |  SELECT doc_id AS node, doc_id AS label FROM documents
        |  UNION
        |  SELECT e.b, r.label FROM bidir e JOIN reach r ON r.node = e.a
+       |),
+       |comp AS (
+       |  SELECT node AS doc_id, min(label) AS component
+       |  FROM reach GROUP BY node
+       |)""".stripMargin
+
+  def dedupClustersSql(maxDist: Int, bucketCap: Int = 64): String =
+    s"""WITH RECURSIVE ${ccCtesSql(maxDist, bucketCap)}
+       |SELECT doc_id, component FROM comp ORDER BY doc_id""".stripMargin
+
+  /** X1: duplicate-cluster SIZE HISTOGRAM — the dedup-ROI table: per
+    * cluster multiplicity s, how many near-dup clusters have exactly
+    * s members, how many documents they hold, and how many of those
+    * a keep-one-per-cluster policy deletes (s−1 each). The first
+    * question a curation owner asks before paying for a dedup pass —
+    * "is my corpus 2% doubled or 40% boilerplate-mirrored?" — and
+    * the monitor that catches a crawler regression (a new hot spike
+    * at s ≥ 100 is one template exploding). Singleton "clusters"
+    * (s = 1) are included: their row is the untouched corpus mass.
+    *
+    * Scale shape: the x33 CC machinery (endpoint-bounded pointer-
+    * doubling rounds), then two hash aggregates — |V| rows →
+    * |clusters| rows → |distinct sizes| rows. Nothing new touches
+    * the corpus.
+    */
+  def clusterSizeHistogram(docs: DataFrame, maxDist: Int,
+      bucketCap: Int = 64): DataFrame = {
+    val pairs = simhashNearDup(docs, maxDist, bucketCap)
+      .select(col("d1"), col("d2"))
+    connectedComponents(docs.select(col("doc_id")), pairs)
+      .groupBy(col("component")).agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"),
+        ((col("cluster_size") - 1) * col("n_clusters"))
+          .as("n_removable"))
+      .orderBy(col("cluster_size"))
+  }
+
+  def clusterSizeHistogramSql(maxDist: Int,
+      bucketCap: Int = 64): String =
+    s"""WITH RECURSIVE ${ccCtesSql(maxDist, bucketCap)},
+       |sizes AS (
+       |  SELECT component, CAST(count(*) AS BIGINT) AS sz
+       |  FROM comp GROUP BY component
        |)
-       |SELECT node AS doc_id, min(label) AS component
-       |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
+       |SELECT sz AS cluster_size,
+       |  CAST(count(*) AS BIGINT) AS n_clusters,
+       |  CAST(sz * count(*) AS BIGINT) AS n_docs,
+       |  CAST((sz - 1) * count(*) AS BIGINT) AS n_removable
+       |FROM sizes GROUP BY sz ORDER BY sz""".stripMargin
 
   /** X1 cluster-representative selection — the step after cluster
     * resolution: a dedup pipeline keeps ONE document per near-dup

@@ -697,6 +697,72 @@ object TextAnalysis {
        |ORDER BY stage""".stripMargin
   }
 
+  /** X3: character-bigram entropy report — the compressibility proxy
+    * of the quality-filter literature (repetitive/templated junk
+    * compresses well ⇔ scores LOW Shannon entropy over its own
+    * character bigrams; gibberish with a flat character distribution
+    * scores at the top of the range). Per document
+    * H = (T·lnT − Σ c·ln c)/(T·ln 2) bits from exact integer bigram
+    * counts; per source: doc count, mean/min/max entropy, and the
+    * count under `lowTheta` — the slice a compression-style filter
+    * would drop. The per-doc 6dp rounding then micro-unit
+    * quantization before the source mean is the x41/x117 idiom
+    * (float noise lives below the round; sums are exact integers).
+    *
+    * Scale shape: one bigram explosion → (doc, gram) hash agg →
+    * per-doc agg → |sources|-row rollup; linear in corpus chars,
+    * map-side partials everywhere, no windows.
+    */
+  def charEntropy(docs: DataFrame, lowTheta: Double): DataFrame = {
+    val perDoc = docs.filter(length(col("text")) >= 2)
+      .select(col("doc_id"), col("source"), explode(expr(
+        "transform(sequence(1, length(text) - 1), i -> substr(text, i, 2))"))
+        .as("g"))
+      .groupBy(col("doc_id"), col("source"), col("g"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("c")).as("t"),
+        sum(col("c").cast("double") * log(col("c").cast("double")))
+          .as("sl"))
+      .select(col("doc_id"), col("source"),
+        round((col("t").cast("double") * log(col("t").cast("double"))
+          - col("sl")) / (col("t").cast("double") * log(lit(2.0))), 6)
+          .as("h"))
+    perDoc
+      .select(col("source"), col("h"),
+        round(col("h") * 1e6, 0).cast("long").as("hu"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum(col("hu")).cast("double") /
+          count(lit(1)).cast("double") / 1e6, 6).as("mean_entropy"),
+        min(col("h")).as("min_entropy"),
+        max(col("h")).as("max_entropy"),
+        sum((col("h") < lowTheta).cast("long")).as("n_low"))
+      .orderBy(col("source"))
+  }
+
+  def charEntropySql(lowTheta: Double): String =
+    s"""WITH big AS (
+       |  SELECT doc_id, source, substr(text, CAST(i AS INT), 2) AS g
+       |  FROM documents, UNNEST(range(1, len(text))) AS u(i)
+       |  WHERE len(text) >= 2
+       |), cg AS (
+       |  SELECT doc_id, source, g, count(*) AS c FROM big GROUP BY 1, 2, 3
+       |), ent AS (
+       |  SELECT doc_id, source,
+       |    round((CAST(sum(c) AS DOUBLE) * ln(CAST(sum(c) AS DOUBLE))
+       |      - sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))))
+       |      / (CAST(sum(c) AS DOUBLE) * ln(2.0)), 6) AS h
+       |  FROM cg GROUP BY 1, 2
+       |)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  round(CAST(sum(CAST(round(h * 1e6, 0) AS BIGINT)) AS DOUBLE)
+       |    / count(*) / 1e6, 6) AS mean_entropy,
+       |  min(h) AS min_entropy, max(h) AS max_entropy,
+       |  CAST(sum(CASE WHEN h < $lowTheta THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_low
+       |FROM ent GROUP BY source ORDER BY source""".stripMargin
+
   /** X3: per-source distribution-drift monitor — Population
     * Stability Index of each source's token distribution against the
     * corpus-wide one, over the top-`v` corpus tokens plus an OTHER

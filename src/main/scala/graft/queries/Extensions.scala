@@ -934,6 +934,22 @@ object Extensions {
   private val x117SignalCorr: Q = (s, d) =>
     LanguageModel.signalCorrelation(Tables.documents(s, d))
 
+  /** X1: duplicate-cluster size histogram — per multiplicity: how
+    * many near-dup clusters, how many docs they hold, how many a
+    * keep-one policy deletes. The dedup-ROI table over the x33
+    * components (two hash aggs past the CC pass).
+    */
+  private val x118ClusterHistogram: Q = (s, d) =>
+    Dedup.clusterSizeHistogram(Tables.documents(s, d), maxDist = 3)
+
+  /** X3: character-bigram entropy report — the compression-proxy
+    * quality signal: per source, mean/min/max Shannon entropy over
+    * each doc's own char bigrams and the low-entropy (templated/
+    * repetitive) count under 5.9 bits.
+    */
+  private val x119CharEntropy: Q = (s, d) =>
+    TextAnalysis.charEntropy(Tables.documents(s, d), lowTheta = 5.9)
+
   val queries: Map[String, Q] = Map(
     "x01_dedup_exact" -> x01DedupExact,
     "x02_dedup_minhash" -> x02DedupMinhash,
@@ -1053,6 +1069,8 @@ object Extensions {
     "x115_bpe_fertility" -> x115BpeFertility,
     "x116_lsh_planner" -> x116LshPlanner,
     "x117_signal_corr" -> x117SignalCorr,
+    "x118_cluster_histogram" -> x118ClusterHistogram,
+    "x119_char_entropy" -> x119CharEntropy,
   )
 
   /** The PNG pixel statistics in closed form: the fixture image's
@@ -1334,5 +1352,7 @@ object Extensions {
     "x116_lsh_planner" -> Dedup.lshPlannerSql(dfCap = 10,
       threshold = 0.2, dupTheta = 0.8),
     "x117_signal_corr" -> LanguageModel.signalCorrelationSql(),
+    "x118_cluster_histogram" -> Dedup.clusterSizeHistogramSql(3),
+    "x119_char_entropy" -> TextAnalysis.charEntropySql(5.9),
   )
 }

@@ -902,6 +902,48 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(r1 != 0.0 && math.abs(r1) < 1.0, s"degenerate r: $r1")
   }
 
+  test("cluster size histogram: multiplicity rows match a planted " +
+      "3-cluster plus singleton") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "alpha beta gamma delta epsilon zeta"),
+      (9L, "utterly different content entirely here now"))
+      .toDF("doc_id", "text")
+    val rows = graft.llm.Dedup.clusterSizeHistogram(docs, maxDist = 3)
+      .collect()
+      .map(r => (r.getAs[Long]("cluster_size"), r.getAs[Long]("n_clusters"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("n_removable")))
+    assert(rows.toSeq == Seq((1L, 1L, 1L, 0L), (3L, 1L, 3L, 2L)),
+      s"got: ${rows.toSeq}")
+  }
+
+  test("char entropy: hand-computed bigram entropies roll up per " +
+      "source (degenerate 0-bit doc and uniform log2(3)-bit docs)") {
+    import spark.implicits._
+    // "aaaa": 3x the same bigram -> H = 0 exactly.
+    // "abcd" / "aabb": 3 distinct bigrams -> H = log2(3) = 1.584963.
+    val docs = Seq(
+      (0L, "aaaa", "s1"),
+      (1L, "abcd", "s1"),
+      (2L, "aabb", "s2"))
+      .toDF("doc_id", "text", "source")
+    val rows = graft.llm.TextAnalysis.charEntropy(docs, lowTheta = 5.9)
+      .collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Double]("mean_entropy"),
+          r.getAs[Double]("min_entropy"), r.getAs[Double]("max_entropy"),
+          r.getAs[Long]("n_low"))))
+      .toMap
+    val l3 = BigDecimal(math.log(3.0) / math.log(2.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val mean1 = BigDecimal(math.round(l3 * 1e6).toDouble / 2 / 1e6)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(rows("s1") == ((2L, mean1, 0.0, l3, 2L)), s"got: ${rows("s1")}")
+    assert(rows("s2") == ((1L, l3, l3, l3, 1L)), s"got: ${rows("s2")}")
+  }
+
   test("semantic decontamination: empty benchmark slice yields an " +
       "unflagged full-corpus report, not a crash") {
     import spark.implicits._

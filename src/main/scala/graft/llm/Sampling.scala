@@ -275,4 +275,103 @@ object Sampling {
        |FROM ranked r JOIN alloc a USING (source)
        |WHERE r.rk <= a.alloc
        |ORDER BY r.source, r.rk""".stripMargin
+
+  /** X6': UniMax token-budget mix — the THIRD allocation policy of
+    * the planner family (x45 flattens ∝ tokensᵗ, x98 adds epoch caps
+    * to that; UniMax ignores corpus proportions entirely): every
+    * source gets an EQUAL share of the budget, capped at `maxEpochs`
+    * passes over its own tokens, and budget stranded at small
+    * sources water-fills into the rest. The exact closed form: sort
+    * sources by cap ascending; source at rank i saturates iff giving
+    * all n−i+1 remaining sources its cap still fits the remaining
+    * budget (a prefix property — one window pass finds the
+    * threshold); unsaturated sources split the leftover equally,
+    * integer-exact via div/mod with the mod remainder going to the
+    * lowest-ranked unsaturated sources. Σ alloc = budget whenever
+    * Σ cap ≥ budget; otherwise every source caps and the underfill
+    * is visible as sum(alloc) < budget (same contract as x98).
+    *
+    * Scale shape: ONE corpus aggregate (per-source token counts);
+    * ranking, prefix sums, and the threshold all run on the
+    * |sources|-row dimension table (the x45/x98 benign dimension
+    * window). Pure integer arithmetic — no floats anywhere.
+    */
+  def unimaxMix(docs: DataFrame, budget: Long,
+      maxEpochs: Int = 4): DataFrame = {
+    val cnt = docs
+      .select(col("source"), size(split(col("text"), " ")).as("nt"))
+      .groupBy(col("source")).agg(sum(col("nt")).as("tokens"))
+      .withColumn("cap", col("tokens") * maxEpochs)
+    val w = Window.orderBy(col("cap"), col("source"))
+    val nn = cnt.agg(count(lit(1)).as("n"))
+    val ranked = cnt
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("pfx", sum(col("cap")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(nn))
+      .withColumn("is_sat",
+        col("cap") * (col("n") - col("rk") + 1) +
+          (col("pfx") - col("cap")) <= lit(budget))
+    val thr = ranked.agg(
+      coalesce(sum(col("is_sat").cast("long")), lit(0L)).as("k"),
+      coalesce(sum(when(col("is_sat"), col("cap"))), lit(0L)).as("pk"))
+    ranked.crossJoin(broadcast(thr))
+      .withColumn("m", col("n") - col("k"))
+      .withColumn("base",
+        when(col("m") > 0, expr(s"($budget - pk) div m"))
+          .otherwise(lit(0L)))
+      .withColumn("rem",
+        when(col("m") > 0, expr(s"($budget - pk) % m"))
+          .otherwise(lit(0L)))
+      .withColumn("alloc", when(col("is_sat"), col("cap"))
+        .otherwise(col("base") +
+          when(col("rk") - col("k") <= col("rem"), 1L).otherwise(0L)))
+      .select(col("source"), col("tokens"), col("cap"), col("alloc"),
+        expr("10000 * alloc div tokens").as("epochs_bp"),
+        col("is_sat").as("saturated"))
+      .orderBy(col("source"))
+  }
+
+  def unimaxMixSql(budget: Long, maxEpochs: Int = 4): String =
+    s"""WITH cnt AS (
+       |  SELECT source,
+       |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+       |  FROM documents GROUP BY source
+       |), c2 AS (
+       |  SELECT source, tokens, tokens * $maxEpochs AS cap FROM cnt
+       |), nn AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n FROM c2
+       |), rkd AS (
+       |  SELECT source, tokens, cap,
+       |    CAST(row_number() OVER (ORDER BY cap, source) AS BIGINT)
+       |      AS rk,
+       |    CAST(sum(cap) OVER (ORDER BY cap, source
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pfx
+       |  FROM c2
+       |), sat AS (
+       |  SELECT r.*, n,
+       |    cap * (n - rk + 1) + (pfx - cap) <= $budget AS is_sat
+       |  FROM rkd r CROSS JOIN nn
+       |), thr AS (
+       |  SELECT
+       |    CAST(COALESCE(sum(CASE WHEN is_sat THEN 1 ELSE 0 END), 0)
+       |      AS BIGINT) AS k,
+       |    CAST(COALESCE(sum(CASE WHEN is_sat THEN cap ELSE 0 END), 0)
+       |      AS BIGINT) AS pk
+       |  FROM sat
+       |)
+       |SELECT source, tokens, CAST(cap AS BIGINT) AS cap,
+       |  CAST(CASE WHEN is_sat THEN cap
+       |    ELSE ($budget - pk) // NULLIF(n - k, 0) +
+       |      (CASE WHEN rk - k <= ($budget - pk) % NULLIF(n - k, 0)
+       |       THEN 1 ELSE 0 END)
+       |    END AS BIGINT) AS alloc,
+       |  CAST(10000 * (CASE WHEN is_sat THEN cap
+       |    ELSE ($budget - pk) // NULLIF(n - k, 0) +
+       |      (CASE WHEN rk - k <= ($budget - pk) % NULLIF(n - k, 0)
+       |       THEN 1 ELSE 0 END)
+       |    END) // tokens AS BIGINT) AS epochs_bp,
+       |  is_sat AS saturated
+       |FROM sat CROSS JOIN thr
+       |ORDER BY source""".stripMargin
 }

@@ -950,6 +950,16 @@ object Extensions {
   private val x119CharEntropy: Q = (s, d) =>
     TextAnalysis.charEntropy(Tables.documents(s, d), lowTheta = 5.9)
 
+  /** X6': UniMax token-budget mix — equal share per source with an
+    * epoch cap, stranded budget water-filled exactly (integer
+    * closed-form threshold on the ranked cap table). Third policy of
+    * the mix-planner family next to x45 (temperature) and x98
+    * (tempered + capped).
+    */
+  private val x120UnimaxMix: Q = (s, d) =>
+    Sampling.unimaxMix(Tables.documents(s, d), budget = 200000L,
+      maxEpochs = 4)
+
   val queries: Map[String, Q] = Map(
     "x01_dedup_exact" -> x01DedupExact,
     "x02_dedup_minhash" -> x02DedupMinhash,
@@ -1071,6 +1081,7 @@ object Extensions {
     "x117_signal_corr" -> x117SignalCorr,
     "x118_cluster_histogram" -> x118ClusterHistogram,
     "x119_char_entropy" -> x119CharEntropy,
+    "x120_unimax_mix" -> x120UnimaxMix,
   )
 
   /** The PNG pixel statistics in closed form: the fixture image's
@@ -1354,5 +1365,7 @@ object Extensions {
     "x117_signal_corr" -> LanguageModel.signalCorrelationSql(),
     "x118_cluster_histogram" -> Dedup.clusterSizeHistogramSql(3),
     "x119_char_entropy" -> TextAnalysis.charEntropySql(5.9),
+    "x120_unimax_mix" -> Sampling.unimaxMixSql(budget = 200000L,
+      maxEpochs = 4),
   )
 }

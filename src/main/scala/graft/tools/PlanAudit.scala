@@ -292,6 +292,9 @@ object PlanAudit {
       // |sources|-row dimension allocation + 1-row budget scalars
       // (the x45 shape)
       "x98_epoch_mix" -> Set("SinglePartition", "BNLJoin"),
+      // |sources|-row ranked-cap waterfill + 1-row threshold scalars
+      // (the x45/x98 dimension-window shape)
+      "x120_unimax_mix" -> Set("SinglePartition", "BNLJoin"),
       // cumulative window over the bounded (freq, n_keys) histogram
       // (tens of rows) + 1-row percentile/total scalars
       "x100_key_skew" -> Set("SinglePartition", "BNLJoin"),

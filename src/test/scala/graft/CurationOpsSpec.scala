@@ -944,6 +944,43 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(rows("s2") == ((1L, l3, l3, l3, 1L)), s"got: ${rows("s2")}")
   }
 
+  test("unimax mix: waterfill threshold, remainder placement, and " +
+      "all-saturated underfill match hand computation") {
+    import spark.implicits._
+    // tokens {s1: 10, s2: 100, s3: 1000}, maxEpochs 2 ->
+    // caps {20, 200, 2000}
+    def words(n: Int): String = Seq.fill(n)("w").mkString(" ")
+    val docs = Seq(
+      (0L, words(10), "s1"),
+      (1L, words(100), "s2"),
+      (2L, words(1000), "s3"))
+      .toDF("doc_id", "text", "source")
+    def run(b: Long): Map[String, (Long, Long, Boolean)] =
+      graft.llm.Sampling.unimaxMix(docs, budget = b, maxEpochs = 2)
+        .collect()
+        .map(r => r.getAs[String]("source") ->
+          ((r.getAs[Long]("alloc"), r.getAs[Long]("epochs_bp"),
+            r.getAs[Boolean]("saturated"))))
+        .toMap
+    // B=300: s1 saturates at 20; s2/s3 split 280 equally
+    assert(run(300L) == Map(
+      "s1" -> ((20L, 20000L, true)),
+      "s2" -> ((140L, 14000L, false)),
+      "s3" -> ((140L, 1400L, false))))
+    // B=301: the 1-token remainder goes to the lowest-ranked
+    // unsaturated source (s2)
+    assert(run(301L) == Map(
+      "s1" -> ((20L, 20000L, true)),
+      "s2" -> ((141L, 14100L, false)),
+      "s3" -> ((140L, 1400L, false))))
+    // B=5000 > sum(cap)=2220: everything saturates, visible underfill
+    val full = run(5000L)
+    assert(full == Map(
+      "s1" -> ((20L, 20000L, true)),
+      "s2" -> ((200L, 20000L, true)),
+      "s3" -> ((2000L, 20000L, true))))
+  }
+
   test("semantic decontamination: empty benchmark slice yields an " +
       "unflagged full-corpus report, not a crash") {
     import spark.implicits._

@@ -189,6 +189,95 @@ object Packing {
        |       CAST((rn - 1) % $batchSize AS INT) AS pos_in_batch
        |FROM r ORDER BY doc_id""".stripMargin
 
+  /** X6: pack-efficiency report — the CAPACITY sweep over the x38
+    * contiguous stream packing (the x108 sweep idiom applied to the
+    * packing knob): for each candidate bin capacity, the exact bin
+    * count the greedy stream pack produces, the fill rate in integer
+    * basis points, and how many documents straddle a bin boundary
+    * (each straddle is either a truncation or an attention-mask
+    * boundary at training time — the quantity a capacity choice
+    * trades against padding waste). Contiguous packing makes every
+    * column closed-form from ONE prefix-sum pass shared across all
+    * capacities: n_bins = ⌈total/cap⌉, and a doc crosses iff its
+    * [start, end] token interval spans a cap multiple. Pure integer
+    * arithmetic — exact in any engine.
+    *
+    * Scale shape: the x38 OrderedRank prefix-sum pass (bucketed
+    * range sort, no global window), a |caps|-way map-side explode,
+    * one hash agg to |caps| rows, and a 1-row totals broadcast.
+    */
+  def packEfficiency(docs: DataFrame, caps: Seq[Int]): DataFrame = {
+    require(caps.nonEmpty && caps.forall(_ > 0))
+    val toks = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val st = graft.ts.OrderedRank.withPrefixSum(
+      toks, col("doc_id"), col("doc_id"), col("n_tokens"), "start_off")
+    val tot = toks.agg(
+      coalesce(sum(col("n_tokens")), lit(0L)).as("total_tokens"),
+      count(lit(1)).as("n_docs"))
+    st
+      .withColumn("capacity", explode(array(caps.sorted.map(lit): _*)))
+      .select(col("capacity"),
+        (expr("start_off div capacity") =!=
+          expr("(start_off + n_tokens - 1) div capacity"))
+          .cast("long").as("crosses"))
+      .groupBy(col("capacity"))
+      .agg(sum(col("crosses")).as("n_crossing"))
+      .crossJoin(broadcast(tot))
+      .select(col("capacity"), col("n_docs"), col("total_tokens"),
+        expr("(total_tokens + capacity - 1) div capacity").as("n_bins"),
+        when(col("total_tokens") > 0, expr(
+          "total_tokens * 10000 div " +
+            "(((total_tokens + capacity - 1) div capacity) * capacity)"))
+          .otherwise(lit(0L)).as("fill_bp"),
+        col("n_crossing"),
+        when(col("n_docs") > 0,
+          expr("n_crossing * 10000 div n_docs")).otherwise(lit(0L))
+          .as("crossing_bp"))
+      .orderBy(col("capacity"))
+  }
+
+  def packEfficiencySql(caps: Seq[Int]): String = {
+    val arr = caps.sorted.mkString("[", ", ", "]")
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents
+       |), s AS (
+       |  SELECT doc_id, n_tokens,
+       |         COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |           AS start_off
+       |  FROM t
+       |), tot AS (
+       |  SELECT CAST(COALESCE(sum(n_tokens), 0) AS BIGINT)
+       |           AS total_tokens,
+       |         CAST(count(*) AS BIGINT) AS n_docs
+       |  FROM t
+       |), x AS (
+       |  SELECT capacity, start_off, n_tokens
+       |  FROM s, UNNEST($arr) AS u(capacity)
+       |), agg AS (
+       |  SELECT capacity,
+       |    CAST(sum(CASE WHEN start_off // capacity
+       |      <> (start_off + n_tokens - 1) // capacity
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_crossing
+       |  FROM x GROUP BY capacity
+       |)
+       |SELECT capacity, n_docs, total_tokens,
+       |  CAST((total_tokens + capacity - 1) // capacity AS BIGINT)
+       |    AS n_bins,
+       |  CAST(CASE WHEN total_tokens > 0
+       |    THEN total_tokens * 10000 //
+       |      (((total_tokens + capacity - 1) // capacity) * capacity)
+       |    ELSE 0 END AS BIGINT) AS fill_bp,
+       |  n_crossing,
+       |  CAST(CASE WHEN n_docs > 0 THEN n_crossing * 10000 // n_docs
+       |    ELSE 0 END AS BIGINT) AS crossing_bp
+       |FROM agg CROSS JOIN tot
+       |ORDER BY capacity""".stripMargin
+  }
+
   def sequencePackSql(capacity: Long): String =
     s"""WITH t AS (
        |  SELECT doc_id,

@@ -960,6 +960,15 @@ object Extensions {
     Sampling.unimaxMix(Tables.documents(s, d), budget = 200000L,
       maxEpochs = 4)
 
+  /** X6: pack-efficiency capacity sweep — for each candidate bin
+    * capacity: exact bin count of the x38 stream pack, fill rate,
+    * and boundary-straddling docs, all closed-form off one shared
+    * prefix-sum pass. The padding-vs-truncation trade table.
+    */
+  private val x121PackEfficiency: Q = (s, d) =>
+    Packing.packEfficiency(Tables.documents(s, d),
+      caps = Seq(256, 512, 1024, 2048))
+
   val queries: Map[String, Q] = Map(
     "x01_dedup_exact" -> x01DedupExact,
     "x02_dedup_minhash" -> x02DedupMinhash,
@@ -1082,6 +1091,7 @@ object Extensions {
     "x118_cluster_histogram" -> x118ClusterHistogram,
     "x119_char_entropy" -> x119CharEntropy,
     "x120_unimax_mix" -> x120UnimaxMix,
+    "x121_pack_efficiency" -> x121PackEfficiency,
   )
 
   /** The PNG pixel statistics in closed form: the fixture image's
@@ -1367,5 +1377,7 @@ object Extensions {
     "x119_char_entropy" -> TextAnalysis.charEntropySql(5.9),
     "x120_unimax_mix" -> Sampling.unimaxMixSql(budget = 200000L,
       maxEpochs = 4),
+    "x121_pack_efficiency" -> Packing.packEfficiencySql(
+      Seq(256, 512, 1024, 2048)),
   )
 }

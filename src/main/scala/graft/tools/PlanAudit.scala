@@ -353,7 +353,11 @@ object PlanAudit {
       // array into the scalar reduce)
       "x61_cm_estimates" -> Set("SinglePartition"),
       // 1-row corpus token-total scalar into the cumulative fraction
-      "x64_zipf_curve" -> Set("SinglePartition", "BNLJoin"))
+      "x64_zipf_curve" -> Set("SinglePartition", "BNLJoin"),
+      // |caps|-row capacity-sweep aggregate + 1-row totals scalar
+      // broadcast back over it (the x108 sweep shape; certified
+      // scalar-subquery-1row above)
+      "x121_pack_efficiency" -> Set("SinglePartition", "BNLJoin"))
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")

@@ -981,6 +981,29 @@ class CurationOpsSpec extends AnyFunSuite {
       "s3" -> ((2000L, 20000L, true))))
   }
 
+  test("pack efficiency: closed-form bins/fill/crossings match hand " +
+      "computation for a 3-doc stream at two capacities") {
+    import spark.implicits._
+    // token counts 3, 4, 5 -> offsets [0,2], [3,6], [7,11], total 12
+    def words(n: Int): String = Seq.fill(n)("w").mkString(" ")
+    val docs = Seq(
+      (0L, words(3)), (1L, words(4)), (2L, words(5)))
+      .toDF("doc_id", "text")
+    val rows = graft.llm.Packing.packEfficiency(docs, caps = Seq(4, 8))
+      .collect()
+      .map(r => r.getAs[Int]("capacity") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("total_tokens"),
+          r.getAs[Long]("n_bins"), r.getAs[Long]("fill_bp"),
+          r.getAs[Long]("n_crossing"), r.getAs[Long]("crossing_bp"))))
+      .toMap
+    // cap 4: 3 bins exactly full; docs 1 and 2 straddle multiples
+    assert(rows(4) == ((3L, 12L, 3L, 10000L, 2L, 6666L)),
+      s"got: ${rows(4)}")
+    // cap 8: 2 bins, 12/16 fill; only doc 2 straddles offset 8
+    assert(rows(8) == ((3L, 12L, 2L, 7500L, 1L, 3333L)),
+      s"got: ${rows(8)}")
+  }
+
   test("semantic decontamination: empty benchmark slice yields an " +
       "unflagged full-corpus report, not a crash") {
     import spark.implicits._

@@ -1183,8 +1183,14 @@ object Dedup {
       .orderBy(col("d1"), col("d2"))
   }
 
-  def jaccardPairsSql(dfCap: Int, threshold: Double): String =
-    s"""WITH sh AS ($shinglesSql),
+  /** Shared CTE chain ending in `jp` = the x04 scored pair table
+    * (d1, d2, inter, sz1, sz2, jaccard) — reused verbatim by the
+    * source-attribution matrix oracle so both dialects price the
+    * same candidate set.
+    */
+  private[graft] def jaccardPairsCtesSql(dfCap: Int,
+      threshold: Double): String =
+    s"""sh AS ($shinglesSql),
        |rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= $dfCap),
        |capped AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare ON sh.s = rare.s),
        |sizes AS (SELECT doc_id, count(*) AS sz FROM capped GROUP BY doc_id),
@@ -1192,15 +1198,78 @@ object Dedup {
        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
        |  FROM capped a JOIN capped b ON a.s = b.s AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2
-       |)
-       |SELECT d1, d2, inter, s1.sz AS sz1, s2.sz AS sz2,
-       |       round(CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter), 6)
-       |         AS jaccard
-       |FROM inter
-       |JOIN sizes s1 ON s1.doc_id = d1
-       |JOIN sizes s2 ON s2.doc_id = d2
-       |WHERE CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) >= $threshold
+       |),
+       |jp AS (
+       |  SELECT d1, d2, inter, s1.sz AS sz1, s2.sz AS sz2,
+       |         round(CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter), 6)
+       |           AS jaccard
+       |  FROM inter
+       |  JOIN sizes s1 ON s1.doc_id = d1
+       |  JOIN sizes s2 ON s2.doc_id = d2
+       |  WHERE CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter)
+       |    >= $threshold
+       |)""".stripMargin
+
+  def jaccardPairsSql(dfCap: Int, threshold: Double): String =
+    s"""WITH ${jaccardPairsCtesSql(dfCap, threshold)}
+       |SELECT d1, d2, inter, sz1, sz2, jaccard FROM jp
        |ORDER BY d1, d2""".stripMargin
+
+  /** X1m: near-dup SOURCE-ATTRIBUTION matrix — every x04 candidate
+    * pair rolled up by its endpoints' (source_a, source_b) label
+    * pair (unordered, least/greatest): pair count, mean and max
+    * Jaccard in exact integer millionths. The table that says WHICH
+    * sources mirror each other (crawl overlap, mirror sites,
+    * cross-posting) and how much of the dedup bill is intra- vs
+    * inter-source — the input to a "drop the copying source"
+    * curation decision, which per-pair lists are far too big to eye.
+    *
+    * Scale shape: the bounded x04 candidate machinery (df-capped
+    * buckets, ≤ dfCap²/2 pairs each), two co-keyed joins to the
+    * narrow (doc_id, source) projection, one hash aggregate to
+    * ≤ |sources|² rows. Jaccard is quantized to integer millionths
+    * BEFORE the sum, so mean = sum div n is exact in any engine.
+    */
+  def dupSourceMatrix(docs: DataFrame, dfCap: Int,
+      threshold: Double): DataFrame = {
+    val jm = jaccardPairs(docs, dfCap, threshold)
+      .select(col("d1"), col("d2"),
+        round(col("inter") * lit(1000000.0) /
+          (col("sz1") + col("sz2") - col("inter"))).cast("long").as("jm"))
+    val src = docs.select(col("doc_id"), col("source"))
+    jm
+      .join(src.select(col("doc_id").as("d1"), col("source").as("s1")),
+        "d1")
+      .join(src.select(col("doc_id").as("d2"), col("source").as("s2")),
+        "d2")
+      .select(least(col("s1"), col("s2")).as("source_a"),
+        greatest(col("s1"), col("s2")).as("source_b"), col("jm"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("sum(jm) div count(1)").as("mean_jac_micro"),
+        max(col("jm")).as("max_jac_micro"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  /** Oracle: the shared x04 `jp` chain + the same least/greatest
+    * label fold and integer-millionth quantization.
+    */
+  def dupSourceMatrixSql(dfCap: Int, threshold: Double): String =
+    s"""WITH ${jaccardPairsCtesSql(dfCap, threshold)},
+       |lab AS (
+       |  SELECT least(da.source, db.source) AS source_a,
+       |         greatest(da.source, db.source) AS source_b,
+       |         CAST(round(CAST(inter AS BIGINT) * 1000000.0
+       |           / (sz1 + sz2 - inter)) AS BIGINT) AS jm
+       |  FROM jp
+       |  JOIN documents da ON da.doc_id = jp.d1
+       |  JOIN documents db ON db.doc_id = jp.d2
+       |)
+       |SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs,
+       |       CAST(sum(jm) // count(*) AS BIGINT) AS mean_jac_micro,
+       |       CAST(max(jm) AS BIGINT) AS max_jac_micro
+       |FROM lab GROUP BY 1, 2
+       |ORDER BY source_a, source_b""".stripMargin
 
   /** X2d: n-gram CONTAINMENT pairs — |grams(a) ∩ grams(b)| / |grams(a)|,
     * the asymmetric cousin of Jaccard that catches sub-document

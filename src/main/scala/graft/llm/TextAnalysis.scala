@@ -1243,6 +1243,177 @@ object TextAnalysis {
       |JOIN sizes z2 ON z2.source = s2
       |ORDER BY s1, s2""".stripMargin
 
+  /** X3s: vocabulary SIZING — the inverse lookup of the x64 Zipf
+    * curve: for each coverage target p ∈ `targets` (percent), the
+    * smallest vocabulary size V such that the top-V tokens (count
+    * desc, token asc — the same total order as x59/x64) cover at
+    * least p% of corpus token mass, plus the exact covered mass.
+    * This is the table a tokenizer budget decision reads directly
+    * ("32k vs 50k vs 100k entries buys how much coverage?") —
+    * x59 scores a GIVEN V, x64 plots the whole curve; this answers
+    * the design question in |targets| rows.
+    *
+    * Scale shape: identical to x64 — one token-count hash agg, the
+    * distributed OrderedRank rank + prefix-sum passes (bucketed
+    * range sort, no single-reducer window), then a |vocab|×|targets|
+    * map-side explode into a |targets|-group hash aggregate whose
+    * min() partials do all the work map-side. The coverage
+    * comparison `cum·100 ≥ p·total` is pure integer arithmetic —
+    * exact in any engine; `min(cum)` equals cum at the argmin rank
+    * because cum is monotone in rank.
+    */
+  def vocabSizing(docs: DataFrame, targets: Seq[Int]): DataFrame = {
+    require(targets.nonEmpty && targets.forall(p => p > 0 && p <= 100))
+    val cnts = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    val tot = cnts.agg(sum(col("cnt")).as("n_total"),
+      count(lit(1)).as("n_vocab"))
+    val ranked = graft.ts.OrderedRank.withRowNumber(
+      cnts, negate(col("cnt")).cast("double"), col("w"), "rank")
+    val summed = graft.ts.OrderedRank.withPrefixSum(
+      ranked, negate(col("cnt")).cast("double"), col("w"),
+      col("cnt"), "cum_before")
+    summed.crossJoin(broadcast(tot))
+      .withColumn("cum", col("cum_before") + col("cnt"))
+      .withColumn("pct", explode(array(targets.sorted.map(lit): _*)))
+      .filter(col("cum") * lit(100L) >= col("pct") * col("n_total"))
+      .groupBy(col("pct"))
+      .agg(min(col("rank")).as("vocab_size"),
+        min(col("cum")).as("covered_tokens"),
+        max(col("n_total")).as("n_total"),
+        max(col("n_vocab")).as("n_vocab"))
+      .select(col("pct"), col("vocab_size"), col("covered_tokens"),
+        col("n_total"), col("n_vocab"),
+        expr("covered_tokens * 1000000 div n_total").as("covered_micro"))
+      .orderBy(col("pct"))
+  }
+
+  /** Oracle: same rank/cumulative order via window functions, same
+    * integer coverage predicate and `div` quantization.
+    */
+  def vocabSizingSql(targets: Seq[Int]): String = {
+    val arr = targets.sorted.mkString("[", ", ", "]")
+    s"""WITH cnts AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE w <> '' GROUP BY w
+       |), tot AS (
+       |  SELECT CAST(sum(cnt) AS BIGINT) AS n_total,
+       |         CAST(count(*) AS BIGINT) AS n_vocab
+       |  FROM cnts
+       |), r AS (
+       |  SELECT w, cnt,
+       |    row_number() OVER (ORDER BY cnt DESC, w) AS rank,
+       |    CAST(sum(cnt) OVER (ORDER BY cnt DESC, w
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+       |  FROM cnts
+       |), x AS (
+       |  SELECT pct, rank, cum, n_total, n_vocab
+       |  FROM r CROSS JOIN tot, UNNEST($arr) AS u(pct)
+       |  WHERE cum * 100 >= pct * n_total
+       |)
+       |SELECT pct, CAST(min(rank) AS BIGINT) AS vocab_size,
+       |  CAST(min(cum) AS BIGINT) AS covered_tokens,
+       |  CAST(max(n_total) AS BIGINT) AS n_total,
+       |  CAST(max(n_vocab) AS BIGINT) AS n_vocab,
+       |  CAST(min(cum) * 1000000 // max(n_total) AS BIGINT)
+       |    AS covered_micro
+       |FROM x GROUP BY pct ORDER BY pct""".stripMargin
+  }
+
+  /** X3t: per-source document-LENGTH histogram on power-of-two
+    * buckets — bucket b holds docs with n_tokens ∈ [2^(b−1), 2^b)
+    * (b = bit length of the token count, an exact integer in both
+    * engines — no float log2 at bucket boundaries): document and
+    * token counts per (source, bucket). The length profile a
+    * packing/truncation policy (x108/x121) is chosen against, and
+    * the first table that shows a source is all tweets or all books.
+    * Scale shape: map-only token count + bit-length bucket, one hash
+    * aggregate to ≤ |sources|·64 rows.
+    */
+  def lengthHistogram(docs: DataFrame): DataFrame =
+    docs
+      .select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("bucket", length(bin(col("n_tokens"))).cast("int"))
+      .groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+      .select(col("source"), col("bucket"),
+        expr("shiftleft(cast(1 as bigint), bucket - 1)").as("lo_tokens"),
+        (expr("shiftleft(cast(1 as bigint), bucket)") - 1L).as("hi_tokens"),
+        col("n_docs"), col("n_tokens"))
+      .orderBy(col("source"), col("bucket"))
+
+  /** Oracle: same bit-length bucketing via bin()/length. */
+  val lengthHistogramSql: String =
+    """WITH t AS (
+      |  SELECT source,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents
+      |), b AS (
+      |  SELECT source, CAST(length(bin(n_tokens)) AS INT) AS bucket,
+      |         n_tokens
+      |  FROM t
+      |)
+      |SELECT source, bucket,
+      |       CAST(CAST(1 AS BIGINT) << (bucket - 1) AS BIGINT)
+      |         AS lo_tokens,
+      |       CAST((CAST(1 AS BIGINT) << bucket) - 1 AS BIGINT)
+      |         AS hi_tokens,
+      |       CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+      |FROM b GROUP BY source, bucket
+      |ORDER BY source, bucket""".stripMargin
+
+  /** X3u: hapax / frequency-of-frequency report — per source: token
+    * mass, vocabulary, hapax legomena (frequency 1) and dis legomena
+    * (frequency 2) counts, the hapax share of vocabulary (basis
+    * points), and the Good–Turing probability that the NEXT token
+    * drawn from the source is unseen (hapax/N, integer millionths).
+    * High hapax share = fresh long-tail text still worth crawling;
+    * low = templated/saturated source — the "is more of this source
+    * worth tokens" signal the mix planners (x98/x120) don't measure.
+    * Scale shape: one token explode → (source, token) hash agg →
+    * |sources|-row rollup; all-integer outputs via `div`.
+    */
+  def hapaxReport(docs: DataFrame): DataFrame =
+    docs
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_vocab"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"),
+        sum(when(col("c") === 2, 1L).otherwise(0L)).as("n_dis"))
+      .select(col("source"), col("n_tokens"), col("n_vocab"),
+        col("n_hapax"), col("n_dis"),
+        expr("n_hapax * 10000 div n_vocab").as("hapax_vocab_bp"),
+        expr("n_hapax * 1000000 div n_tokens").as("p_new_micro"))
+      .orderBy(col("source"))
+
+  /** Oracle: same two-level aggregate, same integer `div` outputs. */
+  val hapaxReportSql: String =
+    """WITH tf AS (
+      |  SELECT source, w, CAST(count(*) AS BIGINT) AS c FROM (
+      |    SELECT source, unnest(string_split(text, ' ')) AS w
+      |    FROM documents)
+      |  WHERE w <> '' GROUP BY source, w
+      |)
+      |SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+      |       CAST(count(*) AS BIGINT) AS n_vocab,
+      |       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_hapax,
+      |       CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_dis,
+      |       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 10000
+      |         // count(*) AS BIGINT) AS hapax_vocab_bp,
+      |       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000000
+      |         // sum(c) AS BIGINT) AS p_new_micro
+      |FROM tf GROUP BY source ORDER BY source""".stripMargin
+
   /** BM25 ranked retrieval (Robertson/Lucene idf, k1/b saturation):
     * the lexical-search face of the curation surface — retrieval-
     * based decontamination, "find corpus docs matching this eval

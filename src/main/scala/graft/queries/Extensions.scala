@@ -969,6 +969,34 @@ object Extensions {
     Packing.packEfficiency(Tables.documents(s, d),
       caps = Seq(256, 512, 1024, 2048))
 
+  /** X1m: near-dup source-attribution matrix over the x04 candidate
+    * pairs — which sources mirror each other, intra vs inter. See
+    * Dedup.dupSourceMatrix.
+    */
+  private val x122DupSourceMatrix: Q = (s, d) =>
+    Dedup.dupSourceMatrix(Tables.documents(s, d), dfCap = 10,
+      threshold = 0.2)
+
+  /** X3s: vocabulary sizing — smallest top-V cut covering each mass
+    * target; the inverse of the x64 Zipf curve. See
+    * TextAnalysis.vocabSizing.
+    */
+  private val x123VocabSizing: Q = (s, d) =>
+    TextAnalysis.vocabSizing(Tables.documents(s, d),
+      targets = Seq(50, 90, 95, 99))
+
+  /** X3t: per-source power-of-two document-length histogram. See
+    * TextAnalysis.lengthHistogram.
+    */
+  private val x124LengthHistogram: Q = (s, d) =>
+    TextAnalysis.lengthHistogram(Tables.documents(s, d))
+
+  /** X3u: hapax / Good–Turing freshness report per source. See
+    * TextAnalysis.hapaxReport.
+    */
+  private val x125Hapax: Q = (s, d) =>
+    TextAnalysis.hapaxReport(Tables.documents(s, d))
+
   val queries: Map[String, Q] = Map(
     "x01_dedup_exact" -> x01DedupExact,
     "x02_dedup_minhash" -> x02DedupMinhash,
@@ -1092,6 +1120,10 @@ object Extensions {
     "x119_char_entropy" -> x119CharEntropy,
     "x120_unimax_mix" -> x120UnimaxMix,
     "x121_pack_efficiency" -> x121PackEfficiency,
+    "x122_dup_source_matrix" -> x122DupSourceMatrix,
+    "x123_vocab_sizing" -> x123VocabSizing,
+    "x124_length_histogram" -> x124LengthHistogram,
+    "x125_hapax_report" -> x125Hapax,
   )
 
   /** The PNG pixel statistics in closed form: the fixture image's
@@ -1379,5 +1411,10 @@ object Extensions {
       maxEpochs = 4),
     "x121_pack_efficiency" -> Packing.packEfficiencySql(
       Seq(256, 512, 1024, 2048)),
+    "x122_dup_source_matrix" -> Dedup.dupSourceMatrixSql(10, 0.2),
+    "x123_vocab_sizing" -> TextAnalysis.vocabSizingSql(
+      Seq(50, 90, 95, 99)),
+    "x124_length_histogram" -> TextAnalysis.lengthHistogramSql,
+    "x125_hapax_report" -> TextAnalysis.hapaxReportSql,
   )
 }

@@ -354,6 +354,9 @@ object PlanAudit {
       "x61_cm_estimates" -> Set("SinglePartition"),
       // 1-row corpus token-total scalar into the cumulative fraction
       "x64_zipf_curve" -> Set("SinglePartition", "BNLJoin"),
+      // x64's 1-row (n_total, n_vocab) scalar broadcast into the
+      // coverage predicate (certified scalar-subquery-1row above)
+      "x123_vocab_sizing" -> Set("SinglePartition", "BNLJoin"),
       // |caps|-row capacity-sweep aggregate + 1-row totals scalar
       // broadcast back over it (the x108 sweep shape; certified
       // scalar-subquery-1row above)

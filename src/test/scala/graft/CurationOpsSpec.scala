@@ -1004,6 +1004,85 @@ class CurationOpsSpec extends AnyFunSuite {
       s"got: ${rows(8)}")
   }
 
+  test("dup source matrix: identical docs roll up by unordered " +
+      "source pair with exact micro-jaccard") {
+    import spark.implicits._
+    // docs 1/2 identical across (srcB, srcA) -> one inter-source
+    // pair at jaccard 1.0; docs 3/4 identical inside srcA -> one
+    // intra-source pair; doc 5 shares nothing
+    val a = "alpha beta gamma delta epsilon zeta"
+    val b = "one two three four five six seven"
+    val docs = Seq(
+      (1L, a, "srcB"), (2L, a, "srcA"),
+      (3L, b, "srcA"), (4L, b, "srcA"),
+      (5L, "totally unrelated content goes right here", "srcC"))
+      .toDF("doc_id", "text", "source")
+    val rows = Dedup.dupSourceMatrix(docs, dfCap = 10, threshold = 0.2)
+      .collect()
+      .map(r => (r.getAs[String]("source_a"), r.getAs[String]("source_b")) ->
+        ((r.getAs[Long]("n_pairs"), r.getAs[Long]("mean_jac_micro"),
+          r.getAs[Long]("max_jac_micro"))))
+      .toMap
+    assert(rows == Map(
+      ("srcA", "srcB") -> ((1L, 1000000L, 1000000L)),
+      ("srcA", "srcA") -> ((1L, 1000000L, 1000000L))))
+  }
+
+  test("vocab sizing: smallest covering cut per target matches hand " +
+      "computation with monotone covered mass") {
+    import spark.implicits._
+    // counts a:6 b:2 c:1 d:1 -> total 10; cum by rank: 6, 8, 9, 10
+    val docs = Seq((1L, "a a a a a a b b c d"))
+      .toDF("doc_id", "text")
+    val rows = graft.llm.TextAnalysis
+      .vocabSizing(docs, targets = Seq(50, 90, 95, 99))
+      .collect()
+      .map(r => r.getAs[Int]("pct") ->
+        ((r.getAs[Long]("vocab_size"), r.getAs[Long]("covered_tokens"),
+          r.getAs[Long]("n_total"), r.getAs[Long]("n_vocab"),
+          r.getAs[Long]("covered_micro"))))
+      .toMap
+    assert(rows(50) == ((1L, 6L, 10L, 4L, 600000L)))
+    assert(rows(90) == ((3L, 9L, 10L, 4L, 900000L)))
+    assert(rows(95) == ((4L, 10L, 10L, 4L, 1000000L)))
+    assert(rows(99) == ((4L, 10L, 10L, 4L, 1000000L)))
+  }
+
+  test("length histogram: bit-length buckets carry exact doc/token " +
+      "counts and closed-form bounds") {
+    import spark.implicits._
+    def words(n: Int): String = Seq.fill(n)("w").mkString(" ")
+    val docs = Seq(
+      (1L, words(1), "srcA"), (2L, words(3), "srcA"),
+      (3L, words(3), "srcA"), (4L, words(8), "srcB"))
+      .toDF("doc_id", "text", "source")
+    val rows = graft.llm.TextAnalysis.lengthHistogram(docs).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Int]("bucket")) ->
+        ((r.getAs[Long]("lo_tokens"), r.getAs[Long]("hi_tokens"),
+          r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"))))
+      .toMap
+    assert(rows == Map(
+      ("srcA", 1) -> ((1L, 1L, 1L, 1L)),
+      ("srcA", 2) -> ((2L, 3L, 2L, 6L)),
+      ("srcB", 4) -> ((8L, 15L, 1L, 8L))))
+  }
+
+  test("hapax report: frequency-of-frequency counts and Good-Turing " +
+      "share match hand computation") {
+    import spark.implicits._
+    // srcA freqs: a:2 b:2 c:1 d:1 -> tokens 6, vocab 4, hapax 2, dis 2
+    val docs = Seq(
+      (1L, "a a b c", "srcA"), (2L, "b d", "srcA"))
+      .toDF("doc_id", "text", "source")
+    val r = graft.llm.TextAnalysis.hapaxReport(docs).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert((row.getAs[Long]("n_tokens"), row.getAs[Long]("n_vocab"),
+      row.getAs[Long]("n_hapax"), row.getAs[Long]("n_dis"),
+      row.getAs[Long]("hapax_vocab_bp"), row.getAs[Long]("p_new_micro"))
+      == ((6L, 4L, 2L, 2L, 5000L, 333333L)))
+  }
+
   test("semantic decontamination: empty benchmark slice yields an " +
       "unflagged full-corpus report, not a crash") {
     import spark.implicits._

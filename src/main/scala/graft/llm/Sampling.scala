@@ -332,6 +332,83 @@ object Sampling {
       .orderBy(col("source"))
   }
 
+  /** X6g: quality-budget SELECTION — the DCLM/FineWeb-style "keep
+    * the best documents until a global token budget is spent": rank
+    * every document by a quality signal (the x08 uniqueness ratio,
+    * quantized to exact integer millionths), walk the ranking in
+    * order accumulating token counts, keep a document iff the tokens
+    * BEFORE it are still under `budget`, and report the per-source
+    * outcome (docs/tokens kept, shares in basis points). The mix
+    * planners (x45/x98/x120) decide how much of each SOURCE to take;
+    * this is the orthogonal policy that decides WHICH documents,
+    * globally, quality-first — and the report shows which sources a
+    * pure-quality budget starves.
+    *
+    * Scale shape: a map-only scoring projection, ONE distributed
+    * OrderedRank prefix-sum pass over (score desc, doc_id) — bucketed
+    * range sort, no single-reducer window — a keep-flag comparison,
+    * and a hash aggregate to the \|sources\|-row report. The score
+    * and the running token sum are exact longs, so the keep frontier
+    * is the same in any engine.
+    */
+  def qualityBudgetSelect(docs: DataFrame, budget: Long): DataFrame = {
+    val scored = docs
+      .withColumn("t", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("t")).cast("long"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        expr("size(array_distinct(t)) * 1000000L div n_tokens")
+          .as("score"))
+    val summed = graft.ts.OrderedRank.withPrefixSum(
+      scored, negate(col("score")).cast("double"), col("doc_id"),
+      col("n_tokens"), "cum_before")
+    summed
+      .withColumn("keep", col("cum_before") < lit(budget))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("keep").cast("long")).as("kept_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(when(col("keep"), col("n_tokens")).otherwise(0L))
+          .as("kept_tokens"))
+      .select(col("source"), col("n_docs"), col("kept_docs"),
+        col("n_tokens"), col("kept_tokens"),
+        expr("kept_docs * 10000 div n_docs").as("kept_docs_bp"),
+        expr("kept_tokens * 10000 div n_tokens").as("kept_tokens_bp"))
+      .orderBy(col("source"))
+  }
+
+  /** Oracle: same integer score, same (score desc, doc_id) order via
+    * an exclusive window sum, same integer keep frontier.
+    */
+  def qualityBudgetSelectSql(budget: Long): String =
+    s"""WITH sc AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    CAST(len(list_distinct(string_split(text, ' '))) * 1000000
+       |      // len(string_split(text, ' ')) AS BIGINT) AS score
+       |  FROM documents
+       |), cum AS (
+       |  SELECT source, n_tokens,
+       |    CAST(COALESCE(sum(n_tokens) OVER (
+       |      ORDER BY score DESC, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS BIGINT) AS cum_before
+       |  FROM sc
+       |), k AS (
+       |  SELECT source, n_tokens, cum_before < $budget AS keep
+       |  FROM cum
+       |)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS kept_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |  CAST(sum(CASE WHEN keep THEN n_tokens ELSE 0 END) AS BIGINT)
+       |    AS kept_tokens,
+       |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) * 10000
+       |    // count(*) AS BIGINT) AS kept_docs_bp,
+       |  CAST(sum(CASE WHEN keep THEN n_tokens ELSE 0 END) * 10000
+       |    // sum(n_tokens) AS BIGINT) AS kept_tokens_bp
+       |FROM k GROUP BY source ORDER BY source""".stripMargin
+
   def unimaxMixSql(budget: Long, maxEpochs: Int = 4): String =
     s"""WITH cnt AS (
        |  SELECT source,

@@ -997,6 +997,13 @@ object Extensions {
   private val x125Hapax: Q = (s, d) =>
     TextAnalysis.hapaxReport(Tables.documents(s, d))
 
+  /** X6g: quality-budget selection — keep the best docs (x08
+    * uniqueness score) until a global token budget; per-source
+    * outcome report. See Sampling.qualityBudgetSelect.
+    */
+  private val x126QualityBudget: Q = (s, d) =>
+    Sampling.qualityBudgetSelect(Tables.documents(s, d), budget = 15000L)
+
   val queries: Map[String, Q] = Map(
     "x01_dedup_exact" -> x01DedupExact,
     "x02_dedup_minhash" -> x02DedupMinhash,
@@ -1124,6 +1131,7 @@ object Extensions {
     "x123_vocab_sizing" -> x123VocabSizing,
     "x124_length_histogram" -> x124LengthHistogram,
     "x125_hapax_report" -> x125Hapax,
+    "x126_quality_budget" -> x126QualityBudget,
   )
 
   /** The PNG pixel statistics in closed form: the fixture image's
@@ -1416,5 +1424,6 @@ object Extensions {
       Seq(50, 90, 95, 99)),
     "x124_length_histogram" -> TextAnalysis.lengthHistogramSql,
     "x125_hapax_report" -> TextAnalysis.hapaxReportSql,
+    "x126_quality_budget" -> Sampling.qualityBudgetSelectSql(15000L),
   )
 }

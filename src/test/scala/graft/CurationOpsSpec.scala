@@ -1083,6 +1083,29 @@ class CurationOpsSpec extends AnyFunSuite {
       == ((6L, 4L, 2L, 2L, 5000L, 333333L)))
   }
 
+  test("quality budget selection: keep frontier walks the score " +
+      "ranking and the straddling doc is kept") {
+    import spark.implicits._
+    // scores (uniq millionths): d1 1000000, d3 500000, d2 250000;
+    // 4 tokens each. cum_before in rank order: d1 0, d3 4, d2 8.
+    // budget 5 keeps d1 (0<5) and the straddling d3 (4<5), drops d2.
+    val docs = Seq(
+      (1L, "a b c d", "srcA"), (2L, "a a a a", "srcA"),
+      (3L, "a b a b", "srcB"))
+      .toDF("doc_id", "text", "source")
+    val rows = graft.llm.Sampling
+      .qualityBudgetSelect(docs, budget = 5L)
+      .collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("kept_docs"),
+          r.getAs[Long]("n_tokens"), r.getAs[Long]("kept_tokens"),
+          r.getAs[Long]("kept_docs_bp"), r.getAs[Long]("kept_tokens_bp"))))
+      .toMap
+    assert(rows == Map(
+      "srcA" -> ((2L, 1L, 8L, 4L, 5000L, 5000L)),
+      "srcB" -> ((1L, 1L, 4L, 4L, 10000L, 10000L))))
+  }
+
   test("semantic decontamination: empty benchmark slice yields an " +
       "unflagged full-corpus report, not a crash") {
     import spark.implicits._

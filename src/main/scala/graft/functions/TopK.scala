@@ -48,10 +48,53 @@ final class BoundedTopK(k: Int)
     ExpressionEncoder[Seq[ScoredId]]()
 }
 
+/** One (score, key) candidate flowing into a string-keyed bounded
+  * top-k — integer scores, lexicographic tie-break.
+  */
+final case class ScoredStr(score: Long, key: String)
+
+/** String-keyed sibling of [[BoundedTopK]]: keeps the k best
+  * (score DESC, key ASC) entries, ≤4k buffered, map-side partials —
+  * the scale-safe replacement for
+  * `row_number() OVER (PARTITION BY grp ORDER BY score DESC, key)`
+  * when the grouping key has low cardinality (a per-source window
+  * would funnel every candidate row into \|sources\| reducers).
+  * ASCII keys order identically in Java, Spark UTF8String, and
+  * DuckDB, so the tie-break is engine-stable.
+  */
+final class BoundedTopKStr(k: Int)
+    extends Aggregator[ScoredStr, Seq[ScoredStr], Seq[ScoredStr]] {
+
+  private def better(a: ScoredStr, b: ScoredStr): Boolean =
+    a.score > b.score || (a.score == b.score && a.key < b.key)
+  private def compact(s: Seq[ScoredStr]): Seq[ScoredStr] =
+    s.sortWith(better).take(k)
+
+  override def zero: Seq[ScoredStr] = Vector.empty
+  override def reduce(buf: Seq[ScoredStr], a: ScoredStr): Seq[ScoredStr] = {
+    val nb = buf :+ a
+    if (nb.size >= k * 4) compact(nb) else nb
+  }
+  override def merge(x: Seq[ScoredStr], y: Seq[ScoredStr]): Seq[ScoredStr] =
+    compact(x ++ y)
+  override def finish(buf: Seq[ScoredStr]): Seq[ScoredStr] = compact(buf)
+
+  override def bufferEncoder: Encoder[Seq[ScoredStr]] =
+    ExpressionEncoder[Seq[ScoredStr]]()
+  override def outputEncoder: Encoder[Seq[ScoredStr]] =
+    ExpressionEncoder[Seq[ScoredStr]]()
+}
+
 object TopK {
   /** `top_k(cos, id)` column: array<struct<cos,vec_id>> of the k best
     * rows of the group, sorted (cos DESC, vec_id ASC).
     */
   def top_k(k: Int)(cos: Column, id: Column): Column =
     udaf(new BoundedTopK(k), ExpressionEncoder[ScoredId]())(cos, id)
+
+  /** `top_k_str(score, key)` column: array<struct<score,key>> of the
+    * k best rows of the group, sorted (score DESC, key ASC).
+    */
+  def top_k_str(k: Int)(score: Column, key: Column): Column =
+    udaf(new BoundedTopKStr(k), ExpressionEncoder[ScoredStr]())(score, key)
 }

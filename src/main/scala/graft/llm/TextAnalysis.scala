@@ -1414,6 +1414,78 @@ object TextAnalysis {
       |         // sum(c) AS BIGINT) AS p_new_micro
       |FROM tf GROUP BY source ORDER BY source""".stripMargin
 
+  /** X3v: per-source BOILERPLATE n-grams — the k most document-
+    * frequent word n-grams inside each source (df ≥ `minDf`), with
+    * the df share of the source's documents in basis points. x53
+    * scores repetition WITHIN a document and x118 counts whole-doc
+    * duplicates; this surfaces the actual repeated STRINGS a source
+    * stamps across different documents (navigation chrome, license
+    * headers, template sentences) — the candidate list for a
+    * boilerplate-strip rule, readable because it is k rows per
+    * source, not a gram table.
+    *
+    * Scale shape: per-doc-distinct gram explode (array_distinct
+    * inside the row — no global distinct shuffle), one (source, gram)
+    * hash aggregate, then the string-keyed bounded top-k aggregate
+    * (map-side partials, ≤4k buffers) — never a per-source
+    * row_number window, which would funnel the whole gram table into
+    * \|sources\| reducers. Output ≤ \|sources\|·k rows joined to the
+    * bounded per-source doc counts.
+    */
+  def boilerplateGrams(docs: DataFrame, n: Int, minDf: Int,
+      k: Int): DataFrame = {
+    val grams = docs
+      .select(col("source"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= n)
+      .select(col("source"), explode(array_distinct(expr(
+        s"transform(sequence(0, size(t)-$n), " +
+          s"i -> concat_ws(' ', slice(t, i+1, $n)))"))).as("gram"))
+    val dfc = grams.groupBy(col("source"), col("gram"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+    val nd = docs.groupBy(col("source").as("src2"))
+      .agg(count(lit(1)).as("n_docs"))
+    dfc.groupBy(col("source"))
+      .agg(graft.functions.TopK.top_k_str(k)(col("df"), col("gram"))
+        .as("tk"))
+      .select(col("source"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("source"), (col("pos") + 1).cast("int").as("rank"),
+        col("e.key").as("gram"), col("e.score").as("df"))
+      .join(nd, col("source") === col("src2"))
+      .select(col("source"), col("rank"), col("gram"), col("df"),
+        col("n_docs"), expr("df * 10000 div n_docs").as("df_bp"))
+      .orderBy(col("source"), col("rank"))
+  }
+
+  /** Oracle: same per-doc-distinct grams; the top-k cut as a
+    * per-source row_number (fine in DuckDB at oracle scale).
+    */
+  def boilerplateGramsSql(n: Int, minDf: Int, k: Int): String =
+    s"""WITH g AS (
+       |  SELECT DISTINCT doc_id, source,
+       |         array_to_string(t[i+1:i+$n], ' ') AS gram
+       |  FROM (SELECT doc_id, source, string_split(text, ' ') AS t
+       |        FROM documents) q,
+       |       UNNEST(range(len(t)-${n - 1})) AS r(i)
+       |  WHERE len(t) >= $n
+       |), d AS (
+       |  SELECT source, gram, CAST(count(*) AS BIGINT) AS df
+       |  FROM g GROUP BY 1, 2 HAVING count(*) >= $minDf
+       |), rk AS (
+       |  SELECT source, gram, df,
+       |    CAST(row_number() OVER (PARTITION BY source
+       |      ORDER BY df DESC, gram) AS INT) AS rank
+       |  FROM d
+       |), nd AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+       |  FROM documents GROUP BY 1
+       |)
+       |SELECT r.source, rank, gram, df, n_docs,
+       |       CAST(df * 10000 // n_docs AS BIGINT) AS df_bp
+       |FROM rk r JOIN nd ON nd.source = r.source
+       |WHERE rank <= $k
+       |ORDER BY r.source, rank""".stripMargin
+
   /** BM25 ranked retrieval (Robertson/Lucene idf, k1/b saturation):
     * the lexical-search face of the curation surface — retrieval-
     * based decontamination, "find corpus docs matching this eval

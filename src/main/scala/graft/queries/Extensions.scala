@@ -1004,6 +1004,14 @@ object Extensions {
   private val x126QualityBudget: Q = (s, d) =>
     Sampling.qualityBudgetSelect(Tables.documents(s, d), budget = 15000L)
 
+  /** X3v: per-source boilerplate n-grams — top-k repeated word
+    * bigrams per source via the string-keyed bounded top-k
+    * aggregate. See TextAnalysis.boilerplateGrams.
+    */
+  private val x127Boilerplate: Q = (s, d) =>
+    TextAnalysis.boilerplateGrams(Tables.documents(s, d), n = 2,
+      minDf = 2, k = 3)
+
   val queries: Map[String, Q] = Map(
     "x01_dedup_exact" -> x01DedupExact,
     "x02_dedup_minhash" -> x02DedupMinhash,
@@ -1132,6 +1140,7 @@ object Extensions {
     "x124_length_histogram" -> x124LengthHistogram,
     "x125_hapax_report" -> x125Hapax,
     "x126_quality_budget" -> x126QualityBudget,
+    "x127_boilerplate_grams" -> x127Boilerplate,
   )
 
   /** The PNG pixel statistics in closed form: the fixture image's
@@ -1425,5 +1434,6 @@ object Extensions {
     "x124_length_histogram" -> TextAnalysis.lengthHistogramSql,
     "x125_hapax_report" -> TextAnalysis.hapaxReportSql,
     "x126_quality_budget" -> Sampling.qualityBudgetSelectSql(15000L),
+    "x127_boilerplate_grams" -> TextAnalysis.boilerplateGramsSql(2, 2, 3),
   )
 }

@@ -1106,6 +1106,33 @@ class CurationOpsSpec extends AnyFunSuite {
       "srcB" -> ((1L, 1L, 4L, 4L, 10000L, 10000L))))
   }
 
+  test("boilerplate grams: per-source top-k by doc frequency with " +
+      "lexicographic tie-break and per-doc distinctness") {
+    import spark.implicits._
+    // srcA: "x y" in docs 1,2,3 (df 3 — doc 3 repeats it, counted
+    // once); "y z" in docs 1,2 (df 2); "z w" in doc 1 only (df 1,
+    // cut by minDf). srcB: "p q" and "q r" both df 2 — tie broken
+    // lexicographically, "p q" first.
+    val docs = Seq(
+      (1L, "x y z w", "srcA"), (2L, "x y z", "srcA"),
+      (3L, "x y x y", "srcA"),
+      (4L, "p q r", "srcB"), (5L, "p q r", "srcB"))
+      .toDF("doc_id", "text", "source")
+    val rows = graft.llm.TextAnalysis
+      .boilerplateGrams(docs, n = 2, minDf = 2, k = 3)
+      .collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Int]("rank")) ->
+        ((r.getAs[String]("gram"), r.getAs[Long]("df"),
+          r.getAs[Long]("n_docs"), r.getAs[Long]("df_bp"))))
+      .toMap
+    assert(rows == Map(
+      ("srcA", 1) -> (("x y", 3L, 3L, 10000L)),
+      ("srcA", 2) -> (("y z", 2L, 3L, 6666L)),
+      ("srcB", 1) -> (("p q", 2L, 2L, 10000L)),
+      ("srcB", 2) -> (("q r", 2L, 2L, 10000L))),
+      s"got: $rows")
+  }
+
   test("semantic decontamination: empty benchmark slice yields an " +
       "unflagged full-corpus report, not a crash") {
     import spark.implicits._

@@ -1281,6 +1281,94 @@ object Similarity {
        |WHERE (CAST(c4 AS DOUBLE) - mean) / sd < -$z
        |ORDER BY vec_id""".stripMargin
 
+  /** X2h: cluster-separation SILHOUETTE report — per trained cluster
+    * (shared Lloyd loop, the x57/x85/x97 model): member count, mean
+    * affinity to the OWN centroid, mean affinity to the runner-up
+    * centroid, the mean separation margin (own − second, integer
+    * ten-thousandths), and how many members are AMBIGUOUS (margin ≤
+    * `ambThresh4`). The "is k right" table: margins near zero across
+    * clusters mean k oversplits (two centroids claim the same
+    * region); one cluster hoarding ambiguous members is a merge
+    * candidate. x97 flags individual outlier VECTORS; this grades
+    * the CLUSTERING — the simplified-silhouette idiom with cosine
+    * affinity in place of distance.
+    *
+    * Determinism: affinities quantize to integer ten-thousandths
+    * BEFORE (10000−c4)·1024+cid packing, so the top-2 selection and
+    * every mean (sum div n) are exact integers in both engines.
+    * Zero-norm vectors/centroids are excluded like x97.
+    *
+    * Scale shape: one broadcast-centroid pass; the per-vector top-2
+    * is the keep-k-smallest aggregate (map-side partials) on the
+    * packed long — never a per-vec_id row_number window; then one
+    * hash aggregate to ≤k report rows.
+    */
+  def silhouetteReport(emb: DataFrame, k: Int, trainIters: Int,
+      ambThresh4: Long, trainTarget: Long = 0): DataFrame = {
+    val cents = kmeansCentroids(emb, k, trainIters, trainTarget)
+    val top2 = emb.crossJoin(broadcast(cents))
+      .withColumn("c", round(graft.functions.VectorFunctions
+        .cosine_similarity(col("embedding"), col("ce")), 6))
+      .filter(col("c").isNotNull)
+      .withColumn("c4", round(col("c") * 10000, 0).cast("long"))
+      .withColumn("p",
+        (lit(10000L) - col("c4")) * lit(1024L) + col("__cid"))
+      .groupBy(col("vec_id"))
+      .agg(graft.functions.MinK.smallest_k(2)(col("p")).as("ps"))
+      .filter(size(col("ps")) === 2)
+      .select((col("ps")(0) % 1024L).as("cid"),
+        (lit(10000L) - expr("ps[0] div 1024")).as("a4"),
+        (lit(10000L) - expr("ps[1] div 1024")).as("b4"))
+    top2
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n"),
+        // +10000 shift keeps the dividend non-negative: Spark's div
+        // truncates toward zero, DuckDB's // floors — they only agree
+        // on non-negative operands (affinities can be < 0)
+        (expr("sum(a4 + 10000) div count(1)") - 10000L).as("mean_own4"),
+        (expr("sum(b4 + 10000) div count(1)") - 10000L)
+          .as("mean_second4"),
+        expr("sum(a4 - b4) div count(1)").as("mean_margin4"),
+        sum(when(col("a4") - col("b4") <= ambThresh4, 1L)
+          .otherwise(0L)).as("n_ambiguous"))
+      .orderBy(col("cid"))
+  }
+
+  /** Oracle: the shared Lloyd CTE chain + the same integer packing
+    * order via a per-vector row_number top-2 (fine at oracle scale).
+    */
+  def silhouetteReportSql(k: Int, trainIters: Int,
+      ambThresh4: Long): String =
+    s"""WITH ${kmeansCtesSql(k, trainIters)}, sc AS (
+       |  SELECT d.vec_id, c.cid,
+       |    CAST(round(${sqlCos("d.e", "c.ce")} * 10000, 0) AS BIGINT)
+       |      AS c4
+       |  FROM dbl d CROSS JOIN c$trainIters c
+       |  WHERE list_dot_product(d.e, d.e) > 0
+       |    AND list_dot_product(c.ce, c.ce) > 0
+       |), rk AS (
+       |  SELECT vec_id, cid, c4,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY c4 DESC, cid) AS rn
+       |  FROM sc
+       |), tb AS (
+       |  SELECT vec_id,
+       |    max(CASE WHEN rn = 1 THEN cid END) AS cid,
+       |    max(CASE WHEN rn = 1 THEN c4 END) AS a4,
+       |    max(CASE WHEN rn = 2 THEN c4 END) AS b4
+       |  FROM rk WHERE rn <= 2 GROUP BY vec_id
+       |  HAVING count(*) = 2
+       |)
+       |SELECT cid, CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(a4 + 10000) // count(*) - 10000 AS BIGINT)
+       |    AS mean_own4,
+       |  CAST(sum(b4 + 10000) // count(*) - 10000 AS BIGINT)
+       |    AS mean_second4,
+       |  CAST(sum(a4 - b4) // count(*) AS BIGINT) AS mean_margin4,
+       |  CAST(sum(CASE WHEN a4 - b4 <= $ambThresh4 THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_ambiguous
+       |FROM tb GROUP BY cid ORDER BY cid""".stripMargin
+
   /** Product-quantization ANN (x46): split each `dim`-vector into `m`
     * subvectors, quantize every subvector to its nearest of `ksub`
     * codebook centroids (the first `ksub` vectors' subvectors — a

@@ -1012,6 +1012,14 @@ object Extensions {
     TextAnalysis.boilerplateGrams(Tables.documents(s, d), n = 2,
       minDf = 2, k = 3)
 
+  /** X2h: cluster-separation silhouette report over the trained
+    * x97 centroids (own vs runner-up affinity, ambiguity counts).
+    * See Similarity.silhouetteReport.
+    */
+  private val x128Silhouette: Q = (s, d) =>
+    Similarity.silhouetteReport(Tables.embeddings(s, d), k = 8,
+      trainIters = 1, ambThresh4 = 500L)
+
   val queries: Map[String, Q] = Map(
     "x01_dedup_exact" -> x01DedupExact,
     "x02_dedup_minhash" -> x02DedupMinhash,
@@ -1141,6 +1149,7 @@ object Extensions {
     "x125_hapax_report" -> x125Hapax,
     "x126_quality_budget" -> x126QualityBudget,
     "x127_boilerplate_grams" -> x127Boilerplate,
+    "x128_silhouette" -> x128Silhouette,
   )
 
   /** The PNG pixel statistics in closed form: the fixture image's
@@ -1435,5 +1444,6 @@ object Extensions {
     "x125_hapax_report" -> TextAnalysis.hapaxReportSql,
     "x126_quality_budget" -> Sampling.qualityBudgetSelectSql(15000L),
     "x127_boilerplate_grams" -> TextAnalysis.boilerplateGramsSql(2, 2, 3),
+    "x128_silhouette" -> Similarity.silhouetteReportSql(8, 1, 500L),
   )
 }

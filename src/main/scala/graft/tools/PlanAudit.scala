@@ -265,6 +265,8 @@ object PlanAudit {
       "x94_binary_topk" -> Set("BNLJoin"), // 5 broadcast query signatures
       // k broadcast trained centroids (the x36/x57 shape)
       "x97_centroid_outliers" -> Set("BNLJoin"),
+      // the same k-centroid broadcast feeding the top-2 affinity cut
+      "x128_silhouette" -> Set("BNLJoin"),
       // serve path: the same ≤k-centroid broadcast, read back as a
       // LocalRelation from the persisted model table (cf. x66/x68)
       "x104_centroid_outliers_serve" -> Set("BNLJoin"),

@@ -48,6 +48,41 @@ class NoveltyMixSpec extends AnyFunSuite {
     assert(flagged == Set(99L), s"flagged $flagged")
   }
 
+  test("silhouette report: per-cluster own/second affinity means, " +
+    "margins, and ambiguity counts match hand computation") {
+    import spark.implicits._
+    // trainIters=0 -> centroids are the raw seed vectors 0 and 1.
+    // c0 = (1,0), c1 = (0,1).
+    //   v0: a4 10000 (c0), b4 0      -> margin 10000
+    //   v2: a4 10000 (c0), b4 10     -> margin  9990
+    //   v3: cos 0.707107 to both -> tie to c0, margin 0 (ambiguous)
+    //   v1: a4 10000 (c1), b4 0      -> margin 10000
+    //   v4: a4 0 (c1), b4 -10000     -> margin 10000
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f), 0),
+      (1L, Array(0.0f, 1.0f), 1),
+      (2L, Array(1.0f, 0.001f), 0),
+      (3L, Array(1.0f, 1.0f), 0),
+      (4L, Array(-1.0f, 0.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val rows = Similarity
+      .silhouetteReport(emb, k = 2, trainIters = 0, ambThresh4 = 500L)
+      .collect()
+      .map(r => r.getAs[Long]("cid") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("mean_own4"),
+          r.getAs[Long]("mean_second4"), r.getAs[Long]("mean_margin4"),
+          r.getAs[Long]("n_ambiguous"))))
+      .toMap
+    // c0: n 3, own (10000+10000+7071) -> 9023, second (0+10+7071) -> 2360
+    //     margin (10000+9990+0) div 3 = 6663, 1 ambiguous
+    // c1: n 2, own (10000+0) -> 5000, second (0-10000) -> -5000,
+    //     margin 10000, 0 ambiguous
+    assert(rows == Map(
+      0L -> ((3L, 9023L, 2360L, 6663L, 1L)),
+      1L -> ((2L, 5000L, -5000L, 10000L, 0L))),
+      s"got: $rows")
+  }
+
   test("epoch mix: one waterfill round moves a capped source's " +
     "stranded budget to the uncapped one, exactly") {
     import spark.implicits._

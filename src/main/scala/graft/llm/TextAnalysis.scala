@@ -1243,6 +1243,80 @@ object TextAnalysis {
       |JOIN sizes z2 ON z2.source = s2
       |ORDER BY s1, s2""".stripMargin
 
+  /** X3w: source-distribution SIMILARITY matrix — for every source
+    * pair, the Bhattacharyya coefficient BC = Σ√(p_a·p_b) of their
+    * unigram token distributions (and the squared Hellinger distance
+    * 1−BC), in integer nano-units. x65 compares vocabularies as SETS
+    * (Jaccard); this weighs them by token MASS — two sources can
+    * share most of their vocabulary yet use it with very different
+    * frequencies (BC low), or share few types that carry all the
+    * mass (BC high). The matrix that says which sources are
+    * distributionally redundant before a mix is planned, with no
+    * logs: only tokens present in BOTH sources contribute, so the
+    * pair join is the same token-bucketed enumeration as x65.
+    *
+    * Determinism: each per-token term √(c_a·c_b/(T_a·T_b)) is ONE
+    * sqrt of exact-double ratios, rounded to nano-units BEFORE the
+    * sum — the aggregate is an exact integer sum in any engine
+    * (x119's quantize-then-sum idiom). BC ≤ 1 up to per-term
+    * rounding, so h2_nano can sit within ±n_common nano of 0.
+    *
+    * Scale shape: one token explode → (source, token) hash agg
+    * (pinned — totals and the pair join both read it), a token-keyed
+    * self-join bounded by \|sources\| rows per token, two broadcast
+    * \|sources\|-row total joins, one hash agg to ≤ \|sources\|²/2
+    * report rows.
+    */
+  def sourceDivergence(docs: DataFrame): DataFrame = {
+    val tf = graft.tools.Materialize(docs
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c")))
+    val tot = tf.groupBy(col("source")).agg(sum(col("c")).as("t"))
+    tf.as("a")
+      .join(tf.as("b"),
+        col("a.w") === col("b.w") && col("a.source") < col("b.source"))
+      .select(col("a.source").as("s1"), col("b.source").as("s2"),
+        col("a.c").as("ca"), col("b.c").as("cb"))
+      // no broadcast hint: the |sources|-row totals frame has no
+      // STRUCTURAL cardinality certificate (PlanAudit would flag the
+      // hint); AQE broadcasts the few-row side at runtime on its own
+      .join(tot.select(col("source").as("s1"), col("t").as("ta")), "s1")
+      .join(tot.select(col("source").as("s2"), col("t").as("tb")), "s2")
+      .withColumn("term", round(sqrt(
+        col("ca").cast("double") * col("cb") /
+          (col("ta").cast("double") * col("tb"))) * 1e9).cast("long"))
+      .groupBy(col("s1"), col("s2"))
+      .agg(count(lit(1)).as("n_common"), sum(col("term")).as("bc_nano"))
+      .select(col("s1"), col("s2"), col("n_common"), col("bc_nano"),
+        (lit(1000000000L) - col("bc_nano")).as("h2_nano"))
+      .orderBy(col("s1"), col("s2"))
+  }
+
+  /** Oracle: same per-term quantize-then-sum, same join bounds. */
+  val sourceDivergenceSql: String =
+    """WITH tf AS (
+      |  SELECT source, w, CAST(count(*) AS BIGINT) AS c FROM (
+      |    SELECT source, unnest(string_split(text, ' ')) AS w
+      |    FROM documents)
+      |  WHERE w <> '' GROUP BY 1, 2
+      |), tot AS (
+      |  SELECT source, CAST(sum(c) AS BIGINT) AS t FROM tf GROUP BY 1
+      |), pr AS (
+      |  SELECT a.source AS s1, b.source AS s2,
+      |    CAST(round(sqrt(CAST(a.c AS DOUBLE) * b.c /
+      |      (CAST(ta.t AS DOUBLE) * tb.t)) * 1000000000.0) AS BIGINT)
+      |      AS term
+      |  FROM tf a
+      |  JOIN tf b ON a.w = b.w AND a.source < b.source
+      |  JOIN tot ta ON ta.source = a.source
+      |  JOIN tot tb ON tb.source = b.source
+      |)
+      |SELECT s1, s2, CAST(count(*) AS BIGINT) AS n_common,
+      |  CAST(sum(term) AS BIGINT) AS bc_nano,
+      |  CAST(1000000000 - sum(term) AS BIGINT) AS h2_nano
+      |FROM pr GROUP BY 1, 2 ORDER BY s1, s2""".stripMargin
+
   /** X3s: vocabulary SIZING — the inverse lookup of the x64 Zipf
     * curve: for each coverage target p ∈ `targets` (percent), the
     * smallest vocabulary size V such that the top-V tokens (count

@@ -1020,6 +1020,13 @@ object Extensions {
     Similarity.silhouetteReport(Tables.embeddings(s, d), k = 8,
       trainIters = 1, ambThresh4 = 500L)
 
+  /** X3w: source-distribution similarity matrix (Bhattacharyya /
+    * squared Hellinger of unigram distributions, nano-units). See
+    * TextAnalysis.sourceDivergence.
+    */
+  private val x129SourceDivergence: Q = (s, d) =>
+    TextAnalysis.sourceDivergence(Tables.documents(s, d))
+
   val queries: Map[String, Q] = Map(
     "x01_dedup_exact" -> x01DedupExact,
     "x02_dedup_minhash" -> x02DedupMinhash,
@@ -1150,6 +1157,7 @@ object Extensions {
     "x126_quality_budget" -> x126QualityBudget,
     "x127_boilerplate_grams" -> x127Boilerplate,
     "x128_silhouette" -> x128Silhouette,
+    "x129_source_divergence" -> x129SourceDivergence,
   )
 
   /** The PNG pixel statistics in closed form: the fixture image's
@@ -1445,5 +1453,6 @@ object Extensions {
     "x126_quality_budget" -> Sampling.qualityBudgetSelectSql(15000L),
     "x127_boilerplate_grams" -> TextAnalysis.boilerplateGramsSql(2, 2, 3),
     "x128_silhouette" -> Similarity.silhouetteReportSql(8, 1, 500L),
+    "x129_source_divergence" -> TextAnalysis.sourceDivergenceSql,
   )
 }

@@ -1133,6 +1133,27 @@ class CurationOpsSpec extends AnyFunSuite {
       s"got: $rows")
   }
 
+  test("source divergence: identical distributions score BC ~ 1e9 " +
+      "and skewed ones match the hand-computed Bhattacharyya sum") {
+    import spark.implicits._
+    // srcA {a:2, b:1}/3, srcB {a:1, b:3}/4, srcC == srcA.
+    // (A,B): sqrt(2/12)=0.408248290..., sqrt(3/12)=0.5 -> bc 908248290
+    // (A,C): sqrt(4/9)+sqrt(1/9) = 2/3 + 1/3 -> 666666667+333333333 = 1e9
+    val docs = Seq(
+      (1L, "a a b", "srcA"), (2L, "a b b b", "srcB"),
+      (3L, "a a b", "srcC"))
+      .toDF("doc_id", "text", "source")
+    val rows = graft.llm.TextAnalysis.sourceDivergence(docs)
+      .collect()
+      .map(r => (r.getAs[String]("s1"), r.getAs[String]("s2")) ->
+        ((r.getAs[Long]("n_common"), r.getAs[Long]("bc_nano"),
+          r.getAs[Long]("h2_nano"))))
+      .toMap
+    assert(rows(("srcA", "srcC")) == ((2L, 1000000000L, 0L)))
+    assert(rows(("srcA", "srcB")) == ((2L, 908248290L, 91751710L)))
+    assert(rows(("srcB", "srcC")) == ((2L, 908248290L, 91751710L)))
+  }
+
   test("semantic decontamination: empty benchmark slice yields an " +
       "unflagged full-corpus report, not a crash") {
     import spark.implicits._

@@ -552,6 +552,121 @@ object Similarity {
       .orderBy(col("label"))
   }
 
+  /** X2i: Fisher SEPARABILITY report — per label: the within-class
+    * variance (mean squared distance of members to their own class
+    * mean), the squared distance of the class mean to the GLOBAL
+    * mean, and their ratio (the per-class Fisher criterion). x114
+    * measures how SPREAD a class is; this measures whether classes
+    * are DISTINGUISHABLE — collapsed embeddings (all classes on one
+    * point) show fisher ≈ 0 everywhere, a leaked/trivial labeling
+    * shows huge ratios. The go/no-go table for using the embedding
+    * column as a classifier feature or a semantic-dedup space.
+    *
+    * All moments are exact integers off micro-unit embeddings (the
+    * x114 idiom): n·W = n·Σ‖u‖² − ‖Σu‖² and the between-numerator
+    * D = Σ_dim (N·S_L[d] − n_L·S[d])² are DECIMAL(38,0) sums; floats
+    * appear only in the final fixed projection, rounded at 6dp.
+    *
+    * Scale shape: one full-data pass for per-label norms + one for
+    * per-(label, dim) component sums (both map-side-combined hash
+    * aggs); everything after runs on the ≤\|labels\|·dim bounded
+    * frame — the global mean, D, and the report joins never touch a
+    * vector again.
+    */
+  def fisherSeparability(emb: DataFrame): DataFrame = {
+    val u = emb.select(col("vec_id"), col("label"), expr(
+      "transform(embedding, x -> cast(round(cast(x as double) " +
+        "* 1000000, 0) as bigint))").as("u"))
+    val norms = u
+      .select(col("label"), expr(
+        "aggregate(u, cast(0 as bigint), (a, x) -> a + x * x)").as("n2"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("n2").cast("decimal(38,0)")).as("s2"))
+    val comps = graft.tools.Materialize(u
+      .select(col("label"), posexplode(col("u")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("v")).as("s")))
+    val g = comps.groupBy(col("pos")).agg(sum(col("s")).as("gs"))
+    val nn = norms.agg(sum(col("n")).as("bign"))
+    val m2 = comps.groupBy(col("label"))
+      .agg(sum(col("s").cast("decimal(19,0)") *
+        col("s").cast("decimal(19,0)")).as("m2"))
+    val d2 = comps.join(g, "pos")
+      .join(norms.select(col("label"), col("n")), "label")
+      .crossJoin(broadcast(nn))
+      .withColumn("diff", col("bign") * col("s") - col("n") * col("gs"))
+      .groupBy(col("label"))
+      .agg(sum(col("diff").cast("decimal(19,0)") *
+        col("diff").cast("decimal(19,0)")).as("d2"))
+    norms.join(m2, Seq("label")).join(d2, Seq("label"))
+      .crossJoin(broadcast(nn))
+      .withColumn("wraw",
+        (col("n").cast("double") * col("s2").cast("double") -
+          col("m2").cast("double")) /
+          col("n").cast("double") / col("n").cast("double"))
+      .withColumn("braw",
+        col("d2").cast("double") /
+          col("n").cast("double") / col("n").cast("double") /
+          col("bign").cast("double") / col("bign").cast("double"))
+      .select(col("label"), col("n"),
+        round(col("wraw") / 1e12, 6).as("within_var"),
+        round(col("braw") / 1e12, 6).as("between_sqdist"),
+        when(col("wraw") > 0, round(col("braw") / col("wraw"), 6))
+          .otherwise(lit(0d)).as("fisher_ratio"))
+      .orderBy(col("label"))
+  }
+
+  /** Oracle: same exact HUGEINT moments, same fixed projection. */
+  val fisherSeparabilitySql: String =
+    s"""WITH u AS (
+       |  SELECT vec_id, label, list_transform(embedding,
+       |    x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT))
+       |    AS u
+       |  FROM embeddings
+       |), norms AS (
+       |  SELECT label, CAST(count(*) AS BIGINT) AS n,
+       |    sum(CAST(list_sum(list_transform(u, x -> x * x)) AS HUGEINT))
+       |      AS s2
+       |  FROM u GROUP BY 1
+       |), comps AS (
+       |  SELECT label, pos, CAST(sum(v) AS BIGINT) AS s
+       |  FROM (SELECT label, unnest(u) AS v,
+       |          unnest(range(len(u))) AS pos FROM u)
+       |  GROUP BY 1, 2
+       |), g AS (
+       |  SELECT pos, CAST(sum(s) AS BIGINT) AS gs FROM comps GROUP BY 1
+       |), nn AS (
+       |  SELECT CAST(sum(n) AS BIGINT) AS bign FROM norms
+       |), msq AS (
+       |  SELECT label, sum(CAST(s AS HUGEINT) * CAST(s AS HUGEINT))
+       |    AS m2
+       |  FROM comps GROUP BY 1
+       |), dsq AS (
+       |  SELECT c.label,
+       |    sum(CAST(bign * s - n * gs AS HUGEINT)
+       |      * CAST(bign * s - n * gs AS HUGEINT)) AS d2
+       |  FROM comps c
+       |  JOIN g ON g.pos = c.pos
+       |  JOIN norms nr ON nr.label = c.label
+       |  CROSS JOIN nn
+       |  GROUP BY 1
+       |), fin AS (
+       |  SELECT nr.label, nr.n,
+       |    (nr.n * CAST(nr.s2 AS DOUBLE) - CAST(m.m2 AS DOUBLE))
+       |      / nr.n / nr.n AS wraw,
+       |    CAST(d.d2 AS DOUBLE) / nr.n / nr.n / bign / bign AS braw
+       |  FROM norms nr
+       |  JOIN msq m ON m.label = nr.label
+       |  JOIN dsq d ON d.label = nr.label
+       |  CROSS JOIN nn
+       |)
+       |SELECT label, n, round(wraw / 1e12, 6) AS within_var,
+       |  round(braw / 1e12, 6) AS between_sqdist,
+       |  CASE WHEN wraw > 0 THEN round(braw / wraw, 6) ELSE 0.0 END
+       |    AS fisher_ratio
+       |FROM fin ORDER BY label""".stripMargin
+
   def embedDiversitySql: String =
     s"""WITH u AS (
        |  SELECT vec_id, label, list_transform(embedding,

@@ -1027,6 +1027,13 @@ object Extensions {
   private val x129SourceDivergence: Q = (s, d) =>
     TextAnalysis.sourceDivergence(Tables.documents(s, d))
 
+  /** X2i: Fisher separability report — per-label within/between
+    * scatter and their ratio from exact integer moments. See
+    * Similarity.fisherSeparability.
+    */
+  private val x130Fisher: Q = (s, d) =>
+    Similarity.fisherSeparability(Tables.embeddings(s, d))
+
   val queries: Map[String, Q] = Map(
     "x01_dedup_exact" -> x01DedupExact,
     "x02_dedup_minhash" -> x02DedupMinhash,
@@ -1158,6 +1165,7 @@ object Extensions {
     "x127_boilerplate_grams" -> x127Boilerplate,
     "x128_silhouette" -> x128Silhouette,
     "x129_source_divergence" -> x129SourceDivergence,
+    "x130_fisher_separability" -> x130Fisher,
   )
 
   /** The PNG pixel statistics in closed form: the fixture image's
@@ -1454,5 +1462,6 @@ object Extensions {
     "x127_boilerplate_grams" -> TextAnalysis.boilerplateGramsSql(2, 2, 3),
     "x128_silhouette" -> Similarity.silhouetteReportSql(8, 1, 500L),
     "x129_source_divergence" -> TextAnalysis.sourceDivergenceSql,
+    "x130_fisher_separability" -> Similarity.fisherSeparabilitySql,
   )
 }

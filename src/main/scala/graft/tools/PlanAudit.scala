@@ -267,6 +267,9 @@ object PlanAudit {
       "x97_centroid_outliers" -> Set("BNLJoin"),
       // the same k-centroid broadcast feeding the top-2 affinity cut
       "x128_silhouette" -> Set("BNLJoin"),
+      // 1-row global-N scalar broadcast into the |labels|*dim moment
+      // frame (certified scalar-subquery-1row above)
+      "x130_fisher_separability" -> Set("SinglePartition", "BNLJoin"),
       // serve path: the same ≤k-centroid broadcast, read back as a
       // LocalRelation from the persisted model table (cf. x66/x68)
       "x104_centroid_outliers_serve" -> Set("BNLJoin"),

@@ -83,6 +83,30 @@ class NoveltyMixSpec extends AnyFunSuite {
       s"got: $rows")
   }
 
+  test("fisher separability: within/between scatter and ratio match " +
+    "the hand-computed two-class geometry") {
+    import spark.implicits._
+    // label 0: (1,0), (3,0)  -> mean (2,0),  within var 1
+    // label 1: (0,10),(0,14) -> mean (0,12), within var 4
+    // global mean (1,6): between 0 = |(1,-6)|^2 = 37, between 1 =
+    // |(-1,6)|^2 = 37; fisher 37/1 and 37/4.
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f), 0), (1L, Array(3.0f, 0.0f), 0),
+      (2L, Array(0.0f, 10.0f), 1), (3L, Array(0.0f, 14.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val rows = Similarity.fisherSeparability(emb)
+      .collect()
+      .map(r => r.getAs[Int]("label") ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("within_var"),
+          r.getAs[Double]("between_sqdist"),
+          r.getAs[Double]("fisher_ratio"))))
+      .toMap
+    assert(rows == Map(
+      0 -> ((2L, 1.0, 37.0, 37.0)),
+      1 -> ((2L, 4.0, 37.0, 9.25))),
+      s"got: $rows")
+  }
+
   test("epoch mix: one waterfill round moves a capped source's " +
     "stranded budget to the uncapped one, exactly") {
     import spark.implicits._

@@ -241,7 +241,7 @@ object Dedup {
         .reduce(_ + _).as("simhash"))
   }
 
-  private def simhash32Sql: String = {
+  private def simhash32SqlFrom(rel: String): String = {
     val bitSums = (0 until 32).map { j =>
       s"sum(CASE WHEN (v // ${1L << j}) % 2 = 1 THEN 1 ELSE -1 END) AS s$j"
     }.mkString(", ")
@@ -253,7 +253,7 @@ object Dedup {
        |    SELECT doc_id, ${hash32Expr("strpos", "w")} AS v FROM (
        |      SELECT doc_id,
        |             unnest(list_distinct(string_split(text, ' '))) AS w
-       |      FROM documents))
+       |      FROM $rel))
        |  GROUP BY doc_id)""".stripMargin
   }
 
@@ -321,8 +321,9 @@ object Dedup {
   /** The sig→banded→kept→pairs CTE chain shared by the near-dup pair
     * query and the cluster-resolution oracle.
     */
-  private def simhashPairCtes(bucketCap: Int): String =
-    s"""sig AS ($simhash32Sql),
+  private def simhashPairCtes(bucketCap: Int,
+      rel: String = "documents"): String =
+    s"""sig AS (${simhash32SqlFrom(rel)}),
        |banded AS (
        |  SELECT doc_id, simhash, i AS band,
        |         (simhash // (1 << (4 * i))) % 16 AS nib
@@ -388,6 +389,111 @@ object Dedup {
       .select(col("band"), col("nib"), col("r.rep_id").as("rep_id"),
         col("r.rep_sim").as("rep_sim"))
   }
+
+  /** Probe the frozen rep-signature buckets with a map-only simhash:
+    * one (doc_id, rep_id, dist) row per banded Hamming match ≤
+    * `maxDist`. Stateless and bounded (≤ 8·bucketCap rows per
+    * arrival) — shared verbatim by the batch x131 query and the
+    * streaming ingest twin.
+    */
+  def fuzzyProbe(arrivals: DataFrame, buckets: DataFrame,
+      maxDist: Int): DataFrame =
+    simhashSignatureMapOnly(arrivals)
+      .select(col("doc_id"), col("simhash"),
+        explode(expr("array(0, 1, 2, 3, 4, 5, 6, 7)")).as("band"))
+      .withColumn("nib",
+        expr("(simhash div shiftleft(1L, 4 * band)) % 16"))
+      .join(buckets, Seq("band", "nib"))
+      .withColumn("dist", expr("cast(bit_count(simhash ^ rep_sim) as int)"))
+      .filter(col("dist") <= maxDist)
+      .select(col("doc_id"), col("rep_id"), col("dist"))
+
+  /** Finisher over [[fuzzyProbe]] matches: one verdict row per
+    * arrival — kept iff no match surfaced, else the nearest
+    * (dist, rep_id) match. Shared by batch x131 and the streaming
+    * drain.
+    */
+  def fuzzyVerdicts(arrivals: DataFrame, matches: DataFrame): DataFrame = {
+    val best = matches
+      .groupBy(col("doc_id"))
+      .agg(min(struct(col("dist"), col("rep_id"))).as("b"))
+    arrivals.select(col("doc_id")).join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("b").isNull.as("kept"),
+        col("b.rep_id").as("rep_id"), col("b.dist").as("dist"))
+  }
+
+  /** X1n: incremental FUZZY dedup — the near-dup face of x99's exact
+    * incremental verdicts, and the batch-oracle twin of the
+    * streaming ingest path: the corpus md5-slice NOT in the %newMod
+    * bucket is the FROZEN corpus (its x76 survivors' banded
+    * signature buckets are the serving model), the %newMod bucket is
+    * the arriving batch, and every arrival gets a keep/drop verdict
+    * with its nearest surviving representative and Hamming distance.
+    * x99 only catches byte-identical re-serves; this catches the
+    * near-copies (tracking params, boilerplate edits) a crawl
+    * actually re-serves — at per-arrival cost ≤ 8·bucketCap bucket
+    * rows regardless of corpus size, because the probe is the SAME
+    * stateless stream-static join the ingest twin runs
+    * ([[fuzzyProbe]]/[[fuzzyVerdicts]] shared verbatim).
+    */
+  def incrementalFuzzyDedup(docs: DataFrame, newMod: Int, maxDist: Int,
+      bucketCap: Int = 64): DataFrame = {
+    val h = expr(hash16FastExpr("cast(doc_id as string)"))
+    val corpus = docs.filter(h % newMod =!= 0)
+    val batch = docs.filter(h % newMod === 0)
+    val buckets = repSignatureBuckets(corpus, maxDist, bucketCap)
+    fuzzyVerdicts(batch, fuzzyProbe(batch, buckets, maxDist))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle: the x48/x76 chain over the corpus slice (repsCtesBody
+    * parameterized by relation), the same cap-and-drop bucket rule,
+    * the batch side's signatures through the shared simhash SQL, and
+    * the (dist, rep_id) argmin as a packed-long min (exact for
+    * doc_id < 2³¹, the repSignatureBuckets bound).
+    */
+  def incrementalFuzzyDedupSql(newMod: Int, maxDist: Int,
+      bucketCap: Int = 64): String =
+    s"""WITH RECURSIVE corp AS MATERIALIZED (
+       |  SELECT * FROM documents
+       |  WHERE ${hash16Expr("strpos", "CAST(doc_id AS VARCHAR)")}
+       |    % $newMod <> 0
+       |), newb AS MATERIALIZED (
+       |  SELECT * FROM documents
+       |  WHERE ${hash16Expr("strpos", "CAST(doc_id AS VARCHAR)")}
+       |    % $newMod = 0
+       |), ${repsCtesBody(maxDist, bucketCap, "corp")},
+       |reps AS (SELECT doc_id FROM ranked WHERE rk = 1),
+       |rsig AS (
+       |  SELECT s.doc_id, s.simhash FROM sig s JOIN reps USING (doc_id)
+       |), rband AS (
+       |  SELECT doc_id AS rep_id, simhash AS rep_sim, i AS band,
+       |         (simhash // (1 << (4 * i))) % 16 AS nib
+       |  FROM rsig, UNNEST(range(8)) AS r(i)
+       |), bcap AS (
+       |  SELECT band, nib FROM rband GROUP BY band, nib
+       |  HAVING count(*) <= $bucketCap
+       |), bkt AS (
+       |  SELECT rb.* FROM rband rb JOIN bcap USING (band, nib)
+       |), nsig AS (${simhash32SqlFrom("newb")}),
+       |nband AS (
+       |  SELECT doc_id, simhash, i AS band,
+       |         (simhash // (1 << (4 * i))) % 16 AS nib
+       |  FROM nsig, UNNEST(range(8)) AS r(i)
+       |), m AS (
+       |  SELECT n.doc_id,
+       |    CAST(bit_count(xor(n.simhash, b.rep_sim)) AS BIGINT)
+       |      * 4294967296 + b.rep_id AS p
+       |  FROM nband n JOIN bkt b ON n.band = b.band AND n.nib = b.nib
+       |  WHERE bit_count(xor(n.simhash, b.rep_sim)) <= $maxDist
+       |), best AS (
+       |  SELECT doc_id, min(p) AS p FROM m GROUP BY doc_id
+       |)
+       |SELECT nb.doc_id, best.p IS NULL AS kept,
+       |  CAST(best.p % 4294967296 AS BIGINT) AS rep_id,
+       |  CAST(best.p // 4294967296 AS INT) AS dist
+       |FROM newb nb LEFT JOIN best USING (doc_id)
+       |ORDER BY nb.doc_id""".stripMargin
 
   /** X1 cluster resolution: connected components over a near-dup pair
     * graph — the final stage of a dedup pipeline (pairs say "these
@@ -621,7 +727,16 @@ object Dedup {
     * quality-ranked members (`ranked`; rk = 1 is the representative).
     */
   private def repsCtes(maxDist: Int, bucketCap: Int): String =
-    s"""WITH RECURSIVE ${simhashPairCtes(bucketCap)},
+    s"WITH RECURSIVE ${repsCtesBody(maxDist, bucketCap, "documents")}"
+
+  /** The x48/x76 chain parameterized by its source relation so a
+    * corpus SLICE (the x131 frozen corpus) can run the same CTEs
+    * verbatim; `rel = "documents"` reproduces the historic strings
+    * byte-for-byte.
+    */
+  private def repsCtesBody(maxDist: Int, bucketCap: Int,
+      rel: String): String =
+    s"""${simhashPairCtes(bucketCap, rel)},
        |edges AS MATERIALIZED (
        |  SELECT d1, d2 FROM pairs
        |  WHERE bit_count(xor(s1, s2)) <= $maxDist
@@ -631,7 +746,7 @@ object Dedup {
        |  UNION ALL SELECT d2, d1 FROM edges
        |),
        |reach AS (
-       |  SELECT doc_id AS node, doc_id AS label FROM documents
+       |  SELECT doc_id AS node, doc_id AS label FROM $rel
        |  UNION
        |  SELECT e.b, r.label FROM bidir e JOIN reach r ON r.node = e.a
        |),
@@ -644,7 +759,7 @@ object Dedup {
        |         round(CAST(len(list_distinct(string_split(text, ' ')))
        |                 AS DOUBLE) / len(string_split(text, ' ')), 6)
        |           AS score
-       |  FROM documents
+       |  FROM $rel
        |),
        |ranked AS (
        |  SELECT c.component, c.doc_id, sc.score,

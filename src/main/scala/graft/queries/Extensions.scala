@@ -1034,6 +1034,14 @@ object Extensions {
   private val x130Fisher: Q = (s, d) =>
     Similarity.fisherSeparability(Tables.embeddings(s, d))
 
+  /** X1n: incremental fuzzy dedup — new-batch slice probed against
+    * the frozen corpus's rep-signature buckets, keep/drop verdicts
+    * with nearest representative. See Dedup.incrementalFuzzyDedup.
+    */
+  private val x131IncrementalFuzzy: Q = (s, d) =>
+    Dedup.incrementalFuzzyDedup(Tables.documents(s, d), newMod = 5,
+      maxDist = 3)
+
   val queries: Map[String, Q] = Map(
     "x01_dedup_exact" -> x01DedupExact,
     "x02_dedup_minhash" -> x02DedupMinhash,
@@ -1166,6 +1174,7 @@ object Extensions {
     "x128_silhouette" -> x128Silhouette,
     "x129_source_divergence" -> x129SourceDivergence,
     "x130_fisher_separability" -> x130Fisher,
+    "x131_incremental_fuzzy" -> x131IncrementalFuzzy,
   )
 
   /** The PNG pixel statistics in closed form: the fixture image's
@@ -1463,5 +1472,6 @@ object Extensions {
     "x128_silhouette" -> Similarity.silhouetteReportSql(8, 1, 500L),
     "x129_source_divergence" -> TextAnalysis.sourceDivergenceSql,
     "x130_fisher_separability" -> Similarity.fisherSeparabilitySql,
+    "x131_incremental_fuzzy" -> Dedup.incrementalFuzzyDedupSql(5, 3),
   )
 }

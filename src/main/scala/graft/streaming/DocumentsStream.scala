@@ -376,28 +376,15 @@ object DocumentsStream {
     */
   def fuzzyMatchesOnIngest(docs: DataFrame, buckets: DataFrame,
       maxDist: Int): DataFrame =
-    graft.llm.Dedup.simhashSignatureMapOnly(docs)
-      .select(col("doc_id"), col("simhash"),
-        explode(expr("array(0, 1, 2, 3, 4, 5, 6, 7)")).as("band"))
-      .withColumn("nib",
-        expr("(simhash div shiftleft(1L, 4 * band)) % 16"))
-      .join(buckets, Seq("band", "nib"))
-      .withColumn("dist", expr("cast(bit_count(simhash ^ rep_sim) as int)"))
-      .filter(col("dist") <= maxDist)
-      .select(col("doc_id"), col("rep_id"), col("dist"))
+    graft.llm.Dedup.fuzzyProbe(docs, buckets, maxDist)
 
   /** Drain-time finisher: one verdict row per arrival — kept iff no
-    * match surfaced, else the nearest (dist, rep_id) match.
+    * match surfaced, else the nearest (dist, rep_id) match (the
+    * shared batch-x131 finisher, Dedup.fuzzyVerdicts).
     */
   def fuzzyVerdictsAtDrain(arrivals: DataFrame,
-      matches: DataFrame): DataFrame = {
-    val best = matches
-      .groupBy(col("doc_id"))
-      .agg(min(struct(col("dist"), col("rep_id"))).as("b"))
-    arrivals.select(col("doc_id")).join(best, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("b").isNull.as("kept"),
-        col("b.rep_id").as("rep_id"), col("b.dist").as("dist"))
-  }
+      matches: DataFrame): DataFrame =
+    graft.llm.Dedup.fuzzyVerdicts(arrivals, matches)
 
   /** Stateless near-dup candidate flagging on ingest — the stream
     * half of the shingle-bucket family (x04 Jaccard / x62

@@ -270,6 +270,12 @@ object PlanAudit {
       // 1-row global-N scalar broadcast into the |labels|*dim moment
       // frame (certified scalar-subquery-1row above)
       "x130_fisher_separability" -> Set("SinglePartition", "BNLJoin"),
+      // Spark's OWN injected runtime filter: a 1-row global
+      // bloom_filter_agg built over the batch-slice join keys to
+      // prune the verdict join's probe side — an optimizer-added
+      // scalar reduce (the correct shape; nothing in the authored
+      // plan is single-partition)
+      "x131_incremental_fuzzy" -> Set("SinglePartition"),
       // serve path: the same ≤k-centroid broadcast, read back as a
       // LocalRelation from the persisted model table (cf. x66/x68)
       "x104_centroid_outliers_serve" -> Set("BNLJoin"),

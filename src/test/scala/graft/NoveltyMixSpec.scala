@@ -83,6 +83,34 @@ class NoveltyMixSpec extends AnyFunSuite {
       s"got: $rows")
   }
 
+  test("incremental fuzzy dedup: a batch near-copy of a kept corpus " +
+    "rep is flagged with that rep, novel content is kept") {
+    import spark.implicits._
+    val t = (1 to 30).map(i => s"w$i").mkString(" ")
+    val u = (1 to 30).map(i => s"v$i").mkString(" ")
+    val fresh = (1 to 30).map(i => s"z$i").mkString(" ")
+    // frozen corpus: docs 10/11 identical (rep = 10 by doc_id tie),
+    // doc 12 distinct; batch: doc 20 re-serves t byte-for-byte
+    // (simhash dist 0 to rep 10), doc 21 is novel
+    val corpus = Seq(
+      (10L, t, "srcA"), (11L, t, "srcA"), (12L, u, "srcB"))
+      .toDF("doc_id", "text", "source")
+    val batch = Seq((20L, t, "srcC"), (21L, fresh, "srcC"))
+      .toDF("doc_id", "text", "source")
+    val buckets = graft.llm.Dedup
+      .repSignatureBuckets(corpus, maxDist = 3)
+    val rows = graft.llm.Dedup
+      .fuzzyVerdicts(batch,
+        graft.llm.Dedup.fuzzyProbe(batch, buckets, maxDist = 3))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Boolean]("kept"), Option(r.getAs[java.lang.Long]("rep_id")),
+          Option(r.getAs[java.lang.Integer]("dist")))))
+      .toMap
+    assert(rows(20L) == ((false, Some(10L), Some(0))), s"got ${rows(20L)}")
+    assert(rows(21L) == ((true, None, None)), s"got ${rows(21L)}")
+  }
+
   test("fisher separability: within/between scatter and ratio match " +
     "the hand-computed two-class geometry") {
     import spark.implicits._

@@ -1386,6 +1386,83 @@ object Dedup {
        |FROM lab GROUP BY 1, 2
        |ORDER BY source_a, source_b""".stripMargin
 
+  /** X1o: dedup-threshold ROI SWEEP — price every candidate Jaccard
+    * threshold on the corpus's own x04 candidate pairs before
+    * committing a dedup run: per threshold (integer millionths), the
+    * surviving pair count, the documents a keep-min-id policy would
+    * remove (docs with at least one SMALLER-id neighbor at ≥ the
+    * threshold — the greedy lower bound of what a full x33 CC pass
+    * removes), and their exact token mass. x118 histograms ONE
+    * configured pipeline; this is the knob-choosing table ("0.8
+    * deletes 2% of tokens, 0.5 deletes 19%") off a single candidate
+    * enumeration — the x121 sweep idiom pointed at the dedup knob.
+    *
+    * Scale shape: the bounded x04 candidate machinery once
+    * (threshold 0 keeps every bucket-cohabiting pair), quantized to
+    * integer millionths, a \|thresholds\|-way map-side explode, one
+    * pair-count hash agg + one (threshold, victim) dedup agg joined
+    * to the narrow token projection. A threshold no pair survives
+    * produces no row (same in both dialects).
+    */
+  def dedupThresholdSweep(docs: DataFrame, dfCap: Int,
+      thrMicro: Seq[Long]): DataFrame = {
+    require(thrMicro.nonEmpty)
+    val jm = graft.tools.Materialize(
+      jaccardPairs(docs, dfCap, threshold = 0.0)
+        .select(col("d2"),
+          round(col("inter") * lit(1000000.0) /
+            (col("sz1") + col("sz2") - col("inter")))
+            .cast("long").as("jm")))
+    val perT = jm
+      .withColumn("thr_micro",
+        explode(array(thrMicro.sorted.map(lit): _*)))
+      .filter(col("jm") >= col("thr_micro"))
+    val pairsAgg = perT.groupBy(col("thr_micro"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val victims = perT.select(col("thr_micro"), col("d2")).distinct()
+    val toks = docs.select(col("doc_id").as("d2"),
+      size(split(col("text"), " ")).cast("long").as("nt"))
+    val remAgg = victims.join(toks, "d2")
+      .groupBy(col("thr_micro"))
+      .agg(count(lit(1)).as("n_removable_docs"),
+        sum(col("nt")).as("tokens_removable"))
+    pairsAgg.join(remAgg, Seq("thr_micro"))
+      .orderBy(col("thr_micro"))
+  }
+
+  /** Oracle: shared x04 `jp` chain at threshold 0, same integer
+    * quantization and sweep.
+    */
+  def dedupThresholdSweepSql(dfCap: Int, thrMicro: Seq[Long]): String = {
+    val arr = thrMicro.sorted.mkString("[", ", ", "]")
+    s"""WITH ${jaccardPairsCtesSql(dfCap, 0.0)},
+       |jm AS (
+       |  SELECT d2, CAST(round(CAST(inter AS BIGINT) * 1000000.0
+       |    / (sz1 + sz2 - inter)) AS BIGINT) AS jm
+       |  FROM jp
+       |), pt AS (
+       |  SELECT t.thr_micro, jm.d2
+       |  FROM jm, UNNEST($arr) AS t(thr_micro)
+       |  WHERE jm.jm >= t.thr_micro
+       |), pa AS (
+       |  SELECT thr_micro, CAST(count(*) AS BIGINT) AS n_pairs
+       |  FROM pt GROUP BY 1
+       |), v AS (
+       |  SELECT DISTINCT thr_micro, d2 FROM pt
+       |), tk AS (
+       |  SELECT doc_id AS d2,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+       |  FROM documents
+       |), ra AS (
+       |  SELECT thr_micro, CAST(count(*) AS BIGINT) AS n_removable_docs,
+       |         CAST(sum(nt) AS BIGINT) AS tokens_removable
+       |  FROM v JOIN tk USING (d2) GROUP BY 1
+       |)
+       |SELECT pa.thr_micro, n_pairs, n_removable_docs, tokens_removable
+       |FROM pa JOIN ra USING (thr_micro)
+       |ORDER BY pa.thr_micro""".stripMargin
+  }
+
   /** X2d: n-gram CONTAINMENT pairs — |grams(a) ∩ grams(b)| / |grams(a)|,
     * the asymmetric cousin of Jaccard that catches sub-document
     * duplication (doc a embedded in a longer doc b scores ~1.0 in the

@@ -1042,6 +1042,14 @@ object Extensions {
     Dedup.incrementalFuzzyDedup(Tables.documents(s, d), newMod = 5,
       maxDist = 3)
 
+  /** X1o: dedup-threshold ROI sweep — pairs / removable docs / token
+    * mass at each candidate Jaccard threshold, one candidate pass.
+    * See Dedup.dedupThresholdSweep.
+    */
+  private val x132ThresholdSweep: Q = (s, d) =>
+    Dedup.dedupThresholdSweep(Tables.documents(s, d), dfCap = 10,
+      thrMicro = Seq(200000L, 500000L, 800000L, 990000L))
+
   val queries: Map[String, Q] = Map(
     "x01_dedup_exact" -> x01DedupExact,
     "x02_dedup_minhash" -> x02DedupMinhash,
@@ -1175,6 +1183,7 @@ object Extensions {
     "x129_source_divergence" -> x129SourceDivergence,
     "x130_fisher_separability" -> x130Fisher,
     "x131_incremental_fuzzy" -> x131IncrementalFuzzy,
+    "x132_threshold_sweep" -> x132ThresholdSweep,
   )
 
   /** The PNG pixel statistics in closed form: the fixture image's
@@ -1473,5 +1482,7 @@ object Extensions {
     "x129_source_divergence" -> TextAnalysis.sourceDivergenceSql,
     "x130_fisher_separability" -> Similarity.fisherSeparabilitySql,
     "x131_incremental_fuzzy" -> Dedup.incrementalFuzzyDedupSql(5, 3),
+    "x132_threshold_sweep" -> Dedup.dedupThresholdSweepSql(10,
+      Seq(200000L, 500000L, 800000L, 990000L)),
   )
 }

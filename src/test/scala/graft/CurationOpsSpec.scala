@@ -1154,6 +1154,33 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(rows(("srcB", "srcC")) == ((2L, 908248290L, 91751710L)))
   }
 
+  test("dedup threshold sweep: pair counts, removable docs and token " +
+      "mass step down as the threshold rises") {
+    import spark.implicits._
+    val a = "alpha beta gamma delta epsilon zeta"          // 6 tokens
+    val b = "one two three four five six seven"            // 7 tokens
+    val a2 = a + " eta theta"                              // 8 tokens
+    // pairs: (1,2) jm 1000000; (3,4) jm 1000000;
+    // (1,6)/(2,6) share 4 of 6 union grams -> jm 666667; doc 5 none
+    val docs = Seq(
+      (1L, a, "s"), (2L, a, "s"), (3L, b, "s"), (4L, b, "s"),
+      (5L, "totally unrelated content goes right here", "s"),
+      (6L, a2, "s"))
+      .toDF("doc_id", "text", "source")
+    val rows = graft.llm.Dedup
+      .dedupThresholdSweep(docs, dfCap = 10,
+        thrMicro = Seq(200000L, 800000L))
+      .collect()
+      .map(r => r.getAs[Long]("thr_micro") ->
+        ((r.getAs[Long]("n_pairs"), r.getAs[Long]("n_removable_docs"),
+          r.getAs[Long]("tokens_removable"))))
+      .toMap
+    assert(rows == Map(
+      200000L -> ((4L, 3L, 21L)),
+      800000L -> ((2L, 2L, 13L))),
+      s"got: $rows")
+  }
+
   test("semantic decontamination: empty benchmark slice yields an " +
       "unflagged full-corpus report, not a crash") {
     import spark.implicits._

@@ -38,6 +38,66 @@ object Similarity {
     broadcastCosineTopKSql("vec_id AS qid, embedding AS qe",
       "e.vec_id <> q.qid", nQueries, k)
 
+  /** X2j: kNN label-PURITY report — for the first `nQueries` vectors
+    * as probes: how many of each probe's exact top-k cosine
+    * neighbors share its label, rolled up per label (query count,
+    * mean/min/max purity in basis points, denominator k). The
+    * embedding-quality eval that needs no model: high purity means
+    * the space respects the labeling (safe for semantic dedup /
+    * cluster sampling / classifier features), purity at chance means
+    * the embedding column is noise for this task. Complements x107
+    * (index recall vs exact) and x130 (global separability) with the
+    * local-neighborhood view.
+    *
+    * Scale shape: the x05 broadcast-query kernel (corpus × bounded
+    * query set through the fused codegen cosine, bounded partial
+    * top-k — one exchange), then two co-keyed joins of the
+    * nQueries·k hit rows to the narrow (vec_id, label) projection
+    * and two bounded hash aggs. All-integer outputs.
+    */
+  def knnLabelPurity(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val labels = emb.select(col("vec_id"), col("label"))
+    cosineTopK(emb, nQueries, k)
+      .join(labels.select(col("vec_id").as("qid"),
+        col("label").as("qlabel")), "qid")
+      .join(labels.select(col("vec_id"), col("label").as("hlabel")),
+        "vec_id")
+      .groupBy(col("qid"), col("qlabel"))
+      .agg(sum(when(col("hlabel") === col("qlabel"), 1L).otherwise(0L))
+        .as("same"))
+      .groupBy(col("qlabel"))
+      .agg(count(lit(1)).as("n_queries"),
+        expr(s"sum(same) * 10000 div (count(1) * $k)")
+          .as("mean_purity_bp"),
+        expr(s"min(same * 10000 div $k)").as("min_purity_bp"),
+        expr(s"max(same * 10000 div $k)").as("max_purity_bp"))
+      .orderBy(col("qlabel"))
+  }
+
+  /** Oracle: the x05 chain as a nested-WITH CTE + the same co-keyed
+    * label joins and integer rollup.
+    */
+  def knnLabelPuritySql(nQueries: Int, k: Int): String =
+    s"""WITH topk AS (
+       |${cosineTopKSql(nQueries, k)}
+       |), lab AS (
+       |  SELECT vec_id, label FROM embeddings
+       |), per AS (
+       |  SELECT t.qid, ql.label AS qlabel,
+       |    CAST(sum(CASE WHEN hl.label = ql.label THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS same
+       |  FROM topk t
+       |  JOIN lab ql ON ql.vec_id = t.qid
+       |  JOIN lab hl ON hl.vec_id = t.vec_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT qlabel, CAST(count(*) AS BIGINT) AS n_queries,
+       |  CAST(sum(same) * 10000 // (count(*) * $k) AS BIGINT)
+       |    AS mean_purity_bp,
+       |  CAST(min(same * 10000 // $k) AS BIGINT) AS min_purity_bp,
+       |  CAST(max(same * 10000 // $k) AS BIGINT) AS max_purity_bp
+       |FROM per GROUP BY 1 ORDER BY qlabel""".stripMargin
+
   /** Shared exact-scoring kernel for the broadcast-query searches
     * (cosineTopK, hardNegatives): corpus × broadcast(q) through the
     * fused codegen CosineSim — one traversal of both arrays per pair

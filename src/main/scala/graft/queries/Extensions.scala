@@ -1050,6 +1050,13 @@ object Extensions {
     Dedup.dedupThresholdSweep(Tables.documents(s, d), dfCap = 10,
       thrMicro = Seq(200000L, 500000L, 800000L, 990000L))
 
+  /** X2j: kNN label-purity report — per-label top-k neighbor label
+    * agreement of the first 50 probes. See Similarity.knnLabelPurity.
+    */
+  private val x133KnnPurity: Q = (s, d) =>
+    Similarity.knnLabelPurity(Tables.embeddings(s, d), nQueries = 50,
+      k = 10)
+
   val queries: Map[String, Q] = Map(
     "x01_dedup_exact" -> x01DedupExact,
     "x02_dedup_minhash" -> x02DedupMinhash,
@@ -1184,6 +1191,7 @@ object Extensions {
     "x130_fisher_separability" -> x130Fisher,
     "x131_incremental_fuzzy" -> x131IncrementalFuzzy,
     "x132_threshold_sweep" -> x132ThresholdSweep,
+    "x133_knn_purity" -> x133KnnPurity,
   )
 
   /** The PNG pixel statistics in closed form: the fixture image's
@@ -1484,5 +1492,6 @@ object Extensions {
     "x131_incremental_fuzzy" -> Dedup.incrementalFuzzyDedupSql(5, 3),
     "x132_threshold_sweep" -> Dedup.dedupThresholdSweepSql(10,
       Seq(200000L, 500000L, 800000L, 990000L)),
+    "x133_knn_purity" -> Similarity.knnLabelPuritySql(50, 10),
   )
 }

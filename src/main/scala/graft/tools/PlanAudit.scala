@@ -262,6 +262,8 @@ object PlanAudit {
       // |sources|-row allocation table: dimension-sized window + 1-row scalars
       "x45_temperature_mix" -> Set("SinglePartition", "BNLJoin"),
       "x05_cosine_topk" -> Set("BNLJoin"), // 5 broadcast query vectors
+      // x05's bounded broadcast probe vectors feeding the purity eval
+      "x133_knn_purity" -> Set("BNLJoin"),
       "x94_binary_topk" -> Set("BNLJoin"), // 5 broadcast query signatures
       // k broadcast trained centroids (the x36/x57 shape)
       "x97_centroid_outliers" -> Set("BNLJoin"),

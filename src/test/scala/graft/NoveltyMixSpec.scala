@@ -111,6 +111,28 @@ class NoveltyMixSpec extends AnyFunSuite {
     assert(rows(21L) == ((true, None, None)), s"got ${rows(21L)}")
   }
 
+  test("knn label purity: a mislabeled neighbor halves the probe's " +
+    "purity, clean clusters score 10000 bp") {
+    import spark.implicits._
+    // probe 0 (label 0): nearest two are v2 (label 0) and v3
+    // (label 1 -> impure); probe 1 (label 1): v4, v5 both label 1
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f), 0), (1L, Array(0.0f, 1.0f), 1),
+      (2L, Array(0.99f, 0.01f), 0), (3L, Array(0.98f, 0.02f), 1),
+      (4L, Array(0.01f, 0.99f), 1), (5L, Array(0.02f, 0.98f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val rows = Similarity.knnLabelPurity(emb, nQueries = 2, k = 2)
+      .collect()
+      .map(r => r.getAs[Int]("qlabel") ->
+        ((r.getAs[Long]("n_queries"), r.getAs[Long]("mean_purity_bp"),
+          r.getAs[Long]("min_purity_bp"), r.getAs[Long]("max_purity_bp"))))
+      .toMap
+    assert(rows == Map(
+      0 -> ((1L, 5000L, 5000L, 5000L)),
+      1 -> ((1L, 10000L, 10000L, 10000L))),
+      s"got: $rows")
+  }
+
   test("fisher separability: within/between scatter and ratio match " +
     "the hand-computed two-class geometry") {
     import spark.implicits._

@@ -121,6 +121,59 @@ object Diagnostics {
       .orderBy(col("column"))
   }
 
+  /** X5n: corpus↔embedding COVERAGE audit — the cross-table
+    * referential-integrity report a pipeline runs before any ANN /
+    * semantic stage: per source, how many documents are covered by a
+    * vector, how many are MISSING one (they silently drop out of
+    * every embedding-space operator), plus the ORPHAN vectors whose
+    * document is gone (stale index entries that resurface deleted
+    * content). The harness tables are fully aligned, so — the
+    * snapshotDiff precedent — the audited views are deterministic
+    * md5 slices both engines reproduce exactly (vectors minus the
+    * %missMod bucket, documents minus the %orphMod bucket); the
+    * operator itself is the general shape: two narrow projections,
+    * ONE id-keyed full outer join, a (source, status) hash agg.
+    */
+  def embeddingCoverage(docs: DataFrame, emb: DataFrame,
+      missMod: Int = 7, orphMod: Int = 11): DataFrame = {
+    val d = docs
+      .filter(expr(graft.llm.Dedup.hash16FastExpr(
+        "cast(doc_id as string)")) % orphMod =!= 0)
+      .select(col("doc_id"), col("source"))
+    val v = emb
+      .filter(expr(graft.llm.Dedup.hash16FastExpr(
+        "cast(vec_id as string)")) % missMod =!= 0)
+      .select(col("vec_id"))
+    d.join(v, col("doc_id") === col("vec_id"), "full_outer")
+      .select(coalesce(col("source"), lit("__orphan")).as("source"),
+        when(col("doc_id").isNotNull && col("vec_id").isNotNull,
+          "covered")
+          .when(col("vec_id").isNull, "missing_vec")
+          .otherwise("orphan_vec").as("status"))
+      .groupBy(col("source"), col("status"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("source"), col("status"))
+  }
+
+  def embeddingCoverageSql(missMod: Int = 7, orphMod: Int = 11): String =
+    s"""WITH d AS (
+       |  SELECT doc_id, source FROM documents
+       |  WHERE ${graft.llm.Dedup.hash16Expr("strpos",
+              "CAST(doc_id AS VARCHAR)")} % $orphMod <> 0
+       |), v AS (
+       |  SELECT vec_id FROM embeddings
+       |  WHERE ${graft.llm.Dedup.hash16Expr("strpos",
+              "CAST(vec_id AS VARCHAR)")} % $missMod <> 0
+       |)
+       |SELECT COALESCE(source, '__orphan') AS source,
+       |  CASE WHEN doc_id IS NOT NULL AND vec_id IS NOT NULL
+       |         THEN 'covered'
+       |       WHEN vec_id IS NULL THEN 'missing_vec'
+       |       ELSE 'orphan_vec' END AS status,
+       |  CAST(count(*) AS BIGINT) AS n
+       |FROM d FULL OUTER JOIN v ON d.doc_id = v.vec_id
+       |GROUP BY 1, 2 ORDER BY source, status""".stripMargin
+
   def columnProfileSql(table: String, numCols: Seq[String],
       strCols: Seq[String]): String = {
     val arms = numCols.map { c =>

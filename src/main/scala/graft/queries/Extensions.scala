@@ -1057,6 +1057,14 @@ object Extensions {
     Similarity.knnLabelPurity(Tables.embeddings(s, d), nQueries = 50,
       k = 10)
 
+  /** X5n: corpus↔embedding coverage audit — covered / missing-vector
+    * / orphan-vector counts per source over deterministic md5-sliced
+    * views. See Diagnostics.embeddingCoverage.
+    */
+  private val x134EmbedCoverage: Q = (s, d) =>
+    Diagnostics.embeddingCoverage(Tables.documents(s, d),
+      Tables.embeddings(s, d))
+
   val queries: Map[String, Q] = Map(
     "x01_dedup_exact" -> x01DedupExact,
     "x02_dedup_minhash" -> x02DedupMinhash,
@@ -1192,6 +1200,7 @@ object Extensions {
     "x131_incremental_fuzzy" -> x131IncrementalFuzzy,
     "x132_threshold_sweep" -> x132ThresholdSweep,
     "x133_knn_purity" -> x133KnnPurity,
+    "x134_embed_coverage" -> x134EmbedCoverage,
   )
 
   /** The PNG pixel statistics in closed form: the fixture image's
@@ -1493,5 +1502,6 @@ object Extensions {
     "x132_threshold_sweep" -> Dedup.dedupThresholdSweepSql(10,
       Seq(200000L, 500000L, 800000L, 990000L)),
     "x133_knn_purity" -> Similarity.knnLabelPuritySql(50, 10),
+    "x134_embed_coverage" -> Diagnostics.embeddingCoverageSql(),
   )
 }

@@ -1181,6 +1181,31 @@ class CurationOpsSpec extends AnyFunSuite {
       s"got: $rows")
   }
 
+  test("embedding coverage: covered / missing / orphan statuses roll " +
+      "up per source off the full outer join") {
+    import spark.implicits._
+    // mods above the 16-bit hash range disable the harness slicing
+    // (hash16 < 65536, so % 100000 == 0 only for hash 0 — none here)
+    val docs = Seq(
+      (1L, "t", "srcA"), (2L, "t", "srcA"),
+      (3L, "t", "srcB"), (4L, "t", "srcB"))
+      .toDF("doc_id", "text", "source")
+    val emb = Seq(
+      (1L, Array(1.0f), 0), (2L, Array(1.0f), 0), (99L, Array(1.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val rows = graft.llm.Diagnostics
+      .embeddingCoverage(docs, emb, missMod = 100000, orphMod = 100000)
+      .collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[String]("status")) ->
+        r.getAs[Long]("n"))
+      .toMap
+    assert(rows == Map(
+      ("srcA", "covered") -> 2L,
+      ("srcB", "missing_vec") -> 2L,
+      ("__orphan", "orphan_vec") -> 1L),
+      s"got: $rows")
+  }
+
   test("semantic decontamination: empty benchmark slice yields an " +
       "unflagged full-corpus report, not a crash") {
     import spark.implicits._

@@ -19,7 +19,11 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: the driver json-parses the LAST 2000 chars of
+    // the run's output, and benign WARN spam (x45's dimension-window
+    // WindowExec notes land on stderr) appended after the JSON line
+    // is exactly what nulled BENCH_r08's `parsed`
+    spark.sparkContext.setLogLevel("ERROR")
     // JVM/codegen warmup: run every query shape once on the smallest
     // SF so whole-stage-codegen compilation + JIT cost (hundreds of ms
     // per distinct generated class, independent of data size) doesn't

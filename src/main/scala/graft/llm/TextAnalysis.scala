@@ -1267,11 +1267,21 @@ object TextAnalysis {
     * \|sources\|-row total joins, one hash agg to ≤ \|sources\|²/2
     * report rows.
     */
-  def sourceDivergence(docs: DataFrame): DataFrame = {
-    val tf = graft.tools.Materialize(docs
+  def sourceDivergence(docs: DataFrame): DataFrame =
+    divergenceFromTf(docs
       .select(col("source"), explode(split(col("text"), " ")).as("w"))
       .filter(col("w") =!= "")
       .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c")))
+
+  /** The x129 matrix off an already-aggregated (source, w, c) count
+    * table — the shared drain-time finisher for the streaming twin
+    * (running tf counts drain into the SAME pair pricing). The pin
+    * lives HERE (totals + both pair-join sides read the counts), and
+    * it also gives the self-join distinct attribute ids — a drained
+    * memory-sink view on both sides is otherwise ambiguous.
+    */
+  def divergenceFromTf(tfRaw: DataFrame): DataFrame = {
+    val tf = graft.tools.Materialize(tfRaw)
     val tot = tf.groupBy(col("source")).agg(sum(col("c")).as("t"))
     tf.as("a")
       .join(tf.as("b"),

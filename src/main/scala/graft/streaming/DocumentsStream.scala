@@ -201,6 +201,24 @@ object DocumentsStream {
   def vocabTopV(counts: DataFrame, vocabSize: Int): DataFrame =
     graft.llm.TextAnalysis.topVocab(counts, vocabSize)
 
+  /** Running (source, token) count table — the streaming half of the
+    * x129 source-divergence matrix: UPDATE-mode stateful aggregation
+    * keyed by (source, token). State is per-source vocabulary
+    * (Heaps-law-bounded for natural text, same bound as
+    * [[vocabCountsRunning]]).
+    */
+  def tfCountsRunning(docs: DataFrame): DataFrame =
+    docs.select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+
+  /** Drain-time finisher: the exact batch Bhattacharyya/Hellinger
+    * matrix over the drained counts (shared definition —
+    * TextAnalysis.divergenceFromTf, the x129 pair pricing).
+    */
+  def divergenceAtDrain(tf: DataFrame): DataFrame =
+    graft.llm.TextAnalysis.divergenceFromTf(tf)
+
   /** Stateless OOV serving against a FIXED vocabulary (the batch/
     * drained top-V riding along as literals — train-in-batch /
     * serve-in-stream, like [[applyClassifier]]): per arrival, the

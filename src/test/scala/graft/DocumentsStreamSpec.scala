@@ -664,6 +664,30 @@ class DocumentsStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("running (source, token) counts drain into the exact batch " +
+    "source-divergence matrix") {
+    val docs = Tables.documents(spark, sf)
+    val stream = DocumentsStream.readDocuments(spark, docsDir)
+    val q = DocumentsStream.tfCountsRunning(stream)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("tf_counts").start()
+    try {
+      q.processAllAvailable()
+      val drained = spark.sql("SELECT source, w, c FROM tf_counts")
+      val got = DocumentsStream.divergenceAtDrain(drained)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4))))
+        .toMap
+      val batch = graft.llm.TextAnalysis.sourceDivergence(docs)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4))))
+        .toMap
+      assert(got == batch)
+    } finally q.stop()
+  }
+
   test("length-bucket routing on ingest agrees with the batch expression") {
     val bounds = Seq(50L, 100L, 200L)
     val q = DocumentsStream.lengthBucketAssign(

@@ -867,6 +867,94 @@ class ScaleSpec extends AnyFunSuite {
     assert(secs < 120, s"took ${secs}s")
   }
 
+  test("300k-doc quality-budget selection: one prefix-sum pass, " +
+      "exact integer keep frontier at scale") {
+    import spark.implicits._
+    // 150k docs of 4 distinct tokens (score 1e6, srcH) + 150k docs of
+    // one repeated token x4 (score 250000, srcL). All highs rank
+    // first; budget 700k keeps every high (600k tokens) + the first
+    // 25k lows (100k tokens).
+    val n = 300_000L
+    val docs = spark.range(n).select(
+      col("id").as("doc_id"),
+      when(col("id") % 2 === 0,
+        concat(lit("a"), col("id"), lit(" b"), col("id"),
+          lit(" c"), col("id"), lit(" d"), col("id")))
+        .otherwise(lit("r r r r")).as("text"),
+      when(col("id") % 2 === 0, "srcH").otherwise("srcL").as("source"))
+    val t0 = System.nanoTime()
+    val rep = graft.llm.Sampling.qualityBudgetSelect(docs,
+      budget = 700_000L)
+    val rows = rep.collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("kept_docs"), r.getAs[Long]("kept_tokens"))))
+      .toMap
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"300k docs quality budget: ${secs}%.1f s")
+    assert(rows == Map(
+      "srcH" -> ((150_000L, 600_000L)),
+      "srcL" -> ((25_000L, 100_000L))),
+      s"got: $rows")
+    val plan = rep.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(secs < 120, s"took ${secs}s")
+  }
+
+  test("2M-vector silhouette: broadcast centroids + keep-2-smallest " +
+      "aggregate, window-free at scale") {
+    import spark.implicits._
+    // two orthogonal clusters; seeds 0/1 ARE the cluster axes
+    // (trainIters=0), so every member scores a4=10000 b4=0.
+    val n = 2_000_000L
+    val emb = spark.range(n).select(
+      col("id").as("vec_id"),
+      when(col("id") % 2 === 0, array(lit(1.0f), lit(0.0f)))
+        .otherwise(array(lit(0.0f), lit(1.0f))).as("embedding"),
+      (col("id") % 2).cast("int").as("label"))
+    val t0 = System.nanoTime()
+    val rep = graft.llm.Similarity.silhouetteReport(emb, k = 2,
+      trainIters = 0, ambThresh4 = 500L)
+    val rows = rep.collect()
+      .map(r => r.getAs[Long]("cid") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("mean_own4"),
+          r.getAs[Long]("mean_margin4"), r.getAs[Long]("n_ambiguous"))))
+      .toMap
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"2M vectors silhouette: ${secs}%.1f s")
+    assert(rows == Map(
+      0L -> ((1_000_000L, 10000L, 10000L, 0L)),
+      1L -> ((1_000_000L, 10000L, 10000L, 0L))),
+      s"got: $rows")
+    val plan = rep.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "window leaked into the plan")
+    assert(secs < 120, s"took ${secs}s")
+  }
+
+  test("300k-doc source divergence: token-bucketed pair join, exact " +
+      "uniform-distribution BC at scale") {
+    import spark.implicits._
+    // 10 sources, every source uniform over the same 100 tokens ->
+    // every pair scores BC exactly 1e9 (100 terms of 1e7), h2 = 0.
+    // Token key (id div 10) decorrelates from the source key (id mod
+    // 10) so all sources share the full vocabulary.
+    val n = 300_000L
+    val docs = spark.range(n).select(
+      col("id").as("doc_id"),
+      concat(lit("t"), expr("(id div 10) % 100")).as("text"),
+      concat(lit("s"), col("id") % 10).as("source"))
+    val t0 = System.nanoTime()
+    val rep = graft.llm.TextAnalysis.sourceDivergence(docs)
+    val rows = rep.collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"300k docs source divergence: ${secs}%.1f s")
+    assert(rows.length == 45)
+    assert(rows.forall(r => r.getAs[Long]("n_common") == 100L &&
+      r.getAs[Long]("bc_nano") == 1_000_000_000L &&
+      r.getAs[Long]("h2_nano") == 0L),
+      s"first: ${rows.head}")
+    assert(secs < 120, s"took ${secs}s")
+  }
+
   test("300k-doc filter funnel: one verdict pass + 16-counter " +
       "aggregate, closed-form stage table") {
     import spark.implicits._

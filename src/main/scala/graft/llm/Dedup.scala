@@ -85,6 +85,72 @@ object Dedup {
        |WHERE doc_id >= $benchIds
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** X1p: leak ATTRIBUTION — the eval-side complement of x28: per
+    * BENCHMARK document, how many corpus documents share at least one
+    * word n-gram with it, the total shared-gram hits, and the single
+    * worst contaminator (most shared grams, doc_id tie-break). x28
+    * flags corpus docs to scrub; this tells the EVAL owner which test
+    * items are compromised and how badly — the table that decides
+    * whether an eval split must be regenerated rather than the corpus
+    * scrubbed. Benchmark items with zero leakage stay in the report
+    * (left join off the benchmark spine), because "clean" is the
+    * answer the eval owner is usually hoping to read.
+    *
+    * Scale shape: one gram explosion with the doc_id filters pushed
+    * below it (the x28 plan), the bounded benchmark gram side
+    * broadcast, one (bench, corpus-doc) hash agg, one argmax-by-
+    * struct rollup to ≤ benchIds rows.
+    */
+  def leakAttribution(docs: DataFrame, benchIds: Int, n: Int): DataFrame = {
+    val grams = nGrams(docs, n)
+    val bench = grams.filter(col("doc_id") < benchIds)
+      .select(col("doc_id").as("bench_id"), col("g"))
+    val hits = grams.filter(col("doc_id") >= benchIds)
+      .join(broadcast(bench), "g")
+      .groupBy(col("bench_id"), col("doc_id"))
+      .agg(count(lit(1)).as("h"))
+      .groupBy(col("bench_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("h")).as("n_hits"),
+        min(struct((-col("h")).as("nh"), col("doc_id").as("d"))).as("b"))
+    docs.filter(col("doc_id") < benchIds)
+      .select(col("doc_id").as("bench_id"))
+      .join(hits, Seq("bench_id"), "left")
+      .select(col("bench_id"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        col("b.d").as("top_doc"), (-col("b.nh")).as("top_hits"))
+      .orderBy(col("bench_id"))
+  }
+
+  /** Oracle: same gram chain, argmax via a per-bench rank. */
+  def leakAttributionSql(benchIds: Int, n: Int): String =
+    s"""WITH grams AS (${nGramsSql(n)}),
+       |bench AS (
+       |  SELECT doc_id AS bench_id, g FROM grams WHERE doc_id < $benchIds
+       |), per AS (
+       |  SELECT b.bench_id, g.doc_id, CAST(count(*) AS BIGINT) AS h
+       |  FROM grams g JOIN bench b USING (g)
+       |  WHERE g.doc_id >= $benchIds
+       |  GROUP BY 1, 2
+       |), rk AS (
+       |  SELECT bench_id, doc_id, h,
+       |    row_number() OVER (PARTITION BY bench_id
+       |      ORDER BY h DESC, doc_id) AS rn,
+       |    CAST(count(*) OVER (PARTITION BY bench_id) AS BIGINT)
+       |      AS n_docs,
+       |    CAST(sum(h) OVER (PARTITION BY bench_id) AS BIGINT)
+       |      AS n_hits
+       |  FROM per
+       |)
+       |SELECT s.doc_id AS bench_id,
+       |  COALESCE(r.n_docs, 0) AS n_docs,
+       |  COALESCE(r.n_hits, 0) AS n_hits,
+       |  r.doc_id AS top_doc, r.h AS top_hits
+       |FROM (SELECT doc_id FROM documents WHERE doc_id < $benchIds) s
+       |LEFT JOIN (SELECT * FROM rk WHERE rn = 1) r
+       |  ON r.bench_id = s.doc_id
+       |ORDER BY bench_id""".stripMargin
+
   /** X1: exact duplicate groups — hash-groupBy on content digest. */
   def exactGroups(docs: DataFrame): DataFrame =
     docs.groupBy(md5(col("text")).as("h"))
@@ -96,24 +162,73 @@ object Dedup {
     * near-dup candidates. Scale path: each stage is a key-grouped
     * aggregate — no global structure, no pairwise work.
     */
-  def minhashBuckets(docs: DataFrame, bands: Int): DataFrame = {
+  /** The banded minhash signature table (doc_id, b, mh) — all band
+    * minima in ONE groupBy (map-side partial min, one shuffle of
+    * \|docs\| rows), then unpivot — instead of exploding the shingle
+    * table ×bands before the shuffle. Shared by x02 and the x136
+    * index-health audit.
+    */
+  private def minhashSig(docs: DataFrame, bands: Int): DataFrame = {
     val sh = shingles(docs)
-    // all band minima in ONE groupBy (map-side partial min, one
-    // shuffle of |docs| rows), then unpivot — instead of exploding
-    // the shingle table ×bands before the shuffle
     val minAggs = (0 until bands).map(b =>
       min(md5(concat(lit(s"$b:"), col("s")))).as(s"mh$b"))
-    val sig = sh.groupBy(col("doc_id"))
+    sh.groupBy(col("doc_id"))
       .agg(minAggs.head, minAggs.tail: _*)
       .select(col("doc_id"), expr(
         (0 until bands).map(b => s"$b, mh$b")
           .mkString(s"stack($bands, ", ", ", ") AS (b, mh)")))
-    sig.groupBy(col("b"), col("mh"))
+  }
+
+  def minhashBuckets(docs: DataFrame, bands: Int): DataFrame =
+    minhashSig(docs, bands).groupBy(col("b"), col("mh"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("d_min"),
         max(col("doc_id")).as("d_max"))
       .filter(col("n_docs") > 1)
       .orderBy(col("b"), col("mh"))
-  }
+
+  /** X1q: MinHash-LSH index HEALTH audit — per band: signatures,
+    * distinct buckets, the largest bucket, singleton buckets, the
+    * implied candidate-pair bill Σ s(s−1)/2, and mean bucket size in
+    * basis points. The x110 occupancy report for the MinHash path:
+    * a band whose max bucket explodes (stop-shingle, templated
+    * corpus) is where an LSH dedup run's cost hides, and this table
+    * shows it BEFORE the pair enumeration is paid. Same shape as
+    * x02 up to the signature table (shared builder), then two
+    * bounded hash aggregates to `bands` rows.
+    */
+  def minhashIndexHealth(docs: DataFrame, bands: Int): DataFrame =
+    minhashSig(docs, bands)
+      .groupBy(col("b"), col("mh")).agg(count(lit(1)).as("s"))
+      .groupBy(col("b"))
+      .agg(sum(col("s")).as("n_sigs"),
+        count(lit(1)).as("n_buckets"),
+        max(col("s")).as("max_bucket"),
+        sum(when(col("s") === 1, 1L).otherwise(0L)).as("n_singletons"),
+        expr("sum(s * (s - 1) div 2)").as("cand_pairs"))
+      .select(col("b"), col("n_sigs"), col("n_buckets"),
+        col("max_bucket"), col("n_singletons"), col("cand_pairs"),
+        expr("n_sigs * 10000 div n_buckets").as("mean_size_bp"))
+      .orderBy(col("b"))
+
+  /** Oracle: same signature chain as x02, same integer rollup. */
+  def minhashIndexHealthSql(bands: Int): String =
+    s"""WITH sh AS ($shinglesSql),
+       |sig AS (
+       |  SELECT doc_id, b, min(md5(b || ':' || s)) AS mh
+       |  FROM sh CROSS JOIN (SELECT unnest(range($bands)) AS b) bands
+       |  GROUP BY doc_id, b
+       |), bk AS (
+       |  SELECT b, mh, CAST(count(*) AS BIGINT) AS s
+       |  FROM sig GROUP BY b, mh
+       |)
+       |SELECT b, CAST(sum(s) AS BIGINT) AS n_sigs,
+       |  CAST(count(*) AS BIGINT) AS n_buckets,
+       |  CAST(max(s) AS BIGINT) AS max_bucket,
+       |  CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_singletons,
+       |  CAST(sum(s * (s - 1) // 2) AS BIGINT) AS cand_pairs,
+       |  CAST(sum(s) * 10000 // count(*) AS BIGINT) AS mean_size_bp
+       |FROM bk GROUP BY b ORDER BY b""".stripMargin
 
   def minhashBucketsSql(bands: Int): String =
     s"""WITH sh AS ($shinglesSql),

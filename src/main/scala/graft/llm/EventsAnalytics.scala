@@ -53,6 +53,47 @@ object EventsAnalytics {
       |    AS VARCHAR) AS DECIMAL(38,16)), 4) AS DOUBLE) AS avg_value
       |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** X5o: DIURNAL event profile — per (event_type, hour-of-day):
+    * event count, exact integer-cent value sum, and the share of the
+    * type's daily traffic in basis points. x13 buckets by absolute
+    * hour (a time series); this FOLDS all days onto the 24-hour
+    * clock — the capacity-planning / anomaly-baseline table ("type X
+    * peaks at 14:00 with 9% of its traffic") and the seasonality
+    * prior a streaming anomaly detector normalizes against.
+    * Scale shape: one map-side hour() projection, one hash aggregate
+    * to ≤ \|types\|·24 rows, one bounded per-type totals join.
+    */
+  def diurnalProfile(events: DataFrame): DataFrame = {
+    val hourly = events
+      .select(col("event_type"), hour(col("ts")).as("hr"),
+        expr("cast(round(value * 100) as bigint)").as("cents"))
+      .groupBy(col("event_type"), col("hr"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("value_cents"))
+    val tot = hourly.groupBy(col("event_type").as("et"))
+      .agg(sum(col("n")).as("nt"))
+    hourly.join(tot, col("event_type") === col("et"))
+      .select(col("event_type"), col("hr"), col("n"), col("value_cents"),
+        expr("n * 10000 div nt").as("share_bp"))
+      .orderBy(col("event_type"), col("hr"))
+  }
+
+  /** Oracle: same fold, same integer cents and shares. */
+  val diurnalProfileSql: String =
+    """WITH h AS (
+      |  SELECT event_type, CAST(hour(ts) AS INT) AS hr,
+      |         CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+      |           AS value_cents
+      |  FROM events GROUP BY 1, 2
+      |), t AS (
+      |  SELECT event_type, CAST(sum(n) AS BIGINT) AS nt
+      |  FROM h GROUP BY 1
+      |)
+      |SELECT h.event_type, hr, n, value_cents,
+      |       CAST(n * 10000 // nt AS BIGINT) AS share_bp
+      |FROM h JOIN t ON t.event_type = h.event_type
+      |ORDER BY h.event_type, hr""".stripMargin
+
   /** Sliding windows: 2-hour windows every 30 minutes via Spark's
     * native sliding `window` (each event lands in windowSec/slideSec
     * overlapping windows; the explosion happens before the hash

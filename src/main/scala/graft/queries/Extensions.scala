@@ -1065,6 +1065,25 @@ object Extensions {
     Diagnostics.embeddingCoverage(Tables.documents(s, d),
       Tables.embeddings(s, d))
 
+  /** X1p: leak attribution — per benchmark doc: leaking corpus docs,
+    * total shared-gram hits, worst contaminator. See
+    * Dedup.leakAttribution.
+    */
+  private val x135LeakAttribution: Q = (s, d) =>
+    Dedup.leakAttribution(Tables.documents(s, d), benchIds = 5, n = 4)
+
+  /** X1q: MinHash-LSH index health — per band bucket occupancy and
+    * the implied candidate-pair bill. See Dedup.minhashIndexHealth.
+    */
+  private val x136MinhashHealth: Q = (s, d) =>
+    Dedup.minhashIndexHealth(Tables.documents(s, d), bands = 4)
+
+  /** X5o: diurnal event profile — (event_type, hour-of-day) counts,
+    * cent sums, traffic shares. See EventsAnalytics.diurnalProfile.
+    */
+  private val x137Diurnal: Q = (s, d) =>
+    EventsAnalytics.diurnalProfile(Tables.events(s, d))
+
   val queries: Map[String, Q] = Map(
     "x01_dedup_exact" -> x01DedupExact,
     "x02_dedup_minhash" -> x02DedupMinhash,
@@ -1201,6 +1220,9 @@ object Extensions {
     "x132_threshold_sweep" -> x132ThresholdSweep,
     "x133_knn_purity" -> x133KnnPurity,
     "x134_embed_coverage" -> x134EmbedCoverage,
+    "x135_leak_attribution" -> x135LeakAttribution,
+    "x136_minhash_health" -> x136MinhashHealth,
+    "x137_diurnal_profile" -> x137Diurnal,
   )
 
   /** The PNG pixel statistics in closed form: the fixture image's
@@ -1503,5 +1525,8 @@ object Extensions {
       Seq(200000L, 500000L, 800000L, 990000L)),
     "x133_knn_purity" -> Similarity.knnLabelPuritySql(50, 10),
     "x134_embed_coverage" -> Diagnostics.embeddingCoverageSql(),
+    "x135_leak_attribution" -> Dedup.leakAttributionSql(5, 4),
+    "x136_minhash_health" -> Dedup.minhashIndexHealthSql(4),
+    "x137_diurnal_profile" -> EventsAnalytics.diurnalProfileSql,
   )
 }

@@ -1206,6 +1206,46 @@ class CurationOpsSpec extends AnyFunSuite {
       s"got: $rows")
   }
 
+  test("leak attribution: worst contaminator and totals per benchmark " +
+      "doc, clean items report zeros") {
+    import spark.implicits._
+    // bench 0 "a b c": grams {a b, b c}; bench 1 "zz yy": {zz yy}.
+    // corpus 10 shares 2 grams with bench 0, corpus 11 shares 1,
+    // corpus 12 none; nothing touches bench 1.
+    val docs = Seq(
+      (0L, "a b c"), (1L, "zz yy"),
+      (10L, "a b c d"), (11L, "x a b"), (12L, "q w e"))
+      .toDF("doc_id", "text")
+    val rows = graft.llm.Dedup
+      .leakAttribution(docs, benchIds = 2, n = 2)
+      .collect()
+      .map(r => r.getAs[Long]("bench_id") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_hits"),
+          Option(r.getAs[java.lang.Long]("top_doc")),
+          Option(r.getAs[java.lang.Long]("top_hits")))))
+      .toMap
+    assert(rows(0L) == ((2L, 3L, Some(10L), Some(2L))), s"got ${rows(0L)}")
+    assert(rows(1L) == ((0L, 0L, None, None)), s"got ${rows(1L)}")
+  }
+
+  test("minhash index health: shared buckets, singletons and the " +
+      "candidate-pair bill per band") {
+    import spark.implicits._
+    val t = "aa bb cc dd"
+    val docs = Seq((1L, t), (2L, t), (3L, "ee ff gg hh"))
+      .toDF("doc_id", "text")
+    val rows = graft.llm.Dedup.minhashIndexHealth(docs, bands = 2)
+      .collect()
+      .map(r => r.getAs[Int]("b") ->
+        ((r.getAs[Long]("n_sigs"), r.getAs[Long]("n_buckets"),
+          r.getAs[Long]("max_bucket"), r.getAs[Long]("n_singletons"),
+          r.getAs[Long]("cand_pairs"), r.getAs[Long]("mean_size_bp"))))
+      .toMap
+    // per band: docs 1/2 share a bucket, doc 3 is a singleton
+    val want = ((3L, 2L, 2L, 1L, 1L, 15000L))
+    assert(rows == Map(0 -> want, 1 -> want), s"got: $rows")
+  }
+
   test("semantic decontamination: empty benchmark slice yields an " +
       "unflagged full-corpus report, not a crash") {
     import spark.implicits._

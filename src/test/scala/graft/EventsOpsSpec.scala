@@ -18,6 +18,31 @@ class EventsOpsSpec extends AnyFunSuite {
       .drop("ep")
   }
 
+  test("diurnal profile: hour-of-day fold with exact cents and " +
+    "per-type traffic shares") {
+    import spark.implicits._
+    // type A: 2 events at 01:xx (1.00 + 2.00) and 1 at 02:xx (0.50)
+    // over two different DAYS (folded onto the same clock); type B:
+    // 1 event at 05:xx (1.25)
+    val events = Seq(
+      (1L, 1L, "A", 1L * 3600 + 60, 1.0),
+      (2L, 1L, "A", 86400L + 1L * 3600 + 120, 2.0),
+      (3L, 2L, "A", 2L * 3600, 0.5),
+      (4L, 3L, "B", 5L * 3600, 1.25))
+      .toDF("event_id", "user_id", "event_type", "ep", "value")
+      .withColumn("ts", timestamp_seconds(col("ep"))).drop("ep")
+    val rows = EventsAnalytics.diurnalProfile(events).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Int]("hr")) ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("value_cents"),
+          r.getAs[Long]("share_bp"))))
+      .toMap
+    assert(rows == Map(
+      ("A", 1) -> ((2L, 300L, 6666L)),
+      ("A", 2) -> ((1L, 50L, 3333L)),
+      ("B", 5) -> ((1L, 125L, 10000L))),
+      s"got: $rows")
+  }
+
   test("funnel: steps must occur in order — a click before the first " +
     "view does not convert") {
     // user 1: view -> click -> purchase (full funnel)

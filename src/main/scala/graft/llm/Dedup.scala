@@ -561,6 +561,26 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** The x131 serve path: the frozen corpus's rep-signature buckets
+    * persist via ModelStore like every trained model in the engine
+    * (the x66/x104 invariant) — building them costs the full x76
+    * cluster-resolution pass, and an ingest pipeline re-probes the
+    * SAME frozen corpus on every batch, so the ≤8·16·bucketCap-row
+    * bucket table is the textbook train-once/serve-many artifact.
+    * Probe + verdict shared verbatim with x131, so the serve query
+    * is hash-identical to in-query building.
+    */
+  def incrementalFuzzyServe(docs: DataFrame, modelPath: String,
+      newMod: Int, maxDist: Int, bucketCap: Int = 64): DataFrame = {
+    val h = expr(hash16FastExpr("cast(doc_id as string)"))
+    val batch = docs.filter(h % newMod === 0)
+    val buckets = graft.tools.ModelStore.ensure(modelPath,
+      repSignatureBuckets(docs.filter(h % newMod =!= 0), maxDist,
+        bucketCap))
+    fuzzyVerdicts(batch, fuzzyProbe(batch, buckets, maxDist))
+      .orderBy(col("doc_id"))
+  }
+
   /** Oracle: the x48/x76 chain over the corpus slice (repsCtesBody
     * parameterized by relation), the same cap-and-drop bucket rule,
     * the batch side's signatures through the shared simhash SQL, and

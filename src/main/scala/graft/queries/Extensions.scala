@@ -1084,6 +1084,17 @@ object Extensions {
   private val x137Diurnal: Q = (s, d) =>
     EventsAnalytics.diurnalProfile(Tables.events(s, d))
 
+  /** X1r: incremental fuzzy dedup SERVE — x131 with the frozen
+    * corpus's rep-signature buckets persisted via ModelStore; the
+    * oracle is x131's in-query-building SQL, so the hash match
+    * proves the parquet round-trip. See Dedup.incrementalFuzzyServe.
+    */
+  private val x138FuzzyServe: Q = (s, d) =>
+    Dedup.incrementalFuzzyServe(Tables.documents(s, d),
+      graft.tools.ModelStore.pathFor("fuzzy_buckets", d, "m5_d3",
+        table = "documents"),
+      newMod = 5, maxDist = 3)
+
   val queries: Map[String, Q] = Map(
     "x01_dedup_exact" -> x01DedupExact,
     "x02_dedup_minhash" -> x02DedupMinhash,
@@ -1223,6 +1234,7 @@ object Extensions {
     "x135_leak_attribution" -> x135LeakAttribution,
     "x136_minhash_health" -> x136MinhashHealth,
     "x137_diurnal_profile" -> x137Diurnal,
+    "x138_fuzzy_serve" -> x138FuzzyServe,
   )
 
   /** The PNG pixel statistics in closed form: the fixture image's
@@ -1528,5 +1540,6 @@ object Extensions {
     "x135_leak_attribution" -> Dedup.leakAttributionSql(5, 4),
     "x136_minhash_health" -> Dedup.minhashIndexHealthSql(4),
     "x137_diurnal_profile" -> EventsAnalytics.diurnalProfileSql,
+    "x138_fuzzy_serve" -> Dedup.incrementalFuzzyDedupSql(5, 3),
   )
 }

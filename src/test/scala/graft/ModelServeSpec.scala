@@ -77,6 +77,19 @@ class ModelServeSpec extends AnyFunSuite {
       trained)
   }
 
+  test("fuzzy-dedup serve is bit-identical to in-query bucket " +
+      "building and writes the bucket table once") {
+    val path = freshPath("fz")
+    val trained = graft.llm.Dedup
+      .incrementalFuzzyDedup(docs, newMod = 5, maxDist = 3)
+      .collect().map(_.toSeq).toSeq
+    assertServedOnce(path,
+      () => graft.llm.Dedup.incrementalFuzzyServe(docs, path,
+          newMod = 5, maxDist = 3)
+        .collect().map(_.toSeq).toSeq,
+      trained)
+  }
+
   test("bpe encode serve is bit-identical to in-query learning and " +
       "writes the merge table once") {
     val path = freshPath("bpe")

@@ -216,19 +216,29 @@ object Bpe {
     * (doc_id, n_chars, n_tokens)) — shared by the standalone x47/x69
     * oracle and the x115 fertility oracle.
     */
-  private[graft] def encodeCtesSql(rounds: Int): String = {
-    val syms =
-      """array_to_string(list_transform(words,
-        |  w -> array_to_string(list_transform(range(1, len(w) + 1),
-        |    i -> '<' || w[CAST(i AS INT):CAST(i AS INT)] || '>'), ' ')),
-        |  ' / ')""".stripMargin
-    val merged = (1 to rounds).foldLeft(syms) { (acc, r) =>
+  /** The per-word symbol string, one `<c>` cell per character. */
+  private def symsExpr: String =
+    """array_to_string(list_transform(words,
+      |  w -> array_to_string(list_transform(range(1, len(w) + 1),
+      |    i -> '<' || w[CAST(i AS INT):CAST(i AS INT)] || '>'), ' ')),
+      |  ' / ')""".stripMargin
+
+  /** The nested-replace fold applying merge rounds 1..rounds to
+    * [[symsExpr]] — shared by the full encode oracle and the x139
+    * size-sweep oracle (a truncated tokenizer is the SAME fold
+    * stopped at a prefix of the stages).
+    */
+  private def mergedExpr(rounds: Int): String =
+    (1 to rounds).foldLeft(symsExpr) { (acc, r) =>
       s"""replace($acc,
          |  (SELECT l || ' ' || r2 FROM b$r),
          |  (SELECT '<' || replace(replace(l, '<', ''), '>', '') ||
          |       replace(replace(r2, '<', ''), '>', '') || '>' FROM b$r))"""
         .stripMargin
     }
+
+  private[graft] def encodeCtesSql(rounds: Int): String = {
+    val merged = mergedExpr(rounds)
     s"""${stagesSql(rounds)},
        |fw AS (
        |  SELECT doc_id,
@@ -255,6 +265,74 @@ object Bpe {
     s"""WITH ${encodeCtesSql(rounds)}
        |SELECT doc_id, n_chars, n_tokens
        |FROM bpetok ORDER BY doc_id""".stripMargin
+
+  /** X3x: tokenizer SIZE sweep — corpus token counts under PREFIXES
+    * of the learned merge table (a BPE tokenizer truncated to its
+    * first m merges IS the m-merge tokenizer — merges are learned
+    * greedily, so every budget m prices as the rank-m prefix): per
+    * candidate m, total chars (constant), total tokens, and exact
+    * chars-per-token in integer micro-units. x115 prices ONE trained
+    * tokenizer per language; this prices the SIZE knob itself —
+    * "how much compression does each extra merge buy" — the
+    * vocabulary-budget curve for the real subword tokenizer (x123 is
+    * its whitespace-unigram cousin).
+    *
+    * Scale shape: learn once at max(m) (the bounded ≤rounds-row
+    * table), then one map-only [[encodeWith]] pass per candidate —
+    * \|candidates\| linear passes, each a single 1-row aggregate; no
+    * shuffle grows with the corpus.
+    */
+  def sizeSweep(docs: DataFrame, mergeCounts: Seq[Int]): DataFrame = {
+    require(mergeCounts.nonEmpty && mergeCounts.forall(_ >= 1))
+    val learned = merges(docs, mergeCounts.max)
+      .orderBy(col("merge_rank"))
+      .collect() // bounded: ≤max(m) merge rows, applied in rank order
+      .map(m => (m.getAs[String]("lhs"), m.getAs[String]("rhs")))
+      .toSeq
+    mergeCounts.sorted.map { m =>
+      encodeWith(docs, learned.take(m))
+        .agg(sum(col("n_chars")).as("n_chars"),
+          sum(col("n_tokens")).as("n_tokens"))
+        .select(lit(m).as("n_merges"), col("n_chars"), col("n_tokens"),
+          expr("n_chars * 1000000 div n_tokens")
+            .as("chars_per_token_micro"))
+    }.reduce(_.unionAll(_)).orderBy(col("n_merges"))
+  }
+
+  /** Oracle: ONE stage chain at max(m); each candidate folds the
+    * shared [[mergedExpr]] prefix (same greedy-prefix property).
+    */
+  def sizeSweepSql(mergeCounts: Seq[Int]): String = {
+    val maxR = mergeCounts.max
+    val arms = mergeCounts.sorted.map { m =>
+      s"""SELECT $m AS n_merges,
+         |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |  CAST(sum(n_chars) * 1000000 // sum(n_tokens) AS BIGINT)
+         |    AS chars_per_token_micro
+         |FROM (
+         |  SELECT doc_id, n_chars,
+         |    CAST(len(sym) - len(replace(sym, '<', '')) AS BIGINT)
+         |      AS n_tokens
+         |  FROM (
+         |    SELECT doc_id,
+         |      COALESCE(CAST(list_aggregate(
+         |        list_transform(words, w -> len(w)), 'sum') AS BIGINT), 0)
+         |        AS n_chars,
+         |      ${mergedExpr(m)} AS sym
+         |    FROM fw))""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ${stagesSql(maxR)},
+       |fw AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split(text, ' '),
+       |      w -> len(w) > 0 AND w NOT LIKE '%<%' AND w NOT LIKE '%>%')
+       |      AS words
+       |  FROM documents
+       |)
+       |$arms
+       |ORDER BY n_merges""".stripMargin
+  }
 
   /** X3: tokenizer-fertility report — per language: documents,
     * admitted whitespace words, BPE tokens under the TRAINED merge

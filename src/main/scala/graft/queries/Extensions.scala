@@ -1095,6 +1095,12 @@ object Extensions {
         table = "documents"),
       newMod = 5, maxDist = 3)
 
+  /** X3x: BPE tokenizer-size sweep — corpus compression under
+    * prefixes of the learned merge table. See Bpe.sizeSweep.
+    */
+  private val x139BpeSizeSweep: Q = (s, d) =>
+    Bpe.sizeSweep(Tables.documents(s, d), mergeCounts = Seq(2, 5, 8))
+
   val queries: Map[String, Q] = Map(
     "x01_dedup_exact" -> x01DedupExact,
     "x02_dedup_minhash" -> x02DedupMinhash,
@@ -1235,6 +1241,7 @@ object Extensions {
     "x136_minhash_health" -> x136MinhashHealth,
     "x137_diurnal_profile" -> x137Diurnal,
     "x138_fuzzy_serve" -> x138FuzzyServe,
+    "x139_bpe_size_sweep" -> x139BpeSizeSweep,
   )
 
   /** The PNG pixel statistics in closed form: the fixture image's
@@ -1541,5 +1548,6 @@ object Extensions {
     "x136_minhash_health" -> Dedup.minhashIndexHealthSql(4),
     "x137_diurnal_profile" -> EventsAnalytics.diurnalProfileSql,
     "x138_fuzzy_serve" -> Dedup.incrementalFuzzyDedupSql(5, 3),
+    "x139_bpe_size_sweep" -> Bpe.sizeSweepSql(Seq(2, 5, 8)),
   )
 }

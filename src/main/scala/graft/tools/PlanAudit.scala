@@ -259,6 +259,11 @@ object PlanAudit {
       // on a constant-folded key (the literal source = 'ALL')
       "x79_hll_distinct" -> Set("SinglePartition", "BNLJoin"),
       "x44_heavy_hitters" -> Set("SinglePartition", "BNLJoin"), // 1-row n
+      // one grouping-free 1-row compression aggregate per merge-budget
+      // candidate, unioned into the |candidates|-row sweep table (the
+      // structural certificate deliberately refuses to see through
+      // Union, so this audited scalar shape is allowlisted like d08)
+      "x139_bpe_size_sweep" -> Set("SinglePartition"),
       // |sources|-row allocation table: dimension-sized window + 1-row scalars
       "x45_temperature_mix" -> Set("SinglePartition", "BNLJoin"),
       "x05_cosine_topk" -> Set("BNLJoin"), // 5 broadcast query vectors

@@ -59,6 +59,27 @@ class PretrainOpsSpec extends AnyFunSuite {
     assert(byId(3L) == ((0L, 0L)))
   }
 
+  test("bpe size sweep: prefix tokenizers price hand-checked token " +
+    "counts, monotone in the merge budget") {
+    import spark.implicits._
+    // corpus "aaab aaab" + "ab": merges (a,a) then (a,b).
+    // m=1: aaab -> <aa><a><b> (3), ab -> <a><b> (2) => 8 tokens
+    // m=2: aaab -> <aa><ab> (2), ab -> <ab> (1)     => 5 tokens
+    val docs = Seq((1L, "aaab aaab"), (2L, "ab")).toDF("doc_id", "text")
+    val rows = Bpe.sizeSweep(docs, mergeCounts = Seq(1, 2)).collect()
+      .map(r => r.getAs[Int]("n_merges") ->
+        ((r.getAs[Long]("n_chars"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("chars_per_token_micro"))))
+      .toMap
+    assert(rows == Map(
+      1 -> ((10L, 8L, 1250000L)),
+      2 -> ((10L, 5L, 2000000L))),
+      s"got: $rows")
+    // the full-budget arm equals the standalone encode totals
+    val enc = Bpe.encode(docs, rounds = 2).collect()
+    assert(enc.map(_.getAs[Long]("n_tokens")).sum == 5L)
+  }
+
   test("bpe encode: merges never span the word separator") {
     import spark.implicits._
     // "b a" adjacent across the space must NOT merge even when (b,a)

@@ -2239,4 +2239,123 @@ object Similarity {
        |       max(c4) AS max_c4,
        |       CAST(sum(c4) AS BIGINT) AS sum_c4
        |FROM semscore GROUP BY label ORDER BY label""".stripMargin
+
+  /** X2n: margin-based bitext/alignment mining (the CCMatrix /
+    * Artetxe–Schwenk "ratio" margin) — for each probe vector x
+    * (`vec_id < nQueries`) and each of its top-k cosine candidates y
+    * from the rest of the corpus: margin(x,y) = cos(x,y) / ((fwd(x) +
+    * bwd(y)) / 2), where fwd(x) is the mean cosine of x's k nearest
+    * candidates and bwd(y) the mean cosine of y's k nearest probes.
+    * Raw cosine retrieves hubs — vectors near everything; dividing by
+    * the two local neighborhood densities is what makes mined pairs
+    * precision-viable (the margin criterion parallel-corpus miners
+    * rank by). Emitted per surviving pair: cos, both neighborhood
+    * (sum, n) integer stats, and the margin in integer micro-units —
+    * margin_micro = cm·2·10⁶·n_fwd·n_bwd div (fwd_sum·n_bwd +
+    * bwd_sum·n_fwd), kept only where cm ≥ 0 and the denominator is
+    * positive so truncating (Spark `div`) and flooring (DuckDB `//`)
+    * division agree exactly.
+    *
+    * Scale shape: ONE corpus pass against the broadcast probe set
+    * through the fused codegen cosine (the x05 kernel: bounded
+    * partial top-k, one exchange), a bounded ≤nQueries·k-row hit
+    * table, then a broadcast-semi-join fetch of ONLY the hit
+    * candidates' vectors for the backward rescore (map-only second
+    * scan, tiny cross against the probes). Nothing pairwise over the
+    * corpus; every join side past the scans is bounded.
+    */
+  def marginBitextMine(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val live = emb.filter(
+      dot_product(col("embedding"), col("embedding")) > 0)
+    val q = live.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val cand = live.filter(col("vec_id") >= nQueries)
+    val hits = broadcastCosineTopKUnsorted(cand, q, lit(true), k)
+      .select(col("qid"), col("vec_id"),
+        expr("cast(round(cos * 1000000, 0) as bigint)").as("cos_micro"))
+    val fwd = hits.groupBy(col("qid"))
+      .agg(sum(col("cos_micro")).as("fwd_sum_micro"),
+        count(lit(1)).as("n_fwd"))
+    // no broadcast hint on the ≤nQueries·k id set: the posexplode
+    // above blocks the structural boundedness certificate, and AQE
+    // broadcasts the tiny frame on its own (the x61 convention)
+    val candIds = hits.select(col("vec_id")).distinct()
+    val bwd = cand.join(candIds, "vec_id")
+      .crossJoin(broadcast(q))
+      .withColumn("cos", round(graft.functions.VectorFunctions
+        .cosine_similarity(col("embedding"), col("qe")), 6))
+      .groupBy(col("vec_id"))
+      .agg(graft.functions.TopK.top_k(k)(col("cos"), col("qid")).as("top"))
+      .select(col("vec_id"), explode(col("top")).as("h"))
+      .select(col("vec_id"),
+        expr("cast(round(h.cos * 1000000, 0) as bigint)").as("bm"))
+      .groupBy(col("vec_id"))
+      .agg(sum(col("bm")).as("bwd_sum_micro"), count(lit(1)).as("n_bwd"))
+    hits.join(fwd, "qid").join(bwd, "vec_id")
+      .filter(col("cos_micro") >= 0 &&
+        (col("fwd_sum_micro") * col("n_bwd") +
+          col("bwd_sum_micro") * col("n_fwd")) > 0)
+      .select(col("qid"), col("vec_id"), col("cos_micro"),
+        col("fwd_sum_micro"), col("n_fwd"),
+        col("bwd_sum_micro"), col("n_bwd"),
+        expr("cos_micro * 2000000 * n_fwd * n_bwd div " +
+          "(fwd_sum_micro * n_bwd + bwd_sum_micro * n_fwd)")
+          .as("margin_micro"))
+      .orderBy(col("qid"), col("margin_micro").desc, col("vec_id"))
+  }
+
+  /** Oracle: the same forward ranking as a window (candidate volume
+    * is the oracle's problem, not the engine's), the backward rescore
+    * restricted to the hit ids, and the identical integer margin.
+    */
+  def marginBitextMineSql(nQueries: Int, k: Int): String =
+    s"""WITH dbl AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |  FROM embeddings
+       |), live AS (
+       |  SELECT vec_id, e FROM dbl WHERE list_dot_product(e, e) > 0
+       |), q AS (
+       |  SELECT vec_id AS qid, e AS qe FROM live
+       |  WHERE vec_id < $nQueries
+       |), c AS (
+       |  SELECT vec_id, e FROM live WHERE vec_id >= $nQueries
+       |), scored AS (
+       |  SELECT q.qid, c.vec_id,
+       |    CAST(round(${sqlCos("c.e", "q.qe")} * 1000000, 0) AS BIGINT)
+       |      AS cm
+       |  FROM c CROSS JOIN q
+       |), franked AS (
+       |  SELECT qid, vec_id, cm,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cm DESC, vec_id)
+       |      AS rn
+       |  FROM scored
+       |), hits AS (
+       |  SELECT qid, vec_id, cm FROM franked WHERE rn <= $k
+       |), fwd AS (
+       |  SELECT qid, CAST(sum(cm) AS BIGINT) AS fwd_sum_micro,
+       |    CAST(count(*) AS BIGINT) AS n_fwd
+       |  FROM hits GROUP BY 1
+       |), branked AS (
+       |  SELECT s.vec_id, s.cm, s.qid,
+       |    row_number() OVER (PARTITION BY s.vec_id
+       |      ORDER BY s.cm DESC, s.qid) AS rn
+       |  FROM scored s
+       |  WHERE s.vec_id IN (SELECT vec_id FROM hits)
+       |), bwd AS (
+       |  SELECT vec_id, CAST(sum(cm) AS BIGINT) AS bwd_sum_micro,
+       |    CAST(count(*) AS BIGINT) AS n_bwd
+       |  FROM branked WHERE rn <= $k GROUP BY 1
+       |)
+       |SELECT h.qid, h.vec_id, h.cm AS cos_micro,
+       |  f.fwd_sum_micro, f.n_fwd, b.bwd_sum_micro, b.n_bwd,
+       |  CAST(h.cm * 2000000 * f.n_fwd * b.n_bwd
+       |    // (f.fwd_sum_micro * b.n_bwd + b.bwd_sum_micro * f.n_fwd)
+       |    AS BIGINT) AS margin_micro
+       |FROM hits h
+       |JOIN fwd f ON f.qid = h.qid
+       |JOIN bwd b ON b.vec_id = h.vec_id
+       |WHERE h.cm >= 0
+       |  AND f.fwd_sum_micro * b.n_bwd + b.bwd_sum_micro * f.n_fwd > 0
+       |ORDER BY h.qid, margin_micro DESC, h.vec_id""".stripMargin
 }

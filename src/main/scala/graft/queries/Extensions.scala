@@ -1101,6 +1101,14 @@ object Extensions {
   private val x139BpeSizeSweep: Q = (s, d) =>
     Bpe.sizeSweep(Tables.documents(s, d), mergeCounts = Seq(2, 5, 8))
 
+  /** X2n: margin-based bitext mining — ratio-margin scoring of each
+    * probe's top-k cosine candidates against both local neighborhood
+    * densities. See Similarity.marginBitextMine.
+    */
+  private val x140MarginMine: Q = (s, d) =>
+    Similarity.marginBitextMine(Tables.embeddings(s, d),
+      nQueries = 5, k = 8)
+
   val queries: Map[String, Q] = Map(
     "x01_dedup_exact" -> x01DedupExact,
     "x02_dedup_minhash" -> x02DedupMinhash,
@@ -1242,6 +1250,7 @@ object Extensions {
     "x137_diurnal_profile" -> x137Diurnal,
     "x138_fuzzy_serve" -> x138FuzzyServe,
     "x139_bpe_size_sweep" -> x139BpeSizeSweep,
+    "x140_margin_mine" -> x140MarginMine,
   )
 
   /** The PNG pixel statistics in closed form: the fixture image's
@@ -1549,5 +1558,6 @@ object Extensions {
     "x137_diurnal_profile" -> EventsAnalytics.diurnalProfileSql,
     "x138_fuzzy_serve" -> Dedup.incrementalFuzzyDedupSql(5, 3),
     "x139_bpe_size_sweep" -> Bpe.sizeSweepSql(Seq(2, 5, 8)),
+    "x140_margin_mine" -> Similarity.marginBitextMineSql(5, 8),
   )
 }

@@ -267,6 +267,9 @@ object PlanAudit {
       // |sources|-row allocation table: dimension-sized window + 1-row scalars
       "x45_temperature_mix" -> Set("SinglePartition", "BNLJoin"),
       "x05_cosine_topk" -> Set("BNLJoin"), // 5 broadcast query vectors
+      // the same bounded broadcast probe vectors, crossed twice
+      // (forward corpus scoring + the tiny backward rescore)
+      "x140_margin_mine" -> Set("BNLJoin"),
       // x05's bounded broadcast probe vectors feeding the purity eval
       "x133_knn_purity" -> Set("BNLJoin"),
       "x94_binary_topk" -> Set("BNLJoin"), // 5 broadcast query signatures

@@ -78,4 +78,38 @@ class RetrievalSpec extends AnyFunSuite {
         (r.getAs[Int]("sel_rank"), r.getAs[Long]("vec_id")))
     assert(mmr.toSeq == Seq((1, 30L), (2, 31L), (3, 32L)))
   }
+
+  test("margin mining demotes the hub raw cosine ranks first; " +
+    "zero-cos pairs keep margin 0; zero-norm candidates drop") {
+    import spark.implicits._
+    // probes q0, q1 orthogonal; hub equally near BOTH (cos .707107),
+    // pair near q0 only (cos .69 < .707107 — raw cosine prefers the
+    // hub), far vector near neither, zero vector degenerate
+    val emb = Seq(
+      (0L, Array(1f, 0f, 0f), 0),
+      (1L, Array(0f, 1f, 0f), 0),
+      (2L, Array(1f, 1f, 0f), 1),           // hub
+      (3L, Array(0.69f, 0f, 0.7238f), 1),   // dedicated pair for q0
+      (4L, Array(0f, 0f, 1f), 1),           // far filler
+      (5L, Array(0f, 0f, 0f), 1))           // zero-norm: must drop
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.marginBitextMine(emb, nQueries = 2, k = 2)
+      .collect()
+    val ids = out.map(r => (r.getAs[Long]("qid"),
+      r.getAs[Long]("vec_id"))).toSet
+    // both probes' top-2 hit lists are {hub, pair}; filler and the
+    // zero vector never surface
+    assert(ids == Set((0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L)))
+    val margin = out.map(r => (r.getAs[Long]("qid"),
+      r.getAs[Long]("vec_id")) -> r.getAs[Long]("margin_micro")).toMap
+    // the anti-hub property: q0's dedicated pair outmargins the hub
+    // even though the hub's raw cosine is higher
+    val cos = out.map(r => (r.getAs[Long]("qid"),
+      r.getAs[Long]("vec_id")) -> r.getAs[Long]("cos_micro")).toMap
+    assert(cos((0L, 2L)) > cos((0L, 3L)))
+    assert(margin((0L, 3L)) > margin((0L, 2L)),
+      s"pair ${margin((0L, 3L))} vs hub ${margin((0L, 2L))}")
+    // q1↔pair: cos 0 survives the cm >= 0 cut with margin exactly 0
+    assert(cos((1L, 3L)) == 0L && margin((1L, 3L)) == 0L)
+  }
 }

@@ -91,14 +91,24 @@ object Bench {
       // 100.4 s vs recorded 109.9 s) can disagree with the numbers
       // Bench actually measured.
       val repoDir = java.nio.file.Paths.get(outPath).toAbsolutePath.getParent
-      val round = sys.env.get("SPARK_GRAFT_ROUND").map(_.toInt).getOrElse {
+      val roundEnv = sys.env.get("SPARK_GRAFT_ROUND").map(_.toInt)
+      // Fallback when the driver doesn't set SPARK_GRAFT_ROUND: the
+      // end-of-round sequence writes CORRECTNESS_r{N} BEFORE running
+      // bench, so the newest correctness stamp IS the current round —
+      // the old `max + 1` labeled round 9's measurement BENCH_r10
+      // (VERDICT r9 artifact nit).
+      val round = roundEnv.getOrElse {
         val rx = "CORRECTNESS_r(\\d+)\\.json".r
         val prior = Option(repoDir.toFile.listFiles()).toSeq.flatten
           .flatMap(f => rx.findFirstMatchIn(f.getName).map(_.group(1).toInt))
-        if (prior.isEmpty) 1 else prior.max + 1
+        if (prior.isEmpty) 1 else prior.max
       }
-      java.nio.file.Files.write(
-        repoDir.resolve(f"BENCH_r$round%02d.json"), full.getBytes("UTF-8"))
+      val snap = repoDir.resolve(f"BENCH_r$round%02d.json")
+      // a fallback-derived round never clobbers an existing snapshot
+      // (a mid-round manual run would otherwise overwrite the prior
+      // round's record); an explicit SPARK_GRAFT_ROUND always writes
+      if (roundEnv.isDefined || !java.nio.file.Files.exists(snap))
+        java.nio.file.Files.write(snap, full.getBytes("UTF-8"))
       val slowest = best.sortBy(-_._2).take(10)
         .map { case (k, v) => f"$k ${r3(v)}%.3f s" }.mkString(", ")
       val summary =

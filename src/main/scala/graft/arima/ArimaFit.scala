@@ -10,12 +10,13 @@ package graft.arima
   *  3. per-candidate estimation by Hannan–Rissanen two-stage least
   *     squares, scored by conditional sum of squares (CSS).
   *
-  * Estimation is linear-algebra only (no nonlinear optimizer in round
-  * 1 — HR is consistent and fast; CSS-scored model choice matches
-  * auto.arima's `approximation=TRUE` regime). Seasonal orders are not
-  * searched yet: the reference itself never fits them because it
-  * drops the ts frequency (SURVEY.md §1.4.1); restoring true seasonal
-  * search is a later-round item.
+  * Estimation pairs the linear-algebra HR stage with an exact-Kalman
+  * refit of the winner (CSS-scored candidate walk matches
+  * auto.arima's `approximation=TRUE` regime). Seasonal orders ARE
+  * searched: `fitSeasonal` (below) runs the stepwise (p,q,P,Q) AICc
+  * walk with KPSS-chosen d and seasonal-strength-chosen D — restoring
+  * the true seasonal search the reference silently loses by dropping
+  * the ts frequency (SURVEY.md §1.4.1).
   */
 object ArimaFit {
 

@@ -278,8 +278,10 @@ object Retrieval {
     * Scale shape: both rankings are the existing bounded searches
     * (inverted-index probe; broadcast-query scan); the agreement is
     * one co-keyed join + aggregate over ≤ 2·nQueries·k rows, with a
-    * left join back to the nQueries-row query spine so zero-overlap
-    * queries still report.
+    * left join back to the query spine — built from the query
+    * DEFINITION (doc_id/vec_id < nQueries over both sources, ADVICE
+    * r9), not from the lexical results, so a query with zero BM25
+    * hits still reports a zero row.
     */
   def rankerAgreement(docs: DataFrame, emb: DataFrame, nQueries: Int,
       qTerms: Int, k: Int): DataFrame = {
@@ -292,7 +294,12 @@ object Retrieval {
       .groupBy(col("qid"))
       .agg(count(lit(1)).as("nc"),
         sum(abs(col("rl") - col("rd")).cast("long")).as("fr"))
-    lex.select(col("qid")).distinct()
+    val spine = docs.filter(col("doc_id") < nQueries)
+      .select(col("doc_id").as("qid"))
+      .union(emb.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("qid")))
+      .distinct()
+    spine
       .join(common, Seq("qid"), "left_outer")
       .select(col("qid"),
         coalesce(col("nc"), lit(0L)).as("n_common"),
@@ -314,7 +321,11 @@ object Retrieval {
        |         CAST(sum(abs(l.rl - d.rd)) AS BIGINT) AS fr
        |  FROM lex l JOIN den d ON d.qid = l.qid AND d.id = l.id
        |  GROUP BY 1
-       |), spine AS (SELECT DISTINCT qid FROM lex)
+       |), spine AS (
+       |  SELECT DISTINCT qid FROM (
+       |    SELECT doc_id AS qid FROM documents WHERE doc_id < $nQueries
+       |    UNION ALL
+       |    SELECT vec_id FROM embeddings WHERE vec_id < $nQueries))
        |SELECT s.qid,
        |  CAST(COALESCE(c.nc, 0) AS BIGINT) AS n_common,
        |  CAST(COALESCE(c.nc, 0) * ${10000 / k} AS BIGINT) AS overlap_bp,

@@ -401,9 +401,15 @@ object Similarity {
     * final fixed sqrt/divide expression).
     */
   private[graft] def jlProjected(emb: DataFrame, rDim: Int): DataFrame = {
+    // The sign table covers dims 0..63; a wider embedding would make
+    // element_at return NULL and silently null the projection (ADVICE
+    // r9). assert_true turns that silent degradation into a loud
+    // failure; the oracle mirrors it with error() in its micro CTE.
     val micro = emb.select(col("vec_id"), expr(
-      "transform(embedding, x -> cast(round(cast(x as double) " +
-        "* 1000000, 0) as bigint))").as("m"))
+      "CASE WHEN assert_true(size(embedding) <= 64, " +
+        "'jlProjected: embedding dim > 64 (jlSign table bound)') IS NULL " +
+        "THEN transform(embedding, x -> cast(round(cast(x as double) " +
+        "* 1000000, 0) as bigint)) END").as("m"))
     val projCols = (0 until rDim).map { j =>
       val lits = (0 until 64).map(i => jlSign(i, j)).mkString(",")
       expr(s"""aggregate(transform(m, (v, i) ->
@@ -472,8 +478,11 @@ object Similarity {
 
   def jlTopKSql(nQueries: Int, rDim: Int, k: Int): String =
     s"""WITH micro AS MATERIALIZED (
-       |  SELECT vec_id, list_transform(embedding,
-       |    x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS m
+       |  SELECT vec_id, CASE WHEN len(embedding) > 64
+       |    THEN error('jlProjected: embedding dim > 64 (jlSign table bound)')
+       |    ELSE list_transform(embedding,
+       |      x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT))
+       |    END AS m
        |  FROM embeddings
        |), signs AS (
        |  SELECT j, i,
@@ -652,13 +661,19 @@ object Similarity {
     val m2 = comps.groupBy(col("label"))
       .agg(sum(col("s").cast("decimal(19,0)") *
         col("s").cast("decimal(19,0)")).as("m2"))
+    // diff in decimal(38,0), NOT bigint: bign·s with micro-unit
+    // component sums overflows int64 around ~3M vectors while the
+    // oracle's HUGEINT carries it (ADVICE r9) — widen BEFORE the
+    // multiply/subtract so both engines stay exact to ~1e38.
+    val dec38 = "decimal(38,0)"
     val d2 = comps.join(g, "pos")
       .join(norms.select(col("label"), col("n")), "label")
       .crossJoin(broadcast(nn))
-      .withColumn("diff", col("bign") * col("s") - col("n") * col("gs"))
+      .withColumn("diff",
+        col("bign").cast(dec38) * col("s").cast(dec38) -
+          col("n").cast(dec38) * col("gs").cast(dec38))
       .groupBy(col("label"))
-      .agg(sum(col("diff").cast("decimal(19,0)") *
-        col("diff").cast("decimal(19,0)")).as("d2"))
+      .agg(sum(col("diff") * col("diff")).as("d2"))
     norms.join(m2, Seq("label")).join(d2, Seq("label"))
       .crossJoin(broadcast(nn))
       .withColumn("wraw",
@@ -704,8 +719,8 @@ object Similarity {
        |  FROM comps GROUP BY 1
        |), dsq AS (
        |  SELECT c.label,
-       |    sum(CAST(bign * s - n * gs AS HUGEINT)
-       |      * CAST(bign * s - n * gs AS HUGEINT)) AS d2
+       |    sum((CAST(bign AS HUGEINT) * s - CAST(n AS HUGEINT) * gs)
+       |      * (CAST(bign AS HUGEINT) * s - CAST(n AS HUGEINT) * gs)) AS d2
        |  FROM comps c
        |  JOIN g ON g.pos = c.pos
        |  JOIN norms nr ON nr.label = c.label
@@ -1480,6 +1495,11 @@ object Similarity {
     */
   def silhouetteReport(emb: DataFrame, k: Int, trainIters: Int,
       ambThresh4: Long, trainTarget: Long = 0): DataFrame = {
+    // the (10000−c4)·1024+cid packing reserves 10 bits for the
+    // centroid id — a larger k would silently corrupt ids/affinities
+    // instead of failing (ADVICE r9)
+    require(k >= 1 && k <= 1024,
+      s"silhouetteReport: k=$k outside [1, 1024] (packing stride)")
     val cents = kmeansCentroids(emb, k, trainIters, trainTarget)
     val top2 = emb.crossJoin(broadcast(cents))
       .withColumn("c", round(graft.functions.VectorFunctions
@@ -2173,6 +2193,11 @@ object Similarity {
     deconCorpus(emb, benchIds)
       .crossJoin(broadcast(bench))
       .withColumn("c4", deconMaxC4(col("barr")))
+      // no scoreable benchmark vector → barr is empty → c4 NULL; the
+      // oracle's CROSS JOIN against an empty semb emits no rows, so
+      // drop the unscored rows to keep batch ≡ stream ≡ oracle in the
+      // degenerate config (ADVICE r9)
+      .filter(col("c4").isNotNull)
   }
 
   /** The x105 corpus filter — shared with the streaming ingest twin

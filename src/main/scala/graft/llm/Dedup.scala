@@ -179,12 +179,19 @@ object Dedup {
           .mkString(s"stack($bands, ", ", ", ") AS (b, mh)")))
   }
 
-  def minhashBuckets(docs: DataFrame, bands: Int): DataFrame =
-    minhashSig(docs, bands).groupBy(col("b"), col("mh"))
+  /** The x02 bucket rollup over any (doc_id, b, mh) signature table —
+    * shared by the fixed-band x02 path and the planner-driven x140
+    * path, so "bucket" means exactly one thing.
+    */
+  private def bucketRollup(sig: DataFrame): DataFrame =
+    sig.groupBy(col("b"), col("mh"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("d_min"),
         max(col("doc_id")).as("d_max"))
       .filter(col("n_docs") > 1)
       .orderBy(col("b"), col("mh"))
+
+  def minhashBuckets(docs: DataFrame, bands: Int): DataFrame =
+    bucketRollup(minhashSig(docs, bands))
 
   /** X1q: MinHash-LSH index HEALTH audit — per band: signatures,
     * distinct buckets, the largest bucket, singleton buckets, the
@@ -1242,6 +1249,114 @@ object Dedup {
        |$arms
        |ORDER BY rows_per_band""".stripMargin
   }
+
+  /** X1r: planner-DRIVEN MinHash bucketing — closes the x116
+    * planner→executor loop (VERDICT r9 #4): the argmin-total-error
+    * config (expected missed true duplicates + expected spurious
+    * candidates, ties toward fewer rows per band) is SELECTED FROM
+    * THE PLANNER TABLE at runtime and the banded bucketing runs
+    * under it — the self-tuning form of x02, choosing its knee from
+    * the corpus's own pair-similarity distribution instead of a
+    * textbook default.
+    *
+    * The runtime-config trick: ALL `perms`=128 Carter–Wegman
+    * permutation minima are computed per document in ONE groupBy
+    * (the x87 signature builder over the whole corpus — fixed work
+    * independent of the chosen config), then band b under config
+    * (bands, r) is md5 of the comma-joined minima [b·r, (b+1)·r) —
+    * a pure projection in which (bands, r) are COLUMNS from the
+    * 1-row argmin frame, so no plan reshaping depends on the choice.
+    * Bucket rollup shared verbatim with x02 ([[bucketRollup]]).
+    *
+    * Scale shape: the planner is the x04 bounded candidate machinery
+    * + a |grid|-row aggregate, collapsed to ONE 2-int config row on
+    * the driver (the localized-model-frame idiom — a hard broadcast
+    * of the non-provable pinned frame flags PlanAudit, and a 1-row
+    * transfer of the argmin of a 5-row table is the audited serve
+    * pattern); the signature pass is one hash aggregate with 128 min
+    * states (the x02/x87 no-explosion trick); banding is a map-only
+    * projection under the chosen literals; the rollup is the x02
+    * exchange. The oracle keeps the scalar-subquery form end to end.
+    */
+  def plannedMinhash(docs: DataFrame, dfCap: Int, threshold: Double,
+      dupTheta: Double, perms: Int = 128): DataFrame = {
+    val bestRows = lshPlanner(docs, dfCap, threshold, dupTheta)
+      .orderBy((col("missed_dup_nano") + col("spurious_nano")).asc,
+        col("rows_per_band").asc)
+      .limit(1)
+      .select(col("bands"), col("rows_per_band"))
+      .collect()
+    val spark = docs.sparkSession
+    import spark.implicits._
+    if (bestRows.isEmpty)
+      // no calibration pairs → no evidence to plan on: empty table
+      // (same schema), the caller falls back to the x02 defaults
+      return Seq.empty[(Int, Int, Int, String, Long, Long, Long)]
+        .toDF("bands", "rows_per_band", "b", "mh",
+          "n_docs", "d_min", "d_max")
+    val bands = bestRows(0).getInt(0)
+    val rpb = bestRows(0).getInt(1)
+    val (pa, pc) = permConsts(perms)
+    val minAggs = (0 until perms).map(b =>
+      min((col("x") * lit(pa(b)) + lit(pc(b))) % lit(MersenneP))
+        .as(s"mh$b"))
+    val sig = shingles(docs)
+      .withColumn("hh", md5(col("s")))
+      .withColumn("x",
+        expr("cast(conv(substr(hh, 1, 7), 16, 10) as bigint)"))
+      .groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
+      .select(col("doc_id"),
+        array((0 until perms).map(b => col(s"mh$b")): _*).as("pm"))
+    val banded = sig
+      .select(col("doc_id"), col("pm"),
+        explode(expr(s"sequence(0, ${bands - 1})")).as("b"))
+      .withColumn("mh", md5(array_join(
+        transform(
+          slice(col("pm"), col("b") * lit(rpb) + lit(1), lit(rpb)),
+          v => v.cast("string")), ",")))
+    bucketRollup(banded.select(col("doc_id"), col("b"), col("mh")))
+      .select(lit(bands).as("bands"), lit(rpb).as("rows_per_band"),
+        col("b"), col("mh"), col("n_docs"), col("d_min"), col("d_max"))
+      .orderBy(col("b"), col("mh"))
+  }
+
+  /** Oracle: the x116 planner SQL as a CTE, scalar-subquery argmin,
+    * the x87 permutation chain over all docs, ordered string_agg
+    * banding — same comma-joined digest text as the engine.
+    */
+  def plannedMinhashSql(dfCap: Int, threshold: Double,
+      dupTheta: Double, perms: Int = 128): String =
+    s"""WITH planner AS (
+       |${lshPlannerSql(dfCap, threshold, dupTheta)}
+       |), best AS (
+       |  SELECT bands, rows_per_band FROM planner
+       |  ORDER BY missed_dup_nano + spurious_nano, rows_per_band
+       |  LIMIT 1
+       |), sh2 AS ($shinglesSql),
+       |hs2 AS (
+       |  SELECT doc_id, ${hexParseExpr("instr", "hh", 1, 7)} AS x
+       |  FROM (SELECT doc_id, md5(s) AS hh FROM sh2) q
+       |), consts2(perm, a, c) AS (
+       |  VALUES ${permConstsValuesSql(perms)}
+       |), mins2 AS (
+       |  SELECT doc_id, perm, min((x * a + c) % $MersenneP) AS mh
+       |  FROM hs2 CROSS JOIN consts2
+       |  GROUP BY 1, 2
+       |), banded AS (
+       |  SELECT doc_id,
+       |    CAST(perm // (SELECT rows_per_band FROM best) AS INT) AS b,
+       |    md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY perm)) AS mh
+       |  FROM mins2
+       |  GROUP BY doc_id, perm // (SELECT rows_per_band FROM best)
+       |), bk2 AS (
+       |  SELECT b, mh, CAST(count(*) AS BIGINT) AS n_docs,
+       |         min(doc_id) AS d_min, max(doc_id) AS d_max
+       |  FROM banded GROUP BY b, mh HAVING count(*) > 1
+       |)
+       |SELECT best.bands, best.rows_per_band, bk2.b, bk2.mh,
+       |       bk2.n_docs, bk2.d_min, bk2.d_max
+       |FROM bk2 CROSS JOIN best
+       |ORDER BY bk2.b, bk2.mh""".stripMargin
 
   /** X1: leakage-safe train/val/test splits — the split assignment a
     * training pipeline must use instead of hashing doc ids: hashing

@@ -1109,6 +1109,15 @@ object Extensions {
     Similarity.marginBitextMine(Tables.embeddings(s, d),
       nQueries = 5, k = 8)
 
+  /** X1: planner-DRIVEN MinHash bucketing — x116's argmin-total-error
+    * (bands, rows-per-band) config selected from the planner table
+    * at runtime and executed in the same plan; the self-tuning form
+    * of x02 (VERDICT r9 #4). See Dedup.plannedMinhash.
+    */
+  private val x141PlannedMinhash: Q = (s, d) =>
+    Dedup.plannedMinhash(Tables.documents(s, d), dfCap = 10,
+      threshold = 0.2, dupTheta = 0.8)
+
   val queries: Map[String, Q] = Map(
     "x01_dedup_exact" -> x01DedupExact,
     "x02_dedup_minhash" -> x02DedupMinhash,
@@ -1251,6 +1260,7 @@ object Extensions {
     "x138_fuzzy_serve" -> x138FuzzyServe,
     "x139_bpe_size_sweep" -> x139BpeSizeSweep,
     "x140_margin_mine" -> x140MarginMine,
+    "x141_planned_minhash" -> x141PlannedMinhash,
   )
 
   /** The PNG pixel statistics in closed form: the fixture image's
@@ -1559,5 +1569,7 @@ object Extensions {
     "x138_fuzzy_serve" -> Dedup.incrementalFuzzyDedupSql(5, 3),
     "x139_bpe_size_sweep" -> Bpe.sizeSweepSql(Seq(2, 5, 8)),
     "x140_margin_mine" -> Similarity.marginBitextMineSql(5, 8),
+    "x141_planned_minhash" -> Dedup.plannedMinhashSql(dfCap = 10,
+      threshold = 0.2, dupTheta = 0.8),
   )
 }

@@ -846,6 +846,46 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("planned minhash: executes the planner's argmin config and " +
+      "surfaces the exact-dup pair in every band") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a b c d e"),
+      (1L, "a b c d e"),
+      (2L, "p q r s t u v w"))
+      .toDF("doc_id", "text")
+    // independent argmin over the planner table
+    val planned = graft.llm.Dedup.lshPlanner(docs, dfCap = 10,
+        threshold = 0.2, dupTheta = 0.8).collect()
+      .map(r => ((r.getAs[Long]("missed_dup_nano") +
+        r.getAs[Long]("spurious_nano"), r.getAs[Int]("rows_per_band")),
+        (r.getAs[Int]("bands"), r.getAs[Int]("rows_per_band"))))
+      .minBy(_._1)._2
+    val out = graft.llm.Dedup.plannedMinhash(docs, dfCap = 10,
+      threshold = 0.2, dupTheta = 0.8).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert((r.getAs[Int]("bands"), r.getAs[Int]("rows_per_band"))
+        == planned, "executed config != planner argmin")
+    }
+    // identical docs agree on EVERY permutation minimum, so they
+    // share a bucket in every one of the chosen `bands` bands; doc 2
+    // shares no shingle, so no bucket holds 3
+    val dupBuckets = out.filter(r => r.getAs[Long]("d_min") == 0L &&
+      r.getAs[Long]("d_max") == 1L)
+    assert(dupBuckets.length == planned._1,
+      s"expected ${planned._1} dup buckets, got ${dupBuckets.length}")
+    assert(out.forall(_.getAs[Long]("n_docs") == 2L))
+  }
+
+  test("planned minhash: a corpus with no calibration pairs yields " +
+      "an empty (not crashing) bucket table") {
+    import spark.implicits._
+    val docs = Seq((0L, "a b c"), (1L, "x y z")).toDF("doc_id", "text")
+    assert(graft.llm.Dedup.plannedMinhash(docs, dfCap = 10,
+      threshold = 0.2, dupTheta = 0.8).count() == 0L)
+  }
+
   test("signal correlation: per-source Pearson matches an exact " +
       "BigInt recomputation from the underlying x08/x41 signals") {
     import spark.implicits._

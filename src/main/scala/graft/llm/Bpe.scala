@@ -169,7 +169,7 @@ object Bpe {
   def encodeServe(docs: DataFrame, modelPath: String,
       rounds: Int): DataFrame = {
     val learned = graft.tools.ModelStore
-      .ensure(modelPath, merges(docs, rounds))
+      .ensure(modelPath, merges(docs, rounds), spec = "merges v1")
       .orderBy(col("merge_rank"))
       .collect() // bounded: ≤rounds merge rows, applied in rank order
     encodeWith(docs,

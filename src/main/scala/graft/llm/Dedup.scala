@@ -583,7 +583,7 @@ object Dedup {
     val batch = docs.filter(h % newMod === 0)
     val buckets = graft.tools.ModelStore.ensure(modelPath,
       repSignatureBuckets(docs.filter(h % newMod =!= 0), maxDist,
-        bucketCap))
+        bucketCap), spec = "repSignatureBuckets v1")
     fuzzyVerdicts(batch, fuzzyProbe(batch, buckets, maxDist))
       .orderBy(col("doc_id"))
   }

@@ -105,7 +105,8 @@ object Importance {
       targetSources: Seq[String] = Seq("src1", "src2")): DataFrame =
     scoreWith(docBuckets(docs, buckets),
       graft.tools.ModelStore.ensure(modelPath,
-        lambdaTable(docs, buckets, targetSources)))
+        lambdaTable(docs, buckets, targetSources),
+        spec = "lambdaTable v1"))
 
   /** The scoring stage — per-doc integer-exact λ sums against a
     * (b, nano) model table — shared verbatim by [[dsirWeights]]

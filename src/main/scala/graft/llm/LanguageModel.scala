@@ -75,7 +75,8 @@ object LanguageModel {
       alpha: Double = 0.5, lmLang: String = "en",
       cap: Double = 11.0): DataFrame =
     scoreAgainst(trigrams(docs),
-      graft.tools.ModelStore.ensure(modelPath, lmTable(docs, lmLang)),
+      graft.tools.ModelStore.ensure(modelPath, lmTable(docs, lmLang),
+        spec = "lmTable v1"),
       alpha, cap)
 
   /** The scoring stage — per-doc NLL against a (g, c) model table —

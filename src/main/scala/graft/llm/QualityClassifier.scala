@@ -153,7 +153,8 @@ object QualityClassifier {
     * feature/standardize/score expressions are shared.
     */
   def serveScore(docs: DataFrame, modelPath: String): DataFrame = {
-    val row = graft.tools.ModelStore.ensure(modelPath, modelFrame(docs))
+    val row = graft.tools.ModelStore.ensure(modelPath,
+      modelFrame(docs), spec = "modelFrame v1")
       .collect()(0) // bounded: the 13-double model row
     val mu = (1 to 4).map(j => row.getAs[Double](s"m$j")).toArray
     val sd = (1 to 4).map(j => row.getAs[Double](s"s$j")).toArray

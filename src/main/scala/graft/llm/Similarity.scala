@@ -865,7 +865,8 @@ object Similarity {
       k: Int): DataFrame =
     ivfSearch(emb,
       localized(graft.tools.ModelStore.ensure(modelPath,
-        kmeansCentroids(emb, nLists, trainIters, trainTarget)))
+        kmeansCentroids(emb, nLists, trainIters, trainTarget),
+        spec = "kmeansCentroids v1"))
         .select(col("__cid").cast("long").as("list_id"), col("ce")),
       nProbe, nQueries, k)
 
@@ -1751,7 +1752,9 @@ object Similarity {
     val cbRow = localized(graft.tools.ModelStore.ensure(modelPath,
       if (trainIters > 0)
         pqTrainCodebook(emb, dim, m, ksub, trainIters, trainTarget)
-      else pqCodebook(emb, dim, m, ksub)))
+      else pqCodebook(emb, dim, m, ksub),
+      spec = if (trainIters > 0) "pqTrainCodebook v1"
+        else "pqCodebook v1"))
     pqAdcTopK(emb, cbRow, dim, m, nQueries, k)
   }
 
@@ -1965,7 +1968,8 @@ object Similarity {
       threshold: Double, clusterCap: Int = 256, trainIters: Int = 0,
       trainTarget: Long = 0): DataFrame = {
     val centroids = localized(graft.tools.ModelStore.ensure(modelPath,
-      kmeansCentroids(emb, k, trainIters, trainTarget)))
+      kmeansCentroids(emb, k, trainIters, trainTarget),
+      spec = "kmeansCentroids v1"))
     semanticDedupFrom(emb, centroids, threshold, clusterCap)
   }
 
@@ -2066,7 +2070,8 @@ object Similarity {
       budget: Int, tau: Double = 0.5, trainIters: Int = 1,
       trainTarget: Long = 250): DataFrame = {
     val centroids = localized(graft.tools.ModelStore.ensure(modelPath,
-      kmeansCentroids(emb, k, trainIters, trainTarget)))
+      kmeansCentroids(emb, k, trainIters, trainTarget),
+      spec = "kmeansCentroids v1"))
     clusterSampleFromAssigned(assignToCentroids(emb, centroids),
       budget, tau)
   }

@@ -185,4 +185,46 @@ class ModelServeSpec extends AnyFunSuite {
     assert(leftovers.isEmpty,
       s"leftover tmp dirs: ${leftovers.mkString(", ")}")
   }
+
+  test("a bumped trainer spec retrains; an unchanged spec serves the " +
+      "artifact byte-identically; empty spec keeps legacy behavior") {
+    import spark.implicits._
+    val path = freshPath("spec")
+    var trains = 0
+    def train(rows: Seq[(Long, String)]) = {
+      trains += 1
+      rows.toDF("id", "v")
+    }
+    val v1 = Seq((1L, "a")); val v2 = Seq((2L, "b"))
+    assert(ModelStore.ensure(path, train(v1), spec = "trainer v1")
+      .collect().map(_.toSeq).toSeq == Seq(Seq(1L, "a")))
+    assert(trains == 1)
+    // unchanged spec: served, not retrained, artifact untouched
+    val stamps = new java.io.File(path).listFiles()
+      .map(f => f.getName -> f.lastModified()).toMap
+    assert(ModelStore.ensure(path, train(v1), spec = "trainer v1")
+      .collect().map(_.toSeq).toSeq == Seq(Seq(1L, "a")))
+    assert(trains == 1, "unchanged spec retrained")
+    assert(new java.io.File(path).listFiles()
+      .map(f => f.getName -> f.lastModified()).toMap == stamps,
+      "artifact rewritten on spec-matched serve")
+    // bumped spec: the CHANGED trainer actually runs and replaces
+    // the artifact (the r9 staleness hole: write-once-forever would
+    // silently serve v1 here)
+    assert(ModelStore.ensure(path, train(v2), spec = "trainer v2")
+      .collect().map(_.toSeq).toSeq == Seq(Seq(2L, "b")))
+    assert(trains == 2, "bumped spec did not retrain")
+    // the new artifact now serves without retraining
+    assert(ModelStore.ensure(path, train(v2), spec = "trainer v2")
+      .collect().map(_.toSeq).toSeq == Seq(Seq(2L, "b")))
+    assert(trains == 2)
+    // no stale-* residue from the swap
+    val parent = new java.io.File(path).getParentFile
+    assert(parent.listFiles().map(_.getName)
+      .count(_.contains(".stale-")) == 0)
+    // empty expected spec accepts any stamped artifact (legacy)
+    assert(ModelStore.ensure(path, train(v1))
+      .collect().map(_.toSeq).toSeq == Seq(Seq(2L, "b")))
+    assert(trains == 2)
+  }
 }

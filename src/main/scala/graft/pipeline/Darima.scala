@@ -1180,10 +1180,17 @@ object Darima {
     * fitted/residuals; lower/upper are per-step arrays over levels).
     */
   def writeForecastJson(fc: graft.forecast.ForecastResult,
-      path: String): Unit = {
-    def arr(xs: Array[Double]): String =
-      xs.map(v => if (v.isNaN) "null" else v.toString)
-        .mkString("[", ",", "]")
+      path: String): Unit =
+    writeForecastJsonTail(fc, path,
+      s""""fitted":${jsonArr(fc.fitted)},""" +
+        s""""residuals":${jsonArr(fc.residuals)}""")
+
+  private def jsonArr(xs: Array[Double]): String =
+    xs.map(v => if (v.isNaN) "null" else v.toString)
+      .mkString("[", ",", "]")
+
+  private def writeForecastJsonTail(fc: graft.forecast.ForecastResult,
+      path: String, tail: String): Unit = {
     val h = fc.mean.length
     val lower = (0 until h).map(i =>
       fc.levels.indices.map(li => fc.lower(li)(i)).mkString("[", ",", "]"))
@@ -1192,9 +1199,39 @@ object Darima {
       fc.levels.indices.map(li => fc.upper(li)(i)).mkString("[", ",", "]"))
       .mkString("[", ",", "]")
     val json = s"""{"level":${fc.levels.mkString("[", ",", "]")},""" +
-      s""""mean":${arr(fc.mean)},"se":${arr(fc.se)},""" +
-      s""""lower":$lower,"upper":$upper,""" +
-      s""""fitted":${arr(fc.fitted)},"residuals":${arr(fc.residuals)}}"""
+      s""""mean":${jsonArr(fc.mean)},"se":${jsonArr(fc.se)},""" +
+      s""""lower":$lower,"upper":$upper,""" + tail + "}"
     java.nio.file.Files.writeString(java.nio.file.Paths.get(path), json)
+  }
+
+  /** Scale-safe forecast sink (VERDICT r9 #5). At or below
+    * `inlineMax` train rows, `forecast.json` carries the full
+    * fitted/residual arrays — byte parity with the reference sink
+    * (darima.py:400-408), which collects whole-train arrays; above
+    * it, the ONLY full-series driver collect in the engine is
+    * replaced by a distributed parquet write of
+    * [[fittedResidualsDF]] and the JSON carries a relative pointer
+    * (`fitted_residuals_path`) instead. Returns true when the arrays
+    * were inlined.
+    */
+  def writeForecastOutputs(fc: graft.forecast.ForecastResult,
+      frDf: DataFrame, n: Long, outDir: String,
+      inlineMax: Long): Boolean = {
+    if (n <= inlineMax) {
+      val fr = frDf.orderBy(col("t"))
+        .select(col("fitted"), col("residual")).collect()
+      def arrOf(i: Int) = fr.map(r =>
+        if (r.isNullAt(i)) Double.NaN else r.getDouble(i))
+      writeForecastJson(fc.copy(fitted = arrOf(0), residuals = arrOf(1)),
+        s"$outDir/forecast.json")
+      true
+    } else {
+      val rel = "fitted_residuals.parquet"
+      frDf.select(col("t"), col("fitted"), col("residual"))
+        .write.mode("overwrite").parquet(s"$outDir/$rel")
+      writeForecastJsonTail(fc, s"$outDir/forecast.json",
+        s""""fitted_residuals_path":"$rel"""")
+      false
+    }
   }
 }

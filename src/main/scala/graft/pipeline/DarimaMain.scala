@@ -46,16 +46,16 @@ object DarimaMain {
         .map(_.getDouble(0))
       val (model, fc) = Darima.run(spark, train, testVals.length, cfg)
       new java.io.File(outDir).mkdirs()
-      // Full-series fitted/residuals, computed distributed and
-      // collected only to materialize the reference-format JSON sink
-      // (darima.py:400-408 carries whole-train arrays). At cluster
-      // scale, write Darima.fittedResidualsDF to parquet instead.
-      val fr = Darima.fittedResidualsDF(train, model)
-        .orderBy(col("t")).select(col("fitted"), col("residual")).collect()
-      def arrOf(i: Int) = fr.map(r =>
-        if (r.isNullAt(i)) Double.NaN else r.getDouble(i))
-      val fcFull = fc.copy(fitted = arrOf(0), residuals = arrOf(1))
-      Darima.writeForecastJson(fcFull, s"$outDir/forecast.json")
+      // Scale-safe sink: fitted/residuals inline in forecast.json
+      // (reference byte parity) up to GRAFT_FR_INLINE_MAX train rows
+      // (default 1M — well above the 121k-row fixtures); beyond
+      // that they go to parquet distributed and the JSON carries a
+      // pointer (Darima.writeForecastOutputs, VERDICT r9 #5).
+      val inlineMax =
+        sys.env.getOrElse("GRAFT_FR_INLINE_MAX", "1000000").toLong
+      Darima.writeForecastOutputs(fc,
+        Darima.fittedResidualsDF(train, model), model.n, outDir,
+        inlineMax): Unit
       // MASE/MSIS scaling from one distributed aggregate — the train
       // series never reaches the driver (only the test tail does).
       val scale = Darima.seasonalNaiveScaleDF(train, cfg.freq)

@@ -244,4 +244,44 @@ class DarimaPipelineSpec extends AnyFunSuite {
       i += 1
     }
   }
+
+  test("forecast sink: inline below the threshold (reference parity), " +
+      "parquet + pointer above it") {
+    import org.apache.spark.sql.functions.col
+    val series = Tables.events(spark, sf)
+      .select(col("ts").cast("double").as("time"), col("value"))
+    val cfg = DarimaConfig(numChunks = 2, freq = 24, fitter = "olsar",
+      olsP = 1, chunker = "timerange")
+    val n = series.count()
+    val (model, fc) = Darima.run(spark, series, h = 8, cfg)
+    val frDf = Darima.fittedResidualsDF(series, model)
+    // inline branch: arrays in the JSON, no parquet side file
+    val d1 = java.nio.file.Files.createTempDirectory("sink1").toString
+    assert(Darima.writeForecastOutputs(fc, frDf, n, d1, inlineMax = n))
+    val j1 = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$d1/forecast.json"))
+    assert(j1.contains("\"fitted\":[") && j1.contains("\"residuals\":["))
+    assert(!j1.contains("fitted_residuals_path"))
+    assert(!new java.io.File(s"$d1/fitted_residuals.parquet").exists())
+    // count the inlined fitted values == n (whole-train arrays, the
+    // darima.py:400-408 shape)
+    val inlined = j1.split("\"fitted\":\\[")(1).split("]")(0)
+      .split(",").length
+    assert(inlined == n, s"inlined $inlined fitted values, train $n")
+    // pointer branch: arrays replaced by the relative path; the
+    // parquet holds every (t, fitted, residual) row
+    val d2 = java.nio.file.Files.createTempDirectory("sink2").toString
+    assert(!Darima.writeForecastOutputs(fc, frDf, n, d2,
+      inlineMax = n - 1))
+    val j2 = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$d2/forecast.json"))
+    assert(j2.contains("\"fitted_residuals_path\":\"fitted_residuals.parquet\""))
+    assert(!j2.contains("\"fitted\":["))
+    val pq = spark.read.parquet(s"$d2/fitted_residuals.parquet")
+    assert(pq.count() == n)
+    assert(pq.columns.toSeq == Seq("t", "fitted", "residual"))
+    // the forecast head of the JSON (mean/se/intervals) is identical
+    // across branches — only the fitted/residual carrier changed
+    assert(j1.split("\"fitted\"")(0) == j2.split("\"fitted")(0))
+  }
 }

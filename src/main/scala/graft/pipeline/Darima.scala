@@ -140,7 +140,20 @@ final case class DarimaConfig(
       * under strongly autocorrelated errors). Off = the pre-r8
       * fit-then-subtract behavior, kept for attribution runs.
       */
-    jointHarmonics: Boolean = true) {
+    jointHarmonics: Boolean = true,
+    /** Box–Cox variance-stabilizing transform ahead of the fit:
+      * "off" (default), "auto" (λ chosen by Guerrero's method from
+      * one bounded block-stats aggregate), or a numeric λ string.
+      * The fit runs on the transformed scale; the forecast inverts
+      * MEDIAN-unbiased — quantiles are equivariant under the
+      * monotone inverse, so intervals map exactly and the point
+      * forecast is the median back-transform (forecast::BoxCox with
+      * biasadj = FALSE) — and se maps by the delta method. λ ≠ 1
+      * requires a positive series; a non-positive one falls back to
+      * off with a warning. The returned MODEL stays on the
+      * transformed scale (its coefficients parameterize z = bc(y)).
+      */
+    boxCox: String = "off") {
 
   /** The differencing cap the fitters actually use: the −1 sentinel
     * resolves to 2 (the reference's auto.arima d+D reach); explicit
@@ -771,7 +784,118 @@ object Darima {
     }
   }
 
+  /** Guerrero's λ selection: split the time span into blocks of
+    * 2·freq samples, take each block's (mean, sd) — ONE bounded hash
+    * aggregate, ≤ n/(2·freq) rows collected — and pick the λ (grid
+    * [−1, 2] step 0.01, forecast::guerrero's bounds) minimizing the
+    * coefficient of variation of s_i / m_i^(1−λ) across blocks.
+    * Degenerate inputs (short series, constant blocks, non-positive
+    * means) return 1.0 — the identity-shaped λ.
+    */
+  private[graft] def guerreroLambda(named: DataFrame, freq: Int): Double = {
+    val blockLen = math.max(2, 2 * freq)
+    val (n, tMin, _, dt) = sampleSpacing(named)
+    if (n < 2L * blockLen || dt <= 0) return 1.0
+    val stats = named
+      .withColumn("__blk",
+        floor((col("t") - lit(tMin)) / lit(blockLen * dt)))
+      .groupBy(col("__blk"))
+      .agg(count(lit(1)).as("c"), avg(col("v")).as("m"),
+        stddev_samp(col("v")).as("s"))
+      .filter(col("c") >= 2 && col("m") > 0 &&
+        col("s").isNotNull && col("s") > 0)
+      .select(col("m"), col("s"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    if (stats.length < 3) return 1.0
+    def cv(lam: Double): Double = {
+      val ratios = stats.map { case (m, s) =>
+        s / math.pow(m, 1.0 - lam)
+      }
+      val mean = ratios.sum / ratios.length
+      if (mean <= 0) Double.MaxValue
+      else math.sqrt(ratios.map(r => (r - mean) * (r - mean)).sum /
+        (ratios.length - 1)) / mean
+    }
+    (-100 to 200).map(i => i / 100.0).minBy(cv)
+  }
+
+  /** Resolve the configured Box–Cox mode against the data: None =
+    * transform off (also the non-positive-series fallback for
+    * λ ≠ 1, where the power/log transform leaves its domain).
+    */
+  private def resolveBoxCox(series: DataFrame,
+      cfg: DarimaConfig): Option[Double] = {
+    if (cfg.boxCox == "off") return None
+    val named = series.select(col("time").cast("double").as("t"),
+      col("value").cast("double").as("v"))
+    val lam = cfg.boxCox match {
+      case "auto" => guerreroLambda(named, math.max(cfg.freq, 1))
+      case s => s.toDouble
+    }
+    if (lam == 1.0) return Some(1.0) // x−1 shift: domain-free
+    val minRow = named.agg(min(col("v"))).head()
+    if (minRow.isNullAt(0) || minRow.getDouble(0) <= 0) {
+      System.err.println(
+        s"[darima] boxCox λ=$lam needs a positive series — falling " +
+          "back to off")
+      None
+    } else Some(lam)
+  }
+
+  /** Driver-side inverse pair of graft.ts.Transforms — same closed
+    * forms, applied to the forecast arrays.
+    */
+  private def invBc(lam: Double)(z: Double): Double =
+    if (z.isNaN) Double.NaN
+    else if (lam == 0.0) math.exp(z)
+    else {
+      val b = lam * z + 1.0
+      // an interval bound can escape the transform's domain (the
+      // transformed-scale Gaussian has unbounded support); clamp to
+      // the image's infimum, matching forecast::InvBoxCox
+      if (b <= 0) 0.0 else math.pow(b, 1.0 / lam)
+    }
+
+  /** Median-unbiased back-transform of a transformed-scale forecast:
+    * mean/intervals/fitted through the inverse (quantile
+    * equivariance), se by the delta method d inv/dz at the mean,
+    * residuals re-derived on the original scale (y − inv(fitted)).
+    */
+  private def invForecast(fc: ForecastResult,
+      lam: Double): ForecastResult = {
+    val inv = invBc(lam) _
+    def deriv(z: Double): Double =
+      if (z.isNaN) Double.NaN
+      else if (lam == 0.0) math.exp(z)
+      else {
+        val b = lam * z + 1.0
+        if (b <= 0) 0.0 else math.pow(b, 1.0 / lam - 1.0)
+      }
+    fc.copy(
+      mean = fc.mean.map(inv),
+      se = fc.se.indices.map(i => fc.se(i) * deriv(fc.mean(i))).toArray,
+      lower = fc.lower.map(_.map(inv)),
+      upper = fc.upper.map(_.map(inv)),
+      fitted = fc.fitted.map(inv),
+      residuals = fc.residuals.indices.map { i =>
+        if (fc.fitted(i).isNaN || fc.residuals(i).isNaN) Double.NaN
+        else inv(fc.fitted(i) + fc.residuals(i)) - inv(fc.fitted(i))
+      }.toArray)
+  }
+
   def run(spark: SparkSession, series: DataFrame, h: Int,
+      cfg: DarimaConfig): (ArLinearModel, ForecastResult) =
+    resolveBoxCox(series, cfg) match {
+      case None => runOnScale(spark, series, h, cfg)
+      case Some(lam) =>
+        val tr = series.select(col("time"),
+          graft.ts.Transforms.boxCox(col("value").cast("double"), lam)
+            .as("value"))
+        val (model, fcZ) = runOnScale(spark, tr, h, cfg)
+        (model, invForecast(fcZ, lam))
+    }
+
+  private def runOnScale(spark: SparkSession, series: DataFrame, h: Int,
       cfg: DarimaConfig): (ArLinearModel, ForecastResult) = {
     val cfgFit = calibrateLongHorizon(cfg, h)
     val cached = series.cache()
@@ -1120,6 +1244,9 @@ object Darima {
     require(cfg.seasonalWeighting == "off",
       "runMany: holdout seasonal weighting is a per-series selection " +
         "pass — use run() per series for that config")
+    require(cfg.boxCox == "off",
+      "runMany: Box–Cox λ is per-series model selection — use run() " +
+        "per series for that config")
     val cfgFit = calibrateLongHorizon(cfg, h)
     val named = series.select(col("sid").cast("string").as("sid"),
       col("time").cast("double").as("t"),

@@ -50,7 +50,8 @@ object ZonesEval {
           sys.env.getOrElse("GRAFT_JOINT", "1") != "0",
         recencyDecay = sys.env.getOrElse("GRAFT_DECAY", "1.0").toDouble,
         decayScope = sys.env.getOrElse("GRAFT_DECAY_SCOPE", "all"),
-        seasonalWeighting = sys.env.getOrElse("GRAFT_SEASONAL_W", "off"))
+        seasonalWeighting = sys.env.getOrElse("GRAFT_SEASONAL_W", "off"),
+        boxCox = sys.env.getOrElse("GRAFT_LAMBDA", "off"))
       // test tails are h rows per zone — the bounded driver transfer
       // metrics need anyway
       val testVals: Map[String, Array[Double]] = zones.map { zone =>
@@ -73,10 +74,10 @@ object ZonesEval {
       val harmEnv = sys.env.getOrElse("GRAFT_HARM_YEARLY", "3")
       val hs = testVals.values.map(_.length).toSet
       val rows =
-        if (harmEnv == "auto" || hs.size != 1) {
-          // per-zone path: auto-harmonics is per-series model
-          // SELECTION (holdout refits per candidate), and unequal
-          // horizons need per-zone runs
+        if (harmEnv == "auto" || cfg.boxCox != "off" || hs.size != 1) {
+          // per-zone path: auto-harmonics and Box–Cox λ are
+          // per-series model SELECTION, and unequal horizons need
+          // per-zone runs
           zones.map { zone =>
             val train =
               Darima.loadSeriesCsv(spark, s"$dataDir/${zone}_train.csv")

@@ -292,6 +292,58 @@ object DarimaQueries {
       .orderBy(col("sid"), col("lag_idx"))
   }
 
+  /** The fleet FORECAST stage, fully distributed: per-series AR(1)
+    * fit + DLSA combine (the d09 plan at olsP = 1) reduce to a
+    * ≤|series|-row seed frame (c, φ, σ², y0 — the tail via the
+    * bounded series_tail aggregate), which a typed flatMap expands
+    * into every series' h-step recursion — the d03 driver recursion
+    * runs INSIDE the plan, one task per seed partition, no per-series
+    * driver loop anywhere (the fleet twin of FC1–FC7). The oracle
+    * replays the identical float sequence with a per-sid
+    * WITH RECURSIVE seeded from the same keyed fit.
+    */
+  private val d10MultiForecast: Q = (s, d) => {
+    import s.implicits._
+    val h = 24
+    val fleet = Tables.events(s, d).select(
+      col("event_type").as("sid"),
+      col("ts").cast("double").as("time"), col("value"))
+    val gm = Darima.combineMany(
+      Darima.fitChunkCoefsMany(s, fleet, cfgOls1), "dlsa")
+    val model = gm.groupBy(col("sid")).agg(
+      max(when(col("coef") === "beta0", col("value"))).as("c"),
+      max(when(col("coef") === "ar1", col("value"))).as("phi"),
+      max(when(col("coef") === "sigma2", col("value"))).as("sig"))
+    val tails = fleet
+      .select(col("sid"), col("time").as("t"), col("value").as("v"))
+      .groupBy(col("sid"))
+      .agg(graft.functions.SeriesTail.series_tail(1)(col("t"), col("v"))
+        .as("tl"))
+      .select(col("sid"), expr("tl[0].v").as("y0"))
+    val z80 = 1.2815515655446008
+    val z95 = 1.959963984540054
+    model.join(tails, "sid")
+      .select(col("sid"), col("c"), col("phi"), col("sig"), col("y0"))
+      .as[(String, Double, Double, Double, Double)]
+      .flatMap { case (sid, c, phi, sig, y0) =>
+        // the d03 recursion verbatim: row s+1 takes m' = c + φ·m,
+        // ψ' = φ·ψ, cum' = cum + ψ² (old ψ) — same left-associated
+        // float ops as the recursive-CTE oracle
+        var m = y0; var psi = 1.0; var cum = 0.0
+        (1 to h).map { step =>
+          val m1 = c + phi * m
+          val cum1 = cum + psi * psi
+          psi = phi * psi; m = m1; cum = cum1
+          val se = math.sqrt(sig * cum1)
+          (sid, step, roundN(m1, 4), roundN(se, 4),
+            roundN(m1 - z80 * se, 4), roundN(m1 + z80 * se, 4),
+            roundN(m1 - z95 * se, 4), roundN(m1 + z95 * se, 4))
+        }
+      }
+      .toDF("sid", "step", "mean", "se", "lo80", "hi80", "lo95", "hi95")
+      .orderBy(col("sid"), col("step"))
+  }
+
   val queries: Map[String, Q] = Map(
     "d01_chunk_coefs" -> d01ChunkCoefs,
     "d02_global_coefs" -> d02GlobalCoefs,
@@ -302,6 +354,7 @@ object DarimaQueries {
     "d07_fitted_residuals" -> d07FittedResiduals,
     "d08_harmonic_fit" -> d08HarmonicFit,
     "d09_multiseries" -> d09Multiseries,
+    "d10_multiseries_forecast" -> d10MultiForecast,
   )
 
   // ---------------------------------------------------------------
@@ -678,6 +731,81 @@ object DarimaQueries {
       |  FROM w GROUP BY sid
       |) ORDER BY sid, lag_idx""".stripMargin
 
+  /** d10 oracle: the keyed AR(1) fit (the d09 chunk/combine chain at
+    * p = 1) feeding a per-sid recursive CTE — every series' forecast
+    * recursion advances in lockstep, scalars riding inside the rows
+    * (the d03 rule: a recursive term referencing an upstream CTE
+    * re-runs its subtree per iteration).
+    */
+  private val d10Sql: String =
+    s"""WITH RECURSIVE bounds AS (
+       |  SELECT event_type AS sid, min(epoch(ts)) AS tmin,
+       |         max(epoch(ts)) AS tmax
+       |  FROM events GROUP BY 1
+       |), ordered AS (
+       |  SELECT e.event_type AS sid, e.value, epoch(e.ts) AS t,
+       |         CASE WHEN b.tmax <= b.tmin THEN 0
+       |              ELSE least(CAST(floor((epoch(e.ts) - b.tmin)
+       |                               / (b.tmax - b.tmin) * 4) AS INT), 3)
+       |         END AS chunk_id
+       |  FROM events e JOIN bounds b ON b.sid = e.event_type
+       |), lagged AS (
+       |  SELECT sid, chunk_id, value AS y,
+       |         lag(value) OVER (PARTITION BY sid, chunk_id
+       |                          ORDER BY t) AS x
+       |  FROM ordered
+       |), base AS (
+       |  SELECT sid, chunk_id, y, x FROM lagged WHERE x IS NOT NULL
+       |), sums AS (
+       |  SELECT sid, chunk_id, CAST(count(*) AS DOUBLE) AS nr,
+       |         sum(x) AS sx, sum(y) AS sy,
+       |         sum(x*y) AS sxy, sum(x*x) AS sxx
+       |  FROM base GROUP BY sid, chunk_id
+       |), params AS (
+       |  SELECT sid, chunk_id, nr,
+       |         (nr*sxy - sx*sy) / (nr*sxx - sx*sx) AS phi,
+       |         (sy - ((nr*sxy - sx*sy) / (nr*sxx - sx*sx)) * sx) / nr
+       |           AS c
+       |  FROM sums
+       |), fit AS (
+       |  SELECT p.sid, p.chunk_id, p.nr + 1 AS n, p.c, p.phi,
+       |         sum((b.y - p.c - p.phi*b.x) * (b.y - p.c - p.phi*b.x))
+       |           / (p.nr - 2) AS sig
+       |  FROM base b
+       |  JOIN params p ON b.sid = p.sid AND b.chunk_id = p.chunk_id
+       |  GROUP BY p.sid, p.chunk_id, p.nr, p.c, p.phi
+       |), gmod AS (
+       |  SELECT sid, sum(c * (n/sig)) / sum(n/sig) AS c,
+       |         sum(phi * (n/sig)) / sum(n/sig) AS phi,
+       |         sum(n) / sum(n/sig) AS sig
+       |  FROM fit GROUP BY sid
+       |), tail AS (
+       |  SELECT sid, value AS y0 FROM (
+       |    SELECT sid, value, row_number()
+       |      OVER (PARTITION BY sid ORDER BY t DESC) AS rn
+       |    FROM ordered
+       |  ) WHERE rn = 1
+       |), fc AS (
+       |  SELECT g.sid, 0 AS step, CAST(t.y0 AS DOUBLE) AS m,
+       |         CAST(1.0 AS DOUBLE) AS psi, CAST(0.0 AS DOUBLE) AS cum,
+       |         g.c AS c, g.phi AS phi, g.sig AS sig
+       |  FROM tail t JOIN gmod g ON g.sid = t.sid
+       |  UNION ALL
+       |  SELECT sid, step + 1, c + phi * m, phi * psi, cum + psi * psi,
+       |         c, phi, sig
+       |  FROM fc WHERE step < 24
+       |)
+       |SELECT sid, step,
+       |       round(m, 4) AS mean,
+       |       round(sqrt(sig * cum), 4) AS se,
+       |       round(m - $z80 * sqrt(sig * cum), 4) AS lo80,
+       |       round(m + $z80 * sqrt(sig * cum), 4) AS hi80,
+       |       round(m - $z95 * sqrt(sig * cum), 4) AS lo95,
+       |       round(m + $z95 * sqrt(sig * cum), 4) AS hi95
+       |FROM fc
+       |WHERE step >= 1
+       |ORDER BY sid, step""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "d01_chunk_coefs" -> d01Sql,
     "d02_global_coefs" -> d02Sql,
@@ -687,6 +815,7 @@ object DarimaQueries {
     "d07_fitted_residuals" -> d07Sql,
     "d08_harmonic_fit" -> d08Sql,
     "d09_multiseries" -> d09Sql,
+    "d10_multiseries_forecast" -> d10Sql,
     "d05_ar1_ols" ->
       """WITH ordered AS (
         |  SELECT value, ntile(4) OVER (ORDER BY ts, event_id) AS chunk_id,

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.arima.ArFit
@@ -344,6 +344,110 @@ object DarimaQueries {
       .orderBy(col("sid"), col("step"))
   }
 
+  /** The fleet BACKTEST (d04 keyed): per series — time-cutoff
+    * train/test split (h = max(24, n/10)), keyed AR(1) fit on the
+    * train prefix, the d10-style in-plan forecast recursion to each
+    * series' own horizon, seasonal-naïve scale from the train
+    * window, and the MASE/sMAPE/MSIS means as ONE grouped aggregate
+    * over the (sid, step)-joined forecast×actual frame. Driver
+    * transfers are the per-series count row and the h-row test
+    * tails (the d04 bound, per series); every metric is computed
+    * distributed. With d09+d10+d11 the fleet fit→forecast→eval path
+    * is oracle-checked end to end.
+    */
+  private val d11MultiEval: Q = (s, d) => {
+    import s.implicits._
+    val fleet = Tables.events(s, d).select(
+      col("event_type").as("sid"),
+      col("ts").cast("double").as("time"), col("value"))
+    val counts = fleet.groupBy(col("sid")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (counts.isEmpty)
+      Seq.empty[(String, Double, Double, Double, Double, Int)]
+        .toDF("sid", "mean_mase", "mean_smape", "mean_msis_80",
+          "mean_msis_95", "h")
+    else d11Body(s, fleet, counts)
+  }
+
+  private def d11Body(s: SparkSession,
+      fleet: DataFrame, counts: Map[String, Long]): DataFrame = {
+    import s.implicits._
+    val hBySid = counts.map { case (sid, n) =>
+      sid -> math.max(24L, n / 10).toInt
+    }
+    val maxH = hBySid.values.max
+    // per-series test tails: one bounded series_tail pass, h rows each
+    val tails = Darima.tailsMany(
+      fleet.select(col("sid"), col("time").as("t"),
+        col("value").as("v")), maxH)
+      .map { case (sid, tl) => sid -> tl.takeRight(hBySid(sid)) }
+    val cutDf = tails.toSeq.map { case (sid, tl) => (sid, tl.head._1) }
+      .toDF("sid", "__cut")
+    val test = tails.toSeq.flatMap { case (sid, tl) =>
+      tl.zipWithIndex.map { case ((_, v), i) => (sid, i + 1, v) }
+    }.toDF("sid", "step", "actual")
+    val train = fleet.join(broadcast(cutDf), "sid")
+      .filter(col("time") < col("__cut"))
+      .select(col("sid"), col("time"), col("value"))
+    val gm = Darima.combineMany(
+      Darima.fitChunkCoefsMany(s, train, cfgOls1), "dlsa")
+    val model = gm.groupBy(col("sid")).agg(
+      max(when(col("coef") === "beta0", col("value"))).as("c"),
+      max(when(col("coef") === "ar1", col("value"))).as("phi"),
+      max(when(col("coef") === "sigma2", col("value"))).as("sig"))
+    val y0s = train
+      .select(col("sid"), col("time").as("t"), col("value").as("v"))
+      .groupBy(col("sid"))
+      .agg(graft.functions.SeriesTail.series_tail(1)(col("t"), col("v"))
+        .as("tl"))
+      .select(col("sid"), expr("tl[0].v").as("y0"))
+    val hFor = hBySid // serialized into the flatMap closure (tiny)
+    val fcRows = model.join(y0s, "sid")
+      .select(col("sid"), col("c"), col("phi"), col("sig"), col("y0"))
+      .as[(String, Double, Double, Double, Double)]
+      .flatMap { case (sid, c, phi, sig, y0) =>
+        var m = y0; var psi = 1.0; var cum = 0.0
+        (1 to hFor(sid)).map { step =>
+          val m1 = c + phi * m
+          val cum1 = cum + psi * psi
+          psi = phi * psi; m = m1; cum = cum1
+          (sid, step, m1, math.sqrt(sig * cum1))
+        }
+      }
+      .toDF("sid", "step", "m", "se")
+    val scDf = Darima.seasonalNaiveScaleManyDF(
+      train.select(col("sid"), col("time").as("t"),
+        col("value").as("v")), cfgOls1.freq)
+      .toSeq.toDF("sid", "sc")
+    val hDf = hBySid.toSeq.toDF("sid", "h")
+    val z80 = lit(1.2815515655446008)
+    val z95 = lit(1.959963984540054)
+    def msis(z: Column, alphaInv: Double): Column =
+      (((col("m") + z * col("se")) - (col("m") - z * col("se"))) +
+        when(col("actual") < (col("m") - z * col("se")),
+          lit(alphaInv) * ((col("m") - z * col("se")) - col("actual")))
+          .otherwise(lit(0.0)) +
+        when(col("actual") > (col("m") + z * col("se")),
+          lit(alphaInv) * (col("actual") - (col("m") + z * col("se"))))
+          .otherwise(lit(0.0))) / col("sc")
+    fcRows.join(test, Seq("sid", "step"))
+      .join(broadcast(scDf), "sid")
+      .groupBy(col("sid"))
+      .agg(
+        round(avg(abs(col("actual") - col("m")) / col("sc")), 6)
+          .as("mean_mase"),
+        round(avg(when((abs(col("actual")) + abs(col("m"))) / 2 === 0,
+          lit(0.0)).otherwise(abs(col("actual") - col("m")) /
+            ((abs(col("actual")) + abs(col("m"))) / 2))), 6)
+          .as("mean_smape"),
+        round(avg(msis(z80, 2.0 / 0.2)), 6).as("mean_msis_80"),
+        round(avg(msis(z95, 2.0 / 0.05)), 6).as("mean_msis_95"))
+      .join(broadcast(hDf), "sid")
+      .select(col("sid"), col("mean_mase"), col("mean_smape"),
+        col("mean_msis_80"), col("mean_msis_95"), col("h"))
+      .orderBy(col("sid"))
+  }
+
   val queries: Map[String, Q] = Map(
     "d01_chunk_coefs" -> d01ChunkCoefs,
     "d02_global_coefs" -> d02GlobalCoefs,
@@ -355,6 +459,7 @@ object DarimaQueries {
     "d08_harmonic_fit" -> d08HarmonicFit,
     "d09_multiseries" -> d09Multiseries,
     "d10_multiseries_forecast" -> d10MultiForecast,
+    "d11_multiseries_eval" -> d11MultiEval,
   )
 
   // ---------------------------------------------------------------
@@ -806,6 +911,122 @@ object DarimaQueries {
        |WHERE step >= 1
        |ORDER BY sid, step""".stripMargin
 
+  /** d11 oracle: d04's split/fit/recursion/metric chain with the
+    * series key threaded through every group — keyed AR(1) fit on
+    * the per-sid train prefix, per-sid recursive forecast bounded by
+    * each series' own ntest, per-sid seasonal-naïve scale, grouped
+    * metric means.
+    */
+  private val d11Sql: String =
+    s"""WITH RECURSIVE allrows AS (
+       |  SELECT event_type AS sid, epoch(ts) AS t, value,
+       |         row_number() OVER (PARTITION BY event_type
+       |                            ORDER BY ts) AS rn,
+       |         count(*) OVER (PARTITION BY event_type) AS n
+       |  FROM events
+       |), split AS (
+       |  SELECT DISTINCT sid, n, greatest(24, n // 10) AS ntest
+       |  FROM allrows
+       |), src AS (
+       |  SELECT a.sid, a.t, a.value
+       |  FROM allrows a JOIN split s ON s.sid = a.sid
+       |  WHERE a.rn <= a.n - s.ntest
+       |), bounds AS (
+       |  SELECT sid, min(t) AS tmin, max(t) AS tmax FROM src GROUP BY 1
+       |), ordered AS (
+       |  SELECT e.sid, e.value, e.t,
+       |         CASE WHEN b.tmax <= b.tmin THEN 0
+       |              ELSE least(CAST(floor((e.t - b.tmin)
+       |                               / (b.tmax - b.tmin) * 4) AS INT), 3)
+       |         END AS chunk_id
+       |  FROM src e JOIN bounds b ON b.sid = e.sid
+       |), lagged AS (
+       |  SELECT sid, chunk_id, value AS y,
+       |         lag(value) OVER (PARTITION BY sid, chunk_id
+       |                          ORDER BY t) AS x
+       |  FROM ordered
+       |), base AS (
+       |  SELECT sid, chunk_id, y, x FROM lagged WHERE x IS NOT NULL
+       |), sums AS (
+       |  SELECT sid, chunk_id, CAST(count(*) AS DOUBLE) AS nr,
+       |         sum(x) AS sx, sum(y) AS sy,
+       |         sum(x*y) AS sxy, sum(x*x) AS sxx
+       |  FROM base GROUP BY sid, chunk_id
+       |), params AS (
+       |  SELECT sid, chunk_id, nr,
+       |         (nr*sxy - sx*sy) / (nr*sxx - sx*sx) AS phi,
+       |         (sy - ((nr*sxy - sx*sy) / (nr*sxx - sx*sx)) * sx) / nr
+       |           AS c
+       |  FROM sums
+       |), fit AS (
+       |  SELECT p.sid, p.chunk_id, p.nr + 1 AS n, p.c, p.phi,
+       |         sum((b.y - p.c - p.phi*b.x) * (b.y - p.c - p.phi*b.x))
+       |           / (p.nr - 2) AS sig
+       |  FROM base b
+       |  JOIN params p ON b.sid = p.sid AND b.chunk_id = p.chunk_id
+       |  GROUP BY p.sid, p.chunk_id, p.nr, p.c, p.phi
+       |), gmod AS (
+       |  SELECT sid, sum(c * (n/sig)) / sum(n/sig) AS c,
+       |         sum(phi * (n/sig)) / sum(n/sig) AS phi,
+       |         sum(n) / sum(n/sig) AS sig
+       |  FROM fit GROUP BY sid
+       |), tail AS (
+       |  SELECT sid, value AS y0 FROM (
+       |    SELECT sid, value, row_number()
+       |      OVER (PARTITION BY sid ORDER BY t DESC) AS rn
+       |    FROM src
+       |  ) WHERE rn = 1
+       |), fc AS (
+       |  SELECT g.sid, 0 AS step, CAST(t.y0 AS DOUBLE) AS m,
+       |         CAST(1.0 AS DOUBLE) AS psi, CAST(0.0 AS DOUBLE) AS cum,
+       |         g.c AS c, g.phi AS phi, g.sig AS sig, s.ntest AS ntest
+       |  FROM tail t
+       |  JOIN gmod g ON g.sid = t.sid
+       |  JOIN split s ON s.sid = t.sid
+       |  UNION ALL
+       |  SELECT sid, step + 1, c + phi * m, phi * psi, cum + psi * psi,
+       |         c, phi, sig, ntest
+       |  FROM fc WHERE step < ntest
+       |), scale AS (
+       |  SELECT sid, avg(abs(d)) AS sc FROM (
+       |    SELECT sid, value - lag(value, 24)
+       |      OVER (PARTITION BY sid ORDER BY t) AS d
+       |    FROM src
+       |  ) WHERE d IS NOT NULL GROUP BY sid
+       |), joined AS (
+       |  SELECT a.sid, a.value AS actual, f.m,
+       |         sqrt(f.sig * f.cum) AS se, sc.sc
+       |  FROM allrows a
+       |  JOIN split s ON s.sid = a.sid
+       |  JOIN fc f ON f.sid = a.sid
+       |    AND f.step = a.rn - (a.n - s.ntest)
+       |  JOIN scale sc ON sc.sid = a.sid
+       |  WHERE a.rn > a.n - s.ntest
+       |)
+       |SELECT j.sid,
+       |  round(avg(abs(actual - m) / sc), 6) AS mean_mase,
+       |  round(avg(CASE WHEN (abs(actual) + abs(m)) / 2 = 0 THEN 0
+       |            ELSE abs(actual - m) / ((abs(actual) + abs(m)) / 2)
+       |            END), 6) AS mean_smape,
+       |  round(avg((
+       |      ((m + $z80 * se) - (m - $z80 * se))
+       |      + CASE WHEN actual < (m - $z80 * se)
+       |          THEN (2 / 0.2) * ((m - $z80 * se) - actual) ELSE 0 END
+       |      + CASE WHEN actual > (m + $z80 * se)
+       |          THEN (2 / 0.2) * (actual - (m + $z80 * se)) ELSE 0 END
+       |    ) / sc), 6) AS mean_msis_80,
+       |  round(avg((
+       |      ((m + $z95 * se) - (m - $z95 * se))
+       |      + CASE WHEN actual < (m - $z95 * se)
+       |          THEN (2 / 0.05) * ((m - $z95 * se) - actual) ELSE 0 END
+       |      + CASE WHEN actual > (m + $z95 * se)
+       |          THEN (2 / 0.05) * (actual - (m + $z95 * se)) ELSE 0 END
+       |    ) / sc), 6) AS mean_msis_95,
+       |  CAST(max(s2.ntest) AS INT) AS h
+       |FROM joined j JOIN split s2 ON s2.sid = j.sid
+       |GROUP BY j.sid
+       |ORDER BY j.sid""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "d01_chunk_coefs" -> d01Sql,
     "d02_global_coefs" -> d02Sql,
@@ -816,6 +1037,7 @@ object DarimaQueries {
     "d08_harmonic_fit" -> d08Sql,
     "d09_multiseries" -> d09Sql,
     "d10_multiseries_forecast" -> d10Sql,
+    "d11_multiseries_eval" -> d11Sql,
     "d05_ar1_ols" ->
       """WITH ordered AS (
         |  SELECT value, ntile(4) OVER (ORDER BY ts, event_id) AS chunk_id,

@@ -451,4 +451,69 @@ object Sampling {
        |  is_sat AS saturated
        |FROM sat CROSS JOIN thr
        |ORDER BY source""".stripMargin
+
+  /** X6: CURRICULUM ordering — the data-side operator of curriculum
+    * learning: every document gets a training PHASE (difficulty
+    * terciles/k-tiles by token count, the standard length proxy —
+    * exact distributed ntile, no global sort) and a deterministic
+    * WITHIN-PHASE shuffle position (rank of md5(doc_id) inside the
+    * phase), so a trainer reads phase 1 → 2 → … easy-to-hard with a
+    * reproducible shuffle inside each phase. Deterministic across
+    * runs and engines: ties cannot exist ((n_tokens, md5) is a total
+    * order), so the table is a pure function of the corpus.
+    *
+    * Scale shape: two OrderedRank passes (bucketed range sort +
+    * ≤buckets-row offset join — never a single-partition window):
+    * one for the phase ntile, one global row_number over the
+    * (phase, shuffle-key) composite; within-phase position is that
+    * global rank minus the phase offset (a ≤`phases`-row collected
+    * count frame). The composite key packs the phase above the
+    * first 40 md5 bits — for lowercase hex, numeric prefix order
+    * equals lexicographic order, so (prefix, full-key) sorts
+    * exactly like the full key.
+    */
+  def curriculumOrder(docs: DataFrame, phases: Int): DataFrame = {
+    require(phases >= 1 && phases <= 100, s"phases=$phases")
+    val scored = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).as("n_tokens"),
+      md5(col("doc_id").cast("string")).as("__shuf"))
+    val phased = graft.ts.OrderedRank.withNtile(scored,
+      col("n_tokens"), col("__shuf"), phases, "phase")
+    val composite = col("phase").cast("long") * lit(1L << 44) +
+      expr("cast(conv(substr(__shuf, 1, 10), 16, 10) as bigint)")
+    val ranked = graft.ts.OrderedRank.withRowNumber(
+      phased.withColumn("__ord", composite), col("__ord"),
+      col("__shuf"), "__grn")
+    // phase offsets: a ≤phases-row frame, folded into a literal chain
+    val sizes = phased.groupBy(col("phase")).count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (1 to phases).map(p =>
+      p -> (1 until p).map(q => sizes.getOrElse(q, 0L)).sum).toMap
+    val offCol = offsets.foldLeft(lit(0L)) { case (acc, (p, off)) =>
+      when(col("phase") === p, lit(off)).otherwise(acc)
+    }
+    ranked
+      .select(col("doc_id"), col("n_tokens"), col("phase"),
+        (col("__grn") - offCol).as("ord"))
+      .orderBy(col("phase"), col("ord"))
+  }
+
+  /** Oracle: plain NTILE + per-phase row_number over the identical
+    * shuffle key.
+    */
+  def curriculumOrderSql(phases: Int): String =
+    s"""WITH sc AS (
+       |  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+       |         md5(CAST(doc_id AS VARCHAR)) AS shuf
+       |  FROM documents
+       |), ph AS (
+       |  SELECT doc_id, n_tokens, shuf,
+       |         ntile($phases) OVER (ORDER BY n_tokens, shuf) AS phase
+       |  FROM sc
+       |)
+       |SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+       |       CAST(phase AS INT) AS phase,
+       |       CAST(row_number() OVER (PARTITION BY phase ORDER BY shuf)
+       |         AS BIGINT) AS ord
+       |FROM ph ORDER BY phase, ord""".stripMargin
 }

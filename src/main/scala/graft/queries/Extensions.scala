@@ -1118,6 +1118,13 @@ object Extensions {
     Dedup.plannedMinhash(Tables.documents(s, d), dfCap = 10,
       threshold = 0.2, dupTheta = 0.8)
 
+  /** X6: curriculum ordering — difficulty phases (token-count
+    * terciles, exact distributed ntile) + deterministic within-phase
+    * shuffle rank. See Sampling.curriculumOrder.
+    */
+  private val x142Curriculum: Q = (s, d) =>
+    Sampling.curriculumOrder(Tables.documents(s, d), phases = 3)
+
   val queries: Map[String, Q] = Map(
     "x01_dedup_exact" -> x01DedupExact,
     "x02_dedup_minhash" -> x02DedupMinhash,
@@ -1261,6 +1268,7 @@ object Extensions {
     "x139_bpe_size_sweep" -> x139BpeSizeSweep,
     "x140_margin_mine" -> x140MarginMine,
     "x141_planned_minhash" -> x141PlannedMinhash,
+    "x142_curriculum_order" -> x142Curriculum,
   )
 
   /** The PNG pixel statistics in closed form: the fixture image's
@@ -1571,5 +1579,6 @@ object Extensions {
     "x140_margin_mine" -> Similarity.marginBitextMineSql(5, 8),
     "x141_planned_minhash" -> Dedup.plannedMinhashSql(dfCap = 10,
       threshold = 0.2, dupTheta = 0.8),
+    "x142_curriculum_order" -> Sampling.curriculumOrderSql(phases = 3),
   )
 }

@@ -226,4 +226,35 @@ class PretrainOpsSpec extends AnyFunSuite {
     assert(rows(("B", 32)) == ((1L, 1L, 64L, 32L, 0.5)))
     assert(rows(("B", 64)) == ((1L, 0L, 64L, 0L, 0.0)))
   }
+
+  test("curriculum order: phases are difficulty-monotone, sizes " +
+      "ntile-exact, within-phase order is the md5 shuffle") {
+    import spark.implicits._
+    val docs = (0L until 10L).map { i =>
+      // token counts 1..10 → with 3 phases: sizes 4, 3, 3
+      (i, (0 to i.toInt).map(j => s"t$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    val out = graft.llm.Sampling.curriculumOrder(docs, phases = 3)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("n_tokens"),
+        r.getAs[Int]("phase"), r.getAs[Long]("ord")))
+    assert(out.length == 10)
+    val byPhase = out.groupBy(_._3).view.mapValues(_.toSeq).toMap
+    assert(byPhase.keySet == Set(1, 2, 3))
+    assert(byPhase(1).size == 4 && byPhase(2).size == 3 &&
+      byPhase(3).size == 3)
+    // every doc in a later phase is at least as hard as any earlier
+    assert(byPhase(1).map(_._2).max <= byPhase(2).map(_._2).min)
+    assert(byPhase(2).map(_._2).max <= byPhase(3).map(_._2).min)
+    // within-phase order = rank of md5(doc_id)
+    def md5(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    byPhase.values.foreach { rows =>
+      val want = rows.sortBy(r => md5(r._1.toString)).map(_._1)
+      val got = rows.sortBy(_._4).map(_._1)
+      assert(got == want, s"shuffle order: $got vs $want")
+      assert(rows.map(_._4).sorted == (1L to rows.size).toSeq)
+    }
+  }
 }

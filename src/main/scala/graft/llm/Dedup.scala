@@ -749,6 +749,46 @@ object Dedup {
     s"""WITH RECURSIVE ${ccCtesSql(maxDist, bucketCap)}
        |SELECT doc_id, component FROM comp ORDER BY doc_id""".stripMargin
 
+  /** X1/X6: SOFT-dedup sampling weights — the delete-nothing
+    * alternative to hard dedup (the Gopher/Chinchilla-era practice
+    * for templated near-dups): every document keeps its place in the
+    * corpus but carries weight_bp = 10000 div cluster_size, so a
+    * weight-proportional sampler draws each near-dup CLUSTER with
+    * the mass of one document — duplicates stop multiplying their
+    * content's gradient without the recall risk of choosing a single
+    * "representative". Output per doc: cluster id, cluster size, and
+    * the integer basis-point weight (exact in both dialects — no
+    * float division anywhere).
+    *
+    * Scale shape: the x33 CC machinery (endpoint-bounded
+    * pointer-doubling rounds), one |V|-row size aggregate co-keyed
+    * back on its own grouping key (copartitioned-agg-join — the
+    * exchange is reused, no broadcast of an O(corpus) side).
+    */
+  def softDedupWeights(docs: DataFrame, maxDist: Int,
+      bucketCap: Int = 64): DataFrame = {
+    val comp = connectedComponents(docs.select(col("doc_id")),
+      simhashNearDup(docs, maxDist, bucketCap)
+        .select(col("d1"), col("d2")))
+    val sizes = comp.groupBy(col("component"))
+      .agg(count(lit(1)).as("cluster_size"))
+    comp.join(sizes, "component")
+      .select(col("doc_id"), col("component"), col("cluster_size"),
+        expr("10000 div cluster_size").as("weight_bp"))
+      .orderBy(col("doc_id"))
+  }
+
+  def softDedupWeightsSql(maxDist: Int, bucketCap: Int = 64): String =
+    s"""WITH RECURSIVE ${ccCtesSql(maxDist, bucketCap)},
+       |sizes AS (
+       |  SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+       |  FROM comp GROUP BY component
+       |)
+       |SELECT c.doc_id, c.component, s.cluster_size,
+       |       CAST(10000 // s.cluster_size AS BIGINT) AS weight_bp
+       |FROM comp c JOIN sizes s ON s.component = c.component
+       |ORDER BY c.doc_id""".stripMargin
+
   /** X1: duplicate-cluster SIZE HISTOGRAM — the dedup-ROI table: per
     * cluster multiplicity s, how many near-dup clusters have exactly
     * s members, how many documents they hold, and how many of those

@@ -1125,6 +1125,14 @@ object Extensions {
   private val x142Curriculum: Q = (s, d) =>
     Sampling.curriculumOrder(Tables.documents(s, d), phases = 3)
 
+  /** X1/X6: soft-dedup sampling weights — per doc, 10000 div
+    * cluster_size basis points off the x33 clusters; the
+    * delete-nothing dedup a weighted sampler consumes. See
+    * Dedup.softDedupWeights.
+    */
+  private val x143SoftDedup: Q = (s, d) =>
+    Dedup.softDedupWeights(Tables.documents(s, d), maxDist = 3)
+
   val queries: Map[String, Q] = Map(
     "x01_dedup_exact" -> x01DedupExact,
     "x02_dedup_minhash" -> x02DedupMinhash,
@@ -1269,6 +1277,7 @@ object Extensions {
     "x140_margin_mine" -> x140MarginMine,
     "x141_planned_minhash" -> x141PlannedMinhash,
     "x142_curriculum_order" -> x142Curriculum,
+    "x143_soft_dedup_weights" -> x143SoftDedup,
   )
 
   /** The PNG pixel statistics in closed form: the fixture image's
@@ -1580,5 +1589,6 @@ object Extensions {
     "x141_planned_minhash" -> Dedup.plannedMinhashSql(dfCap = 10,
       threshold = 0.2, dupTheta = 0.8),
     "x142_curriculum_order" -> Sampling.curriculumOrderSql(phases = 3),
+    "x143_soft_dedup_weights" -> Dedup.softDedupWeightsSql(maxDist = 3),
   )
 }

@@ -1287,19 +1287,18 @@ class CurationOpsSpec extends AnyFunSuite {
   }
 
   test("semantic decontamination: empty benchmark slice yields an " +
-      "unflagged full-corpus report, not a crash") {
+      "EMPTY report (oracle parity), not a crash") {
     import spark.implicits._
     val emb = Seq((10L, Array(1f, 0f, 0f), 1), (11L, Array(0f, 1f, 0f), 1))
       .toDF("vec_id", "embedding", "label")
     val rows = Similarity
       .semanticDecontaminate(emb, benchIds = 0, thetaC4 = 1L)
       .collect()
-    // max over an empty bench array is NULL -> c4 NULL: n counts the
-    // corpus, nothing flags, and the moment columns stay NULL rather
-    // than inventing a 0 affinity
-    assert(rows.length == 1)
-    assert(rows(0).getAs[Long]("n") == 2L)
-    assert(rows(0).getAs[Long]("n_flagged") == 0L)
-    assert(rows(0).isNullAt(rows(0).fieldIndex("max_c4")))
+    // no scoreable benchmark vector → nothing can be SCORED, so no
+    // rows: the oracle's CROSS JOIN against an empty bench emits
+    // none, and the batch path drops its NULL-c4 rows to agree
+    // (ADVICE r9 — the previous per-label NULL-moment row silently
+    // diverged from the oracle in exactly this config)
+    assert(rows.isEmpty)
   }
 }

@@ -323,6 +323,12 @@ object DarimaQueries {
     val z80 = 1.2815515655446008
     val z95 = 1.959963984540054
     model.join(tails, "sid")
+      // Degenerate series (too short / constant: the fit emits no ar1
+      // row, or the closed form divides by zero) have no model — omit
+      // them from the forecast, mirroring the oracle's null-seed
+      // filter, instead of crashing the non-nullable decode below.
+      .filter(col("c").isNotNull && col("phi").isNotNull &&
+        col("sig").isNotNull && col("y0").isNotNull)
       .select(col("sid"), col("c"), col("phi"), col("sig"), col("y0"))
       .as[(String, Double, Double, Double, Double)]
       .flatMap { case (sid, c, phi, sig, y0) =>
@@ -403,6 +409,10 @@ object DarimaQueries {
       .select(col("sid"), expr("tl[0].v").as("y0"))
     val hFor = hBySid // serialized into the flatMap closure (tiny)
     val fcRows = model.join(y0s, "sid")
+      // same null-seed omission as d10: unfittable series forecast
+      // nothing (the oracle's keyed fit emits no rows for them)
+      .filter(col("c").isNotNull && col("phi").isNotNull &&
+        col("sig").isNotNull && col("y0").isNotNull)
       .select(col("sid"), col("c"), col("phi"), col("sig"), col("y0"))
       .as[(String, Double, Double, Double, Double)]
       .flatMap { case (sid, c, phi, sig, y0) =>
@@ -895,6 +905,8 @@ object DarimaQueries {
        |         CAST(1.0 AS DOUBLE) AS psi, CAST(0.0 AS DOUBLE) AS cum,
        |         g.c AS c, g.phi AS phi, g.sig AS sig
        |  FROM tail t JOIN gmod g ON g.sid = t.sid
+       |  WHERE g.c IS NOT NULL AND g.phi IS NOT NULL
+       |    AND g.sig IS NOT NULL AND t.y0 IS NOT NULL
        |  UNION ALL
        |  SELECT sid, step + 1, c + phi * m, phi * psi, cum + psi * psi,
        |         c, phi, sig

@@ -2033,6 +2033,135 @@ object Dedup {
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 
+  /** X1'/X7: SCD2 document-version history — the dataset-versioning
+    * table x101's per-snapshot diff report cannot answer: for every
+    * document, the maximal runs of byte-identical content across a
+    * SEQUENCE of snapshots, as validity intervals
+    * [valid_from, valid_to]. A doc that is absent in a middle
+    * snapshot re-enters as a NEW interval (gap = removed + re-added),
+    * and a content edit closes the old interval and opens a new one —
+    * the slowly-changing-dimension type-2 build, which is how a
+    * 100 TB pipeline versions its corpus without storing one full
+    * copy per crawl.
+    *
+    * Snapshots are deterministic md5-sliced views of the harness
+    * corpus (version v drops the (hb+v) % delMod bucket and
+    * upper-cases the (hb+3v) % chgMod bucket — a stand-in recrawl
+    * both engines reproduce exactly), so the operator itself is the
+    * general shape: per-doc presence/content rows per version, ONE
+    * per-document window pass (≤ versions rows per key — bounded, the
+    * partition key is the document) detecting change-or-gap island
+    * starts, one hash aggregate collapsing islands to intervals.
+    * Linear in docs·versions, no global sort, no pairwise anything.
+    */
+  def scd2Intervals(docs: DataFrame, versions: Int = 4, delMod: Int = 17,
+      chgMod: Int = 13): DataFrame = {
+    val h = expr(hash16FastExpr("cast(doc_id as string)"))
+    val verRows = docs
+      .select(col("doc_id"), col("text"), h.as("hb"),
+        explode(expr(s"sequence(0, ${versions - 1})")).as("v"))
+      .filter((col("hb") + col("v")) % delMod =!= 0)
+      .select(col("doc_id"), col("v"),
+        md5(when((col("hb") + lit(3) * col("v")) % chgMod === 0,
+          upper(col("text"))).otherwise(col("text"))).as("h"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("v"))
+    verRows
+      .withColumn("__pv", lag(col("v"), 1).over(byDoc))
+      .withColumn("__ph", lag(col("h"), 1).over(byDoc))
+      .withColumn("__isl", sum(
+        when(col("__pv").isNull || col("v") - col("__pv") > 1 ||
+          col("h") =!= col("__ph"), 1).otherwise(0)).over(byDoc))
+      .groupBy(col("doc_id"), col("__isl"))
+      .agg(min(col("v")).as("valid_from"), max(col("v")).as("valid_to"),
+        min(col("h")).as("content_h"))
+      .select(col("doc_id"), col("valid_from"), col("valid_to"),
+        col("content_h"),
+        (col("valid_to") === versions - 1).as("is_current"))
+      .orderBy(col("doc_id"), col("valid_from"))
+  }
+
+  /** X1'/X7: incremental SCD2 MERGE — apply ONE new snapshot to an
+    * existing interval table without rebuilding history: current
+    * intervals extend when content is unchanged, close on change or
+    * disappearance (a changed doc also opens a new single-version
+    * interval), and docs absent from the current frontier open fresh
+    * intervals. This is the production dataset-versioning step (what
+    * a MERGE INTO does to an SCD2 dimension): history rows pass
+    * through untouched, and the delta work is ONE doc_id-keyed full
+    * outer join of the ≤1-per-doc current frontier against the new
+    * snapshot — linear, co-keyed, nothing rescans closed history.
+    *
+    * Correctness contract (and the oracle): merging version
+    * `versions` into the `versions`-deep build must equal the
+    * from-scratch (`versions`+1)-deep [[scd2Intervals]] build —
+    * the oracle runs the monolithic rebuild while the engine runs
+    * the incremental path, so any drift in the merge case analysis
+    * (extend / close / close+open / open) fails the hash gate.
+    */
+  def scd2Merge(docs: DataFrame, versions: Int = 4, delMod: Int = 17,
+      chgMod: Int = 13): DataFrame = {
+    val v = versions // the arriving snapshot's version id
+    val cur = scd2Intervals(docs, versions, delMod, chgMod)
+    val h = expr(hash16FastExpr("cast(doc_id as string)"))
+    val snap = docs.select(col("doc_id"), col("text"), h.as("hb"))
+      .filter((col("hb") + lit(v)) % delMod =!= 0)
+      .select(col("doc_id"),
+        md5(when((col("hb") + lit(3 * v)) % chgMod === 0,
+          upper(col("text"))).otherwise(col("text"))).as("nh"))
+    val frontier = cur.filter(col("valid_to") === v - 1)
+      .select(col("doc_id"), col("valid_from"), col("valid_to"),
+        col("content_h"))
+    val history = cur.filter(col("valid_to") =!= v - 1)
+      .select(col("doc_id"), col("valid_from"), col("valid_to"),
+        col("content_h"))
+    val merged = frontier.join(snap, Seq("doc_id"), "full_outer")
+    val extended = merged
+      .filter(col("valid_from").isNotNull && col("nh").isNotNull &&
+        col("content_h") === col("nh"))
+      .select(col("doc_id"), col("valid_from"),
+        lit(v).as("valid_to"), col("content_h"))
+    val closed = merged
+      .filter(col("valid_from").isNotNull &&
+        (col("nh").isNull || col("content_h") =!= col("nh")))
+      .select(col("doc_id"), col("valid_from"), col("valid_to"),
+        col("content_h"))
+    val opened = merged
+      .filter(col("nh").isNotNull &&
+        (col("valid_from").isNull || col("content_h") =!= col("nh")))
+      .select(col("doc_id"), lit(v).as("valid_from"),
+        lit(v).as("valid_to"), col("nh").as("content_h"))
+    history.unionByName(extended).unionByName(closed).unionByName(opened)
+      .withColumn("is_current", col("valid_to") === v)
+      .orderBy(col("doc_id"), col("valid_from"))
+  }
+
+  def scd2IntervalsSql(versions: Int = 4, delMod: Int = 17,
+      chgMod: Int = 13): String = {
+    val h = hash16Expr("strpos", "CAST(doc_id AS VARCHAR)")
+    s"""WITH vr AS (
+       |  SELECT doc_id, CAST(t.v AS INT) AS v,
+       |    md5(CASE WHEN ($h + 3*t.v) % $chgMod = 0 THEN upper(text)
+       |             ELSE text END) AS h
+       |  FROM documents CROSS JOIN range(0, $versions) t(v)
+       |  WHERE ($h + t.v) % $delMod <> 0
+       |), lagged AS (
+       |  SELECT doc_id, v, h,
+       |    lag(v) OVER w AS pv, lag(h) OVER w AS ph
+       |  FROM vr WINDOW w AS (PARTITION BY doc_id ORDER BY v)
+       |), isl AS (
+       |  SELECT doc_id, v, h,
+       |    sum(CASE WHEN pv IS NULL OR v - pv > 1 OR h <> ph
+       |             THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY v) AS island
+       |  FROM lagged
+       |)
+       |SELECT doc_id, min(v) AS valid_from, max(v) AS valid_to,
+       |       min(h) AS content_h,
+       |       max(v) = ${versions - 1} AS is_current
+       |FROM isl GROUP BY doc_id, island
+       |ORDER BY doc_id, valid_from""".stripMargin
+  }
+
   /** The corpus-side "model" for dedup-on-ingest: one row per
     * distinct k-gram hash with its corpus occurrence count and — when
     * the count is exactly 1 — the single holder's doc_id, so a

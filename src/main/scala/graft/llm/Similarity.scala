@@ -1229,6 +1229,122 @@ object Similarity {
        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
   }
 
+  /** X2: multi-probe LSH calibration — per query, the candidate bill
+    * and exact-top-k recall of probing ONLY the query's own
+    * hyperplane bucket (the x06 baseline) vs additionally probing
+    * every bucket at Hamming distance 1 (the multi-probe trick: a
+    * near neighbor that fell on the wrong side of ONE hyperplane is
+    * recovered without adding hash tables — Lv et al., VLDB'07). The
+    * table that decides whether multi-probe earns its (nPlanes+1)×
+    * candidate bill before anyone trusts it at 100 TB.
+    *
+    * Shape: signatures are one map-only pass (shared [[planes]]
+    * family with x06); the probe frame is nQueries·(nPlanes+1) rows
+    * (bounded — AQE broadcasts it); candidates come from the bucket
+    * equi-join, never a pair enumeration; the exact baseline is the
+    * x05/x107 broadcast-kernel top-k. Every vector lands in exactly
+    * one bucket and probe buckets are distinct (qb XOR distinct
+    * masks), so a candidate appears at most once — counts are exact
+    * integers. Queries whose probed buckets are all empty still
+    * report (left join from the query spine, zero-filled).
+    */
+  def multiProbeRecall(emb: DataFrame, nPlanes: Int, dim: Int,
+      nQueries: Int, k: Int): DataFrame = {
+    val ps = planes(nPlanes, dim)
+    val bitCols = ps.zipWithIndex.map { case (p, j) =>
+      val plane: Column = array(p.map(lit): _*)
+      when(dot_product(col("embedding"), plane) >= 0, lit(1 << j))
+        .otherwise(lit(0))
+    }
+    val sigs = emb.select(col("vec_id"), bitCols.reduce(_ + _).as("bucket"))
+    val qsigs = sigs.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("bucket").as("qb"))
+    val masks = (0 +: (0 until nPlanes).map(1 << _).toList).map(lit(_))
+    val probes = qsigs
+      .select(col("qid"), explode(array(masks: _*)).as("m"),
+        col("qb"))
+      .select(col("qid"), col("m"), col("qb").bitwiseXOR(col("m")).as("pb"))
+    val cands = probes.join(sigs, probes("pb") === sigs("bucket"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), col("m"))
+    val exact = cosineTopKUnsorted(emb, nQueries, k)
+      .select(col("qid"), col("vec_id"), lit(1).as("t"))
+    val perq = cands.join(exact, Seq("qid", "vec_id"), "left_outer")
+      .groupBy(col("qid"))
+      .agg(
+        sum(when(col("m") === 0, 1L).otherwise(0L)).as("cand_base"),
+        count(lit(1)).as("cand_multi"),
+        sum(when(col("m") === 0 && col("t").isNotNull, 1L).otherwise(0L))
+          .as("hits_base"),
+        sum(when(col("t").isNotNull, 1L).otherwise(0L)).as("hits_multi"))
+    qsigs.select(col("qid")).join(perq, Seq("qid"), "left_outer")
+      .select(col("qid"),
+        coalesce(col("cand_base"), lit(0L)).as("cand_base"),
+        coalesce(col("cand_multi"), lit(0L)).as("cand_multi"),
+        coalesce(col("hits_base"), lit(0L)).as("hits_base"),
+        coalesce(col("hits_multi"), lit(0L)).as("hits_multi"))
+      .orderBy(col("qid"))
+  }
+
+  def multiProbeRecallSql(nPlanes: Int, dim: Int, nQueries: Int,
+      k: Int): String = {
+    val ps = planes(nPlanes, dim)
+    val bitTerms = ps.zipWithIndex.map { case (p, j) =>
+      val litArr = p.map(v => s"CAST('$v' AS DOUBLE)")
+        .mkString("[", ", ", "]")
+      s"""CASE WHEN list_dot_product(
+         |  list_transform(embedding, x -> CAST(x AS DOUBLE)),
+         |  $litArr) >= 0 THEN ${1 << j} ELSE 0 END""".stripMargin
+    }.mkString(" + ")
+    val maskList = (0 +: (0 until nPlanes).map(1 << _).toList)
+      .mkString("[", ", ", "]")
+    s"""WITH b AS (SELECT vec_id, $bitTerms AS bucket FROM embeddings),
+       |q AS (SELECT vec_id AS qid, bucket AS qb FROM b
+       |      WHERE vec_id < $nQueries),
+       |probes AS (
+       |  SELECT qid, t.m AS m, xor(qb, t.m) AS pb
+       |  FROM q CROSS JOIN (SELECT unnest($maskList) AS m) t
+       |), cands AS (
+       |  SELECT p.qid, s.vec_id, p.m
+       |  FROM probes p JOIN b s ON s.bucket = p.pb
+       |  WHERE s.vec_id <> p.qid
+       |), dbl AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |  FROM embeddings
+       |), eprods AS (
+       |  SELECT qv.vec_id AS qid, d.vec_id,
+       |    round(list_dot_product(d.e, qv.e)
+       |      / (sqrt(list_dot_product(d.e, d.e))
+       |       * sqrt(list_dot_product(qv.e, qv.e))), 6) AS cos
+       |  FROM dbl d CROSS JOIN dbl qv
+       |  WHERE qv.vec_id < $nQueries AND d.vec_id <> qv.vec_id
+       |), exact AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+       |      ORDER BY cos DESC, vec_id) AS rank
+       |    FROM eprods) WHERE rank <= $k
+       |), perq AS (
+       |  SELECT c.qid,
+       |    CAST(sum(CASE WHEN c.m = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS cand_base,
+       |    CAST(count(*) AS BIGINT) AS cand_multi,
+       |    CAST(sum(CASE WHEN c.m = 0 AND e.vec_id IS NOT NULL
+       |                  THEN 1 ELSE 0 END) AS BIGINT) AS hits_base,
+       |    CAST(sum(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS hits_multi
+       |  FROM cands c LEFT JOIN exact e
+       |    ON e.qid = c.qid AND e.vec_id = c.vec_id
+       |  GROUP BY c.qid
+       |)
+       |SELECT q.qid,
+       |       COALESCE(p.cand_base, 0) AS cand_base,
+       |       COALESCE(p.cand_multi, 0) AS cand_multi,
+       |       COALESCE(p.hits_base, 0) AS hits_base,
+       |       COALESCE(p.hits_multi, 0) AS hits_multi
+       |FROM q LEFT JOIN perq p USING (qid)
+       |ORDER BY q.qid""".stripMargin
+  }
+
   /** Iterated Lloyd refinement of the IVF coarse quantizer: starting
     * from the first-k seed vectors, alternate argmax-cosine
     * assignment (broadcast centroids — k rows — against the streamed

@@ -458,6 +458,128 @@ object DarimaQueries {
       .orderBy(col("sid"))
   }
 
+  /** d12: per-series MODEL SELECTION in one Catalyst plan — the d11
+    * backtest run for BOTH candidate orders (AR(1), AR(2)) with the
+    * candidate as one more grouping key, and the per-series
+    * argmin-MASE pick as a 2-rows-per-key struct-min aggregate. This
+    * is the piece that forces fleet runners into per-series driver
+    * loops whenever model SELECTION (not just fitting) is involved
+    * (ZonesEval's auto-harmonics / Box–Cox branch): here the
+    * candidate dimension rides the shuffle key, so a 10,000-series ×
+    * k-candidate sweep is still ONE plan. Combined coefficients are
+    * pinned at 6dp (σ² at 3dp) before the forecast recursion on both
+    * sides — the AR(2) fit is Gaussian elimination on the engine and
+    * a Cramer solve in the oracle (~1e-11 apart), and the pin keeps
+    * the recursion inputs bit-identical rather than hoping 1e-11
+    * never straddles a metric rounding boundary.
+    */
+  private val d12MultiSelect: Q = (s, d) => {
+    import s.implicits._
+    val fleet = Tables.events(s, d).select(
+      col("event_type").as("sid"),
+      col("ts").cast("double").as("time"), col("value"))
+    val counts = fleet.groupBy(col("sid")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (counts.isEmpty)
+      Seq.empty[(String, Int, Double, Double, Double)]
+        .toDF("sid", "best_p", "mean_mase", "mean_smape", "delta_mase")
+    else d12Body(s, fleet, counts)
+  }
+
+  private def d12Body(s: SparkSession,
+      fleet: DataFrame, counts: Map[String, Long]): DataFrame = {
+    import s.implicits._
+    val hBySid = counts.map { case (sid, n) =>
+      sid -> math.max(24L, n / 10).toInt
+    }
+    val maxH = hBySid.values.max
+    val tails = Darima.tailsMany(
+      fleet.select(col("sid"), col("time").as("t"),
+        col("value").as("v")), maxH)
+      .map { case (sid, tl) => sid -> tl.takeRight(hBySid(sid)) }
+    val cutDf = tails.toSeq.map { case (sid, tl) => (sid, tl.head._1) }
+      .toDF("sid", "__cut")
+    val test = tails.toSeq.flatMap { case (sid, tl) =>
+      tl.zipWithIndex.map { case ((_, v), i) => (sid, i + 1, v) }
+    }.toDF("sid", "step", "actual")
+    val train = fleet.join(broadcast(cutDf), "sid")
+      .filter(col("time") < col("__cut"))
+      .select(col("sid"), col("time"), col("value"))
+    val trainNamed = train.select(col("sid"), col("time").as("t"),
+      col("value").as("v"))
+    // both forecast seeds (y0 = last train value, ym1 = the one
+    // before) from ONE bounded series_tail pass; a series without two
+    // train rows has no AR(2) seed and is omitted from the selection
+    // (mirrored by the oracle's HAVING count(*) = 2)
+    val seeds = trainNamed.groupBy(col("sid"))
+      .agg(graft.functions.SeriesTail.series_tail(2)(col("t"), col("v"))
+        .as("tl"))
+      .filter(size(col("tl")) === 2)
+      .select(col("sid"), expr("tl[1].v").as("y0"),
+        expr("tl[0].v").as("ym1"))
+    def modelFor(p: Int): DataFrame = {
+      val cfg = if (p == 1) cfgOls1 else cfgOls2
+      val gm = Darima.combineMany(
+        Darima.fitChunkCoefsMany(s, train, cfg), "dlsa")
+      gm.groupBy(col("sid")).agg(
+        round(max(when(col("coef") === "beta0", col("value"))), 6)
+          .as("c"),
+        round(max(when(col("coef") === "ar1", col("value"))), 6)
+          .as("p1"),
+        (if (p == 2)
+          round(max(when(col("coef") === "ar2", col("value"))), 6)
+        else max(lit(0.0))).as("p2"),
+        round(max(when(col("coef") === "sigma2", col("value"))), 3)
+          .as("sig"))
+        .withColumn("p", lit(p))
+    }
+    val models = modelFor(1).unionByName(modelFor(2))
+    val hFor = hBySid
+    val fcRows = models.join(seeds, "sid")
+      .filter(col("c").isNotNull && col("p1").isNotNull &&
+        col("p2").isNotNull && col("sig").isNotNull)
+      .select(col("sid"), col("p"), col("c"), col("p1"), col("p2"),
+        col("sig"), col("y0"), col("ym1"))
+      .as[(String, Int, Double, Double, Double, Double, Double, Double)]
+      .flatMap { case (sid, p, c, p1, p2, sig, y0, ym1) =>
+        // the d10/d11 recursion generalized to order 2 (order 1 rides
+        // with p2 = 0 — same float ops, + 0.0 is exact): carry the
+        // last two means and ψ-weights
+        var m = y0; var mp = ym1
+        var psi = 1.0; var psip = 0.0; var cum = 0.0
+        (1 to hFor(sid)).map { step =>
+          val m1 = c + p1 * m + p2 * mp
+          val cum1 = cum + psi * psi
+          val psi1 = p1 * psi + p2 * psip
+          psip = psi; psi = psi1; mp = m; m = m1; cum = cum1
+          (sid, p, step, m1, math.sqrt(sig * cum1))
+        }
+      }
+      .toDF("sid", "p", "step", "m", "se")
+    val scDf = Darima.seasonalNaiveScaleManyDF(trainNamed, cfgOls1.freq)
+      .toSeq.toDF("sid", "sc")
+    val per = fcRows.join(test, Seq("sid", "step"))
+      .join(broadcast(scDf), "sid")
+      .groupBy(col("sid"), col("p"))
+      .agg(
+        round(avg(abs(col("actual") - col("m")) / col("sc")), 6)
+          .as("mean_mase"),
+        round(avg(when((abs(col("actual")) + abs(col("m"))) / 2 === 0,
+          lit(0.0)).otherwise(abs(col("actual") - col("m")) /
+            ((abs(col("actual")) + abs(col("m"))) / 2))), 6)
+          .as("mean_smape"))
+    per.groupBy(col("sid"))
+      .agg(
+        min(struct(col("mean_mase"), col("p"), col("mean_smape")))
+          .as("best"),
+        round(max(col("mean_mase")) - min(col("mean_mase")), 6)
+          .as("delta_mase"))
+      .select(col("sid"), col("best.p").as("best_p"),
+        col("best.mean_mase").as("mean_mase"),
+        col("best.mean_smape").as("mean_smape"), col("delta_mase"))
+      .orderBy(col("sid"))
+  }
+
   val queries: Map[String, Q] = Map(
     "d01_chunk_coefs" -> d01ChunkCoefs,
     "d02_global_coefs" -> d02GlobalCoefs,
@@ -470,6 +592,7 @@ object DarimaQueries {
     "d09_multiseries" -> d09Multiseries,
     "d10_multiseries_forecast" -> d10MultiForecast,
     "d11_multiseries_eval" -> d11MultiEval,
+    "d12_multiseries_select" -> d12MultiSelect,
   )
 
   // ---------------------------------------------------------------
@@ -1039,6 +1162,175 @@ object DarimaQueries {
        |GROUP BY j.sid
        |ORDER BY j.sid""".stripMargin
 
+  /** d12 oracle: the d11 backtest chain with BOTH candidate orders —
+    * the d10-style AR(1) closed form and the d09-style AR(2) Cramer
+    * solve, each DLSA-combined per sid, 6dp/3dp-pinned (matching the
+    * engine's pin — see d12MultiSelect), unioned into one `models`
+    * relation whose (sid, p) rows advance through ONE shared
+    * recursion (scalars ride in rows; the recursive arm references
+    * only `fc`), then per-(sid, p) metric means and the
+    * argmin-(mase, p) pick.
+    */
+  private val d12Sql: String =
+    s"""WITH RECURSIVE allrows AS (
+       |  SELECT event_type AS sid, epoch(ts) AS t, value,
+       |         row_number() OVER (PARTITION BY event_type
+       |                            ORDER BY ts) AS rn,
+       |         count(*) OVER (PARTITION BY event_type) AS n
+       |  FROM events
+       |), split AS (
+       |  SELECT DISTINCT sid, n, greatest(24, n // 10) AS ntest
+       |  FROM allrows
+       |), src AS (
+       |  SELECT a.sid, a.t, a.value
+       |  FROM allrows a JOIN split s ON s.sid = a.sid
+       |  WHERE a.rn <= a.n - s.ntest
+       |), bounds AS (
+       |  SELECT sid, min(t) AS tmin, max(t) AS tmax FROM src GROUP BY 1
+       |), ordered AS (
+       |  SELECT e.sid, e.value, e.t,
+       |         CASE WHEN b.tmax <= b.tmin THEN 0
+       |              ELSE least(CAST(floor((e.t - b.tmin)
+       |                               / (b.tmax - b.tmin) * 4) AS INT), 3)
+       |         END AS chunk_id
+       |  FROM src e JOIN bounds b ON b.sid = e.sid
+       |), lagged AS (
+       |  SELECT sid, chunk_id, value AS y,
+       |         lag(value, 1) OVER (PARTITION BY sid, chunk_id
+       |                             ORDER BY t) AS x1,
+       |         lag(value, 2) OVER (PARTITION BY sid, chunk_id
+       |                             ORDER BY t) AS x2
+       |  FROM ordered
+       |), base1 AS (
+       |  SELECT sid, chunk_id, y, x1 FROM lagged WHERE x1 IS NOT NULL
+       |), base2 AS (
+       |  SELECT sid, chunk_id, y, x1, x2 FROM lagged WHERE x2 IS NOT NULL
+       |), sums1 AS (
+       |  SELECT sid, chunk_id, CAST(count(*) AS DOUBLE) AS nr,
+       |         sum(x1) AS sx, sum(y) AS sy,
+       |         sum(x1*y) AS sxy, sum(x1*x1) AS sxx
+       |  FROM base1 GROUP BY sid, chunk_id
+       |), params1 AS (
+       |  SELECT sid, chunk_id, nr,
+       |         (nr*sxy - sx*sy) / (nr*sxx - sx*sx) AS phi,
+       |         (sy - ((nr*sxy - sx*sy) / (nr*sxx - sx*sx)) * sx) / nr
+       |           AS c
+       |  FROM sums1
+       |), fit1 AS (
+       |  SELECT p.sid, p.chunk_id, p.nr + 1 AS n, p.c, p.phi,
+       |         sum((b.y - p.c - p.phi*b.x1) * (b.y - p.c - p.phi*b.x1))
+       |           / (p.nr - 2) AS sig
+       |  FROM base1 b
+       |  JOIN params1 p ON b.sid = p.sid AND b.chunk_id = p.chunk_id
+       |  GROUP BY p.sid, p.chunk_id, p.nr, p.c, p.phi
+       |), gmod1 AS (
+       |  SELECT sid, sum(c * (n/sig)) / sum(n/sig) AS c,
+       |         sum(phi * (n/sig)) / sum(n/sig) AS phi,
+       |         sum(n) / sum(n/sig) AS sig
+       |  FROM fit1 GROUP BY sid
+       |), sums2 AS (
+       |  SELECT sid, chunk_id, CAST(count(*) AS DOUBLE) AS nr,
+       |         sum(x1) AS s1, sum(x2) AS s2, sum(y) AS sy,
+       |         sum(x1*x1) AS s11, sum(x1*x2) AS s12, sum(x2*x2) AS s22,
+       |         sum(x1*y) AS s1y, sum(x2*y) AS s2y
+       |  FROM base2 GROUP BY sid, chunk_id
+       |), params2 AS (
+       |  SELECT sid, chunk_id, nr,
+       |    (sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s12*s2y)
+       |       + s2*(s1y*s12 - s11*s2y))
+       |    / (nr*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2)
+       |       + s2*(s1*s12 - s11*s2)) AS b0,
+       |    (nr*(s1y*s22 - s12*s2y) - sy*(s1*s22 - s12*s2)
+       |       + s2*(s1*s2y - s1y*s2))
+       |    / (nr*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2)
+       |       + s2*(s1*s12 - s11*s2)) AS p1,
+       |    (nr*(s11*s2y - s1y*s12) - s1*(s1*s2y - s1y*s2)
+       |       + sy*(s1*s12 - s11*s2))
+       |    / (nr*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2)
+       |       + s2*(s1*s12 - s11*s2)) AS p2
+       |  FROM sums2
+       |), fit2 AS (
+       |  SELECT p.sid, p.chunk_id, p.nr + 2 AS n, p.b0, p.p1, p.p2,
+       |         sum((b.y - p.b0 - p.p1*b.x1 - p.p2*b.x2)
+       |             * (b.y - p.b0 - p.p1*b.x1 - p.p2*b.x2))
+       |           / (p.nr - 3) AS sig
+       |  FROM base2 b
+       |  JOIN params2 p ON b.sid = p.sid AND b.chunk_id = p.chunk_id
+       |  GROUP BY p.sid, p.chunk_id, p.nr, p.b0, p.p1, p.p2
+       |), gmod2 AS (
+       |  SELECT sid, sum(b0 * (n/sig)) / sum(n/sig) AS b0,
+       |         sum(p1 * (n/sig)) / sum(n/sig) AS p1,
+       |         sum(p2 * (n/sig)) / sum(n/sig) AS p2,
+       |         sum(n) / sum(n/sig) AS sig
+       |  FROM fit2 GROUP BY sid
+       |), models AS (
+       |  SELECT sid, 1 AS p, round(c, 6) AS c, round(phi, 6) AS p1,
+       |         CAST(0.0 AS DOUBLE) AS p2, round(sig, 3) AS sig
+       |  FROM gmod1
+       |  UNION ALL
+       |  SELECT sid, 2, round(b0, 6), round(p1, 6), round(p2, 6),
+       |         round(sig, 3)
+       |  FROM gmod2
+       |), seeds AS (
+       |  SELECT sid, max(CASE WHEN rnd = 1 THEN value END) AS y0,
+       |         max(CASE WHEN rnd = 2 THEN value END) AS ym1
+       |  FROM (SELECT sid, value, row_number()
+       |          OVER (PARTITION BY sid ORDER BY t DESC) AS rnd
+       |        FROM src)
+       |  WHERE rnd <= 2 GROUP BY sid HAVING count(*) = 2
+       |), fc AS (
+       |  SELECT mo.sid, mo.p, 0 AS step,
+       |         CAST(se.y0 AS DOUBLE) AS m, CAST(se.ym1 AS DOUBLE) AS mp,
+       |         CAST(1.0 AS DOUBLE) AS psi, CAST(0.0 AS DOUBLE) AS psip,
+       |         CAST(0.0 AS DOUBLE) AS cum,
+       |         mo.c AS c, mo.p1 AS p1, mo.p2 AS p2, mo.sig AS sig,
+       |         sp.ntest AS ntest
+       |  FROM models mo
+       |  JOIN seeds se ON se.sid = mo.sid
+       |  JOIN split sp ON sp.sid = mo.sid
+       |  WHERE mo.c IS NOT NULL AND mo.p1 IS NOT NULL
+       |    AND mo.p2 IS NOT NULL AND mo.sig IS NOT NULL
+       |  UNION ALL
+       |  SELECT sid, p, step + 1,
+       |         c + p1 * m + p2 * mp, m,
+       |         p1 * psi + p2 * psip, psi,
+       |         cum + psi * psi,
+       |         c, p1, p2, sig, ntest
+       |  FROM fc WHERE step < ntest
+       |), scale AS (
+       |  SELECT sid, avg(abs(d)) AS sc FROM (
+       |    SELECT sid, value - lag(value, 24)
+       |      OVER (PARTITION BY sid ORDER BY t) AS d
+       |    FROM src
+       |  ) WHERE d IS NOT NULL GROUP BY sid
+       |), joined AS (
+       |  SELECT a.sid, f.p, a.value AS actual, f.m,
+       |         sqrt(f.sig * f.cum) AS se, sc.sc
+       |  FROM allrows a
+       |  JOIN split s ON s.sid = a.sid
+       |  JOIN fc f ON f.sid = a.sid
+       |    AND f.step = a.rn - (a.n - s.ntest)
+       |  JOIN scale sc ON sc.sid = a.sid
+       |  WHERE a.rn > a.n - s.ntest
+       |), per AS (
+       |  SELECT sid, p,
+       |    round(avg(abs(actual - m) / sc), 6) AS mean_mase,
+       |    round(avg(CASE WHEN (abs(actual) + abs(m)) / 2 = 0 THEN 0
+       |              ELSE abs(actual - m) / ((abs(actual) + abs(m)) / 2)
+       |              END), 6) AS mean_smape
+       |  FROM joined GROUP BY sid, p
+       |), pick AS (
+       |  SELECT sid, p, mean_mase, mean_smape,
+       |    row_number() OVER (PARTITION BY sid
+       |                       ORDER BY mean_mase, p, mean_smape) AS rk,
+       |    round(max(mean_mase) OVER (PARTITION BY sid)
+       |          - min(mean_mase) OVER (PARTITION BY sid), 6) AS delta_mase
+       |  FROM per
+       |)
+       |SELECT sid, CAST(p AS INT) AS best_p, mean_mase, mean_smape,
+       |       delta_mase
+       |FROM pick WHERE rk = 1 ORDER BY sid""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "d01_chunk_coefs" -> d01Sql,
     "d02_global_coefs" -> d02Sql,
@@ -1050,6 +1342,7 @@ object DarimaQueries {
     "d09_multiseries" -> d09Sql,
     "d10_multiseries_forecast" -> d10Sql,
     "d11_multiseries_eval" -> d11Sql,
+    "d12_multiseries_select" -> d12Sql,
     "d05_ar1_ols" ->
       """WITH ordered AS (
         |  SELECT value, ntile(4) OVER (ORDER BY ts, event_id) AS chunk_id,

@@ -1133,6 +1133,100 @@ object Extensions {
   private val x143SoftDedup: Q = (s, d) =>
     Dedup.softDedupWeights(Tables.documents(s, d), maxDist = 3)
 
+  /** X1'/X7: SCD2 document-version history — per doc, the maximal
+    * runs of identical content across 4 md5-sliced snapshots as
+    * [valid_from, valid_to] intervals. See Dedup.scd2Intervals.
+    */
+  private val x144Scd2: Q = (s, d) =>
+    Dedup.scd2Intervals(Tables.documents(s, d))
+
+  // x145's synthetic customer SCD2 history: 4 epoch-bounded versions
+  // over the order-date span (1995..2001), the (hb+5v) % 7 slice of
+  // customers carrying a revised segment in version v — both engines
+  // rebuild it exactly (the mirror lives in x145PitJoinSql).
+  private val pitEpochs = Seq(0L, 852076800L, 915148800L, 978307200L)
+  private val pitEpochEnd = 4102444800L
+
+  /** X5': point-in-time dimension-history join — every 1995–2001
+    * order matched to the customer-segment version valid AT the order
+    * date (equi hash join on custkey, validity range as the residual
+    * — the SCD2 lookup), rolled up to (version, segment) order counts
+    * and exact integer revenue cents. See operators.PitJoin.
+    */
+  private val x145PitJoin: Q = (s, d) => {
+    val hb = expr(Dedup.hash16FastExpr("cast(c_custkey as string)"))
+    def byVersion(es: Seq[Long]) = es.zipWithIndex.tail.foldLeft(
+      when(col("v") === 0, lit(es.head.toDouble))) {
+      case (acc, (e, v)) => acc.when(col("v") === v, lit(e.toDouble))
+    }
+    val froms = byVersion(pitEpochs)
+    val tos = byVersion(pitEpochs.drop(1) :+ pitEpochEnd)
+    val hist = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_mktsegment"), hb.as("hb"),
+        explode(expr(s"sequence(0, ${pitEpochs.size - 1})")).as("v"))
+      .select(col("c_custkey"), col("v"),
+        froms.as("valid_from"), tos.as("valid_to"),
+        when((col("hb") + lit(5) * col("v")) % 7 === 0,
+          concat(col("c_mktsegment"), lit("_R"), col("v").cast("string")))
+          .otherwise(col("c_mktsegment")).as("seg_asof"))
+    val facts = Tables.orders(s, d).select(
+      col("o_custkey").as("c_custkey"),
+      // o_orderdate reads as TIMESTAMP_NTZ: hop through TIMESTAMP
+      // (session TZ is pinned UTC) to epoch seconds = DuckDB epoch()
+      col("o_orderdate").cast("timestamp").cast("double").as("ot"),
+      col("o_totalprice"))
+    graft.operators.PitJoin.pitJoin(facts, hist, "c_custkey", "ot")
+      .select(col("v").as("version"), col("seg_asof"),
+        col("o_totalprice"))
+      .groupBy(col("version"), col("seg_asof"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(floor(col("o_totalprice") * 100).cast("long")).as("revenue_c"))
+      .orderBy(col("version"), col("seg_asof"))
+  }
+
+  private def x145PitJoinSql: String = {
+    val hb = Dedup.hash16Expr("strpos", "CAST(c_custkey AS VARCHAR)")
+    val froms = pitEpochs.zipWithIndex
+      .map { case (e, v) => s"WHEN $v THEN CAST($e AS DOUBLE)" }
+      .mkString(" ")
+    val tos = (pitEpochs.drop(1) :+ pitEpochEnd).zipWithIndex
+      .map { case (e, v) => s"WHEN $v THEN CAST($e AS DOUBLE)" }
+      .mkString(" ")
+    s"""WITH hist AS (
+       |  SELECT c_custkey, CAST(t.v AS INT) AS v,
+       |    CASE t.v $froms END AS vfrom,
+       |    CASE t.v $tos END AS vto,
+       |    CASE WHEN ($hb + 5*t.v) % 7 = 0
+       |         THEN c_mktsegment || '_R' || CAST(t.v AS VARCHAR)
+       |         ELSE c_mktsegment END AS seg_asof
+       |  FROM customer CROSS JOIN range(0, ${pitEpochs.size}) t(v)
+       |)
+       |SELECT h.v AS version, h.seg_asof,
+       |  CAST(count(*) AS BIGINT) AS n_orders,
+       |  CAST(sum(CAST(floor(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+       |    AS revenue_c
+       |FROM orders o JOIN hist h ON h.c_custkey = o.o_custkey
+       |  AND epoch(o.o_orderdate) >= h.vfrom
+       |  AND epoch(o.o_orderdate) < h.vto
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
+  /** X2: multi-probe LSH calibration — per query, candidate bill and
+    * exact-top-k recall of own-bucket probing vs + all Hamming-1
+    * buckets. See Similarity.multiProbeRecall.
+    */
+  private val x146MultiProbe: Q = (s, d) =>
+    Similarity.multiProbeRecall(Tables.embeddings(s, d),
+      nPlanes = 8, dim = 64, nQueries = 8, k = 10)
+
+  /** X1'/X7: incremental SCD2 merge — one new snapshot applied to the
+    * x144 interval table via the frontier⋈snapshot delta join; the
+    * oracle is the from-scratch (versions+1)-deep rebuild, so
+    * merge ≡ rebuild is the checked contract. See Dedup.scd2Merge.
+    */
+  private val x147Scd2Merge: Q = (s, d) =>
+    Dedup.scd2Merge(Tables.documents(s, d))
+
   val queries: Map[String, Q] = Map(
     "x01_dedup_exact" -> x01DedupExact,
     "x02_dedup_minhash" -> x02DedupMinhash,
@@ -1278,6 +1372,10 @@ object Extensions {
     "x141_planned_minhash" -> x141PlannedMinhash,
     "x142_curriculum_order" -> x142Curriculum,
     "x143_soft_dedup_weights" -> x143SoftDedup,
+    "x144_scd2_intervals" -> x144Scd2,
+    "x145_pit_join" -> x145PitJoin,
+    "x146_multiprobe_lsh" -> x146MultiProbe,
+    "x147_scd2_merge" -> x147Scd2Merge,
   )
 
   /** The PNG pixel statistics in closed form: the fixture image's
@@ -1590,5 +1688,12 @@ object Extensions {
       threshold = 0.2, dupTheta = 0.8),
     "x142_curriculum_order" -> Sampling.curriculumOrderSql(phases = 3),
     "x143_soft_dedup_weights" -> Dedup.softDedupWeightsSql(maxDist = 3),
+    "x144_scd2_intervals" -> Dedup.scd2IntervalsSql(),
+    "x145_pit_join" -> x145PitJoinSql,
+    "x146_multiprobe_lsh" ->
+      Similarity.multiProbeRecallSql(8, 64, 8, 10),
+    // merge ≡ rebuild: the incremental engine path must reproduce the
+    // monolithic 5-version build bit-for-bit
+    "x147_scd2_merge" -> Dedup.scd2IntervalsSql(versions = 5),
   )
 }

@@ -296,6 +296,9 @@ object PlanAudit {
       // inherits x18's broadcast seed lists and x05's broadcast query
       // vectors (both bounded) on the two sides it compares
       "x107_ann_recall" -> Set("BNLJoin"),
+      // x05's bounded broadcast probe vectors supplying the exact
+      // top-k baseline; the probe/candidate side is a pure equi-join
+      "x146_multiprobe_lsh" -> Set("BNLJoin"),
       // x18's broadcast seed lists + the 1-row corpus-total scalar
       // broadcast back over the ≤nLists occupancy rows
       "x110_ivf_occupancy" -> Set("SinglePartition", "BNLJoin"),

@@ -101,6 +101,30 @@ class MultiseriesSpec extends AnyFunSuite {
     }
   }
 
+  test("d12 selection has no cross-series leakage; delta is coherent") {
+    val d12 = SparkEntry.queries("d12_multiseries_select")
+    val full = d12(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(full.keySet == types.toSet)
+    full.values.foreach { r =>
+      assert(Set(1, 2).contains(r.getAs[Int]("best_p")))
+      assert(r.getAs[Double]("delta_mase") >= 0.0)
+    }
+    // a one-series corpus must reproduce that series' fleet row
+    // bit-for-bit (per-series splits/fits/metrics never mix series)
+    val dir = java.nio.file.Files.createTempDirectory("d12-one").toString
+    // keep ts a raw INT64-nanos column so Tables.events' div-1000
+    // conversion still applies on the sliced fixture (EmptyInputSpec
+    // does the same)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val one = spark.read.parquet(s"$sf/events.parquet")
+      .filter(col("event_type") === "click")
+    one.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val solo = d12(spark, dir).collect()
+    assert(solo.length == 1)
+    assert(solo(0).toSeq == full("click").toSeq)
+  }
+
   test("runMany rejects the per-series holdout weighting config") {
     val cfg = DarimaConfig(seasonalWeighting = "holdout")
     intercept[IllegalArgumentException] {

@@ -218,6 +218,80 @@ object EventsAnalytics {
        |       round(sum(value), 2) AS total
        |FROM sess GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** X5': first-touch session attribution — every purchase credited
+    * to the FIRST event type of its session (the acquisition-channel
+    * report marketing runs on every conversion log): the x14
+    * sessionizer's lag + cumulative-sum session ids, a per-session
+    * first-event pick as ONE struct-min aggregate (never a
+    * per-purchase scan-back), and the purchase rows joined back
+    * co-keyed on (user, session). Revenue in exact integer cents.
+    * Shape: two per-user bounded windows + two hash aggregates + one
+    * co-keyed join — the parallelism unit is the user, same as x14.
+    */
+  def firstTouchAttribution(events: DataFrame,
+      gapSec: Int = 1800): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ep"), col("event_id"))
+    val cum = byUser.rowsBetween(Window.unboundedPreceding, 0)
+    val sess = events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("ts").cast("double").as("ep"), col("value"))
+      .withColumn("prev", lag(col("ep"), 1).over(byUser))
+      .withColumn("new_s",
+        when(col("prev").isNull || col("ep") - col("prev") > gapSec, 1)
+          .otherwise(0))
+      .withColumn("session_idx", sum(col("new_s")).over(cum))
+    // (ep, event_id) is unique per user, so the struct min IS the
+    // first event — deterministic without a second window pass
+    val firsts = sess.groupBy(col("user_id"), col("session_idx"))
+      .agg(min(struct(col("ep"), col("event_id"), col("event_type")))
+        .as("f"))
+      .select(col("user_id"), col("session_idx"),
+        col("f.event_type").as("first_touch"))
+    sess.filter(col("event_type") === "purchase")
+      .join(firsts, Seq("user_id", "session_idx"))
+      .groupBy(col("first_touch"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(floor(col("value") * 100).cast("long")).as("revenue_c"),
+        count_distinct(col("user_id")).as("n_users"))
+      .orderBy(col("first_touch"))
+  }
+
+  def firstTouchAttributionSql(gapSec: Int = 1800): String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, event_type, epoch(ts) AS ep, value
+       |  FROM events
+       |), flagged AS (
+       |  SELECT user_id, event_id, event_type, ep, value,
+       |         CASE WHEN lag(ep) OVER w IS NULL
+       |                OR ep - lag(ep) OVER w > $gapSec
+       |              THEN 1 ELSE 0 END AS new_s
+       |  FROM e
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ep, event_id)
+       |), sess AS (
+       |  SELECT user_id, event_id, event_type, ep, value,
+       |         CAST(sum(new_s) OVER (PARTITION BY user_id
+       |           ORDER BY ep, event_id
+       |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+       |  FROM flagged
+       |), firsts AS (
+       |  SELECT user_id, session_idx, event_type AS first_touch FROM (
+       |    SELECT user_id, session_idx, event_type,
+       |      row_number() OVER (PARTITION BY user_id, session_idx
+       |                         ORDER BY ep, event_id) AS rk
+       |    FROM sess) WHERE rk = 1
+       |)
+       |SELECT f.first_touch,
+       |  CAST(count(*) AS BIGINT) AS n_purchases,
+       |  CAST(sum(CAST(floor(p.value * 100) AS BIGINT)) AS BIGINT)
+       |    AS revenue_c,
+       |  CAST(count(DISTINCT p.user_id) AS BIGINT) AS n_users
+       |FROM sess p
+       |JOIN firsts f ON f.user_id = p.user_id
+       |  AND f.session_idx = p.session_idx
+       |WHERE p.event_type = 'purchase'
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** X5': per-type z-score anomaly flags — events whose value sits
     * more than `z` population standard deviations from the type mean.
     * Values are 2dp by construction, so moments are computed from

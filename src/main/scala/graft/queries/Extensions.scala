@@ -1227,6 +1227,13 @@ object Extensions {
   private val x147Scd2Merge: Q = (s, d) =>
     Dedup.scd2Merge(Tables.documents(s, d))
 
+  /** X5': first-touch session attribution — purchases credited to the
+    * first event type of their session, exact integer revenue cents.
+    * See EventsAnalytics.firstTouchAttribution.
+    */
+  private val x148Attribution: Q = (s, d) =>
+    EventsAnalytics.firstTouchAttribution(Tables.events(s, d))
+
   val queries: Map[String, Q] = Map(
     "x01_dedup_exact" -> x01DedupExact,
     "x02_dedup_minhash" -> x02DedupMinhash,
@@ -1376,6 +1383,7 @@ object Extensions {
     "x145_pit_join" -> x145PitJoin,
     "x146_multiprobe_lsh" -> x146MultiProbe,
     "x147_scd2_merge" -> x147Scd2Merge,
+    "x148_attribution" -> x148Attribution,
   )
 
   /** The PNG pixel statistics in closed form: the fixture image's
@@ -1695,5 +1703,6 @@ object Extensions {
     // merge ≡ rebuild: the incremental engine path must reproduce the
     // monolithic 5-version build bit-for-bit
     "x147_scd2_merge" -> Dedup.scd2IntervalsSql(versions = 5),
+    "x148_attribution" -> EventsAnalytics.firstTouchAttributionSql(),
   )
 }

@@ -97,6 +97,32 @@ class EventsOpsSpec extends AnyFunSuite {
     assert(out.size == 3)
   }
 
+  test("first-touch attribution: purchases credit their session's " +
+    "first event type; sessions split at the gap") {
+    import spark.implicits._
+    // user 1, session A: view -> click -> purchase (credit: view);
+    // user 1, session B (after the gap): lone purchase (credits
+    // itself); user 2: click -> purchase (credit: click)
+    val events = Seq(
+      (1L, 1L, "view", 0L, 0.0), (2L, 1L, "click", 10L, 0.0),
+      (3L, 1L, "purchase", 20L, 12.34),
+      (4L, 1L, "purchase", 10000L, 5.0),
+      (5L, 2L, "click", 0L, 0.0), (6L, 2L, "purchase", 30L, 7.005))
+      .toDF("event_id", "user_id", "event_type", "ep", "value")
+      .withColumn("ts", timestamp_seconds(col("ep"))).drop("ep")
+    val out = EventsAnalytics.firstTouchAttribution(events,
+      gapSec = 1800).collect()
+      .map(r => r.getAs[String]("first_touch") ->
+        (r.getAs[Long]("n_purchases"), r.getAs[Long]("revenue_c"),
+          r.getAs[Long]("n_users"))).toMap
+    assert(out("view") == ((1L, 1234L, 1L)))
+    assert(out("purchase") == ((1L, 500L, 1L)))
+    // floor(7.005 * 100) exercises the exact-cents contract: 700,
+    // not a half-up 701 (the double is just under 700.5)
+    assert(out("click") == ((1L, 700L, 1L)))
+    assert(out.size == 3)
+  }
+
   test("session transitions: cross-session gaps break the chain; " +
     "p_bp row-normalizes per source type") {
     // user 1: view->click within gap, then a >gap pause, then

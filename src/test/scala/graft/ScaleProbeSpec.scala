@@ -135,4 +135,19 @@ class ScaleProbeSpec extends AnyFunSuite {
     probe("x48_cluster_reps", n =>
       Dedup.clusterRepresentatives(corpus(n), maxDist = 3))
   }
+
+  test("x141 planner-driven minhash stays linear at 10×") {
+    probe("x141_planned_minhash", n =>
+      Dedup.plannedMinhash(corpus(n), dfCap = 10, threshold = 0.2,
+        dupTheta = 0.8))
+  }
+
+  test("x143 soft-dedup weights stay linear at 10×") {
+    probe("x143_soft_dedup", n =>
+      Dedup.softDedupWeights(corpus(n), maxDist = 3))
+  }
+
+  test("x147 scd2 merge stays linear at 10×") {
+    probe("x147_scd2_merge", n => Dedup.scd2Merge(corpus(n)))
+  }
 }

@@ -2055,15 +2055,35 @@ object Dedup {
     * Linear in docs·versions, no global sort, no pairwise anything.
     */
   def scd2Intervals(docs: DataFrame, versions: Int = 4, delMod: Int = 17,
-      chgMod: Int = 13): DataFrame = {
+      chgMod: Int = 13): DataFrame =
+    scd2FromVersionRows(
+      scd2VersionRows(docs, versions, delMod, chgMod), versions - 1)
+      .orderBy(col("doc_id"), col("valid_from"))
+
+  /** The map-only (doc_id, version, content-hash) presence projection
+    * — STATELESS, so the streaming ingest half
+    * (DocumentsStream.versionRowsOnIngest) runs it verbatim per
+    * micro-batch.
+    */
+  private[graft] def scd2VersionRows(docs: DataFrame, versions: Int,
+      delMod: Int, chgMod: Int): DataFrame = {
     val h = expr(hash16FastExpr("cast(doc_id as string)"))
-    val verRows = docs
+    docs
       .select(col("doc_id"), col("text"), h.as("hb"),
         explode(expr(s"sequence(0, ${versions - 1})")).as("v"))
       .filter((col("hb") + col("v")) % delMod =!= 0)
       .select(col("doc_id"), col("v"),
         md5(when((col("hb") + lit(3) * col("v")) % chgMod === 0,
           upper(col("text"))).otherwise(col("text"))).as("h"))
+  }
+
+  /** The island-coalescing interval build over a (doc_id, v, h)
+    * presence table — shared verbatim by the batch operator and the
+    * streaming drain-time finisher (no presentation sort here: the
+    * finisher's consumer orders, the batch wrapper appends its own).
+    */
+  private[graft] def scd2FromVersionRows(verRows: DataFrame,
+      currentV: Int): DataFrame = {
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("v"))
     verRows
       .withColumn("__pv", lag(col("v"), 1).over(byDoc))
@@ -2076,8 +2096,7 @@ object Dedup {
         min(col("h")).as("content_h"))
       .select(col("doc_id"), col("valid_from"), col("valid_to"),
         col("content_h"),
-        (col("valid_to") === versions - 1).as("is_current"))
-      .orderBy(col("doc_id"), col("valid_from"))
+        (col("valid_to") === currentV).as("is_current"))
   }
 
   /** X1'/X7: incremental SCD2 MERGE — apply ONE new snapshot to an

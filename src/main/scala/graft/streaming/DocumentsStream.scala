@@ -601,4 +601,22 @@ object DocumentsStream {
     */
   def bm25AtDrain(drained: DataFrame, k: Int): DataFrame =
     graft.llm.TextAnalysis.bm25Finish(drained, k)
+
+  /** Stateless SCD2 ingest half — the stream side of x144: each
+    * arriving document emits its (doc_id, version, content-hash)
+    * presence rows through the SHARED map-only projection
+    * (Dedup.scd2VersionRows — explode/filter/md5, no state, no
+    * watermark), landing in the presence table the drain finisher
+    * coalesces.
+    */
+  def versionRowsOnIngest(docs: DataFrame, versions: Int = 4,
+      delMod: Int = 17, chgMod: Int = 13): DataFrame =
+    graft.llm.Dedup.scd2VersionRows(docs, versions, delMod, chgMod)
+
+  /** Drain-time finisher for [[versionRowsOnIngest]]: the SHARED
+    * island-coalescing interval build (Dedup.scd2FromVersionRows), so
+    * the drained table EQUALS batch x144 row-for-row.
+    */
+  def scd2AtDrain(drained: DataFrame, versions: Int = 4): DataFrame =
+    graft.llm.Dedup.scd2FromVersionRows(drained, versions - 1)
 }

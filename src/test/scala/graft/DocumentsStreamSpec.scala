@@ -411,6 +411,26 @@ class DocumentsStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamed SCD2 version rows + drain finisher EQUAL batch x144 " +
+      "intervals row-for-row") {
+    val q = DocumentsStream
+      .versionRowsOnIngest(DocumentsStream.readDocuments(spark, docsDir))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("scd2_vr_out").start()
+    try {
+      q.processAllAvailable()
+      val drained = spark.sql("SELECT doc_id, v, h FROM scd2_vr_out")
+      val got = DocumentsStream.scd2AtDrain(drained)
+        .collect().map(_.toSeq).toSet
+      val batch = graft.llm.Dedup.scd2Intervals(Tables.documents(spark, sf))
+        .collect().map(_.toSeq).toSet
+      assert(batch.nonEmpty)
+      assert(got == batch,
+        s"drained≠batch: only-drained=${(got -- batch).take(3)} " +
+          s"only-batch=${(batch -- got).take(3)}")
+    } finally q.stop()
+  }
+
   test("streamed substring-dup positions + drain finisher EQUAL " +
       "batch x73 spans on the streamed slice") {
     val docs = Tables.documents(spark, sf)

@@ -2020,6 +2020,131 @@ object Similarity {
        |ORDER BY qid, rank""".stripMargin
   }
 
+  /** X2: IVF-PQ composed ANN — the index layout production systems
+    * actually run at 100 TB (FAISS's IVFADC): the x18 coarse
+    * quantizer routes every vector into one inverted list, queries
+    * probe their nProbe nearest lists, and WITHIN the probed lists
+    * ranking is the x46 PQ asymmetric-distance computation over
+    * m-subspace codes — so per query the full-precision corpus is
+    * never touched: the probe prunes to ~nProbe/nLists of the corpus
+    * and ADC reads only the m-byte codes plus a per-query
+    * (m·ksub)-entry distance table.
+    *
+    * Shape: list assignment and PQ encode are ONE shared map-only
+    * pass against broadcast seeds + the 1-row broadcast codebook; the
+    * probe frame is nQueries·nProbe rows; candidate scoring is the
+    * list equi-join; ADC sums are exact integers (micro-unit d²), so
+    * ranking ties break deterministically on (adist, vec_id). All
+    * machinery shared verbatim with x18 (ivfAssign/probes) and x46
+    * (pqArgminCodes, ADC tables, bounded top-k tail).
+    */
+  def ivfPqTopK(emb: DataFrame, nLists: Int, nProbe: Int, dim: Int,
+      m: Int, ksub: Int, nQueries: Int, k: Int): DataFrame = {
+    require(dim % m == 0, s"dim=$dim not divisible by m=$m subspaces")
+    val subDim = dim / m
+    val seeds = ivfSeeds(emb, nLists)
+    val cbRow = localized(pqCodebook(emb, dim, m, ksub))
+    // one pass: list assignment + PQ encode (both broadcast-driven)
+    val coded = ivfAssign(emb, seeds)
+      .crossJoin(broadcast(cbRow))
+      .select(col("vec_id"), col("list_id"),
+        pqArgminCodes(col("embedding"), m, subDim).as("codes"))
+    val probes = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      .crossJoin(broadcast(seeds))
+      .withColumn("c", cosTo(col("qe"), col("ce")))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("qid"))
+        .orderBy(col("c").desc, col("list_id"))))
+      .filter(col("rn") <= nProbe)
+      .select(col("qid"), col("list_id"))
+    val dt = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("__qid"), col("embedding").as("qe"))
+      .crossJoin(broadcast(cbRow))
+      .select(col("__qid"),
+        (size(col("cb")) / m).cast("int").as("__stride"),
+        transform(col("cb"), c =>
+          pqD2u6(pqSubvec(col("qe"), c.getField("sub"), subDim),
+            c.getField("cvec"))).as("dt"))
+    val scored = probes.join(broadcast(dt), probes("qid") === dt("__qid"))
+      .join(coded, "list_id")
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        aggregate(sequence(lit(0), lit(m - 1)), lit(0L), (acc, sub) =>
+          acc + element_at(col("dt"),
+            sub * col("__stride") + element_at(col("codes"), sub + 1) + 1))
+          .as("adist_u6"))
+    scored.groupBy(col("qid"))
+      .agg(graft.functions.TopK.top_k(k)(
+        -col("adist_u6").cast("double"), col("vec_id")).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("pos", "hit")))
+      .select(col("qid"), (col("pos") + 1).as("rank"),
+        col("hit.vec_id").as("vec_id"),
+        (-col("hit.cos")).cast("long").as("adist_u6"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  def ivfPqTopKSql(nLists: Int, nProbe: Int, dim: Int, m: Int,
+      ksub: Int, nQueries: Int, k: Int): String = {
+    val subDim = dim / m
+    s"""WITH dbl AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |  FROM embeddings
+       |), lists AS (
+       |  SELECT vec_id AS list_id, e AS ce FROM dbl WHERE vec_id < $nLists
+       |),
+       |$ivfAssignedCteSql, probes AS (
+       |  SELECT qid, list_id FROM (
+       |    SELECT d.vec_id AS qid, s.list_id,
+       |      row_number() OVER (PARTITION BY d.vec_id ORDER BY
+       |        round(list_dot_product(d.e, s.ce)
+       |          / (sqrt(list_dot_product(d.e, d.e))
+       |           * sqrt(list_dot_product(s.ce, s.ce))), 6) DESC,
+       |        s.list_id) AS rn
+       |    FROM dbl d CROSS JOIN lists s WHERE d.vec_id < $nQueries)
+       |  WHERE rn <= $nProbe
+       |), cb AS (
+       |  SELECT s.sub, e.vec_id AS cid,
+       |    list_transform(e.embedding[s.sub*$subDim+1 : s.sub*$subDim+$subDim],
+       |                   x -> CAST(x AS DOUBLE)) AS cvec
+       |  FROM embeddings e, UNNEST(range($m)) AS s(sub)
+       |  WHERE e.vec_id < $ksub
+       |), corpus AS (
+       |  SELECT vec_id, s.sub,
+       |    list_transform(embedding[s.sub*$subDim+1 : s.sub*$subDim+$subDim],
+       |                   x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings, UNNEST(range($m)) AS s(sub)
+       |), dists AS (
+       |  SELECT c.vec_id, c.sub, cb.cid,
+       |    CAST(floor((list_dot_product(c.v, c.v)
+       |         + list_dot_product(cb.cvec, cb.cvec)
+       |         - 2 * list_dot_product(c.v, cb.cvec)) * 1000000 + 0.5)
+       |      AS BIGINT) AS d
+       |  FROM corpus c JOIN cb ON c.sub = cb.sub
+       |), codes AS (
+       |  SELECT vec_id, sub, cid AS code FROM (
+       |    SELECT vec_id, sub, cid,
+       |      row_number() OVER (PARTITION BY vec_id, sub
+       |        ORDER BY d, cid) AS rn
+       |    FROM dists) WHERE rn = 1
+       |), adc AS (
+       |  SELECT p.qid, c.vec_id, CAST(sum(q.d) AS BIGINT) AS adist_u6
+       |  FROM probes p
+       |  JOIN assigned a ON a.list_id = p.list_id
+       |  JOIN codes c ON c.vec_id = a.vec_id
+       |  JOIN dists q ON q.sub = c.sub AND q.cid = c.code
+       |    AND q.vec_id = p.qid
+       |  WHERE c.vec_id <> p.qid
+       |  GROUP BY 1, 2
+       |), ranked AS (
+       |  SELECT qid, vec_id, adist_u6,
+       |    row_number() OVER (PARTITION BY qid
+       |      ORDER BY adist_u6, vec_id) AS rank
+       |  FROM adc
+       |)
+       |SELECT qid, rank, vec_id, adist_u6 FROM ranked WHERE rank <= $k
+       |ORDER BY qid, rank""".stripMargin
+  }
+
   /** Per-label embedding centroids — the aggregation step of k-means
     * / class-prototype computation. Explode to (label, dim, value)
     * and hash-aggregate: partial avg runs map-side per partition, so

@@ -1285,6 +1285,73 @@ object Darima {
     } finally { named.unpersist(); () }
   }
 
+  /** Fleet auto-harmonics: [[runAutoHarmonics]]' holdout selection
+    * for EVERY series in |candidates| fleet plans plus ≤|candidates|
+    * refit plans — instead of |series|·(|candidates|+1) sequential
+    * per-series job cascades. The selection is the per-series rule
+    * verbatim: per-sid holdout tail of min(h, n/5) rows (one bounded
+    * series_tail pass), candidate fit on the time-prefix, mean
+    * |hold − pred| argmin with ties to the earlier candidate.
+    * Scoring each sid on the first hHold(sid) steps of the fleet-wide
+    * maxHold forecast equals the per-series hHold forecast — the
+    * recursion is prefix-stable. Series too short for a holdout keep
+    * the configured default (same as the per-series path).
+    */
+  def runAutoHarmonicsMany(spark: SparkSession, series: DataFrame,
+      h: Int, cfg: DarimaConfig, candidates: Seq[Int] = Seq(0, 2, 3, 5))
+      : Map[String, (Int, ArLinearModel, ForecastResult)] = {
+    import spark.implicits._
+    val named = series.select(col("sid").cast("string").as("sid"),
+      col("time").cast("double").as("t"),
+      col("value").cast("double").as("v")).cache()
+    try {
+      val counts = named.groupBy(col("sid")).count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val hHold = counts.map { case (s, n) =>
+        s -> math.min(h.toLong, n / 5).toInt
+      }
+      val anyHold = hHold.values.exists(_ >= 1)
+      if (!anyHold)
+        return runMany(spark, series, h, cfg)
+          .map { case (s, (m, f)) => s -> (cfg.harmYearly, m, f) }
+      val maxHold = hHold.values.max
+      val tails = tailsMany(named, maxHold)
+        .map { case (s, tl) => s -> tl.takeRight(math.max(hHold(s), 0)) }
+      val cuts = tails.collect {
+        case (s, tl) if hHold(s) >= 1 => (s, tl.head._1)
+      }.toSeq
+      val cutDf = cuts.toDF("sid", "__cut")
+      val fitDf = named.join(broadcast(cutDf), Seq("sid"), "left_outer")
+        .filter(col("__cut").isNull || col("t") < col("__cut"))
+        .select(col("sid"), col("t").as("time"), col("v").as("value"))
+      val holdVals = tails.map { case (s, tl) => s -> tl.map(_._2) }
+      val perCand = candidates.map { y =>
+        y -> runMany(spark, fitDf, maxHold, cfg.copy(harmYearly = y))
+      }
+      val winners: Map[String, Int] = counts.keysIterator.map { s =>
+        val hh = hHold(s)
+        if (hh < 1) s -> cfg.harmYearly
+        else {
+          val hv = holdVals(s)
+          s -> perCand.map { case (y, res) =>
+            val fc = res(s)._2
+            (y, graft.eval.Metrics.mean(Array.tabulate(hh)(i =>
+              math.abs(hv(i) - fc.mean(i)))))
+          }.minBy(_._2)._1
+        }
+      }.toMap
+      winners.values.toSeq.distinct.sorted.flatMap { y =>
+        val sids = winners.collect { case (s, w) if w == y => s }.toSeq
+        runMany(spark,
+          named.filter(col("sid").isin(sids: _*))
+            .select(col("sid"), col("t").as("time"),
+              col("v").as("value")),
+          h, cfg.copy(harmYearly = y))
+          .map { case (s, (m, f)) => s -> (y, m, f) }
+      }.toMap
+    } finally { named.unpersist(); () }
+  }
+
   /** Load one of the reference-format series CSVs: header
     * `"demand","time"`, time as `%Y-%m-%d %H:%M:%S` strings —
     * explicit schema, single pass (the reference infers schema with

@@ -73,11 +73,12 @@ object ZonesEval {
       }
       val harmEnv = sys.env.getOrElse("GRAFT_HARM_YEARLY", "3")
       val hs = testVals.values.map(_.length).toSet
+      val fleetOff = sys.env.get("GRAFT_FLEET").contains("0")
       val rows =
-        if (harmEnv == "auto" || cfg.boxCox != "off" || hs.size != 1) {
-          // per-zone path: auto-harmonics and Box–Cox λ are
-          // per-series model SELECTION, and unequal horizons need
-          // per-zone runs
+        if (cfg.boxCox != "off" || hs.size != 1 || fleetOff) {
+          // per-zone path: Box–Cox λ is per-series model SELECTION
+          // runMany refuses, and unequal horizons need per-zone runs;
+          // GRAFT_FLEET=0 forces this path (A/B escape hatch)
           zones.map { zone =>
             val train =
               Darima.loadSeriesCsv(spark, s"$dataDir/${zone}_train.csv")
@@ -97,7 +98,12 @@ object ZonesEval {
           // in ONE Catalyst plan (groupBy(zone, chunk) fit →
           // groupBy(zone, coef) DLSA), one keyed pass each for the
           // seasonal-naïve scales and the forecast-seed tails —
-          // replaces 10 sequential per-zone job cascades
+          // replaces 10 sequential per-zone job cascades. With
+          // GRAFT_HARM_YEARLY=auto the per-series harmonic SELECTION
+          // also runs fleet-wide: |candidates| holdout fleet plans +
+          // ≤|candidates| refits instead of zones·(candidates+1)
+          // cascades (runAutoHarmonicsMany — selection rule identical
+          // to the per-zone path).
           val t0 = System.nanoTime()
           val fleetTrain = zones.map { zone =>
             Darima.loadSeriesCsv(spark, s"$dataDir/${zone}_train.csv")
@@ -107,7 +113,15 @@ object ZonesEval {
             col("time").cast("double").as("t"),
             col("value").cast("double").as("v"))
           val scales = Darima.seasonalNaiveScaleManyDF(named, cfg.freq)
-          val results = Darima.runMany(spark, fleetTrain, hs.head, cfg)
+          val results =
+            if (harmEnv == "auto") {
+              val r = Darima.runAutoHarmonicsMany(spark, fleetTrain,
+                hs.head, cfg)
+              zones.foreach { z =>
+                println(s"""{"zone":"$z","harm_yearly_auto":${r(z)._1}}""")
+              }
+              r.map { case (z, (_, m, f)) => z -> (m, f) }
+            } else Darima.runMany(spark, fleetTrain, hs.head, cfg)
           println(f"""{"fleet_zones":${zones.length},"fleet_wall_s":""" +
             f"""${(System.nanoTime() - t0) / 1e9}%.1f}""")
           zones.map { zone => score(zone, results(zone)._2, scales(zone)) }

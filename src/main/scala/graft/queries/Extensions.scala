@@ -1234,6 +1234,14 @@ object Extensions {
   private val x148Attribution: Q = (s, d) =>
     EventsAnalytics.firstTouchAttribution(Tables.events(s, d))
 
+  /** X2: IVF-PQ composed ANN (the FAISS IVFADC layout) — coarse-list
+    * probe pruning + PQ asymmetric-distance ranking within the probed
+    * lists. See Similarity.ivfPqTopK.
+    */
+  private val x149IvfPq: Q = (s, d) =>
+    Similarity.ivfPqTopK(Tables.embeddings(s, d), nLists = 16,
+      nProbe = 4, dim = 64, m = 8, ksub = 16, nQueries = 3, k = 3)
+
   val queries: Map[String, Q] = Map(
     "x01_dedup_exact" -> x01DedupExact,
     "x02_dedup_minhash" -> x02DedupMinhash,
@@ -1384,6 +1392,7 @@ object Extensions {
     "x146_multiprobe_lsh" -> x146MultiProbe,
     "x147_scd2_merge" -> x147Scd2Merge,
     "x148_attribution" -> x148Attribution,
+    "x149_ivfpq_topk" -> x149IvfPq,
   )
 
   /** The PNG pixel statistics in closed form: the fixture image's
@@ -1704,5 +1713,6 @@ object Extensions {
     // monolithic 5-version build bit-for-bit
     "x147_scd2_merge" -> Dedup.scd2IntervalsSql(versions = 5),
     "x148_attribution" -> EventsAnalytics.firstTouchAttributionSql(),
+    "x149_ivfpq_topk" -> Similarity.ivfPqTopKSql(16, 4, 64, 8, 16, 3, 3),
   )
 }

@@ -351,6 +351,9 @@ object PlanAudit {
       // scalar reduce) broadcast back across the fact keys
       "x52_bloom_prune" -> Set("SinglePartition", "BNLJoin"),
       "x18_ivf_topk" -> Set("BNLJoin"), // broadcast probe lists
+      // x18's broadcast seed lists + x46's 1-row LocalRelation
+      // codebook / per-query ADC tables on the composed IVFADC path
+      "x149_ivfpq_topk" -> Set("BNLJoin"),
       // serve path: same broadcast probe lists, centroids read back
       // as a LocalRelation from the persisted model (cf. x66/x68)
       "x72_ivf_serve" -> Set("BNLJoin"),

@@ -101,6 +101,25 @@ class MultiseriesSpec extends AnyFunSuite {
     }
   }
 
+  test("fleet auto-harmonics ≡ per-series runAutoHarmonics " +
+    "(same winners, same forecasts)") {
+    val cfg = DarimaConfig(numChunks = 2, freq = 24, fitter = "olsar",
+      olsP = 2, chunker = "timerange")
+    val cands = Seq(0, 3)
+    val many = Darima.runAutoHarmonicsMany(spark, fleet, h = 8, cfg,
+      candidates = cands)
+    assert(many.keySet == types.toSet)
+    types.foreach { t =>
+      val (chosen1, _, f1) =
+        Darima.runAutoHarmonics(spark, series(t), h = 8, cfg, cands)
+      val (chosen2, _, f2) = many(t)
+      assert(chosen1 == chosen2, s"$t: winner differs")
+      f1.mean.zip(f2.mean).foreach { case (a, b) =>
+        assert(relErr(a, b) < 1e-9, s"$t mean: $a vs $b")
+      }
+    }
+  }
+
   test("d12 selection has no cross-series leakage; delta is coherent") {
     val d12 = SparkEntry.queries("d12_multiseries_select")
     val full = d12(spark, sf).collect()

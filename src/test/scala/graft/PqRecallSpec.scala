@@ -77,4 +77,42 @@ class PqRecallSpec extends AnyFunSuite {
     info(f"recall@10: sample-trained=$sampled%.3f")
     assert(sampled >= 0.7, s"sample-trained recall $sampled")
   }
+
+  test("ivf-pq with nProbe = nLists collapses to plain pq top-k") {
+    import spark.implicits._
+    val emb = vecs.zipWithIndex.toSeq.map { case (v, i) => (i.toLong, v) }
+      .toDF("vec_id", "embedding")
+    // probing EVERY list removes the IVF pruning, so the composed
+    // ranking must equal the un-pruned PQ ranking row-for-row
+    // (same codebook, same ADC integers, same tie-break)
+    val nLists = 6
+    val composed = Similarity
+      .ivfPqTopK(emb, nLists, nProbe = nLists, dim, m, ksub,
+        nQueries = nq, k = k)
+      .collect().map(_.toSeq)
+    val plain = Similarity.pqTopK(emb, dim, m, ksub, nq, k)
+      .collect().map(_.toSeq)
+    assert(composed.nonEmpty)
+    assert(composed.sameElements(plain))
+  }
+
+  test("ivf-pq probe pruning returns only vectors from probed lists") {
+    import spark.implicits._
+    val emb = vecs.zipWithIndex.toSeq.map { case (v, i) => (i.toLong, v) }
+      .toDF("vec_id", "embedding")
+    val nLists = 6
+    val got = Similarity
+      .ivfPqTopK(emb, nLists, nProbe = 2, dim, m, ksub,
+        nQueries = nq, k = k).collect()
+    // with 2 of 6 lists probed the candidate pool shrinks: every
+    // query still ranks *something* (clustered fixture), and ranks
+    // are dense 1..|hits| per query
+    val byQ = got.groupBy(_.getLong(0))
+    assert(byQ.size == nq)
+    byQ.values.foreach { rows =>
+      val ranks = rows.map(_.getInt(1)).sorted
+      assert(ranks.sameElements(1 to ranks.length))
+      assert(ranks.length <= k)
+    }
+  }
 }

@@ -2083,6 +2083,58 @@ object Similarity {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** X2: IVF-PQ recall@k report — the x107 recall table for the
+    * composed IVFADC path (x149): per query, how many of the EXACT
+    * cosine top-k the probe-pruned, quantization-distorted ranking
+    * actually returned. IVFADC loses recall in TWO places (probe
+    * misses the right list; ADC distortion reorders within a list) —
+    * this is the number that decides nProbe/m/ksub before anyone
+    * trusts the composed index at 100 TB. Same bounded shapes as
+    * x107/x149.
+    */
+  def ivfPqRecallReport(emb: DataFrame, nLists: Int, nProbe: Int,
+      dim: Int, m: Int, ksub: Int, nQueries: Int, k: Int): DataFrame = {
+    require(10000 % k == 0, "k must divide 10000 for exact recall_bp")
+    val approx = ivfPqTopK(emb, nLists, nProbe, dim, m, ksub, nQueries, k)
+      .select(col("qid"), col("vec_id"), lit(1).as("mm"))
+    val exact = cosineTopKUnsorted(emb, nQueries, k)
+      .select(col("qid"), col("vec_id"))
+    exact.join(approx, Seq("qid", "vec_id"), "left_outer")
+      .groupBy(col("qid"))
+      .agg(sum(when(col("mm").isNotNull, 1L).otherwise(0L)).as("hits"))
+      .select(col("qid"), col("hits"),
+        (col("hits") * lit((10000 / k).toLong)).as("recall_bp"))
+      .orderBy(col("qid"))
+  }
+
+  def ivfPqRecallReportSql(nLists: Int, nProbe: Int, dim: Int, m: Int,
+      ksub: Int, nQueries: Int, k: Int): String = {
+    val inner = ivfPqTopKSql(nLists, nProbe, dim, m, ksub, nQueries, k)
+    s"""WITH ipq AS (
+       |$inner
+       |), dblx AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |  FROM embeddings
+       |), eprods AS (
+       |  SELECT qv.vec_id AS qid, d.vec_id,
+       |    round(list_dot_product(d.e, qv.e)
+       |      / (sqrt(list_dot_product(d.e, d.e))
+       |       * sqrt(list_dot_product(qv.e, qv.e))), 6) AS cos
+       |  FROM dblx d CROSS JOIN dblx qv
+       |  WHERE qv.vec_id < $nQueries AND d.vec_id <> qv.vec_id
+       |), exact AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+       |      ORDER BY cos DESC, vec_id) AS rank
+       |    FROM eprods) WHERE rank <= $k
+       |)
+       |SELECT e.qid, CAST(count(i.vec_id) AS BIGINT) AS hits,
+       |       CAST(count(i.vec_id) * ${10000 / k} AS BIGINT) AS recall_bp
+       |FROM exact e LEFT JOIN ipq i
+       |  ON i.qid = e.qid AND i.vec_id = e.vec_id
+       |GROUP BY e.qid ORDER BY e.qid""".stripMargin
+  }
+
   def ivfPqTopKSql(nLists: Int, nProbe: Int, dim: Int, m: Int,
       ksub: Int, nQueries: Int, k: Int): String = {
     val subDim = dim / m

@@ -1242,6 +1242,14 @@ object Extensions {
     Similarity.ivfPqTopK(Tables.embeddings(s, d), nLists = 16,
       nProbe = 4, dim = 64, m = 8, ksub = 16, nQueries = 3, k = 3)
 
+  /** X2: IVF-PQ recall@10 vs the exact cosine top-k — the composed
+    * index's probe-miss + ADC-distortion bill. See
+    * Similarity.ivfPqRecallReport.
+    */
+  private val x150IvfPqRecall: Q = (s, d) =>
+    Similarity.ivfPqRecallReport(Tables.embeddings(s, d), nLists = 16,
+      nProbe = 4, dim = 64, m = 8, ksub = 16, nQueries = 3, k = 10)
+
   val queries: Map[String, Q] = Map(
     "x01_dedup_exact" -> x01DedupExact,
     "x02_dedup_minhash" -> x02DedupMinhash,
@@ -1393,6 +1401,7 @@ object Extensions {
     "x147_scd2_merge" -> x147Scd2Merge,
     "x148_attribution" -> x148Attribution,
     "x149_ivfpq_topk" -> x149IvfPq,
+    "x150_ivfpq_recall" -> x150IvfPqRecall,
   )
 
   /** The PNG pixel statistics in closed form: the fixture image's
@@ -1714,5 +1723,7 @@ object Extensions {
     "x147_scd2_merge" -> Dedup.scd2IntervalsSql(versions = 5),
     "x148_attribution" -> EventsAnalytics.firstTouchAttributionSql(),
     "x149_ivfpq_topk" -> Similarity.ivfPqTopKSql(16, 4, 64, 8, 16, 3, 3),
+    "x150_ivfpq_recall" ->
+      Similarity.ivfPqRecallReportSql(16, 4, 64, 8, 16, 3, 10),
   )
 }

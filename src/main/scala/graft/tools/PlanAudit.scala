@@ -354,6 +354,9 @@ object PlanAudit {
       // x18's broadcast seed lists + x46's 1-row LocalRelation
       // codebook / per-query ADC tables on the composed IVFADC path
       "x149_ivfpq_topk" -> Set("BNLJoin"),
+      // the same composed path plus x05's bounded broadcast probe
+      // vectors for the exact baseline (the x107 recall shape)
+      "x150_ivfpq_recall" -> Set("BNLJoin"),
       // serve path: same broadcast probe lists, centroids read back
       // as a LocalRelation from the persisted model (cf. x66/x68)
       "x72_ivf_serve" -> Set("BNLJoin"),

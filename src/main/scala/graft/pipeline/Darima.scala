@@ -1285,6 +1285,116 @@ object Darima {
     } finally { named.unpersist(); () }
   }
 
+  /** Fleet Guerrero λ: [[guerreroLambda]] for every series in TWO
+    * bounded passes — per-sid (n, tmin, tmax) spacing aggregate, then
+    * per-(sid, block) (mean, sd) stats (≤ Σ n_sid/(2·freq) rows
+    * collected), grid argmin per sid on the driver. Block bounds,
+    * filters, grid and tie-break are the single-series rule verbatim.
+    */
+  private[pipeline] def guerreroLambdaMany(named: DataFrame,
+      freq: Int): Map[String, Double] = {
+    val blockLen = math.max(2, 2 * freq)
+    val spac = named.groupBy(col("sid"))
+      .agg(count(lit(1)).as("n"), min(col("t")).as("t0"),
+        max(col("t")).as("t1"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    val eligible = spac.collect {
+      case (s, (n, t0, t1))
+        if n >= 2L * blockLen && (t1 - t0) / (n - 1) > 0 =>
+        (s, t0, (t1 - t0) / (n - 1))
+    }.toSeq
+    if (eligible.isEmpty) return spac.keysIterator.map(_ -> 1.0).toMap
+    val spark = named.sparkSession
+    import spark.implicits._
+    val eDf = eligible.toDF("sid", "__t0", "__dt")
+    val stats = named.join(broadcast(eDf), "sid")
+      .withColumn("__blk", floor(
+        (col("t") - col("__t0")) / (lit(blockLen) * col("__dt"))))
+      .groupBy(col("sid"), col("__blk"))
+      .agg(count(lit(1)).as("c"), avg(col("v")).as("m"),
+        stddev_samp(col("v")).as("s"))
+      .filter(col("c") >= 2 && col("m") > 0 &&
+        col("s").isNotNull && col("s") > 0)
+      .select(col("sid"), col("m"), col("s"))
+      .collect().groupBy(_.getString(0))
+      .map { case (s, rs) =>
+        s -> rs.map(r => (r.getDouble(1), r.getDouble(2)))
+      }
+    spac.keysIterator.map { s =>
+      val st = stats.getOrElse(s, Array.empty[(Double, Double)])
+      if (st.length < 3) s -> 1.0
+      else {
+        def cv(lam: Double): Double = {
+          val ratios = st.map { case (m, sd) =>
+            sd / math.pow(m, 1.0 - lam)
+          }
+          val mean = ratios.sum / ratios.length
+          if (mean <= 0) Double.MaxValue
+          else math.sqrt(ratios.map(r => (r - mean) * (r - mean)).sum /
+            (ratios.length - 1)) / mean
+        }
+        s -> (-100 to 200).map(i => i / 100.0).minBy(cv)
+      }
+    }.toMap
+  }
+
+  /** Fleet Box–Cox: per-series λ (Guerrero or fixed) resolved in
+    * bounded passes, the forward transform applied with λ riding as a
+    * broadcast COLUMN (same float ops as the fixed-λ
+    * [[graft.ts.Transforms.boxCox]]), one [[runMany]] fleet plan on
+    * the transformed scale, and the median-unbiased inverse applied
+    * per series on the driver-side forecast arrays — lifting
+    * runMany's "Box–Cox is per-series selection" refusal the same way
+    * [[runAutoHarmonicsMany]] lifted the harmonics one. A non-positive
+    * series falls back to no transform for THAT series only (the
+    * per-series rule).
+    */
+  def runBoxCoxMany(spark: SparkSession, series: DataFrame, h: Int,
+      cfg: DarimaConfig): Map[String, (ArLinearModel, ForecastResult)] = {
+    if (cfg.boxCox == "off") return runMany(spark, series, h, cfg)
+    import spark.implicits._
+    val named = series.select(col("sid").cast("string").as("sid"),
+      col("time").cast("double").as("t"),
+      col("value").cast("double").as("v")).cache()
+    try {
+      val lamBase: Map[String, Double] = cfg.boxCox match {
+        case "auto" => guerreroLambdaMany(named, math.max(cfg.freq, 1))
+        case s =>
+          val lam = s.toDouble
+          named.select(col("sid")).distinct().collect()
+            .map(_.getString(0) -> lam).toMap
+      }
+      val mins = named.groupBy(col("sid")).agg(min(col("v"))).collect()
+        .map(r => r.getString(0) ->
+          (if (r.isNullAt(1)) 0.0 else r.getDouble(1))).toMap
+      val lams: Map[String, Option[Double]] = lamBase.map {
+        case (s, lam) =>
+          if (lam == 1.0) s -> Some(1.0) // x−1 shift: domain-free
+          else if (mins.getOrElse(s, 0.0) <= 0) {
+            System.err.println(s"[darima] boxCox λ=$lam needs a " +
+              s"positive series — falling back to off for '$s'")
+            s -> None
+          } else s -> Some(lam)
+      }
+      val lamDf = lams.toSeq
+        .map { case (s, o) => (s, o.getOrElse(Double.NaN)) }
+        .toDF("sid", "__lam")
+      val tr = named.join(broadcast(lamDf), "sid")
+        .withColumn("__bc",
+          when(col("__lam").isNaN, col("v"))
+            .when(col("__lam") === 0.0, log(col("v")))
+            .otherwise((pow(col("v"), col("__lam")) - lit(1.0)) /
+              col("__lam")))
+        .select(col("sid"), col("t").as("time"), col("__bc").as("value"))
+      runMany(spark, tr, h, cfg.copy(boxCox = "off")).map {
+        case (s, (m, fc)) =>
+          s -> (m, lams.get(s).flatten
+            .map(l => invForecast(fc, l)).getOrElse(fc))
+      }
+    } finally { named.unpersist(); () }
+  }
+
   /** Fleet auto-harmonics: [[runAutoHarmonics]]' holdout selection
     * for EVERY series in |candidates| fleet plans plus ≤|candidates|
     * refit plans — instead of |series|·(|candidates|+1) sequential

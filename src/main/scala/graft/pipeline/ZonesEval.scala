@@ -75,9 +75,11 @@ object ZonesEval {
       val hs = testVals.values.map(_.length).toSet
       val fleetOff = sys.env.get("GRAFT_FLEET").contains("0")
       val rows =
-        if (cfg.boxCox != "off" || hs.size != 1 || fleetOff) {
-          // per-zone path: Box–Cox λ is per-series model SELECTION
-          // runMany refuses, and unequal horizons need per-zone runs;
+        if ((cfg.boxCox != "off" && harmEnv == "auto") || hs.size != 1 ||
+            fleetOff) {
+          // per-zone path: combined Box–Cox + auto-harmonics selection
+          // is still per-series (the two fleet selectors don't
+          // compose yet), and unequal horizons need per-zone runs;
           // GRAFT_FLEET=0 forces this path (A/B escape hatch)
           zones.map { zone =>
             val train =
@@ -121,7 +123,9 @@ object ZonesEval {
                 println(s"""{"zone":"$z","harm_yearly_auto":${r(z)._1}}""")
               }
               r.map { case (z, (_, m, f)) => z -> (m, f) }
-            } else Darima.runMany(spark, fleetTrain, hs.head, cfg)
+            } else if (cfg.boxCox != "off")
+              Darima.runBoxCoxMany(spark, fleetTrain, hs.head, cfg)
+            else Darima.runMany(spark, fleetTrain, hs.head, cfg)
           println(f"""{"fleet_zones":${zones.length},"fleet_wall_s":""" +
             f"""${(System.nanoTime() - t0) / 1e9}%.1f}""")
           zones.map { zone => score(zone, results(zone)._2, scales(zone)) }

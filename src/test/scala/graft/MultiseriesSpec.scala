@@ -120,6 +120,26 @@ class MultiseriesSpec extends AnyFunSuite {
     }
   }
 
+  test("fleet Box–Cox ≡ per-series run (auto λ, same forecasts)") {
+    val cfg = DarimaConfig(numChunks = 2, freq = 24, fitter = "olsar",
+      olsP = 2, chunker = "timerange", boxCox = "auto")
+    val many = Darima.runBoxCoxMany(spark, fleet, h = 8, cfg)
+    assert(many.keySet == types.toSet)
+    types.foreach { t =>
+      val (_, f1) = Darima.run(spark, series(t), h = 8, cfg)
+      val f2 = many(t)._2
+      f1.mean.zip(f2.mean).foreach { case (a, b) =>
+        assert(relErr(a, b) < 1e-9, s"$t mean: $a vs $b")
+      }
+      f1.se.zip(f2.se).foreach { case (a, b) =>
+        assert(relErr(a, b) < 1e-9, s"$t se: $a vs $b")
+      }
+      f1.upper(1).zip(f2.upper(1)).foreach { case (a, b) =>
+        assert(relErr(a, b) < 1e-9, s"$t hi95: $a vs $b")
+      }
+    }
+  }
+
   test("d12 selection has no cross-series leakage; delta is coherent") {
     val d12 = SparkEntry.queries("d12_multiseries_select")
     val full = d12(spark, sf).collect()

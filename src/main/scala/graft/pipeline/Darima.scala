@@ -1405,7 +1405,12 @@ object Darima {
     * Scoring each sid on the first hHold(sid) steps of the fleet-wide
     * maxHold forecast equals the per-series hHold forecast — the
     * recursion is prefix-stable. Series too short for a holdout keep
-    * the configured default (same as the per-series path).
+    * the configured default (same as the per-series path). Composes
+    * with fleet Box–Cox: every inner run routes through
+    * [[runBoxCoxMany]] (a no-op delegate when λ is off), matching the
+    * per-series path where each candidate run re-resolves λ on the
+    * same train prefix and selection scores the inverse-transformed
+    * forecasts on the original scale.
     */
   def runAutoHarmonicsMany(spark: SparkSession, series: DataFrame,
       h: Int, cfg: DarimaConfig, candidates: Seq[Int] = Seq(0, 2, 3, 5))
@@ -1422,7 +1427,7 @@ object Darima {
       }
       val anyHold = hHold.values.exists(_ >= 1)
       if (!anyHold)
-        return runMany(spark, series, h, cfg)
+        return runBoxCoxMany(spark, series, h, cfg)
           .map { case (s, (m, f)) => s -> (cfg.harmYearly, m, f) }
       val maxHold = hHold.values.max
       val tails = tailsMany(named, maxHold)
@@ -1435,8 +1440,14 @@ object Darima {
         .filter(col("__cut").isNull || col("t") < col("__cut"))
         .select(col("sid"), col("t").as("time"), col("v").as("value"))
       val holdVals = tails.map { case (s, tl) => s -> tl.map(_._2) }
+      // route through the Box–Cox selector: with λ off it delegates
+      // straight to runMany; with λ on this composes the two fleet
+      // selections exactly like the per-series path (each candidate
+      // run re-resolves λ on the SAME train prefix, selection scores
+      // on the original scale after the inverse)
       val perCand = candidates.map { y =>
-        y -> runMany(spark, fitDf, maxHold, cfg.copy(harmYearly = y))
+        y -> runBoxCoxMany(spark, fitDf, maxHold,
+          cfg.copy(harmYearly = y))
       }
       val winners: Map[String, Int] = counts.keysIterator.map { s =>
         val hh = hHold(s)
@@ -1452,7 +1463,7 @@ object Darima {
       }.toMap
       winners.values.toSeq.distinct.sorted.flatMap { y =>
         val sids = winners.collect { case (s, w) if w == y => s }.toSeq
-        runMany(spark,
+        runBoxCoxMany(spark,
           named.filter(col("sid").isin(sids: _*))
             .select(col("sid"), col("t").as("time"),
               col("v").as("value")),

@@ -75,12 +75,11 @@ object ZonesEval {
       val hs = testVals.values.map(_.length).toSet
       val fleetOff = sys.env.get("GRAFT_FLEET").contains("0")
       val rows =
-        if ((cfg.boxCox != "off" && harmEnv == "auto") || hs.size != 1 ||
-            fleetOff) {
-          // per-zone path: combined Box–Cox + auto-harmonics selection
-          // is still per-series (the two fleet selectors don't
-          // compose yet), and unequal horizons need per-zone runs;
-          // GRAFT_FLEET=0 forces this path (A/B escape hatch)
+        if (hs.size != 1 || fleetOff) {
+          // per-zone path: unequal horizons need per-zone runs;
+          // GRAFT_FLEET=0 forces this path (A/B escape hatch). Every
+          // selection config — auto-harmonics, Box–Cox λ, both —
+          // otherwise runs fleet-wide.
           zones.map { zone =>
             val train =
               Darima.loadSeriesCsv(spark, s"$dataDir/${zone}_train.csv")

@@ -120,6 +120,24 @@ class MultiseriesSpec extends AnyFunSuite {
     }
   }
 
+  test("composed fleet selection (auto harmonics × auto λ) ≡ " +
+    "per-series runAutoHarmonics") {
+    val cfg = DarimaConfig(numChunks = 2, freq = 24, fitter = "olsar",
+      olsP = 2, chunker = "timerange", boxCox = "auto")
+    val cands = Seq(0, 3)
+    val many = Darima.runAutoHarmonicsMany(spark, fleet, h = 8, cfg,
+      candidates = cands)
+    types.foreach { t =>
+      val (chosen1, _, f1) =
+        Darima.runAutoHarmonics(spark, series(t), h = 8, cfg, cands)
+      val (chosen2, _, f2) = many(t)
+      assert(chosen1 == chosen2, s"$t: winner differs")
+      f1.mean.zip(f2.mean).foreach { case (a, b) =>
+        assert(relErr(a, b) < 1e-9, s"$t mean: $a vs $b")
+      }
+    }
+  }
+
   test("fleet Box–Cox ≡ per-series run (auto λ, same forecasts)") {
     val cfg = DarimaConfig(numChunks = 2, freq = 24, fitter = "olsar",
       olsP = 2, chunker = "timerange", boxCox = "auto")

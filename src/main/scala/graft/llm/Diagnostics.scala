@@ -234,4 +234,73 @@ object Diagnostics {
        |  UNION ALL SELECT 'heavy_' || rnk || '_freq', CAST(f AS BIGINT)
        |    FROM heavy WHERE rnk <= $topK
        |) ORDER BY stat""".stripMargin
+
+  /** Cross-source QUANTILE NORMALIZATION of a per-document score —
+    * each document's score is replaced by the GLOBAL score found at
+    * its within-source quantile, the standard fix before comparing or
+    * budgeting across sources whose scorers are miscalibrated (a
+    * "0.8" from a news crawl and a "0.8" from a forum dump are not
+    * the same quality; their 80th percentiles are comparable).
+    *
+    * Exact integer mapping: within-source rank r of n_s (ordered by
+    * (score, doc_id) — the tie-break makes the map deterministic)
+    * lands on global rank g = 1 + ((r−1)·(N−1)) div (n_s−1)
+    * (singleton sources take the global median (N+1) div 2). The
+    * rank product is widened to DECIMAL(38,0) before the multiply —
+    * r·N overflows int64 around N ≈ 3·10⁹ — and both engines
+    * truncate the same way on non-negative operands.
+    *
+    * Scale shape: the within-source window is PARTITIONED BY source
+    * (never global); the global rank comes from OrderedRank's
+    * bucketed range sort (no single-partition window); the final
+    * lookup is an equi-join on the global rank — at 100 TB all three
+    * are plain co-keyed exchanges.
+    */
+  def quantileNormalize(docs: DataFrame): DataFrame = {
+    val base = graft.tools.Materialize(
+      docs.select(col("doc_id"), col("source"),
+        col("n_chars").as("score")))
+    val w = Window.partitionBy(col("source"))
+    val srcRanked = base
+      .withColumn("r", row_number().over(
+        w.orderBy(col("score"), col("doc_id"))))
+      .withColumn("ns", count(lit(1)).over(w))
+    val globalRanked = graft.ts.OrderedRank
+      .withRowNumber(base, col("score"), col("doc_id"), "grn")
+      .select(col("grn"), col("score").as("norm_score"))
+    val n1 = base.agg(count(lit(1)).as("nn"))
+    srcRanked.crossJoin(broadcast(n1))
+      .withColumn("g", expr(
+        """CASE WHEN ns = 1 THEN (nn + 1) div 2
+          |ELSE 1L + (cast(r - 1 as decimal(38,0)) * (nn - 1)) div (ns - 1)
+          |END""".stripMargin))
+      .join(globalRanked, col("g") === col("grn"))
+      .select(col("doc_id"), col("source"), col("score"),
+        col("norm_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle: plain window ranks (fine at oracle scale) + the same
+    * integer target-rank arithmetic in HUGEINT.
+    */
+  val quantileNormalizeSql: String =
+    """WITH base AS (
+      |  SELECT doc_id, source, n_chars AS score FROM documents
+      |), s AS (
+      |  SELECT doc_id, source, score,
+      |         row_number() OVER (PARTITION BY source
+      |                            ORDER BY score, doc_id) AS r,
+      |         count(*) OVER (PARTITION BY source) AS ns
+      |  FROM base
+      |), g AS (
+      |  SELECT score AS norm_score,
+      |         row_number() OVER (ORDER BY score, doc_id) AS grn
+      |  FROM base
+      |), nn AS (SELECT count(*) AS nn FROM base)
+      |SELECT s.doc_id, s.source, s.score, g.norm_score
+      |FROM s CROSS JOIN nn
+      |JOIN g ON g.grn = CASE WHEN s.ns = 1 THEN (nn.nn + 1) // 2
+      |  ELSE 1 + (CAST(s.r - 1 AS HUGEINT) * (nn.nn - 1)) // (s.ns - 1)
+      |  END
+      |ORDER BY s.doc_id""".stripMargin
 }

@@ -1,0 +1,98 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph rank over the near-duplicate document graph
+  * (SURVEY.md §2.9 X1/X7): PageRank as a fixed-K power iteration in
+  * EXACT integer arithmetic. Connected components (x33) answers
+  * "which docs are the same cluster"; this answers "which docs are
+  * the HUBS of the duplication graph" — the template/boilerplate
+  * carriers and mirror roots worth human eyes before a curation
+  * decision deletes 10k of their neighbors.
+  *
+  * Integer scheme: total rank mass S = 10¹² "picorank" units. Every
+  * node starts at base = S div N; one step is
+  *   pr'(v) = (15·base + 85·Σ_{u→v} (pr(u) div deg(u))) div 100,
+  * i.e. damping 0.85 with a uniform restart. All divisions are
+  * integer `div` on non-negative operands (Spark `div` and DuckDB
+  * `//` both truncate toward zero, so the engines agree bit-for-bit
+  * in any execution order — floor losses are deterministic parts of
+  * the semantics, not error). Magnitudes: pr ≤ S = 10¹², 85·inflow
+  * ≤ 8.5·10¹³ — int64 throughout, independent of corpus size.
+  *
+  * Scale shape (the x33 iterative-plan discipline): the edge table is
+  * the BOUNDED x04 candidate-pair set (df-capped shingle buckets, ≤
+  * dfCap²/2 pairs per bucket) symmetrized once and pinned; each of
+  * the K iterations is one co-keyed join + one hash aggregate over
+  * edge endpoints, with a `Materialize` pin so lineage stays flat.
+  * Nothing is ever collected; the per-node frame is O(nodes), the
+  * per-iteration shuffle is O(edges).
+  */
+object GraphRank {
+
+  private val S = 1000000000000L // total rank mass, picorank units
+
+  /** PageRank over the x04 near-dup candidate graph: (doc_id, pr)
+    * for every document incident to at least one scored pair at
+    * `threshold`, after `iters` damped power-iteration steps.
+    */
+  def pagerank(docs: DataFrame, dfCap: Int, threshold: Double,
+      iters: Int): DataFrame = {
+    val pairs = Dedup.jaccardPairs(docs, dfCap, threshold)
+      .select(col("d1"), col("d2"))
+    val edges = graft.tools.Materialize(
+      pairs.select(col("d1").as("src"), col("d2").as("dst"))
+        .unionAll(pairs.select(col("d2").as("src"), col("d1").as("dst"))))
+    // every node has deg >= 1 by construction (it came from a pair)
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val n1 = deg.agg(count(lit(1)).as("n"))
+    // base = S div N evaluates only on node rows, so an empty graph
+    // yields an empty result, never a division by zero
+    var pr = deg.crossJoin(broadcast(n1))
+      .select(col("src").as("id"), col("deg"),
+        expr(s"${S}L div n").as("base"),
+        expr(s"${S}L div n").as("pr"))
+    for (_ <- 1 to iters) {
+      val contrib = pr.select(col("id").as("src"),
+        expr("pr div deg").as("c"))
+      val inflow = edges.join(contrib, "src")
+        .groupBy(col("dst").as("id")).agg(sum(col("c")).as("inflow"))
+      // symmetric edges mean indegree >= 1 everywhere, but coalesce
+      // keeps the step total on any future directed-edge caller
+      pr = graft.tools.Materialize(
+        pr.join(inflow, Seq("id"), "left")
+          .select(col("id"), col("deg"), col("base"),
+            expr("(15L * base + 85L * coalesce(inflow, 0L)) div 100L")
+              .as("pr")))
+    }
+    pr.select(col("id").as("doc_id"), col("pr")).orderBy(col("doc_id"))
+  }
+
+  /** Oracle: the same integer recurrence, unrolled one CTE per
+    * iteration over the shared x04 candidate chain (`jp`).
+    */
+  def pagerankSql(dfCap: Int, threshold: Double, iters: Int): String = {
+    val steps = (1 to iters).map { k =>
+      s"""pr$k AS (
+         |  SELECT p.id, p.deg, p.base,
+         |         (15 * p.base + 85 * coalesce(fl.inflow, 0)) // 100 AS pr
+         |  FROM pr${k - 1} p LEFT JOIN (
+         |    SELECT e.dst AS id, sum(c.pr // c.deg) AS inflow
+         |    FROM ed e JOIN pr${k - 1} c ON c.id = e.src
+         |    GROUP BY e.dst) fl USING (id))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${Dedup.jaccardPairsCtesSql(dfCap, threshold)},
+       |ed AS (SELECT d1 AS src, d2 AS dst FROM jp
+       |       UNION ALL SELECT d2, d1 FROM jp),
+       |deg AS (SELECT src, count(*) AS deg FROM ed GROUP BY src),
+       |nn AS (SELECT count(*) AS n FROM deg),
+       |pr0 AS (SELECT d.src AS id, d.deg,
+       |               1000000000000 // nn.n AS base,
+       |               1000000000000 // nn.n AS pr
+       |        FROM deg d CROSS JOIN nn),
+       |$steps
+       |SELECT id AS doc_id, CAST(pr AS BIGINT) AS pr FROM pr$iters
+       |ORDER BY doc_id""".stripMargin
+  }
+}

@@ -164,4 +164,74 @@ object HeavyHitters {
        |FROM est JOIN exact USING (w)
        |ORDER BY w""".stripMargin
   }
+
+  /** Sketch-based JOIN-CARDINALITY estimation (the AMS/CMS
+    * inner-product trick, Alon–Matias–Szegedy 1996 §5 / Cormode &
+    * Muthukrishnan 2005 §4.2): |A ⋈_k B| = Σ_k n_A(k)·n_B(k) is
+    * estimated per sketch row j as Σ_w cmA[j][w]·cmB[j][w] — each row
+    * estimate ≥ the true size (collisions only ADD products), and the
+    * final estimate is the min over rows. The table a planner reads
+    * BEFORE committing a join strategy at 100 TB: two independent
+    * single-pass sketches (one depth×width grid each — they can be
+    * built on different clusters, different days) price the join
+    * without executing it.
+    *
+    * Output: one row per sketch row j with its estimate, the exact
+    * join size, and the overcount — the verify pass that pins the
+    * est ≥ exact guarantee row by row (the x61 discipline). The exact
+    * pass is the expensive part and exists only for the oracle gate;
+    * production consumes the sketch rows alone.
+    *
+    * Inputs are pre-projected single-column string-key frames so the
+    * estimator is source-agnostic. Magnitudes: a row estimate is at
+    * most n_A·n_B ≤ 10¹⁴ at 10⁷ rows a side — int64 holds to ~3·10⁹
+    * rows a side; beyond that the caller widens to the decimal sum.
+    */
+  def joinSizeEstimate(a: DataFrame, b: DataFrame, depth: Int,
+      width: Int): DataFrame = {
+    // zero cells are dropped BEFORE the cell join: they contribute
+    // nothing to the inner product, and the sparse form keeps this
+    // frame's emptiness aligned with the oracle's grid CTEs (an
+    // empty side yields an empty report in both dialects)
+    def cells(df: DataFrame, cnt: String) = df
+      .agg(graft.functions.CountMin.cm_sketch(depth, width)(col("k"))
+        .as("sk"))
+      .select(posexplode(col("sk")).as(Seq("pos", cnt)))
+      .filter(col(cnt) > 0)
+    val est = cells(a, "ca").join(cells(b, "cb"), "pos")
+      .groupBy(expr(s"pos div $width").cast("int").as("j"))
+      .agg(sum(col("ca") * col("cb")).as("est"))
+    val exact = a.join(b, "k").agg(count(lit(1)).as("exact"))
+    est.crossJoin(broadcast(exact))
+      .select(col("j"), col("est"), col("exact"),
+        (col("est") - col("exact")).as("overcount"))
+      .orderBy(col("j"))
+  }
+
+  /** Oracle: rebuild both grids exactly (the sketch is a pure
+    * function of the data), same per-row inner product, same exact
+    * join count.
+    */
+  def joinSizeEstimateSql(aFrom: String, bFrom: String, depth: Int,
+      width: Int): String = {
+    val h = Dedup.hash16Expr("strpos", "cast(j as varchar) || ':' || k")
+    s"""WITH ta AS ($aFrom),
+       |tb AS ($bFrom),
+       |rows_j AS (SELECT unnest(range($depth)) AS j),
+       |ga AS (
+       |  SELECT j, $h % $width AS cell, count(*) AS ca
+       |  FROM ta CROSS JOIN rows_j GROUP BY 1, 2
+       |), gb AS (
+       |  SELECT j, $h % $width AS cell, count(*) AS cb
+       |  FROM tb CROSS JOIN rows_j GROUP BY 1, 2
+       |), est AS (
+       |  SELECT CAST(a.j AS INT) AS j, CAST(sum(a.ca * b.cb) AS BIGINT) AS est
+       |  FROM ga a JOIN gb b ON a.j = b.j AND a.cell = b.cell
+       |  GROUP BY 1
+       |), ex AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS exact FROM ta JOIN tb USING (k)
+       |)
+       |SELECT j, est, exact, est - exact AS overcount
+       |FROM est CROSS JOIN ex ORDER BY j""".stripMargin
+  }
 }

@@ -2681,4 +2681,114 @@ object Similarity {
        |WHERE h.cm >= 0
        |  AND f.fwd_sum_micro * b.n_bwd + b.bwd_sum_micro * f.n_fwd > 0
        |ORDER BY h.qid, margin_micro DESC, h.vec_id""".stripMargin
+
+  /** TOP PRINCIPAL COMPONENT of the embedding cloud by distributed
+    * power iteration — the "all-but-the-top" diagnostic (Mu & Viswanath
+    * 2018): embedding sets dominated by one common direction waste
+    * cosine resolution on it, and this is the direction a
+    * post-processing step would remove. Also the go/no-go for the
+    * x95 JL route: a huge top-share means random projections keep
+    * less than their isotropic guarantee suggests.
+    *
+    * One power-iteration step is the matvec w = Aᵀ(Av) = Σ_x x·(x·v),
+    * computed WITHOUT materializing the d×d Gram matrix: per row the
+    * scalar dot (x·v) (int64 — micro-unit x times max-normalized v),
+    * then per-dimension sums of x_j·dot in DECIMAL(38,0) (exact in
+    * any execution order — the x114/x130 idiom). Between iterations v
+    * is MAX-normalized in exact integers (v'_j = ((w_j+m)·10⁶) div m
+    * − 10⁶ with m = max|w_j|, shift keeping operands non-negative so
+    * Spark `div` and DuckDB `//` agree) — power iteration only needs
+    * the direction, so unit norm is deferred to the reader. The
+    * dominant-eigenvalue share is reported in exact basis points
+    * λ·10⁴ div trace, both sides DECIMAL(38,0); the widening holds to
+    * ~10⁷ vectors at dim 64 — past that the share column (a
+    * diagnostic, not the direction) would need a second scale-down.
+    *
+    * Scale shape: the (vec, dim, micro-x) frame is pinned once and
+    * reused by all K iterations; each iteration is one broadcast of
+    * the ≤dim-row v frame, one co-keyed matvec join, and one
+    * dim-bounded hash aggregate. Nothing collects; K is fixed.
+    */
+  def topComponent(emb: DataFrame, iters: Int): DataFrame = {
+    val xe = graft.tools.Materialize(emb
+      .select(col("vec_id"), posexplode(expr(
+        "transform(embedding, x -> cast(round(cast(x as double) " +
+          "* 1000000, 0) as bigint))")).as(Seq("pos", "x"))))
+    val dec38 = "decimal(38,0)"
+    // v0 = all-ones at full scale: deterministic, and not orthogonal
+    // to a data direction in any non-adversarial cloud
+    var v = xe.select(col("pos")).distinct()
+      .select(col("pos"), lit(1000000L).as("v"))
+    // the <=dim-row v frame carries no broadcast hint: a Generate
+    // ancestor blocks the structural boundedness certificate, and AQE
+    // broadcasts the tiny frame at runtime on its own (the x61 shape)
+    for (_ <- 1 to iters) {
+      val dot = xe.join(v, "pos")
+        .groupBy(col("vec_id")).agg(sum(col("x") * col("v")).as("dot"))
+      val w = xe.join(dot, "vec_id")
+        .groupBy(col("pos"))
+        .agg(sum(col("x").cast(dec38) * col("dot").cast(dec38)).as("w"))
+      val m1 = w.agg(max(abs(col("w"))).as("m"))
+      // m = 0 (all-zero cloud) emits an empty frame rather than a
+      // division by zero — the oracle's WHERE m > 0 mirror
+      v = graft.tools.Materialize(
+        w.crossJoin(broadcast(m1)).filter(col("m") > 0)
+          .select(col("pos"),
+            expr("cast(((w + m) * 1000000) div m - 1000000L as bigint)")
+              .as("v")))
+    }
+    val dot = xe.join(v, "pos")
+      .groupBy(col("vec_id")).agg(sum(col("x") * col("v")).as("dot"))
+    val quad = dot.agg(
+      sum(col("dot").cast(dec38) * col("dot").cast(dec38)).as("quad"))
+    val vv = v.agg(sum(col("v").cast(dec38) * col("v").cast(dec38)).as("vv"))
+    val tr = xe.agg(sum(col("x").cast(dec38) * col("x").cast(dec38)).as("tr"))
+    v.crossJoin(broadcast(quad)).crossJoin(broadcast(vv))
+      .crossJoin(broadcast(tr))
+      .select(col("pos").cast("int").as("j"), col("v").as("v_unit"),
+        expr("cast((quad * 10000) div (vv * tr) as bigint)").as("share_bp"))
+      .orderBy(col("j"))
+  }
+
+  /** Oracle: identical integer recurrence, one CTE pair (dot, w) per
+    * iteration, HUGEINT throughout.
+    */
+  def topComponentSql(iters: Int): String = {
+    val steps = (1 to iters).map { k =>
+      s"""dot$k AS (
+         |  SELECT e.vec_id, sum(e.x * v.v) AS dot
+         |  FROM xe e JOIN v${k - 1} v USING (pos) GROUP BY e.vec_id
+         |), w$k AS (
+         |  SELECT e.pos, sum(CAST(e.x AS HUGEINT) * d.dot) AS w
+         |  FROM xe e JOIN dot$k d USING (vec_id) GROUP BY e.pos
+         |), m$k AS (SELECT max(abs(w)) AS m FROM w$k),
+         |v$k AS (
+         |  SELECT pos, ((w + m) * 1000000) // m - 1000000 AS v
+         |  FROM w$k CROSS JOIN m$k WHERE m > 0)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH xe AS (
+       |  SELECT vec_id, CAST(j - 1 AS INT) AS pos,
+       |         CAST(round(CAST(e AS DOUBLE) * 1000000, 0) AS BIGINT) AS x
+       |  FROM (SELECT vec_id, unnest(embedding) AS e,
+       |               generate_subscripts(embedding, 1) AS j
+       |        FROM embeddings)
+       |), v0 AS (
+       |  SELECT DISTINCT pos, CAST(1000000 AS BIGINT) AS v FROM xe
+       |),
+       |$steps,
+       |dotf AS (
+       |  SELECT e.vec_id, sum(e.x * v.v) AS dot
+       |  FROM xe e JOIN v$iters v USING (pos) GROUP BY e.vec_id
+       |), quad AS (
+       |  SELECT sum(CAST(dot AS HUGEINT) * dot) AS quad FROM dotf
+       |), vvs AS (
+       |  SELECT sum(CAST(v AS HUGEINT) * v) AS vv FROM v$iters
+       |), tr AS (
+       |  SELECT sum(CAST(x AS HUGEINT) * x) AS tr FROM xe
+       |)
+       |SELECT CAST(v.pos AS INT) AS j, CAST(v.v AS BIGINT) AS v_unit,
+       |       CAST((quad * 10000) // (vv * tr) AS BIGINT) AS share_bp
+       |FROM v$iters v CROSS JOIN quad CROSS JOIN vvs CROSS JOIN tr
+       |ORDER BY j""".stripMargin
+  }
 }

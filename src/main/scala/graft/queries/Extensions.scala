@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.llm.{Bpe, Dedup, Diagnostics, HeavyHitters, EventsAnalytics, Hll, Importance, LanguageModel, Multimodal, Packing, QualityClassifier, Retrieval, Sampling, Similarity, TextAnalysis}
+import graft.llm.{Bpe, Dedup, Diagnostics, GraphRank, HeavyHitters, EventsAnalytics, Hll, Importance, LanguageModel, Multimodal, Packing, QualityClassifier, Retrieval, Sampling, Similarity, TextAnalysis}
 
 /** The LLM-data-pipeline extension surface (SURVEY.md §2.9 X1-X5):
   * dedup, similarity search, text analysis, multimodal columns, and
@@ -1250,6 +1250,40 @@ object Extensions {
     Similarity.ivfPqRecallReport(Tables.embeddings(s, d), nLists = 16,
       nProbe = 4, dim = 64, m = 8, ksub = 16, nQueries = 3, k = 10)
 
+  /** X1/X7: PageRank over the x04 near-dup candidate graph —
+    * exact-integer fixed-K power iteration; the duplication-hub
+    * report next to x33's membership clusters. See GraphRank.pagerank.
+    */
+  private val x151Pagerank: Q = (s, d) =>
+    GraphRank.pagerank(Tables.documents(s, d), dfCap = 10,
+      threshold = 0.02, iters = 3)
+
+  /** X5'/X7: sketch-based join-cardinality estimation — the AMS/CMS
+    * inner product over two independently-built sketches vs the
+    * exact join count, per sketch row. See
+    * HeavyHitters.joinSizeEstimate.
+    */
+  private val x152JoinSizeEst: Q = (s, d) =>
+    HeavyHitters.joinSizeEstimate(
+      Tables.events(s, d).select(col("user_id").cast("string").as("k")),
+      Tables.orders(s, d).select(col("o_custkey").cast("string").as("k")),
+      depth = 4, width = 64)
+
+  /** X3/X6: cross-source quantile normalization of the per-doc score
+    * — within-source rank mapped onto the global distribution in
+    * exact integer arithmetic. See Diagnostics.quantileNormalize.
+    */
+  private val x153QuantileNorm: Q = (s, d) =>
+    Diagnostics.quantileNormalize(Tables.documents(s, d))
+
+  /** X2: top principal component of the embedding cloud by
+    * distributed power iteration (all-but-the-top diagnostic) —
+    * exact-integer matvecs, max-normalized between steps. See
+    * Similarity.topComponent.
+    */
+  private val x154TopComponent: Q = (s, d) =>
+    Similarity.topComponent(Tables.embeddings(s, d), iters = 3)
+
   val queries: Map[String, Q] = Map(
     "x01_dedup_exact" -> x01DedupExact,
     "x02_dedup_minhash" -> x02DedupMinhash,
@@ -1402,6 +1436,10 @@ object Extensions {
     "x148_attribution" -> x148Attribution,
     "x149_ivfpq_topk" -> x149IvfPq,
     "x150_ivfpq_recall" -> x150IvfPqRecall,
+    "x151_pagerank" -> x151Pagerank,
+    "x152_join_size_est" -> x152JoinSizeEst,
+    "x153_quantile_norm" -> x153QuantileNorm,
+    "x154_top_component" -> x154TopComponent,
   )
 
   /** The PNG pixel statistics in closed form: the fixture image's
@@ -1725,5 +1763,11 @@ object Extensions {
     "x149_ivfpq_topk" -> Similarity.ivfPqTopKSql(16, 4, 64, 8, 16, 3, 3),
     "x150_ivfpq_recall" ->
       Similarity.ivfPqRecallReportSql(16, 4, 64, 8, 16, 3, 10),
+    "x151_pagerank" -> GraphRank.pagerankSql(10, 0.02, 3),
+    "x152_join_size_est" -> HeavyHitters.joinSizeEstimateSql(
+      "SELECT CAST(user_id AS VARCHAR) AS k FROM events",
+      "SELECT CAST(o_custkey AS VARCHAR) AS k FROM orders", 4, 64),
+    "x153_quantile_norm" -> Diagnostics.quantileNormalizeSql,
+    "x154_top_component" -> Similarity.topComponentSql(3),
   )
 }

@@ -390,7 +390,21 @@ object PlanAudit {
       // |caps|-row capacity-sweep aggregate + 1-row totals scalar
       // broadcast back over it (the x108 sweep shape; certified
       // scalar-subquery-1row above)
-      "x121_pack_efficiency" -> Set("SinglePartition", "BNLJoin"))
+      "x121_pack_efficiency" -> Set("SinglePartition", "BNLJoin"),
+      // two 1-row global sketch-grid aggregates (the x61 shape, one
+      // per join side) + the 1-row exact-count scalar broadcast back
+      // over the <=depth-row estimate table (certified
+      // scalar-subquery-1row above)
+      "x152_join_size_est" -> Set("SinglePartition", "BNLJoin"),
+      // 1-row corpus-count scalar broadcast into the target-rank
+      // arithmetic (certified scalar-subquery-1row above); ranks
+      // come from source-partitioned windows + OrderedRank
+      "x153_quantile_norm" -> Set("SinglePartition", "BNLJoin"),
+      // 1-row max/quad/vv/trace scalars of the power iteration
+      // broadcast over the <=dim-row component frame (certified
+      // scalar-subquery-1row above); the matvec joins are plain
+      // equi-joins on pos/vec_id
+      "x154_top_component" -> Set("SinglePartition", "BNLJoin"))
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")

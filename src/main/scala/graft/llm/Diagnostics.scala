@@ -280,6 +280,70 @@ object Diagnostics {
       .orderBy(col("doc_id"))
   }
 
+  /** Z-ORDER clustering-key layout advisor — the multi-dimensional
+    * data-layout trick (Morton order; what Delta's OPTIMIZE ZORDER
+    * and Iceberg's sort orders compute): interleave the bits of two
+    * bounded dimension keys so that consecutive key ranges cover
+    * small TILES of the (x, y) plane, and point/range predicates on
+    * EITHER dimension prune most files. The report shows the property
+    * a file-skipping planner buys: per 1024-key bucket (= one aligned
+    * 32×32 tile), the row count and the min/max/span of both raw
+    * dimensions — spans ≤ 31 by construction, vs ~the full dimension
+    * range under any single-dimension ordering.
+    *
+    * Dimensions here: x = user_id mod 256, y = minute-of-day div 6
+    * (0..239) from the event time — the two columns an events table
+    * is typically filtered by together. All arithmetic is integer
+    * bit math (shift/and), identical in both engines; epoch seconds
+    * are floored the same way on both sides.
+    *
+    * Scale shape: one map-only pass computes z per row (pure codegen
+    * bit ops), one hash aggregate reduces to ≤64 bucket rows. At
+    * 100 TB the same z expression IS the repartitionByRange /
+    * write-sort key; this query is its effectiveness audit.
+    */
+  def zorderLayout(events: DataFrame): DataFrame = {
+    val z = (0 until 8).map(i =>
+      s"shiftleft(shiftright(xb, $i) & 1, ${2 * i}) + " +
+        s"shiftleft(shiftright(yb, $i) & 1, ${2 * i + 1})")
+      .mkString(" + ")
+    events
+      .select(pmod(col("user_id"), lit(256)).cast("int").as("xb"),
+        expr("cast((cast(ts as long) div 60) % 1440 div 6 as int)")
+          .as("yb"))
+      .withColumn("bucket", expr(s"($z) div 1024"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("xb")).as("x_min"), max(col("xb")).as("x_max"),
+        min(col("yb")).as("y_min"), max(col("yb")).as("y_max"))
+      .select(col("bucket"), col("n"),
+        col("x_min"), col("x_max"),
+        (col("x_max") - col("x_min")).as("x_span"),
+        col("y_min"), col("y_max"),
+        (col("y_max") - col("y_min")).as("y_span"))
+      .orderBy(col("bucket"))
+  }
+
+  /** Oracle: the same bit interleave with `>> & <<` operators. */
+  val zorderLayoutSql: String = {
+    val z = (0 until 8).map(i =>
+      s"(((xb >> $i) & 1) << ${2 * i}) + (((yb >> $i) & 1) << ${2 * i + 1})")
+      .mkString(" + ")
+    s"""WITH b AS (
+       |  SELECT CAST(user_id % 256 AS INT) AS xb,
+       |         CAST((CAST(floor(epoch(ts)) AS BIGINT) // 60) % 1440 // 6
+       |           AS INT) AS yb
+       |  FROM events
+       |), zb AS (SELECT xb, yb, ($z) // 1024 AS bucket FROM b)
+       |SELECT CAST(bucket AS BIGINT) AS bucket,
+       |  CAST(count(*) AS BIGINT) AS n,
+       |  CAST(min(xb) AS INT) AS x_min, CAST(max(xb) AS INT) AS x_max,
+       |  CAST(max(xb) - min(xb) AS INT) AS x_span,
+       |  CAST(min(yb) AS INT) AS y_min, CAST(max(yb) AS INT) AS y_max,
+       |  CAST(max(yb) - min(yb) AS INT) AS y_span
+       |FROM zb GROUP BY bucket ORDER BY bucket""".stripMargin
+  }
+
   /** Oracle: plain window ranks (fine at oracle scale) + the same
     * integer target-rank arithmetic in HUGEINT.
     */

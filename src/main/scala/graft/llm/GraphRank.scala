@@ -95,4 +95,99 @@ object GraphRank {
        |SELECT id AS doc_id, CAST(pr AS BIGINT) AS pr FROM pr$iters
        |ORDER BY doc_id""".stripMargin
   }
+
+  /** TRIANGLE COUNT + local clustering coefficient over the x04
+    * near-dup graph — the cohesion report next to x151's hub rank:
+    * a near-dup CLUSTER of mutual copies is triangle-dense
+    * (clustering → 10000 bp), a CHAIN of pairwise-overlapping
+    * revisions is triangle-free (→ 0 bp), and the two need different
+    * curation (drop-all-but-one vs keep-the-endpoints).
+    *
+    * Scale shape — the Cohen / Suri–Vassilvitskii orientation trick:
+    * each undirected edge is directed from its lower to its higher
+    * endpoint under the (degree, id) total order, so every node's
+    * OUT-degree is O(√E) regardless of how hubby the graph is, the
+    * wedge join (out-edges × out-edges on their source) is bounded by
+    * Σ outdeg² = O(E^1.5) instead of Σ deg² (quadratic in the hub
+    * degree), and each triangle is found exactly once — at its unique
+    * apex with both out-edges. The closing-edge check is one
+    * canonical-pair equi-join. Everything is counts: no floats
+    * anywhere (clustering in exact basis points, wedges =
+    * deg·(deg−1) div 2).
+    *
+    * The ORACLE enumerates triangles by plain doc_id order instead —
+    * a different plan, the same triangles — so the oracle checks the
+    * RESULT, not the engine's orientation.
+    */
+  def triangles(docs: DataFrame, dfCap: Int, threshold: Double)
+      : DataFrame = {
+    val pairs = graft.tools.Materialize(
+      Dedup.jaccardPairs(docs, dfCap, threshold)
+        .select(col("d1"), col("d2")))
+    val deg = pairs.select(col("d1").as("id"))
+      .unionAll(pairs.select(col("d2").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    // orient each edge low -> high under (deg, id); u keeps its
+    // canonical (d1, d2) form for the closing-edge join
+    val oriented = pairs
+      .join(deg.select(col("id").as("d1"), col("deg").as("g1")), "d1")
+      .join(deg.select(col("id").as("d2"), col("deg").as("g2")), "d2")
+      .select(
+        when(col("g1") < col("g2") ||
+          (col("g1") === col("g2") && col("d1") < col("d2")),
+          struct(col("d1").as("src"), col("d2").as("dst")))
+          .otherwise(struct(col("d2").as("src"), col("d1").as("dst")))
+          .as("e"))
+      .select(col("e.src"), col("e.dst"))
+    val o = graft.tools.Materialize(oriented)
+    // wedges at the apex: two out-edges (src -> a, src -> b), a != b,
+    // canonicalized so the closing edge is probed in (d1 < d2) form
+    val wedges = o.select(col("src"), col("dst").as("a"))
+      .join(o.select(col("src"), col("dst").as("b")), "src")
+      .filter(col("a") < col("b"))
+      .select(col("src"), least(col("a"), col("b")).as("d1"),
+        greatest(col("a"), col("b")).as("d2"))
+    val tri = wedges.join(pairs, Seq("d1", "d2"))
+      .select(col("src"), col("d1"), col("d2"))
+    val tcnt = tri.select(explode(array(col("src"), col("d1"),
+      col("d2"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("t"))
+    deg.join(tcnt, Seq("id"), "left")
+      .select(col("id").as("doc_id"), col("deg"),
+        coalesce(col("t"), lit(0L)).as("triangles"),
+        expr("deg * (deg - 1) div 2").as("wedges"))
+      .withColumn("clustering_bp",
+        when(col("deg") >= 2,
+          expr("triangles * 10000L div wedges")).otherwise(lit(0L)))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle: doc_id-ordered triangle enumeration over the shared x04
+    * candidate chain — same triangles, same exact integer report.
+    */
+  def trianglesSql(dfCap: Int, threshold: Double): String =
+    s"""WITH ${Dedup.jaccardPairsCtesSql(dfCap, threshold)},
+       |tri AS (
+       |  SELECT a.d1 AS x, a.d2 AS y, b.d2 AS z
+       |  FROM jp a
+       |  JOIN jp b ON b.d1 = a.d1 AND b.d2 > a.d2
+       |  JOIN jp c ON c.d1 = a.d2 AND c.d2 = b.d2
+       |), ids AS (
+       |  SELECT x AS id FROM tri
+       |  UNION ALL SELECT y FROM tri
+       |  UNION ALL SELECT z FROM tri
+       |), tcnt AS (SELECT id, count(*) AS t FROM ids GROUP BY id),
+       |deg AS (
+       |  SELECT id, count(*) AS deg FROM (
+       |    SELECT d1 AS id FROM jp UNION ALL SELECT d2 FROM jp)
+       |  GROUP BY id
+       |)
+       |SELECT d.id AS doc_id, CAST(d.deg AS BIGINT) AS deg,
+       |  CAST(coalesce(t.t, 0) AS BIGINT) AS triangles,
+       |  CAST(d.deg * (d.deg - 1) // 2 AS BIGINT) AS wedges,
+       |  CAST(CASE WHEN d.deg >= 2
+       |       THEN coalesce(t.t, 0) * 10000 // (d.deg * (d.deg - 1) // 2)
+       |       ELSE 0 END AS BIGINT) AS clustering_bp
+       |FROM deg d LEFT JOIN tcnt t USING (id)
+       |ORDER BY doc_id""".stripMargin
 }

@@ -1284,6 +1284,23 @@ object Extensions {
   private val x154TopComponent: Q = (s, d) =>
     Similarity.topComponent(Tables.embeddings(s, d), iters = 3)
 
+  /** X1/X7: triangle count + local clustering over the near-dup
+    * graph — degree-oriented wedge join (O(E^1.5)), exact basis-point
+    * coefficients; cluster-vs-chain cohesion next to x151's hubs.
+    * See GraphRank.triangles.
+    */
+  private val x155Triangles: Q = (s, d) =>
+    GraphRank.triangles(Tables.documents(s, d), dfCap = 10,
+      threshold = 0.02)
+
+  /** X5'/X7: Z-order clustering-key layout advisor — bit-interleaved
+    * (user, minute-of-day) keys, per-tile span report; the
+    * file-skipping audit of a multi-dimension sort key. See
+    * Diagnostics.zorderLayout.
+    */
+  private val x156ZorderLayout: Q = (s, d) =>
+    Diagnostics.zorderLayout(Tables.events(s, d))
+
   val queries: Map[String, Q] = Map(
     "x01_dedup_exact" -> x01DedupExact,
     "x02_dedup_minhash" -> x02DedupMinhash,
@@ -1440,6 +1457,8 @@ object Extensions {
     "x152_join_size_est" -> x152JoinSizeEst,
     "x153_quantile_norm" -> x153QuantileNorm,
     "x154_top_component" -> x154TopComponent,
+    "x155_triangle_count" -> x155Triangles,
+    "x156_zorder_layout" -> x156ZorderLayout,
   )
 
   /** The PNG pixel statistics in closed form: the fixture image's
@@ -1769,5 +1788,7 @@ object Extensions {
       "SELECT CAST(o_custkey AS VARCHAR) AS k FROM orders", 4, 64),
     "x153_quantile_norm" -> Diagnostics.quantileNormalizeSql,
     "x154_top_component" -> Similarity.topComponentSql(3),
+    "x155_triangle_count" -> GraphRank.trianglesSql(10, 0.02),
+    "x156_zorder_layout" -> Diagnostics.zorderLayoutSql,
   )
 }

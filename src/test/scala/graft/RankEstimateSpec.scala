@@ -130,6 +130,52 @@ class RankEstimateSpec extends AnyFunSuite {
     assert(share > 9000L && share < 10000L, s"share_bp = $share")
   }
 
+  test("triangles: clique scores 10000 bp, chain tail scores 0; " +
+    "counts and wedges are exact") {
+    import spark.implicits._
+    // docs 1-2-3 form a 3-clique (shared trigram "t1 t2 t3");
+    // doc 4 hangs off doc 3 (shared "c1 c2 c3") — a chain edge
+    val docs = Seq(
+      (1L, "t1 t2 t3 a1 a2 a3"),
+      (2L, "t1 t2 t3 b1 b2 b3"),
+      (3L, "t1 t2 t3 c1 c2 c3"),
+      (4L, "c1 c2 c3 d1 d2 d3")).toDF("doc_id", "text")
+    val out = GraphRank.triangles(docs, dfCap = 10, threshold = 0.01)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Long]("deg"), r.getAs[Long]("triangles"),
+          r.getAs[Long]("wedges"), r.getAs[Long]("clustering_bp")))).toMap
+    assert(out(1L) == ((2L, 1L, 1L, 10000L)))
+    assert(out(2L) == ((2L, 1L, 1L, 10000L)))
+    assert(out(3L) == ((3L, 1L, 3L, 3333L)))
+    assert(out(4L) == ((1L, 0L, 0L, 0L)))
+  }
+
+  test("z-order layout: every 1024-key bucket covers a <=32x32 tile; " +
+    "row counts are conserved") {
+    import spark.implicits._
+    val events = (0 until 2000).map { i =>
+      (i.toLong * 37 % 300, // user_id beyond the 256 wrap
+        new java.sql.Timestamp(800000000000L + i.toLong * 97000))
+    }.toDF("user_id", "ts")
+    val out = Diagnostics.zorderLayout(events).collect()
+    assert(out.map(_.getAs[Long]("n")).sum == 2000L)
+    out.foreach { r =>
+      assert(r.getAs[Int]("x_span") <= 31,
+        s"bucket ${r.getLong(0)}: x_span ${r.getAs[Int]("x_span")}")
+      assert(r.getAs[Int]("y_span") <= 31,
+        s"bucket ${r.getLong(0)}: y_span ${r.getAs[Int]("y_span")}")
+    }
+    // a z-bucket holds only rows whose interleaved key lands in it:
+    // spot-check one row against a scala-side reference interleave
+    def zRef(x: Int, y: Int): Int =
+      (0 until 8).map(i => (((x >> i) & 1) << (2 * i)) +
+        (((y >> i) & 1) << (2 * i + 1))).sum
+    val xb = (0L * 37 % 300 % 256).toInt
+    val yb = ((800000000000L / 1000 / 60) % 1440 / 6).toInt
+    val b0 = zRef(xb, yb) / 1024
+    assert(out.exists(_.getLong(0) == b0))
+  }
+
   test("top component: an all-zero cloud yields an empty report, " +
     "not a division by zero") {
     import spark.implicits._

@@ -188,20 +188,42 @@ object HeavyHitters {
     * rows a side; beyond that the caller widens to the decimal sum.
     */
   def joinSizeEstimate(a: DataFrame, b: DataFrame, depth: Int,
-      width: Int): DataFrame = {
-    // zero cells are dropped BEFORE the cell join: they contribute
-    // nothing to the inner product, and the sparse form keeps this
-    // frame's emptiness aligned with the oracle's grid CTEs (an
-    // empty side yields an empty report in both dialects)
-    def cells(df: DataFrame, cnt: String) = df
-      .agg(graft.functions.CountMin.cm_sketch(depth, width)(col("k"))
-        .as("sk"))
-      .select(posexplode(col("sk")).as(Seq("pos", cnt)))
-      .filter(col(cnt) > 0)
-    val est = cells(a, "ca").join(cells(b, "cb"), "pos")
+      width: Int): DataFrame =
+    joinSizeFromCells(keySketchCells(keySketch(a, depth, width)),
+      keySketchCells(keySketch(b, depth, width)), width,
+      a.join(b, "k").agg(count(lit(1)).as("exact")))
+
+  /** ONE row holding a side's whole depth×width key grid — the same
+    * global aggregation runs COMPLETE-mode over a stream of keys
+    * (state = the one grid row; elementwise-sum merges make the
+    * drained grid bit-equal to the batch one — streaming twin:
+    * `EventsStream.joinKeySketchRunning`).
+    */
+  def keySketch(keyed: DataFrame, depth: Int, width: Int): DataFrame =
+    keyed.agg(graft.functions.CountMin.cm_sketch(depth, width)(col("k"))
+      .as("sk"))
+
+  /** Sketch row → sparse (pos, cnt) cells. Zero cells are dropped
+    * BEFORE the cell join: they contribute nothing to the inner
+    * product, and the sparse form keeps the frame's emptiness aligned
+    * with the oracle's grid CTEs (an empty side yields an empty
+    * report in both dialects).
+    */
+  def keySketchCells(sketch: DataFrame): DataFrame =
+    sketch.select(posexplode(col("sk")).as(Seq("pos", "cnt")))
+      .filter(col("cnt") > 0)
+
+  /** Shared finisher: the per-row inner product of two cell frames
+    * (from batch aggregates or a drained streaming sketch) plus the
+    * exact verify column — batch x152 and the streaming drain path
+    * produce their reports through this one code path.
+    */
+  def joinSizeFromCells(ca: DataFrame, cb: DataFrame, width: Int,
+      exact: DataFrame): DataFrame = {
+    val est = ca.withColumnRenamed("cnt", "ca")
+      .join(cb.withColumnRenamed("cnt", "cb"), "pos")
       .groupBy(expr(s"pos div $width").cast("int").as("j"))
       .agg(sum(col("ca") * col("cb")).as("est"))
-    val exact = a.join(b, "k").agg(count(lit(1)).as("exact"))
     est.crossJoin(broadcast(exact))
       .select(col("j"), col("est"), col("exact"),
         (col("est") - col("exact")).as("overcount"))

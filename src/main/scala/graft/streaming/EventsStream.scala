@@ -71,6 +71,37 @@ object EventsStream {
   def anomalyMomentsRunning(events: DataFrame): DataFrame =
     graft.llm.EventsAnalytics.anomalyMoments(events)
 
+  /** Running join-key Count–Min grid — the streaming half of x152
+    * and the estimator's actual production shape: the FACT side of a
+    * join arrives as a stream, the dimension side's sketch is frozen
+    * (built batch-side, possibly on another cluster, possibly last
+    * week), and the join is priced CONTINUOUSLY without ever running
+    * it. The SAME global cm_sketch aggregation as the batch side
+    * (HeavyHitters.keySketch), COMPLETE-mode; state is the one
+    * depth×width long grid, and elementwise-sum merges make the
+    * drained grid bit-equal to the batch sketch over the same feed.
+    */
+  def joinKeySketchRunning(events: DataFrame, depth: Int,
+      width: Int): DataFrame =
+    graft.llm.HeavyHitters.keySketch(
+      events.select(col("user_id").cast("string").as("k")), depth, width)
+
+  /** Drain-time finisher: the x152 report from a drained fact-side
+    * sketch against the frozen dimension side — per-row inner
+    * products through the SAME `joinSizeFromCells` code path as the
+    * batch query; the exact verify pass recomputes from the batch
+    * frames (exactness over an unbounded stream is precisely what
+    * the sketch replaces).
+    */
+  def joinSizeAtDrain(drainedSketch: DataFrame, batchA: DataFrame,
+      b: DataFrame, depth: Int, width: Int): DataFrame =
+    graft.llm.HeavyHitters.joinSizeFromCells(
+      graft.llm.HeavyHitters.keySketchCells(drainedSketch),
+      graft.llm.HeavyHitters.keySketchCells(
+        graft.llm.HeavyHitters.keySketch(b, depth, width)),
+      width,
+      batchA.join(b, "k").agg(count(lit(1)).as("exact")))
+
   /** Stateless scoring of a feed against a FIXED stats dim (built by
     * [[graft.llm.EventsAnalytics.anomalyStatsFromMoments]] from
     * drained moments) — per-row math identical to batch x63.

@@ -245,6 +245,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("running join-key sketch drains bit-equal to batch; drain " +
+    "finisher against the frozen dimension sketch reproduces x152") {
+    val depth = 4; val width = 64
+    val stream = EventsStream.readEvents(spark, eventsDir)
+    val q = EventsStream.joinKeySketchRunning(stream, depth, width)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("jk_sketch").start()
+    try {
+      q.processAllAvailable()
+      val drained = spark.sql("SELECT sk FROM jk_sketch")
+      import org.apache.spark.sql.functions.col
+      val a = Tables.events(spark, sf)
+        .select(col("user_id").cast("string").as("k"))
+      val b = Tables.orders(spark, sf)
+        .select(col("o_custkey").cast("string").as("k"))
+      // elementwise-sum merges: the drained grid equals the batch one
+      val batchSk = graft.llm.HeavyHitters.keySketch(a, depth, width)
+        .collect()(0).getSeq[Long](0)
+      assert(drained.collect()(0).getSeq[Long](0) == batchSk)
+      // shared finisher against the frozen orders-side sketch
+      // reproduces the batch x152 report bit-for-bit
+      val fromStream = EventsStream
+        .joinSizeAtDrain(drained, a, b, depth, width)
+        .collect().map(_.toSeq).toSeq
+      val batch = graft.llm.HeavyHitters
+        .joinSizeEstimate(a, b, depth, width)
+        .collect().map(_.toSeq).toSeq
+      assert(fromStream == batch)
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+
   test("stateful funnel progress: drained steps equal batch " +
       "funnelSteps; shared report finisher reproduces x91") {
     val stream = EventsStream.readEvents(spark, eventsDir)

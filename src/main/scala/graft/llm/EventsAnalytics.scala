@@ -314,6 +314,74 @@ object EventsAnalytics {
   private def cents(events: DataFrame): DataFrame =
     events.withColumn("v100", round(col("value") * 100, 0).cast("long"))
 
+  /** Per-type linear TIME TREND — the drift monitor next to x63's
+    * level anomalies: closed-form OLS of integer-cent value against
+    * event time, slope reported in exact integer nano-cents/second.
+    * A type whose mean is stable but whose slope is nonzero is
+    * ramping (x63 can't see it until it has ramped); the table an
+    * alerting pipeline thresholds.
+    *
+    * Exactness at scale: times are first re-based to each type's own
+    * min (a per-type constant shift — slope-invariant), so the OLS
+    * moments grow with the time SPAN, not the epoch: Σt'² ≤ n·span²
+    * holds in DECIMAL(38,0) past 10⁹ rows where raw-epoch (Σt)²
+    * would overflow near 10⁹. slope = (n·Σt'y − Σt'·Σy) ·10⁹ div
+    * (n·Σt'² − (Σt')²) — all-integer, truncation identical in both
+    * engines; zero-variance types (one event, or all simultaneous)
+    * are excluded in both dialects rather than divided by zero.
+    *
+    * Scale shape: one per-type min pass + one co-keyed join + one
+    * moment aggregate — two hash exchanges on the same key, output
+    * ≤|types| rows.
+    */
+  def typeTrends(events: DataFrame): DataFrame = {
+    val e = cents(events)
+      .select(col("event_type"), col("ts").cast("long").as("t"),
+        col("v100"))
+    val tmin = e.groupBy(col("event_type")).agg(min(col("t")).as("t0"))
+    val dec = "decimal(38,0)"
+    e.join(tmin, "event_type")
+      .withColumn("td", (col("t") - col("t0")).cast(dec))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("v100")).as("sy"),
+        sum(col("td")).as("st"),
+        sum(col("td") * col("td")).as("stt"),
+        sum(col("td") * col("v100").cast(dec)).as("sty"))
+      .withColumn("den", col("n").cast(dec) * col("stt") -
+        col("st") * col("st"))
+      .filter(col("den") > 0)
+      .select(col("event_type"), col("n"),
+        expr("sy div n").as("y_mean_c"),
+        expr("((cast(n as decimal(38,0)) * sty - st * sy) " +
+          "* 1000000000) div den").as("slope_nano_c"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Oracle: identical re-based HUGEINT moments and division. */
+  val typeTrendsSql: String =
+    """WITH e AS (
+      |  SELECT event_type,
+      |         CAST(floor(epoch(ts)) AS BIGINT) AS t,
+      |         CAST(round(value * 100, 0) AS BIGINT) AS v100
+      |  FROM events
+      |), tm AS (
+      |  SELECT event_type, min(t) AS t0 FROM e GROUP BY 1
+      |), m AS (
+      |  SELECT e.event_type, count(*) AS n,
+      |         sum(CAST(e.v100 AS HUGEINT)) AS sy,
+      |         sum(CAST(e.t - t.t0 AS HUGEINT)) AS st,
+      |         sum(CAST(e.t - t.t0 AS HUGEINT) * (e.t - t.t0)) AS stt,
+      |         sum(CAST(e.t - t.t0 AS HUGEINT) * e.v100) AS sty
+      |  FROM e JOIN tm t USING (event_type) GROUP BY 1
+      |)
+      |SELECT event_type, CAST(n AS BIGINT) AS n,
+      |  CAST(sy // n AS BIGINT) AS y_mean_c,
+      |  CAST((n * sty - st * sy) * 1000000000
+      |    // (n * stt - st * st) AS BIGINT) AS slope_nano_c
+      |FROM m WHERE n * stt - st * st > 0
+      |ORDER BY event_type""".stripMargin
+
   /** Per-type exact integer moments (n, Σv, Σv²) — pure sums, so the
     * same groupBy runs as an UPDATE-mode streaming aggregation whose
     * drained state equals the batch table (streaming twin:

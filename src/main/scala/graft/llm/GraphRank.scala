@@ -162,6 +162,86 @@ object GraphRank {
       .orderBy(col("doc_id"))
   }
 
+  /** LABEL PROPAGATION over the near-dup graph — K synchronous
+    * majority-vote rounds smoothing a per-doc label (here `lang`)
+    * across near-duplicate neighborhoods: mirrored/cross-posted
+    * copies of one document frequently draw different language-ID
+    * verdicts (translations, boilerplate-heavy pages), and the
+    * CONSENSUS label of the neighborhood is the better curation key.
+    * Docs outside the candidate graph keep their own label.
+    *
+    * Determinism without floats: each round, node v takes the label
+    * with the highest neighbor count, ties broken by the
+    * lexicographically SMALLEST label — one `min(struct(-cnt, lab))`
+    * hash aggregate per round (never a per-node window); rounds are
+    * synchronous (all votes read round k−1), so the result is
+    * independent of execution order. The oracle replays the identical
+    * vote with a row_number window per round (fine at oracle scale).
+    *
+    * Scale shape: per round one co-keyed edges⋈labels join + two
+    * hash aggregates over edge endpoints, Materialize-pinned — the
+    * x151 iterative discipline with an argmax instead of a sum.
+    */
+  def labelPropagate(docs: DataFrame, dfCap: Int, threshold: Double,
+      iters: Int): DataFrame = {
+    val pairs = Dedup.jaccardPairs(docs, dfCap, threshold)
+      .select(col("d1"), col("d2"))
+    val edges = graft.tools.Materialize(
+      pairs.select(col("d1").as("src"), col("d2").as("dst"))
+        .unionAll(pairs.select(col("d2").as("src"), col("d1").as("dst"))))
+    val base = docs.select(col("doc_id"), col("lang"))
+    var lbl = edges.select(col("src").as("id")).distinct()
+      .join(base.select(col("doc_id").as("id"), col("lang").as("lab")),
+        "id")
+    for (_ <- 1 to iters) {
+      val votes = edges
+        .join(lbl.select(col("id").as("src"), col("lab")), "src")
+        .groupBy(col("dst").as("id"), col("lab"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("id"))
+        .agg(min(struct((-col("cnt")).as("nc"), col("lab").as("l")))
+          .as("v"))
+        .select(col("id"), col("v.l").as("lab"))
+      lbl = graft.tools.Materialize(votes)
+    }
+    base.join(lbl.select(col("id").as("doc_id"),
+        col("lab").as("consensus")), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("consensus"), col("lang")).as("consensus"),
+        (coalesce(col("consensus"), col("lang")) =!= col("lang"))
+          .as("changed"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle: the same synchronous vote, one CTE pair per round. */
+  def labelPropagateSql(dfCap: Int, threshold: Double,
+      iters: Int): String = {
+    val steps = (1 to iters).map { k =>
+      s"""v$k AS (
+         |  SELECT e.dst AS id, l.lab, count(*) AS cnt
+         |  FROM ed e JOIN l${k - 1} l ON l.id = e.src
+         |  GROUP BY 1, 2
+         |), l$k AS (
+         |  SELECT id, lab FROM (
+         |    SELECT id, lab, row_number() OVER (
+         |      PARTITION BY id ORDER BY cnt DESC, lab) AS rn
+         |    FROM v$k) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${Dedup.jaccardPairsCtesSql(dfCap, threshold)},
+       |ed AS (SELECT d1 AS src, d2 AS dst FROM jp
+       |       UNION ALL SELECT d2, d1 FROM jp),
+       |l0 AS (
+       |  SELECT d.doc_id AS id, d.lang AS lab
+       |  FROM documents d
+       |  WHERE d.doc_id IN (SELECT src FROM ed)),
+       |$steps
+       |SELECT d.doc_id, d.lang,
+       |  coalesce(l.lab, d.lang) AS consensus,
+       |  coalesce(l.lab, d.lang) <> d.lang AS changed
+       |FROM documents d LEFT JOIN l$iters l ON l.id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   /** Oracle: doc_id-ordered triangle enumeration over the shared x04
     * candidate chain — same triangles, same exact integer report.
     */

@@ -2709,19 +2709,28 @@ object Similarity {
     * the ≤dim-row v frame, one co-keyed matvec join, and one
     * dim-bounded hash aggregate. Nothing collects; K is fixed.
     */
-  def topComponent(emb: DataFrame, iters: Int): DataFrame = {
-    val xe = graft.tools.Materialize(emb
+  private val dec38 = "decimal(38,0)"
+
+  /** The pinned (vec_id, pos, micro-x) frame every power-iteration
+    * stage reads.
+    */
+  private def microExplode(emb: DataFrame): DataFrame =
+    graft.tools.Materialize(emb
       .select(col("vec_id"), posexplode(expr(
         "transform(embedding, x -> cast(round(cast(x as double) " +
           "* 1000000, 0) as bigint))")).as(Seq("pos", "x"))))
-    val dec38 = "decimal(38,0)"
-    // v0 = all-ones at full scale: deterministic, and not orthogonal
-    // to a data direction in any non-adversarial cloud
+
+  /** K power-iteration steps over an integer (vec_id, pos, x) cloud:
+    * the ≤dim-row max-normalized direction frame (pos, v). v0 =
+    * all-ones at full scale — deterministic, and not orthogonal to a
+    * data direction in any non-adversarial cloud. The v frame carries
+    * no broadcast hint: a Generate ancestor blocks the structural
+    * boundedness certificate, and AQE broadcasts the tiny frame at
+    * runtime on its own (the x61 shape).
+    */
+  private def powerIterate(xe: DataFrame, iters: Int): DataFrame = {
     var v = xe.select(col("pos")).distinct()
       .select(col("pos"), lit(1000000L).as("v"))
-    // the <=dim-row v frame carries no broadcast hint: a Generate
-    // ancestor blocks the structural boundedness certificate, and AQE
-    // broadcasts the tiny frame at runtime on its own (the x61 shape)
     for (_ <- 1 to iters) {
       val dot = xe.join(v, "pos")
         .groupBy(col("vec_id")).agg(sum(col("x") * col("v")).as("dot"))
@@ -2737,8 +2746,18 @@ object Similarity {
             expr("cast(((w + m) * 1000000) div m - 1000000L as bigint)")
               .as("v")))
     }
-    val dot = xe.join(v, "pos")
+    v
+  }
+
+  /** (vec_id, dot) against a direction frame. */
+  private def dots(xe: DataFrame, v: DataFrame): DataFrame =
+    xe.join(v, "pos")
       .groupBy(col("vec_id")).agg(sum(col("x") * col("v")).as("dot"))
+
+  def topComponent(emb: DataFrame, iters: Int): DataFrame = {
+    val xe = microExplode(emb)
+    val v = powerIterate(xe, iters)
+    val dot = dots(xe, v)
     val quad = dot.agg(
       sum(col("dot").cast(dec38) * col("dot").cast(dec38)).as("quad"))
     val vv = v.agg(sum(col("v").cast(dec38) * col("v").cast(dec38)).as("vv"))
@@ -2748,6 +2767,70 @@ object Similarity {
       .select(col("pos").cast("int").as("j"), col("v").as("v_unit"),
         expr("cast((quad * 10000) div (vv * tr) as bigint)").as("share_bp"))
       .orderBy(col("j"))
+  }
+
+  /** ALL-BUT-THE-TOP applied (Mu & Viswanath 2018) — the x154 loop
+    * CLOSED: find the top component, DEFLATE every vector by its
+    * projection onto it, and report how much of the cloud's energy
+    * the removal freed — stage 0 is the x154 share, stage 1 is the
+    * deflated cloud's new top share plus the residual-trace fraction.
+    * A big stage-0 share with a small stage-1 share says one common
+    * direction was hogging cosine resolution and removing it is
+    * worth a reindex; similar shares say the cloud is genuinely
+    * anisotropic and deflation buys nothing.
+    *
+    * Exact-integer deflation: x′ = x − (x·v/vᵀv)·v is computed as
+    * x″ = x·vᵀv − dot·v (pure integers in DECIMAL(38,0) — every row
+    * scales by the same vᵀv, which leaves directions, shares, and
+    * trace RATIOS unchanged) and re-based to micro units by one
+    * truncating division by vᵀv, identical in both engines. The
+    * second power iteration then runs on the deflated integer cloud
+    * exactly as the first did.
+    *
+    * Scale shape: two pinned (vec, dim, x) frames and the same
+    * per-iteration joins/aggregates as x154 — the deflation itself is
+    * one co-keyed join (dot per vec) + map arithmetic, no new
+    * exchange class; output is 2 rows.
+    */
+  def topRemoval(emb: DataFrame, iters: Int, iters2: Int): DataFrame = {
+    val xe = microExplode(emb)
+    val v = powerIterate(xe, iters)
+    val dot = dots(xe, v)
+    val vv1 = v.agg(sum(col("v").cast(dec38) * col("v").cast(dec38))
+      .as("vv"))
+    def shareRow(xeS: DataFrame, vS: DataFrame, stage: Int,
+        trBase: DataFrame): DataFrame = {
+      val d = dots(xeS, vS)
+      val quad = d.agg(
+        sum(col("dot").cast(dec38) * col("dot").cast(dec38)).as("quad"))
+      val vv = vS.agg(sum(col("v").cast(dec38) * col("v").cast(dec38))
+        .as("vv2"))
+      val tr = xeS.agg(sum(col("x").cast(dec38) * col("x").cast(dec38))
+        .as("tr2"))
+      quad.crossJoin(broadcast(vv)).crossJoin(broadcast(tr))
+        .crossJoin(broadcast(trBase))
+        .select(lit(stage).as("stage"),
+          expr("cast((quad * 10000) div (vv2 * tr2) as bigint)")
+            .as("share_bp"),
+          // tr = 0 (non-empty all-zero cloud) must yield NULL, not a
+          // division-by-zero error — the NULL row is filtered below,
+          // mirroring the oracle's CASE + IS NOT NULL
+          expr("cast(CASE WHEN tr > 0 THEN (tr2 * 10000) div tr END " +
+            "as bigint)").as("trace_bp"))
+    }
+    val tr0 = xe.agg(sum(col("x").cast(dec38) * col("x").cast(dec38))
+      .as("tr"))
+    // x" = x·vᵀv − dot·v, re-based to micro units by ONE truncating
+    // division — the uniform vᵀv scale cancels in every ratio
+    val xe2 = graft.tools.Materialize(
+      xe.join(dot, "vec_id").join(v, "pos").crossJoin(broadcast(vv1))
+        .select(col("vec_id"), col("pos"),
+          expr("cast((x * vv - cast(dot as decimal(38,0)) * v) div vv " +
+            "as bigint)").as("x")))
+    val v2 = powerIterate(xe2, iters2)
+    shareRow(xe, v, 0, tr0).unionAll(shareRow(xe2, v2, 1, tr0))
+      .filter(col("share_bp").isNotNull && col("trace_bp").isNotNull)
+      .orderBy(col("stage"))
   }
 
   /** Oracle: identical integer recurrence, one CTE pair (dot, w) per
@@ -2790,5 +2873,81 @@ object Similarity {
        |       CAST((quad * 10000) // (vv * tr) AS BIGINT) AS share_bp
        |FROM v$iters v CROSS JOIN quad CROSS JOIN vvs CROSS JOIN tr
        |ORDER BY j""".stripMargin
+  }
+
+  /** Oracle for x159: the x154 chain, the exact-integer deflation
+    * CTE, a second power-iteration chain on the deflated cloud, and
+    * the two share/trace rows (NULL-filtered like the engine).
+    */
+  def topRemovalSql(iters: Int, iters2: Int): String = {
+    def steps(xe: String, p: String, n: Int): String =
+      (1 to n).map { k =>
+        s"""${p}dot$k AS (
+           |  SELECT e.vec_id, sum(e.x * v.v) AS dot
+           |  FROM $xe e JOIN $p${k - 1} v USING (pos) GROUP BY e.vec_id
+           |), ${p}w$k AS (
+           |  SELECT e.pos, sum(CAST(e.x AS HUGEINT) * d.dot) AS w
+           |  FROM $xe e JOIN ${p}dot$k d USING (vec_id) GROUP BY e.pos
+           |), ${p}m$k AS (SELECT max(abs(w)) AS m FROM ${p}w$k),
+           |$p$k AS (
+           |  SELECT pos, ((w + m) * 1000000) // m - 1000000 AS v
+           |  FROM ${p}w$k CROSS JOIN ${p}m$k WHERE m > 0)""".stripMargin
+      }.mkString(",\n")
+    s"""WITH xe AS (
+       |  SELECT vec_id, CAST(j - 1 AS INT) AS pos,
+       |         CAST(round(CAST(e AS DOUBLE) * 1000000, 0) AS BIGINT) AS x
+       |  FROM (SELECT vec_id, unnest(embedding) AS e,
+       |               generate_subscripts(embedding, 1) AS j
+       |        FROM embeddings)
+       |), va0 AS (
+       |  SELECT DISTINCT pos, CAST(1000000 AS BIGINT) AS v FROM xe
+       |),
+       |${steps("xe", "va", iters)},
+       |dotf AS (
+       |  SELECT e.vec_id, sum(e.x * v.v) AS dot
+       |  FROM xe e JOIN va$iters v USING (pos) GROUP BY e.vec_id
+       |), quad0 AS (
+       |  SELECT sum(CAST(dot AS HUGEINT) * dot) AS quad FROM dotf
+       |), vvsa AS (
+       |  SELECT sum(CAST(v AS HUGEINT) * v) AS vv FROM va$iters
+       |), tr0 AS (
+       |  SELECT sum(CAST(x AS HUGEINT) * x) AS tr FROM xe
+       |), xf AS (
+       |  SELECT e.vec_id, e.pos,
+       |         CAST((e.x * a.vv - CAST(d.dot AS HUGEINT) * v.v) // a.vv
+       |           AS BIGINT) AS x
+       |  FROM xe e
+       |  JOIN dotf d USING (vec_id)
+       |  JOIN va$iters v USING (pos)
+       |  CROSS JOIN vvsa a
+       |), vb0 AS (
+       |  SELECT DISTINCT pos, CAST(1000000 AS BIGINT) AS v FROM xf
+       |),
+       |${steps("xf", "vb", iters2)},
+       |dotg AS (
+       |  SELECT e.vec_id, sum(e.x * v.v) AS dot
+       |  FROM xf e JOIN vb$iters2 v USING (pos) GROUP BY e.vec_id
+       |), quad1 AS (
+       |  SELECT sum(CAST(dot AS HUGEINT) * dot) AS quad FROM dotg
+       |), vvsb AS (
+       |  SELECT sum(CAST(v AS HUGEINT) * v) AS vv FROM vb$iters2
+       |), tr1 AS (
+       |  SELECT sum(CAST(x AS HUGEINT) * x) AS tr FROM xf
+       |)
+       |SELECT stage, share_bp, trace_bp FROM (
+       |  SELECT 0 AS stage,
+       |    CAST((q.quad * 10000) // (a.vv * t.tr) AS BIGINT) AS share_bp,
+       |    CAST(CASE WHEN t.tr > 0 THEN (t.tr * 10000) // t.tr END
+       |      AS BIGINT) AS trace_bp
+       |  FROM quad0 q CROSS JOIN vvsa a CROSS JOIN tr0 t
+       |  UNION ALL
+       |  SELECT 1,
+       |    CAST((q.quad * 10000) // (b.vv * t1.tr) AS BIGINT),
+       |    CAST(CASE WHEN t0.tr > 0 THEN (t1.tr * 10000) // t0.tr END
+       |      AS BIGINT)
+       |  FROM quad1 q CROSS JOIN vvsb b CROSS JOIN tr1 t1 CROSS JOIN tr0 t0
+       |)
+       |WHERE share_bp IS NOT NULL AND trace_bp IS NOT NULL
+       |ORDER BY stage""".stripMargin
   }
 }

@@ -1301,6 +1301,32 @@ object Extensions {
   private val x156ZorderLayout: Q = (s, d) =>
     Diagnostics.zorderLayout(Tables.events(s, d))
 
+  /** X1/X7: label propagation over the near-dup graph — K synchronous
+    * majority-vote rounds smoothing per-doc language labels across
+    * near-duplicate neighborhoods; argmax via one struct-min hash
+    * aggregate per round. See GraphRank.labelPropagate.
+    */
+  private val x157LabelProp: Q = (s, d) =>
+    GraphRank.labelPropagate(Tables.documents(s, d), dfCap = 10,
+      threshold = 0.02, iters = 2)
+
+  /** X5'/X7: per-type linear time trend — closed-form OLS slope in
+    * exact integer nano-cents/second off per-type re-based moments;
+    * the ramp detector next to x63's level anomalies. See
+    * EventsAnalytics.typeTrends.
+    */
+  private val x158TypeTrends: Q = (s, d) =>
+    EventsAnalytics.typeTrends(Tables.events(s, d))
+
+  /** X2: all-but-the-top APPLIED — the x154 loop closed: deflate
+    * every embedding by its projection onto the top component
+    * (exact scaled-integer arithmetic) and report the dominant-share
+    * and residual-trace change. See Similarity.topRemoval.
+    */
+  private val x159TopRemoval: Q = (s, d) =>
+    Similarity.topRemoval(Tables.embeddings(s, d), iters = 3,
+      iters2 = 2)
+
   val queries: Map[String, Q] = Map(
     "x01_dedup_exact" -> x01DedupExact,
     "x02_dedup_minhash" -> x02DedupMinhash,
@@ -1459,6 +1485,9 @@ object Extensions {
     "x154_top_component" -> x154TopComponent,
     "x155_triangle_count" -> x155Triangles,
     "x156_zorder_layout" -> x156ZorderLayout,
+    "x157_label_prop" -> x157LabelProp,
+    "x158_type_trends" -> x158TypeTrends,
+    "x159_top_removal" -> x159TopRemoval,
   )
 
   /** The PNG pixel statistics in closed form: the fixture image's
@@ -1790,5 +1819,8 @@ object Extensions {
     "x154_top_component" -> Similarity.topComponentSql(3),
     "x155_triangle_count" -> GraphRank.trianglesSql(10, 0.02),
     "x156_zorder_layout" -> Diagnostics.zorderLayoutSql,
+    "x157_label_prop" -> GraphRank.labelPropagateSql(10, 0.02, 2),
+    "x158_type_trends" -> EventsAnalytics.typeTrendsSql,
+    "x159_top_removal" -> Similarity.topRemovalSql(3, 2),
   )
 }

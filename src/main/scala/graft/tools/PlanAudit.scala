@@ -404,7 +404,10 @@ object PlanAudit {
       // broadcast over the <=dim-row component frame (certified
       // scalar-subquery-1row above); the matvec joins are plain
       // equi-joins on pos/vec_id
-      "x154_top_component" -> Set("SinglePartition", "BNLJoin"))
+      "x154_top_component" -> Set("SinglePartition", "BNLJoin"),
+      // the x154 scalar shapes twice (before/after deflation) plus
+      // the 1-row vᵀv scalar broadcast into the deflation map pass
+      "x159_top_removal" -> Set("SinglePartition", "BNLJoin"))
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")

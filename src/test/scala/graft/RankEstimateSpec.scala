@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
-import graft.llm.{Diagnostics, GraphRank, HeavyHitters, Similarity}
+import graft.llm.{Diagnostics, EventsAnalytics, GraphRank, HeavyHitters, Similarity}
 
 /** Semantic checks for the round-10 rank/estimation additions:
   * PageRank over the near-dup graph (x151), sketch join-size
@@ -174,6 +174,77 @@ class RankEstimateSpec extends AnyFunSuite {
     val yb = ((800000000000L / 1000 / 60) % 1440 / 6).toInt
     val b0 = zRef(xb, yb) / 1024
     assert(out.exists(_.getLong(0) == b0))
+  }
+
+  test("label propagation: clique converges to majority label with " +
+    "lexicographic ties; isolated docs keep their own") {
+    import spark.implicits._
+    // docs 1-2-3 share a trigram (one clique); doc 9 is isolated
+    val docs = Seq(
+      (1L, "t1 t2 t3 a1 a2 a3", "en"),
+      (2L, "t1 t2 t3 b1 b2 b3", "de"),
+      (3L, "t1 t2 t3 c1 c2 c3", "de"),
+      (9L, "z1 z2 z3 z4 z5 z6", "fr")).toDF("doc_id", "text", "lang")
+    val out = GraphRank.labelPropagate(docs, dfCap = 10,
+      threshold = 0.01, iters = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getString(2), r.getBoolean(3)))).toMap
+    // round 1: node 1 sees {de, de} -> de; nodes 2/3 see {en, de} ->
+    // tie broken to the smaller label, de. round 2: stable all-de.
+    assert(out(1L) == (("en", "de", true)))
+    assert(out(2L) == (("de", "de", false)))
+    assert(out(3L) == (("de", "de", false)))
+    assert(out(9L) == (("fr", "fr", false)))
+  }
+
+  test("type trends: exact nano-cent slope on a hand ramp; " +
+    "zero-time-variance types are excluded") {
+    import spark.implicits._
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+    val events = Seq(
+      ("ramp", ts(1000), 1.0), ("ramp", ts(1010), 2.0),
+      ("ramp", ts(1020), 3.0),
+      ("flat", ts(2000), 5.0), ("flat", ts(2000), 7.0), // same instant
+      ("solo", ts(3000), 1.0)
+    ).toDF("event_type", "ts", "value")
+    val out = EventsAnalytics.typeTrends(events).collect()
+      .map(r => r.getString(0) ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("y_mean_c"),
+          r.getAs[Long]("slope_nano_c")))).toMap
+    // ramp: +100 cents per 10 s = 10 c/s = 1e10 nano-c/s, exactly
+    assert(out == Map("ramp" -> ((3L, 200L, 10000000000L))))
+  }
+
+  test("top removal: a rank-1 cloud deflates to exactly zero (stage 1 " +
+    "vanishes); a two-axis cloud hands the residual to the minor axis") {
+    import spark.implicits._
+    // rank-1: every vector on dim 2 -> deflation leaves the zero
+    // cloud, whose power iteration is empty -> only stage 0 reports
+    val rank1 = (0 until 5).map(i => (i.toLong,
+      Array.tabulate(4)(j => if (j == 2) 0.2 * (i + 1) else 0.0)))
+      .toDF("vec_id", "embedding")
+    val r1 = Similarity.topRemoval(rank1, iters = 3, iters2 = 2)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(r1.toSeq == Seq((0, 10000L, 10000L)))
+    // two axes: dominant e0 cloud + weak e1 cloud. removing e0 leaves
+    // (almost exactly) the e1 cloud: tiny residual trace, but that
+    // residual is again single-direction dominated
+    val rows =
+      (0 until 8).map(i => (i.toLong,
+        Array.tabulate(4)(j => if (j == 0) 0.4 else 0.0))) ++
+      (8 until 12).map(i => (i.toLong,
+        Array.tabulate(4)(j => if (j == 1) 0.1 else 0.0)))
+    val r2 = Similarity.topRemoval(rows.toDF("vec_id", "embedding"),
+      iters = 3, iters2 = 2)
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    val (share0, trace0) = r2(0)
+    val (share1, trace1) = r2(1)
+    assert(trace0 == 10000L)
+    assert(share0 > 9000L && share0 < 10000L)
+    // residual trace is the e1 cloud's ~3% of total energy
+    assert(trace1 < 1000L, s"trace1 = $trace1")
+    assert(share1 > 9000L, s"share1 = $share1")
   }
 
   test("top component: an all-zero cloud yields an empty report, " +

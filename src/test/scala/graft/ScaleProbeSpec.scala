@@ -150,4 +150,52 @@ class ScaleProbeSpec extends AnyFunSuite {
   test("x147 scd2 merge stays linear at 10×") {
     probe("x147_scd2_merge", n => Dedup.scd2Merge(corpus(n)))
   }
+
+  /** Like [[probe]], but the BUILD runs inside the timer: the graph /
+    * power-iteration operators pin every round eagerly (Materialize),
+    * so their real cost lands at plan-construction time — timing only
+    * the final noop write would measure a cache read.
+    */
+  private def probeBuilt(name: String, build: Long => DataFrame): Unit = {
+    val analyzed = build(N10).queryExecution.analyzed
+    assert(PlanAudit.unboundedBroadcasts(analyzed).isEmpty,
+      s"$name: unbounded broadcast hint at 10×")
+    assert(!PlanAudit.joinCertificates(analyzed)
+      .contains("UNCERTIFIED-CROSS"),
+      s"$name: uncertified cross join at 10×")
+    def runAll(n: Long): Double = {
+      val t0 = System.nanoTime()
+      build(n).write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    runAll(N1) // warm: JIT + codegen cache
+    val t1 = runAll(N1)
+    val t10 = runAll(N10)
+    info(f"$name%-22s n=$N1%d: $t1%6.2f s   n=$N10%d: $t10%6.2f s" +
+      f"   ratio ${t10 / t1}%5.1f×")
+    assert(t10 <= math.max(t1 * MaxRatio, FloorSec),
+      f"$name: $t1%.2f s → $t10%.2f s on 10× data " +
+        f"(${t10 / t1}%.1f× > $MaxRatio×) — super-linear growth")
+  }
+
+  test("x151 pagerank stays linear at 10× (iterative joins, pinned " +
+    "lineage)") {
+    probeBuilt("x151_pagerank", n =>
+      graft.llm.GraphRank.pagerank(corpus(n), dfCap = 10,
+        threshold = 0.02, iters = 3))
+  }
+
+  test("x155 triangle counting stays linear at 10× (degree " +
+    "orientation bounds the wedge join)") {
+    probeBuilt("x155_triangles", n =>
+      graft.llm.GraphRank.triangles(corpus(n), dfCap = 10,
+        threshold = 0.02))
+  }
+
+  test("x159 top-component removal stays linear at 10× (matvec " +
+    "passes, no Gram matrix)") {
+    probeBuilt("x159_top_removal", n =>
+      graft.llm.Similarity.topRemoval(vectors(n), iters = 3,
+        iters2 = 2))
+  }
 }

@@ -1327,6 +1327,13 @@ object Extensions {
     Similarity.topRemoval(Tables.embeddings(s, d), iters = 3,
       iters2 = 2)
 
+  /** X3/X7: HLL set algebra — per source pair, sketch-estimated
+    * vocabulary intersection by inclusion–exclusion over MAX-merged
+    * register grids, vs the exact intersection. See Hll.hllOverlap.
+    */
+  private val x160HllOverlap: Q = (s, d) =>
+    Hll.hllOverlap(Tables.documents(s, d))
+
   val queries: Map[String, Q] = Map(
     "x01_dedup_exact" -> x01DedupExact,
     "x02_dedup_minhash" -> x02DedupMinhash,
@@ -1488,6 +1495,7 @@ object Extensions {
     "x157_label_prop" -> x157LabelProp,
     "x158_type_trends" -> x158TypeTrends,
     "x159_top_removal" -> x159TopRemoval,
+    "x160_hll_overlap" -> x160HllOverlap,
   )
 
   /** The PNG pixel statistics in closed form: the fixture image's
@@ -1822,5 +1830,6 @@ object Extensions {
     "x157_label_prop" -> GraphRank.labelPropagateSql(10, 0.02, 2),
     "x158_type_trends" -> EventsAnalytics.typeTrendsSql,
     "x159_top_removal" -> Similarity.topRemovalSql(3, 2),
+    "x160_hll_overlap" -> Hll.hllOverlapSql,
   )
 }

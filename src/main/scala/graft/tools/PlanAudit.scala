@@ -407,7 +407,12 @@ object PlanAudit {
       "x154_top_component" -> Set("SinglePartition", "BNLJoin"),
       // the x154 scalar shapes twice (before/after deflation) plus
       // the 1-row vᵀv scalar broadcast into the deflation map pass
-      "x159_top_removal" -> Set("SinglePartition", "BNLJoin"))
+      "x159_top_removal" -> Set("SinglePartition", "BNLJoin"),
+      // the |sources|² pair spine: an inequality self-join of two
+      // DIMENSION-sized distinct-source frames (tens of rows at any
+      // corpus size) — nested-loop by construction, like the x45
+      // allocation shapes; everything corpus-sized joins equi
+      "x160_hll_overlap" -> Set("BNLJoin"))
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")

@@ -247,6 +247,29 @@ class RankEstimateSpec extends AnyFunSuite {
     assert(share1 > 9000L, s"share1 = $share1")
   }
 
+  test("hll overlap: exact intersections are exact; sketch " +
+    "inclusion-exclusion tracks them at small cardinalities") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d", "A"), (2L, "c d e", "B"), (3L, "z", "C"))
+      .toDF("doc_id", "text", "source")
+    val out = graft.llm.Hll.hllOverlap(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getAs[Double]("est_a"), r.getAs[Double]("est_b"),
+          r.getAs[Double]("est_union"), r.getAs[Double]("est_inter"),
+          r.getAs[Long]("exact_inter")))).toMap
+    assert(out.keySet == Set(("A", "B"), ("A", "C"), ("B", "C")))
+    assert(out(("A", "B"))._5 == 2L) // {c, d}
+    assert(out(("A", "C"))._5 == 0L)
+    assert(out(("B", "C"))._5 == 0L)
+    out.foreach { case (pair, (ea, eb, eu, ei, exact)) =>
+      // union-merge monotonicity and small-cardinality accuracy
+      assert(eu >= math.max(ea, eb) - 1e-9, s"$pair: union < max side")
+      assert(math.abs(ei - exact) < 1.5,
+        s"$pair: est_inter $ei vs exact $exact")
+    }
+  }
+
   test("top component: an all-zero cloud yields an empty report, " +
     "not a division by zero") {
     import spark.implicits._

@@ -358,6 +358,105 @@ object EventsAnalytics {
       .orderBy(col("event_type"))
   }
 
+  /** A/B EXPERIMENT READOUT — per event type, the Welch t statistic
+    * on per-user total spend between two deterministic hash arms:
+    * the table an experimentation pipeline reads to call a treatment
+    * effect, built the scale-safe way (unit-level aggregation FIRST,
+    * then arm moments — never a user-level collect). Arms come from
+    * the md5 parity of the user id — the same split on any engine,
+    * any day, any cluster, with no RNG state to version.
+    *
+    * Exactness: per-user spend and the arm moments (n, Σs, Σs²) are
+    * exact integers (cents; squares in DECIMAL(38,0)); arm means are
+    * exact integer division. Floats appear only in the final fixed
+    * Welch projection — sample variances, the t statistic, and
+    * Welch–Satterthwaite df, each one left-associated IEEE expression
+    * rounded at 4dp, identical in both engines. Types where either
+    * arm has < 2 users (no variance) are excluded in both dialects.
+    *
+    * Scale shape: one (type, user) hash aggregate (map-side
+    * combinable), one (type, arm) moment aggregate, output
+    * ≤\|types\| rows. The user-id hash is the x02-family md5 prefix.
+    */
+  def abWelch(events: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val perUser = cents(events)
+      .withColumn("arm", pmod(expr(
+        Dedup.hash16FastExpr("cast(user_id as string)")), lit(2)))
+      .groupBy(col("event_type"), col("arm"), col("user_id"))
+      .agg(sum(col("v100")).as("sv"))
+    val m = perUser.groupBy(col("event_type"), col("arm"))
+      .agg(count(lit(1)).as("n"), sum(col("sv")).as("s"),
+        sum(col("sv").cast(dec) * col("sv").cast(dec)).as("ss"))
+      .filter(col("n") >= 2)
+      .withColumn("v", (col("ss").cast("double") -
+        col("s").cast("double") * col("s").cast("double") /
+          col("n").cast("double")) / (col("n") - 1).cast("double"))
+    val a = m.filter(col("arm") === 0).select(col("event_type"),
+      col("n").as("n_a"), col("s").as("s_a"), col("v").as("v_a"))
+    val b = m.filter(col("arm") === 1).select(col("event_type"),
+      col("n").as("n_b"), col("s").as("s_b"), col("v").as("v_b"))
+    a.join(b, "event_type")
+      .withColumn("se2", col("v_a") / col("n_a").cast("double") +
+        col("v_b") / col("n_b").cast("double"))
+      .select(col("event_type"), col("n_a"), col("n_b"),
+        expr("s_a div n_a").as("mean_a_c"),
+        expr("s_b div n_b").as("mean_b_c"),
+        round((col("s_a").cast("double") / col("n_a").cast("double") -
+          col("s_b").cast("double") / col("n_b").cast("double")) /
+          sqrt(col("se2")), 4).as("t_welch"),
+        round(col("se2") * col("se2") /
+          (col("v_a") / col("n_a").cast("double") *
+            (col("v_a") / col("n_a").cast("double")) /
+            (col("n_a") - 1).cast("double") +
+            col("v_b") / col("n_b").cast("double") *
+              (col("v_b") / col("n_b").cast("double")) /
+              (col("n_b") - 1).cast("double")), 4).as("df_ws"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Oracle: the same exact moments and the same left-associated
+    * float projection.
+    */
+  val abWelchSql: String = {
+    val h = Dedup.hash16Expr("strpos", "CAST(user_id AS VARCHAR)")
+    s"""WITH pu AS (
+       |  SELECT event_type, $h % 2 AS arm, user_id,
+       |         sum(CAST(round(value * 100, 0) AS BIGINT)) AS sv
+       |  FROM events GROUP BY 1, 2, 3
+       |), m AS (
+       |  SELECT event_type, arm, count(*) AS n,
+       |         sum(sv) AS s,
+       |         sum(CAST(sv AS HUGEINT) * sv) AS ss
+       |  FROM pu GROUP BY 1, 2 HAVING count(*) >= 2
+       |), mv AS (
+       |  SELECT event_type, arm, n, s,
+       |    (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+       |       / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE) AS v
+       |  FROM m
+       |), ab AS (
+       |  SELECT a.event_type,
+       |    a.n AS n_a, b.n AS n_b, a.s AS s_a, b.s AS s_b,
+       |    a.v AS v_a, b.v AS v_b,
+       |    a.v / CAST(a.n AS DOUBLE) + b.v / CAST(b.n AS DOUBLE) AS se2
+       |  FROM mv a JOIN mv b ON a.event_type = b.event_type
+       |   AND a.arm = 0 AND b.arm = 1
+       |)
+       |SELECT event_type, CAST(n_a AS BIGINT) AS n_a,
+       |  CAST(n_b AS BIGINT) AS n_b,
+       |  CAST(s_a // n_a AS BIGINT) AS mean_a_c,
+       |  CAST(s_b // n_b AS BIGINT) AS mean_b_c,
+       |  round((CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+       |    - CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE)) / sqrt(se2), 4)
+       |    AS t_welch,
+       |  round(se2 * se2 /
+       |    (v_a / CAST(n_a AS DOUBLE) * (v_a / CAST(n_a AS DOUBLE))
+       |       / CAST(n_a - 1 AS DOUBLE)
+       |     + v_b / CAST(n_b AS DOUBLE) * (v_b / CAST(n_b AS DOUBLE))
+       |       / CAST(n_b - 1 AS DOUBLE)), 4) AS df_ws
+       |FROM ab ORDER BY event_type""".stripMargin
+  }
+
   /** Oracle: identical re-based HUGEINT moments and division. */
   val typeTrendsSql: String =
     """WITH e AS (

@@ -1334,6 +1334,13 @@ object Extensions {
   private val x160HllOverlap: Q = (s, d) =>
     Hll.hllOverlap(Tables.documents(s, d))
 
+  /** X5'/X7: A/B experiment readout — per-type Welch t on per-user
+    * spend between deterministic md5-parity arms; exact integer
+    * moments, one fixed float projection. See EventsAnalytics.abWelch.
+    */
+  private val x161AbWelch: Q = (s, d) =>
+    EventsAnalytics.abWelch(Tables.events(s, d))
+
   val queries: Map[String, Q] = Map(
     "x01_dedup_exact" -> x01DedupExact,
     "x02_dedup_minhash" -> x02DedupMinhash,
@@ -1496,6 +1503,7 @@ object Extensions {
     "x158_type_trends" -> x158TypeTrends,
     "x159_top_removal" -> x159TopRemoval,
     "x160_hll_overlap" -> x160HllOverlap,
+    "x161_ab_welch" -> x161AbWelch,
   )
 
   /** The PNG pixel statistics in closed form: the fixture image's
@@ -1831,5 +1839,6 @@ object Extensions {
     "x158_type_trends" -> EventsAnalytics.typeTrendsSql,
     "x159_top_removal" -> Similarity.topRemovalSql(3, 2),
     "x160_hll_overlap" -> Hll.hllOverlapSql,
+    "x161_ab_welch" -> EventsAnalytics.abWelchSql,
   )
 }

@@ -270,6 +270,42 @@ class RankEstimateSpec extends AnyFunSuite {
     }
   }
 
+  test("a/b welch readout: hash arms are deterministic, means are " +
+    "exact cents, t matches the closed form; thin arms are excluded") {
+    import spark.implicits._
+    def parity(uid: Long): Int = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(uid.toString.getBytes("UTF-8"))
+      ((((d(0) & 0xff) << 8) | (d(1) & 0xff)) % 2)
+    }
+    val uids = (0L until 40L)
+    val a0 = uids.filter(parity(_) == 0).take(4)
+    val a1 = uids.filter(parity(_) == 1).take(4)
+    assert(a0.size == 4 && a1.size == 4)
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+    // arm 0 spends {1, 1, 2, 2}; arm 1 spends {3, 3, 5, 5} (dollars)
+    val spend0 = Seq(1.0, 1.0, 2.0, 2.0)
+    val spend1 = Seq(3.0, 3.0, 5.0, 5.0)
+    val rows =
+      a0.zip(spend0).map { case (u, v) => ("buy", ts(1000 + u), u, v) } ++
+      a1.zip(spend1).map { case (u, v) => ("buy", ts(1000 + u), u, v) } ++
+      // "thin" has one user per arm -> must be excluded
+      Seq(("thin", ts(2000), a0.head, 9.0), ("thin", ts(2001), a1.head, 9.0))
+    val events = rows.toDF("event_type", "ts", "user_id", "value")
+    val out = EventsAnalytics.abWelch(events).collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("buy"))
+    val r = out.head
+    assert(r.getAs[Long]("n_a") == 4L && r.getAs[Long]("n_b") == 4L)
+    assert(r.getAs[Long]("mean_a_c") == 150L)
+    assert(r.getAs[Long]("mean_b_c") == 400L)
+    // closed form: var_a = (sum 100²·2+200²·2 − 600²/4)/3 cents²
+    val (va, vb) = (10000.0 / 3, 40000.0 / 3)
+    val se2 = va / 4 + vb / 4
+    val t = (150.0 - 400.0) / math.sqrt(se2)
+    assert(math.abs(r.getAs[Double]("t_welch") - t) < 1e-3,
+      s"t = ${r.getAs[Double]("t_welch")} vs $t")
+  }
+
   test("top component: an all-zero cloud yields an empty report, " +
     "not a division by zero") {
     import spark.implicits._

@@ -2880,20 +2880,25 @@ object Similarity {
     * the two share/trace rows (NULL-filtered like the engine).
     */
   def topRemovalSql(iters: Int, iters2: Int): String = {
+    // Every multi-consumer CTE is MATERIALIZED: DuckDB 1.0 inlines
+    // non-materialized CTEs per reference, and the deflated cloud xf
+    // (itself the whole stage-0 chain) is referenced by every stage-1
+    // iteration — measured 420 s at sf0.01 without the hints vs <1 s
+    // with them, bit-identical rows (the x131 oracle's idiom).
     def steps(xe: String, p: String, n: Int): String =
       (1 to n).map { k =>
-        s"""${p}dot$k AS (
+        s"""${p}dot$k AS MATERIALIZED (
            |  SELECT e.vec_id, sum(e.x * v.v) AS dot
            |  FROM $xe e JOIN $p${k - 1} v USING (pos) GROUP BY e.vec_id
-           |), ${p}w$k AS (
+           |), ${p}w$k AS MATERIALIZED (
            |  SELECT e.pos, sum(CAST(e.x AS HUGEINT) * d.dot) AS w
            |  FROM $xe e JOIN ${p}dot$k d USING (vec_id) GROUP BY e.pos
            |), ${p}m$k AS (SELECT max(abs(w)) AS m FROM ${p}w$k),
-           |$p$k AS (
+           |$p$k AS MATERIALIZED (
            |  SELECT pos, ((w + m) * 1000000) // m - 1000000 AS v
            |  FROM ${p}w$k CROSS JOIN ${p}m$k WHERE m > 0)""".stripMargin
       }.mkString(",\n")
-    s"""WITH xe AS (
+    s"""WITH xe AS MATERIALIZED (
        |  SELECT vec_id, CAST(j - 1 AS INT) AS pos,
        |         CAST(round(CAST(e AS DOUBLE) * 1000000, 0) AS BIGINT) AS x
        |  FROM (SELECT vec_id, unnest(embedding) AS e,
@@ -2903,7 +2908,7 @@ object Similarity {
        |  SELECT DISTINCT pos, CAST(1000000 AS BIGINT) AS v FROM xe
        |),
        |${steps("xe", "va", iters)},
-       |dotf AS (
+       |dotf AS MATERIALIZED (
        |  SELECT e.vec_id, sum(e.x * v.v) AS dot
        |  FROM xe e JOIN va$iters v USING (pos) GROUP BY e.vec_id
        |), quad0 AS (
@@ -2912,7 +2917,7 @@ object Similarity {
        |  SELECT sum(CAST(v AS HUGEINT) * v) AS vv FROM va$iters
        |), tr0 AS (
        |  SELECT sum(CAST(x AS HUGEINT) * x) AS tr FROM xe
-       |), xf AS (
+       |), xf AS MATERIALIZED (
        |  SELECT e.vec_id, e.pos,
        |         CAST((e.x * a.vv - CAST(d.dot AS HUGEINT) * v.v) // a.vv
        |           AS BIGINT) AS x

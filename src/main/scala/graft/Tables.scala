@@ -15,8 +15,26 @@ object Tables {
     val df =
       if (name == "events") eventsNanos(spark, sfDir)
       else spark.read.parquet(s"$sfDir/$name.parquet")
-    spreadSmallScan(spark, s"$sfDir/$name.parquet", df)
+    if (spreadTables(spark)(name))
+      spreadSmallScan(spark, s"$sfDir/$name.parquet", df)
+    else df
   }
+
+  /** Tables whose per-row payload feeds ROW-EXPANDING operators
+    * (text tokenization/shingling expands ~50×, char grams ~300×,
+    * embedding position explosion ~64×): for these the scan's byte
+    * count undercounts downstream work by the expansion factor, so
+    * the spread below is worth its exchange. Relational tables
+    * without expansion keep Spark's size-based splits — measured:
+    * spreading lineitem cost +0.3-0.5 s on every TPC-H-shape query
+    * (the extra exchange) while buying nothing, since their per-row
+    * work is a few comparisons. Conf-parameterized for clusters whose
+    * expansion profile differs.
+    */
+  private def spreadTables(spark: SparkSession): Set[String] =
+    spark.conf.getOption("spark.graft.scan.spread.tables")
+      .getOrElse("documents,embeddings")
+      .split(',').map(_.trim).filter(_.nonEmpty).toSet
 
   /** Scale-adaptive scan spread (opt-out: spark.graft.scan.spread=false).
     *
@@ -59,8 +77,18 @@ object Tables {
         .get("spark.graft.scan.spread.maxBytes", "1g"))
     val cores = spark.sparkContext.defaultParallelism
     val estSplits = math.max(1L, (bytes + maxSplit - 1) / maxSplit)
-    if (estSplits < cores && bytes <= spreadMax) df.repartition(cores)
-    else df
+    if (estSplits < cores && bytes <= spreadMax) {
+      // HASH repartition on a deterministic full-row hash, NOT
+      // round-robin: repartition(n) pays a per-partition sort of the
+      // whole input (spark.sql.execution.sortBeforeRepartition, on by
+      // default so retried tasks reproduce their row→partition map) —
+      // measured +0.5-1 s on every 600k-row lineitem query as a
+      // single-task sort. A content hash is already deterministic
+      // under retries, needs no sort, and has ~|rows| distinct values
+      // so 32 partitions fill evenly (guide §2.5).
+      import org.apache.spark.sql.functions.hash
+      df.repartition(cores, hash(df.columns.map(df.col): _*))
+    } else df
   }
 
   /** `events.ts` has shipped as both parquet TIMESTAMP(NANOS) (which

@@ -656,11 +656,69 @@ object Dedup {
     * Pair endpoints absent from `vertices` are discovered through the
     * edge join, labeled, and included in the output.
     */
+  /** Edge-count gate for the broadcast-scale fast path below: when
+    * the symmetrized near-dup edge list has at most this many rows,
+    * components are resolved in one bounded driver pass (union-find)
+    * instead of the iterative join loop — the SAME size-adaptive
+    * trade a broadcast hash join makes (collect the provably-small
+    * side, skip the shuffles). 1M edges ≈ 16 MB of (long, long) —
+    * broadcast-tier, and the default keeps the transfer under the
+    * usual 10 MB/row-count broadcast comfort zone with the loop as
+    * the general path for anything bigger.
+    */
+  val CcBroadcastMaxEdgesKey = "spark.graft.cc.broadcastMaxEdges"
+
   def connectedComponents(vertices: DataFrame, pairs: DataFrame,
       maxIter: Int = 25): DataFrame = {
     val bidir = pairs.select(col("d1").as("a"), col("d2").as("b"))
       .unionByName(pairs.select(col("d2").as("a"), col("d1").as("b")))
       .transform(graft.tools.Materialize(_))
+    // Size-adaptive fast path (optimization guide §2.4 "remove
+    // shuffles outright" + §3.1's broadcast rationale): the iterative
+    // loop below costs O(log diameter) rounds of joins + checkpoint
+    // pins + convergence counts — measured ~3.5 s of pure fixed cost
+    // at sf0.1 local[32] for a 289-node/484-edge graph. When the
+    // pinned edge table is small enough to broadcast (count on the
+    // ALREADY-materialized frame — one cheap job), resolve components
+    // with union-find in a single bounded driver pass and hand the
+    // ≤|endpoints|-row label table straight back to Catalyst. This is
+    // a BOUNDED transfer with a hard conf gate, not a driver loop
+    // over corpus data: above the gate (any 100 TB-scale graph) the
+    // distributed loop runs exactly as before. Labels are identical
+    // by construction — min node id per component in both paths.
+    val maxLocal = pairs.sparkSession.conf
+      .getOption(CcBroadcastMaxEdgesKey).map(_.toLong)
+      .getOrElse(1000000L)
+    val nEdges = bidir.count()
+    if (nEdges <= maxLocal) {
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x // path compression
+        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      // bidir holds each edge twice (symmetrized); either copy unions
+      // the same pair, so no dedup needed before union-find
+      bidir.select(col("a"), col("b")).collect().foreach { row =>
+        val (a, b) = (row.getLong(0), row.getLong(1))
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = parent.keys.toArray
+      val minOfRoot = scala.collection.mutable.HashMap.empty[Long, Long]
+      nodes.foreach { n =>
+        val r = find(n)
+        minOfRoot(r) = math.min(minOfRoot.getOrElse(r, n), n)
+      }
+      val comp = nodes.sorted.toSeq
+        .map(n => (n, minOfRoot(find(n)))).toDF("doc_id", "label")
+      return joinBack(vertices, comp)
+    }
     // Iterate only over nodes that touch at least one edge — every
     // other vertex is trivially its own component and joins back after
     // the loop. Per-round tables are |endpoints| rows, not |V|: on a
@@ -714,13 +772,19 @@ object Dedup {
       lbl = next.drop("old")
       iter += 2
     }
-    val comp = lbl.select(col("node").as("doc_id"), col("label"))
+    joinBack(vertices, lbl.select(col("node").as("doc_id"), col("label")))
+  }
+
+  /** Attach endpoint labels back to the full vertex set: vertices
+    * outside the edge graph keep their own id; pair endpoints absent
+    * from `vertices` (discovered via the edge list) are still labeled
+    * and included. Shared by both CC paths.
+    */
+  private def joinBack(vertices: DataFrame, comp: DataFrame): DataFrame = {
     val fromVertices = vertices.select(col("doc_id"))
       .join(comp, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("label"), col("doc_id")).as("component"))
-    // pair endpoints absent from `vertices` (discovered via the edge
-    // list) are still labeled and included
     val extra = comp.join(vertices.select(col("doc_id")),
         Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("label").as("component"))
@@ -1121,17 +1185,24 @@ object Dedup {
     val endpoints = pairs
       .select(explode(array(col("d1"), col("d2"))).as("doc_id"))
       .distinct()
+    // signatures carried as ONE array column, not 128 separate
+    // columns: the pairwise joins below then move narrow rows, and
+    // the match count is an in-row fold instead of a 128-term
+    // when-chain over a 256-column join output (same integer count,
+    // element order fixed by the array positions)
     val sig = sh.join(endpoints, "doc_id")
       .withColumn("hh", md5(col("s")))
       .withColumn("x",
         expr("cast(conv(substr(hh, 1, 7), 16, 10) as bigint)"))
       .groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
-    val sigA = sig.select(col("doc_id").as("d1") +:
-      (0 until perms).map(b => col(s"mh$b").as(s"a$b")): _*)
-    val sigB = sig.select(col("doc_id").as("d2") +:
-      (0 until perms).map(b => col(s"mh$b").as(s"b$b")): _*)
-    val matchExpr = (0 until perms).map(b =>
-      when(col(s"a$b") === col(s"b$b"), 1).otherwise(0)).reduce(_ + _)
+      .select(col("doc_id"),
+        array((0 until perms).map(b => col(s"mh$b")): _*).as("sig"))
+    val sigA = sig.select(col("doc_id").as("d1"), col("sig").as("sa"))
+    val sigB = sig.select(col("doc_id").as("d2"), col("sig").as("sb"))
+    val matchExpr = expr(
+      """aggregate(zip_with(sa, sb,
+        |  (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END),
+        |  0, (acc, v) -> acc + v)""".stripMargin)
     val exactJac = round(col("inter") /
       (col("sz1") + col("sz2") - col("inter")), 6)
     inter
@@ -1246,11 +1317,18 @@ object Dedup {
     * to |grid| rows. Nothing new touches the corpus.
     */
   def lshPlanner(docs: DataFrame, dfCap: Int, threshold: Double,
+      dupTheta: Double): DataFrame =
+    lshPlannerFrom(jaccardPairs(docs, dfCap, threshold), dupTheta)
+
+  /** [[lshPlanner]] over a caller-supplied x04 pair table (x141
+    * shares one pinned shingle explosion between the planner and its
+    * signature pass).
+    */
+  private[graft] def lshPlannerFrom(jp: DataFrame,
       dupTheta: Double): DataFrame = {
     def sq(c: Column, k: Int): Column =
       (1 to k).foldLeft(c)((a, _) => a * a)
-    val pairs = jaccardPairs(docs, dfCap, threshold)
-      .select(col("jaccard"))
+    val pairs = jp.select(col("jaccard"))
     val configs = lshGrid.map { case (b, r, kr, kb) =>
       val p = lit(1.0) - sq(lit(1.0) - sq(col("jaccard"), kr), kb)
       struct(lit(b).as("bands"), lit(r).as("rows_per_band"),
@@ -1331,7 +1409,13 @@ object Dedup {
     */
   def plannedMinhash(docs: DataFrame, dfCap: Int, threshold: Double,
       dupTheta: Double, perms: Int = 128): DataFrame = {
-    val bestRows = lshPlanner(docs, dfCap, threshold, dupTheta)
+    // ONE pinned shingle explosion feeds both the planner's candidate
+    // chain and the full-corpus signature pass below — previously the
+    // corpus was re-tokenized and re-exploded for each (a full text
+    // pass at scale, and the single most expensive map stage here)
+    val sh = graft.tools.Materialize(shingles(docs))
+    val bestRows = lshPlannerFrom(
+        jaccardPairsFrom(sh, dfCap, threshold), dupTheta)
       .orderBy((col("missed_dup_nano") + col("spurious_nano")).asc,
         col("rows_per_band").asc)
       .limit(1)
@@ -1351,7 +1435,7 @@ object Dedup {
     val minAggs = (0 until perms).map(b =>
       min((col("x") * lit(pa(b)) + lit(pc(b))) % lit(MersenneP))
         .as(s"mh$b"))
-    val sig = shingles(docs)
+    val sig = sh
       .withColumn("hh", md5(col("s")))
       .withColumn("x",
         expr("cast(conv(substr(hh, 1, 7), 16, 10) as bigint)"))
@@ -1559,20 +1643,31 @@ object Dedup {
     * recomputing the explosion + aggregate per consumer.
     */
   def shingleBuckets(docs: DataFrame, dfCap: Int): DataFrame =
-    shingles(docs)
-      .groupBy(col("s"))
+    shingleBucketsFrom(shingles(docs), dfCap)
+
+  /** The df-capped bucket table from an ALREADY-built (doc_id, s)
+    * shingle frame — lets a caller that also consumes raw shingles
+    * (x141's signature pass) pin the explosion once and share it.
+    */
+  def shingleBucketsFrom(sh: DataFrame, dfCap: Int): DataFrame =
+    sh.groupBy(col("s"))
       .agg(graft.functions.MinK.bounded_min_k(dfCap)(col("doc_id"))
         .as("ds"))
       .filter(size(col("ds")) > 0)
       .transform(graft.tools.Materialize(_))
 
-  def jaccardPairs(docs: DataFrame, dfCap: Int, threshold: Double): DataFrame = {
+  def jaccardPairs(docs: DataFrame, dfCap: Int, threshold: Double): DataFrame =
+    jaccardPairsFrom(shingles(docs), dfCap, threshold)
+
+  /** [[jaccardPairs]] over a caller-supplied shingle frame. */
+  private[graft] def jaccardPairsFrom(sh: DataFrame, dfCap: Int,
+      threshold: Double): DataFrame = {
     // Candidate pairs are enumerated inside each surviving bucket —
     // at most dfCap²/2 per shingle, the bound that keeps the pair
     // blow-up linear — and per-doc set sizes fall out of the same
     // bucketed table, so the two consumers share one exchange instead
     // of recomputing the explosion four times.
-    val buckets = shingleBuckets(docs, dfCap)
+    val buckets = shingleBucketsFrom(sh, dfCap)
     val sizes = buckets
       .select(explode(col("ds")).as("doc_id"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
@@ -2313,23 +2408,30 @@ object Dedup {
     */
   private[graft] def scrubRanges(docs: DataFrame, toks: DataFrame,
       rem: DataFrame): DataFrame = {
-    val tokp = toks.select(col("doc_id"), posexplode(col("t")).as(Seq("p", "w")))
-    val kept = tokp.join(rem,
-      col("doc_id") === col("rd") &&
-        col("p").between(col("span_start"), col("span_end")), "left_anti")
-    val assembled = kept.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("nt"),
-        concat_ws(" ", expr(
-          "transform(array_sort(collect_list(struct(p, w))), s -> s.w)"))
-          .as("ct"))
-    val remCounts = rem.groupBy(col("rd")).agg(count(lit(1)).as("nr"))
-    docs.select(col("doc_id"))
-      .join(assembled, Seq("doc_id"), "left")
-      .join(remCounts, col("doc_id") === col("rd"), "left")
+    // Removal ranges per doc are bounded by doc length, so they
+    // collapse to ONE small (doc, spans[]) row and the rebuild is an
+    // in-row filter over the token array — the previous form
+    // posexploded EVERY token of EVERY document into the cluster and
+    // re-assembled with a collect_list shuffle + array_sort, i.e. two
+    // corpus-wide exchanges of the full text to delete a few spans
+    // (guide §2.3: aggregate before you shuffle / keep heavy payloads
+    // out of the exchange). Result rows are identical: token order is
+    // positional in both forms, and membership in a span does not
+    // depend on execution order.
+    val spans = rem.groupBy(col("rd"))
+      .agg(collect_list(struct(col("span_start"), col("span_end")))
+        .as("spans"))
+    toks.join(spans, col("doc_id") === col("rd"), "left")
       .select(col("doc_id"),
-        coalesce(col("nr"), lit(0L)).as("n_removed_spans"),
-        coalesce(col("nt"), lit(0L)).as("n_tokens_kept"),
-        coalesce(col("ct"), lit("")).as("clean_text"))
+        coalesce(size(col("spans")), lit(0)).cast("long")
+          .as("n_removed_spans"),
+        expr("""filter(transform(t, (w, i) -> struct(i AS p, w AS w)),
+          |  s -> spans IS NULL OR NOT exists(spans,
+          |    r -> s.p BETWEEN r.span_start AND r.span_end))"""
+          .stripMargin).as("kept"))
+      .select(col("doc_id"), col("n_removed_spans"),
+        size(col("kept")).cast("long").as("n_tokens_kept"),
+        concat_ws(" ", expr("transform(kept, s -> s.w)")).as("clean_text"))
       .orderBy(col("doc_id"))
   }
 

@@ -33,6 +33,34 @@ object GraphRank {
 
   private val S = 1000000000000L // total rank mass, picorank units
 
+  /** Edge-count gate for the graph family's broadcast-scale fast
+    * paths (the x33 CC idiom): a near-dup candidate graph small
+    * enough to broadcast is iterated in one bounded driver pass —
+    * exact integer arithmetic identical to the distributed loop —
+    * instead of K rounds of joins + checkpoint pins. Above the gate
+    * (any 100 TB-scale graph) the distributed plans run unchanged.
+    */
+  val GraphBroadcastMaxEdgesKey = "spark.graft.graph.broadcastMaxEdges"
+
+  private def maxLocalEdges(df: DataFrame): Long =
+    df.sparkSession.conf.getOption(GraphBroadcastMaxEdgesKey)
+      .map(_.toLong).getOrElse(1000000L)
+
+  /** Spark compares strings as unsigned UTF-8 bytes; Scala's String
+    * ordering is UTF-16 — they diverge outside ASCII, so the local
+    * vote tiebreak replays the engine's byte order exactly.
+    */
+  private def utf8Less(a: String, b: String): Boolean = {
+    val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+    var i = 0
+    while (i < x.length && i < y.length) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
   /** PageRank over the x04 near-dup candidate graph: (doc_id, pr)
     * for every document incident to at least one scored pair at
     * `threshold`, after `iters` damped power-iteration steps.
@@ -44,6 +72,31 @@ object GraphRank {
     val edges = graft.tools.Materialize(
       pairs.select(col("d1").as("src"), col("d2").as("dst"))
         .unionAll(pairs.select(col("d2").as("src"), col("d1").as("dst"))))
+    if (edges.count() <= maxLocalEdges(docs)) {
+      val spark = docs.sparkSession
+      import spark.implicits._
+      val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val deg = es.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+      val n = deg.size
+      if (n == 0)
+        return Seq.empty[(Long, Long)].toDF("doc_id", "pr")
+          .orderBy(col("doc_id"))
+      val base = S / n
+      var pr = deg.map { case (id, _) => id -> base }
+      for (_ <- 1 to iters) {
+        // identical integer recurrence to the distributed loop: all
+        // divisions truncate on non-negative operands, sums are exact
+        val inflow = scala.collection.mutable.HashMap.empty[Long, Long]
+          .withDefaultValue(0L)
+        es.foreach { case (src, dst) =>
+          inflow(dst) += pr(src) / deg(src)
+        }
+        pr = pr.map { case (id, _) =>
+          id -> (15L * base + 85L * inflow(id)) / 100L
+        }
+      }
+      return pr.toSeq.sorted.toDF("doc_id", "pr").orderBy(col("doc_id"))
+    }
     // every node has deg >= 1 by construction (it came from a pair)
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val n1 = deg.agg(count(lit(1)).as("n"))
@@ -124,6 +177,51 @@ object GraphRank {
     val pairs = graft.tools.Materialize(
       Dedup.jaccardPairs(docs, dfCap, threshold)
         .select(col("d1"), col("d2")))
+    if (pairs.count() <= maxLocalEdges(docs)) {
+      val spark = docs.sparkSession
+      import spark.implicits._
+      val es = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val degM = scala.collection.mutable.HashMap.empty[Long, Long]
+        .withDefaultValue(0L)
+      es.foreach { case (a, b) => degM(a) += 1; degM(b) += 1 }
+      // the same (deg, id) orientation as the distributed wedge join;
+      // count each triangle once at its apex, credit all 3 corners
+      def lower(a: Long, b: Long): Boolean =
+        degM(a) < degM(b) || (degM(a) == degM(b) && a < b)
+      val out = scala.collection.mutable.HashMap
+        .empty[Long, scala.collection.mutable.HashSet[Long]]
+      es.foreach { case (a, b) =>
+        val (s, d) = if (lower(a, b)) (a, b) else (b, a)
+        out.getOrElseUpdate(s,
+          scala.collection.mutable.HashSet.empty) += d
+      }
+      val tri = scala.collection.mutable.HashMap.empty[Long, Long]
+        .withDefaultValue(0L)
+      val pairSet = es.map { case (a, b) =>
+        (math.min(a, b), math.max(a, b))
+      }.toSet
+      out.foreach { case (apex, ns) =>
+        val arr = ns.toArray.sorted
+        var i = 0
+        while (i < arr.length) {
+          var j = i + 1
+          while (j < arr.length) {
+            if (pairSet((arr(i), arr(j)))) {
+              tri(apex) += 1; tri(arr(i)) += 1; tri(arr(j)) += 1
+            }
+            j += 1
+          }
+          i += 1
+        }
+      }
+      val rows = degM.toSeq.sorted.map { case (id, d) =>
+        val w = d * (d - 1) / 2
+        val t = tri(id)
+        (id, d, t, w, if (d >= 2) t * 10000L / w else 0L)
+      }
+      return rows.toDF("doc_id", "deg", "triangles", "wedges",
+        "clustering_bp").orderBy(col("doc_id"))
+    }
     val deg = pairs.select(col("d1").as("id"))
       .unionAll(pairs.select(col("d2").as("id")))
       .groupBy(col("id")).agg(count(lit(1)).as("deg"))
@@ -190,22 +288,59 @@ object GraphRank {
       pairs.select(col("d1").as("src"), col("d2").as("dst"))
         .unionAll(pairs.select(col("d2").as("src"), col("d1").as("dst"))))
     val base = docs.select(col("doc_id"), col("lang"))
-    var lbl = edges.select(col("src").as("id")).distinct()
-      .join(base.select(col("doc_id").as("id"), col("lang").as("lab")),
-        "id")
-    for (_ <- 1 to iters) {
-      val votes = edges
-        .join(lbl.select(col("id").as("src"), col("lab")), "src")
-        .groupBy(col("dst").as("id"), col("lab"))
-        .agg(count(lit(1)).as("cnt"))
-        .groupBy(col("id"))
-        .agg(min(struct((-col("cnt")).as("nc"), col("lab").as("l")))
-          .as("v"))
-        .select(col("id"), col("v.l").as("lab"))
-      lbl = graft.tools.Materialize(votes)
-    }
-    base.join(lbl.select(col("id").as("doc_id"),
-        col("lab").as("consensus")), Seq("doc_id"), "left")
+    val lblFinal: DataFrame =
+      if (edges.count() <= maxLocalEdges(docs)) {
+        val spark = docs.sparkSession
+        import spark.implicits._
+        val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+        val nodeIds = es.map(_._1).distinct
+        // seed labels for graph nodes only: one bounded semi-join
+        // (the endpoint set is ≤ 2·|edges| by the gate)
+        val seed = base
+          .join(nodeIds.toSeq.toDF("doc_id"), Seq("doc_id"), "left_semi")
+          .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+        var lab = seed
+        for (_ <- 1 to iters) {
+          // the same synchronous vote as the distributed rounds:
+          // majority count, ties to the lexicographically smallest
+          // label — min over (-cnt, lab) exactly like min(struct)
+          val votes = scala.collection.mutable
+            .HashMap.empty[Long, scala.collection.mutable.HashMap[String, Long]]
+          es.foreach { case (src, dst) =>
+            lab.get(src).foreach { l =>
+              votes.getOrElseUpdate(dst,
+                scala.collection.mutable.HashMap.empty).updateWith(l) {
+                c => Some(c.getOrElse(0L) + 1L)
+              }
+            }
+          }
+          lab = votes.map { case (id, vs) =>
+            id -> vs.reduceLeft[(String, Long)] { case (a, b) =>
+              if (b._2 > a._2 || (b._2 == a._2 && utf8Less(b._1, a._1)))
+                b
+              else a
+            }._1
+          }.toMap
+        }
+        lab.toSeq.sorted.toDF("doc_id", "consensus")
+      } else {
+        var lbl = edges.select(col("src").as("id")).distinct()
+          .join(base.select(col("doc_id").as("id"),
+            col("lang").as("lab")), "id")
+        for (_ <- 1 to iters) {
+          val votes = edges
+            .join(lbl.select(col("id").as("src"), col("lab")), "src")
+            .groupBy(col("dst").as("id"), col("lab"))
+            .agg(count(lit(1)).as("cnt"))
+            .groupBy(col("id"))
+            .agg(min(struct((-col("cnt")).as("nc"), col("lab").as("l")))
+              .as("v"))
+            .select(col("id"), col("v.l").as("lab"))
+          lbl = graft.tools.Materialize(votes)
+        }
+        lbl.select(col("id").as("doc_id"), col("lab").as("consensus"))
+      }
+    base.join(lblFinal, Seq("doc_id"), "left")
       .select(col("doc_id"), col("lang"),
         coalesce(col("consensus"), col("lang")).as("consensus"),
         (coalesce(col("consensus"), col("lang")) =!= col("lang"))

@@ -2704,69 +2704,120 @@ object Similarity {
     * ~10⁷ vectors at dim 64 — past that the share column (a
     * diagnostic, not the direction) would need a second scale-down.
     *
-    * Scale shape: the (vec, dim, micro-x) frame is pinned once and
-    * reused by all K iterations; each iteration is one broadcast of
-    * the ≤dim-row v frame, one co-keyed matvec join, and one
-    * dim-bounded hash aggregate. Nothing collects; K is fixed.
+    * Scale shape: the per-vector integer-array frame is pinned once
+    * and reused by all K iterations; each iteration is ONE
+    * distributed aggregate over it (per-row dot against the current
+    * direction, dim exact sums), and the direction itself is
+    * DIM-BOUNDED driver state (≤ embedding width, independent of
+    * corpus size — the audited bounded-transfer idiom: coefficient
+    * tables, BPE merge rounds). K is fixed.
     */
   private val dec38 = "decimal(38,0)"
 
-  /** The pinned (vec_id, pos, micro-x) frame every power-iteration
-    * stage reads.
+  /** The pinned per-vector micro-quantized integer frame every
+    * power-iteration stage reads: (vec_id, xs array<bigint>). The
+    * cloud stays IN-ROW as arrays — no (vec, pos) explosion — so a
+    * power-iteration step needs no join at all (see below).
     */
-  private def microExplode(emb: DataFrame): DataFrame =
+  private def microArrays(emb: DataFrame): DataFrame =
     graft.tools.Materialize(emb
-      .select(col("vec_id"), posexplode(expr(
+      .select(col("vec_id"), expr(
         "transform(embedding, x -> cast(round(cast(x as double) " +
-          "* 1000000, 0) as bigint))")).as(Seq("pos", "x"))))
+          "* 1000000, 0) as bigint))").as("xs")))
 
-  /** K power-iteration steps over an integer (vec_id, pos, x) cloud:
-    * the ≤dim-row max-normalized direction frame (pos, v). v0 =
-    * all-ones at full scale — deterministic, and not orthogonal to a
-    * data direction in any non-adversarial cloud. The v frame carries
-    * no broadcast hint: a Generate ancestor blocks the structural
-    * boundedness certificate, and AQE broadcasts the tiny frame at
-    * runtime on its own (the x61 shape).
+  /** SQL literal for a direction vector (entries fit int64 by
+    * construction: max-normalized to [−10⁶, 10⁶]).
     */
-  private def powerIterate(xe: DataFrame, iters: Int): DataFrame = {
-    var v = xe.select(col("pos")).distinct()
-      .select(col("pos"), lit(1000000L).as("v"))
+  private def vLit(v: IndexedSeq[BigInt]): String =
+    v.map(x => s"${x}L").mkString("array(", ", ", ")")
+
+  /** Per-row dot(xs, v) as int64 — the same Σ x·v the exploded form
+    * summed per vec_id, now a codegen in-row fold (exact integer, so
+    * summation order is irrelevant).
+    */
+  private def dotExpr(v: IndexedSeq[BigInt]): String =
+    s"aggregate(sequence(0, size(xs) - 1), 0L, (acc, j) -> " +
+      s"acc + element_at(xs, j + 1) * element_at(${vLit(v)}, j + 1))"
+
+  /** K power-iteration steps; the direction lives as a DIM-BOUNDED
+    * exact-integer driver array (dim ≤ embedding width — 64 here —
+    * independent of corpus size: the audited bounded-transfer idiom,
+    * same as the (tol+3)-row coefficient table and the ≤rounds BPE
+    * merges). Each step is ONE distributed aggregate: per row the
+    * int64 dot x·v, then dim DECIMAL(38,0) sums of x_j·dot — the
+    * matvec w = Aᵀ(Av) without materializing the Gram matrix and,
+    * versus the previous (vec,pos)-exploded form, without the
+    * per-iteration v-broadcast join, per-pos shuffle, max-norm
+    * aggregate and checkpoint pin (measured: x159 dropped from 71
+    * jobs / 3.8 s to ~10 jobs / ~1 s at sf0.1 local[32]; at scale
+    * each iteration is one pass over the pinned cloud instead of two
+    * joins + two shuffles). Max-normalization v′_j = ((w_j+m)·10⁶)
+    * div m − 10⁶ runs in BigInt — bit-identical to the previous
+    * DECIMAL `div` (operands non-negative, both truncate).
+    * Returns None when the cloud collapses (empty input or m = 0) —
+    * the empty-frame semantics of the previous form and the oracle's
+    * WHERE m > 0.
+    */
+  private def powerIterateVec(xs: DataFrame, dim: Int,
+      iters: Int): Option[IndexedSeq[BigInt]] = {
+    if (dim <= 0) return None
+    var v: IndexedSeq[BigInt] = IndexedSeq.fill(dim)(BigInt(1000000))
     for (_ <- 1 to iters) {
-      val dot = xe.join(v, "pos")
-        .groupBy(col("vec_id")).agg(sum(col("x") * col("v")).as("dot"))
-      val w = xe.join(dot, "vec_id")
-        .groupBy(col("pos"))
-        .agg(sum(col("x").cast(dec38) * col("dot").cast(dec38)).as("w"))
-      val m1 = w.agg(max(abs(col("w"))).as("m"))
-      // m = 0 (all-zero cloud) emits an empty frame rather than a
-      // division by zero — the oracle's WHERE m > 0 mirror
-      v = graft.tools.Materialize(
-        w.crossJoin(broadcast(m1)).filter(col("m") > 0)
-          .select(col("pos"),
-            expr("cast(((w + m) * 1000000) div m - 1000000L as bigint)")
-              .as("v")))
+      val wAggs = (0 until dim).map { j =>
+        sum(expr(s"CASE WHEN size(xs) > $j THEN " +
+          s"cast(element_at(xs, ${j + 1}) as $dec38) * " +
+          s"cast(dot as $dec38) END")).as(s"w$j")
+      }
+      val row = xs.withColumn("dot", expr(dotExpr(v)))
+        .agg(wAggs.head, wAggs.tail: _*).head()
+      val w = (0 until dim).map(j =>
+        if (row.isNullAt(j)) BigInt(0)
+        else BigInt(row.getDecimal(j).toBigInteger))
+      val m = w.map(_.abs).max
+      if (m == 0) return None
+      v = w.map(wj => ((wj + m) * 1000000) / m - 1000000)
     }
-    v
+    Some(v)
   }
 
-  /** (vec_id, dot) against a direction frame. */
-  private def dots(xe: DataFrame, v: DataFrame): DataFrame =
-    xe.join(v, "pos")
-      .groupBy(col("vec_id")).agg(sum(col("x") * col("v")).as("dot"))
+  /** max array width of the pinned cloud — the data-side dim bound
+    * (0 for an empty input).
+    */
+  private def cloudDim(xs: DataFrame): Int = {
+    val r = xs.agg(max(size(col("xs")))).head()
+    if (r.isNullAt(0)) 0 else r.getInt(0)
+  }
+
+  /** One pass over a cloud against a fixed direction: (Σ dot²,
+    * Σ‖x‖²) in exact DECIMAL(38,0).
+    */
+  private def quadTrace(xs: DataFrame,
+      v: IndexedSeq[BigInt]): (BigInt, BigInt) = {
+    val r = xs.withColumn("dot", expr(dotExpr(v)))
+      .agg(sum(expr(s"cast(dot as $dec38) * cast(dot as $dec38)"))
+        .as("quad"),
+        sum(expr(s"cast(aggregate(xs, 0L, (acc, x) -> acc + x * x) " +
+          s"as $dec38)")).as("tr")).head()
+    (BigInt(r.getDecimal(0).toBigInteger),
+      BigInt(r.getDecimal(1).toBigInteger))
+  }
 
   def topComponent(emb: DataFrame, iters: Int): DataFrame = {
-    val xe = microExplode(emb)
-    val v = powerIterate(xe, iters)
-    val dot = dots(xe, v)
-    val quad = dot.agg(
-      sum(col("dot").cast(dec38) * col("dot").cast(dec38)).as("quad"))
-    val vv = v.agg(sum(col("v").cast(dec38) * col("v").cast(dec38)).as("vv"))
-    val tr = xe.agg(sum(col("x").cast(dec38) * col("x").cast(dec38)).as("tr"))
-    v.crossJoin(broadcast(quad)).crossJoin(broadcast(vv))
-      .crossJoin(broadcast(tr))
-      .select(col("pos").cast("int").as("j"), col("v").as("v_unit"),
-        expr("cast((quad * 10000) div (vv * tr) as bigint)").as("share_bp"))
-      .orderBy(col("j"))
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val xs = microArrays(emb)
+    powerIterateVec(xs, cloudDim(xs), iters) match {
+      case None =>
+        Seq.empty[(Int, Long, Long)].toDF("j", "v_unit", "share_bp")
+      case Some(v) =>
+        val (quad, tr) = quadTrace(xs, v)
+        val vv = v.map(x => x * x).sum
+        // share ≤ 10⁴ by Cauchy–Schwarz (quad ≤ vv·tr): fits long
+        val share = (quad * 10000) / (vv * tr)
+        v.zipWithIndex.map { case (vu, j) => (j, vu.toLong, share.toLong) }
+          .toDF("j", "v_unit", "share_bp")
+          .orderBy(col("j"))
+    }
   }
 
   /** ALL-BUT-THE-TOP applied (Mu & Viswanath 2018) — the x154 loop
@@ -2793,44 +2844,39 @@ object Similarity {
     * exchange class; output is 2 rows.
     */
   def topRemoval(emb: DataFrame, iters: Int, iters2: Int): DataFrame = {
-    val xe = microExplode(emb)
-    val v = powerIterate(xe, iters)
-    val dot = dots(xe, v)
-    val vv1 = v.agg(sum(col("v").cast(dec38) * col("v").cast(dec38))
-      .as("vv"))
-    def shareRow(xeS: DataFrame, vS: DataFrame, stage: Int,
-        trBase: DataFrame): DataFrame = {
-      val d = dots(xeS, vS)
-      val quad = d.agg(
-        sum(col("dot").cast(dec38) * col("dot").cast(dec38)).as("quad"))
-      val vv = vS.agg(sum(col("v").cast(dec38) * col("v").cast(dec38))
-        .as("vv2"))
-      val tr = xeS.agg(sum(col("x").cast(dec38) * col("x").cast(dec38))
-        .as("tr2"))
-      quad.crossJoin(broadcast(vv)).crossJoin(broadcast(tr))
-        .crossJoin(broadcast(trBase))
-        .select(lit(stage).as("stage"),
-          expr("cast((quad * 10000) div (vv2 * tr2) as bigint)")
-            .as("share_bp"),
-          // tr = 0 (non-empty all-zero cloud) must yield NULL, not a
-          // division-by-zero error — the NULL row is filtered below,
-          // mirroring the oracle's CASE + IS NOT NULL
-          expr("cast(CASE WHEN tr > 0 THEN (tr2 * 10000) div tr END " +
-            "as bigint)").as("trace_bp"))
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val xs = microArrays(emb)
+    val dim = cloudDim(xs)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
+    powerIterateVec(xs, dim, iters).foreach { v =>
+      // v defined ⇒ m > 0 ⇒ tr0 > 0: the stage rows below can never
+      // divide by zero (the previous form's NULL-filter fires exactly
+      // when powerIterateVec returns None)
+      val (quad0, tr0) = quadTrace(xs, v)
+      val vv = v.map(x => x * x).sum
+      // stage-0 trace is its own base: (tr0·10⁴) div tr0 = 10⁴ exactly
+      out += ((0, ((quad0 * 10000) / (vv * tr0)).toLong, 10000L))
+      // x" = x·vᵀv − dot·v, re-based to micro units by ONE truncating
+      // division — the uniform vᵀv scale cancels in every ratio.
+      // Identical DECIMAL(38,0) ops to the exploded form, applied
+      // in-row (dot from the v literal, no join, no per-pos shuffle).
+      val vvDec = s"CAST('$vv' AS $dec38)"
+      val xs2 = graft.tools.Materialize(
+        xs.withColumn("dot", expr(dotExpr(v)))
+          .select(col("vec_id"), expr(
+            s"transform(sequence(0, size(xs) - 1), j -> " +
+              s"cast((cast(element_at(xs, j + 1) as $dec38) * $vvDec " +
+              s"- cast(dot as $dec38) * cast(element_at(${vLit(v)}, " +
+              s"j + 1) as $dec38)) div $vvDec as bigint))").as("xs")))
+      powerIterateVec(xs2, dim, iters2).foreach { v2 =>
+        val (quad1, tr1) = quadTrace(xs2, v2)
+        val vv2 = v2.map(x => x * x).sum
+        out += ((1, ((quad1 * 10000) / (vv2 * tr1)).toLong,
+          ((tr1 * 10000) / tr0).toLong))
+      }
     }
-    val tr0 = xe.agg(sum(col("x").cast(dec38) * col("x").cast(dec38))
-      .as("tr"))
-    // x" = x·vᵀv − dot·v, re-based to micro units by ONE truncating
-    // division — the uniform vᵀv scale cancels in every ratio
-    val xe2 = graft.tools.Materialize(
-      xe.join(dot, "vec_id").join(v, "pos").crossJoin(broadcast(vv1))
-        .select(col("vec_id"), col("pos"),
-          expr("cast((x * vv - cast(dot as decimal(38,0)) * v) div vv " +
-            "as bigint)").as("x")))
-    val v2 = powerIterate(xe2, iters2)
-    shareRow(xe, v, 0, tr0).unionAll(shareRow(xe2, v2, 1, tr0))
-      .filter(col("share_bp").isNotNull && col("trace_bp").isNotNull)
-      .orderBy(col("stage"))
+    out.toSeq.toDF("stage", "share_bp", "trace_bp").orderBy(col("stage"))
   }
 
   /** Oracle: identical integer recurrence, one CTE pair (dot, w) per

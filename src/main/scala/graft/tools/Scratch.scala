@@ -1,5 +1,5 @@
 package graft.tools
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 /** Dev scratchpad main for quick local experiments (not part of the API). */
 object Scratch {
@@ -10,49 +10,45 @@ object Scratch {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val sf = "/root/testdata/sf0.1"
-    def docs(n: Int) = {
-      val d = spark.read.parquet(s"$sf/documents.parquet")
-      if (n <= 1) d else d.repartition(n)
+    val docs = graft.Tables.documents(spark, sf)
+    // instrumented CC: how many double-rounds does sf0.1 need, and
+    // what does each cost?
+    val pairs = graft.llm.Dedup.simhashNearDup(docs, 3, 64)
+      .select(col("d1"), col("d2"))
+    val bidir0 = pairs.select(col("d1").as("a"), col("d2").as("b"))
+      .unionByName(pairs.select(col("d2").as("a"), col("d1").as("b")))
+    val bidir = graft.tools.Materialize(bidir0)
+    var lbl = bidir.groupBy(col("a"))
+      .agg(min(col("b")).as("mb"))
+      .select(col("a").as("node"), least(col("a"), col("mb")).as("label"))
+      .transform(graft.tools.Materialize(_))
+    println(s"nodes=${lbl.count()} edges=${bidir.count()}")
+    def step(l: DataFrame): DataFrame = {
+      val viaEdges = bidir
+        .join(l.select(col("node").as("b"), col("label")), "b")
+        .select(col("a").as("node"), col("label"),
+          lit(null).cast("long").as("old"))
+      val prop = l.unionByName(viaEdges)
+        .groupBy(col("node"))
+        .agg(min(col("label")).as("label"), max(col("old")).as("old"))
+      val hop = prop.select(col("node").as("ln"), col("label").as("ll"))
+      prop.join(hop, col("label") === col("ln"), "left")
+        .select(col("node"),
+          coalesce(col("ll"), col("label")).as("label"), col("old"))
     }
-    def time(label: String)(f: => Unit): Unit = {
-      val runs = (1 to 3).map { _ =>
-        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
-      }
-      println(f"$label%-40s best=${runs.min}%.3f  (${runs.map(r => f"$r%.2f").mkString("/")})")
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 25) {
+      val t0 = System.nanoTime()
+      val next = step(step(lbl.withColumn("old", col("label"))))
+        .transform(graft.tools.Materialize(_))
+      changed = next.filter(!(col("label") <=> col("old"))).count()
+      lbl = next.drop("old")
+      iter += 2
+      println(f"round ${iter / 2}%d (2 steps): changed=$changed%d  " +
+        f"${(System.nanoTime() - t0) / 1e9}%.3f s")
     }
-    def noop(df: org.apache.spark.sql.DataFrame): Unit =
-      df.write.format("noop").mode("overwrite").save()
-    // warm
-    noop(graft.llm.Dedup.simhash32Signatures(docs(1)))
-    for (n <- Seq(1, 4, 8, 32)) {
-      time(s"simhash sigs, repartition($n)") {
-        noop(graft.llm.Dedup.simhash32Signatures(docs(n)))
-      }
-    }
-    // isolate: just the tokenize+hash map stage, no agg
-    for (n <- Seq(1, 32)) {
-      time(s"tok+md5hash only, repartition($n)") {
-        noop(docs(n).select(col("doc_id"),
-          explode(array_distinct(split(col("text"), " "))).as("w"))
-          .withColumn("v", expr((1 to 8).map { p =>
-            s"(CAST(instr('0123456789abcdef', substr(md5(w), $p, 1)) - 1" +
-              s" AS BIGINT) * ${1L << (4 * (8 - p))})"
-          }.mkString("(", " + ", ")"))))
-      }
-      time(s"tok only, repartition($n)") {
-        noop(docs(n).select(col("doc_id"),
-          explode(array_distinct(split(col("text"), " "))).as("w")))
-      }
-      time(s"agg only after tok+hash, repartition($n)") {
-        val tok = docs(n).select(col("doc_id"),
-          explode(array_distinct(split(col("text"), " "))).as("w"))
-          .withColumn("v", xxhash64(col("w")))
-        val bitAggs = (0 until 32).map { j =>
-          sum(when(expr(s"(v div ${1L << j}) % 2") === 1, 1).otherwise(-1))
-            .as(s"s$j") }
-        noop(tok.groupBy(col("doc_id")).agg(bitAggs.head, bitAggs.tail: _*))
-      }
-    }
+    println(s"converged after $iter steps")
     spark.stop()
   }
 }

@@ -173,6 +173,51 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(lone.forall(r => r.getLong(0) == r.getLong(1)))
   }
 
+  test("graph fast paths equal the distributed plans on real docs") {
+    // pagerank / label propagation / triangles: the broadcast-scale
+    // driver pass must be bit-identical to the distributed loop on
+    // the same corpus (sf0.001 keeps the distributed arms fast)
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    def both(f: () => org.apache.spark.sql.DataFrame): (Seq[String], Seq[String]) = {
+      val fast = f().collect().map(_.toString).toSeq
+      spark.conf.set(graft.llm.GraphRank.GraphBroadcastMaxEdgesKey, "0")
+      val dist = try f().collect().map(_.toString).toSeq
+        finally spark.conf.unset(graft.llm.GraphRank.GraphBroadcastMaxEdgesKey)
+      (fast, dist)
+    }
+    val (prF, prD) = both(() =>
+      graft.llm.GraphRank.pagerank(docs, 10, 0.02, 3))
+    assert(prF == prD, s"pagerank fast=${prF.take(3)} dist=${prD.take(3)}")
+    assert(prF.nonEmpty)
+    val (lpF, lpD) = both(() =>
+      graft.llm.GraphRank.labelPropagate(docs, 10, 0.02, 2))
+    assert(lpF == lpD, s"labelprop fast=${lpF.take(3)} dist=${lpD.take(3)}")
+    val (trF, trD) = both(() =>
+      graft.llm.GraphRank.triangles(docs, 10, 0.02))
+    assert(trF == trD, s"triangles fast=${trF.take(3)} dist=${trD.take(3)}")
+    assert(trF.nonEmpty)
+  }
+
+  test("connected components: broadcast fast path equals the loop") {
+    import spark.implicits._
+    // deterministic pseudo-random sparse graph: chains, merges,
+    // isolates, endpoints outside the vertex set (31 and 37 coprime
+    // to 100, so edges wrap across the id space)
+    val verts = (0L to 79L).toDF("doc_id")
+    val edges = (0 until 60).map { i =>
+      ((i * 31L) % 100L, (i * 37L + 11L) % 100L)
+    }.filter { case (a, b) => a != b }.toDF("d1", "d2")
+    val fast = graft.llm.Dedup.connectedComponents(verts, edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    spark.conf.set(graft.llm.Dedup.CcBroadcastMaxEdgesKey, "0")
+    val loop = try {
+      graft.llm.Dedup.connectedComponents(verts, edges)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    } finally spark.conf.unset(graft.llm.Dedup.CcBroadcastMaxEdgesKey)
+    assert(fast.sameElements(loop),
+      s"fast=${fast.mkString(",")} loop=${loop.mkString(",")}")
+  }
+
   test("embedding LSH near-dup survives a degenerate collapsed corpus") {
     import spark.implicits._
     // 2000 identical vectors + 1000 all-zero vectors: every band

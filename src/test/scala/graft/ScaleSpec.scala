@@ -258,11 +258,17 @@ class ScaleSpec extends AnyFunSuite {
     val verts = spark.range(n).select(col("id").as("doc_id"))
     val edges = spark.range(n - 1).select(col("id").as("d1"),
       (col("id") + 1).as("d2"))
+    // force the distributed loop: this test pins the loop's O(log n)
+    // property, which the broadcast-scale fast path would bypass
+    spark.conf.set(graft.llm.Dedup.CcBroadcastMaxEdgesKey, "0")
     val t0 = System.nanoTime()
-    val cc = graft.llm.Dedup.connectedComponents(verts, edges, maxIter = 25)
-    val comps = cc.select(countDistinct(col("component")),
-      max(col("component"))).collect()(0)
-    val secs = (System.nanoTime() - t0) / 1e9
+    val (comps, secs) = try {
+      val cc = graft.llm.Dedup.connectedComponents(verts, edges,
+        maxIter = 25)
+      val c = cc.select(countDistinct(col("component")),
+        max(col("component"))).collect()(0)
+      (c, (System.nanoTime() - t0) / 1e9)
+    } finally spark.conf.unset(graft.llm.Dedup.CcBroadcastMaxEdgesKey)
     info(f"200k chain CC: ${secs}%.1f s")
     assert(comps.getLong(0) == 1L, s"components=${comps.getLong(0)}")
     assert(comps.getLong(1) == 0L)

@@ -22,7 +22,8 @@ object Dedup {
     * deliberate, documented choice applied in both dialects.
     */
   def shingles(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+    graft.tools.Spread(docs)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
       .filter(size(col("t")) >= 3)
       .select(col("doc_id"), explode(array_distinct(expr(
         "transform(sequence(0, size(t)-3), i -> concat_ws(' ', slice(t, i+1, 3)))")))
@@ -40,7 +41,8 @@ object Dedup {
     * global distinct, which would shuffle every gram string.
     */
   def nGrams(docs: DataFrame, n: Int): DataFrame =
-    docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+    graft.tools.Spread(docs)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
       .filter(size(col("t")) >= n)
       .select(col("doc_id"), explode(array_distinct(expr(
         s"transform(sequence(0, size(t)-$n), i -> concat_ws(' ', slice(t, i+1, $n)))")))
@@ -347,7 +349,7 @@ object Dedup {
     }.mkString("(", " + ", ")")
 
   def simhash32Signatures(docs: DataFrame): DataFrame = {
-    val tok = docs
+    val tok = graft.tools.Spread(docs)
       .select(col("doc_id"),
         explode(array_distinct(split(col("text"), " "))).as("w"))
       .withColumn("v", expr(hash32Expr("instr", "w")))
@@ -402,6 +404,14 @@ object Dedup {
         col("doc_id").cast("string"))))
 
   def simhashNearDup(docs: DataFrame, maxDist: Int,
+      bucketCap: Int = 64): DataFrame =
+    simhashNearDupFromSigs(simhash32Signatures(docs), maxDist, bucketCap)
+
+  /** [[simhashNearDup]] over a caller-supplied signature table — the
+    * x131/x138 chain pins ONE signature pass and shares it between
+    * the cluster resolution and the rep-bucket build.
+    */
+  private[graft] def simhashNearDupFromSigs(sig: DataFrame, maxDist: Int,
       bucketCap: Int = 64): DataFrame = {
     // Bucket-list form (same shape as jaccardPairs): one groupBy per
     // (band, nibble) via the cap-and-drop BoundedMinK aggregate
@@ -412,7 +422,7 @@ object Dedup {
     // that keeps pair generation linear on a templated/skewed corpus.
     // (doc_id, simhash) packs into one long — doc_id·2³² + simhash,
     // exact for doc_id < 2³¹ — so packed order equals tuple order.
-    val buckets = simhash32Signatures(docs)
+    val buckets = sig
       .select(col("doc_id"), col("simhash"),
         explode(expr("array(0, 1, 2, 3, 4, 5, 6, 7)")).as("band"))
       .withColumn("nib",
@@ -495,8 +505,17 @@ object Dedup {
     */
   def repSignatureBuckets(docs: DataFrame, maxDist: Int,
       bucketCap: Int = 64): DataFrame = {
-    val reps = fuzzyScrub(docs, maxDist, bucketCap).select(col("doc_id"))
-    simhash32Signatures(docs).join(reps, "doc_id")
+    // ONE pinned signature pass feeds both the cluster resolution
+    // (via the near-dup pairs) and the rep-bucket build below — the
+    // previous form recomputed simhash32Signatures for each (a full
+    // corpus tokenize+hash pass at scale). Representatives come from
+    // componentReps directly: its rep_id set equals the fuzzyScrub
+    // survivor set (every representative is a corpus doc), minus the
+    // corpus join and ORDER BY the survivor table pays.
+    val sig = graft.tools.Materialize(simhash32Signatures(docs))
+    val reps = componentRepsFromSigs(docs, sig, maxDist, bucketCap)
+      .select(col("rep_id").as("doc_id"))
+    sig.join(reps, "doc_id")
       .select(col("doc_id"), col("simhash"),
         explode(expr("array(0, 1, 2, 3, 4, 5, 6, 7)")).as("band"))
       .withColumn("nib",
@@ -930,8 +949,13 @@ object Dedup {
     * lowest doc_id. Singletons are their own rep.
     */
   private def componentReps(docs: DataFrame, maxDist: Int,
-      bucketCap: Int): DataFrame = {
-    val pairs = simhashNearDup(docs, maxDist, bucketCap)
+      bucketCap: Int): DataFrame =
+    componentRepsFromSigs(docs, simhash32Signatures(docs), maxDist,
+      bucketCap)
+
+  private def componentRepsFromSigs(docs: DataFrame, sig: DataFrame,
+      maxDist: Int, bucketCap: Int): DataFrame = {
+    val pairs = simhashNearDupFromSigs(sig, maxDist, bucketCap)
       .select(col("d1"), col("d2"))
     val comp = connectedComponents(docs.select(col("doc_id")), pairs)
     val score = TextAnalysis.quality(docs)
@@ -1937,7 +1961,8 @@ object Dedup {
   }
 
   private[graft] def tokenArrays(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+    graft.tools.Spread(docs)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
 
   /** (doc_id, pos, h = md5 of the k-gram starting at pos) for every
     * sliding-window position — positions are NOT deduplicated, they

@@ -45,7 +45,8 @@ object LanguageModel {
     * training, batch scoring, and the serve path.
     */
   private def trigrams(docs: DataFrame): DataFrame =
-    docs.filter(length(col("text")) >= 3)
+    graft.tools.Spread(docs)
+      .filter(length(col("text")) >= 3)
       .select(col("doc_id"), col("lang"),
         explode(expr(
           "transform(sequence(1, length(text) - 2), i -> substr(text, i, 3))"))

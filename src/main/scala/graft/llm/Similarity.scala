@@ -2720,7 +2720,7 @@ object Similarity {
     * power-iteration step needs no join at all (see below).
     */
   private def microArrays(emb: DataFrame): DataFrame =
-    graft.tools.Materialize(emb
+    graft.tools.Materialize(graft.tools.Spread(emb)
       .select(col("vec_id"), expr(
         "transform(embedding, x -> cast(round(cast(x as double) " +
           "* 1000000, 0) as bigint))").as("xs")))

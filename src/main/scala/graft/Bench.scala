@@ -55,11 +55,15 @@ object Bench {
     def r4(v: Double): Double = math.rint(v * 1e4) / 1e4
     def r3(v: Double): Double = math.rint(v * 1e3) / 1e3
     // The driver snapshots only the LAST 2000 chars of stdout and
-    // json-parses them; 96 full query names at 4dp is ~2600 chars and
-    // truncates mid-line (BENCH_r06 had parsed:null). The stdout map
-    // therefore keys on the short query id (the `d01`/`q09`/`x46`
-    // prefix — unique across the suite) at 3dp (~1300 chars); the file
-    // artifact below keeps full names and per-rep detail.
+    // json-parses them; sbt appends a ~75-char `[success]` line after
+    // us, so the usable budget is ~1900 chars. At 96 queries a
+    // short-id 3dp map fit (~1300 chars); at 197 queries even 2dp
+    // short ids need ~2300 chars — NO per-query stdout map can fit,
+    // which is why PERF_r09/r10 both recorded parsed:null. The stdout
+    // line therefore carries the totals plus a `queries_file` pointer
+    // when the full map would overflow the tail, and the per-query map
+    // (full names, 4dp, per-rep detail) lives in the file artifact.
+    // Measurement methodology is untouched — only the report shape.
     def shortId(name: String): String = name.takeWhile(_ != '_')
     val qs = best.map { case (k, v) => s"\"" + shortId(k) + "\":" + r3(v) }
       .mkString("{", ",", "}")
@@ -68,12 +72,16 @@ object Bench {
     val total = r4(best.map(_._2).sum)
     val repTotals = runs.map(r => r4(r.map(_._2).sum))
       .mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec"""" +
-      s""","reps":$reps,"rep_totals":$repTotals,"queries":$qs""" +
-      s""","sf":"$sfDir"}"""
-    val fileLine = s"""{"metric":"total","value":$total,"unit":"sec"""" +
-      s""","reps":$reps,"rep_totals":$repTotals,"queries":$qsFull""" +
-      s""","sf":"$sfDir"}"""
+    def mkLine(queriesField: String): String =
+      s"""{"metric":"total","value":$total,"unit":"sec"""" +
+        s""","reps":$reps,"rep_totals":$repTotals,$queriesField""" +
+        s""","sf":"$sfDir"}"""
+    val fullLine = mkLine(s""""queries":$qs""")
+    val line =
+      if (fullLine.length <= 1850) fullLine
+      else mkLine(
+        s""""n_queries":${best.size},"queries_file":"$outPath"""")
+    val fileLine = mkLine(s""""queries":$qsFull""")
     println(line)
     try {
       val perRep = runs.zipWithIndex.map { case (r, i) =>

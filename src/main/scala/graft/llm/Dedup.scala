@@ -781,7 +781,13 @@ object Dedup {
       // scheduling), which profiling showed dominate the loop
       // (~60 sub-second jobs per x33 run at sf0.1). At 100 TB the
       // same batching halves the number of lineage barriers.
-      val next = step(step(lbl.withColumn("old", col("label"))))
+      // When only ONE step of the maxIter budget remains (odd
+      // maxIter, graph not yet converged), run a single step so the
+      // cap is exact — the double-step otherwise overshoots the
+      // documented iteration limit by one.
+      val nSteps = if (iter + 2 <= maxIter) 2 else 1
+      val seeded = lbl.withColumn("old", col("label"))
+      val next = (if (nSteps == 2) step(step(seeded)) else step(seeded))
         .transform(graft.tools.Materialize(_))
       // null-safe: a pair endpoint absent from `vertices` enters via
       // the edge join with old=null — plain =!= returns null there,
@@ -789,7 +795,7 @@ object Dedup {
       // the graph only partially labeled
       changed = next.filter(!(col("label") <=> col("old"))).count()
       lbl = next.drop("old")
-      iter += 2
+      iter += nSteps
     }
     joinBack(vertices, lbl.select(col("node").as("doc_id"), col("label")))
   }

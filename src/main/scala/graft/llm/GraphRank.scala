@@ -46,6 +46,20 @@ object GraphRank {
     df.sparkSession.conf.getOption(GraphBroadcastMaxEdgesKey)
       .map(_.toLong).getOrElse(1000000L)
 
+  /** Triangles-only gate, LOWER than the family default: the local
+    * wedge replay is O(Σ outdeg²) = O(E^1.5) under the (deg, id)
+    * orientation — at the 1M-edge family gate that is ~10⁹ driver ops
+    * (minutes, single-threaded) on a hubby graph the distributed
+    * wedge join would spread. pagerank/label-prop are O(E·K) and keep
+    * the family gate. 100k edges bounds the replay at ~3·10⁷ ops.
+    */
+  val TrianglesBroadcastMaxEdgesKey =
+    "spark.graft.graph.triangles.broadcastMaxEdges"
+
+  private def maxLocalTriangleEdges(df: DataFrame): Long =
+    df.sparkSession.conf.getOption(TrianglesBroadcastMaxEdgesKey)
+      .map(_.toLong).getOrElse(math.min(100000L, maxLocalEdges(df)))
+
   /** Spark compares strings as unsigned UTF-8 bytes; Scala's String
     * ordering is UTF-16 — they diverge outside ASCII, so the local
     * vote tiebreak replays the engine's byte order exactly.
@@ -177,7 +191,7 @@ object GraphRank {
     val pairs = graft.tools.Materialize(
       Dedup.jaccardPairs(docs, dfCap, threshold)
         .select(col("d1"), col("d2")))
-    if (pairs.count() <= maxLocalEdges(docs)) {
+    if (pairs.count() <= maxLocalTriangleEdges(docs)) {
       val spark = docs.sparkSession
       import spark.implicits._
       val es = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))

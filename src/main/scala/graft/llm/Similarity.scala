@@ -2721,6 +2721,11 @@ object Similarity {
     */
   private def microArrays(emb: DataFrame): DataFrame =
     graft.tools.Materialize(graft.tools.Spread(emb)
+      // empty/null embeddings contributed no rows in the previous
+      // (vec, pos)-exploded form; keep that semantics — dotExpr's
+      // sequence(0, size(xs)-1) would otherwise build [0, -1] on an
+      // empty array and element_at(xs, 0) throws
+      .filter(size(col("embedding")) > 0)
       .select(col("vec_id"), expr(
         "transform(embedding, x -> cast(round(cast(x as double) " +
           "* 1000000, 0) as bigint))").as("xs")))

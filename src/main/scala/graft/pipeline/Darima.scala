@@ -348,22 +348,39 @@ object Darima {
     base ++ harmRows ++ ars
   }
 
-  private def chunkSeries(series: DataFrame, cfg: DarimaConfig): DataFrame = {
+  private def chunkSeries(series: DataFrame, cfg: DarimaConfig,
+      timeBounds: Option[Option[(Double, Double)]] = None): DataFrame = {
     val named = series.select(col("time").cast("double").as("t"),
       col("value").cast("double").as("v"))
     cfg.chunker match {
       case "range" => Chunker.rangeChunks(named, col("t"), cfg.numChunks)
       case "ntile" => Chunker.ntileChunks(named, col("t"), cfg.numChunks)
-      case "timerange" => Chunker.timeChunks(named, col("t"), cfg.numChunks)
+      case "timerange" => timeBounds match {
+        // caller already knows (tmin, tmax) — skip the bounds job
+        case Some(b) =>
+          Chunker.timeChunksBounded(named, col("t"), cfg.numChunks, b)
+        case None => Chunker.timeChunks(named, col("t"), cfg.numChunks)
+      }
       case other => throw new IllegalArgumentException(
         s"unknown chunker '$other' (expected range|ntile|timerange)")
     }
   }
 
   def fitChunkCoefs(spark: SparkSession, series: DataFrame,
-      cfg: DarimaConfig): DataFrame = {
+      cfg: DarimaConfig): DataFrame =
+    fitChunkCoefsBounded(spark, series, cfg, None)
+
+  /** [[fitChunkCoefs]] with caller-supplied time bounds for the
+    * `timerange` chunker (folded into the caller's stats job —
+    * runOnScale's row count — instead of a second full-data action).
+    * The outer Option distinguishes "not supplied" (run the bounds
+    * job) from "supplied: empty input" (inner None).
+    */
+  private[graft] def fitChunkCoefsBounded(spark: SparkSession,
+      series: DataFrame, cfg: DarimaConfig,
+      timeBounds: Option[Option[(Double, Double)]]): DataFrame = {
     import spark.implicits._
-    val chunked = chunkSeries(series, cfg)
+    val chunked = chunkSeries(series, cfg, timeBounds)
     val fitted: Dataset[(Int, String, Int, Double, Double, Long)] = chunked
       .select(col("chunk_id"), col("t"), col("v"))
       .as[(Int, Double, Double)]
@@ -900,8 +917,18 @@ object Darima {
     val cfgFit = calibrateLongHorizon(cfg, h)
     val cached = series.cache()
     try {
-      val n = cached.count()
-      val coefsRaw = fitChunkCoefs(spark, cached, cfgFit)
+      // ONE stats job: the row count and (for the timerange chunker)
+      // the chunk bounds — previously two sequential full-data
+      // actions (count, then Chunker.timeChunks' min/max head)
+      val statsRow = cached.agg(count(lit(1)),
+        min(col("time").cast("double")),
+        max(col("time").cast("double"))).head()
+      val n = statsRow.getLong(0)
+      val tb: Option[(Double, Double)] =
+        if (statsRow.isNullAt(1)) None
+        else Some((statsRow.getDouble(1), statsRow.getDouble(2)))
+      val coefsRaw = fitChunkCoefsBounded(spark, cached, cfgFit,
+        if (cfgFit.chunker == "timerange") Some(tb) else None)
       val useHoldoutW = cfg.seasonalWeighting == "holdout"
       // the coef table is tiny (K·(p+3) rows) — cache it when the
       // holdout scoring pass would otherwise re-run the whole fit
@@ -1083,6 +1110,48 @@ object Darima {
       decayScope: String = "all"): DataFrame =
     combineKeyed(coefs, method, recencyDecay, numChunks, decayScope,
       Seq("sid"))
+
+  /** Fleet map step for a CANDIDATE SWEEP: every (series, chunk)
+    * group fitted once per tagged config in ONE `groupByKey` pass —
+    * the chunk rows are shuffled, buffered and time-sorted once
+    * instead of once per candidate (d12 previously ran the whole
+    * chunk+fit pipeline twice, once per AR order). All configs must
+    * share the chunker and numChunks so the chunk assignment is
+    * common; [[fitOneChunk]] is applied verbatim per config, so each
+    * tagged slice is bit-identical to a standalone
+    * [[fitChunkCoefsMany]] run under that config.
+    */
+  def fitChunkCoefsManyTagged(spark: SparkSession, series: DataFrame,
+      cfgs: Seq[(Int, DarimaConfig)]): DataFrame = {
+    import spark.implicits._
+    require(cfgs.nonEmpty &&
+      cfgs.map(c => (c._2.chunker, c._2.numChunks)).distinct.size == 1,
+      "tagged sweep configs must share chunker and numChunks")
+    val named = series.select(col("sid").cast("string").as("sid"),
+      col("time").cast("double").as("t"),
+      col("value").cast("double").as("v"))
+    chunkSeriesMany(named, cfgs.head._2)
+      .select(col("sid"), col("chunk_id"), col("t"), col("v"))
+      .as[(String, Int, Double, Double)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroups { (key, it) =>
+        val buf = it.map(r => (r._3, r._4)).toArray.sortBy(_._1)
+        cfgs.iterator.flatMap { case (tag, cfg) =>
+          fitOneChunk(buf, cfg).iterator.map(c =>
+            (tag, key._1, key._2, c.coef, c.lag_idx, c.value, c.weight,
+              c.n))
+        }
+      }
+      .toDF("p", "sid", "chunk_id", "coef", "lag_idx", "value",
+        "weight", "n")
+  }
+
+  /** The fleet combine with the candidate tag riding the group key —
+    * each (p, sid) slice reduces exactly as [[combineMany]] would
+    * reduce that candidate's standalone fit table.
+    */
+  def combineManyTagged(coefs: DataFrame, method: String): DataFrame =
+    combineKeyed(coefs, method, 1.0, 0, "all", Seq("p", "sid"))
 
   /** Collect the combined fleet table (|series|·(p+3) rows — the
     * only fit-path transfer, same bound per series as

@@ -382,10 +382,15 @@ object DarimaQueries {
       sid -> math.max(24L, n / 10).toInt
     }
     val maxH = hBySid.values.max
-    // per-series test tails: one bounded series_tail pass, h rows each
-    val tails = Darima.tailsMany(
+    // per-series test tails: one bounded series_tail pass, fetched
+    // ONE ROW DEEPER than the test window so the forecast seed (the
+    // last TRAIN value = the row just before the cutoff) falls out of
+    // the same collected tail — previously a second full series_tail
+    // aggregate pass over `train` (+ its shuffle join) re-derived it
+    val tailsFull = Darima.tailsMany(
       fleet.select(col("sid"), col("time").as("t"),
-        col("value").as("v")), maxH)
+        col("value").as("v")), maxH + 1)
+    val tails = tailsFull
       .map { case (sid, tl) => sid -> tl.takeRight(hBySid(sid)) }
     val cutDf = tails.toSeq.map { case (sid, tl) => (sid, tl.head._1) }
       .toDF("sid", "__cut")
@@ -401,14 +406,17 @@ object DarimaQueries {
       max(when(col("coef") === "beta0", col("value"))).as("c"),
       max(when(col("coef") === "ar1", col("value"))).as("phi"),
       max(when(col("coef") === "sigma2", col("value"))).as("sig"))
-    val y0s = train
-      .select(col("sid"), col("time").as("t"), col("value").as("v"))
-      .groupBy(col("sid"))
-      .agg(graft.functions.SeriesTail.series_tail(1)(col("t"), col("v"))
-        .as("tl"))
-      .select(col("sid"), expr("tl[0].v").as("y0"))
+    // y0 = last train value: tails are time-ascending, the test tail
+    // is the last h rows, so the seed is the row h+1 from the end —
+    // present iff the series has at least h+1 rows (train nonempty),
+    // exactly the rows the previous series_tail(1)-over-train pass
+    // surfaced. Values are the same parquet doubles, bit-identical.
+    val y0s = tailsFull.toSeq.collect {
+      case (sid, tl) if tl.length > hBySid(sid) =>
+        (sid, tl(tl.length - hBySid(sid) - 1)._2)
+    }.toDF("sid", "y0")
     val hFor = hBySid // serialized into the flatMap closure (tiny)
-    val fcRows = model.join(y0s, "sid")
+    val fcRows = model.join(broadcast(y0s), "sid")
       // same null-seed omission as d10: unfittable series forecast
       // nothing (the oracle's keyed fit emits no rows for them)
       .filter(col("c").isNotNull && col("phi").isNotNull &&
@@ -493,9 +501,14 @@ object DarimaQueries {
       sid -> math.max(24L, n / 10).toInt
     }
     val maxH = hBySid.values.max
-    val tails = Darima.tailsMany(
+    // tails fetched TWO rows deeper than the test window: both
+    // forecast seeds (y0 = last train value, ym1 = the one before)
+    // fall out of the same collected tail — previously a second
+    // series_tail(2) aggregate pass over `train` (+ shuffle join)
+    val tailsFull = Darima.tailsMany(
       fleet.select(col("sid"), col("time").as("t"),
-        col("value").as("v")), maxH)
+        col("value").as("v")), maxH + 2)
+    val tails = tailsFull
       .map { case (sid, tl) => sid -> tl.takeRight(hBySid(sid)) }
     val cutDf = tails.toSeq.map { case (sid, tl) => (sid, tl.head._1) }
       .toDF("sid", "__cut")
@@ -507,35 +520,37 @@ object DarimaQueries {
       .select(col("sid"), col("time"), col("value"))
     val trainNamed = train.select(col("sid"), col("time").as("t"),
       col("value").as("v"))
-    // both forecast seeds (y0 = last train value, ym1 = the one
-    // before) from ONE bounded series_tail pass; a series without two
-    // train rows has no AR(2) seed and is omitted from the selection
-    // (mirrored by the oracle's HAVING count(*) = 2)
-    val seeds = trainNamed.groupBy(col("sid"))
-      .agg(graft.functions.SeriesTail.series_tail(2)(col("t"), col("v"))
-        .as("tl"))
-      .filter(size(col("tl")) === 2)
-      .select(col("sid"), expr("tl[1].v").as("y0"),
-        expr("tl[0].v").as("ym1"))
-    def modelFor(p: Int): DataFrame = {
-      val cfg = if (p == 1) cfgOls1 else cfgOls2
-      val gm = Darima.combineMany(
-        Darima.fitChunkCoefsMany(s, train, cfg), "dlsa")
-      gm.groupBy(col("sid")).agg(
+    // a series without two train rows (n < h + 2) has no AR(2) seed
+    // and is omitted from the selection, exactly the previous
+    // size(tl) = 2 filter (mirrored by the oracle's HAVING count = 2)
+    val seeds = tailsFull.toSeq.collect {
+      case (sid, tl) if tl.length > hBySid(sid) + 1 =>
+        (sid, tl(tl.length - hBySid(sid) - 1)._2,
+          tl(tl.length - hBySid(sid) - 2)._2)
+    }.toDF("sid", "y0", "ym1")
+    // BOTH candidate orders fitted in ONE chunk+fit pass (the chunk
+    // rows shuffle, buffer and time-sort once; fitOneChunk runs per
+    // tagged config) and combined in ONE hash aggregate with the
+    // candidate tag on the group key — previously two full passes
+    val gm = Darima.combineManyTagged(
+      Darima.fitChunkCoefsManyTagged(s, train,
+        Seq(1 -> cfgOls1, 2 -> cfgOls2)), "dlsa")
+    val models = gm.groupBy(col("sid"), col("p")).agg(
         round(max(when(col("coef") === "beta0", col("value"))), 6)
           .as("c"),
         round(max(when(col("coef") === "ar1", col("value"))), 6)
           .as("p1"),
-        (if (p == 2)
-          round(max(when(col("coef") === "ar2", col("value"))), 6)
-        else max(lit(0.0))).as("p2"),
+        round(max(when(col("coef") === "ar2", col("value"))), 6)
+          .as("p2r"),
         round(max(when(col("coef") === "sigma2", col("value"))), 3)
           .as("sig"))
-        .withColumn("p", lit(p))
-    }
-    val models = modelFor(1).unionByName(modelFor(2))
+      // order 1 rides with p2 = 0.0 exactly (the fit emits no ar2
+      // row), matching the previous per-order max(lit(0.0)) column
+      .withColumn("p2",
+        when(col("p") === 1, lit(0.0)).otherwise(col("p2r")))
+      .drop("p2r")
     val hFor = hBySid
-    val fcRows = models.join(seeds, "sid")
+    val fcRows = models.join(broadcast(seeds), "sid")
       .filter(col("c").isNotNull && col("p1").isNotNull &&
         col("p2").isNotNull && col("sig").isNotNull)
       .select(col("sid"), col("p"), col("c"), col("p1"), col("p2"),

@@ -416,6 +416,11 @@ object PlanAudit {
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
+      // the audit judges the 100 TB plan shape: disable the
+      // broadcast-tier local-window fast path (LocalTier) so the
+      // distributed bucketed-window machinery — the shape that runs
+      // at scale — is what gets audited
+      .config(graft.tools.LocalTier.ConfKey, "0")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     var flagged = 0

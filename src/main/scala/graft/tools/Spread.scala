@@ -35,6 +35,11 @@ import org.apache.spark.sql.functions.hash
 object Spread {
 
   def apply(df: DataFrame): DataFrame = {
+    // Streaming frames: no-op. Computing optimizedPlan on a streaming
+    // DataFrame forces UnsupportedOperationChecker.checkForBatch and
+    // throws AnalysisException; the size gate is meaningless for an
+    // unbounded frame anyway (micro-batch parallelism is the source's).
+    if (df.isStreaming) return df
     val spark = df.sparkSession
     val on = spark.conf.getOption("spark.graft.scan.spread")
       .forall(_.trim.equalsIgnoreCase("true"))
@@ -48,8 +53,17 @@ object Spread {
         .get("spark.graft.scan.spread.maxBytes", "1g")))
     val cores = spark.sparkContext.defaultParallelism
     val estSplits = (bytes + maxSplit - 1) / maxSplit
-    if (bytes <= spreadMax && estSplits < cores)
-      df.repartition(cores, hash(df.columns.map(df.col): _*))
-    else df
+    if (bytes <= spreadMax && estSplits < cores) {
+      // hash the unique id column when the frame has one: cheaper
+      // than hashing the whole row, and immune to the duplicate-heavy
+      // corpus skew a full-row hash has (exact-dup rows share a hash
+      // and pile onto one partition); fall back to the full row for
+      // frames without a schema-unique key
+      val keyCols = df.columns
+        .filter(c => c == "doc_id" || c == "vec_id").map(df.col).toSeq
+      val hashOn =
+        if (keyCols.nonEmpty) keyCols else df.columns.map(df.col).toSeq
+      df.repartition(cores, hash(hashOn: _*))
+    } else df
   }
 }

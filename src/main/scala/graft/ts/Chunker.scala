@@ -42,12 +42,30 @@ object Chunker {
   def timeChunks(df: DataFrame, timeCol: Column, k: Int): DataFrame = {
     val t = timeCol.cast("double")
     val r = df.agg(min(t), max(t)).head()
-    if (r.isNullAt(0) || r.getDouble(1) <= r.getDouble(0))
-      return df.withColumn("chunk_id", lit(0))
-    val tmin = r.getDouble(0)
-    val span = r.getDouble(1) - tmin
-    df.withColumn("chunk_id",
-      least(floor((t - lit(tmin)) / lit(span) * k), lit(k - 1)).cast("int"))
+    val bounds =
+      if (r.isNullAt(0)) None else Some((r.getDouble(0), r.getDouble(1)))
+    timeChunksBounded(df, timeCol, k, bounds)
+  }
+
+  /** [[timeChunks]] with caller-supplied (tmin, tmax) — lets a caller
+    * that already runs a stats aggregate (Darima.runOnScale's row
+    * count) fold the bounds into that job instead of paying a second
+    * full-data action. None = empty input (all rows chunk 0, like the
+    * degenerate branch).
+    */
+  def timeChunksBounded(df: DataFrame, timeCol: Column, k: Int,
+      bounds: Option[(Double, Double)]): DataFrame = {
+    val t = timeCol.cast("double")
+    bounds match {
+      case None => df.withColumn("chunk_id", lit(0))
+      case Some((tmin, tmax)) if tmax <= tmin =>
+        df.withColumn("chunk_id", lit(0))
+      case Some((tmin, tmax)) =>
+        val span = tmax - tmin
+        df.withColumn("chunk_id",
+          least(floor((t - lit(tmin)) / lit(span) * k), lit(k - 1))
+            .cast("int"))
+    }
   }
 
   def rangeChunks(df: DataFrame, timeCol: Column, k: Int): DataFrame = {

@@ -90,6 +90,17 @@ object OrderedLag {
       carry: Seq[String] = null): DataFrame = {
     require(outCols.nonEmpty && maxLag >= 1)
 
+    // Broadcast-tier fast path (graft.tools.LocalTier): below the
+    // size gate the single-bucket window is the whole computation —
+    // no percentile job, no boundary pin, no patch join. Identical
+    // results by the same argument as the degenerate branch below.
+    if (graft.tools.LocalTier(df)) {
+      val w = Window.partitionBy(col("__bucket"))
+        .orderBy(orderCol, tieBreak)
+      return build(df.withColumn("__bucket", lit(0)), w)
+        .drop("__bucket")
+    }
+
     // One pass computes the row count (for the bucket-size clamp) and
     // the candidate quantile bounds.
     val qs = (1 until math.max(buckets, 2)).map(i => i.toDouble / buckets)

@@ -44,6 +44,19 @@ object OrderedRank {
     */
   private def ranked(df: DataFrame, orderCol: Column, tieBreak: Column,
       outCol: String, buckets: Int): DataFrame = {
+    // Broadcast-tier fast path (graft.tools.LocalTier): below the
+    // size gate, ONE single-bucket window computes the row number and
+    // total in a single read — no pin (the frame is read once), no
+    // percentile job, no per-bucket count/offset join. Identical
+    // results by the same argument as the degenerate branch below.
+    if (graft.tools.LocalTier(df)) {
+      val w = Window.partitionBy(col("__bucket")).orderBy(orderCol, tieBreak)
+      return df.withColumn("__bucket", lit(0))
+        .withColumn(outCol, row_number().over(w).cast("long"))
+        .withColumn("__n",
+          count(lit(1)).over(Window.partitionBy(col("__bucket"))))
+        .drop("__bucket")
+    }
     val pinned = graft.tools.Materialize(df)
     val qs = (1 until math.max(buckets, 2)).map(i => i.toDouble / buckets)
     val stats = pinned.select(
@@ -115,6 +128,15 @@ object OrderedRank {
   def withPrefixSum(df: DataFrame, orderCol: Column, tieBreak: Column,
       valueCol: Column, outCol: String = "__psum",
       buckets: Int = 32): DataFrame = {
+    // broadcast-tier fast path — see `ranked`
+    if (graft.tools.LocalTier(df)) {
+      val v0 = valueCol.cast("long")
+      val w = Window.partitionBy(col("__bucket")).orderBy(orderCol, tieBreak)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      return df.withColumn("__bucket", lit(0))
+        .withColumn(outCol, coalesce(sum(v0).over(w), lit(0L)))
+        .drop("__bucket")
+    }
     // same triple-read pin as `ranked` — see its doc comment
     val pinned = graft.tools.Materialize(df)
     val qs = (1 until math.max(buckets, 2)).map(i => i.toDouble / buckets)

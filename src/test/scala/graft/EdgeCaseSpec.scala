@@ -198,6 +198,28 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(trF.nonEmpty)
   }
 
+  test("triangles: dedicated gate bounds the local replay independently") {
+    // the triangles local replay is O(E^1.5) wedge work, so it gates
+    // on its own (lower) key: with the family gate forced to 0 the
+    // dedicated key alone must still select the local path, and the
+    // result must match the default run bit for bit
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val base = graft.llm.GraphRank.triangles(docs, 10, 0.02)
+      .collect().map(_.toString).toSeq
+    spark.conf.set(graft.llm.GraphRank.GraphBroadcastMaxEdgesKey, "0")
+    spark.conf.set(
+      graft.llm.GraphRank.TrianglesBroadcastMaxEdgesKey, "1000000")
+    val local = try graft.llm.GraphRank.triangles(docs, 10, 0.02)
+        .collect().map(_.toString).toSeq
+      finally {
+        spark.conf.unset(graft.llm.GraphRank.GraphBroadcastMaxEdgesKey)
+        spark.conf.unset(
+          graft.llm.GraphRank.TrianglesBroadcastMaxEdgesKey)
+      }
+    assert(local == base)
+    assert(base.nonEmpty)
+  }
+
   test("connected components: broadcast fast path equals the loop") {
     import spark.implicits._
     // deterministic pseudo-random sparse graph: chains, merges,

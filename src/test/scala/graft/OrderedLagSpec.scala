@@ -8,6 +8,29 @@ import graft.ts.OrderedLag
 class OrderedLagSpec extends AnyFunSuite {
   import SparkTestSession._
 
+  /** Pin the DISTRIBUTED bucketed-window path (the 100 TB shape) —
+    * see OrderedRankSpec.distOnly.
+    */
+  private def distOnly[T](body: => T): T = {
+    spark.conf.set(graft.tools.LocalTier.ConfKey, "0")
+    try body finally spark.conf.unset(graft.tools.LocalTier.ConfKey)
+  }
+
+  test("broadcast-tier fast path equals the distributed lag") {
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("value"))
+    def lags() = OrderedLag.withLags(ev, col("ts"), col("event_id"),
+      "value", Seq(1, 24), buckets = 8)
+      .select(col("event_id"), col("value_lag1"), col("value_lag24"))
+      .collect()
+      .map(r => r.getLong(0) -> (Option(r.get(1)), Option(r.get(2))))
+      .toMap
+    val fast = lags()
+    val dist = distOnly(lags())
+    assert(fast == dist)
+    assert(fast.nonEmpty)
+  }
+
   test("distributed lag equals global-window lag on the events series") {
     val ev = Tables.events(spark, sf)
       .select(col("event_id"), col("ts"), col("value"))
@@ -17,12 +40,13 @@ class OrderedLagSpec extends AnyFunSuite {
       .withColumn("value_lag24",
         lag(col("value"), 24).over(Window.orderBy(col("ts"), col("event_id"))))
       .select(col("event_id"), col("value_lag1"), col("value_lag24"))
-    val dist = OrderedLag.withLags(ev, col("ts"), col("event_id"),
+    val dist = distOnly(OrderedLag.withLags(ev, col("ts"), col("event_id"),
       "value", Seq(1, 24), buckets = 8)
       .select(col("event_id"), col("value_lag1"), col("value_lag24"))
+      .collect())
     val g = global.collect().map(r => r.getLong(0) ->
       (Option(r.get(1)), Option(r.get(2)))).toMap
-    val d = dist.collect().map(r => r.getLong(0) ->
+    val d = dist.map(r => r.getLong(0) ->
       (Option(r.get(1)), Option(r.get(2)))).toMap
     assert(g.size == d.size)
     g.foreach { case (k, v) => assert(d(k) == v, s"event $k: ${d(k)} vs $v") }
@@ -41,10 +65,10 @@ class OrderedLagSpec extends AnyFunSuite {
         lag(col("value"), 5).over(Window.orderBy(col("t"), col("event_id"))))
       .select(col("event_id"), col("value_lag5"))
       .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
-    val dist = OrderedLag.withLags(df, col("t"), col("event_id"),
+    val dist = distOnly(OrderedLag.withLags(df, col("t"), col("event_id"),
       "value", Seq(5), buckets = 16)
       .select(col("event_id"), col("value_lag5"))
-      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+      .collect()).map(r => r.getLong(0) -> Option(r.get(1))).toMap
     assert(global.size == dist.size)
     global.foreach { case (k, v) =>
       assert(dist(k) == v, s"event $k: ${dist(k)} vs $v")
@@ -62,10 +86,10 @@ class OrderedLagSpec extends AnyFunSuite {
         lag(col("value"), 40).over(Window.orderBy(col("t"), col("event_id"))))
       .select(col("event_id"), col("value_lag40"))
       .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
-    val dist = OrderedLag.withLags(df, col("t"), col("event_id"),
+    val dist = distOnly(OrderedLag.withLags(df, col("t"), col("event_id"),
       "value", Seq(40), buckets = 16)
       .select(col("event_id"), col("value_lag40"))
-      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+      .collect()).map(r => r.getLong(0) -> Option(r.get(1))).toMap
     assert(global.size == dist.size)
     global.foreach { case (k, v) =>
       assert(dist(k) == v, s"event $k: ${dist(k)} vs $v")
@@ -75,9 +99,9 @@ class OrderedLagSpec extends AnyFunSuite {
   test("no single-partition exchange in the distributed-lag plan") {
     val ev = Tables.events(spark, sf)
       .select(col("event_id"), col("ts"), col("value"))
-    val plan = OrderedLag.withLags(ev, col("ts"), col("event_id"),
+    val plan = distOnly(OrderedLag.withLags(ev, col("ts"), col("event_id"),
       "value", Seq(1), buckets = 8)
-      .queryExecution.executedPlan.toString
+      .queryExecution.executedPlan.toString)
     // the only SinglePartition allowed is the 1-row quantile agg done
     // before planning; the lag path itself must partition by bucket
     assert(!plan.contains("SinglePartition"), plan.linesIterator
@@ -92,13 +116,13 @@ class OrderedLagSpec extends AnyFunSuite {
     // enough rows for ~32 buckets so head patches are exercised
     val df = Seq.tabulate(5000)(i => (i.toLong, rnd.nextInt(10000) / 100.0))
       .toDF("id", "v")
-    val got = graft.ts.OrderedLag.withRollingColumns(
+    val got = distOnly(graft.ts.OrderedLag.withRollingColumns(
       df, col("id"), col("id"),
       (in, w) => in.withColumn("rsum",
         sum(col("v").cast("decimal(14,2)")).over(w.rowsBetween(-9, 0))),
       Seq("rsum"), window = 10)
       .select(col("id"), col("rsum").cast("double"))
-      .orderBy("id").collect()
+      .orderBy("id").collect())
     val w = Window.orderBy(col("id")).rowsBetween(-9, 0)
     val want = df.withColumn("rsum",
       sum(col("v").cast("decimal(14,2)")).over(w))

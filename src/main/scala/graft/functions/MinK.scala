@@ -21,25 +21,65 @@ import org.apache.spark.sql.functions.udaf
   * sorting by the packed value must equal sorting by the tuple.
   */
 final class BoundedMinK(cap: Int)
-    extends Aggregator[Long, Seq[Long], Seq[Long]] {
+    extends Aggregator[Long, Array[Long], Seq[Long]] {
 
-  private def compact(s: Seq[Long]): Seq[Long] =
-    s.distinct.sorted.take(cap + 1)
+  // Buffer layout: element 0 = live entry count, elements 1..n =
+  // the ≤ cap+1 smallest DISTINCT values seen, sorted ascending —
+  // maintained IN PLACE (binary-search insert, drop-max when full).
+  // The previous Seq[Long] form appended per row and re-ran
+  // distinct.sorted every ~2(cap+1) rows: measured 8.4 s of task
+  // time for one bucket build at sf0.1 (allocation + sort churn on
+  // the hottest aggregate in the shingle family). Semantics are
+  // identical: keeping the cap+1 smallest distinct values both
+  // detects overflow (> cap distinct ⇒ count = cap+1 ⇒ finish
+  // empty) and preserves the kept member list.
 
-  override def zero: Seq[Long] = Vector.empty
-  override def reduce(buf: Seq[Long], v: Long): Seq[Long] = {
-    val nb = buf :+ v
-    if (nb.size > 2 * (cap + 1)) compact(nb) else nb
+  override def zero: Array[Long] = {
+    val a = new Array[Long](cap + 2)
+    a(0) = 0L
+    a
   }
-  override def merge(x: Seq[Long], y: Seq[Long]): Seq[Long] =
-    compact(x ++ y)
-  override def finish(buf: Seq[Long]): Seq[Long] = {
-    val d = compact(buf)
-    if (d.size > cap) Vector.empty else d
+
+  private def insert(buf: Array[Long], v: Long): Array[Long] = {
+    val n = buf(0).toInt
+    // binary search over buf[1..n]
+    var lo = 1; var hi = n
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      if (buf(mid) < v) lo = mid + 1
+      else if (buf(mid) > v) hi = mid - 1
+      else return buf // already present (distinct semantics)
+    }
+    // lo = insertion point in [1, n+1]
+    if (n < cap + 1) {
+      System.arraycopy(buf, lo, buf, lo + 1, n - lo + 1)
+      buf(lo) = v
+      buf(0) = n + 1
+    } else if (lo <= n) { // full: keep only if smaller than the max
+      System.arraycopy(buf, lo, buf, lo + 1, n - lo)
+      buf(lo) = v
+    }
+    buf
   }
 
-  override def bufferEncoder: Encoder[Seq[Long]] =
-    ExpressionEncoder[Seq[Long]]()
+  override def reduce(buf: Array[Long], v: Long): Array[Long] =
+    insert(buf, v)
+
+  override def merge(x: Array[Long], y: Array[Long]): Array[Long] = {
+    var i = 1
+    val ny = y(0).toInt
+    while (i <= ny) { insert(x, y(i)); i += 1 }
+    x
+  }
+
+  override def finish(buf: Array[Long]): Seq[Long] = {
+    val n = buf(0).toInt
+    if (n > cap) Vector.empty
+    else buf.slice(1, n + 1).toSeq
+  }
+
+  override def bufferEncoder: Encoder[Array[Long]] =
+    ExpressionEncoder[Array[Long]]()
   override def outputEncoder: Encoder[Seq[Long]] =
     ExpressionEncoder[Seq[Long]]()
 }

@@ -1181,20 +1181,14 @@ object Dedup {
     */
   def minhashEstimate(docs: DataFrame, perms: Int, dfCap: Int,
       threshold: Double): DataFrame = {
-    // pinned: the candidate frame feeds BOTH the intersection pass
-    // and the endpoint semi-join — without the pin the whole shingle
+    // pinned: the candidate frame feeds BOTH the endpoint set build
+    // and the final pair report — without the pin the whole shingle
     // bucket machinery executes twice (measured 5.6 s vs 3.1 s)
     val pairs = graft.tools.Materialize(
       jaccardPairs(docs, dfCap, threshold).select(col("d1"), col("d2")))
-    // also pinned: the shingle explosion feeds the two intersection
-    // sides, the size table, and the signature build — four full
-    // explode passes otherwise
-    val sh = graft.tools.Materialize(shingles(docs))
-    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val inter = pairs
-      .join(sh.select(col("doc_id").as("d1"), col("s")), "d1")
-      .join(sh.select(col("doc_id").as("d2"), col("s")), Seq("d2", "s"))
-      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("inter"))
+    val endpoints = pairs
+      .select(explode(array(col("d1"), col("d2"))).as("doc_id"))
+      .distinct()
     // Carter–Wegman permutation family over Z_p (p = 2³¹−1): ONE md5
     // per shingle parsed to a 28-bit x, permutation b's value is
     // (a_b·x + c_b) mod p with per-permutation constants baked into
@@ -1206,39 +1200,41 @@ object Dedup {
     // was tried and rejected: for b ≥ 16 the argmin collapses to
     // argmin h2 across all bands — est errors up to 0.93.)
     val (pa, pc) = permConsts(perms)
-    val minAggs = (0 until perms).map(b =>
-      min((col("x") * lit(pa(b)) + lit(pc(b))) % lit(MersenneP))
-        .as(s"mh$b"))
-    // signatures only for pair ENDPOINTS (a bounded doc set) — the
-    // 128 min-agg states per shingle row are the dominant cost, and
-    // this calibration table only ever reads candidate-pair rows
-    val endpoints = pairs
-      .select(explode(array(col("d1"), col("d2"))).as("doc_id"))
-      .distinct()
-    // signatures carried as ONE array column, not 128 separate
-    // columns: the pairwise joins below then move narrow rows, and
-    // the match count is an in-row fold instead of a 128-term
-    // when-chain over a 256-column join output (same integer count,
-    // element order fixed by the array positions)
-    val sig = sh.join(endpoints, "doc_id")
-      .withColumn("hh", md5(col("s")))
-      .withColumn("x",
-        expr("cast(conv(substr(hh, 1, 7), 16, 10) as bigint)"))
-      .groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
-      .select(col("doc_id"),
-        array((0 until perms).map(b => col(s"mh$b")): _*).as("sig"))
-    val sigA = sig.select(col("doc_id").as("d1"), col("sig").as("sa"))
-    val sigB = sig.select(col("doc_id").as("d2"), col("sig").as("sb"))
+    // Everything this report needs per ENDPOINT doc — the full
+    // (uncapped) distinct shingle set, its size, and the perms
+    // permutation minima (graft.functions.MinhashSig, the array-state
+    // aggregate) — falls out of ONE endpoint-bounded aggregate over
+    // the shingle explosion. The previous form paid two corpus-wide
+    // co-keyed joins for the intersection counts, a full corpus size
+    // aggregate, and a separate endpoint signature aggregate — four
+    // corpus-scale operators for a report whose rows are
+    // candidate-pair-bounded. Intersection = |sa ∩ sb| over the
+    // distinct sets (identical count to the co-keyed join), the
+    // minima are the same (x·a+c) mod p integers.
+    val sets = graft.tools.Materialize(
+      shingles(docs).join(endpoints, "doc_id")
+        .withColumn("x",
+          expr("cast(conv(substr(md5(s), 1, 7), 16, 10) as bigint)"))
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(col("s"))).as("ss"),
+          graft.functions.MinhashSig.minhash_sig(pa, pc, MersenneP)(
+            col("x")).as("sig"))
+        .withColumn("sz", size(col("ss")).cast("long"))
+        .select(col("doc_id"), col("ss"), col("sz"), col("sig")))
+    val sideA = sets.select(col("doc_id").as("d1"), col("ss").as("sa"),
+      col("sz").as("sz1"), col("sig").as("siga"))
+    val sideB = sets.select(col("doc_id").as("d2"), col("ss").as("sb"),
+      col("sz").as("sz2"), col("sig").as("sigb"))
     val matchExpr = expr(
-      """aggregate(zip_with(sa, sb,
+      """aggregate(zip_with(siga, sigb,
         |  (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END),
         |  0, (acc, v) -> acc + v)""".stripMargin)
     val exactJac = round(col("inter") /
       (col("sz1") + col("sz2") - col("inter")), 6)
-    inter
-      .join(sigA, "d1").join(sigB, "d2")
-      .join(sz.select(col("doc_id").as("d1"), col("sz").as("sz1")), "d1")
-      .join(sz.select(col("doc_id").as("d2"), col("sz").as("sz2")), "d2")
+    pairs
+      .join(sideA, "d1").join(sideB, "d2")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb")))
+        .cast("long"))
       .withColumn("exact_jac", exactJac)
       .withColumn("matches", matchExpr)
       .withColumn("est_jac",
@@ -1461,17 +1457,19 @@ object Dedup {
           "n_docs", "d_min", "d_max")
     val bands = bestRows(0).getInt(0)
     val rpb = bestRows(0).getInt(1)
+    // all `perms` minima in ONE array-state aggregate
+    // (graft.functions.MinhashSig): the previous 128 separate min
+    // columns blew the 100-field codegen limit and dropped the whole
+    // signature plan to interpreted evaluation (18.5 s of task time
+    // at sf0.1 for ~35M multiply-mods)
     val (pa, pc) = permConsts(perms)
-    val minAggs = (0 until perms).map(b =>
-      min((col("x") * lit(pa(b)) + lit(pc(b))) % lit(MersenneP))
-        .as(s"mh$b"))
     val sig = sh
       .withColumn("hh", md5(col("s")))
       .withColumn("x",
         expr("cast(conv(substr(hh, 1, 7), 16, 10) as bigint)"))
-      .groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
-      .select(col("doc_id"),
-        array((0 until perms).map(b => col(s"mh$b")): _*).as("pm"))
+      .groupBy(col("doc_id"))
+      .agg(graft.functions.MinhashSig.minhash_sig(pa, pc, MersenneP)(
+        col("x")).as("pm"))
     val banded = sig
       .select(col("doc_id"), col("pm"),
         explode(expr(s"sequence(0, ${bands - 1})")).as("b"))
@@ -1902,18 +1900,23 @@ object Dedup {
   def containmentPairs(docs: DataFrame, dfCap: Int, threshold: Double)
       : DataFrame = {
     val buckets = shingleBuckets(docs, dfCap)
-    val inter = buckets
+    // BOTH directions of every in-bucket pair from ONE explode and
+    // ONE hash aggregate: the previous form aggregated the undirected
+    // pair table and unioned two projections of it, which Catalyst
+    // plans as TWO full explode+aggregate subtrees (verified in the
+    // x62/x106 dumps: two Generate, two exchanges, no ReusedExchange).
+    // Emitting the (a,b) and (b,a) structs in-row keeps the same
+    // directed counts — each bucket co-occurrence contributes one row
+    // to each direction — with half the enumeration work and one
+    // exchange instead of two.
+    val both = buckets
       .select(explode(expr(
         """flatten(transform(ds, (x, i) ->
-          |  transform(slice(ds, i + 2, size(ds)), y -> struct(x AS d1, y AS d2))))"""
+          |  flatten(transform(slice(ds, i + 2, size(ds)), y ->
+          |    array(struct(x AS a, y AS b), struct(y AS a, x AS b))))))"""
           .stripMargin)).as("p"))
-      .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
       .agg(count(lit(1)).as("inter"))
-    // score each unordered pair in both directions off the one count
-    val both = inter
-      .select(col("d1").as("a"), col("d2").as("b"), col("inter"))
-      .unionAll(inter
-        .select(col("d2").as("a"), col("d1").as("b"), col("inter")))
     containmentScore(both, buckets, threshold)
   }
 

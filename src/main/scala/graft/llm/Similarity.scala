@@ -1739,12 +1739,20 @@ object Similarity {
     * encode-on-ingest twin.
     */
   private[graft] def pqArgminCodes(v: Column, m: Int,
-      subDim: Int): Column =
+      subDim: Int): Column = {
+    // cb is SORTED by (sub, cid), so subspace `sub`'s entries are the
+    // contiguous run [sub·stride+1, (sub+1)·stride] — slice them
+    // directly instead of filter-scanning all m·stride entries per
+    // subspace (an O(m²·ksub) expression tree per row; the stride is
+    // the actual per-subspace centroid count, cf. the dt builder).
+    // Same entries in the same cid order ⇒ identical argmin structs.
+    val stride = (size(col("cb")) / lit(m)).cast("int")
     transform(sequence(lit(0), lit(m - 1)), sub =>
       array_min(transform(
-        filter(col("cb"), c => c.getField("sub") === sub),
+        slice(col("cb"), sub * stride + 1, stride),
         c => struct(pqD2u6(pqSubvec(v, sub, subDim), c.getField("cvec"))
           .as("d"), c.getField("cid").as("cid")))).getField("cid"))
+  }
 
   /** Map-only PQ encode: (vec_id, codes) with zero shuffles — the
     * codebook rides as a 1-row broadcast.
@@ -1807,10 +1815,14 @@ object Similarity {
       val cb1 = cent.groupBy()
         .agg(sort_array(collect_list(
           struct(col("sub"), col("cid"), col("cv")))).as("cb"))
+      // cb sorted by (sub, cid): slice the subspace's contiguous run
+      // instead of filter-scanning the whole table per row (see
+      // pqArgminCodes)
+      val stride1 = (size(col("cb")) / lit(m)).cast("int")
       val assigned = svT.crossJoin(broadcast(cb1))
         .select(col("sub"), col("v"),
           array_min(transform(
-            filter(col("cb"), c => c.getField("sub") === col("sub")),
+            slice(col("cb"), col("sub") * stride1 + 1, stride1),
             c => struct(intD2(col("v"), c.getField("cv")).as("d"),
               c.getField("cid").as("cid")))).getField("cid").as("cid"))
       val updated = assigned
@@ -2768,16 +2780,19 @@ object Similarity {
     if (dim <= 0) return None
     var v: IndexedSeq[BigInt] = IndexedSeq.fill(dim)(BigInt(1000000))
     for (_ <- 1 to iters) {
-      val wAggs = (0 until dim).map { j =>
-        sum(expr(s"CASE WHEN size(xs) > $j THEN " +
-          s"cast(element_at(xs, ${j + 1}) as $dec38) * " +
-          s"cast(dot as $dec38) END")).as(s"w$j")
-      }
-      val row = xs.withColumn("dot", expr(dotExpr(v)))
-        .agg(wAggs.head, wAggs.tail: _*).head()
-      val w = (0 until dim).map(j =>
-        if (row.isNullAt(j)) BigInt(0)
-        else BigInt(row.getDecimal(j).toBigInteger))
+      // ONE tight-loop aggregate per step (graft.functions.PowerSums):
+      // the per-row long dot x·v and the dim exact 128-bit sums of
+      // x_j·dot run in one JVM loop. The previous form computed the
+      // dot as an interpreted higher-order fold (HigherOrderFunction
+      // is CodegenFallback) and the sums as 64 DECIMAL(38,0) column
+      // aggregates — measured 3-4 s of task time PER STEP on a
+      // 5,000-row cloud. Identical exact integers (v entries are
+      // max-normalized to [−10⁶, 10⁶], so the long dot bound is the
+      // same one the in-plan fold relied on; 128-bit covers the sums
+      // the DECIMAL(38,0) columns carried).
+      val row = xs.agg(graft.functions.PowerSums.power_step(
+        v.map(_.toLong), dim)(col("xs"))).head()
+      val w = row.getSeq[String](0).map(BigInt(_)).toIndexedSeq
       val m = w.map(_.abs).max
       if (m == 0) return None
       v = w.map(wj => ((wj + m) * 1000000) / m - 1000000)
@@ -2798,13 +2813,12 @@ object Similarity {
     */
   private def quadTrace(xs: DataFrame,
       v: IndexedSeq[BigInt]): (BigInt, BigInt) = {
-    val r = xs.withColumn("dot", expr(dotExpr(v)))
-      .agg(sum(expr(s"cast(dot as $dec38) * cast(dot as $dec38)"))
-        .as("quad"),
-        sum(expr(s"cast(aggregate(xs, 0L, (acc, x) -> acc + x * x) " +
-          s"as $dec38)")).as("tr")).head()
-    (BigInt(r.getDecimal(0).toBigInteger),
-      BigInt(r.getDecimal(1).toBigInteger))
+    // same tight-loop form as powerIterateVec — one aggregate, exact
+    // 128-bit sums (the previous DECIMAL(38,0) sums' values)
+    val r = xs.agg(graft.functions.PowerSums.quad_trace(
+      v.map(_.toLong))(col("xs"))).head()
+    val s = r.getSeq[String](0)
+    (BigInt(s(0)), BigInt(s(1)))
   }
 
   def topComponent(emb: DataFrame, iters: Int): DataFrame = {

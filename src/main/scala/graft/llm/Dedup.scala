@@ -318,7 +318,7 @@ object Dedup {
     val tok = docs
       .select(col("doc_id"),
         explode(array_distinct(split(col("text"), " "))).as("w"))
-      .withColumn("v", expr(hash16Expr("instr", "w")))
+      .withColumn("v", expr(hash16FastExpr("w")))
     val bitAggs = (0 until 16).map { j =>
       sum(when(expr(s"(v div ${1 << j}) % 2") === 1, 1).otherwise(-1))
         .as(s"s$j")
@@ -348,11 +348,20 @@ object Dedup {
         s" AS BIGINT) * ${1L << (4 * (8 - p))})"
     }.mkString("(", " + ", ")")
 
+  /** Spark-only fast form of [[hash32Expr]]: ONE md5 + a hex parse
+    * via `conv` — bit-identical by construction (the nibble sum IS
+    * the base-16 parse of the first 8 hex chars; cf. the verified
+    * [[hash16FastExpr]] twin). Engine hot paths only; oracles keep
+    * the portable strpos nibble form.
+    */
+  private[graft] def hash32FastExpr(strCol: String): String =
+    s"cast(conv(substr(md5($strCol), 1, 8), 16, 10) as bigint)"
+
   def simhash32Signatures(docs: DataFrame): DataFrame = {
     val tok = graft.tools.Spread(docs)
       .select(col("doc_id"),
         explode(array_distinct(split(col("text"), " "))).as("w"))
-      .withColumn("v", expr(hash32Expr("instr", "w")))
+      .withColumn("v", expr(hash32FastExpr("w")))
     val bitAggs = (0 until 32).map { j =>
       sum(when(expr(s"(v div ${1L << j}) % 2") === 1, 1).otherwise(-1))
         .as(s"s$j")
@@ -492,7 +501,7 @@ object Dedup {
     }.mkString(" + ")
     docs
       .withColumn("vs", expr("transform(array_distinct(split(text, ' ')), " +
-        s"w -> ${hash32Expr("instr", "w")})"))
+        s"w -> ${hash32FastExpr("w")})"))
       .withColumn("simhash", expr(s"CAST($bits AS BIGINT)"))
       .drop("vs")
   }
@@ -1094,10 +1103,10 @@ object Dedup {
     val clusterSplits =
       connectedComponents(docs.select(col("doc_id")), pairs)
         .select(col("doc_id"),
-          splitOf(expr(hash32Expr("instr", "cast(component AS string)"))
+          splitOf(expr(hash32FastExpr("cast(component AS string)"))
             % 100).as("cluster_split"))
     val naiveSplits = docs.select(col("doc_id"),
-      splitOf(expr(hash32Expr("instr", "cast(doc_id AS string)")) % 100)
+      splitOf(expr(hash32FastExpr("cast(doc_id AS string)")) % 100)
         .as("naive_split"))
     // pinned: both audit arms read the same sided pair table — the
     // simhash + CC machinery must not execute twice
@@ -1541,7 +1550,7 @@ object Dedup {
       .select(col("d1"), col("d2"))
     connectedComponents(docs.select(col("doc_id")), pairs)
       .withColumn("bucket",
-        expr(hash32Expr("instr", "cast(component AS string)")) % 100)
+        expr(hash32FastExpr("cast(component AS string)")) % 100)
       .withColumn("split",
         when(col("bucket") < testPct, "test")
           .when(col("bucket") < testPct + valPct, "val")

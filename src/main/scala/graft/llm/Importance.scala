@@ -40,11 +40,13 @@ object Importance {
     // the two consumers of `base` share an identical exchange, which
     // ReuseExchange dedupes instead of re-tokenizing the corpus
     val inTarget = col("source").isin(targetSources: _*)
-    val base = docs
+    // Spread: full-token explosion (~50×) over the single-split scan
+    // — measured as a 1.0 s one-task stage at sf0.1 local[32]
+    val base = graft.tools.Spread(docs)
       .select(col("doc_id"), inTarget.as("is_t"),
         explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0)
-      .withColumn("b", expr(s"${Dedup.hash16Expr("instr", "w")} % $buckets"))
+      .withColumn("b", expr(s"${Dedup.hash16FastExpr("w")} % $buckets"))
       .groupBy(col("doc_id"), col("is_t"), col("b"))
       .agg(count(lit(1)).as("k"))
     val bk = base.groupBy(col("b"))
@@ -63,10 +65,10 @@ object Importance {
     * tokenize+hash pass, shared by the serve path.
     */
   private def docBuckets(docs: DataFrame, buckets: Int): DataFrame =
-    docs.select(col("doc_id"),
+    graft.tools.Spread(docs).select(col("doc_id"),
         explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0)
-      .withColumn("b", expr(s"${Dedup.hash16Expr("instr", "w")} % $buckets"))
+      .withColumn("b", expr(s"${Dedup.hash16FastExpr("w")} % $buckets"))
       .groupBy(col("doc_id"), col("b"))
       .agg(count(lit(1)).as("k"))
 
@@ -77,11 +79,11 @@ object Importance {
   def lambdaTable(docs: DataFrame, buckets: Int = 256,
       targetSources: Seq[String] = Seq("src1", "src2")): DataFrame = {
     val inTarget = col("source").isin(targetSources: _*)
-    val bk = docs
+    val bk = graft.tools.Spread(docs)
       .select(inTarget.as("is_t"),
         explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0)
-      .withColumn("b", expr(s"${Dedup.hash16Expr("instr", "w")} % $buckets"))
+      .withColumn("b", expr(s"${Dedup.hash16FastExpr("w")} % $buckets"))
       .groupBy(col("b"))
       .agg(count(lit(1)).as("cr"),
         sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"))

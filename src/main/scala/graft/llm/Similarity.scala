@@ -893,7 +893,10 @@ object Similarity {
     * list-occupancy report so both see the identical index layout.
     */
   private def ivfAssign(emb: DataFrame, seeds: DataFrame): DataFrame =
-    emb.crossJoin(broadcast(seeds))
+    // Spread: ×nLists cosine expansion over the single-split scan
+    // (see pqEncode) — the per-vec_id window below shuffles anyway,
+    // so the exchange only parallelizes the expansion stage
+    graft.tools.Spread(emb).crossJoin(broadcast(seeds))
       .withColumn("c", cosTo(col("embedding"), col("ce")))
       .withColumn("rn", row_number().over(Window.partitionBy(col("vec_id"))
         .orderBy(col("c").desc, col("list_id"))))
@@ -1116,7 +1119,10 @@ object Similarity {
           lit(1 << j)).otherwise(lit(0))
       }.reduce(_ + _).as(s"sig$b")
     }
-    val sigs = emb.select(col("vec_id") +: col("embedding") +: sigCols: _*)
+    // Spread: bands·planes dot products per row over the single-split
+    // scan (the pqEncode/ivfAssign straggler shape)
+    val sigs = graft.tools.Spread(emb)
+      .select(col("vec_id") +: col("embedding") +: sigCols: _*)
       .select(col("vec_id"), expr(
         (0 until bands).map(b => s"$b, sig$b")
           .mkString(s"stack($bands, ", ", ", ") AS (band, sig)")))
@@ -1759,7 +1765,11 @@ object Similarity {
     */
   def pqEncode(emb: DataFrame, cbRow: DataFrame, dim: Int,
       m: Int): DataFrame =
-    emb.crossJoin(broadcast(cbRow))
+    // Spread: the encode is a heavy map pass (m·ksub quantized
+    // distances per row) over the single-split corpus scan — measured
+    // as a 0.7 s ONE-task stage at sf0.1 local[32] (the x119/x41
+    // straggler shape from round 10, same scale-adaptive fix)
+    graft.tools.Spread(emb).crossJoin(broadcast(cbRow))
       .select(col("vec_id"),
         pqArgminCodes(col("embedding"), m, dim / m).as("codes"))
 
@@ -1836,9 +1846,15 @@ object Similarity {
         .agg(expr(
           "transform(array_sort(collect_list(struct(i, cx))), s -> s.cx)")
           .as("ucv"))
-      cent = cent.join(updated, Seq("sub", "cid"), "left")
+      // m·ksub rows — collect the iteration's centroids to a
+      // LocalRelation (the `localized` bounded-model idiom): each
+      // iteration then plans against a literal instead of the whole
+      // nested history, which kept the final collect's plan depth
+      // (and its driver-side planning + codegen time) proportional
+      // to the iteration count
+      cent = localized(cent.join(updated, Seq("sub", "cid"), "left")
         .select(col("sub"), col("cid"),
-          coalesce(col("ucv"), col("cv")).as("cv"))
+          coalesce(col("ucv"), col("cv")).as("cv")))
     }
     cent.select(col("sub"), col("cid"),
         transform(col("cv"), x => x / lit(1e6)).as("cvec"))

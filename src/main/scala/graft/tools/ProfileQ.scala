@@ -22,6 +22,8 @@ object ProfileQ {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // match Bench: sort-based shuffle writer (see Bench.scala)
+      .config("spark.shuffle.sort.bypassMergeThreshold", "1")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

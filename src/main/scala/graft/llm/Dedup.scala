@@ -1728,7 +1728,12 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("d1"), col("d2"), col("inter"), col("sz1"), col("sz2"),
         round(col("jaccard"), 6).as("jaccard"))
-      .orderBy(col("d1"), col("d2"))
+    // NO presentation sort here: of the nine consumers (x04, graph
+    // family, planners, calibration reports, attribution matrix) only
+    // the x04 query itself needs (d1, d2) order, and it adds its own
+    // orderBy — every other consumer aggregates or collects, and the
+    // global sort was a pure extra exchange in all of them (guide
+    // §2.4: an orderBy used only for output determinism)
   }
 
   /** Shared CTE chain ending in `jp` = the x04 scored pair table

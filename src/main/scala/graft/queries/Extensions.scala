@@ -30,7 +30,10 @@ object Extensions {
     Dedup.simhashNearDup(Tables.documents(s, d), maxDist = 3)
 
   private val x04NgramJaccard: Q = (s, d) =>
+    // the presentation sort lives HERE, not in the shared pair
+    // builder (see jaccardPairsFrom) — only this query needs it
     Dedup.jaccardPairs(Tables.documents(s, d), dfCap = 10, threshold = 0.2)
+      .orderBy(col("d1"), col("d2"))
 
   /** X1': benchmark decontamination — corpus docs sharing any 4-gram
     * with the benchmark set (doc_id < 5 stands in for an eval set).

@@ -24,7 +24,8 @@ object Bench {
       // At production scale R > 200, so the bypass never fires and
       // the sort writer IS the at-scale path; this pins the same
       // writer locally instead of a small-R special case.
-      .config("spark.shuffle.sort.bypassMergeThreshold", "1")
+      .config("spark.shuffle.sort.bypassMergeThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_BYPASS", "1"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

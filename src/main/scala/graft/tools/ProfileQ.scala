@@ -23,7 +23,8 @@ object ProfileQ {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       // match Bench: sort-based shuffle writer (see Bench.scala)
-      .config("spark.shuffle.sort.bypassMergeThreshold", "1")
+      .config("spark.shuffle.sort.bypassMergeThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_BYPASS", "1"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
